@@ -1,0 +1,33 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.expr
+import org.apache.spark.sql.types.LongType
+
+/** Registry for the driver-generated parquet tables (TESTDATA.md).
+  *
+  * One parquet file per table under `\$sfDir/`. All queries read through
+  * [[Tables.load]] so filters/projections push down to the parquet scan
+  * (verified via `.explain("formatted")` — `PushedFilters`/`ReadSchema`).
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    // events.ts is TIMESTAMP(NANOS) parquet, which Spark 4 only reads as
+    // long (spark.sql.legacy.parquet.nanosAsLong=true, set in Spark.session).
+    // Truncate ns -> us exactly in integer math (matches DuckDB, which also
+    // truncates ns to its internal microsecond timestamps).
+    df.schema.find(f => f.name == "ts" && f.dataType == LongType) match {
+      case Some(_) => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case None    => df
+    }
+  }
+
+  /** Register every table as a temp view (used by SQL-form queries). */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+}
