@@ -13,10 +13,9 @@ object SparkEntry {
 
   private def packs: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
     Seq(
-      (queries1.queries, queries1.oracles)
+      (graft.queries.Relational.queries, graft.queries.Relational.oracles),
+      (graft.queries.ArrayOps.queries, graft.queries.ArrayOps.oracles)
     )
-
-  private def queries1 = graft.queries.Relational
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

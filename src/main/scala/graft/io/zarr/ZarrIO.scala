@@ -1,0 +1,140 @@
+package graft.io.zarr
+
+import java.net.URI
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.functions.col
+
+import graft.core.{Blosc, ChunkGrid, Volume, ZarrChunk}
+
+/** Zarr v2 directory-store sink + source (reference K1/K2 sink,
+  * `czi_to_zarr.py:585-608` + S6 re-scan `czi_to_zarr.py:611,624`).
+  *
+  * Layout: `root/<stack>/<level>/<t>/<c>/<z>/<y>/<x>` — one compressed
+  * file per chunk, nested `dimension_separator="/"` exactly like the
+  * reference store (`czi_to_zarr.py:585-593`).
+  *
+  * Scale design:
+  *   - the sink is `foreachPartition` over the chunk Dataset: every task
+  *     writes only its own chunk files — lock-free by construction
+  *     (reference X8, `zarr_writer.py:210`), no driver coordination;
+  *   - writes go through the Hadoop FileSystem API, so `file://`, `hdfs://`
+  *     and `s3a://` all work unchanged (replaces the reference's
+  *     `aws s3 sync` subprocess, K6 `utils.py:142-205`);
+  *   - exactly-once under task retry: write to a `.tmp-<attempt>` name
+  *     then atomic rename (SURVEY.md §7.5 #5);
+  *   - the source lists chunk files with Spark's distributed binaryFile
+  *     reader — no driver-side enumeration of the chunk grid.
+  */
+object ZarrIO {
+
+  private def fs(path: String): (FileSystem, Path) = {
+    val p = new Path(path)
+    (p.getFileSystem(new Configuration()), p)
+  }
+
+  /** Driver-side: group + array metadata for one stack/level. */
+  def writeMetadata(root: String, vol: Volume, nLevels: Int,
+                    voxelZyx: Seq[Double] = Seq(1.0, 1.0, 1.0),
+                    factorZyx: Seq[Int] = Seq(2, 2, 2),
+                    channelNames: Seq[String] = Seq("ch0"),
+                    originZyx: Option[Seq[Double]] = Some(Seq(0, 0, 0)),
+                    compressed: Boolean = true): Unit = {
+    val (f, rootPath) = fs(root)
+    def put(p: Path, content: String): Unit = {
+      val out = f.create(p, true)
+      try out.write(content.getBytes("UTF-8")) finally out.close()
+    }
+    put(new Path(rootPath, ".zgroup"), ZarrMeta.zgroup)
+    val stackPath = new Path(rootPath, vol.stack)
+    put(new Path(stackPath, ".zgroup"), ZarrMeta.zgroup)
+    put(new Path(stackPath, ".zattrs"),
+      ZarrMeta.stackAttrs(vol.stack, vol.shape.toSeq, nLevels, voxelZyx,
+        factorZyx, channelNames, originZyx))
+    // one .zarray per level; shapes follow the ceil cascade
+    var shape = vol.shape
+    for (l <- 0 until nLevels) {
+      val lvlPath = new Path(stackPath, l.toString)
+      put(new Path(lvlPath, ".zarray"),
+        ZarrMeta.zarray(shape.toSeq, vol.chunk.toSeq, compressed = compressed))
+      shape = ChunkGrid.downsampledShape(shape,
+        Array(1, 1, factorZyx(0), factorZyx(1), factorZyx(2)))
+    }
+  }
+
+  /** Executor-side chunk write: Blosc-compress and atomically place each
+    * chunk file. One row = one file; tasks never contend. */
+  def writeChunks(ds: Dataset[ZarrChunk], root: String, clevel: Int = 3,
+                  compress: Boolean = true): Unit = {
+    ds.foreachPartition { (it: Iterator[ZarrChunk]) =>
+      val conf = new Configuration()
+      var cachedFs: FileSystem = null
+      it.foreach { ck =>
+        val dir = new Path(s"$root/${ck.stack}/${ck.level}/${ck.t}/${ck.c}/${ck.z}/${ck.y}")
+        if (cachedFs == null) cachedFs = dir.getFileSystem(conf)
+        val f = cachedFs
+        val tmp = new Path(dir, s".tmp-${ck.x}-${java.util.UUID.randomUUID}")
+        val dst = new Path(dir, ck.x.toString)
+        val payload = if (compress) Blosc.compress(ck.data, typesize = 2, clevel = clevel) else ck.data
+        val out = f.create(tmp, true)
+        try out.write(payload) finally out.close()
+        if (!f.rename(tmp, dst)) {
+          // a concurrent attempt already committed this chunk — drop ours
+          f.delete(tmp, false)
+        }
+      }
+    }
+  }
+
+  /** Write one level end-to-end (metadata assumed written separately). */
+  def write(ds: Dataset[ZarrChunk], root: String, clevel: Int = 3, compress: Boolean = true): Unit =
+    writeChunks(ds, root, clevel, compress)
+
+  /** Read a stack level back as a Dataset[ZarrChunk] (reference S6).
+    * Distributed: Spark's binaryFile source lists and reads chunk files
+    * across executors; coords parse from the path. */
+  def readChunks(spark: SparkSession, root: String, stack: String, level: Int): Dataset[ZarrChunk] = {
+    import spark.implicits._
+    val meta = readZarray(root, stack, level)
+    val (shape, chunk, compressed) = meta
+    val lvl = s"$root/$stack/$level"
+    spark.read.format("binaryFile")
+      .option("recursiveFileLookup", "true")
+      .load(lvl)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .map { case (path, content) =>
+        val rel = path.substring(path.indexOf(s"/$stack/$level/") + s"/$stack/$level/".length)
+        val parts = rel.split('/')
+        require(parts.length == 5, s"unexpected chunk path $rel")
+        val Array(t, c, z, y, x) = parts.map(_.toInt)
+        val coords = Array(t.toLong, c.toLong, z.toLong, y.toLong, x.toLong)
+        val cs = ChunkGrid.clampedChunkShape(coords, shape, chunk)
+        val raw = if (compressed) Blosc.decompress(content) else content
+        require(raw.length == cs.product * 2,
+          s"chunk $rel: ${raw.length} bytes, expected ${cs.product * 2}")
+        ZarrChunk(stack, level, t, c, z, y, x, cs, raw)
+      }
+  }
+
+  /** Parse .zarray (driver-side) -> (shape, chunks, compressed?). */
+  def readZarray(root: String, stack: String, level: Int): (Array[Long], Array[Int], Boolean) = {
+    val (f, _) = fs(root)
+    val p = new Path(s"$root/$stack/$level/.zarray")
+    val in = f.open(p)
+    val content = try {
+      val buf = new java.io.ByteArrayOutputStream()
+      val tmp = new Array[Byte](8192)
+      var n = in.read(tmp)
+      while (n > 0) { buf.write(tmp, 0, n); n = in.read(tmp) }
+      buf.toString("UTF-8")
+    } finally in.close()
+    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(content)
+    import scala.jdk.CollectionConverters._
+    (node.get("shape").elements().asScala.map(_.asLong()).toArray,
+     node.get("chunks").elements().asScala.map(_.asInt()).toArray,
+     !node.get("compressor").isNull)
+  }
+}

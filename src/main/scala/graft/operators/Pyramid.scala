@@ -1,0 +1,166 @@
+package graft.operators
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+
+import graft.core.{ChunkGrid, PixelCodec, Volume, ZarrChunk}
+
+/** Windowed-mean image pyramid (reference operator A1,
+  * `czi_to_zarr.py:410-454` / xarray_multiscale windowed_mean).
+  *
+  * Spark-first design (SURVEY.md §2 A1 option (a)):
+  *
+  *  1. '''map side, zero shuffle''' — every input chunk is downsampled
+  *     locally: the chunk shape is an integer multiple of the factor
+  *     (128 % 2 == 0), so no 2x2x2 window ever crosses a chunk boundary.
+  *     Edge windows at the array boundary are partial; the divisor is the
+  *     actual window population (ceil semantics, `czi_to_zarr.py:185-187`).
+  *  2. '''one hash-aggregate shuffle''' — 2x2x2 = 8 downsampled pieces
+  *     (64^3 each) assemble into one output chunk (128^3) keyed by the
+  *     halved chunk coords. The shuffle moves only level-(k+1) data, i.e.
+  *     1/8th of the input bytes; at 100 TB in this is a 12.5 TB exchange
+  *     partitioned by chunk key with no skew (uniform grid).
+  *
+  * Dtype preservation (`preserve_dtype=True`, `czi_to_zarr.py:450`):
+  * means accumulate in Long and truncate back to uint16 via integer floor
+  * division — exact, and identical to numpy's float64-mean + astype for
+  * power-of-two window populations (every population is a product of
+  * values in {1..factor}, so for factor 2 it is always a power of two).
+  * Pixels stay masked Ints end-to-end; JVM signed Short never touches the
+  * math (SURVEY.md §7.5 #2).
+  */
+object Pyramid {
+
+  /** Downsample one chunk's pixels by `factorZyx` with windowed mean.
+    * Returns (pixels, shape) of the piece; pure function (unit-tested
+    * against analytic means, FIXTURES.md §1.5). */
+  def downsampleChunk(pixels: Array[Int], shape: Array[Int], factorZyx: Array[Int]): (Array[Int], Array[Int]) = {
+    require(shape(0) == 1 && shape(1) == 1,
+      "t/c must be singleton (reference assumes 1 channel per stack, utils.py:355)")
+    val (fz, fy, fx) = (factorZyx(0), factorZyx(1), factorZyx(2))
+    val (sz, sy, sx) = (shape(2), shape(3), shape(4))
+    val oz = ((sz + fz - 1) / fz)
+    val oy = ((sy + fy - 1) / fy)
+    val ox = ((sx + fx - 1) / fx)
+    val out = new Array[Int](shape(0) * shape(1) * oz * oy * ox)
+    var zo = 0
+    while (zo < oz) {
+      val z1 = zo * fz
+      val z2 = math.min(z1 + fz, sz)
+      var yo = 0
+      while (yo < oy) {
+        val y1 = yo * fy
+        val y2 = math.min(y1 + fy, sy)
+        var xo = 0
+        while (xo < ox) {
+          val x1 = xo * fx
+          val x2 = math.min(x1 + fx, sx)
+          var sum = 0L
+          var n = 0
+          var z = z1
+          while (z < z2) {
+            val zBase = z * sy * sx
+            var y = y1
+            while (y < y2) {
+              val yBase = zBase + y * sx
+              var x = x1
+              while (x < x2) {
+                sum += pixels(yBase + x)
+                n += 1
+                x += 1
+              }
+              y += 1
+            }
+            z += 1
+          }
+          out(zo * oy * ox + yo * ox + xo) = (sum / n).toInt
+          xo += 1
+        }
+        yo += 1
+      }
+      zo += 1
+    }
+    (out, Array(shape(0), shape(1), oz, oy, ox))
+  }
+
+  /** One pyramid halving: level-k chunks -> level-(k+1) chunks.
+    *
+    * Requires chunk(i) % factor(i) == 0 on the spatial axes so windows are
+    * chunk-local (always true for the reference's 128^3 / x2 config).
+    */
+  def downsampleLevel(spark: SparkSession, in: Dataset[ZarrChunk], vol: Volume,
+                      factorZyx: Array[Int] = Array(2, 2, 2)): (Volume, Dataset[ZarrChunk]) = {
+    import spark.implicits._
+    require((2 to 4).forall(i => vol.chunk(i) % factorZyx(i - 2) == 0),
+      s"chunk ${vol.chunk.mkString(",")} not divisible by factor ${factorZyx.mkString(",")}")
+
+    val outVol = vol.downsampled(factorZyx)
+    val outShape = outVol.shape
+    val outChunk = outVol.chunk
+    val chunk = vol.chunk
+    val (fz, fy, fx) = (factorZyx(0), factorZyx(1), factorZyx(2))
+
+    // Map side: chunk-local windowed mean. Piece voxel origin at level k+1
+    // is (chunkCoord * chunkSize / factor) — exact ints by the requirement.
+    val pieces = in.map { ck =>
+      val (px, ps) = downsampleChunk(ck.pixels, ck.shape, factorZyx)
+      val vz = ck.z.toLong * chunk(2) / fz
+      val vy = ck.y.toLong * chunk(3) / fy
+      val vx = ck.x.toLong * chunk(4) / fx
+      (ck.t, ck.c, vz, vy, vx, ps, PixelCodec.toBytes(px))
+    }
+
+    // Reduce side: assemble pieces into output chunks keyed by halved
+    // chunk coords. One shuffle of level-(k+1) bytes only.
+    val stack = outVol.stack
+    val level = outVol.level
+    val out = pieces
+      .groupByKey { case (t, c, vz, vy, vx, _, _) =>
+        (t, c, vz / outChunk(2), vy / outChunk(3), vx / outChunk(4))
+      }
+      .mapGroups { (key: (Int, Int, Long, Long, Long), it: Iterator[(Int, Int, Long, Long, Long, Array[Int], Array[Byte])]) =>
+        val (t, c, gz, gy, gx) = key
+        val coords = Array(t.toLong, c.toLong, gz, gy, gx)
+        val cs = ChunkGrid.clampedChunkShape(coords, outShape, outChunk)
+        val buf = new Array[Int](cs.product)
+        it.foreach { case (_, _, vz, vy, vx, ps, bytes) =>
+          val px = PixelCodec.toInts(bytes)
+          val offZ = (vz - gz * outChunk(2)).toInt
+          val offY = (vy - gy * outChunk(3)).toInt
+          val offX = (vx - gx * outChunk(4)).toInt
+          var z = 0
+          while (z < ps(2)) {
+            var y = 0
+            while (y < ps(3)) {
+              val src = z * ps(3) * ps(4) + y * ps(4)
+              val dst = (offZ + z) * cs(3) * cs(4) + (offY + y) * cs(4) + offX
+              var x = 0
+              while (x < ps(4)) {
+                buf(dst + x) = px(src + x)
+                x += 1
+              }
+              y += 1
+            }
+            z += 1
+          }
+        }
+        ZarrChunk(stack, level, t, c, gz.toInt, gy.toInt, gx.toInt, cs,
+          PixelCodec.toBytes(buf))
+      }
+    (outVol, out)
+  }
+
+  /** Full pyramid: levels 1..n-1, each computed from the previous level
+    * (reference X6, `czi_to_zarr.py:623-635`) with persist() between
+    * levels replacing the reference's zarr re-read. Returns levels 1.. */
+  def levels(spark: SparkSession, level0: Dataset[ZarrChunk], vol: Volume,
+             nLevels: Int, factorZyx: Array[Int] = Array(2, 2, 2)): Seq[(Volume, Dataset[ZarrChunk])] = {
+    var cur = (vol, level0)
+    val out = Seq.newBuilder[(Volume, Dataset[ZarrChunk])]
+    for (_ <- 1 until nLevels) {
+      cur = downsampleLevel(spark, cur._2, cur._1, factorZyx)
+      cur._2.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      out += cur
+    }
+    out.result()
+  }
+}

@@ -1,0 +1,111 @@
+package graft.queries
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.{Volume, ZarrChunk}
+import graft.io.zarr.ZarrIO
+import graft.operators.Pyramid
+import graft.sources.SyntheticStack
+
+/** Array-pipeline operators wired into the driver's DuckDB-oracle gate.
+  *
+  * The synthetic voxel function v(z,y,x) = (31z+17y+13x) mod 65536 is
+  * recomputable in DuckDB from `range()` arithmetic, so the REAL array
+  * pipeline (distributed generate -> chunk-local windowed-mean pyramid ->
+  * Blosc/zstd Zarr v2 sink -> distributed Zarr source) gets end-to-end
+  * value-level verification through the same gate as the tabular queries:
+  *
+  *  - `z1_pyramid_mean`  — reference A1 (`czi_to_zarr.py:410-454`): two
+  *    pyramid halvings, voxel-exact vs the oracle's grouped floor-means;
+  *  - `z2_zarr_roundtrip` — reference K1/K4/S6 (`czi_to_zarr.py:585-608`):
+  *    write all chunks through the Blosc sink, read them back with the
+  *    Zarr source, per-chunk sums must match pure arithmetic.
+  */
+object ArrayOps {
+
+  /** 64^3 volume in 32^3 chunks: big enough to exercise multi-chunk
+    * assembly (8 chunks at level 0), small enough to verify every voxel. */
+  private val pyramidVol = Volume("synth", 0, Array(1L, 1L, 64L, 64L, 64L), Array(1, 1, 32, 32, 32))
+
+  /** 48^3 volume in 16^3 chunks: 27 chunks, exercises grid + codec. */
+  private val rtVol = Volume("rt", 0, Array(1L, 1L, 48L, 48L, 48L), Array(1, 1, 16, 16, 16))
+
+  private def voxels(spark: SparkSession, levelDs: org.apache.spark.sql.Dataset[ZarrChunk],
+                     chunkZyx: Int, level: Int): DataFrame = {
+    import spark.implicits._
+    levelDs.flatMap { ck =>
+      val px = ck.pixels
+      val (sz, sy, sx) = (ck.shape(2), ck.shape(3), ck.shape(4))
+      for {
+        z <- 0 until sz
+        y <- 0 until sy
+        x <- 0 until sx
+      } yield (level, ck.z.toLong * chunkZyx + z, ck.y.toLong * chunkZyx + y,
+        ck.x.toLong * chunkZyx + x, px(z * sy * sx + y * sx + x).toLong)
+    }.toDF("level", "z", "y", "x", "v")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "z1_pyramid_mean" -> ((s, _) => {
+      val l0 = SyntheticStack.generate(s, pyramidVol)
+      val lvls = Pyramid.levels(s, l0, pyramidVol, nLevels = 3)
+      val dfs = lvls.zipWithIndex.map { case ((v, ds), i) =>
+        voxels(s, ds, v.chunk(2), i + 1)
+      }
+      dfs.reduce(_ unionAll _).orderBy(col("level"), col("z"), col("y"), col("x"))
+    }),
+
+    "z2_zarr_roundtrip" -> ((s, _) => {
+      import s.implicits._
+      val dir = Files.createTempDirectory("graft-zarr-q").toString
+      val l0 = SyntheticStack.generate(s, rtVol)
+      ZarrIO.writeMetadata(dir, rtVol, nLevels = 1)
+      ZarrIO.writeChunks(l0, dir)
+      ZarrIO.readChunks(s, dir, "rt", 0)
+        .map { ck =>
+          val px = ck.pixels
+          var sum = 0L
+          var i = 0
+          while (i < px.length) { sum += px(i); i += 1 }
+          (ck.z.toLong, ck.y.toLong, ck.x.toLong, sum, px.length.toLong)
+        }
+        .toDF("cz", "cy", "cx", "sum_v", "n_voxels")
+        .orderBy(col("cz"), col("cy"), col("cx"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "z1_pyramid_mean" ->
+      """WITH l0 AS (
+        |  SELECT range // 4096 AS z, (range // 64) % 64 AS y, range % 64 AS x,
+        |         (31 * (range // 4096) + 17 * ((range // 64) % 64) + 13 * (range % 64)) % 65536 AS v
+        |  FROM range(262144)
+        |), l1 AS (
+        |  SELECT z // 2 AS z, y // 2 AS y, x // 2 AS x,
+        |         CAST(floor(avg(v)) AS BIGINT) AS v
+        |  FROM l0 GROUP BY z // 2, y // 2, x // 2
+        |), l2 AS (
+        |  SELECT z // 2 AS z, y // 2 AS y, x // 2 AS x,
+        |         CAST(floor(avg(v)) AS BIGINT) AS v
+        |  FROM l1 GROUP BY z // 2, y // 2, x // 2
+        |)
+        |SELECT 1 AS level, z, y, x, v FROM l1
+        |UNION ALL
+        |SELECT 2 AS level, z, y, x, v FROM l2
+        |ORDER BY level, z, y, x""".stripMargin,
+
+    "z2_zarr_roundtrip" ->
+      """WITH l0 AS (
+        |  SELECT range // 2304 AS z, (range // 48) % 48 AS y, range % 48 AS x,
+        |         (31 * (range // 2304) + 17 * ((range // 48) % 48) + 13 * (range % 48)) % 65536 AS v
+        |  FROM range(110592)
+        |)
+        |SELECT z // 16 AS cz, y // 16 AS cy, x // 16 AS cx,
+        |       CAST(sum(v) AS BIGINT) AS sum_v, count(*) AS n_voxels
+        |FROM l0 GROUP BY 1, 2, 3
+        |ORDER BY cz, cy, cx""".stripMargin
+  )
+}
