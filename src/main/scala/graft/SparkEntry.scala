@@ -14,7 +14,11 @@ object SparkEntry {
   private def packs: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
     Seq(
       (graft.queries.Relational.queries, graft.queries.Relational.oracles),
-      (graft.queries.ArrayOps.queries, graft.queries.ArrayOps.oracles)
+      (graft.queries.ArrayOps.queries, graft.queries.ArrayOps.oracles),
+      (graft.queries.TextOps.queries, graft.queries.TextOps.oracles),
+      (graft.queries.DedupOps.queries, graft.queries.DedupOps.oracles),
+      (graft.queries.SimilarityOps.queries, graft.queries.SimilarityOps.oracles),
+      (graft.queries.EventOps.queries, graft.queries.EventOps.oracles)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,225 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Deduplication operators over `documents` — exact, n-gram Jaccard,
+  * MinHash, MinHash-LSH, SimHash. Every stage is deterministic (hash
+  * functions derived from md5, which both Spark and DuckDB implement
+  * identically), so even the LSH bucketing is value-checked by the oracle,
+  * not just row-counted.
+  *
+  * Scale design (100 TB):
+  *   - shingling is a generated-column explode — map-side only;
+  *   - MinHash is one hash-aggregate over (doc, hashIndex) — a single
+  *     shuffle keyed by doc_id, no skew (uniform docs);
+  *   - LSH candidate generation is a self-equi-join on (band, bucket) —
+  *     Catalyst plans a shuffled hash join on a high-cardinality key;
+  *     only same-bucket pairs materialize, never the O(n^2) cross join;
+  *   - exact-Jaccard confirmation runs only on LSH survivors.
+  *
+  * MinHash family: h_i(f) = ((2i+1) * f + 7919 i) mod (2^31 - 1), with f
+  * the first-8-hex-digits of md5(shingle) as a long — standard universal
+  * hashing (Broder '97 resemblance estimation), oracle-expressible.
+  */
+object DedupOps {
+
+  private val P = 2147483647L // 2^31 - 1
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+
+  /** distinct word-3-gram shingles: (doc_id, shingle) */
+  private def shingles(d: DataFrame): DataFrame = {
+    val toks = split(trim(col("text")), "\\s+")
+    d.select(col("doc_id"), toks.as("ts"))
+      .select(col("doc_id"), explode(expr(
+        // sequence(0,-1) would yield [0,-1] (Spark infers step -1), so
+        // short texts need an explicit empty-array branch
+        "CASE WHEN size(ts) < 3 THEN array() ELSE " +
+        "transform(sequence(0, size(ts) - 3), i -> concat_ws(' ', ts[i], ts[i+1], ts[i+2])) END"))
+        .as("s"))
+      .distinct()
+  }
+
+  /** shingle fingerprint: first 8 md5 hex digits as long (0 .. 2^32). */
+  private val fp: Column = expr("CAST(conv(substr(md5(s), 1, 8), 16, 10) AS BIGINT)")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // --- exact dedup: content-hash groups + survivor stats per source ---
+    "d1_dedup_exact" -> ((s, dir) => {
+      docs(s, dir)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(md5(col("text"))).as("n_unique"),
+          (count(lit(1)) - countDistinct(md5(col("text")))).as("n_removed"))
+        .orderBy(col("source"))
+    }),
+
+    // --- n-gram Jaccard near-dup pairs (exact, the oracle for LSH too) ---
+    "d2_ngram_jaccard" -> ((s, dir) => {
+      val sh = shingles(docs(s, dir)).cache()
+      val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val pairs = sh.as("a").join(sh.as("b"),
+          col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+        .agg(count(lit(1)).as("m"))
+      pairs
+        .join(cnt.as("c1"), col("d1") === col("c1.doc_id"))
+        .join(cnt.as("c2"), col("d2") === col("c2.doc_id"))
+        .withColumn("jac_raw", col("m") / (col("c1.n") + col("c2.n") - col("m")))
+        .filter(col("jac_raw") >= 0.5)
+        .select(col("d1"), col("d2"), round(col("jac_raw"), 6).as("jaccard"))
+        .orderBy(col("d1"), col("d2"))
+    }),
+
+    // --- MinHash signatures (8 hash functions) for the first 50 docs ---
+    "d3_minhash_sig" -> ((s, dir) => {
+      val sh = shingles(docs(s, dir).filter(col("doc_id") < 50))
+      sh.select(col("doc_id"), fp.as("f"))
+        .select(col("doc_id"), col("f"), explode(expr("sequence(0, 7)")).as("i"))
+        .select(col("doc_id"), col("i"),
+          (((lit(2) * col("i") + 1) * col("f") + lit(7919) * col("i")) % P).as("h"))
+        .groupBy(col("doc_id"), col("i"))
+        .agg(min(col("h")).as("mh"))
+        .groupBy(col("doc_id"))
+        .pivot(col("i"), 0 to 7)
+        .agg(first(col("mh")))
+        .toDF("doc_id", "mh0", "mh1", "mh2", "mh3", "mh4", "mh5", "mh6", "mh7")
+        .orderBy(col("doc_id"))
+    }),
+
+    // --- full MinHash-LSH dedup: 8 hashes, 4 bands x 2 rows, candidate
+    //     pairs confirmed with exact Jaccard >= 0.5 ---
+    "d4_lsh_pairs" -> ((s, dir) => {
+      val sh = shingles(docs(s, dir)).cache()
+      val mh = sh.select(col("doc_id"), fp.as("f"))
+        .select(col("doc_id"), col("f"), explode(expr("sequence(0, 7)")).as("i"))
+        .select(col("doc_id"), col("i"),
+          (((lit(2) * col("i") + 1) * col("f") + lit(7919) * col("i")) % P).as("h"))
+        .groupBy(col("doc_id"), col("i"))
+        .agg(min(col("h")).as("mh"))
+      val bands = mh
+        .groupBy(col("doc_id"), floor(col("i") / 2).as("band"))
+        .agg(array_join(expr("transform(array_sort(collect_list(struct(i, mh))), x -> CAST(x.mh AS STRING))"), ",").as("bucket"))
+      val cand = bands.as("a").join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+        .distinct()
+      val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val m = cand.join(sh.as("s1"), col("d1") === col("s1.doc_id"))
+        .join(sh.as("s2"), col("d2") === col("s2.doc_id") && col("s1.s") === col("s2.s"))
+        .groupBy(col("d1"), col("d2"))
+        .agg(count(lit(1)).as("m"))
+      m.join(cnt.as("c1"), col("d1") === col("c1.doc_id"))
+        .join(cnt.as("c2"), col("d2") === col("c2.doc_id"))
+        .withColumn("jac_raw", col("m") / (col("c1.n") + col("c2.n") - col("m")))
+        .filter(col("jac_raw") >= 0.5)
+        .select(col("d1"), col("d2"), round(col("jac_raw"), 6).as("jaccard"))
+        .orderBy(col("d1"), col("d2"))
+    }),
+
+    // --- SimHash (60-bit, md5-derived token hashes) for first 100 docs ---
+    "d5_simhash" -> ((s, dir) => {
+      val d = docs(s, dir).filter(col("doc_id") < 100)
+      val toks = d.select(col("doc_id"),
+        explode(split(trim(col("text")), "\\s+")).as("tok"))
+      val h = toks.select(col("doc_id"),
+        expr("CAST(conv(substr(md5(tok), 1, 15), 16, 10) AS BIGINT)").as("h"))
+      h.select(col("doc_id"), col("h"), explode(expr("sequence(0, 59)")).as("j"))
+        .select(col("doc_id"), col("j"),
+          (expr("CAST(shiftright(h, j) AS BIGINT)") % 2 * 2 - 1).as("w"))
+        .groupBy(col("doc_id"), col("j"))
+        .agg(sum(col("w")).as("sw"))
+        .select(col("doc_id"),
+          when(col("sw") > 0, expr("shiftleft(CAST(1 AS BIGINT), j)")).otherwise(0L).as("bit"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("bit")).as("simhash"))
+        .orderBy(col("doc_id"))
+    })
+  )
+
+  private val shingleSql =
+    """sh AS (
+      |  SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS s
+      |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ts FROM documents) t,
+      |       LATERAL (SELECT unnest(generate_series(1, greatest(len(ts) - 2, 0))) AS i) u)""".stripMargin
+
+  private val jaccardTail =
+    """cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |m AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS m
+      |      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |      GROUP BY 1, 2)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "d1_dedup_exact" ->
+      """SELECT source, count(*) AS n_docs,
+        |  count(DISTINCT md5(text)) AS n_unique,
+        |  count(*) - count(DISTINCT md5(text)) AS n_removed
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    "d2_ngram_jaccard" ->
+      s"""WITH $shingleSql,
+         |$jaccardTail
+         |SELECT d1, d2, round(m * 1.0 / (c1.n + c2.n - m), 6) AS jaccard
+         |FROM m JOIN cnt c1 ON d1 = c1.doc_id JOIN cnt c2 ON d2 = c2.doc_id
+         |WHERE m * 1.0 / (c1.n + c2.n - m) >= 0.5
+         |ORDER BY d1, d2""".stripMargin,
+
+    "d3_minhash_sig" ->
+      s"""WITH $shingleSql,
+         |f AS (SELECT doc_id, CAST(('0x' || substr(md5(s), 1, 8)) AS BIGINT) AS f
+         |      FROM sh WHERE doc_id < 50),
+         |mh AS (SELECT doc_id, i, min(((2*i+1) * f + 7919*i) % 2147483647) AS mh
+         |       FROM f, LATERAL (SELECT unnest(generate_series(0, 7)) AS i) u
+         |       GROUP BY doc_id, i)
+         |SELECT doc_id,
+         |  CAST(min(CASE WHEN i=0 THEN mh END) AS BIGINT) AS mh0,
+         |  CAST(min(CASE WHEN i=1 THEN mh END) AS BIGINT) AS mh1,
+         |  CAST(min(CASE WHEN i=2 THEN mh END) AS BIGINT) AS mh2,
+         |  CAST(min(CASE WHEN i=3 THEN mh END) AS BIGINT) AS mh3,
+         |  CAST(min(CASE WHEN i=4 THEN mh END) AS BIGINT) AS mh4,
+         |  CAST(min(CASE WHEN i=5 THEN mh END) AS BIGINT) AS mh5,
+         |  CAST(min(CASE WHEN i=6 THEN mh END) AS BIGINT) AS mh6,
+         |  CAST(min(CASE WHEN i=7 THEN mh END) AS BIGINT) AS mh7
+         |FROM mh GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "d4_lsh_pairs" ->
+      s"""WITH $shingleSql,
+         |f AS (SELECT doc_id, CAST(('0x' || substr(md5(s), 1, 8)) AS BIGINT) AS f FROM sh),
+         |mh AS (SELECT doc_id, i, min(((2*i+1) * f + 7919*i) % 2147483647) AS mh
+         |       FROM f, LATERAL (SELECT unnest(generate_series(0, 7)) AS i) u
+         |       GROUP BY doc_id, i),
+         |bands AS (SELECT doc_id, i // 2 AS band,
+         |                 string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i) AS bucket
+         |          FROM mh GROUP BY doc_id, i // 2),
+         |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+         |         FROM bands a JOIN bands b
+         |           ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+         |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |m AS (SELECT d1, d2, count(*) AS m
+         |      FROM cand JOIN sh s1 ON d1 = s1.doc_id
+         |                JOIN sh s2 ON d2 = s2.doc_id AND s1.s = s2.s
+         |      GROUP BY 1, 2)
+         |SELECT d1, d2, round(m * 1.0 / (c1.n + c2.n - m), 6) AS jaccard
+         |FROM m JOIN cnt c1 ON d1 = c1.doc_id JOIN cnt c2 ON d2 = c2.doc_id
+         |WHERE m * 1.0 / (c1.n + c2.n - m) >= 0.5
+         |ORDER BY d1, d2""".stripMargin,
+
+    "d5_simhash" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+        |  FROM documents WHERE doc_id < 100),
+        |h AS (SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS h FROM toks),
+        |bits AS (SELECT doc_id, j, sum((h >> j) % 2 * 2 - 1) AS sw
+        |         FROM h, LATERAL (SELECT unnest(generate_series(0, 59)) AS j) u
+        |         GROUP BY doc_id, j)
+        |SELECT doc_id,
+        |  CAST(sum(CASE WHEN sw > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS simhash
+        |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  )
+}

@@ -1,0 +1,103 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.Tables
+
+/** Event-time operators over the `events` table (batch forms of the
+  * streaming surface; the Structured Streaming equivalents run in
+  * `StreamingSpec` with watermarks over the same data).
+  *
+  * Timestamp parity: every comparison/diff uses per-value truncated epoch
+  * seconds (Spark `unix_timestamp` truncates; DuckDB `floor(epoch(ts))`)
+  * so both engines floor identically before any arithmetic.
+  */
+object EventOps {
+
+  private def ev(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "events")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // --- gap-based sessionization (30-min inactivity closes a session) ---
+    "e2_sessionize" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val withGap = ev(s, dir)
+        .select(col("user_id"), col("event_id"), unix_timestamp(col("ts")).as("sec"))
+        .withColumn("prev", lag(col("sec"), 1).over(
+          Window.partitionBy(col("user_id")).orderBy(col("sec"), col("event_id"))))
+        .withColumn("new_sess",
+          when(col("prev").isNull || col("sec") - col("prev") > 1800, 1).otherwise(0))
+      val sess = withGap
+        .withColumn("sess_id", sum(col("new_sess")).over(
+          Window.partitionBy(col("user_id")).orderBy(col("sec"), col("event_id"))
+            .rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy(col("user_id"), col("sess_id"))
+        .agg(count(lit(1)).as("n_events"), (max(col("sec")) - min(col("sec"))).as("dur"))
+      sess.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_sessions"),
+          sum(col("n_events")).cast("long").as("total_events"),
+          round(avg(col("n_events")), 4).as("avg_events_per_session"),
+          round(avg(col("dur")), 4).as("avg_session_sec"))
+        .orderBy(col("user_id"))
+    }),
+
+    // --- as-of (forward) join: first event at or after each order date
+    //     (orders are 1992-1998, events 2024 — the backward direction is
+    //     empty on this data, so the forward form is the meaningful one) ---
+    "e3_asof_join" -> ((s, dir) => {
+      val o = Tables.load(s, dir, "orders").filter(col("o_custkey") < 100)
+        .select(col("o_orderkey"), col("o_custkey"),
+          unix_timestamp(col("o_orderdate")).as("osec"))
+      val e = ev(s, dir)
+        .select(col("user_id"), col("event_id"), unix_timestamp(col("ts")).as("esec"))
+      val joined = o.join(e, col("user_id") === col("o_custkey") && col("esec") >= col("osec"))
+      val w = Window.partitionBy(col("o_orderkey")).orderBy(col("esec").asc, col("event_id"))
+      joined.withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("o_orderkey"), col("event_id"), (col("esec") - col("osec")).as("lead_sec"))
+        .orderBy(col("o_orderkey"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "e2_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events),
+        |g AS (
+        |  SELECT user_id, event_id, sec,
+        |    CASE WHEN lag(sec) OVER (PARTITION BY user_id ORDER BY sec, event_id) IS NULL
+        |           OR sec - lag(sec) OVER (PARTITION BY user_id ORDER BY sec, event_id) > 1800
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM e),
+        |sid AS (
+        |  SELECT user_id, sec,
+        |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY sec, event_id
+        |                        ROWS UNBOUNDED PRECEDING) AS sess_id
+        |  FROM g),
+        |sess AS (
+        |  SELECT user_id, sess_id, count(*) AS n_events,
+        |         max(sec) - min(sec) AS dur
+        |  FROM sid GROUP BY user_id, sess_id)
+        |SELECT user_id, count(*) AS n_sessions,
+        |  CAST(sum(n_events) AS BIGINT) AS total_events,
+        |  round(avg(n_events), 4) AS avg_events_per_session,
+        |  round(avg(dur), 4) AS avg_session_sec
+        |FROM sess GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "e3_asof_join" ->
+      """WITH o AS (
+        |  SELECT o_orderkey, o_custkey, CAST(floor(epoch(o_orderdate)) AS BIGINT) AS osec
+        |  FROM orders WHERE o_custkey < 100),
+        |e AS (
+        |  SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS esec FROM events),
+        |j AS (
+        |  SELECT o.o_orderkey, e.event_id, e.esec - o.osec AS lead_sec,
+        |    row_number() OVER (PARTITION BY o.o_orderkey ORDER BY e.esec ASC, e.event_id) AS rk
+        |  FROM o JOIN e ON e.user_id = o.o_custkey AND e.esec >= o.osec)
+        |SELECT o_orderkey, event_id, lead_sec FROM j WHERE rk = 1
+        |ORDER BY o_orderkey""".stripMargin
+  )
+}

@@ -1,0 +1,119 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Similarity search over the `embeddings` table (Array[Float], dim 64).
+  *
+  * `v1` is the exact brute-force baseline: broadcast the (small) query
+  * set, one codegen'd pass over the corpus — at 100 TB this is the
+  * pattern for "k queries x N corpus" scoring: the corpus never shuffles,
+  * the query side broadcasts, and top-k is a per-query
+  * window/aggregation over scores.
+  *
+  * `v2` is the IVF coarse-quantizer building block: cell centroids
+  * (here: label centroids) computed with a posexplode + hash aggregate,
+  * then every vector assigned to its nearest cell via a broadcast join
+  * against the centroid table. An IVF probe (search only the assigned
+  * cell) composes v2's assignment with v1's scoring.
+  *
+  * All dot products run in DOUBLE with sequential index-order folds on
+  * both engines (Spark `aggregate(zip_with(...))` vs DuckDB
+  * `list_dot_product(CAST(... AS DOUBLE[]))`) — float32 accumulation
+  * differs at 1e-7, which is visible at round-6 output precision.
+  */
+object SimilarityOps {
+
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "embeddings")
+
+  /** dot(a, b) folded left in index order, DOUBLE accumulation. */
+  private def dot(a: String, b: String): Column =
+    expr(s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), " +
+      "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // --- exact cosine top-3 neighbors for 5 query vectors ---
+    "v1_cosine_topk" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = emb(s, dir).select(col("vec_id").as("eid"), col("embedding").as("ee"))
+      val q = emb(s, dir).filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      val scored = broadcast(q).join(e, col("qid") =!= col("eid"))
+        .select(col("qid"), col("eid"),
+          (dot("qe", "ee") / (sqrt(dot("qe", "qe")) * sqrt(dot("ee", "ee")))).as("cos_raw"))
+      val w = Window.partitionBy(col("qid")).orderBy(round(col("cos_raw"), 6).desc, col("eid"))
+      scored.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("qid"), col("eid"), round(col("cos_raw"), 6).as("cos"), col("rk"))
+        .orderBy(col("qid"), col("rk"))
+    }),
+
+    // --- IVF coarse quantizer: nearest-centroid assignment counts ---
+    "v2_ivf_assign" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = emb(s, dir)
+      // cell centroids: mean per (label, dim) — posexplode + hash agg
+      val cent = e.select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy(col("label"), col("pos"))
+        .agg(avg(col("v")).as("cv"))
+        .groupBy(col("label"))
+        .agg(expr("transform(array_sort(collect_list(struct(pos, cv))), x -> x.cv)").as("centroid"))
+        .select(col("label").as("cell"), col("centroid"))
+      // assign every vector to its nearest cell by cosine (broadcast join)
+      val scored = e.join(broadcast(cent))
+        .select(col("vec_id"), col("label"), col("cell"),
+          (dot("embedding", "centroid") /
+            (sqrt(dot("embedding", "embedding")) * sqrt(dot("centroid", "centroid")))).as("cos_raw"))
+      val w = Window.partitionBy(col("vec_id")).orderBy(round(col("cos_raw"), 6).desc, col("cell"))
+      scored.withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .groupBy(col("label"), col("cell"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("label"), col("cell"))
+    })
+  )
+
+  private val dotSql =
+    "list_dot_product(CAST(%s AS DOUBLE[]), CAST(%s AS DOUBLE[]))"
+
+  val oracles: Map[String, String] = Map(
+    "v1_cosine_topk" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5),
+        |scored AS (
+        |  SELECT q.qid, e.vec_id AS eid,
+        |    list_dot_product(CAST(q.qe AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) /
+        |      (sqrt(list_dot_product(CAST(q.qe AS DOUBLE[]), CAST(q.qe AS DOUBLE[]))) *
+        |       sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))) AS cos_raw
+        |  FROM q, embeddings e WHERE e.vec_id != q.qid),
+        |ranked AS (
+        |  SELECT qid, eid, round(cos_raw, 6) AS cos,
+        |    row_number() OVER (PARTITION BY qid ORDER BY round(cos_raw, 6) DESC, eid) AS rk
+        |  FROM scored)
+        |SELECT qid, eid, cos, rk FROM ranked WHERE rk <= 3
+        |ORDER BY qid, rk""".stripMargin,
+
+    "v2_ivf_assign" ->
+      """WITH dims AS (
+        |  SELECT label, i AS pos, avg(CAST(embedding[i + 1] AS DOUBLE)) AS cv
+        |  FROM embeddings, LATERAL (SELECT unnest(generate_series(0, 63)) AS i) u
+        |  GROUP BY label, i),
+        |cent AS (
+        |  SELECT label AS cell, list(cv ORDER BY pos) AS centroid FROM dims GROUP BY label),
+        |scored AS (
+        |  SELECT e.vec_id, e.label, c.cell,
+        |    list_dot_product(CAST(e.embedding AS DOUBLE[]), c.centroid) /
+        |      (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) *
+        |       sqrt(list_dot_product(c.centroid, c.centroid))) AS cos_raw
+        |  FROM embeddings e, cent c),
+        |ranked AS (
+        |  SELECT vec_id, label, cell,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY round(cos_raw, 6) DESC, cell) AS rk
+        |  FROM scored)
+        |SELECT label, cell, count(*) AS n FROM ranked WHERE rk = 1
+        |GROUP BY label, cell ORDER BY label, cell""".stripMargin
+  )
+}
