@@ -32,7 +32,9 @@ object ZarrIO {
 
   private def fs(path: String): (FileSystem, Path) = {
     val p = new Path(path)
-    (p.getFileSystem(new Configuration()), p)
+    val f = p.getFileSystem(new Configuration())
+    f.setWriteChecksum(false) // no .crc shadow files inside the Zarr store
+    (f, p)
   }
 
   /** Driver-side: group + array metadata for one stack/level. */
@@ -73,7 +75,10 @@ object ZarrIO {
       var cachedFs: FileSystem = null
       it.foreach { ck =>
         val dir = new Path(s"$root/${ck.stack}/${ck.level}/${ck.t}/${ck.c}/${ck.z}/${ck.y}")
-        if (cachedFs == null) cachedFs = dir.getFileSystem(conf)
+        if (cachedFs == null) {
+          cachedFs = dir.getFileSystem(conf)
+          cachedFs.setWriteChecksum(false)
+        }
         val f = cachedFs
         val tmp = new Path(dir, s".tmp-${ck.x}-${java.util.UUID.randomUUID}")
         val dst = new Path(dir, ck.x.toString)

@@ -1,0 +1,141 @@
+package graft.jobs
+
+import java.nio.file.{Files, Paths}
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+
+import graft.core.Volume
+import graft.io.zarr.ZarrIO
+import graft.operators.Pyramid
+import graft.sources.czi.CziSource
+
+/** End-to-end CZI -> multiscale OME-Zarr job (reference orchestration O1/O3,
+  * `zeiss_job.py:103-226` + `czi_to_zarr.py:457-658`).
+  *
+  * What disappears relative to the reference: static round-robin node
+  * partitioning (P1/P2, `zeiss_job.py:29-60` + SLURM scripts) — the Spark
+  * scheduler owns task placement; the `aws s3 sync` subprocess (K6) —
+  * outputs write straight to any Hadoop-FS URI including `s3a://`; the
+  * GIL-driven thread tuning (X7) — tasks are the parallelism unit.
+  */
+object ZeissJob {
+
+  /** Job settings mirroring the reference's pydantic model
+    * (`models.py:23-81`, defaults preserved). */
+  final case class Settings(
+      inputSource: String,
+      outputDirectory: String,
+      s3Location: Option[String] = None,
+      chunkSize: Array[Int] = Array(128, 128, 128),
+      scaleFactor: Array[Int] = Array(2, 2, 2),
+      downsampleLevels: Int = 4,
+      compressorLevel: Int = 3,
+      compress: Boolean = true)
+
+  final case class JobResponse(statusCode: Int, message: String)
+
+  private val M = new ObjectMapper()
+
+  /** Parse settings from JSON (the `--job-settings` CLI contract,
+    * `zeiss_job.py:230-245`). */
+  def parseSettings(json: String): Settings = {
+    val n = M.readTree(json)
+    def arr3(node: JsonNode, default: Array[Int]): Array[Int] =
+      if (node == null) default
+      else { val it = node.elements(); Array(it.next().asInt, it.next().asInt, it.next().asInt) }
+    Settings(
+      inputSource = n.get("input_source").asText(),
+      outputDirectory = n.get("output_directory").asText(),
+      s3Location = Option(n.get("s3_location")).filter(!_.isNull).map(_.asText()),
+      chunkSize = arr3(n.get("chunk_size"), Array(128, 128, 128)),
+      scaleFactor = arr3(n.get("scale_factor"), Array(2, 2, 2)),
+      downsampleLevels = if (n.has("downsample_levels")) n.get("downsample_levels").asInt else 4,
+      compressorLevel = if (n.has("compressor_level")) n.get("compressor_level").asInt else 3)
+  }
+
+  /** Voxel resolution from acquisition.json: first tile's scale transform,
+    * stored [x,y,z] on disk, returned [z,y,x] (`zeiss_job.py:62-87`). */
+  def voxelResolution(acquisitionPath: String, conf: Configuration = new Configuration()): Seq[Double] = {
+    val p = new Path(acquisitionPath)
+    val fs = p.getFileSystem(conf)
+    val in = fs.open(p)
+    val node = try M.readTree(in) finally in.close()
+    val transforms = node.get("tiles").get(0).get("coordinate_transformations")
+    val it = transforms.elements()
+    var scale: JsonNode = null
+    while (it.hasNext && scale == null) {
+      val t = it.next()
+      if (t.get("type").asText() == "scale") scale = t.get("scale")
+    }
+    require(scale != null, "acquisition.json has no scale transformation")
+    val xyz = (0 until 3).map(i => scale.get(i).asDouble())
+    Seq(xyz(2), xyz(1), xyz(0))
+  }
+
+  /** Discover stacks: the .czi files under `input_source/SPIM`, sorted
+    * for deterministic ordering (`zeiss_job.py:42-60`). */
+  def discoverStacks(inputSource: String, conf: Configuration = new Configuration()): Seq[String] = {
+    val dir = new Path(s"$inputSource/SPIM")
+    val fs = dir.getFileSystem(conf)
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).filter(_.isFile)
+      .map(_.getPath.toString).filter(_.endsWith(".czi")).sorted.toSeq
+  }
+
+  /** Convert one CZI stack to a multiscale OME-Zarr
+    * (`czi_stack_zarr_writer`, `czi_to_zarr.py:457-658`). */
+  def convertStack(spark: SparkSession, cziPath: String, outRoot: String,
+                   settings: Settings, voxelZyx: Seq[Double],
+                   channelName: String = "ch0"): Volume = {
+    val stackName = new Path(cziPath).getName.stripSuffix(".czi")
+    val (vol, idx) = CziSource.volume(cziPath, stackName, settings.chunkSize)
+    val level0 = CziSource.scan(spark, cziPath, vol, idx)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    ZarrIO.writeMetadata(outRoot, vol, settings.downsampleLevels, voxelZyx,
+      settings.scaleFactor.toSeq, Seq(channelName), Some(Seq(0.0, 0.0, 0.0)),
+      compressed = settings.compress)
+    ZarrIO.writeChunks(level0, outRoot, settings.compressorLevel, settings.compress)
+    Pyramid.levels(spark, level0, vol, settings.downsampleLevels, settings.scaleFactor)
+      .foreach { case (_, ds) =>
+        ZarrIO.writeChunks(ds, outRoot, settings.compressorLevel, settings.compress)
+      }
+    level0.unpersist()
+    vol
+  }
+
+  /** Run the whole job: discover -> convert each stack -> respond
+    * (`run_job`, `zeiss_job.py:207-226`). */
+  def run(spark: SparkSession, settings: Settings): JobResponse = {
+    val t0 = System.nanoTime()
+    val stacks = discoverStacks(settings.inputSource)
+    if (stacks.isEmpty)
+      return JobResponse(400, s"no CZI stacks under ${settings.inputSource}/SPIM")
+    val voxel =
+      try voxelResolution(s"${settings.inputSource}/acquisition.json")
+      catch { case _: Throwable => Seq(1.0, 1.0, 1.0) }
+    val out = settings.s3Location.getOrElse(settings.outputDirectory)
+    stacks.foreach { czi =>
+      convertStack(spark, czi, out, settings, voxel)
+    }
+    val secs = (System.nanoTime() - t0) / 1e9
+    JobResponse(200, f"converted ${stacks.size} stacks in $secs%.1f s")
+  }
+
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 1, "usage: ZeissJob '<job-settings-json>' | @<settings-file>")
+    // inline JSON (joined — shells/sbt may split it) or @file, mirroring
+    // the reference's json-vs-config-file CLI (zeiss_job.py:234-242)
+    val json =
+      if (args(0).startsWith("@"))
+        new String(Files.readAllBytes(Paths.get(args(0).drop(1))), "UTF-8")
+      else args.mkString(" ")
+    val spark = graft.Spark.session(appName = "graft-zeiss-job")
+    val resp = run(spark, parseSettings(json))
+    println(s"""{"status_code":${resp.statusCode},"message":"${resp.message}"}""")
+    spark.stop()
+  }
+}

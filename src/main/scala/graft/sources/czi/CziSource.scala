@@ -1,0 +1,107 @@
+package graft.sources.czi
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Dataset, SparkSession}
+
+import graft.core.{ChunkGrid, Volume, ZarrChunk}
+import CziFormat._
+
+/** Distributed CZI -> Dataset[ZarrChunk] scan (reference operators S2+S3:
+  * `czi_block_generator` `utils.py:462-526` + `read_slices_czi`
+  * `utils.py:284-395`, re-expressed as Spark tasks).
+  *
+  * The driver parses only the subblock directory (KBs); pixel data is
+  * read inside tasks. One task = one z-slab of chunk depth (the
+  * reference's `axis_jumps`), which it cuts into chunk-grid tiles —
+  * so level-0 chunking needs '''no shuffle at all''': every chunk is
+  * produced exactly once by the task owning its slab (mirrors the
+  * bounded-memory slab streaming X3, `czi_to_zarr.py:596-608`).
+  */
+object CziSource {
+
+  /** Volume descriptor for a CZI file (driver-side directory parse). */
+  def volume(path: String, stack: String, chunkZyx: Array[Int] = Array(128, 128, 128)): (Volume, CziIndex) = {
+    val idx = CziReader.index(path)
+    require(idx.pixelType == PixelGray16, s"only Gray16 supported, got ${idx.pixelType}")
+    val vol = Volume(stack, 0, idx.shape,
+      Array(1, 1, chunkZyx(0), chunkZyx(1), chunkZyx(2)))
+    (vol, idx)
+  }
+
+  /** Scan the file into level-0 chunks. */
+  def scan(spark: SparkSession, path: String, vol: Volume, idx: CziIndex): Dataset[ZarrChunk] = {
+    import spark.implicits._
+    val chunk = vol.chunk
+    val shape = vol.shape
+    val zSlabs = ChunkGrid.ceilDiv(shape(2), chunk(2))
+    val stack = vol.stack
+    val origin = idx.origin
+    val entries = idx.entries.toArray
+
+    spark.range(zSlabs).mapPartitions { slabIt =>
+      val conf = new Configuration()
+      val p = new Path(path)
+      val fs = p.getFileSystem(conf)
+      val in = fs.open(p)
+      Option(org.apache.spark.TaskContext.get())
+        .foreach(_.addTaskCompletionListener[Unit](_ => in.close()))
+      val (sy, sx) = (shape(3).toInt, shape(4).toInt)
+      val gridY = ChunkGrid.ceilDiv(shape(3), chunk(3)).toInt
+      val gridX = ChunkGrid.ceilDiv(shape(4), chunk(4)).toInt
+
+      slabIt.flatMap { slab =>
+        val z0 = (slab * chunk(2)).toInt
+        val zN = math.min(chunk(2).toLong, shape(2) - z0).toInt
+        // slab buffer: zN * Y * X uint16 (LE bytes), reference scatter
+        // semantics: place each subblock at its start offsets
+        val buf = new Array[Byte](zN * sy * sx * 2)
+        entries.foreach { e =>
+          val ez0 = e.start("Z") - origin(2)
+          val ezN = e.size("Z")
+          val lo = math.max(ez0, z0)
+          val hi = math.min(ez0 + ezN, z0 + zN)
+          if (lo < hi) {
+            val data = CziReader.subblockData(in, e)
+            val (ey0, ex0) = (e.start("Y") - origin(3), e.start("X") - origin(4))
+            val (eyN, exN) = (e.size("Y"), e.size("X"))
+            var z = lo
+            while (z < hi) {
+              val srcZ = (z - ez0) * eyN * exN * 2
+              val dstZ = (z - z0) * sy * sx * 2
+              var y = 0
+              while (y < eyN) {
+                System.arraycopy(data, srcZ + y * exN * 2,
+                  buf, dstZ + ((ey0 + y) * sx + ex0) * 2, exN * 2)
+                y += 1
+              }
+              z += 1
+            }
+          }
+        }
+        // cut the slab into chunk tiles — chunk-local, no shuffle
+        for {
+          ty <- 0 until gridY
+          tx <- 0 until gridX
+        } yield {
+          val yN = math.min(chunk(3).toLong, shape(3) - ty.toLong * chunk(3)).toInt
+          val xN = math.min(chunk(4).toLong, shape(4) - tx.toLong * chunk(4)).toInt
+          val out = new Array[Byte](zN * yN * xN * 2)
+          var z = 0
+          while (z < zN) {
+            var y = 0
+            while (y < yN) {
+              System.arraycopy(
+                buf, (z * sy * sx + (ty * chunk(3) + y) * sx + tx * chunk(4)) * 2,
+                out, (z * yN * xN + y * xN) * 2, xN * 2)
+              y += 1
+            }
+            z += 1
+          }
+          ZarrChunk(stack, 0, 0, 0, slab.toInt, ty, tx,
+            Array(1, 1, zN, yN, xN), out)
+        }
+      }
+    }
+  }
+}

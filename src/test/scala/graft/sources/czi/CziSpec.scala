@@ -1,0 +1,107 @@
+package graft.sources.czi
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.Spark
+import graft.core.PixelCodec
+import graft.io.zarr.ZarrIO
+import graft.jobs.ZeissJob
+import graft.sources.SyntheticStack
+
+class CziSpec extends AnyFunSuite {
+
+  private lazy val spark = Spark.session(master = "local[4]", shufflePartitions = 4,
+    appName = "graft-czi-test")
+
+  private def synth(nz: Int, ny: Int, nx: Int): Array[Array[Array[Int]]] =
+    Array.tabulate(nz, ny, nx)((z, y, x) => SyntheticStack.value(z, y, x))
+
+  test("CZI index parse: shape, pixel type, entries") {
+    val dir = Files.createTempDirectory("czi").toString
+    val path = s"$dir/t.czi"
+    CziTestWriter.write(path, synth(12, 40, 40))
+    val idx = CziReader.index(path)
+    assert(idx.shape.toSeq == Seq(1L, 1L, 12L, 40L, 40L))
+    assert(idx.pixelType == CziFormat.PixelGray16)
+    assert(idx.entries.size == 12)
+    assert(idx.entries.map(_.compression).toSet ==
+      Set(CziFormat.CompressionNone, CziFormat.CompressionZstd0))
+  }
+
+  test("distributed scan produces voxel-exact chunks incl. clamped edges") {
+    val dir = Files.createTempDirectory("czi").toString
+    val path = s"$dir/t.czi"
+    CziTestWriter.write(path, synth(12, 40, 40))
+    val (vol, idx) = CziSource.volume(path, "t", Array(8, 32, 32))
+    assert(vol.numChunks == 2 * 2 * 2) // z: ceil(12/8)=2, y/x: ceil(40/32)=2
+    val chunks = CziSource.scan(spark, path, vol, idx).collect()
+    assert(chunks.length == 8)
+    chunks.foreach { ck =>
+      val px = ck.pixels
+      val (sz, sy, sx) = (ck.shape(2), ck.shape(3), ck.shape(4))
+      for (z <- 0 until sz; y <- 0 until sy; x <- 0 until sx) {
+        val v = px(z * sy * sx + y * sx + x)
+        val expect = SyntheticStack.value(ck.z * 8 + z, ck.y * 32 + y, ck.x * 32 + x)
+        assert(v == expect, s"chunk(${ck.z},${ck.y},${ck.x}) voxel($z,$y,$x)")
+      }
+    }
+    // edge chunks clamp: z=1 has depth 4, y=1/x=1 have 8
+    val edge = chunks.find(c => c.z == 1 && c.y == 1 && c.x == 1).get
+    assert(edge.shape.toSeq == Seq(1, 1, 4, 8, 8))
+  }
+
+  test("end-to-end ZeissJob: SPIM discovery -> CZI -> multiscale zarr") {
+    val root = Files.createTempDirectory("zeiss").toString
+    val spim = new java.io.File(s"$root/in/SPIM"); spim.mkdirs()
+    CziTestWriter.write(s"$root/in/SPIM/stack1.czi", synth(16, 32, 32))
+    Files.writeString(java.nio.file.Paths.get(s"$root/in/acquisition.json"),
+      """{"tiles":[{"coordinate_transformations":[
+        |{"type":"scale","scale":["0.5","0.25","2.0"]},
+        |{"type":"translation","translation":[0,0,0]}]}]}""".stripMargin)
+
+    val settings = ZeissJob.Settings(
+      inputSource = s"$root/in",
+      outputDirectory = s"$root/out",
+      chunkSize = Array(8, 16, 16),
+      downsampleLevels = 2)
+    val resp = ZeissJob.run(spark, settings)
+    assert(resp.statusCode == 200, resp.message)
+
+    // voxel resolution came through [z,y,x] = [2.0, 0.25, 0.5]
+    val vr = ZeissJob.voxelResolution(s"$root/in/acquisition.json")
+    assert(vr == Seq(2.0, 0.25, 0.5))
+
+    // level 0 round-trips voxel-exact through Blosc/Zarr
+    val l0 = ZarrIO.readChunks(spark, s"$root/out", "stack1", 0).collect()
+    assert(l0.map(_.numVoxels).sum == 16 * 32 * 32)
+    l0.foreach { ck =>
+      val px = ck.pixels
+      val (sz, sy, sx) = (ck.shape(2), ck.shape(3), ck.shape(4))
+      for (z <- 0 until sz; y <- 0 until sy; x <- 0 until sx)
+        assert(px(z * sy * sx + y * sx + x) ==
+          SyntheticStack.value(ck.z * 8 + z, ck.y * 16 + y, ck.x * 16 + x))
+    }
+
+    // level 1 exists with halved shape
+    val (shape1, _, _) = ZarrIO.readZarray(s"$root/out", "stack1", 1)
+    assert(shape1.toSeq == Seq(1L, 1L, 8L, 16L, 16L))
+    val l1 = ZarrIO.readChunks(spark, s"$root/out", "stack1", 1).collect()
+    assert(l1.map(_.numVoxels).sum == 8 * 16 * 16)
+    // spot-check one level-1 voxel against the analytic 2x2x2 mean
+    val c0 = l1.find(c => c.z == 0 && c.y == 0 && c.x == 0).get
+    var sum = 0L
+    for (dz <- 0 until 2; dy <- 0 until 2; dx <- 0 until 2)
+      sum += SyntheticStack.value(dz, dy, dx)
+    assert(c0.pixels(0) == (sum / 8).toInt)
+  }
+
+  test("decode rejects unsupported compression") {
+    val e = CziFormat.SubBlockEntry(0L, CziFormat.PixelGray16, CziFormat.CompressionJpgXr,
+      Map("X" -> CziFormat.DimEntry("X", 0, 2, 2)))
+    intercept[UnsupportedOperationException] {
+      CziReader.decode(Array[Byte](1, 2, 3, 4), e)
+    }
+  }
+}

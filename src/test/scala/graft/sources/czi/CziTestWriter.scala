@@ -1,0 +1,124 @@
+package graft.sources.czi
+
+import java.io.{DataOutputStream, FileOutputStream}
+import java.nio.{ByteBuffer, ByteOrder}
+
+import com.github.luben.zstd.Zstd
+
+/** Test-only ZISRAW writer: emits a minimal valid CZI (Gray16, per-z-slice
+  * subblocks, mix of uncompressed and zstd0) so the reader round-trips
+  * without real Zeiss fixtures. Mirrors the public spec fields used by
+  * [[CziReader]]. */
+object CziTestWriter {
+
+  private def segHeader(id: String, alloc: Long, used: Long): Array[Byte] = {
+    val b = ByteBuffer.allocate(32).order(ByteOrder.LITTLE_ENDIAN)
+    val idb = id.getBytes("US-ASCII")
+    b.put(idb)
+    b.position(16)
+    b.putLong(alloc)
+    b.putLong(used)
+    b.array()
+  }
+
+  private def align32(n: Long): Long = (n + 31) / 32 * 32
+
+  private def entryBytes(pixelType: Int, filePos: Long, compression: Int,
+                         dims: Seq[(String, Int, Int)]): Array[Byte] = {
+    val b = ByteBuffer.allocate(32 + 20 * dims.size).order(ByteOrder.LITTLE_ENDIAN)
+    b.put('D'.toByte); b.put('V'.toByte)
+    b.putInt(pixelType)
+    b.putLong(filePos)
+    b.putInt(0)            // FilePart
+    b.putInt(compression)
+    b.put(0.toByte)        // PyramidType
+    b.position(b.position() + 5)
+    b.putInt(dims.size)
+    dims.foreach { case (d, start, size) =>
+      val db = d.getBytes("US-ASCII")
+      val padded = java.util.Arrays.copyOf(db, 4)
+      b.put(padded)
+      b.putInt(start)
+      b.putInt(size)
+      b.putFloat(0.0f)
+      b.putInt(size)       // StoredSize
+    }
+    b.array()
+  }
+
+  /** Write `data(z)(y)(x)` (uint16 values) as a CZI with one subblock per
+    * z-slice; even slices uncompressed, odd slices zstd0. */
+  def write(path: String, data: Array[Array[Array[Int]]]): Unit = {
+    val (nz, ny, nx) = (data.length, data(0).length, data(0)(0).length)
+    val out = new DataOutputStream(new FileOutputStream(path))
+    var pos = 0L
+    def emit(bytes: Array[Byte]): Unit = { out.write(bytes); pos += bytes.length }
+    def pad(n: Long): Unit = { out.write(new Array[Byte](n.toInt)); pos += n }
+
+    // --- file header segment (payload 512, patched at the end) ---
+    val headerPayload = 512
+    emit(segHeader(CziFormat.IdFile, headerPayload, headerPayload))
+    pad(headerPayload)
+
+    // --- subblocks ---
+    val entries = Seq.newBuilder[(Long, Int, Seq[(String, Int, Int)])]
+    for (z <- 0 until nz) {
+      val slicePixels = new Array[Byte](ny * nx * 2)
+      for (y <- 0 until ny; x <- 0 until nx) {
+        val v = data(z)(y)(x)
+        slicePixels(2 * (y * nx + x)) = (v & 0xFF).toByte
+        slicePixels(2 * (y * nx + x) + 1) = ((v >>> 8) & 0xFF).toByte
+      }
+      val compression = if (z % 2 == 0) CziFormat.CompressionNone else CziFormat.CompressionZstd0
+      val payload = if (compression == CziFormat.CompressionNone) slicePixels
+        else Zstd.compress(slicePixels, 3)
+      val dims = Seq(("X", 0, nx), ("Y", 0, ny), ("Z", z, 1), ("C", 0, 1))
+      val entry = entryBytes(CziFormat.PixelGray16, pos, compression, dims)
+      val headerSpace = math.max(256, 16 + entry.length)
+      val used = headerSpace + payload.length
+      val alloc = align32(used)
+      entries += ((pos, compression, dims))
+      emit(segHeader(CziFormat.IdSubBlock, alloc, used))
+      val fixed = ByteBuffer.allocate(16).order(ByteOrder.LITTLE_ENDIAN)
+      fixed.putInt(0)                   // MetadataSize
+      fixed.putInt(0)                   // AttachmentSize
+      fixed.putLong(payload.length.toLong) // DataSize
+      emit(fixed.array())
+      emit(entry)
+      pad(headerSpace - 16 - entry.length)
+      emit(payload)
+      pad(alloc - used)
+    }
+
+    // --- directory segment ---
+    val dirPos = pos
+    val entryList = entries.result()
+    val entryBlobs = entryList.map { case (fp, comp, dims) =>
+      entryBytes(CziFormat.PixelGray16, fp, comp, dims)
+    }
+    val dirUsed = 4 + 124 + entryBlobs.map(_.length).sum
+    emit(segHeader(CziFormat.IdDirectory, align32(dirUsed), dirUsed))
+    val cnt = ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN)
+    cnt.putInt(entryBlobs.size)
+    emit(cnt.array())
+    pad(124)
+    entryBlobs.foreach(emit)
+    pad(align32(dirUsed) - dirUsed)
+    out.close()
+
+    // --- patch DirectoryPosition into the file header payload ---
+    val raf = new java.io.RandomAccessFile(path, "rw")
+    try {
+      // payload offset 0: Major..Res2 (16) + GUIDs (32) + FilePart (4) = 52
+      raf.seek(32 + 52)
+      val b = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
+      b.putLong(dirPos)
+      raf.write(b.array())
+      // Major/Minor
+      raf.seek(32)
+      val mm = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
+      mm.putInt(1); mm.putInt(0)
+      raf.write(mm.array())
+    } finally raf.close()
+  }
+}
