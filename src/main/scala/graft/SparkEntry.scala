@@ -18,7 +18,8 @@ object SparkEntry {
       (graft.queries.TextOps.queries, graft.queries.TextOps.oracles),
       (graft.queries.DedupOps.queries, graft.queries.DedupOps.oracles),
       (graft.queries.SimilarityOps.queries, graft.queries.SimilarityOps.oracles),
-      (graft.queries.EventOps.queries, graft.queries.EventOps.oracles)
+      (graft.queries.EventOps.queries, graft.queries.EventOps.oracles),
+      (graft.queries.MediaQueries.queries, graft.queries.MediaQueries.oracles)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,94 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column support: image/audio/video as opaque BINARY columns
+  * with typed metadata, decoded/feature-extracted in batched
+  * `mapPartitions` passes.
+  *
+  * The Spark-side plumbing is real — schema, partition-level batch
+  * iteration, feature struct output — while the codec itself is a
+  * clearly-marked deterministic STUB (`StubCodec`): this container ships
+  * no image/audio libraries, so the stub derives "decoded" properties
+  * from the payload bytes alone. Swapping in a real decoder changes one
+  * function, not the pipeline.
+  *
+  * Scale design: decode runs as one narrow `mapPartitions` over the media
+  * Dataset — no shuffle, no driver involvement, memory bounded by one
+  * record at a time (payloads stream through; features are tiny). Frame
+  * sampling explodes only sampled frame indices (metadata rows), never
+  * decoded frame payloads.
+  */
+object MediaOps {
+
+  final case class MediaRecord(media_id: Long, kind: String, payload: Array[Byte])
+
+  final case class MediaFeatures(
+      media_id: Long, kind: String, n_bytes: Long,
+      width: Int, height: Int, n_frames: Int, checksum: Long)
+
+  final case class FrameSample(media_id: Long, frame_idx: Int, frame_off: Long)
+
+  /** STUB codec — deterministic stand-in for image/audio/video decode.
+    * A real implementation would parse the container format here. */
+  object StubCodec {
+    /** "Decode" dimensions from payload size: fake but deterministic and
+      * recomputable by the DuckDB oracle from octet_length. */
+    def decode(kind: String, payload: Array[Byte]): (Int, Int, Int) = {
+      val n = payload.length
+      kind match {
+        case "image" => (64 + (n % 8) * 16, 64 + (n % 5) * 16, 1)
+        case "audio" => (1, 1, n / 100 + 1)          // "samples/100" frames
+        case _       => (320, 240, n / 50 + 1)        // "video": frame per 50 bytes
+      }
+    }
+
+    /** Byte-sum checksum (the stand-in for pixel statistics). */
+    def checksum(payload: Array[Byte]): Long = {
+      var s = 0L
+      var i = 0
+      while (i < payload.length) { s += payload(i) & 0xFF; i += 1 }
+      s
+    }
+  }
+
+  /** Wrap the documents table as a media corpus: payload = UTF-8 bytes,
+    * kind assigned round-robin — a deterministic fake corpus with real
+    * BINARY columns. */
+  def asMedia(docs: DataFrame): Dataset[MediaRecord] = {
+    import docs.sparkSession.implicits._
+    docs.select(
+        col("doc_id").as("media_id"),
+        element_at(array(lit("image"), lit("audio"), lit("video")),
+          (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("kind"),
+        col("text").cast("binary").as("payload"))
+      .as[MediaRecord]
+  }
+
+  /** Batched decode + feature extraction: one narrow mapPartitions pass. */
+  def extractFeatures(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { m =>
+        val (w, h, f) = StubCodec.decode(m.kind, m.payload)
+        MediaFeatures(m.media_id, m.kind, m.payload.length.toLong, w, h, f,
+          StubCodec.checksum(m.payload))
+      }
+    }
+  }
+
+  /** Sample every `stride`-th frame of video records — emits frame
+    * metadata (index + byte offset), not decoded frames. */
+  def sampleFrames(media: Dataset[MediaRecord], stride: Int = 10): Dataset[FrameSample] = {
+    import media.sparkSession.implicits._
+    media.filter(_.kind == "video").mapPartitions { it =>
+      it.flatMap { m =>
+        val (_, _, nFrames) = StubCodec.decode(m.kind, m.payload)
+        (0 until nFrames by stride).iterator.map { i =>
+          FrameSample(m.media_id, i, i.toLong * 50)
+        }
+      }
+    }
+  }
+}

@@ -1,0 +1,76 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.MediaOps
+
+/** Multimodal-column queries: the documents table wrapped as a BINARY
+  * media corpus, decoded by the stub codec inside `mapPartitions`
+  * (real plumbing, fake codec — see [[graft.operators.MediaOps]]).
+  * The oracle recomputes the stub's arithmetic from octet_length. */
+object MediaQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // per-kind aggregate over decoded features
+    "m1_media_features" -> ((s, dir) => {
+      val media = MediaOps.asMedia(Tables.load(s, dir, "documents"))
+      MediaOps.extractFeatures(media).toDF()
+        .groupBy(col("kind"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("n_bytes")).cast("long").as("total_bytes"),
+          sum(col("width")).cast("long").as("sum_w"),
+          sum(col("height")).cast("long").as("sum_h"),
+          sum(col("n_frames")).cast("long").as("sum_frames"),
+          sum(col("checksum")).cast("long").as("sum_checksum"))
+        .orderBy(col("kind"))
+    }),
+
+    // frame sampling: per-media sampled frame count for first videos
+    "m2_frame_sample" -> ((s, dir) => {
+      val media = MediaOps.asMedia(
+        Tables.load(s, dir, "documents").filter(col("doc_id") < 100))
+      MediaOps.sampleFrames(media, stride = 10).toDF()
+        .groupBy(col("media_id"))
+        .agg(count(lit(1)).as("n_sampled"), max(col("frame_off")).as("last_off"))
+        .orderBy(col("media_id"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    // kind: doc_id % 3 -> 0=image, 1=audio, 2=video; dims per StubCodec
+    "m1_media_features" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        |    strlen(text) AS n,
+        |    text
+        |  FROM documents),
+        |f AS (
+        |  SELECT kind, n,
+        |    CASE kind WHEN 'image' THEN 64 + (n % 8) * 16
+        |              WHEN 'audio' THEN 1 ELSE 320 END AS width,
+        |    CASE kind WHEN 'image' THEN 64 + (n % 5) * 16
+        |              WHEN 'audio' THEN 1 ELSE 240 END AS height,
+        |    CASE kind WHEN 'image' THEN 1
+        |              WHEN 'audio' THEN n // 100 + 1 ELSE n // 50 + 1 END AS n_frames,
+        |    (SELECT sum(CAST(unicode(c) AS BIGINT)) FROM unnest(string_split_regex(text, '')) AS t(c)
+        |     WHERE c != '') AS checksum
+        |  FROM m)
+        |SELECT kind, count(*) AS n, CAST(sum(n) AS BIGINT) AS total_bytes,
+        |  CAST(sum(width) AS BIGINT) AS sum_w, CAST(sum(height) AS BIGINT) AS sum_h,
+        |  CAST(sum(n_frames) AS BIGINT) AS sum_frames,
+        |  CAST(sum(checksum) AS BIGINT) AS sum_checksum
+        |FROM f GROUP BY kind ORDER BY kind""".stripMargin,
+
+    "m2_frame_sample" ->
+      """WITH v AS (
+        |  SELECT doc_id AS media_id, strlen(text) // 50 + 1 AS n_frames
+        |  FROM documents WHERE doc_id < 100 AND doc_id % 3 = 2)
+        |SELECT media_id,
+        |  CAST((n_frames + 9) // 10 AS BIGINT) AS n_sampled,
+        |  CAST(((n_frames - 1) // 10) * 10 * 50 AS BIGINT) AS last_off
+        |FROM v ORDER BY media_id""".stripMargin
+  )
+}

@@ -1,0 +1,77 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming operators over the events schema — the streaming
+  * surface the reference lacks entirely (SURVEY.md §2 gap analysis:
+  * "no streaming at all"), built the Spark-native way:
+  * `readStream -> withWatermark -> window/flatMapGroupsWithState ->
+  * writeStream`.
+  *
+  * At scale these run unchanged against a file/Kafka source: the
+  * watermark bounds state, the windowed aggregate is an incremental
+  * partial agg, and sessionization state lives in the state store keyed
+  * by user_id (uniform key space — no hot keys).
+  */
+object EventStream {
+
+  /** The events schema as written by the driver (ts arrives as epoch
+    * nanos long when sourced from the TIMESTAMP(NANOS) parquet). */
+  val schema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** File-source stream over a directory of events parquet. */
+  def read(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(schema).parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+
+  /** Tumbling 1-hour windowed counts with a 2-hour watermark. */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      .select(col("window.start").as("bucket"), col("event_type"), col("n"), col("total_value"))
+
+  final case class Ev(event_id: Long, sec: Long, user_id: Long)
+  final case class SessionState(start: Long, last: Long, n: Int)
+  final case class Session(user_id: Long, start_sec: Long, n_events: Int, dur_sec: Long)
+
+  /** Stateful gap sessionization (30-min inactivity), the streaming twin
+    * of the batch `e2_sessionize` query: closed sessions are emitted as
+    * soon as a later event proves the gap. */
+  def sessionize(events: Dataset[Ev]): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[List[SessionState], Session](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, evs: Iterator[Ev], state: GroupState[List[SessionState]]) =>
+          // events within a micro-batch arrive unordered: sort this batch,
+          // then fold into the open session carried in state
+          val sorted = evs.toSeq.sortBy(e => (e.sec, e.event_id))
+          var open = state.getOption.flatMap(_.headOption)
+          val closed = List.newBuilder[Session]
+          sorted.foreach { e =>
+            open match {
+              case Some(s) if e.sec - s.last <= 1800 =>
+                open = Some(s.copy(last = e.sec, n = s.n + 1))
+              case Some(s) =>
+                closed += Session(user, s.start, s.n, s.last - s.start)
+                open = Some(SessionState(e.sec, e.sec, 1))
+              case None =>
+                open = Some(SessionState(e.sec, e.sec, 1))
+            }
+          }
+          state.update(open.toList)
+          closed.result().iterator
+      }
+  }
+}

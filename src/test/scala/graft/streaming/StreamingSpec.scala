@@ -1,0 +1,85 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{Spark, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Streaming correctness: the streaming operators must agree with their
+  * batch twins over the same events data (processAllAvailable on a
+  * file source = bounded replay). */
+class StreamingSpec extends AnyFunSuite {
+
+  private lazy val spark = Spark.session(master = "local[4]", shufflePartitions = 4,
+    appName = "graft-stream-test")
+
+  private lazy val eventsDir: String = {
+    // file-source needs a directory of parquet
+    val dir = Files.createTempDirectory("events-stream")
+    Files.copy(Paths.get("/root/testdata/sf0.001/events.parquet"),
+      dir.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    dir.toString
+  }
+
+  test("streaming tumbling window equals the batch aggregate") {
+    val q = EventStream.tumblingCounts(EventStream.read(spark, eventsDir))
+      .writeStream.format("memory").queryName("tumbling")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.sql(
+      "SELECT unix_timestamp(bucket) AS b, event_type, n FROM tumbling ORDER BY b, event_type")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+
+    val ev = Tables.load(spark, "/root/testdata/sf0.001", "events")
+    val maxSec = ev.agg(max(unix_timestamp(col("ts")))).collect()(0).getLong(0)
+    // append mode finalizes a window only once the watermark (max ts - 2h)
+    // passes its end — trailing windows are intentionally never emitted
+    val batch = ev
+      .select((floor(unix_timestamp(col("ts")) / 3600) * 3600).cast("long").as("b"),
+        col("event_type"))
+      .groupBy(col("b"), col("event_type")).agg(count(lit(1)).as("n"))
+      .filter(col("b") + 3600 <= maxSec - 7200)
+      .orderBy(col("b"), col("event_type"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+
+    assert(batch.nonEmpty)
+    assert(streamed.length == batch.length)
+    assert(streamed.sameElements(batch))
+  }
+
+  test("stateful sessionization emits gap-closed sessions") {
+    import spark.implicits._
+    val evs = spark.readStream.schema(EventStream.schema).parquet(eventsDir)
+      .select(col("event_id"), expr("ts div 1000000000").as("sec"), col("user_id"))
+      .as[EventStream.Ev]
+    val q = EventStream.sessionize(evs)
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable()
+    q.stop()
+
+    val sessions = spark.sql("SELECT * FROM sessions").collect()
+    assert(sessions.nonEmpty, "closed sessions must be emitted")
+
+    // batch twin: session count per user (minus the still-open last
+    // session of each user, which streaming hasn't closed)
+    val batchSessions = Tables.load(spark, "/root/testdata/sf0.001", "events")
+      .select(col("user_id"), unix_timestamp(col("ts")).as("sec"), col("event_id"))
+      .withColumn("prev", lag(col("sec"), 1).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("user_id"))
+          .orderBy(col("sec"), col("event_id"))))
+      .withColumn("new_sess", when(col("prev").isNull || col("sec") - col("prev") > 1800, 1).otherwise(0))
+      .agg(sum(col("new_sess"))).collect()(0).getLong(0)
+    val users = Tables.load(spark, "/root/testdata/sf0.001", "events")
+      .select(countDistinct(col("user_id"))).collect()(0).getLong(0)
+    assert(sessions.length == batchSessions - users,
+      s"streamed closed sessions ${sessions.length} vs batch $batchSessions - $users open")
+  }
+}
