@@ -47,6 +47,26 @@ object DedupOps {
   /** shingle fingerprint: first 8 md5 hex digits as long (0 .. 2^32). */
   private val fp: Column = expr("CAST(conv(substr(md5(s), 1, 8), 16, 10) AS BIGINT)")
 
+  /** All 8 MinHash values as one map-side-combinable hash aggregate:
+    * columns mh0..mh7 with mh_i = min((2i+1)*f + 7919i mod P). */
+  private def minhash(docFp: DataFrame): DataFrame = {
+    val aggs = (0 to 7).map(i =>
+      min((lit(2 * i + 1) * col("f") + lit(7919L * i)) % P).as(s"mh$i"))
+    docFp.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Co-occurrence counts per doc pair from a (doc_id, key) relation:
+    * group by key, explode ordered id-pairs within each bucket, count.
+    * One shuffle by key + one by pair — no self-join. */
+  private def pairCounts(rel: DataFrame, key: String = "s"): DataFrame =
+    rel.groupBy(col(key)).agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(expr(
+        "flatten(transform(ids, a -> transform(filter(ids, b -> b > a), b -> struct(a AS d1, b AS d2))))"))
+        .as("p"))
+      .groupBy(col("p.d1").as("d1"), col("p.d2").as("d2"))
+      .agg(count(lit(1)).as("m"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // --- exact dedup: content-hash groups + survivor stats per source ---
@@ -59,14 +79,17 @@ object DedupOps {
         .orderBy(col("source"))
     }),
 
-    // --- n-gram Jaccard near-dup pairs (exact, the oracle for LSH too) ---
+    // --- n-gram Jaccard near-dup pairs (exact, the oracle for LSH too).
+    //     Pair generation groups by shingle and explodes id-pairs inside
+    //     each bucket instead of a self-equi-join: one shuffle keyed by
+    //     shingle, intersection counts in a single hash aggregate. At
+    //     100 TB the bucket explode bounds work by sum(freq^2), and a
+    //     stop-shingle frequency cap (not needed at this skew: max
+    //     freq 25) would bound the worst key. ---
     "d2_ngram_jaccard" -> ((s, dir) => {
       val sh = shingles(docs(s, dir)).cache()
       val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-      val pairs = sh.as("a").join(sh.as("b"),
-          col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-        .agg(count(lit(1)).as("m"))
+      val pairs = pairCounts(sh)
       pairs
         .join(cnt.as("c1"), col("d1") === col("c1.doc_id"))
         .join(cnt.as("c2"), col("d2") === col("c2.doc_id"))
@@ -76,19 +99,13 @@ object DedupOps {
         .orderBy(col("d1"), col("d2"))
     }),
 
-    // --- MinHash signatures (8 hash functions) for the first 50 docs ---
+    // --- MinHash signatures (8 hash functions) for the first 50 docs.
+    //     All 8 mins computed in ONE hash aggregate over the (doc,
+    //     fingerprint) relation — no hash-index explode, no pivot: the
+    //     shuffle moves each shingle row once, not 8 times. ---
     "d3_minhash_sig" -> ((s, dir) => {
       val sh = shingles(docs(s, dir).filter(col("doc_id") < 50))
-      sh.select(col("doc_id"), fp.as("f"))
-        .select(col("doc_id"), col("f"), explode(expr("sequence(0, 7)")).as("i"))
-        .select(col("doc_id"), col("i"),
-          (((lit(2) * col("i") + 1) * col("f") + lit(7919) * col("i")) % P).as("h"))
-        .groupBy(col("doc_id"), col("i"))
-        .agg(min(col("h")).as("mh"))
-        .groupBy(col("doc_id"))
-        .pivot(col("i"), 0 to 7)
-        .agg(first(col("mh")))
-        .toDF("doc_id", "mh0", "mh1", "mh2", "mh3", "mh4", "mh5", "mh6", "mh7")
+      minhash(sh.select(col("doc_id"), fp.as("f")))
         .orderBy(col("doc_id"))
     }),
 
@@ -96,22 +113,20 @@ object DedupOps {
     //     pairs confirmed with exact Jaccard >= 0.5 ---
     "d4_lsh_pairs" -> ((s, dir) => {
       val sh = shingles(docs(s, dir)).cache()
-      val mh = sh.select(col("doc_id"), fp.as("f"))
-        .select(col("doc_id"), col("f"), explode(expr("sequence(0, 7)")).as("i"))
-        .select(col("doc_id"), col("i"),
-          (((lit(2) * col("i") + 1) * col("f") + lit(7919) * col("i")) % P).as("h"))
-        .groupBy(col("doc_id"), col("i"))
-        .agg(min(col("h")).as("mh"))
-      val bands = mh
-        .groupBy(col("doc_id"), floor(col("i") / 2).as("band"))
-        .agg(array_join(expr("transform(array_sort(collect_list(struct(i, mh))), x -> CAST(x.mh AS STRING))"), ",").as("bucket"))
-      val cand = bands.as("a").join(bands.as("b"),
-          col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
-          col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-        .distinct()
+      // signature in one aggregate (see d3), then 4 band rows per doc:
+      // band key = "band,mh(2b),mh(2b+1)" — a narrow explode, no shuffle
+      val bands = minhash(sh.select(col("doc_id"), fp.as("f")))
+        .select(col("doc_id"), explode(expr(
+          "array(" + (0 to 3).map(b =>
+            s"concat('$b,', mh${2 * b}, ',', mh${2 * b + 1})").mkString(",") + ")"))
+          .as("s"))
+      // same-bucket candidate pairs via the bucket-explode (no self-join);
+      // a pair colliding in k bands appears with m = k — keys dedup it
+      val cand = pairCounts(bands).select(col("d1"), col("d2"))
       val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-      val m = cand.join(sh.as("s1"), col("d1") === col("s1.doc_id"))
+      // exact-Jaccard confirmation only for LSH survivors: candidates are
+      // few, so both joins broadcast them — the corpus never shuffles
+      val m = broadcast(cand).join(sh.as("s1"), col("d1") === col("s1.doc_id"))
         .join(sh.as("s2"), col("d2") === col("s2.doc_id") && col("s1.s") === col("s2.s"))
         .groupBy(col("d1"), col("d2"))
         .agg(count(lit(1)).as("m"))
