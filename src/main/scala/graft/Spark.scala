@@ -23,6 +23,7 @@ object Spark {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.functions.registerAll(spark) // vector_dot, blosc_(de)compress SQL names
     spark
   }
 }

@@ -1,0 +1,105 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+import graft.core.Blosc
+
+/** Custom Catalyst expressions (SURVEY.md §7.4 "custom Catalyst —
+  * optional, small"): native codegen where the built-in surface can't
+  * reach it.
+  *
+  * [[VectorDot]] exists because the composable alternative —
+  * `aggregate(zip_with(a, b, ...), ...)` — runs as interpreted
+  * higher-order functions with per-element lambda dispatch and never
+  * enters whole-stage codegen. The expression emits a tight primitive
+  * loop instead; accumulation is sequential in index order with double
+  * precision, bit-identical to the HOF formulation (and the DuckDB
+  * oracle's `list_dot_product` on DOUBLE[]).
+  *
+  * [[BloscCompress]]/[[BloscDecompress]] expose the chunk codec (K4,
+  * reference `zeiss_job.py:89-101`) at the SQL/DataFrame layer, so a
+  * plain `spark.read.format("binaryFile")` over a Zarr store can decode
+  * chunks in-plan. They are CodegenFallback on purpose: zstd dominates
+  * the cost, codegen would only inline the call.
+  */
+case class VectorDot(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  private def elem(e: Expression): Option[DataType] = e.dataType match {
+    case ArrayType(t @ (FloatType | DoubleType), _) => Some(t)
+    case _ => None
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (elem(left).isDefined && elem(right).isDefined) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"vector_dot expects array<float|double> inputs, got ${left.dataType} / ${right.dataType}")
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "vector_dot"
+
+  @inline private def get(x: ArrayData, t: DataType, i: Int): Double =
+    if (t == FloatType) x.getFloat(i).toDouble else x.getDouble(i)
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val (lt, rt) = (elem(left).get, elem(right).get)
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      s += get(x, lt, i) * get(y, rt, i)
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      def rd(v: String, t: DataType) =
+        if (t == FloatType) s"((double) $v.getFloat($i))" else s"$v.getDouble($i)"
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += ${rd(a, elem(left).get)} * ${rd(b, elem(right).get)};
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+case class BloscCompress(child: Expression, typesize: Int, clevel: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"blosc_compress expects binary, got ${child.dataType}")
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "blosc_compress"
+  override protected def nullSafeEval(v: Any): Any =
+    Blosc.compress(v.asInstanceOf[Array[Byte]], typesize, clevel)
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+case class BloscDecompress(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"blosc_decompress expects binary, got ${child.dataType}")
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "blosc_decompress"
+  override protected def nullSafeEval(v: Any): Any =
+    Blosc.decompress(v.asInstanceOf[Array[Byte]])
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}

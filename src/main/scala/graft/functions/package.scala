@@ -1,0 +1,35 @@
+package graft
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+import org.apache.spark.sql.functions.sqrt
+
+/** Column-level API over the custom expressions + SQL registration. */
+package object functions {
+
+  /** Sequential-order double dot product of two float vectors (codegen'd). */
+  def vector_dot(a: Column, b: Column): Column =
+    column(VectorDot(expression(a), expression(b)))
+
+  /** Cosine similarity composed from [[vector_dot]]. */
+  def cosine_sim(a: Column, b: Column): Column =
+    vector_dot(a, b) / (sqrt(vector_dot(a, a)) * sqrt(vector_dot(b, b)))
+
+  def blosc_compress(c: Column, typesize: Int = 2, clevel: Int = 3): Column =
+    column(BloscCompress(expression(c), typesize, clevel))
+
+  def blosc_decompress(c: Column): Column =
+    column(BloscDecompress(expression(c)))
+
+  /** Register the SQL names (`vector_dot`, `blosc_compress`,
+    * `blosc_decompress`) on a session. */
+  def registerAll(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("vector_dot",
+      exprs => VectorDot(exprs(0), exprs(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("blosc_compress",
+      exprs => BloscCompress(exprs.head, 2, 3), "scala_udf")
+    reg.createOrReplaceTempFunction("blosc_decompress",
+      exprs => BloscDecompress(exprs.head), "scala_udf")
+  }
+}

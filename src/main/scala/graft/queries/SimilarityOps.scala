@@ -29,10 +29,12 @@ object SimilarityOps {
   private def emb(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "embeddings")
 
-  /** dot(a, b) folded left in index order, DOUBLE accumulation. */
+  /** dot(a, b) folded left in index order, DOUBLE accumulation — the
+    * custom codegen'd [[graft.functions.VectorDot]] expression (the
+    * equivalent `aggregate(zip_with(...))` HOF chain runs interpreted
+    * and blocks whole-stage codegen). */
   private def dot(a: String, b: String): Column =
-    expr(s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), " +
-      "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)")
+    graft.functions.vector_dot(col(a), col(b))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 

@@ -1,0 +1,73 @@
+package graft.functions
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{Spark, Tables}
+import graft.core.{Blosc, PixelCodec}
+import org.apache.spark.sql.functions._
+
+class FunctionsSpec extends AnyFunSuite {
+
+  private lazy val spark = Spark.session(master = "local[4]", shufflePartitions = 4,
+    appName = "graft-fn-test")
+
+  test("vector_dot is bit-identical to the interpreted HOF fold") {
+    import spark.implicits._
+    val e = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val hof = expr("aggregate(zip_with(embedding, embedding, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)")
+    val rows = e.select(vector_dot(col("embedding"), col("embedding")).as("native"), hof.as("hofv"))
+      .as[(Double, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (n, h) =>
+      assert(java.lang.Double.doubleToLongBits(n) == java.lang.Double.doubleToLongBits(h))
+    }
+  }
+
+  test("vector_dot enters whole-stage codegen") {
+    val e = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val plan = e.select(vector_dot(col("embedding"), col("embedding")))
+      .queryExecution.executedPlan.toString
+    // the "*(n)" prefix marks operators fused into a WholeStageCodegen span
+    assert(plan.contains("*(1) Project [vector_dot"), plan)
+  }
+
+  test("vector_dot null and type handling") {
+    import spark.implicits._
+    val df = Seq((Some(Array(1.0f, 2.0f)), Some(Array(3.0f, 4.0f))),
+      (None, Some(Array(1.0f)))).toDF("a", "b")
+    val out = df.select(vector_dot(col("a"), col("b"))).collect()
+    assert(out(0).getDouble(0) == 11.0)
+    assert(out(1).isNullAt(0))
+    intercept[Exception] {
+      df.select(vector_dot(lit("x"), col("b"))).collect()
+    }
+  }
+
+  test("cosine_sim of a vector with itself is 1") {
+    val e = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val cs = e.select(cosine_sim(col("embedding"), col("embedding")).as("c"))
+      .agg(min(col("c")), max(col("c"))).collect()(0)
+    assert(math.abs(cs.getDouble(0) - 1.0) < 1e-12)
+    assert(math.abs(cs.getDouble(1) - 1.0) < 1e-12)
+  }
+
+  test("blosc expressions roundtrip through SQL") {
+    import spark.implicits._
+    val px = Array.tabulate(1000)(i => (i * 13) % 65536)
+    Seq(PixelCodec.toBytes(px)).toDF("raw").createOrReplaceTempView("raw_chunks")
+    val back = spark.sql(
+      "SELECT blosc_decompress(blosc_compress(raw)) AS rt, blosc_compress(raw) AS frame FROM raw_chunks")
+      .collect()(0)
+    assert(back.getAs[Array[Byte]]("rt").sameElements(PixelCodec.toBytes(px)))
+    // and the SQL-produced frame decodes with the library codec too
+    assert(Blosc.decompress(back.getAs[Array[Byte]]("frame")).sameElements(PixelCodec.toBytes(px)))
+  }
+
+  test("vector_dot is registered for SQL") {
+    Tables.registerAll(spark, "/root/testdata/sf0.001")
+    val n = spark.sql(
+      "SELECT vector_dot(embedding, embedding) AS d FROM embeddings WHERE vec_id < 3")
+      .collect()
+    assert(n.length == 3 && n.forall(_.getDouble(0) > 0))
+  }
+}
