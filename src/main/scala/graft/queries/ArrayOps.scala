@@ -74,6 +74,30 @@ object ArrayOps {
         }
         .toDF("cz", "cy", "cx", "sum_v", "n_voxels")
         .orderBy(col("cz"), col("cy"), col("cx"))
+    }),
+
+    // --- same roundtrip through the Zarr DataSource V2 connector:
+    //     df.write.format("zarr") -> spark.read.format("zarr") ---
+    "z3_dsv2_scan" -> ((s, _) => {
+      val dir = Files.createTempDirectory("graft-zarr-dsv2-q").toString
+      val vol = Volume("v2q", 0, Array(1L, 1L, 40L, 40L, 40L), Array(1, 1, 16, 16, 16))
+      ZarrIO.writeMetadata(dir, vol, nLevels = 1)
+      SyntheticStack.generate(s, vol).toDF()
+        .write.format("zarr").option("path", dir).mode("append").save()
+      import s.implicits._
+      s.read.format("zarr")
+        .option("path", dir).option("stack", "v2q").load()
+        .select(col("z"), col("y"), col("x"), col("data"))
+        .as[(Int, Int, Int, Array[Byte])]
+        .map { case (z, y, x, data) =>
+          val px = graft.core.PixelCodec.toInts(data)
+          var sum = 0L
+          var i = 0
+          while (i < px.length) { sum += px(i); i += 1 }
+          (z.toLong, y.toLong, x.toLong, sum, px.length.toLong)
+        }
+        .toDF("cz", "cy", "cx", "sum_v", "n_voxels")
+        .orderBy(col("cz"), col("cy"), col("cx"))
     })
   )
 
@@ -102,6 +126,17 @@ object ArrayOps {
         |  SELECT range // 2304 AS z, (range // 48) % 48 AS y, range % 48 AS x,
         |         (31 * (range // 2304) + 17 * ((range // 48) % 48) + 13 * (range % 48)) % 65536 AS v
         |  FROM range(110592)
+        |)
+        |SELECT z // 16 AS cz, y // 16 AS cy, x // 16 AS cx,
+        |       CAST(sum(v) AS BIGINT) AS sum_v, count(*) AS n_voxels
+        |FROM l0 GROUP BY 1, 2, 3
+        |ORDER BY cz, cy, cx""".stripMargin,
+
+    "z3_dsv2_scan" ->
+      """WITH l0 AS (
+        |  SELECT range // 1600 AS z, (range // 40) % 40 AS y, range % 40 AS x,
+        |         (31 * (range // 1600) + 17 * ((range // 40) % 40) + 13 * (range % 40)) % 65536 AS v
+        |  FROM range(64000)
         |)
         |SELECT z // 16 AS cz, y // 16 AS cy, x // 16 AS cx,
         |       CAST(sum(v) AS BIGINT) AS sum_v, count(*) AS n_voxels
