@@ -14,6 +14,7 @@ object SparkEntry {
   private def packs: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
     Seq(
       (graft.queries.Relational.queries, graft.queries.Relational.oracles),
+      (graft.queries.Relational2.queries, graft.queries.Relational2.oracles),
       (graft.queries.ArrayOps.queries, graft.queries.ArrayOps.oracles),
       (graft.queries.TextOps.queries, graft.queries.TextOps.oracles),
       (graft.queries.DedupOps.queries, graft.queries.DedupOps.oracles),

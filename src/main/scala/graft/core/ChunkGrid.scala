@@ -73,4 +73,31 @@ object ChunkGrid {
     while (sizeOf(k + 1) <= targetBytes && sizeOf(k + 1) > sizeOf(k)) k += 1
     base.indices.map(i => math.min(base(i) * k, shape(i))).toArray
   }
+
+  /** Cycle mode of the same planner (`zarr_writer.py:85-99`): double one
+    * axis per round-robin step while the block stays under target, clamped
+    * to the array shape. */
+  def expandChunksCycle(chunk: Array[Int], shape: Array[Long], targetBytes: Long, itemSize: Int): Array[Long] = {
+    val cur = chunk.map(_.toLong)
+    def size(c: Array[Long]): Long = c.product * itemSize
+    var axis = 0
+    var stalled = 0
+    while (stalled < chunk.length) {
+      val next = cur.clone()
+      next(axis) = math.min(next(axis) * 2, shape(axis))
+      if (next(axis) > cur(axis) && size(next) <= targetBytes) {
+        cur(axis) = next(axis)
+        stalled = 0
+      } else stalled += 1
+      axis = (axis + 1) % chunk.length
+    }
+    cur
+  }
+
+  /** Superblock arithmetic as task granularity (reference X4): how many
+    * chunks one write task should own so it handles ~targetBytes. */
+  def chunksPerTask(chunk: Array[Int], targetBytes: Long, itemSize: Int): Int = {
+    val chunkBytes = chunk.map(_.toLong).product * itemSize
+    math.max(1L, targetBytes / math.max(1L, chunkBytes)).min(Int.MaxValue).toInt
+  }
 }

@@ -107,6 +107,22 @@ object ZeissJob {
     vol
   }
 
+  /** Copy the input's `derivatives/` folder to the output location —
+    * reference `_upload_derivatives_folder` (`zeiss_job.py:187-205`).
+    * The reference gates this on partition 0; with Spark there is one
+    * driver, so it simply runs once before conversion. Hadoop FS
+    * replaces the `aws s3 sync` subprocess. */
+  def uploadDerivatives(inputSource: String, outRoot: String,
+                        conf: Configuration = new Configuration()): Boolean = {
+    val src = new Path(s"$inputSource/derivatives")
+    val srcFs = src.getFileSystem(conf)
+    if (!srcFs.exists(src)) return false
+    val dst = new Path(s"$outRoot/derivatives")
+    val dstFs = dst.getFileSystem(conf)
+    org.apache.hadoop.fs.FileUtil.copy(srcFs, src, dstFs, dst,
+      false /* deleteSource */, true /* overwrite */, conf)
+  }
+
   /** Run the whole job: discover -> convert each stack -> respond
     * (`run_job`, `zeiss_job.py:207-226`). */
   def run(spark: SparkSession, settings: Settings): JobResponse = {
@@ -118,6 +134,7 @@ object ZeissJob {
       try voxelResolution(s"${settings.inputSource}/acquisition.json")
       catch { case _: Throwable => Seq(1.0, 1.0, 1.0) }
     val out = settings.s3Location.getOrElse(settings.outputDirectory)
+    uploadDerivatives(settings.inputSource, out)
     stacks.foreach { czi =>
       convertStack(spark, czi, out, settings, voxel)
     }

@@ -1,0 +1,141 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Second relational pack: the rest of the SURVEY §2 gap-analysis surface
+  * (cube, correlated subqueries, string functions, scalar subqueries) plus
+  * a skew-handling demonstration — a salted aggregation proven
+  * value-identical to its unsalted oracle.
+  */
+object Relational2 {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // --- TPC-H Q6-style: pure filter + agg, pushdown showcase ---
+    "q6_filter_agg" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_discount").between(0.02, 0.06) && col("l_quantity") < 24)
+        .agg(round(sum(col("l_extendedprice") * col("l_discount")), 4).as("revenue"),
+          count(lit(1)).as("n"))
+    }),
+
+    // --- CUBE over two dims ---
+    "cube_agg" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 4).as("total"))
+        .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
+    }),
+
+    // --- correlated EXISTS subquery (decorrelates to semi join) ---
+    "sub_exists" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql(
+        """SELECT c_custkey, c_acctbal
+          |FROM customer
+          |WHERE EXISTS (SELECT 1 FROM orders
+          |              WHERE o_custkey = c_custkey AND o_totalprice > 200000)
+          |ORDER BY c_custkey""".stripMargin)
+    }),
+
+    // --- scalar subquery in projection ---
+    "sub_scalar" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql(
+        """SELECT n_name,
+          |  (SELECT count(*) FROM customer WHERE c_nationkey = n_nationkey) AS n_cust,
+          |  (SELECT round(coalesce(avg(c_acctbal), 0), 4) FROM customer
+          |   WHERE c_nationkey = n_nationkey) AS avg_bal
+          |FROM nation ORDER BY n_name""".stripMargin)
+    }),
+
+    // --- string-function pack over part names ---
+    "str_funcs" -> ((s, dir) => {
+      t(s, dir, "part")
+        .select(col("p_partkey"),
+          upper(substring(col("p_name"), 1, 8)).as("pfx"),
+          length(col("p_name")).as("len"),
+          regexp_replace(col("p_name"), "[aeiou]", "_").as("devowel"),
+          concat_ws("|", col("p_brand"), col("p_type")).as("tag"),
+          lpad(col("p_partkey").cast("string"), 8, "0").as("padded"))
+        .filter(col("p_partkey") < 200)
+        .orderBy(col("p_partkey"))
+    }),
+
+    // --- skew handling: salted two-phase aggregation, value-identical to
+    //     the plain group-by (the oracle). Phase 1 aggregates on
+    //     (key, salt) spreading any hot key over 16 reducers; phase 2
+    //     merges partials. sum/count compose exactly. ---
+    "skew_salted_agg" -> ((s, dir) => {
+      val salted = t(s, dir, "lineitem")
+        .withColumn("salt", pmod(col("l_orderkey") * 2654435761L + col("l_linenumber"), lit(16)))
+        .groupBy(col("l_returnflag"), col("salt"))
+        .agg(sum(col("l_quantity")).as("part_sum"), count(lit(1)).as("part_n"))
+      salted.groupBy(col("l_returnflag"))
+        .agg(round(sum(col("part_sum")), 4).as("sum_qty"),
+          sum(col("part_n")).cast("long").as("n"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // --- approximate stats: rows-only check (no SQL oracle — sketches
+    //     are engine-specific by design); exact twins ride along so the
+    //     approximation error is visible in the output ---
+    "approx_stats" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          countDistinct(col("l_partkey")).as("exact_parts"),
+          round(expr("approx_percentile(l_extendedprice, 0.5, 10000)"), 4).as("approx_p50"))
+        .orderBy(col("l_returnflag"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q6_filter_agg" ->
+      """SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue, count(*) AS n
+        |FROM lineitem
+        |WHERE l_discount BETWEEN 0.02 AND 0.06 AND l_quantity < 24""".stripMargin,
+
+    "cube_agg" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        |  round(sum(o_totalprice), 4) AS total
+        |FROM orders
+        |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+
+    "sub_exists" ->
+      """SELECT c_custkey, c_acctbal
+        |FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_totalprice > 200000)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "sub_scalar" ->
+      """SELECT n_name,
+        |  (SELECT count(*) FROM customer WHERE c_nationkey = n_nationkey) AS n_cust,
+        |  (SELECT round(coalesce(avg(c_acctbal), 0), 4) FROM customer
+        |   WHERE c_nationkey = n_nationkey) AS avg_bal
+        |FROM nation ORDER BY n_name""".stripMargin,
+
+    "str_funcs" ->
+      """SELECT p_partkey,
+        |  upper(substr(p_name, 1, 8)) AS pfx,
+        |  length(p_name) AS len,
+        |  regexp_replace(p_name, '[aeiou]', '_', 'g') AS devowel,
+        |  concat_ws('|', p_brand, p_type) AS tag,
+        |  lpad(CAST(p_partkey AS VARCHAR), 8, '0') AS padded
+        |FROM part WHERE p_partkey < 200 ORDER BY p_partkey""".stripMargin,
+
+    "skew_salted_agg" ->
+      """SELECT l_returnflag, round(sum(l_quantity), 4) AS sum_qty,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+    // approx_stats: intentionally no oracle (rows-only check)
+  )
+}

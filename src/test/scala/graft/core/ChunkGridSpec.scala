@@ -61,4 +61,22 @@ class ChunkGridSpec extends AnyFunSuite {
       targetBytes = 1L << 40, itemSize = 2)
     assert(out2(0) == 128L)
   }
+
+  test("expandChunksCycle doubles axes round-robin under the target") {
+    // 2-byte items, start 16^3 (8 KiB): target 64 KiB -> x2 on every axis
+    val out = ChunkGrid.expandChunksCycle(Array(16, 16, 16), Array(1024L, 1024L, 1024L),
+      targetBytes = 64L * 1024, itemSize = 2)
+    assert(out.toSeq == Seq(32L, 32L, 32L))
+    // clamped to shape: first axis cannot grow past 16
+    val out2 = ChunkGrid.expandChunksCycle(Array(16, 16, 16), Array(16L, 1024L, 1024L),
+      targetBytes = 1L << 30, itemSize = 2)
+    assert(out2(0) == 16L && out2(1) > 16L)
+  }
+
+  test("chunksPerTask superblock arithmetic (reference X4)") {
+    // 128^3 uint16 = 4 MiB; 19,200 MB job default -> 4800 chunks per task
+    assert(ChunkGrid.chunksPerTask(Array(1, 1, 128, 128, 128),
+      19200L * 1024 * 1024, 2) == 4800)
+    assert(ChunkGrid.chunksPerTask(Array(1, 1, 128, 128, 128), 1L, 2) == 1)
+  }
 }

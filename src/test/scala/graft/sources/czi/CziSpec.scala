@@ -61,6 +61,9 @@ class CziSpec extends AnyFunSuite {
         |{"type":"scale","scale":["0.5","0.25","2.0"]},
         |{"type":"translation","translation":[0,0,0]}]}]}""".stripMargin)
 
+    val deriv = new java.io.File(s"$root/in/derivatives"); deriv.mkdirs()
+    Files.writeString(java.nio.file.Paths.get(s"$root/in/derivatives/meta.txt"), "hello")
+
     val settings = ZeissJob.Settings(
       inputSource = s"$root/in",
       outputDirectory = s"$root/out",
@@ -68,6 +71,10 @@ class CziSpec extends AnyFunSuite {
       downsampleLevels = 2)
     val resp = ZeissJob.run(spark, settings)
     assert(resp.statusCode == 200, resp.message)
+
+    // derivatives/ copied once by the driver (zeiss_job.py:187-205)
+    assert(Files.readString(
+      java.nio.file.Paths.get(s"$root/out/derivatives/meta.txt")) == "hello")
 
     // voxel resolution came through [z,y,x] = [2.0, 0.25, 0.5]
     val vr = ZeissJob.voxelResolution(s"$root/in/acquisition.json")
