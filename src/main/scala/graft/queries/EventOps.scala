@@ -59,6 +59,18 @@ object EventOps {
         .filter(col("rk") === 1)
         .select(col("o_orderkey"), col("event_id"), (col("esec") - col("osec")).as("lead_sec"))
         .orderBy(col("o_orderkey"))
+    }),
+
+    // --- semi-structured props: JSON field extraction + aggregation ---
+    "e4_json_props" -> ((s, dir) => {
+      ev(s, dir)
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).cast("long").as("sum_k"),
+          round(avg(col("k")), 4).as("avg_k"),
+          min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+        .orderBy(col("event_type"))
     })
   )
 
@@ -98,6 +110,14 @@ object EventOps {
         |    row_number() OVER (PARTITION BY o.o_orderkey ORDER BY e.esec ASC, e.event_id) AS rk
         |  FROM o JOIN e ON e.user_id = o.o_custkey AND e.esec >= o.osec)
         |SELECT o_orderkey, event_id, lead_sec FROM j WHERE rk = 1
-        |ORDER BY o_orderkey""".stripMargin
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "e4_json_props" ->
+      """WITH e AS (
+        |  SELECT event_type, CAST(json_extract(props, '$.k') AS BIGINT) AS k
+        |  FROM events)
+        |SELECT event_type, count(*) AS n, CAST(sum(k) AS BIGINT) AS sum_k,
+        |  round(avg(k), 4) AS avg_k, min(k) AS min_k, max(k) AS max_k
+        |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin
   )
 }

@@ -76,6 +76,44 @@ object SimilarityOps {
         .groupBy(col("label"), col("cell"))
         .agg(count(lit(1)).as("n"))
         .orderBy(col("label"), col("cell"))
+    }),
+
+    // --- IVF probe: ANN top-3 searching ONLY the query's nearest cell.
+    //     Composes v2's coarse quantizer with v1's scoring: the corpus is
+    //     pre-partitioned by cell, the probe scores ~1/nCells of it.
+    //     This is the 100 TB ANN path: assignment is a one-off batch job,
+    //     probes touch one cell partition each. ---
+    "v3_ivf_topk" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = emb(s, dir)
+      val cent = e.select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy(col("label"), col("pos"))
+        .agg(avg(col("v")).as("cv"))
+        .groupBy(col("label"))
+        .agg(expr("transform(array_sort(collect_list(struct(pos, cv))), x -> x.cv)").as("centroid"))
+        .select(col("label").as("cell"), col("centroid"))
+      // assignment of every vector (and thereby of the queries)
+      val wA = Window.partitionBy(col("vec_id")).orderBy(round(col("cos_raw"), 6).desc, col("cell"))
+      val assigned = e.join(broadcast(cent))
+        .select(col("vec_id"), col("embedding"), col("cell"),
+          (dot("embedding", "centroid") /
+            (sqrt(dot("embedding", "embedding")) * sqrt(dot("centroid", "centroid")))).as("cos_raw"))
+        .withColumn("rk", row_number().over(wA))
+        .filter(col("rk") === 1)
+        .select(col("vec_id"), col("embedding"), col("cell"))
+      val queries = assigned.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("cell"))
+      // probe: score only the query's own cell
+      val corpus = assigned.select(col("vec_id").as("eid"), col("embedding").as("ee"), col("cell"))
+      val wQ = Window.partitionBy(col("qid")).orderBy(round(col("cos_raw"), 6).desc, col("eid"))
+      broadcast(queries).join(corpus, Seq("cell"))
+        .filter(col("qid") =!= col("eid"))
+        .select(col("qid"), col("eid"),
+          (dot("qe", "ee") / (sqrt(dot("qe", "qe")) * sqrt(dot("ee", "ee")))).as("cos_raw"))
+        .withColumn("rk", row_number().over(wQ))
+        .filter(col("rk") <= 3)
+        .select(col("qid"), col("eid"), round(col("cos_raw"), 6).as("cos"), col("rk"))
+        .orderBy(col("qid"), col("rk"))
     })
   )
 
@@ -116,6 +154,38 @@ object SimilarityOps {
         |    row_number() OVER (PARTITION BY vec_id ORDER BY round(cos_raw, 6) DESC, cell) AS rk
         |  FROM scored)
         |SELECT label, cell, count(*) AS n FROM ranked WHERE rk = 1
-        |GROUP BY label, cell ORDER BY label, cell""".stripMargin
+        |GROUP BY label, cell ORDER BY label, cell""".stripMargin,
+
+    "v3_ivf_topk" ->
+      """WITH dims AS (
+        |  SELECT label, i AS pos, avg(CAST(embedding[i + 1] AS DOUBLE)) AS cv
+        |  FROM embeddings, LATERAL (SELECT unnest(generate_series(0, 63)) AS i) u
+        |  GROUP BY label, i),
+        |cent AS (
+        |  SELECT label AS cell, list(cv ORDER BY pos) AS centroid FROM dims GROUP BY label),
+        |scored AS (
+        |  SELECT e.vec_id, e.embedding, c.cell,
+        |    list_dot_product(CAST(e.embedding AS DOUBLE[]), c.centroid) /
+        |      (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) *
+        |       sqrt(list_dot_product(c.centroid, c.centroid))) AS cos_raw
+        |  FROM embeddings e, cent c),
+        |assigned AS (
+        |  SELECT vec_id, embedding, cell FROM (
+        |    SELECT vec_id, embedding, cell,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY round(cos_raw, 6) DESC, cell) AS rk
+        |    FROM scored) WHERE rk = 1),
+        |probe AS (
+        |  SELECT q.vec_id AS qid, e.vec_id AS eid,
+        |    list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) /
+        |      (sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[]))) *
+        |       sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))) AS cos_raw
+        |  FROM assigned q JOIN assigned e ON q.cell = e.cell AND q.vec_id != e.vec_id
+        |  WHERE q.vec_id < 5),
+        |ranked AS (
+        |  SELECT qid, eid, round(cos_raw, 6) AS cos,
+        |    row_number() OVER (PARTITION BY qid ORDER BY round(cos_raw, 6) DESC, eid) AS rk
+        |  FROM probe)
+        |SELECT qid, eid, cos, rk FROM ranked WHERE rk <= 3
+        |ORDER BY qid, rk""".stripMargin
   )
 }

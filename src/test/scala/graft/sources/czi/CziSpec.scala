@@ -52,6 +52,22 @@ class CziSpec extends AnyFunSuite {
     assert(edge.shape.toSeq == Seq(1, 1, 4, 8, 8))
   }
 
+  test("shuffle-assembled scan produces identical chunks to the slab scan") {
+    val dir = Files.createTempDirectory("czi").toString
+    val path = s"$dir/t.czi"
+    CziTestWriter.write(path, synth(12, 40, 40))
+    val (vol, idx) = CziSource.volume(path, "t", Array(8, 32, 32))
+    val slab = CziSource.scan(spark, path, vol, idx).collect()
+      .map(c => ((c.z, c.y, c.x), c)).toMap
+    val shuffled = CziSourceShuffled.scan(spark, path, vol, idx).collect()
+    assert(shuffled.length == slab.size)
+    shuffled.foreach { ck =>
+      val ref = slab((ck.z, ck.y, ck.x))
+      assert(ck.shape.toSeq == ref.shape.toSeq)
+      assert(ck.data.sameElements(ref.data), s"chunk ${ck.z},${ck.y},${ck.x}")
+    }
+  }
+
   test("end-to-end ZeissJob: SPIM discovery -> CZI -> multiscale zarr") {
     val root = Files.createTempDirectory("zeiss").toString
     val spim = new java.io.File(s"$root/in/SPIM"); spim.mkdirs()
