@@ -10,7 +10,8 @@ final case class Volume(
     stack: String,
     level: Int,
     shape: Array[Long],  // [t,c,z,y,x] voxels
-    chunk: Array[Int]) { // [t,c,z,y,x] chunk shape (e.g. [1,1,128,128,128])
+    chunk: Array[Int],   // [t,c,z,y,x] chunk shape (e.g. [1,1,128,128,128])
+    dtype: PixelDtype = PixelDtype.U16) {
 
   require(shape.length == 5 && chunk.length == 5, "Volume is canonically 5-D TCZYX")
 

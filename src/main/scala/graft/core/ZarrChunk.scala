@@ -32,6 +32,22 @@ final case class ZarrChunk(
   def pixels: Array[Int] = PixelCodec.toInts(data)
 }
 
+/** Pixel dtype of a volume — inherited from the source file like the
+  * reference (`czi_to_zarr.py:589`, `dtype=czi.dtype`). */
+sealed abstract class PixelDtype(val itemSize: Int, val zarrName: String)
+object PixelDtype {
+  case object U8 extends PixelDtype(1, "|u1")
+  case object U16 extends PixelDtype(2, "<u2")
+  case object F32 extends PixelDtype(4, "<f4")
+
+  def fromZarr(name: String): PixelDtype = name match {
+    case "|u1" => U8
+    case "<u2" => U16
+    case "<f4" => F32
+    case other => throw new IllegalArgumentException(s"unsupported zarr dtype $other")
+  }
+}
+
 object PixelCodec {
   /** LE uint16 bytes -> Int array with unsigned semantics. */
   def toInts(bytes: Array[Byte]): Array[Int] = {
@@ -55,5 +71,41 @@ object PixelCodec {
       i += 1
     }
     out
+  }
+
+  /** uint8 bytes -> Int array with unsigned semantics. */
+  def u8ToInts(bytes: Array[Byte]): Array[Int] = bytes.map(_ & 0xFF)
+
+  /** Int array (0..255) -> uint8 bytes (masked). */
+  def u8ToBytes(pixels: Array[Int]): Array[Byte] = pixels.map(v => (v & 0xFF).toByte)
+
+  /** LE float32 bytes -> Float array. */
+  def f32ToFloats(bytes: Array[Byte]): Array[Float] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val out = new Array[Float](bytes.length / 4)
+    bb.asFloatBuffer().get(out)
+    out
+  }
+
+  /** Float array -> LE float32 bytes. */
+  def f32ToBytes(pixels: Array[Float]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(pixels.length * 4).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.asFloatBuffer().put(pixels)
+    bb.array()
+  }
+
+  /** Generic unsigned-int decode for U8/U16 dtypes. */
+  def toInts(bytes: Array[Byte], dtype: PixelDtype): Array[Int] = dtype match {
+    case PixelDtype.U8 => u8ToInts(bytes)
+    case PixelDtype.U16 => toInts(bytes)
+    case PixelDtype.F32 =>
+      throw new IllegalArgumentException("float pixels: use f32ToFloats")
+  }
+
+  def fromInts(pixels: Array[Int], dtype: PixelDtype): Array[Byte] = dtype match {
+    case PixelDtype.U8 => u8ToBytes(pixels)
+    case PixelDtype.U16 => toBytes(pixels)
+    case PixelDtype.F32 =>
+      throw new IllegalArgumentException("float pixels: use f32ToBytes")
   }
 }

@@ -78,7 +78,8 @@ class ZarrTable(props: Map[String, String]) extends Table with SupportsRead with
     new ZarrScanBuilder(root, stack, level)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new ZarrWriteBuilder(root, props.getOrElse("clevel", "3").toInt)
+    new ZarrWriteBuilder(root, props.getOrElse("clevel", "3").toInt,
+      props.getOrElse("typesize", "2").toInt)
 }
 
 final case class ZarrInputPartition(firstChunk: Long, lastChunk: Long) extends InputPartition
@@ -90,7 +91,8 @@ class ZarrScanBuilder(root: String, stack: String, level: Int) extends ScanBuild
 class ZarrScan(root: String, stack: String, level: Int) extends Scan with Batch {
   // driver-side: only the tiny .zarray descriptor is read; the chunk grid
   // stays arithmetic
-  private lazy val (shape, chunk, compressed) = ZarrIO.readZarray(root, stack, level)
+  private lazy val meta = ZarrIO.readZarray(root, stack, level)
+  private lazy val (shape, chunk, compressed) = (meta.shape, meta.chunk, meta.compressed)
   private lazy val grid = ChunkGrid.gridShape(shape, chunk)
 
   override def readSchema(): StructType = ZarrDataSource.chunkSchema
@@ -107,23 +109,24 @@ class ZarrScan(root: String, stack: String, level: Int) extends Scan with Batch 
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    ZarrReaderFactory(root, stack, level, shape, chunk, compressed, grid)
+    ZarrReaderFactory(root, stack, level, shape, chunk, compressed,
+      meta.dtype.itemSize, grid)
 }
 
 final case class ZarrReaderFactory(root: String, stack: String, level: Int,
                                    shape: Array[Long], chunk: Array[Int],
-                                   compressed: Boolean, grid: Array[Long])
+                                   compressed: Boolean, itemSize: Int, grid: Array[Long])
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[ZarrInputPartition]
-    new ZarrPartitionReader(root, stack, level, shape, chunk, compressed, grid,
-      p.firstChunk, p.lastChunk)
+    new ZarrPartitionReader(root, stack, level, shape, chunk, compressed, itemSize,
+      grid, p.firstChunk, p.lastChunk)
   }
 }
 
 class ZarrPartitionReader(root: String, stack: String, level: Int,
                           shape: Array[Long], chunk: Array[Int], compressed: Boolean,
-                          grid: Array[Long], first: Long, last: Long)
+                          itemSize: Int, grid: Array[Long], first: Long, last: Long)
     extends PartitionReader[InternalRow] {
 
   private val fs = new Path(root).getFileSystem(new Configuration())
@@ -137,7 +140,7 @@ class ZarrPartitionReader(root: String, stack: String, level: Int,
     val cs = ChunkGrid.clampedChunkShape(coords, shape, chunk)
     val p = new Path(s"$root/$stack/$level/${coords.mkString("/")}")
     val raw =
-      if (!fs.exists(p)) new Array[Byte](cs.product * 2) // fill_value=0 chunk
+      if (!fs.exists(p)) new Array[Byte](cs.product * itemSize) // fill_value=0 chunk
       else {
         val in = fs.open(p)
         val buf = try {
@@ -160,27 +163,27 @@ class ZarrPartitionReader(root: String, stack: String, level: Int,
   override def close(): Unit = ()
 }
 
-class ZarrWriteBuilder(root: String, clevel: Int) extends WriteBuilder {
+class ZarrWriteBuilder(root: String, clevel: Int, typesize: Int) extends WriteBuilder {
   override def build(): Write = new Write {
-    override def toBatch: BatchWrite = new ZarrBatchWrite(root, clevel)
+    override def toBatch: BatchWrite = new ZarrBatchWrite(root, clevel, typesize)
   }
 }
 
-class ZarrBatchWrite(root: String, clevel: Int) extends BatchWrite {
+class ZarrBatchWrite(root: String, clevel: Int, typesize: Int) extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    ZarrWriterFactory(root, clevel)
+    ZarrWriterFactory(root, clevel, typesize)
   // chunk placement is deterministic by coordinates and writes are atomic
   // renames — no commit coordination needed
   override def commit(messages: Array[WriterCommitMessage]): Unit = ()
   override def abort(messages: Array[WriterCommitMessage]): Unit = ()
 }
 
-final case class ZarrWriterFactory(root: String, clevel: Int) extends DataWriterFactory {
+final case class ZarrWriterFactory(root: String, clevel: Int, typesize: Int) extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new ZarrDataWriter(root, clevel)
+    new ZarrDataWriter(root, clevel, typesize)
 }
 
-class ZarrDataWriter(root: String, clevel: Int) extends DataWriter[InternalRow] {
+class ZarrDataWriter(root: String, clevel: Int, typesize: Int) extends DataWriter[InternalRow] {
   private lazy val fs = {
     val f = new Path(root).getFileSystem(new Configuration())
     f.setWriteChecksum(false)
@@ -195,7 +198,7 @@ class ZarrDataWriter(root: String, clevel: Int) extends DataWriter[InternalRow] 
     val dir = new Path(s"$root/$stack/$level/$t/$c/$z/$y")
     val tmp = new Path(dir, s".tmp-$x-${java.util.UUID.randomUUID}")
     val out = fs.create(tmp, true)
-    try out.write(Blosc.compress(data, typesize = 2, clevel = clevel)) finally out.close()
+    try out.write(Blosc.compress(data, typesize, clevel)) finally out.close()
     if (!fs.rename(tmp, new Path(dir, x.toString))) fs.delete(tmp, false)
   }
 

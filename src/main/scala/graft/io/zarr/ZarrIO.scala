@@ -60,7 +60,8 @@ object ZarrIO {
     for (l <- 0 until nLevels) {
       val lvlPath = new Path(stackPath, l.toString)
       put(new Path(lvlPath, ".zarray"),
-        ZarrMeta.zarray(shape.toSeq, vol.chunk.toSeq, compressed = compressed))
+        ZarrMeta.zarray(shape.toSeq, vol.chunk.toSeq, compressed = compressed,
+          dtype = vol.dtype.zarrName))
       shape = ChunkGrid.downsampledShape(shape,
         Array(1, 1, factorZyx(0), factorZyx(1), factorZyx(2)))
     }
@@ -69,7 +70,7 @@ object ZarrIO {
   /** Executor-side chunk write: Blosc-compress and atomically place each
     * chunk file. One row = one file; tasks never contend. */
   def writeChunks(ds: Dataset[ZarrChunk], root: String, clevel: Int = 3,
-                  compress: Boolean = true): Unit = {
+                  compress: Boolean = true, typesize: Int = 2): Unit = {
     ds.foreachPartition { (it: Iterator[ZarrChunk]) =>
       val conf = new Configuration()
       var cachedFs: FileSystem = null
@@ -82,7 +83,7 @@ object ZarrIO {
         val f = cachedFs
         val tmp = new Path(dir, s".tmp-${ck.x}-${java.util.UUID.randomUUID}")
         val dst = new Path(dir, ck.x.toString)
-        val payload = if (compress) Blosc.compress(ck.data, typesize = 2, clevel = clevel) else ck.data
+        val payload = if (compress) Blosc.compress(ck.data, typesize, clevel) else ck.data
         val out = f.create(tmp, true)
         try out.write(payload) finally out.close()
         if (!f.rename(tmp, dst)) {
@@ -103,7 +104,8 @@ object ZarrIO {
   def readChunks(spark: SparkSession, root: String, stack: String, level: Int): Dataset[ZarrChunk] = {
     import spark.implicits._
     val meta = readZarray(root, stack, level)
-    val (shape, chunk, compressed) = meta
+    val (shape, chunk, compressed) = (meta.shape, meta.chunk, meta.compressed)
+    val itemSize = meta.dtype.itemSize
     val lvl = s"$root/$stack/$level"
     spark.read.format("binaryFile")
       .option("recursiveFileLookup", "true")
@@ -118,14 +120,17 @@ object ZarrIO {
         val coords = Array(t.toLong, c.toLong, z.toLong, y.toLong, x.toLong)
         val cs = ChunkGrid.clampedChunkShape(coords, shape, chunk)
         val raw = if (compressed) Blosc.decompress(content) else content
-        require(raw.length == cs.product * 2,
-          s"chunk $rel: ${raw.length} bytes, expected ${cs.product * 2}")
+        require(raw.length == cs.product * itemSize,
+          s"chunk $rel: ${raw.length} bytes, expected ${cs.product * itemSize}")
         ZarrChunk(stack, level, t, c, z, y, x, cs, raw)
       }
   }
 
-  /** Parse .zarray (driver-side) -> (shape, chunks, compressed?). */
-  def readZarray(root: String, stack: String, level: Int): (Array[Long], Array[Int], Boolean) = {
+  final case class ZarrayMeta(shape: Array[Long], chunk: Array[Int],
+                              compressed: Boolean, dtype: graft.core.PixelDtype)
+
+  /** Parse .zarray (driver-side). */
+  def readZarray(root: String, stack: String, level: Int): ZarrayMeta = {
     val (f, _) = fs(root)
     val p = new Path(s"$root/$stack/$level/.zarray")
     val in = f.open(p)
@@ -138,8 +143,10 @@ object ZarrIO {
     } finally in.close()
     val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(content)
     import scala.jdk.CollectionConverters._
-    (node.get("shape").elements().asScala.map(_.asLong()).toArray,
-     node.get("chunks").elements().asScala.map(_.asInt()).toArray,
-     !node.get("compressor").isNull)
+    ZarrayMeta(
+      node.get("shape").elements().asScala.map(_.asLong()).toArray,
+      node.get("chunks").elements().asScala.map(_.asInt()).toArray,
+      !node.get("compressor").isNull,
+      graft.core.PixelDtype.fromZarr(node.get("dtype").asText()))
   }
 }

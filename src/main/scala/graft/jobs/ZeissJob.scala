@@ -98,10 +98,11 @@ object ZeissJob {
     ZarrIO.writeMetadata(outRoot, vol, settings.downsampleLevels, voxelZyx,
       settings.scaleFactor.toSeq, Seq(channelName), Some(Seq(0.0, 0.0, 0.0)),
       compressed = settings.compress)
-    ZarrIO.writeChunks(level0, outRoot, settings.compressorLevel, settings.compress)
+    val ts = vol.dtype.itemSize
+    ZarrIO.writeChunks(level0, outRoot, settings.compressorLevel, settings.compress, ts)
     Pyramid.levels(spark, level0, vol, settings.downsampleLevels, settings.scaleFactor)
       .foreach { case (_, ds) =>
-        ZarrIO.writeChunks(ds, outRoot, settings.compressorLevel, settings.compress)
+        ZarrIO.writeChunks(ds, outRoot, settings.compressorLevel, settings.compress, ts)
       }
     level0.unpersist()
     vol

@@ -82,6 +82,62 @@ object Pyramid {
     (out, Array(shape(0), shape(1), oz, oy, ox))
   }
 
+  /** Float32 kernel: double accumulation, cast back to float
+    * (numpy windowed_mean + astype(float32) semantics). */
+  def downsampleChunkF32(pixels: Array[Float], shape: Array[Int], factorZyx: Array[Int]): (Array[Float], Array[Int]) = {
+    require(shape(0) == 1 && shape(1) == 1, "t/c must be singleton")
+    val (fz, fy, fx) = (factorZyx(0), factorZyx(1), factorZyx(2))
+    val (sz, sy, sx) = (shape(2), shape(3), shape(4))
+    val oz = (sz + fz - 1) / fz
+    val oy = (sy + fy - 1) / fy
+    val ox = (sx + fx - 1) / fx
+    val out = new Array[Float](oz * oy * ox)
+    var zo = 0
+    while (zo < oz) {
+      var yo = 0
+      while (yo < oy) {
+        var xo = 0
+        while (xo < ox) {
+          var sum = 0.0
+          var n = 0
+          var z = zo * fz
+          while (z < math.min(zo * fz + fz, sz)) {
+            var y = yo * fy
+            while (y < math.min(yo * fy + fy, sy)) {
+              var x = xo * fx
+              while (x < math.min(xo * fx + fx, sx)) {
+                sum += pixels(z * sy * sx + y * sx + x)
+                n += 1
+                x += 1
+              }
+              y += 1
+            }
+            z += 1
+          }
+          out(zo * oy * ox + yo * ox + xo) = (sum / n).toFloat
+          xo += 1
+        }
+        yo += 1
+      }
+      zo += 1
+    }
+    (out, Array(shape(0), shape(1), oz, oy, ox))
+  }
+
+  /** Dtype-dispatching byte-level kernel. */
+  def downsampleBytes(data: Array[Byte], shape: Array[Int], factorZyx: Array[Int],
+                      dtype: graft.core.PixelDtype): (Array[Byte], Array[Int]) = {
+    import graft.core.PixelDtype._
+    dtype match {
+      case F32 =>
+        val (px, ps) = downsampleChunkF32(PixelCodec.f32ToFloats(data), shape, factorZyx)
+        (PixelCodec.f32ToBytes(px), ps)
+      case d =>
+        val (px, ps) = downsampleChunk(PixelCodec.toInts(data, d), shape, factorZyx)
+        (PixelCodec.fromInts(px, d), ps)
+    }
+  }
+
   /** One pyramid halving: level-k chunks -> level-(k+1) chunks.
     *
     * Requires chunk(i) % factor(i) == 0 on the spatial axes so windows are
@@ -99,14 +155,17 @@ object Pyramid {
     val chunk = vol.chunk
     val (fz, fy, fx) = (factorZyx(0), factorZyx(1), factorZyx(2))
 
+    val dtype = vol.dtype
+    val itemSize = dtype.itemSize
+
     // Map side: chunk-local windowed mean. Piece voxel origin at level k+1
     // is (chunkCoord * chunkSize / factor) — exact ints by the requirement.
     val pieces = in.map { ck =>
-      val (px, ps) = downsampleChunk(ck.pixels, ck.shape, factorZyx)
+      val (bytes, ps) = downsampleBytes(ck.data, ck.shape, factorZyx, dtype)
       val vz = ck.z.toLong * chunk(2) / fz
       val vy = ck.y.toLong * chunk(3) / fy
       val vx = ck.x.toLong * chunk(4) / fx
-      (ck.t, ck.c, vz, vy, vx, ps, PixelCodec.toBytes(px))
+      (ck.t, ck.c, vz, vy, vx, ps, bytes)
     }
 
     // Reduce side: assemble pieces into output chunks keyed by halved
@@ -121,9 +180,9 @@ object Pyramid {
         val (t, c, gz, gy, gx) = key
         val coords = Array(t.toLong, c.toLong, gz, gy, gx)
         val cs = ChunkGrid.clampedChunkShape(coords, outShape, outChunk)
-        val buf = new Array[Int](cs.product)
+        // byte-level assembly: dtype-agnostic row copies
+        val buf = new Array[Byte](cs.product * itemSize)
         it.foreach { case (_, _, vz, vy, vx, ps, bytes) =>
-          val px = PixelCodec.toInts(bytes)
           val offZ = (vz - gz * outChunk(2)).toInt
           val offY = (vy - gy * outChunk(3)).toInt
           val offX = (vx - gx * outChunk(4)).toInt
@@ -131,20 +190,16 @@ object Pyramid {
           while (z < ps(2)) {
             var y = 0
             while (y < ps(3)) {
-              val src = z * ps(3) * ps(4) + y * ps(4)
-              val dst = (offZ + z) * cs(3) * cs(4) + (offY + y) * cs(4) + offX
-              var x = 0
-              while (x < ps(4)) {
-                buf(dst + x) = px(src + x)
-                x += 1
-              }
+              System.arraycopy(
+                bytes, (z * ps(3) * ps(4) + y * ps(4)) * itemSize,
+                buf, ((offZ + z) * cs(3) * cs(4) + (offY + y) * cs(4) + offX) * itemSize,
+                ps(4) * itemSize)
               y += 1
             }
             z += 1
           }
         }
-        ZarrChunk(stack, level, t, c, gz.toInt, gy.toInt, gx.toInt, cs,
-          PixelCodec.toBytes(buf))
+        ZarrChunk(stack, level, t, c, gz.toInt, gy.toInt, gx.toInt, cs, buf)
       }
     (outVol, out)
   }

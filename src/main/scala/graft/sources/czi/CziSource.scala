@@ -23,9 +23,14 @@ object CziSource {
   /** Volume descriptor for a CZI file (driver-side directory parse). */
   def volume(path: String, stack: String, chunkZyx: Array[Int] = Array(128, 128, 128)): (Volume, CziIndex) = {
     val idx = CziReader.index(path)
-    require(idx.pixelType == PixelGray16, s"only Gray16 supported, got ${idx.pixelType}")
+    val dtype = idx.pixelType match {
+      case PixelGray8 => graft.core.PixelDtype.U8
+      case PixelGray16 => graft.core.PixelDtype.U16
+      case PixelGray32Float => graft.core.PixelDtype.F32
+      case other => throw new IllegalArgumentException(s"unsupported CZI pixel type $other")
+    }
     val vol = Volume(stack, 0, idx.shape,
-      Array(1, 1, chunkZyx(0), chunkZyx(1), chunkZyx(2)))
+      Array(1, 1, chunkZyx(0), chunkZyx(1), chunkZyx(2)), dtype)
     (vol, idx)
   }
 
@@ -38,6 +43,7 @@ object CziSource {
     val stack = vol.stack
     val origin = idx.origin
     val entries = idx.entries.toArray
+    val isz = vol.dtype.itemSize
 
     spark.range(zSlabs).mapPartitions { slabIt =>
       val conf = new Configuration()
@@ -55,7 +61,7 @@ object CziSource {
         val zN = math.min(chunk(2).toLong, shape(2) - z0).toInt
         // slab buffer: zN * Y * X uint16 (LE bytes), reference scatter
         // semantics: place each subblock at its start offsets
-        val buf = new Array[Byte](zN * sy * sx * 2)
+        val buf = new Array[Byte](zN * sy * sx * isz)
         entries.foreach { e =>
           val ez0 = e.start("Z") - origin(2)
           val ezN = e.size("Z")
@@ -67,12 +73,12 @@ object CziSource {
             val (eyN, exN) = (e.size("Y"), e.size("X"))
             var z = lo
             while (z < hi) {
-              val srcZ = (z - ez0) * eyN * exN * 2
-              val dstZ = (z - z0) * sy * sx * 2
+              val srcZ = (z - ez0) * eyN * exN * isz
+              val dstZ = (z - z0) * sy * sx * isz
               var y = 0
               while (y < eyN) {
-                System.arraycopy(data, srcZ + y * exN * 2,
-                  buf, dstZ + ((ey0 + y) * sx + ex0) * 2, exN * 2)
+                System.arraycopy(data, srcZ + y * exN * isz,
+                  buf, dstZ + ((ey0 + y) * sx + ex0) * isz, exN * isz)
                 y += 1
               }
               z += 1
@@ -86,14 +92,14 @@ object CziSource {
         } yield {
           val yN = math.min(chunk(3).toLong, shape(3) - ty.toLong * chunk(3)).toInt
           val xN = math.min(chunk(4).toLong, shape(4) - tx.toLong * chunk(4)).toInt
-          val out = new Array[Byte](zN * yN * xN * 2)
+          val out = new Array[Byte](zN * yN * xN * isz)
           var z = 0
           while (z < zN) {
             var y = 0
             while (y < yN) {
               System.arraycopy(
-                buf, (z * sy * sx + (ty * chunk(3) + y) * sx + tx * chunk(4)) * 2,
-                out, (z * yN * xN + y * xN) * 2, xN * 2)
+                buf, (z * sy * sx + (ty * chunk(3) + y) * sx + tx * chunk(4)) * isz,
+                out, (z * yN * xN + y * xN) * isz, xN * isz)
               y += 1
             }
             z += 1

@@ -33,6 +33,7 @@ object CziSourceShuffled {
     val origin = idx.origin
     val entries = idx.entries.toArray
     val nEntries = entries.length
+    val isz = vol.dtype.itemSize
 
     // one task per subblock: cut it into per-chunk pieces
     val pieces = spark.range(nEntries).mapPartitions { it =>
@@ -60,11 +61,11 @@ object CziSourceShuffled {
           val xHi = math.min(ex0 + exN, (cx + 1) * chunk(4)).toInt
           val w = xHi - xLo
           val h = yHi - yLo
-          val piece = new Array[Byte](h * w * 2)
+          val piece = new Array[Byte](h * w * isz)
           var y = yLo
           while (y < yHi) {
-            System.arraycopy(data, (z * eyN * exN + (y - ey0) * exN + (xLo - ex0)) * 2,
-              piece, ((y - yLo) * w) * 2, w * 2)
+            System.arraycopy(data, (z * eyN * exN + (y - ey0) * exN + (xLo - ex0)) * isz,
+              piece, ((y - yLo) * w) * isz, w * isz)
             y += 1
           }
           // key: target chunk; payload: (z, yLo, xLo, h, w, bytes)
@@ -79,14 +80,14 @@ object CziSourceShuffled {
         val (cz, cy, cx) = key
         val coords = Array(0L, 0L, cz.toLong, cy.toLong, cx.toLong)
         val cs = ChunkGrid.clampedChunkShape(coords, shape, chunk)
-        val buf = new Array[Byte](cs.product * 2)
+        val buf = new Array[Byte](cs.product * isz)
         it.foreach { case (_, _, _, gz, yLo, xLo, h, w, piece) =>
           val lz = gz - cz * chunk(2)
           var y = 0
           while (y < h) {
-            System.arraycopy(piece, y * w * 2,
-              buf, (lz * cs(3) * cs(4) + (yLo - cy * chunk(3) + y) * cs(4) + (xLo - cx * chunk(4))) * 2,
-              w * 2)
+            System.arraycopy(piece, y * w * isz,
+              buf, (lz * cs(3) * cs(4) + (yLo - cy * chunk(3) + y) * cs(4) + (xLo - cx * chunk(4))) * isz,
+              w * isz)
             y += 1
           }
         }

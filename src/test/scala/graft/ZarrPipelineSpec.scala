@@ -55,10 +55,11 @@ class ZarrPipelineSpec extends AnyFunSuite {
     ZarrIO.writeChunks(l0, dir)
 
     // metadata files exist and parse
-    val (shape, chunk, compressed) = ZarrIO.readZarray(dir, "rt", 0)
-    assert(shape.toSeq == Seq(1L, 1L, 20L, 20L, 20L))
-    assert(chunk.toSeq == Seq(1, 1, 8, 8, 8))
-    assert(compressed)
+    val meta = ZarrIO.readZarray(dir, "rt", 0)
+    assert(meta.shape.toSeq == Seq(1L, 1L, 20L, 20L, 20L))
+    assert(meta.chunk.toSeq == Seq(1, 1, 8, 8, 8))
+    assert(meta.compressed)
+    assert(meta.dtype == graft.core.PixelDtype.U16)
 
     val back = ZarrIO.readChunks(spark, dir, "rt", 0).collect()
     assert(back.length == 27, "3x3x3 grid incl. clamped edges")
@@ -72,6 +73,37 @@ class ZarrPipelineSpec extends AnyFunSuite {
     // edge chunk is clamped: 20 % 8 = 4
     val edge = back.find(c => c.z == 2 && c.y == 2 && c.x == 2).get
     assert(edge.shape.toSeq == Seq(1, 1, 4, 4, 4))
+  }
+
+  test("float32 volume: pyramid + zarr roundtrip with <f4 dtype") {
+    import spark.implicits._
+    import graft.core.{PixelCodec, PixelDtype}
+    val dir = Files.createTempDirectory("zarr-f32").toString
+    val vol = Volume("f32", 0, Array(1L, 1L, 8L, 8L, 8L), Array(1, 1, 4, 4, 4), PixelDtype.F32)
+    // 8 chunks of 4^3 floats, v = global linear index * 0.5
+    val l0 = spark.range(8).map { flat =>
+      val coords = graft.core.ChunkGrid.chunkCoords(flat, vol.grid)
+      val px = new Array[Float](64)
+      for (z <- 0 until 4; y <- 0 until 4; x <- 0 until 4)
+        px(z * 16 + y * 4 + x) =
+          ((coords(2) * 4 + z) * 64 + (coords(3) * 4 + y) * 8 + (coords(4) * 4 + x)) * 0.5f
+      ZarrChunk("f32", 0, 0, 0, coords(2).toInt, coords(3).toInt, coords(4).toInt,
+        Array(1, 1, 4, 4, 4), PixelCodec.f32ToBytes(px))
+    }
+    val lvls = Pyramid.levels(spark, l0, vol, nLevels = 2)
+    ZarrIO.writeMetadata(dir, vol, nLevels = 2)
+    ZarrIO.writeChunks(l0, dir, typesize = 4)
+    lvls.foreach { case (_, ds) => ZarrIO.writeChunks(ds, dir, typesize = 4) }
+
+    assert(ZarrIO.readZarray(dir, "f32", 0).dtype == PixelDtype.F32)
+    val l1 = ZarrIO.readChunks(spark, dir, "f32", 1).collect()
+    assert(l1.map(c => c.data.length / 4).sum == 64)
+    // voxel (0,0,0) at level 1 = mean of the 2x2x2 corner
+    val c0 = l1.find(c => c.z == 0 && c.y == 0 && c.x == 0).get
+    val px = PixelCodec.f32ToFloats(c0.data)
+    var sum = 0.0
+    for (z <- 0 until 2; y <- 0 until 2; x <- 0 until 2) sum += (z * 64 + y * 8 + x) * 0.5
+    assert(px(0) == (sum / 8).toFloat)
   }
 
   test("full pipeline: generate -> pyramid -> write all levels -> read level 1") {

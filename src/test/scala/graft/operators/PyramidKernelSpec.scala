@@ -61,6 +61,28 @@ class PyramidKernelSpec extends AnyFunSuite {
     assert(PixelCodec.toInts(bytes)(0) == 65535)
   }
 
+  test("float32 kernel: double-accumulated mean cast to float") {
+    val px = Array.tabulate(8)(i => i * 0.25f) // 2x2x2
+    val (out, os) = Pyramid.downsampleChunkF32(px, Array(1, 1, 2, 2, 2), Array(2, 2, 2))
+    assert(os.toSeq == Seq(1, 1, 1, 1, 1))
+    assert(out(0) == ((0 until 8).map(_ * 0.25).sum / 8).toFloat)
+  }
+
+  test("byte-level dispatch kernel matches per-dtype kernels") {
+    import graft.core.{PixelCodec, PixelDtype}
+    val ints = Array.tabulate(8)(i => i * 30)
+    val (bU8, _) = Pyramid.downsampleBytes(PixelCodec.u8ToBytes(ints), Array(1, 1, 2, 2, 2),
+      Array(2, 2, 2), PixelDtype.U8)
+    assert(PixelCodec.u8ToInts(bU8)(0) == ints.sum / 8)
+    val (bU16, _) = Pyramid.downsampleBytes(PixelCodec.toBytes(ints), Array(1, 1, 2, 2, 2),
+      Array(2, 2, 2), PixelDtype.U16)
+    assert(PixelCodec.toInts(bU16)(0) == ints.sum / 8)
+    val fl = ints.map(_.toFloat)
+    val (bF32, _) = Pyramid.downsampleBytes(PixelCodec.f32ToBytes(fl), Array(1, 1, 2, 2, 2),
+      Array(2, 2, 2), PixelDtype.F32)
+    assert(PixelCodec.f32ToFloats(bF32)(0) == (fl.map(_.toDouble).sum / 8).toFloat)
+  }
+
   test("asymmetric factor (1,2,2) halves only y/x") {
     val (px, shape) = mk(2, 4, 4)((z, y, x) => z * 100 + y * 4 + x)
     val (out, os) = Pyramid.downsampleChunk(px, shape, Array(1, 2, 2))

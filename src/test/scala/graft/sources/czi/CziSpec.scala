@@ -108,7 +108,7 @@ class CziSpec extends AnyFunSuite {
     }
 
     // level 1 exists with halved shape
-    val (shape1, _, _) = ZarrIO.readZarray(s"$root/out", "stack1", 1)
+    val shape1 = ZarrIO.readZarray(s"$root/out", "stack1", 1).shape
     assert(shape1.toSeq == Seq(1L, 1L, 8L, 16L, 16L))
     val l1 = ZarrIO.readChunks(spark, s"$root/out", "stack1", 1).collect()
     assert(l1.map(_.numVoxels).sum == 8 * 16 * 16)
