@@ -92,7 +92,12 @@ object ZeissJob {
                    channelName: String = "ch0"): Volume = {
     val stackName = new Path(cziPath).getName.stripSuffix(".czi")
     val (vol, idx) = CziSource.volume(cziPath, stackName, settings.chunkSize)
-    val level0 = CziSource.scan(spark, cziPath, vol, idx)
+    // slab scan materializes chunkDepth x Y x X per task — fine for typical
+    // planes, not for stitched volumes; switch to the shuffle-assembled
+    // scan when a slab would exceed ~1 GiB (reference X3 vs Spark-scale)
+    val slabBytes = vol.chunk(2).toLong * vol.shape(3) * vol.shape(4) * vol.dtype.itemSize
+    val level0 = (if (slabBytes <= (1L << 30)) CziSource.scan(spark, cziPath, vol, idx)
+                  else graft.sources.czi.CziSourceShuffled.scan(spark, cziPath, vol, idx))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     ZarrIO.writeMetadata(outRoot, vol, settings.downsampleLevels, voxelZyx,
@@ -100,11 +105,16 @@ object ZeissJob {
       compressed = settings.compress)
     val ts = vol.dtype.itemSize
     ZarrIO.writeChunks(level0, outRoot, settings.compressorLevel, settings.compress, ts)
+    // write level k, then drop level k-1's cache — peak storage is two
+    // adjacent levels, not the whole pyramid (reference X6 economy)
+    var prev: org.apache.spark.sql.Dataset[graft.core.ZarrChunk] = level0
     Pyramid.levels(spark, level0, vol, settings.downsampleLevels, settings.scaleFactor)
       .foreach { case (_, ds) =>
         ZarrIO.writeChunks(ds, outRoot, settings.compressorLevel, settings.compress, ts)
+        prev.unpersist()
+        prev = ds
       }
-    level0.unpersist()
+    prev.unpersist()
     vol
   }
 

@@ -98,6 +98,28 @@ object ArrayOps {
         }
         .toDF("cz", "cy", "cx", "sum_v", "n_voxels")
         .orderBy(col("cz"), col("cy"), col("cx"))
+    }),
+
+    // --- the CZI (ZISRAW) parser under the gate: write a synthetic CZI
+    //     (mixed raw + zstd0 subblocks), scan it distributed, aggregate
+    //     per-chunk sums that the oracle recomputes from arithmetic ---
+    "z4_czi_scan" -> ((s, _) => {
+      import s.implicits._
+      val dir = Files.createTempDirectory("graft-czi-q").toString
+      val path = s"$dir/q.czi"
+      val data = Array.tabulate(24, 40, 40)((z, y, x) => SyntheticStack.value(z, y, x))
+      graft.sources.czi.SyntheticCzi.write(path, data)
+      val (vol, idx) = graft.sources.czi.CziSource.volume(path, "q", Array(8, 16, 16))
+      graft.sources.czi.CziSource.scan(s, path, vol, idx)
+        .map { ck =>
+          val px = ck.pixels
+          var sum = 0L
+          var i = 0
+          while (i < px.length) { sum += px(i); i += 1 }
+          (ck.z.toLong, ck.y.toLong, ck.x.toLong, sum, px.length.toLong)
+        }
+        .toDF("cz", "cy", "cx", "sum_v", "n_voxels")
+        .orderBy(col("cz"), col("cy"), col("cx"))
     })
   )
 
@@ -139,6 +161,17 @@ object ArrayOps {
         |  FROM range(64000)
         |)
         |SELECT z // 16 AS cz, y // 16 AS cy, x // 16 AS cx,
+        |       CAST(sum(v) AS BIGINT) AS sum_v, count(*) AS n_voxels
+        |FROM l0 GROUP BY 1, 2, 3
+        |ORDER BY cz, cy, cx""".stripMargin,
+
+    "z4_czi_scan" ->
+      """WITH l0 AS (
+        |  SELECT range // 1600 AS z, (range // 40) % 40 AS y, range % 40 AS x,
+        |         (31 * (range // 1600) + 17 * ((range // 40) % 40) + 13 * (range % 40)) % 65536 AS v
+        |  FROM range(38400)
+        |)
+        |SELECT z // 8 AS cz, y // 16 AS cy, x // 16 AS cx,
         |       CAST(sum(v) AS BIGINT) AS sum_v, count(*) AS n_voxels
         |FROM l0 GROUP BY 1, 2, 3
         |ORDER BY cz, cy, cx""".stripMargin

@@ -5,11 +5,11 @@ import java.nio.{ByteBuffer, ByteOrder}
 
 import com.github.luben.zstd.Zstd
 
-/** Test-only ZISRAW writer: emits a minimal valid CZI (Gray16, per-z-slice
+/** Synthetic ZISRAW writer (dev fixture + gate-query input generator): emits a minimal valid CZI (Gray16, per-z-slice
   * subblocks, mix of uncompressed and zstd0) so the reader round-trips
   * without real Zeiss fixtures. Mirrors the public spec fields used by
   * [[CziReader]]. */
-object CziTestWriter {
+object SyntheticCzi {
 
   private def segHeader(id: String, alloc: Long, used: Long): Array[Byte] = {
     val b = ByteBuffer.allocate(32).order(ByteOrder.LITTLE_ENDIAN)

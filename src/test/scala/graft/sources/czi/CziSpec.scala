@@ -21,7 +21,7 @@ class CziSpec extends AnyFunSuite {
   test("CZI index parse: shape, pixel type, entries") {
     val dir = Files.createTempDirectory("czi").toString
     val path = s"$dir/t.czi"
-    CziTestWriter.write(path, synth(12, 40, 40))
+    SyntheticCzi.write(path, synth(12, 40, 40))
     val idx = CziReader.index(path)
     assert(idx.shape.toSeq == Seq(1L, 1L, 12L, 40L, 40L))
     assert(idx.pixelType == CziFormat.PixelGray16)
@@ -33,7 +33,7 @@ class CziSpec extends AnyFunSuite {
   test("distributed scan produces voxel-exact chunks incl. clamped edges") {
     val dir = Files.createTempDirectory("czi").toString
     val path = s"$dir/t.czi"
-    CziTestWriter.write(path, synth(12, 40, 40))
+    SyntheticCzi.write(path, synth(12, 40, 40))
     val (vol, idx) = CziSource.volume(path, "t", Array(8, 32, 32))
     assert(vol.numChunks == 2 * 2 * 2) // z: ceil(12/8)=2, y/x: ceil(40/32)=2
     val chunks = CziSource.scan(spark, path, vol, idx).collect()
@@ -55,7 +55,7 @@ class CziSpec extends AnyFunSuite {
   test("shuffle-assembled scan produces identical chunks to the slab scan") {
     val dir = Files.createTempDirectory("czi").toString
     val path = s"$dir/t.czi"
-    CziTestWriter.write(path, synth(12, 40, 40))
+    SyntheticCzi.write(path, synth(12, 40, 40))
     val (vol, idx) = CziSource.volume(path, "t", Array(8, 32, 32))
     val slab = CziSource.scan(spark, path, vol, idx).collect()
       .map(c => ((c.z, c.y, c.x), c)).toMap
@@ -71,7 +71,7 @@ class CziSpec extends AnyFunSuite {
   test("end-to-end ZeissJob: SPIM discovery -> CZI -> multiscale zarr") {
     val root = Files.createTempDirectory("zeiss").toString
     val spim = new java.io.File(s"$root/in/SPIM"); spim.mkdirs()
-    CziTestWriter.write(s"$root/in/SPIM/stack1.czi", synth(16, 32, 32))
+    SyntheticCzi.write(s"$root/in/SPIM/stack1.czi", synth(16, 32, 32))
     Files.writeString(java.nio.file.Paths.get(s"$root/in/acquisition.json"),
       """{"tiles":[{"coordinate_transformations":[
         |{"type":"scale","scale":["0.5","0.25","2.0"]},

@@ -3,7 +3,7 @@ package graft.tools
 import java.nio.file.{Files, Paths}
 
 import graft.sources.SyntheticStack
-import graft.sources.czi.CziTestWriter
+import graft.sources.czi.SyntheticCzi
 
 /** Dev fixture generator: writes a synthetic SPIM input tree (CZI +
   * acquisition.json) so the ZeissJob CLI can be driven end-to-end without
@@ -16,7 +16,7 @@ object MakeCzi {
     val nx = if (args.length > 3) args(3).toInt else 256
     Files.createDirectories(Paths.get(s"$root/SPIM"))
     val data = Array.tabulate(nz, ny, nx)((z, y, x) => SyntheticStack.value(z, y, x))
-    CziTestWriter.write(s"$root/SPIM/demo.czi", data)
+    SyntheticCzi.write(s"$root/SPIM/demo.czi", data)
     Files.writeString(Paths.get(s"$root/acquisition.json"),
       """{"tiles":[{"coordinate_transformations":[
         |{"type":"scale","scale":["0.196","0.196","1.0"]},
