@@ -61,6 +61,24 @@ object EventOps {
         .orderBy(col("o_orderkey"))
     }),
 
+    // --- range (interval) join: purchase -> errors of the same user
+    //     within the next 30 minutes (batch twin of the stream-stream
+    //     interval join in graft.streaming.EventStream) ---
+    "e5_range_join" -> ((s, dir) => {
+      val e = ev(s, dir)
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          unix_timestamp(col("ts")).as("sec"))
+      val p = e.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("pu"), col("sec").as("ps"), col("event_id").as("pe"))
+      val err = e.filter(col("event_type") === "error")
+        .select(col("user_id").as("eu"), col("sec").as("es"), col("event_id").as("ee"))
+      p.join(err, col("pu") === col("eu") &&
+          col("es") >= col("ps") && col("es") <= col("ps") + 1800)
+        .groupBy(col("pu").as("user_id"))
+        .agg(count(lit(1)).as("n_pairs"), min(col("es") - col("ps")).as("min_gap_sec"))
+        .orderBy(col("user_id"))
+    }),
+
     // --- semi-structured props: JSON field extraction + aggregation ---
     "e4_json_props" -> ((s, dir) => {
       ev(s, dir)
@@ -111,6 +129,17 @@ object EventOps {
         |  FROM o JOIN e ON e.user_id = o.o_custkey AND e.esec >= o.osec)
         |SELECT o_orderkey, event_id, lead_sec FROM j WHERE rk = 1
         |ORDER BY o_orderkey""".stripMargin,
+
+    "e5_range_join" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, event_id,
+        |         CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events),
+        |p AS (SELECT user_id AS pu, sec AS ps FROM e WHERE event_type = 'purchase'),
+        |err AS (SELECT user_id AS eu, sec AS es FROM e WHERE event_type = 'error')
+        |SELECT pu AS user_id, count(*) AS n_pairs,
+        |  min(es - ps) AS min_gap_sec
+        |FROM p JOIN err ON pu = eu AND es >= ps AND es <= ps + 1800
+        |GROUP BY pu ORDER BY user_id""".stripMargin,
 
     "e4_json_props" ->
       """WITH e AS (

@@ -83,6 +83,32 @@ object Relational2 {
         .orderBy(col("l_returnflag"))
     }),
 
+    // --- window frames: running, sliding, and lead/lag over order dates ---
+    "w2_frames" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val o = t(s, dir, "orders").filter(col("o_custkey") < 30)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderkey"))
+      o.select(col("o_custkey"), col("o_orderkey"),
+          round(sum(col("o_totalprice")).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)), 4).as("running_total"),
+          round(avg(col("o_totalprice")).over(
+            w.rowsBetween(-1, 1)), 4).as("sliding_avg3"),
+          round(lag(col("o_totalprice"), 1).over(w), 4).as("prev_price"),
+          round(lead(col("o_totalprice"), 1).over(w), 4).as("next_price"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    }),
+
+    // --- pivot (Spark .pivot vs CASE-expression oracle) ---
+    "p2_pivot" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .pivot(col("o_orderstatus"), Seq("F", "O", "P"))
+        .agg(round(sum(col("o_totalprice")), 4))
+        .toDF("o_orderpriority", "total_f", "total_o", "total_p")
+        .orderBy(col("o_orderpriority"))
+    }),
+
     // --- approximate stats: rows-only check (no SQL oracle — sketches
     //     are engine-specific by design); exact twins ride along so the
     //     approximation error is visible in the output ---
@@ -135,7 +161,25 @@ object Relational2 {
     "skew_salted_agg" ->
       """SELECT l_returnflag, round(sum(l_quantity), 4) AS sum_qty,
         |  count(*) AS n
-        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "w2_frames" ->
+      """SELECT o_custkey, o_orderkey,
+        |  round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+        |    ROWS UNBOUNDED PRECEDING), 4) AS running_total,
+        |  round(avg(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+        |    ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING), 4) AS sliding_avg3,
+        |  round(lag(o_totalprice, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderkey), 4) AS prev_price,
+        |  round(lead(o_totalprice, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderkey), 4) AS next_price
+        |FROM orders WHERE o_custkey < 30
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "p2_pivot" ->
+      """SELECT o_orderpriority,
+        |  round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 4) AS total_f,
+        |  round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 4) AS total_o,
+        |  round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 4) AS total_p
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
     // approx_stats: intentionally no oracle (rows-only check)
   )
 }

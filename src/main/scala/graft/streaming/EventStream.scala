@@ -41,6 +41,32 @@ object EventStream {
       .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
       .select(col("window.start").as("bucket"), col("event_type"), col("n"), col("total_value"))
 
+  /** Watermarked streaming deduplication on (user_id, event_type) within
+    * the watermark horizon — the streaming form of exact dedup (state
+    * bounded by the watermark, not the stream length). */
+  def dedupByUserType(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .dropDuplicates("user_id", "event_type")
+
+  /** Stream-stream self-join: for each purchase, the error events of the
+    * same user within the following 30 minutes. Both sides watermarked so
+    * join state is bounded (Spark requires the time-interval condition). */
+  def purchaseThenError(events: DataFrame): DataFrame = {
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("p_event"))
+      .withWatermark("p_ts", "1 hour")
+    val errors = events.filter(col("event_type") === "error")
+      .select(col("user_id").as("e_user"), col("ts").as("e_ts"),
+        col("event_id").as("e_event"))
+      .withWatermark("e_ts", "1 hour")
+    purchases.join(errors,
+      col("p_user") === col("e_user") &&
+      col("e_ts") >= col("p_ts") &&
+      col("e_ts") <= col("p_ts") + expr("INTERVAL 30 MINUTES"))
+  }
+
   final case class Ev(event_id: Long, sec: Long, user_id: Long)
   final case class SessionState(start: Long, last: Long, n: Int)
   final case class Session(user_id: Long, start_sec: Long, n_events: Int, dur_sec: Long)

@@ -53,6 +53,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.sameElements(batch))
   }
 
+  test("watermarked streaming dedup keeps one row per (user, type)") {
+    val q = EventStream.dedupByUserType(EventStream.read(spark, eventsDir))
+      .writeStream.format("memory").queryName("dedup")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.sql("SELECT count(*) FROM dedup").collect()(0).getLong(0)
+    val want = Tables.load(spark, "/root/testdata/sf0.001", "events")
+      .select(countDistinct(col("user_id"), col("event_type"))).collect()(0).getLong(0)
+    assert(got == want, s"streamed $got vs batch distinct $want")
+  }
+
+  test("stream-stream interval join matches the batch twin") {
+    val q = EventStream.purchaseThenError(EventStream.read(spark, eventsDir))
+      .writeStream.format("memory").queryName("ssjoin")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.sql("SELECT count(*) FROM ssjoin").collect()(0).getLong(0)
+    val ev = Tables.load(spark, "/root/testdata/sf0.001", "events")
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("pu"), col("ts").as("pt"))
+    val e = ev.filter(col("event_type") === "error")
+      .select(col("user_id").as("eu"), col("ts").as("et"))
+    val want = p.join(e, col("pu") === col("eu") &&
+      col("et") >= col("pt") && col("et") <= col("pt") + expr("INTERVAL 30 MINUTES")).count()
+    assert(got == want, s"streamed $got vs batch $want")
+  }
+
   test("stateful sessionization emits gap-closed sessions") {
     import spark.implicits._
     val evs = spark.readStream.schema(EventStream.schema).parquet(eventsDir)
