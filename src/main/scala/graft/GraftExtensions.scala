@@ -1,0 +1,25 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+
+/** Spark extensions entry point: registers the engine's custom SQL
+  * functions at session build time, so cluster users get them via
+  * `--conf spark.sql.extensions=graft.GraftExtensions` without any code.
+  *
+  * (The Zarr source/sink needs no extension — it registers through the
+  * DataSourceRegister service loader.)
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+    def info(name: String): ExpressionInfo =
+      new ExpressionInfo(classOf[GraftExtensions].getName, name)
+    ext.injectFunction((FunctionIdentifier("vector_dot"), info("vector_dot"),
+      (exprs: Seq[Expression]) => functions.VectorDot(exprs(0), exprs(1))))
+    ext.injectFunction((FunctionIdentifier("blosc_compress"), info("blosc_compress"),
+      (exprs: Seq[Expression]) => functions.BloscCompress(exprs.head, 2, 3)))
+    ext.injectFunction((FunctionIdentifier("blosc_decompress"), info("blosc_decompress"),
+      (exprs: Seq[Expression]) => functions.BloscDecompress(exprs.head)))
+  }
+}

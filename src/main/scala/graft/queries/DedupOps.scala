@@ -55,6 +55,23 @@ object DedupOps {
     docFp.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** 60-bit SimHash per document from md5-derived token hashes. */
+  private def simhash(d: DataFrame): DataFrame = {
+    val toks = d.select(col("doc_id"),
+      explode(split(trim(col("text")), "\\s+")).as("tok"))
+    val h = toks.select(col("doc_id"),
+      expr("CAST(conv(substr(md5(tok), 1, 15), 16, 10) AS BIGINT)").as("h"))
+    h.select(col("doc_id"), col("h"), explode(expr("sequence(0, 59)")).as("j"))
+      .select(col("doc_id"), col("j"),
+        (expr("CAST(shiftright(h, j) AS BIGINT)") % 2 * 2 - 1).as("w"))
+      .groupBy(col("doc_id"), col("j"))
+      .agg(sum(col("w")).as("sw"))
+      .select(col("doc_id"),
+        when(col("sw") > 0, expr("shiftleft(CAST(1 AS BIGINT), j)")).otherwise(0L).as("bit"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("bit")).as("simhash"))
+  }
+
   /** Co-occurrence counts per doc pair from a (doc_id, key) relation:
     * group by key, explode ordered id-pairs within each bucket, count.
     * One shuffle by key + one by pair — no self-join. */
@@ -138,24 +155,21 @@ object DedupOps {
         .orderBy(col("d1"), col("d2"))
     }),
 
+    // --- SimHash near-dup pairs: Hamming distance <= 12 among the first
+    //     200 docs (bit_count(xor) in both engines). At corpus scale the
+    //     pair search would bucket by simhash bands exactly like d4. ---
+    "d6_simhash_pairs" -> ((s, dir) => {
+      val sh = simhash(docs(s, dir).filter(col("doc_id") < 200)).cache()
+      sh.as("a").join(sh.as("b"), col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+          expr("CAST(bit_count(a.simhash ^ b.simhash) AS BIGINT)").as("hamming"))
+        .filter(col("hamming") <= 12)
+        .orderBy(col("d1"), col("d2"))
+    }),
+
     // --- SimHash (60-bit, md5-derived token hashes) for first 100 docs ---
-    "d5_simhash" -> ((s, dir) => {
-      val d = docs(s, dir).filter(col("doc_id") < 100)
-      val toks = d.select(col("doc_id"),
-        explode(split(trim(col("text")), "\\s+")).as("tok"))
-      val h = toks.select(col("doc_id"),
-        expr("CAST(conv(substr(md5(tok), 1, 15), 16, 10) AS BIGINT)").as("h"))
-      h.select(col("doc_id"), col("h"), explode(expr("sequence(0, 59)")).as("j"))
-        .select(col("doc_id"), col("j"),
-          (expr("CAST(shiftright(h, j) AS BIGINT)") % 2 * 2 - 1).as("w"))
-        .groupBy(col("doc_id"), col("j"))
-        .agg(sum(col("w")).as("sw"))
-        .select(col("doc_id"),
-          when(col("sw") > 0, expr("shiftleft(CAST(1 AS BIGINT), j)")).otherwise(0L).as("bit"))
-        .groupBy(col("doc_id"))
-        .agg(sum(col("bit")).as("simhash"))
-        .orderBy(col("doc_id"))
-    })
+    "d5_simhash" -> ((s, dir) =>
+      simhash(docs(s, dir).filter(col("doc_id") < 100)).orderBy(col("doc_id")))
   )
 
   private val shingleSql =
@@ -224,6 +238,23 @@ object DedupOps {
          |FROM m JOIN cnt c1 ON d1 = c1.doc_id JOIN cnt c2 ON d2 = c2.doc_id
          |WHERE m * 1.0 / (c1.n + c2.n - m) >= 0.5
          |ORDER BY d1, d2""".stripMargin,
+
+    "d6_simhash_pairs" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+        |  FROM documents WHERE doc_id < 200),
+        |h AS (SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS h FROM toks),
+        |bits AS (SELECT doc_id, j, sum((h >> j) % 2 * 2 - 1) AS sw
+        |         FROM h, LATERAL (SELECT unnest(generate_series(0, 59)) AS j) u
+        |         GROUP BY doc_id, j),
+        |sh AS (SELECT doc_id,
+        |         CAST(sum(CASE WHEN sw > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS simhash
+        |       FROM bits GROUP BY doc_id)
+        |SELECT a.doc_id AS d1, b.doc_id AS d2,
+        |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 12
+        |ORDER BY d1, d2""".stripMargin,
 
     "d5_simhash" ->
       """WITH toks AS (

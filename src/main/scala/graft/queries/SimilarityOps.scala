@@ -78,6 +78,22 @@ object SimilarityOps {
         .orderBy(col("label"), col("cell"))
     }),
 
+    // --- embedding-cosine near-duplicate pairs (threshold tuned to this
+    //     corpus's max inter-vector similarity; at scale the candidate
+    //     set would come from v2's cells or random-hyperplane LSH, with
+    //     this exact scoring as the confirmation pass) ---
+    "v4_embedding_neardup" -> ((s, dir) => {
+      val e = emb(s, dir).select(col("vec_id"), col("embedding"))
+      val pairs = e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"),
+          (graft.functions.vector_dot(col("a.embedding"), col("b.embedding")) /
+            (sqrt(graft.functions.vector_dot(col("a.embedding"), col("a.embedding"))) *
+             sqrt(graft.functions.vector_dot(col("b.embedding"), col("b.embedding"))))).as("cos_raw"))
+      pairs.filter(round(col("cos_raw"), 6) >= 0.45)
+        .select(col("id1"), col("id2"), round(col("cos_raw"), 6).as("cos"))
+        .orderBy(col("id1"), col("id2"))
+    }),
+
     // --- IVF probe: ANN top-3 searching ONLY the query's nearest cell.
     //     Composes v2's coarse quantizer with v1's scoring: the corpus is
     //     pre-partitioned by cell, the probe scores ~1/nCells of it.
@@ -155,6 +171,17 @@ object SimilarityOps {
         |  FROM scored)
         |SELECT label, cell, count(*) AS n FROM ranked WHERE rk = 1
         |GROUP BY label, cell ORDER BY label, cell""".stripMargin,
+
+    "v4_embedding_neardup" ->
+      """WITH pairs AS (
+        |  SELECT a.vec_id AS id1, b.vec_id AS id2,
+        |    list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) /
+        |      (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[]))) *
+        |       sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))) AS cos_raw
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+        |SELECT id1, id2, round(cos_raw, 6) AS cos
+        |FROM pairs WHERE round(cos_raw, 6) >= 0.45
+        |ORDER BY id1, id2""".stripMargin,
 
     "v3_ivf_topk" ->
       """WITH dims AS (

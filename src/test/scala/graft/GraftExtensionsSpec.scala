@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+class GraftExtensionsSpec extends AnyFunSuite {
+
+  test("spark.sql.extensions=graft.GraftExtensions registers the SQL functions") {
+    // force a NEW session object (extensions apply at session build); the
+    // SparkContext is shared with other suites, so never stop() here
+    val prevDefault = SparkSession.getDefaultSession
+    val prevActive = SparkSession.getActiveSession
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    try {
+      // .withExtensions = the same GraftExtensions.apply the
+      // spark.sql.extensions conf invokes (conf form only loads on a
+      // fresh JVM; these suites share one SparkContext)
+      val spark = SparkSession.builder()
+        .master("local[2]")
+        .appName("graft-ext-test")
+        .withExtensions(new GraftExtensions)
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      val d = spark.sql("SELECT vector_dot(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)), " +
+        "array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS d").collect()(0).getDouble(0)
+      assert(d == 11.0)
+      val rt = spark.sql("SELECT blosc_decompress(blosc_compress(CAST('abcabcabc' AS BINARY))) AS r")
+        .collect()(0).getAs[Array[Byte]]("r")
+      assert(new String(rt, "UTF-8") == "abcabcabc")
+    } finally {
+      SparkSession.clearDefaultSession()
+      SparkSession.clearActiveSession()
+      prevDefault.foreach(SparkSession.setDefaultSession)
+      prevActive.foreach(SparkSession.setActiveSession)
+    }
+  }
+}
