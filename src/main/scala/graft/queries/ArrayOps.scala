@@ -51,7 +51,7 @@ object ArrayOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "z1_pyramid_mean" -> ((s, _) => {
       val l0 = SyntheticStack.generate(s, pyramidVol)
-      val lvls = Pyramid.levels(s, l0, pyramidVol, nLevels = 3)
+      val lvls = Pyramid.levels(s, l0, pyramidVol, nLevels = 4)
       val dfs = lvls.zipWithIndex.map { case ((v, ds), i) =>
         voxels(s, ds, v.chunk(2), i + 1)
       }
@@ -137,10 +137,16 @@ object ArrayOps {
         |  SELECT z // 2 AS z, y // 2 AS y, x // 2 AS x,
         |         CAST(floor(avg(v)) AS BIGINT) AS v
         |  FROM l1 GROUP BY z // 2, y // 2, x // 2
+        |), l3 AS (
+        |  SELECT z // 2 AS z, y // 2 AS y, x // 2 AS x,
+        |         CAST(floor(avg(v)) AS BIGINT) AS v
+        |  FROM l2 GROUP BY z // 2, y // 2, x // 2
         |)
         |SELECT 1 AS level, z, y, x, v FROM l1
         |UNION ALL
         |SELECT 2 AS level, z, y, x, v FROM l2
+        |UNION ALL
+        |SELECT 3 AS level, z, y, x, v FROM l3
         |ORDER BY level, z, y, x""".stripMargin,
 
     "z2_zarr_roundtrip" ->
