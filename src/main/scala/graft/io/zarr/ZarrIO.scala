@@ -54,7 +54,7 @@ object ZarrIO {
     put(new Path(stackPath, ".zgroup"), ZarrMeta.zgroup)
     put(new Path(stackPath, ".zattrs"),
       ZarrMeta.stackAttrs(vol.stack, vol.shape.toSeq, nLevels, voxelZyx,
-        factorZyx, channelNames, originZyx))
+        factorZyx, channelNames, originZyx, vol.dtype))
     // one .zarray per level; shapes follow the ceil cascade
     var shape = vol.shape
     for (l <- 0 until nLevels) {
@@ -97,6 +97,19 @@ object ZarrIO {
   /** Write one level end-to-end (metadata assumed written separately). */
   def write(ds: Dataset[ZarrChunk], root: String, clevel: Int = 3, compress: Boolean = true): Unit =
     writeChunks(ds, root, clevel, compress)
+
+  /** Superblock-batched write (reference K2/X4, `zarr_writer.py:188-213`):
+    * coalesce so each task owns ~targetMb of chunk data before writing.
+    * The reference batched to cap its dask graph; here it is purely an
+    * output-task-granularity knob (fewer, larger write tasks -> fewer
+    * filesystem round-trips on object stores). */
+  def writeChunksBatched(ds: Dataset[ZarrChunk], root: String, vol: Volume,
+                         targetMb: Long = 19200, clevel: Int = 3,
+                         compress: Boolean = true): Unit = {
+    val perTask = ChunkGrid.chunksPerTask(vol.chunk, targetMb * 1024 * 1024, vol.dtype.itemSize)
+    val parts = math.max(1L, ChunkGrid.ceilDiv(vol.numChunks, perTask)).min(Int.MaxValue).toInt
+    writeChunks(ds.coalesce(parts), root, clevel, compress, vol.dtype.itemSize)
+  }
 
   /** Read a stack level back as a Dataset[ZarrChunk] (reference S6).
     * Distributed: Spark's binaryFile source lists and reads chunk files

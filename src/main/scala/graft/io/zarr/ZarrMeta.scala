@@ -126,13 +126,22 @@ object ZarrMeta {
   /** Full .zattrs for a stack group: omero + multiscales (axes, datasets,
     * windowed-mean provenance; reference `write_ome_ngff_metadata` +
     * `_get_pyramid_metadata`). */
+  /** Dtype display bounds for the omero window — the reference's
+    * np.iinfo/np.finfo lookup (`czi_to_zarr.py:535-549`). */
+  def dtypeMinMax(dtype: graft.core.PixelDtype): (Double, Double) = dtype match {
+    case graft.core.PixelDtype.U8 => (0.0, 255.0)
+    case graft.core.PixelDtype.U16 => (0.0, 65535.0)
+    case graft.core.PixelDtype.F32 => (-Float.MaxValue.toDouble, Float.MaxValue.toDouble)
+  }
+
   def stackAttrs(imageName: String, shape: Seq[Long], nLevels: Int,
                  voxelZyx: Seq[Double], factorZyx: Seq[Int],
                  channelNames: Seq[String],
-                 originZyx: Option[Seq[Double]]): String = {
+                 originZyx: Option[Seq[Double]],
+                 dtype: graft.core.PixelDtype = graft.core.PixelDtype.U16): String = {
     val root = M.createObjectNode()
     val om = root.putObject("omero")
-    omero(om, imageName, shape, channelNames)
+    omero(om, imageName, shape, channelNames, minMax = dtypeMinMax(dtype))
     val multiscales = root.putArray("multiscales")
     val ms = multiscales.addObject()
     val axes = ms.putArray("axes")
