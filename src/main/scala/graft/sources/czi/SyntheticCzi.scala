@@ -46,10 +46,13 @@ object SyntheticCzi {
     b.array()
   }
 
-  /** Write `data(z)(y)(x)` (uint16 values) as a CZI with one subblock per
-    * z-slice; even slices uncompressed, odd slices zstd0. */
-  def write(path: String, data: Array[Array[Array[Int]]]): Unit = {
+  /** Write `data(z)(y)(x)` as a CZI with one subblock per z-slice; even
+    * slices uncompressed, odd slices zstd0. `pixelType` Gray16 (default)
+    * or Gray8 (values masked to a byte). */
+  def write(path: String, data: Array[Array[Array[Int]]],
+            pixelType: Int = CziFormat.PixelGray16): Unit = {
     val (nz, ny, nx) = (data.length, data(0).length, data(0)(0).length)
+    val isz = CziFormat.bytesPerPixel(pixelType)
     val out = new DataOutputStream(new FileOutputStream(path))
     var pos = 0L
     def emit(bytes: Array[Byte]): Unit = { out.write(bytes); pos += bytes.length }
@@ -63,17 +66,20 @@ object SyntheticCzi {
     // --- subblocks ---
     val entries = Seq.newBuilder[(Long, Int, Seq[(String, Int, Int)])]
     for (z <- 0 until nz) {
-      val slicePixels = new Array[Byte](ny * nx * 2)
+      val slicePixels = new Array[Byte](ny * nx * isz)
       for (y <- 0 until ny; x <- 0 until nx) {
         val v = data(z)(y)(x)
-        slicePixels(2 * (y * nx + x)) = (v & 0xFF).toByte
-        slicePixels(2 * (y * nx + x) + 1) = ((v >>> 8) & 0xFF).toByte
+        if (isz == 1) slicePixels(y * nx + x) = (v & 0xFF).toByte
+        else {
+          slicePixels(2 * (y * nx + x)) = (v & 0xFF).toByte
+          slicePixels(2 * (y * nx + x) + 1) = ((v >>> 8) & 0xFF).toByte
+        }
       }
       val compression = if (z % 2 == 0) CziFormat.CompressionNone else CziFormat.CompressionZstd0
       val payload = if (compression == CziFormat.CompressionNone) slicePixels
         else Zstd.compress(slicePixels, 3)
       val dims = Seq(("X", 0, nx), ("Y", 0, ny), ("Z", z, 1), ("C", 0, 1))
-      val entry = entryBytes(CziFormat.PixelGray16, pos, compression, dims)
+      val entry = entryBytes(pixelType, pos, compression, dims)
       val headerSpace = math.max(256, 16 + entry.length)
       val used = headerSpace + payload.length
       val alloc = align32(used)
@@ -94,7 +100,7 @@ object SyntheticCzi {
     val dirPos = pos
     val entryList = entries.result()
     val entryBlobs = entryList.map { case (fp, comp, dims) =>
-      entryBytes(CziFormat.PixelGray16, fp, comp, dims)
+      entryBytes(pixelType, fp, comp, dims)
     }
     val dirUsed = 4 + 124 + entryBlobs.map(_.length).sum
     emit(segHeader(CziFormat.IdDirectory, align32(dirUsed), dirUsed))

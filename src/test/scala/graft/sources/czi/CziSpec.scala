@@ -120,6 +120,38 @@ class CziSpec extends AnyFunSuite {
     assert(c0.pixels(0) == (sum / 8).toInt)
   }
 
+  test("Gray8 CZI end-to-end: u8 dtype through scan, pyramid, and zarr") {
+    import graft.core.{PixelCodec, PixelDtype}
+    val root = Files.createTempDirectory("czi-u8").toString
+    val data = Array.tabulate(16, 24, 24)((z, y, x) => (z * 7 + y * 3 + x) % 256)
+    SyntheticCzi.write(s"$root/u8.czi", data, CziFormat.PixelGray8)
+    val (vol, idx) = CziSource.volume(s"$root/u8.czi", "u8", Array(8, 8, 8))
+    assert(vol.dtype == PixelDtype.U8)
+    val chunks = CziSource.scan(spark, s"$root/u8.czi", vol, idx).collect()
+    chunks.foreach { ck =>
+      val px = PixelCodec.u8ToInts(ck.data)
+      val (sz, sy, sx) = (ck.shape(2), ck.shape(3), ck.shape(4))
+      for (z <- 0 until sz; y <- 0 until sy; x <- 0 until sx)
+        assert(px(z * sy * sx + y * sx + x) ==
+          data(ck.z * 8 + z)(ck.y * 8 + y)(ck.x * 8 + x))
+    }
+    // pyramid + zarr with |u1 dtype
+    val l0 = CziSource.scan(spark, s"$root/u8.czi", vol, idx)
+    val lvls = graft.operators.Pyramid.levels(spark, l0, vol, nLevels = 2)
+    ZarrIO.writeMetadata(s"$root/out", vol, nLevels = 2)
+    ZarrIO.writeChunks(l0, s"$root/out", typesize = 1)
+    lvls.foreach { case (_, ds) => ZarrIO.writeChunks(ds, s"$root/out", typesize = 1) }
+    assert(ZarrIO.readZarray(s"$root/out", "u8", 0).dtype == PixelDtype.U8)
+    val l1 = ZarrIO.readChunks(spark, s"$root/out", "u8", 1).collect()
+    assert(l1.map(_.data.length).sum == 8 * 12 * 12)
+    // corner voxel = floor mean of the 2x2x2 corner
+    val c0 = l1.find(c => c.z == 0 && c.y == 0 && c.x == 0).get
+    var sum = 0L
+    for (dz <- 0 until 2; dy <- 0 until 2; dx <- 0 until 2)
+      sum += data(dz)(dy)(dx)
+    assert(PixelCodec.u8ToInts(c0.data)(0) == (sum / 8).toInt)
+  }
+
   test("decode rejects unsupported compression") {
     val e = CziFormat.SubBlockEntry(0L, CziFormat.PixelGray16, CziFormat.CompressionJpgXr,
       Map("X" -> CziFormat.DimEntry("X", 0, 2, 2)))
