@@ -107,8 +107,14 @@ object ZarrIO {
                          targetMb: Long = 19200, clevel: Int = 3,
                          compress: Boolean = true): Unit = {
     val perTask = ChunkGrid.chunksPerTask(vol.chunk, targetMb * 1024 * 1024, vol.dtype.itemSize)
-    val parts = math.max(1L, ChunkGrid.ceilDiv(vol.numChunks, perTask)).min(Int.MaxValue).toInt
-    writeChunks(ds.coalesce(parts), root, clevel, compress, vol.dtype.itemSize)
+    val bySize = ChunkGrid.ceilDiv(vol.numChunks, perTask)
+    // never batch below cluster parallelism: the reference's huge default
+    // (19.2 GB) targets TB-scale stacks; a small stack must still fan out
+    val floor = ds.sparkSession.sparkContext.defaultParallelism.toLong
+    val parts = math.max(1L, math.min(vol.numChunks, math.max(bySize, floor)))
+      .min(Int.MaxValue).toInt
+    val batched = if (parts < ds.rdd.getNumPartitions) ds.coalesce(parts) else ds
+    writeChunks(batched, root, clevel, compress, vol.dtype.itemSize)
   }
 
   /** Read a stack level back as a Dataset[ZarrChunk] (reference S6).

@@ -33,7 +33,8 @@ object ZeissJob {
       scaleFactor: Array[Int] = Array(2, 2, 2),
       downsampleLevels: Int = 4,
       compressorLevel: Int = 3,
-      compress: Boolean = true)
+      compress: Boolean = true,
+      targetSizeMb: Long = 19200) // reference models.py:77-81 job default
 
   final case class JobResponse(statusCode: Int, message: String)
 
@@ -53,7 +54,8 @@ object ZeissJob {
       chunkSize = arr3(n.get("chunk_size"), Array(128, 128, 128)),
       scaleFactor = arr3(n.get("scale_factor"), Array(2, 2, 2)),
       downsampleLevels = if (n.has("downsample_levels")) n.get("downsample_levels").asInt else 4,
-      compressorLevel = if (n.has("compressor_level")) n.get("compressor_level").asInt else 3)
+      compressorLevel = if (n.has("compressor_level")) n.get("compressor_level").asInt else 3,
+      targetSizeMb = if (n.has("target_size_mb")) n.get("target_size_mb").asLong else 19200L)
   }
 
   /** Voxel resolution from acquisition.json: first tile's scale transform,
@@ -103,14 +105,16 @@ object ZeissJob {
     ZarrIO.writeMetadata(outRoot, vol, settings.downsampleLevels, voxelZyx,
       settings.scaleFactor.toSeq, Seq(channelName), Some(Seq(0.0, 0.0, 0.0)),
       compressed = settings.compress)
-    val ts = vol.dtype.itemSize
-    ZarrIO.writeChunks(level0, outRoot, settings.compressorLevel, settings.compress, ts)
+    // superblock-sized write batching (reference X4, target_size_mb)
+    ZarrIO.writeChunksBatched(level0, outRoot, vol, settings.targetSizeMb,
+      settings.compressorLevel, settings.compress)
     // write level k, then drop level k-1's cache — peak storage is two
     // adjacent levels, not the whole pyramid (reference X6 economy)
     var prev: org.apache.spark.sql.Dataset[graft.core.ZarrChunk] = level0
     Pyramid.levels(spark, level0, vol, settings.downsampleLevels, settings.scaleFactor)
-      .foreach { case (_, ds) =>
-        ZarrIO.writeChunks(ds, outRoot, settings.compressorLevel, settings.compress, ts)
+      .foreach { case (lvlVol, ds) =>
+        ZarrIO.writeChunksBatched(ds, outRoot, lvlVol, settings.targetSizeMb,
+          settings.compressorLevel, settings.compress)
         prev.unpersist()
         prev = ds
       }
