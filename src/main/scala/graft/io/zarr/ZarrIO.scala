@@ -132,15 +132,16 @@ object ZarrIO {
       .select(col("path"), col("content"))
       .as[(String, Array[Byte])]
       .map { case (path, content) =>
-        val rel = path.substring(path.indexOf(s"/$stack/$level/") + s"/$stack/$level/".length)
-        val parts = rel.split('/')
-        require(parts.length == 5, s"unexpected chunk path $rel")
+        // chunk coords are always the trailing t/c/z/y/x path segments —
+        // substring matching on stack/level would misparse when those
+        // names collide with coordinate values
+        val parts = path.split('/').takeRight(5)
         val Array(t, c, z, y, x) = parts.map(_.toInt)
         val coords = Array(t.toLong, c.toLong, z.toLong, y.toLong, x.toLong)
         val cs = ChunkGrid.clampedChunkShape(coords, shape, chunk)
         val raw = if (compressed) Blosc.decompress(content) else content
         require(raw.length == cs.product * itemSize,
-          s"chunk $rel: ${raw.length} bytes, expected ${cs.product * itemSize}")
+          s"chunk ${parts.mkString("/")}: ${raw.length} bytes, expected ${cs.product * itemSize}")
         ZarrChunk(stack, level, t, c, z, y, x, cs, raw)
       }
   }
