@@ -140,14 +140,16 @@ object Pyramid {
 
   /** One pyramid halving: level-k chunks -> level-(k+1) chunks.
     *
-    * Requires chunk(i) % factor(i) == 0 on the spatial axes so windows are
-    * chunk-local (always true for the reference's 128^3 / x2 config).
+    * Dispatches on alignment: when chunk % factor == 0 on the spatial
+    * axes (always true for the reference's 128^3 / x2 config), windows
+    * are chunk-local and the zero-extra-cost fast path runs; otherwise
+    * [[downsampleLevelUnaligned]] handles windows that span chunks.
     */
   def downsampleLevel(spark: SparkSession, in: Dataset[ZarrChunk], vol: Volume,
                       factorZyx: Array[Int] = Array(2, 2, 2)): (Volume, Dataset[ZarrChunk]) = {
     import spark.implicits._
-    require((2 to 4).forall(i => vol.chunk(i) % factorZyx(i - 2) == 0),
-      s"chunk ${vol.chunk.mkString(",")} not divisible by factor ${factorZyx.mkString(",")}")
+    if (!(2 to 4).forall(i => vol.chunk(i) % factorZyx(i - 2) == 0))
+      return downsampleLevelUnaligned(spark, in, vol, factorZyx)
 
     val outVol = vol.downsampled(factorZyx)
     val outShape = outVol.shape
@@ -200,6 +202,127 @@ object Pyramid {
           }
         }
         ZarrChunk(stack, level, t, c, gz.toInt, gy.toInt, gx.toInt, cs, buf)
+      }
+    (outVol, out)
+  }
+
+  /** General (unaligned) halving: windows may span chunk boundaries, so
+    * each input chunk emits per-output-chunk PARTIAL window sums/counts
+    * (at most 2^3 = 8 region pieces per chunk, compact array payloads);
+    * the assembly aggregate merges partials voxel-wise and divides once.
+    *
+    * Costs one shuffle of (sum, count) pairs per output voxel — ~2x the
+    * aligned path's bytes — which is why alignment stays the fast path;
+    * this exists so arbitrary chunk/factor configs remain correct.
+    * Sums are doubles: exact for uint sums far beyond any window size,
+    * and the float path divides in double anyway.
+    */
+  def downsampleLevelUnaligned(spark: SparkSession, in: Dataset[ZarrChunk], vol: Volume,
+                               factorZyx: Array[Int]): (Volume, Dataset[ZarrChunk]) = {
+    import spark.implicits._
+    val outVol = vol.downsampled(factorZyx)
+    val outShape = outVol.shape
+    val outChunk = outVol.chunk
+    val chunk = vol.chunk
+    val dtype = vol.dtype
+    val (fz, fy, fx) = (factorZyx(0), factorZyx(1), factorZyx(2))
+    val stack = outVol.stack
+    val level = outVol.level
+
+    // map: per input chunk, per intersecting output chunk, accumulate
+    // partial (sum, count) per output voxel of the overlap region
+    val pieces = in.flatMap { ck =>
+      val px: Array[Double] = dtype match {
+        case graft.core.PixelDtype.F32 => PixelCodec.f32ToFloats(ck.data).map(_.toDouble)
+        case d => PixelCodec.toInts(ck.data, d).map(_.toDouble)
+      }
+      val (sz, sy, sx) = (ck.shape(2), ck.shape(3), ck.shape(4))
+      val (vz0, vy0, vx0) = (ck.z.toLong * chunk(2), ck.y.toLong * chunk(3), ck.x.toLong * chunk(4))
+      // output voxel extent touched by this chunk
+      val (oz0, oy0, ox0) = (vz0 / fz, vy0 / fy, vx0 / fx)
+      val ozN = (vz0 + sz - 1) / fz - oz0 + 1
+      val oyN = (vy0 + sy - 1) / fy - oy0 + 1
+      val oxN = (vx0 + sx - 1) / fx - ox0 + 1
+      // output chunks intersecting that extent
+      for {
+        gz <- (oz0 / outChunk(2)) to ((oz0 + ozN - 1) / outChunk(2))
+        gy <- (oy0 / outChunk(3)) to ((oy0 + oyN - 1) / outChunk(3))
+        gx <- (ox0 / outChunk(4)) to ((ox0 + oxN - 1) / outChunk(4))
+      } yield {
+        val rz0 = math.max(oz0, gz * outChunk(2))
+        val rzN = (math.min(oz0 + ozN, (gz + 1) * outChunk(2)) - rz0).toInt
+        val ry0 = math.max(oy0, gy * outChunk(3))
+        val ryN = (math.min(oy0 + oyN, (gy + 1) * outChunk(3)) - ry0).toInt
+        val rx0 = math.max(ox0, gx * outChunk(4))
+        val rxN = (math.min(ox0 + oxN, (gx + 1) * outChunk(4)) - rx0).toInt
+        val sums = new Array[Double](rzN * ryN * rxN)
+        val counts = new Array[Int](rzN * ryN * rxN)
+        var z = 0
+        while (z < sz) {
+          val oz = (vz0 + z) / fz
+          if (oz >= rz0 && oz < rz0 + rzN) {
+            var y = 0
+            while (y < sy) {
+              val oy = (vy0 + y) / fy
+              if (oy >= ry0 && oy < ry0 + ryN) {
+                var x = 0
+                while (x < sx) {
+                  val ox = (vx0 + x) / fx
+                  if (ox >= rx0 && ox < rx0 + rxN) {
+                    val ri = ((oz - rz0).toInt * ryN + (oy - ry0).toInt) * rxN + (ox - rx0).toInt
+                    sums(ri) += px(z * sy * sx + y * sx + x)
+                    counts(ri) += 1
+                  }
+                  x += 1
+                }
+              }
+              y += 1
+            }
+          }
+          z += 1
+        }
+        (ck.t, ck.c, gz, gy, gx, rz0, ry0, rx0, Array(rzN, ryN, rxN), sums, counts)
+      }
+    }
+
+    // reduce: merge partials per output chunk, divide once
+    val out = pieces
+      .groupByKey { case (t, c, gz, gy, gx, _, _, _, _, _, _) => (t, c, gz, gy, gx) }
+      .mapGroups { (key: (Int, Int, Long, Long, Long),
+                    it: Iterator[(Int, Int, Long, Long, Long, Long, Long, Long, Array[Int], Array[Double], Array[Int])]) =>
+        val (t, c, gz, gy, gx) = key
+        val coords = Array(t.toLong, c.toLong, gz, gy, gx)
+        val cs = ChunkGrid.clampedChunkShape(coords, outShape, outChunk)
+        val sums = new Array[Double](cs.product)
+        val counts = new Array[Int](cs.product)
+        it.foreach { case (_, _, _, _, _, rz0, ry0, rx0, rs, ps, pc) =>
+          val (offZ, offY, offX) =
+            ((rz0 - gz * outChunk(2)).toInt, (ry0 - gy * outChunk(3)).toInt, (rx0 - gx * outChunk(4)).toInt)
+          var z = 0
+          while (z < rs(0)) {
+            var y = 0
+            while (y < rs(1)) {
+              var x = 0
+              while (x < rs(2)) {
+                val di = ((offZ + z) * cs(3) + (offY + y)) * cs(4) + (offX + x)
+                val si = (z * rs(1) + y) * rs(2) + x
+                sums(di) += ps(si)
+                counts(di) += pc(si)
+                x += 1
+              }
+              y += 1
+            }
+            z += 1
+          }
+        }
+        val bytes = dtype match {
+          case graft.core.PixelDtype.F32 =>
+            PixelCodec.f32ToBytes(Array.tabulate(sums.length)(i => (sums(i) / counts(i)).toFloat))
+          case d =>
+            PixelCodec.fromInts(Array.tabulate(sums.length)(i =>
+              math.floor(sums(i) / counts(i)).toInt), d)
+        }
+        ZarrChunk(stack, level, t, c, gz.toInt, gy.toInt, gx.toInt, cs, bytes)
       }
     (outVol, out)
   }
