@@ -17,17 +17,20 @@ object Bench {
     }
     // two timed passes, keep the per-query minimum: the host shows heavy
     // run-to-run variance (GC/noisy neighbors), min-of-2 is far stabler
+    // a failed query must not contribute a bogus (fast) elapsed time:
+    // mark it -1 so the report shows the breakage instead of hiding it
     def timed(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
-      (System.nanoTime() - t0) / 1e9
+      try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+      catch { case _: Throwable => -1.0 }
     }
     val results = ordered.map { case (name, fn) =>
-      name -> math.min(timed(fn), timed(fn))
+      val (a, b) = (timed(fn), timed(fn))
+      name -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
     }
     val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val total = results.map(_._2).filter(_ >= 0).sum
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

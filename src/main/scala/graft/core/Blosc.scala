@@ -131,9 +131,24 @@ object Blosc {
     }
   }
 
+  private val FlagBitshuffle = 0x04
+
   def header(frame: Array[Byte]): Header = {
     require(frame.length >= 16, s"blosc frame too short: ${frame.length}")
-    Header(frame(2) & 0xFF, frame(3) & 0xFF, readLE(frame, 4), readLE(frame, 8), readLE(frame, 12))
+    val h = Header(frame(2) & 0xFF, frame(3) & 0xFF, readLE(frame, 4), readLE(frame, 8), readLE(frame, 12))
+    // refuse frames we cannot decode faithfully rather than producing
+    // silently-wrong bytes: bit-shuffle is a different filter, and block
+    // payloads from non-zstd codecs are not zstd streams
+    if ((h.flags & FlagMemcpy) == 0) {
+      if ((h.flags & FlagBitshuffle) != 0)
+        throw new UnsupportedOperationException(
+          "blosc frame uses bit-shuffle (flag 0x04); only byte-shuffle is supported")
+      val compId = h.flags >>> 5
+      if (compId != ZstdFormatId)
+        throw new UnsupportedOperationException(
+          s"blosc frame uses compressor id $compId; only zstd ($ZstdFormatId) is supported")
+    }
+    h
   }
 
   /** Decompress a Blosc frame (any block count; zstd payloads). */

@@ -163,15 +163,36 @@ class ZarrPartitionReader(root: String, stack: String, level: Int,
   override def close(): Unit = ()
 }
 
-class ZarrWriteBuilder(root: String, clevel: Int, typesize: Int) extends WriteBuilder {
+class ZarrWriteBuilder(root: String, clevel: Int, typesize: Int)
+    extends WriteBuilder with SupportsTruncate {
+  private var doTruncate = false
+
+  // mode("overwrite") on a path-identified table = truncate: clear existing
+  // chunk data but keep the store's dot-metadata (.zgroup/.zattrs/.zarray)
+  override def truncate(): WriteBuilder = { doTruncate = true; this }
+
   override def build(): Write = new Write {
-    override def toBatch: BatchWrite = new ZarrBatchWrite(root, clevel, typesize)
+    override def toBatch: BatchWrite = new ZarrBatchWrite(root, clevel, typesize, doTruncate)
   }
 }
 
-class ZarrBatchWrite(root: String, clevel: Int, typesize: Int) extends BatchWrite {
-  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+class ZarrBatchWrite(root: String, clevel: Int, typesize: Int, truncate: Boolean) extends BatchWrite {
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+    if (truncate) {
+      // driver-side, before any task launches: remove chunk subtrees
+      // (non-dot children of each stack/level dir) so stale chunks from a
+      // previous, larger extent can't survive the overwrite
+      val fs = new Path(root).getFileSystem(new Configuration())
+      val rootPath = new Path(root)
+      if (fs.exists(rootPath)) {
+        for (stack <- fs.listStatus(rootPath) if stack.isDirectory && !stack.getPath.getName.startsWith(".");
+             level <- fs.listStatus(stack.getPath) if level.isDirectory && !level.getPath.getName.startsWith(".");
+             child <- fs.listStatus(level.getPath) if !child.getPath.getName.startsWith("."))
+          fs.delete(child.getPath, true)
+      }
+    }
     ZarrWriterFactory(root, clevel, typesize)
+  }
   // chunk placement is deterministic by coordinates and writes are atomic
   // renames — no commit coordination needed
   override def commit(messages: Array[WriterCommitMessage]): Unit = ()
@@ -183,22 +204,38 @@ final case class ZarrWriterFactory(root: String, clevel: Int, typesize: Int) ext
     new ZarrDataWriter(root, clevel, typesize)
 }
 
-class ZarrDataWriter(root: String, clevel: Int, typesize: Int) extends DataWriter[InternalRow] {
+class ZarrDataWriter(root: String, clevel: Int, defaultTypesize: Int) extends DataWriter[InternalRow] {
   private lazy val fs = {
     val f = new Path(root).getFileSystem(new Configuration())
     f.setWriteChecksum(false)
     f
   }
+  // per-(stack,level) codec settings from the store's own .zarray: writing
+  // into a store whose metadata says compressor=null must emit raw chunks,
+  // and the shuffle stride must match the declared dtype — otherwise a
+  // reader honoring the metadata mis-decodes what we wrote
+  private val codecCache = scala.collection.mutable.Map.empty[(String, Int), (Boolean, Int)]
+  private def codecFor(stack: String, level: Int): (Boolean, Int) =
+    codecCache.getOrElseUpdate((stack, level), {
+      try {
+        val m = ZarrIO.readZarray(root, stack, level)
+        (m.compressed, m.dtype.itemSize)
+      } catch { case _: java.io.IOException | _: java.io.FileNotFoundException =>
+        (true, defaultTypesize) // no metadata yet: fall back to options
+      }
+    })
 
   override def write(r: InternalRow): Unit = {
     val stack = r.getUTF8String(0).toString
     val level = r.getInt(1)
     val (t, c, z, y, x) = (r.getInt(2), r.getInt(3), r.getInt(4), r.getInt(5), r.getInt(6))
     val data = r.getBinary(8)
+    val (compressed, typesize) = codecFor(stack, level)
     val dir = new Path(s"$root/$stack/$level/$t/$c/$z/$y")
     val tmp = new Path(dir, s".tmp-$x-${java.util.UUID.randomUUID}")
+    val payload = if (compressed) Blosc.compress(data, typesize, clevel) else data
     val out = fs.create(tmp, true)
-    try out.write(Blosc.compress(data, typesize, clevel)) finally out.close()
+    try out.write(payload) finally out.close()
     if (!fs.rename(tmp, new Path(dir, x.toString))) fs.delete(tmp, false)
   }
 

@@ -43,7 +43,7 @@ object ZarrIO {
                     factorZyx: Seq[Int] = Seq(2, 2, 2),
                     channelNames: Seq[String] = Seq("ch0"),
                     originZyx: Option[Seq[Double]] = Some(Seq(0, 0, 0)),
-                    compressed: Boolean = true): Unit = {
+                    compressed: Boolean = true, clevel: Int = 3): Unit = {
     val (f, rootPath) = fs(root)
     def put(p: Path, content: String): Unit = {
       val out = f.create(p, true)
@@ -60,8 +60,8 @@ object ZarrIO {
     for (l <- 0 until nLevels) {
       val lvlPath = new Path(stackPath, l.toString)
       put(new Path(lvlPath, ".zarray"),
-        ZarrMeta.zarray(shape.toSeq, vol.chunk.toSeq, compressed = compressed,
-          dtype = vol.dtype.zarrName))
+        ZarrMeta.zarray(shape.toSeq, vol.chunk.toSeq, clevel = clevel,
+          compressed = compressed, dtype = vol.dtype.zarrName))
       shape = ChunkGrid.downsampledShape(shape,
         Array(1, 1, factorZyx(0), factorZyx(1), factorZyx(2)))
     }
@@ -94,9 +94,13 @@ object ZarrIO {
     }
   }
 
-  /** Write one level end-to-end (metadata assumed written separately). */
-  def write(ds: Dataset[ZarrChunk], root: String, clevel: Int = 3, compress: Boolean = true): Unit =
-    writeChunks(ds, root, clevel, compress)
+  /** Write one level end-to-end (metadata assumed written separately).
+    * The shuffle stride follows the volume's dtype — a u8 or f32 store
+    * byte-shuffled at stride 2 compresses worse and diverges from the
+    * reference's numcodecs config. */
+  def write(ds: Dataset[ZarrChunk], root: String, vol: Volume, clevel: Int = 3,
+            compress: Boolean = true): Unit =
+    writeChunks(ds, root, clevel, compress, vol.dtype.itemSize)
 
   /** Superblock-batched write (reference K2/X4, `zarr_writer.py:188-213`):
     * coalesce so each task owns ~targetMb of chunk data before writing.

@@ -104,7 +104,7 @@ object ZeissJob {
 
     ZarrIO.writeMetadata(outRoot, vol, settings.downsampleLevels, voxelZyx,
       settings.scaleFactor.toSeq, Seq(channelName), Some(Seq(0.0, 0.0, 0.0)),
-      compressed = settings.compress)
+      compressed = settings.compress, clevel = settings.compressorLevel)
     // superblock-sized write batching (reference X4, target_size_mb)
     ZarrIO.writeChunksBatched(level0, outRoot, vol, settings.targetSizeMb,
       settings.compressorLevel, settings.compress)

@@ -143,14 +143,24 @@ object CziReader {
         require(n == expect, s"zstd0 decoded $n of $expect")
         out
       case CompressionZstd1 =>
-        // zstd1 = small header (byte 0: header size; optional hi-lo byte
-        // packing flag) + zstd stream. We support the unpacked form.
+        // zstd1 = small header + zstd stream. Header: byte 0 = header size
+        // (>=1); with size >= 3, byte 1 is the chunk id (1 = pixel-data
+        // parameters) and byte 2 bit 0 is the hi-lo byte-packing flag. When
+        // set, the encoder stored all low bytes of the 16-bit pixels
+        // followed by all high bytes (a byte-plane split, identical to a
+        // byte-shuffle with typesize 2), so the decoded stream must be
+        // re-interleaved before it is valid LE pixel data.
         val hdr = raw(0) & 0xFF
         require(hdr >= 1 && hdr < raw.length, s"bad zstd1 header size $hdr")
+        val hiLoPacked = hdr >= 3 && (raw(1) & 0xFF) == 1 && (raw(2) & 0x01) != 0
         val out = new Array[Byte](expect)
         val n = Zstd.decompressByteArray(out, 0, expect, raw, hdr, raw.length - hdr)
         require(n == expect, s"zstd1 decoded $n of $expect")
-        out
+        if (hiLoPacked) {
+          val bpp = bytesPerPixel(e.pixelType)
+          require(bpp == 2, s"zstd1 hi-lo byte packing only defined for 16-bit pixels, got $bpp bytes/px")
+          graft.core.Blosc.unshuffle(out, 2)
+        } else out
       case other =>
         throw new UnsupportedOperationException(s"CZI compression $other (JPEG/JPEG-XR) not supported")
     }

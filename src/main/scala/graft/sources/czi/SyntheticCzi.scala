@@ -46,9 +46,12 @@ object SyntheticCzi {
     b.array()
   }
 
-  /** Write `data(z)(y)(x)` as a CZI with one subblock per z-slice; even
-    * slices uncompressed, odd slices zstd0. `pixelType` Gray16 (default)
-    * or Gray8 (values masked to a byte). */
+  /** Write `data(z)(y)(x)` as a CZI with one subblock per z-slice, cycling
+    * the compression per slice: uncompressed, zstd0, zstd1 (plain header),
+    * zstd1 with hi-lo byte packing (16-bit only — the encoder splits the
+    * pixels into a low-byte plane then a high-byte plane before zstd, and
+    * flags it in the 3-byte header). `pixelType` Gray16 (default) or Gray8
+    * (values masked to a byte). */
   def write(path: String, data: Array[Array[Array[Int]]],
             pixelType: Int = CziFormat.PixelGray16): Unit = {
     val (nz, ny, nx) = (data.length, data(0).length, data(0)(0).length)
@@ -75,9 +78,21 @@ object SyntheticCzi {
           slicePixels(2 * (y * nx + x) + 1) = ((v >>> 8) & 0xFF).toByte
         }
       }
-      val compression = if (z % 2 == 0) CziFormat.CompressionNone else CziFormat.CompressionZstd0
-      val payload = if (compression == CziFormat.CompressionNone) slicePixels
-        else Zstd.compress(slicePixels, 3)
+      val compression = z % 4 match {
+        case 0 => CziFormat.CompressionNone
+        case 1 => CziFormat.CompressionZstd0
+        case _ => CziFormat.CompressionZstd1
+      }
+      val hiLo = compression == CziFormat.CompressionZstd1 && z % 4 == 3 && isz == 2
+      val payload = compression match {
+        case CziFormat.CompressionNone => slicePixels
+        case CziFormat.CompressionZstd0 => Zstd.compress(slicePixels, 3)
+        case _ =>
+          val body = if (hiLo) Zstd.compress(graft.core.Blosc.shuffle(slicePixels, 2), 3)
+                     else Zstd.compress(slicePixels, 3)
+          val hdr: Array[Byte] = if (hiLo) Array(3, 1, 1) else Array(1)
+          hdr ++ body
+      }
       val dims = Seq(("X", 0, nx), ("Y", 0, ny), ("Z", z, 1), ("C", 0, 1))
       val entry = entryBytes(pixelType, pos, compression, dims)
       val headerSpace = math.max(256, 16 + entry.length)

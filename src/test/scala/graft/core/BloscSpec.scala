@@ -58,6 +58,22 @@ class BloscSpec extends AnyFunSuite {
     }
   }
 
+  test("header rejects bit-shuffle and foreign-compressor frames") {
+    val frame = Blosc.compress(PixelCodec.toBytes(Array.tabulate(256)(i => i)), 2, 3)
+    // flip in the bit-shuffle flag (0x04): produced by other blosc writers,
+    // would decode silently wrong if accepted
+    val bitShuffled = frame.clone()
+    bitShuffled(2) = (bitShuffled(2) | 0x04).toByte
+    intercept[UnsupportedOperationException](Blosc.decompress(bitShuffled))
+    // lz4 compressor id (1) instead of zstd (4)
+    val lz4 = frame.clone()
+    lz4(2) = ((lz4(2) & 0x1F) | (1 << 5)).toByte
+    intercept[UnsupportedOperationException](Blosc.decompress(lz4))
+    // memcpy frames decode regardless of compressor id
+    val mem = Blosc.compress(Array.fill[Byte](64)(new scala.util.Random(7).nextInt().toByte))
+    assert(Blosc.decompress(mem).length == 64)
+  }
+
   test("uint16 pixel codec roundtrip with unsigned values") {
     val px = Array(0, 1, 32767, 32768, 65535, 65534)
     assert(PixelCodec.toInts(PixelCodec.toBytes(px)).sameElements(px))

@@ -47,6 +47,45 @@ class ZarrDataSourceSpec extends AnyFunSuite {
     assert(n == 9)
   }
 
+  test("mode('overwrite') truncates stale chunks but keeps store metadata") {
+    val dir = Files.createTempDirectory("zarr-dsv2-trunc").toString
+    val vol = Volume("tr", 0, Array(1L, 1L, 16L, 16L, 16L), Array(1, 1, 8, 8, 8))
+    ZarrIO.writeMetadata(dir, vol, nLevels = 1)
+    val full = SyntheticStack.generate(spark, vol).toDF()
+    full.write.format(fmt).option("path", dir).mode("append").save()
+    assert(spark.read.format("zarr").option("path", dir).option("stack", "tr")
+      .load().count() == 8)
+
+    // overwrite with only one chunk: the other 7 files must be gone
+    // (read back as fill-value zeros), and .zarray must survive
+    full.filter(col("z") === 0 && col("y") === 0 && col("x") === 0)
+      .write.format(fmt).option("path", dir).mode("overwrite").save()
+    assert(new java.io.File(s"$dir/tr/0/.zarray").exists())
+    val back = spark.read.format("zarr").option("path", dir).option("stack", "tr")
+      .load().collect()
+    assert(back.length == 8) // grid is arithmetic, missing chunks are zeros
+    val nonZero = back.filter(_.getAs[Array[Byte]]("data").exists(_ != 0))
+    assert(nonZero.map(r => (r.getAs[Int]("z"), r.getAs[Int]("y"), r.getAs[Int]("x"))).toSeq
+      == Seq((0, 0, 0)))
+  }
+
+  test("write path honors .zarray compressor=null (raw chunks on disk)") {
+    val dir = Files.createTempDirectory("zarr-dsv2-raw").toString
+    val vol = Volume("raw", 0, Array(1L, 1L, 8L, 8L, 8L), Array(1, 1, 8, 8, 8))
+    ZarrIO.writeMetadata(dir, vol, nLevels = 1, compressed = false)
+    SyntheticStack.generate(spark, vol).toDF()
+      .write.format(fmt).option("path", dir).mode("append").save()
+    // the store said compressor=null, so the chunk file must be raw pixels
+    val f = new java.io.File(s"$dir/raw/0/0/0/0/0/0")
+    assert(f.length() == 8 * 8 * 8 * 2)
+    // and a metadata-honoring reader decodes it correctly
+    val back = spark.read.format("zarr").option("path", dir).option("stack", "raw")
+      .load().collect()
+    assert(back.length == 1)
+    val px = graft.core.PixelCodec.toInts(back(0).getAs[Array[Byte]]("data"))
+    assert(px(0) == SyntheticStack.value(0, 0, 0))
+  }
+
   test("missing chunk files read as fill-value zeros") {
     val dir = Files.createTempDirectory("zarr-dsv2-fill").toString
     val vol = Volume("s", 0, Array(1L, 1L, 8L, 8L, 8L), Array(1, 1, 8, 8, 8))

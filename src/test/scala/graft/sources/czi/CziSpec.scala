@@ -27,7 +27,27 @@ class CziSpec extends AnyFunSuite {
     assert(idx.pixelType == CziFormat.PixelGray16)
     assert(idx.entries.size == 12)
     assert(idx.entries.map(_.compression).toSet ==
-      Set(CziFormat.CompressionNone, CziFormat.CompressionZstd0))
+      Set(CziFormat.CompressionNone, CziFormat.CompressionZstd0,
+        CziFormat.CompressionZstd1))
+  }
+
+  test("zstd1 decode: plain header and hi-lo byte-packed payloads") {
+    val e = CziFormat.SubBlockEntry(0L, CziFormat.PixelGray16, CziFormat.CompressionZstd1,
+      Map("X" -> CziFormat.DimEntry("X", 0, 4, 4), "Y" -> CziFormat.DimEntry("Y", 0, 2, 2)))
+    val pixels: Array[Byte] =
+      Array(0x01, 0x10, 0x02, 0x20, 0x03, 0x30, 0x04, 0x40,
+            0x05, 0x50, 0x06, 0x60, 0x07, 0x70, 0x08, 0x80.toByte).map(_.toByte)
+    // plain: 1-byte header, stream is the interleaved pixels
+    val plain = Array[Byte](1) ++ com.github.luben.zstd.Zstd.compress(pixels, 3)
+    assert(CziReader.decode(plain, e).sameElements(pixels))
+    // hi-lo packed: 3-byte header with bit 0 of byte 2 set; stream is
+    // low-byte plane then high-byte plane
+    val packed = graft.core.Blosc.shuffle(pixels, 2)
+    val hiLo = Array[Byte](3, 1, 1) ++ com.github.luben.zstd.Zstd.compress(packed, 3)
+    assert(CziReader.decode(hiLo, e).sameElements(pixels))
+    // hi-lo flag not set in a 3-byte header -> no unpack
+    val noFlag = Array[Byte](3, 1, 0) ++ com.github.luben.zstd.Zstd.compress(pixels, 3)
+    assert(CziReader.decode(noFlag, e).sameElements(pixels))
   }
 
   test("distributed scan produces voxel-exact chunks incl. clamped edges") {
