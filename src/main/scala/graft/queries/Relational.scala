@@ -60,13 +60,18 @@ object Relational {
         .orderBy(col("r_name"), col("n_name"))
     }),
 
-    // --- 3-way join + agg + top-k with deterministic tiebreak ---
+    // --- 3-way join + agg + top-k with deterministic tiebreak.
+    //     customer/orders only FILTER lineitem here (one customer per
+    //     order, so no fanout): reduce them to a keys relation and
+    //     broadcast it — lineitem, the 100-TB side, never shuffles for
+    //     the join, only for the final partial-agg by orderkey, and the
+    //     top-k is a TakeOrdered, never a full sort. ---
     "q3_join_topk" -> ((s, dir) => {
       val c = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
       val o = t(s, dir, "orders")
       val l = t(s, dir, "lineitem")
-      c.join(o, c("c_custkey") === o("o_custkey"))
-        .join(l, o("o_orderkey") === l("l_orderkey"))
+      val keys = c.join(o, c("c_custkey") === o("o_custkey")).select(o("o_orderkey"))
+      l.join(broadcast(keys), l("l_orderkey") === keys("o_orderkey"))
         .groupBy(col("o_orderkey"))
         .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("revenue"))
         .orderBy(col("revenue").desc, col("o_orderkey"))
