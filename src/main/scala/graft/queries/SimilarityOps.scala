@@ -36,17 +36,25 @@ object SimilarityOps {
   private def dot(a: String, b: String): Column =
     graft.functions.vector_dot(col(a), col(b))
 
+  /** sqrt(dot(v, v)) — bit-identical to computing it inside the pair
+    * expression (it depends on one row only), so hoisting it to a
+    * per-row column removes two of the three dot products from every
+    * O(n^2) / O(n*k) pair without perturbing round-6 values. */
+  private def withNorm(df: DataFrame): DataFrame =
+    df.withColumn("nrm", sqrt(graft.functions.vector_dot(col("embedding"), col("embedding"))))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // --- exact cosine top-3 neighbors for 5 query vectors ---
     "v1_cosine_topk" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
-      val e = emb(s, dir).select(col("vec_id").as("eid"), col("embedding").as("ee"))
-      val q = emb(s, dir).filter(col("vec_id") < 5)
-        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      val e = withNorm(emb(s, dir))
+        .select(col("vec_id").as("eid"), col("embedding").as("ee"), col("nrm").as("en"))
+      val q = withNorm(emb(s, dir).filter(col("vec_id") < 5))
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("nrm").as("qn"))
       val scored = broadcast(q).join(e, col("qid") =!= col("eid"))
         .select(col("qid"), col("eid"),
-          (dot("qe", "ee") / (sqrt(dot("qe", "qe")) * sqrt(dot("ee", "ee")))).as("cos_raw"))
+          (dot("qe", "ee") / (col("qn") * col("en"))).as("cos_raw"))
       val w = Window.partitionBy(col("qid")).orderBy(round(col("cos_raw"), 6).desc, col("eid"))
       scored.withColumn("rk", row_number().over(w))
         .filter(col("rk") <= 3)
@@ -65,11 +73,13 @@ object SimilarityOps {
         .groupBy(col("label"))
         .agg(expr("transform(array_sort(collect_list(struct(pos, cv))), x -> x.cv)").as("centroid"))
         .select(col("label").as("cell"), col("centroid"))
-      // assign every vector to its nearest cell by cosine (broadcast join)
-      val scored = e.join(broadcast(cent))
+      // assign every vector to its nearest cell by cosine (broadcast join);
+      // both norms hoisted out of the n x cells pair expression
+      val scored = withNorm(e).join(
+          broadcast(cent.withColumn("cn",
+            sqrt(graft.functions.vector_dot(col("centroid"), col("centroid"))))))
         .select(col("vec_id"), col("label"), col("cell"),
-          (dot("embedding", "centroid") /
-            (sqrt(dot("embedding", "embedding")) * sqrt(dot("centroid", "centroid")))).as("cos_raw"))
+          (dot("embedding", "centroid") / (col("nrm") * col("cn"))).as("cos_raw"))
       val w = Window.partitionBy(col("vec_id")).orderBy(round(col("cos_raw"), 6).desc, col("cell"))
       scored.withColumn("rk", row_number().over(w))
         .filter(col("rk") === 1)
@@ -83,12 +93,16 @@ object SimilarityOps {
     //     set would come from v2's cells or random-hyperplane LSH, with
     //     this exact scoring as the confirmation pass) ---
     "v4_embedding_neardup" -> ((s, dir) => {
-      val e = emb(s, dir).select(col("vec_id"), col("embedding"))
-      val pairs = e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+      val e = withNorm(emb(s, dir).select(col("vec_id"), col("embedding")))
+      // the corpus parquet is one file -> one scan partition; the O(n^2)
+      // scoring loop needs the STREAM side spread over every core (the
+      // broadcast side stays whole). At 100 TB the stream side is already
+      // many partitions and this repartition drops out.
+      val a = e.repartition(s.sparkContext.defaultParallelism)
+      val pairs = a.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
         .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"),
           (graft.functions.vector_dot(col("a.embedding"), col("b.embedding")) /
-            (sqrt(graft.functions.vector_dot(col("a.embedding"), col("a.embedding"))) *
-             sqrt(graft.functions.vector_dot(col("b.embedding"), col("b.embedding"))))).as("cos_raw"))
+            (col("a.nrm") * col("b.nrm"))).as("cos_raw"))
       pairs.filter(round(col("cos_raw"), 6) >= 0.45)
         .select(col("id1"), col("id2"), round(col("cos_raw"), 6).as("cos"))
         .orderBy(col("id1"), col("id2"))
@@ -110,22 +124,24 @@ object SimilarityOps {
         .select(col("label").as("cell"), col("centroid"))
       // assignment of every vector (and thereby of the queries)
       val wA = Window.partitionBy(col("vec_id")).orderBy(round(col("cos_raw"), 6).desc, col("cell"))
-      val assigned = e.join(broadcast(cent))
-        .select(col("vec_id"), col("embedding"), col("cell"),
-          (dot("embedding", "centroid") /
-            (sqrt(dot("embedding", "embedding")) * sqrt(dot("centroid", "centroid")))).as("cos_raw"))
+      val assigned = withNorm(e).join(
+          broadcast(cent.withColumn("cn",
+            sqrt(graft.functions.vector_dot(col("centroid"), col("centroid"))))))
+        .select(col("vec_id"), col("embedding"), col("nrm"), col("cell"),
+          (dot("embedding", "centroid") / (col("nrm") * col("cn"))).as("cos_raw"))
         .withColumn("rk", row_number().over(wA))
         .filter(col("rk") === 1)
-        .select(col("vec_id"), col("embedding"), col("cell"))
+        .select(col("vec_id"), col("embedding"), col("nrm"), col("cell"))
       val queries = assigned.filter(col("vec_id") < 5)
-        .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("cell"))
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("nrm").as("qn"), col("cell"))
       // probe: score only the query's own cell
-      val corpus = assigned.select(col("vec_id").as("eid"), col("embedding").as("ee"), col("cell"))
+      val corpus = assigned.select(
+        col("vec_id").as("eid"), col("embedding").as("ee"), col("nrm").as("en"), col("cell"))
       val wQ = Window.partitionBy(col("qid")).orderBy(round(col("cos_raw"), 6).desc, col("eid"))
       broadcast(queries).join(corpus, Seq("cell"))
         .filter(col("qid") =!= col("eid"))
         .select(col("qid"), col("eid"),
-          (dot("qe", "ee") / (sqrt(dot("qe", "qe")) * sqrt(dot("ee", "ee")))).as("cos_raw"))
+          (dot("qe", "ee") / (col("qn") * col("en"))).as("cos_raw"))
         .withColumn("rk", row_number().over(wQ))
         .filter(col("rk") <= 3)
         .select(col("qid"), col("eid"), round(col("cos_raw"), 6).as("cos"), col("rk"))
