@@ -84,23 +84,107 @@ class ZarrTable(props: Map[String, String]) extends Table with SupportsRead with
 
 final case class ZarrInputPartition(firstChunk: Long, lastChunk: Long) extends InputPartition
 
-class ZarrScanBuilder(root: String, stack: String, level: Int) extends ScanBuilder {
-  override def build(): Scan = new ZarrScan(root, stack, level)
+/** Pushes chunk-coordinate predicates into the grid arithmetic and prunes
+  * unread columns.
+  *
+  * At 100 TB a store has ~10^8 chunk files; a query over one z-slab must
+  * plan only that slab's chunks, not enumerate-then-filter the full grid.
+  * Because chunk placement is pure arithmetic, an accepted coordinate
+  * range shrinks `planInputPartitions` itself — the pruning happens before
+  * any task launches, the Zarr analogue of parquet partition pruning.
+  * Column pruning matters just as much: a scan that doesn't need `data`
+  * (counts, coordinate joins, grid audits) never opens a chunk file.
+  */
+class ZarrScanBuilder(root: String, stack: String, level: Int)
+    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+  import org.apache.spark.sql.sources._
+
+  private val axes = Seq("t", "c", "z", "y", "x")
+  // per-axis inclusive coordinate bounds, refined by each accepted filter
+  private val lo = Array.fill(5)(0L)
+  private val hi = Array.fill(5)(Long.MaxValue)
+  private var pushed = Array.empty[Filter]
+  private var required: StructType = ZarrDataSource.chunkSchema
+
+  private def refine(ax: Int, l: Long, h: Long): Unit = {
+    lo(ax) = math.max(lo(ax), l)
+    hi(ax) = math.min(hi(ax), h)
+  }
+
+  private def asLong(v: Any): Option[Long] = v match {
+    case i: Int => Some(i.toLong)
+    case l: Long => Some(l)
+    case s: Short => Some(s.toLong)
+    case b: Byte => Some(b.toLong)
+    case _ => None
+  }
+
+  /** Exactly-representable coordinate ranges are fully absorbed (no
+    * residual re-evaluation); anything else stays with Spark. */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val residual = filters.filterNot { f =>
+      val accepted = f match {
+        case EqualTo(a, v) if axes.contains(a) =>
+          asLong(v).exists { x => refine(axes.indexOf(a), x, x); true }
+        case GreaterThan(a, v) if axes.contains(a) =>
+          asLong(v).exists { x => refine(axes.indexOf(a), x + 1, Long.MaxValue); true }
+        case GreaterThanOrEqual(a, v) if axes.contains(a) =>
+          asLong(v).exists { x => refine(axes.indexOf(a), x, Long.MaxValue); true }
+        case LessThan(a, v) if axes.contains(a) =>
+          asLong(v).exists { x => refine(axes.indexOf(a), Long.MinValue, x - 1); true }
+        case LessThanOrEqual(a, v) if axes.contains(a) =>
+          asLong(v).exists { x => refine(axes.indexOf(a), Long.MinValue, x); true }
+        case In(a, vs) if axes.contains(a) && vs.nonEmpty && vs.forall(asLong(_).isDefined) =>
+          // prune to the value envelope but keep the filter residual —
+          // the sub-grid is a superset of an In's point set
+          val xs = vs.map(asLong(_).get)
+          refine(axes.indexOf(a), xs.min, xs.max)
+          false
+        case _ => false
+      }
+      if (accepted) pushed :+= f
+      accepted
+    }
+    residual
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit = {
+    // preserve source column order; an empty projection (count(*)) keeps
+    // nothing and the reader emits empty rows
+    val keep = requiredSchema.fieldNames.toSet
+    required = StructType(ZarrDataSource.chunkSchema.filter(f => keep.contains(f.name)))
+  }
+
+  override def build(): Scan = new ZarrScan(root, stack, level, lo, hi, required)
 }
 
-class ZarrScan(root: String, stack: String, level: Int) extends Scan with Batch {
+class ZarrScan(root: String, stack: String, level: Int,
+               lo: Array[Long], hi: Array[Long], required: StructType) extends Scan with Batch {
   // driver-side: only the tiny .zarray descriptor is read; the chunk grid
   // stays arithmetic
   private lazy val meta = ZarrIO.readZarray(root, stack, level)
   private lazy val (shape, chunk, compressed) = (meta.shape, meta.chunk, meta.compressed)
   private lazy val grid = ChunkGrid.gridShape(shape, chunk)
+  // the scanned sub-grid: pushed bounds clamped to the real grid
+  private lazy val base = Array.tabulate(5)(d => math.max(0L, lo(d)))
+  private lazy val ext = Array.tabulate(5)(d =>
+    math.max(0L, math.min(grid(d) - 1, hi(d)) - base(d) + 1))
 
-  override def readSchema(): StructType = ZarrDataSource.chunkSchema
+  override def readSchema(): StructType = required
   override def toBatch: Batch = this
-  override def description(): String = s"ZarrScan($root/$stack/$level)"
+  override def description(): String = {
+    val bounds = (0 until 5).collect {
+      case d if lo(d) > 0L || hi(d) != Long.MaxValue =>
+        s"${Seq("t", "c", "z", "y", "x")(d)}=[${lo(d)}..${if (hi(d) == Long.MaxValue) "*" else hi(d)}]"
+    }
+    s"ZarrScan($root/$stack/$level${if (bounds.isEmpty) "" else bounds.mkString(" ", ",", "")} cols=${required.fieldNames.mkString(",")})"
+  }
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val total = grid.product
+    val total = ext.product
+    if (total == 0L) return Array.empty
     val targetPartitions = math.min(total, 256L)
     val per = ChunkGrid.ceilDiv(total, targetPartitions)
     (0L until total by per)
@@ -110,36 +194,43 @@ class ZarrScan(root: String, stack: String, level: Int) extends Scan with Batch 
 
   override def createReaderFactory(): PartitionReaderFactory =
     ZarrReaderFactory(root, stack, level, shape, chunk, compressed,
-      meta.dtype.itemSize, grid)
+      meta.dtype.itemSize, base, ext, required.fieldNames)
 }
 
 final case class ZarrReaderFactory(root: String, stack: String, level: Int,
                                    shape: Array[Long], chunk: Array[Int],
-                                   compressed: Boolean, itemSize: Int, grid: Array[Long])
+                                   compressed: Boolean, itemSize: Int,
+                                   base: Array[Long], ext: Array[Long],
+                                   cols: Array[String])
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[ZarrInputPartition]
     new ZarrPartitionReader(root, stack, level, shape, chunk, compressed, itemSize,
-      grid, p.firstChunk, p.lastChunk)
+      base, ext, cols, p.firstChunk, p.lastChunk)
   }
 }
 
 class ZarrPartitionReader(root: String, stack: String, level: Int,
                           shape: Array[Long], chunk: Array[Int], compressed: Boolean,
-                          itemSize: Int, grid: Array[Long], first: Long, last: Long)
+                          itemSize: Int, base: Array[Long], ext: Array[Long],
+                          cols: Array[String], first: Long, last: Long)
     extends PartitionReader[InternalRow] {
 
-  private val fs = new Path(root).getFileSystem(new Configuration())
+  private lazy val fs = new Path(root).getFileSystem(new Configuration())
+  private val needData = cols.contains("data")
   private var cur = first - 1
   private var row: InternalRow = _
 
   override def next(): Boolean = {
     cur += 1
     if (cur > last) return false
-    val coords = ChunkGrid.chunkCoords(cur, grid)
+    // linear index within the pruned sub-grid -> absolute chunk coords
+    val sub = ChunkGrid.chunkCoords(cur, ext)
+    val coords = Array.tabulate(5)(d => base(d) + sub(d))
     val cs = ChunkGrid.clampedChunkShape(coords, shape, chunk)
-    val p = new Path(s"$root/$stack/$level/${coords.mkString("/")}")
-    val raw =
+    // a data-free projection never touches the filesystem
+    lazy val raw = {
+      val p = new Path(s"$root/$stack/$level/${coords.mkString("/")}")
       if (!fs.exists(p)) new Array[Byte](cs.product * itemSize) // fill_value=0 chunk
       else {
         val in = fs.open(p)
@@ -151,11 +242,19 @@ class ZarrPartitionReader(root: String, stack: String, level: Int,
         } finally in.close()
         if (compressed) Blosc.decompress(buf) else buf
       }
-    row = InternalRow(
-      UTF8String.fromString(stack), level,
-      coords(0).toInt, coords(1).toInt, coords(2).toInt, coords(3).toInt, coords(4).toInt,
-      org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(cs),
-      raw)
+    }
+    val values: Array[Any] = cols.map {
+      case "stack" => UTF8String.fromString(stack)
+      case "level" => level
+      case "t" => coords(0).toInt
+      case "c" => coords(1).toInt
+      case "z" => coords(2).toInt
+      case "y" => coords(3).toInt
+      case "x" => coords(4).toInt
+      case "shape" => org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(cs)
+      case "data" => raw
+    }
+    row = InternalRow.fromSeq(values.toIndexedSeq)
     true
   }
 

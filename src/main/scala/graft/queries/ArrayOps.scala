@@ -100,6 +100,25 @@ object ArrayOps {
         .orderBy(col("cz"), col("cy"), col("cx"))
     }),
 
+    // --- coordinate pushdown + column pruning through the DSv2 scan:
+    //     the z/y predicates are absorbed into the chunk-grid partition
+    //     planning (only the matching sub-grid is enumerated) and the
+    //     projection drops `data`, so no chunk file is ever opened —
+    //     the Zarr analogue of parquet partition pruning + ReadSchema ---
+    "z5_dsv2_pushdown" -> ((s, _) => {
+      val dir = Files.createTempDirectory("graft-zarr-push-q").toString
+      val vol = Volume("pq", 0, Array(1L, 1L, 40L, 40L, 40L), Array(1, 1, 16, 16, 16))
+      ZarrIO.writeMetadata(dir, vol, nLevels = 1)
+      SyntheticStack.generate(s, vol).toDF()
+        .write.format("zarr").option("path", dir).mode("append").save()
+      s.read.format("zarr")
+        .option("path", dir).option("stack", "pq").load()
+        .filter(col("z") === 1 && col("y") >= 1 && col("x") < 2)
+        .select(col("z").as("cz"), col("y").as("cy"), col("x").as("cx"),
+          expr("CAST(shape[2] * shape[3] * shape[4] AS BIGINT)").as("n_voxels"))
+        .orderBy(col("cz"), col("cy"), col("cx"))
+    }),
+
     // --- the CZI (ZISRAW) parser under the gate: write a synthetic CZI
     //     (mixed raw + zstd0 subblocks), scan it distributed, aggregate
     //     per-chunk sums that the oracle recomputes from arithmetic ---
@@ -169,6 +188,18 @@ object ArrayOps {
         |SELECT z // 16 AS cz, y // 16 AS cy, x // 16 AS cx,
         |       CAST(sum(v) AS BIGINT) AS sum_v, count(*) AS n_voxels
         |FROM l0 GROUP BY 1, 2, 3
+        |ORDER BY cz, cy, cx""".stripMargin,
+
+    "z5_dsv2_pushdown" ->
+      """WITH g AS (
+        |  SELECT a.range AS cz, b.range AS cy, c.range AS cx
+        |  FROM range(3) a, range(3) b, range(3) c
+        |)
+        |SELECT cz, cy, cx,
+        |       CAST((CASE WHEN cz = 2 THEN 8 ELSE 16 END)
+        |          * (CASE WHEN cy = 2 THEN 8 ELSE 16 END)
+        |          * (CASE WHEN cx = 2 THEN 8 ELSE 16 END) AS BIGINT) AS n_voxels
+        |FROM g WHERE cz = 1 AND cy >= 1 AND cx < 2
         |ORDER BY cz, cy, cx""".stripMargin,
 
     "z4_czi_scan" ->

@@ -86,6 +86,51 @@ class ZarrDataSourceSpec extends AnyFunSuite {
     assert(px(0) == SyntheticStack.value(0, 0, 0))
   }
 
+  test("coordinate filters prune the planned sub-grid, not just rows") {
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    val dir = Files.createTempDirectory("zarr-dsv2-push").toString
+    val vol = Volume("pd", 0, Array(1L, 1L, 40L, 40L, 40L), Array(1, 1, 8, 8, 8))
+    ZarrIO.writeMetadata(dir, vol, nLevels = 1)
+    SyntheticStack.generate(spark, vol).toDF()
+      .write.format(fmt).option("path", dir).mode("append").save()
+
+    val filtered = spark.read.format("zarr")
+      .option("path", dir).option("stack", "pd").load()
+      .filter(col("z") === 2 && col("y") >= 3 && col("x") < 2)
+    // values are exact (grid enumeration enforces the range)
+    val got = filtered.select(col("z"), col("y"), col("x")).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2))).sorted.toSeq
+    assert(got == (for (y <- 3 to 4; x <- 0 to 1) yield (2, y, x)).sorted.toSeq)
+
+    // and the scan itself planned only the 1x2x2 sub-grid
+    val scans = filtered.queryExecution.executedPlan.collect { case b: BatchScanExec => b }
+    assert(scans.nonEmpty)
+    assert(scans.head.inputPartitions.size <= 4, scans.head.inputPartitions.size)
+    assert(scans.head.scan.description().contains("z=[2..2]"), scans.head.scan.description())
+  }
+
+  test("a data-free projection never opens chunk files") {
+    val dir = Files.createTempDirectory("zarr-dsv2-prune").toString
+    val vol = Volume("pr", 0, Array(1L, 1L, 16L, 16L, 16L), Array(1, 1, 8, 8, 8))
+    ZarrIO.writeMetadata(dir, vol, nLevels = 1)
+    SyntheticStack.generate(spark, vol).toDF()
+      .write.format(fmt).option("path", dir).mode("append").save()
+    // poison every chunk file: any read attempt would fail Blosc validation
+    for (f <- new java.io.File(s"$dir/pr/0").listFiles if !f.getName.startsWith(".")) {
+      def poison(file: java.io.File): Unit =
+        if (file.isDirectory) file.listFiles.foreach(poison)
+        else java.nio.file.Files.write(file.toPath, Array[Byte](1, 2, 3))
+      poison(f)
+    }
+    val coordsOnly = spark.read.format("zarr")
+      .option("path", dir).option("stack", "pr").load()
+      .select(col("z"), col("y"), col("x"), col("shape"))
+    assert(coordsOnly.count() == 8) // would throw if data were decoded
+    val withData = spark.read.format("zarr")
+      .option("path", dir).option("stack", "pr").load()
+    intercept[org.apache.spark.SparkException](withData.collect())
+  }
+
   test("missing chunk files read as fill-value zeros") {
     val dir = Files.createTempDirectory("zarr-dsv2-fill").toString
     val vol = Volume("s", 0, Array(1L, 1L, 8L, 8L, 8L), Array(1, 1, 8, 8, 8))
