@@ -43,6 +43,15 @@ object SimilarityOps {
   private def withNorm(df: DataFrame): DataFrame =
     df.withColumn("nrm", sqrt(graft.functions.vector_dot(col("embedding"), col("embedding"))))
 
+  /** 16 random hyperplanes for sign-bit LSH (Charikar '02). Components
+    * are md5-derived so the oracle recomputes the identical planes:
+    * w(b,i) = int(md5("b_i")[0:8], 16) / 2^31 - 1  in [-1, 1). */
+  private lazy val planes: Array[Array[Double]] = Array.tabulate(16, 64) { (b, i) =>
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"${b}_${i}".getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex, 16) / 2147483648.0 - 1.0
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // --- exact cosine top-3 neighbors for 5 query vectors ---
@@ -104,6 +113,43 @@ object SimilarityOps {
           (graft.functions.vector_dot(col("a.embedding"), col("b.embedding")) /
             (col("a.nrm") * col("b.nrm"))).as("cos_raw"))
       pairs.filter(round(col("cos_raw"), 6) >= 0.45)
+        .select(col("id1"), col("id2"), round(col("cos_raw"), 6).as("cos"))
+        .orderBy(col("id1"), col("id2"))
+    }),
+
+    // --- random-hyperplane (sign-bit) LSH near-dup: 16 plane bits,
+    //     4 bands x 4 bits, bucket-join candidates, exact-cosine
+    //     confirmation on survivors only. The scale path v4 documents:
+    //     candidate generation is a self-equi-join on (band, bucket) —
+    //     one shuffle on a high-cardinality key, never O(n^2); the
+    //     quadratic exact scorer runs only inside buckets. ---
+    "v5_rhp_lsh" -> ((s, dir) => {
+      val e = withNorm(emb(s, dir).select(col("vec_id"), col("embedding"))).cache()
+      // 16 sign bits -> one 16-bit signature per vector, row-local
+      val sig = e.select(col("vec_id"),
+        (0 until 16).map { b =>
+          when(round(graft.functions.vector_dot(col("embedding"), typedLit(planes(b).toSeq)), 6) >= 0,
+            lit(1L << b)).otherwise(lit(0L))
+        }.reduce(_ + _).as("sig"))
+      // band keys: 4 bands of 4 bits — a narrow explode (4 rows/vector)
+      val bands = sig
+        .select(col("vec_id"), explode(expr("sequence(0, 3)")).as("band"), col("sig"))
+        .select(col("vec_id"), col("band"), expr("shiftright(sig, band * 4) & 15").as("bkey"))
+      // same-bucket ordered pairs, dedup'd across bands
+      val cand = bands.groupBy(col("band"), col("bkey"))
+        .agg(sort_array(collect_list(col("vec_id"))).as("ids"))
+        .filter(size(col("ids")) > 1)
+        .select(explode(expr(
+          "flatten(transform(ids, a -> transform(filter(ids, b -> b > a), b -> struct(a AS id1, b AS id2))))"))
+          .as("p"))
+        .select(col("p.id1").as("id1"), col("p.id2").as("id2"))
+        .distinct()
+      val conf = cand
+        .join(e.select(col("vec_id").as("id1"), col("embedding").as("e1"), col("nrm").as("n1")), Seq("id1"))
+        .join(e.select(col("vec_id").as("id2"), col("embedding").as("e2"), col("nrm").as("n2")), Seq("id2"))
+        .select(col("id1"), col("id2"),
+          (graft.functions.vector_dot(col("e1"), col("e2")) / (col("n1") * col("n2"))).as("cos_raw"))
+      conf.filter(round(col("cos_raw"), 6) >= 0.45)
         .select(col("id1"), col("id2"), round(col("cos_raw"), 6).as("cos"))
         .orderBy(col("id1"), col("id2"))
     }),
@@ -198,6 +244,35 @@ object SimilarityOps {
         |SELECT id1, id2, round(cos_raw, 6) AS cos
         |FROM pairs WHERE round(cos_raw, 6) >= 0.45
         |ORDER BY id1, id2""".stripMargin,
+
+    "v5_rhp_lsh" ->
+      """WITH planes AS (
+        |  SELECT b, i,
+        |    (('0x' || substr(md5(CAST(b AS VARCHAR) || '_' || CAST(i AS VARCHAR)), 1, 8))::BIGINT
+        |       / 2147483648.0) - 1.0 AS w
+        |  FROM (SELECT unnest(generate_series(0, 15)) AS b) pb,
+        |       (SELECT unnest(generate_series(0, 63)) AS i) pi),
+        |bits AS (
+        |  SELECT e.vec_id, p.b,
+        |    CASE WHEN round(sum(e.embedding[p.i + 1] * p.w), 6) >= 0 THEN 1 ELSE 0 END AS bit
+        |  FROM embeddings e, planes p
+        |  GROUP BY e.vec_id, p.b),
+        |bands AS (
+        |  SELECT vec_id, b // 4 AS band,
+        |    CAST(sum(bit * (1 << (b % 4))) AS BIGINT) AS bkey
+        |  FROM bits GROUP BY vec_id, b // 4),
+        |cand AS (
+        |  SELECT DISTINCT a.vec_id AS id1, c.vec_id AS id2
+        |  FROM bands a JOIN bands c ON a.band = c.band AND a.bkey = c.bkey AND a.vec_id < c.vec_id),
+        |conf AS (
+        |  SELECT id1, id2,
+        |    list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) /
+        |      (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[]))) *
+        |       sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])))) AS cos_raw
+        |  FROM cand JOIN embeddings a ON cand.id1 = a.vec_id
+        |            JOIN embeddings c ON cand.id2 = c.vec_id)
+        |SELECT id1, id2, round(cos_raw, 6) AS cos FROM conf
+        |WHERE round(cos_raw, 6) >= 0.45 ORDER BY id1, id2""".stripMargin,
 
     "v3_ivf_topk" ->
       """WITH dims AS (
