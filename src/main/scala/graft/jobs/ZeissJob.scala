@@ -94,6 +94,11 @@ object ZeissJob {
                    channelName: String = "ch0"): Volume = {
     val stackName = new Path(cziPath).getName.stripSuffix(".czi")
     val (vol, idx) = CziSource.volume(cziPath, stackName, settings.chunkSize)
+    // the reference assumes one channel per file (utils.py:355); we accept
+    // c>1 and emit one omero channel entry per channel
+    val chNames =
+      if (vol.shape(1) == 1L) Seq(channelName)
+      else (0 until vol.shape(1).toInt).map(i => s"ch$i")
     // slab scan materializes chunkDepth x Y x X per task — fine for typical
     // planes, not for stitched volumes; switch to the shuffle-assembled
     // scan when a slab would exceed ~1 GiB (reference X3 vs Spark-scale)
@@ -103,7 +108,7 @@ object ZeissJob {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     ZarrIO.writeMetadata(outRoot, vol, settings.downsampleLevels, voxelZyx,
-      settings.scaleFactor.toSeq, Seq(channelName), Some(Seq(0.0, 0.0, 0.0)),
+      settings.scaleFactor.toSeq, chNames, Some(Seq(0.0, 0.0, 0.0)),
       compressed = settings.compress, clevel = settings.compressorLevel)
     // superblock-sized write batching (reference X4, target_size_mb)
     ZarrIO.writeChunksBatched(level0, outRoot, vol, settings.targetSizeMb,

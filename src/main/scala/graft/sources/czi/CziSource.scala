@@ -34,18 +34,26 @@ object CziSource {
     (vol, idx)
   }
 
-  /** Scan the file into level-0 chunks. */
+  /** Scan the file into level-0 chunks.
+    *
+    * Generalizes the reference's 1-channel-per-file assumption
+    * (`utils.py:355`): multi-channel files scan as one task per
+    * (channel, z-slab) — channels are independent slabs, so c>1 adds
+    * parallelism, not buffer size. Each subblock must carry a single
+    * channel (C size 1, the ZISRAW norm); the slab task keeps only the
+    * subblocks of its own channel. */
   def scan(spark: SparkSession, path: String, vol: Volume, idx: CziIndex): Dataset[ZarrChunk] = {
     import spark.implicits._
     val chunk = vol.chunk
     val shape = vol.shape
     val zSlabs = ChunkGrid.ceilDiv(shape(2), chunk(2))
+    val nC = shape(1)
     val stack = vol.stack
     val origin = idx.origin
     val entries = idx.entries.toArray
     val isz = vol.dtype.itemSize
 
-    spark.range(zSlabs).mapPartitions { slabIt =>
+    spark.range(nC * zSlabs).mapPartitions { taskIt =>
       val conf = new Configuration()
       val p = new Path(path)
       val fs = p.getFileSystem(conf)
@@ -56,18 +64,21 @@ object CziSource {
       val gridY = ChunkGrid.ceilDiv(shape(3), chunk(3)).toInt
       val gridX = ChunkGrid.ceilDiv(shape(4), chunk(4)).toInt
 
-      slabIt.flatMap { slab =>
+      taskIt.flatMap { taskId =>
+        val cIdx = (taskId / zSlabs).toInt
+        val slab = taskId % zSlabs
         val z0 = (slab * chunk(2)).toInt
         val zN = math.min(chunk(2).toLong, shape(2) - z0).toInt
         // slab buffer: zN * Y * X uint16 (LE bytes), reference scatter
         // semantics: place each subblock at its start offsets
         val buf = new Array[Byte](zN * sy * sx * isz)
         entries.foreach { e =>
+          require(e.size("C") == 1, "subblocks spanning multiple channels unsupported")
           val ez0 = e.start("Z") - origin(2)
           val ezN = e.size("Z")
           val lo = math.max(ez0, z0)
           val hi = math.min(ez0 + ezN, z0 + zN)
-          if (lo < hi) {
+          if (lo < hi && e.start("C") - origin(1) == cIdx) {
             val data = CziReader.subblockData(in, e)
             val (ey0, ex0) = (e.start("Y") - origin(3), e.start("X") - origin(4))
             val (eyN, exN) = (e.size("Y"), e.size("X"))
@@ -104,7 +115,7 @@ object CziSource {
             }
             z += 1
           }
-          ZarrChunk(stack, 0, 0, 0, slab.toInt, ty, tx,
+          ZarrChunk(stack, 0, 0, cIdx, slab.toInt, ty, tx,
             Array(1, 1, zN, yN, xN), out)
         }
       }

@@ -53,7 +53,16 @@ object SyntheticCzi {
     * flags it in the 3-byte header). `pixelType` Gray16 (default) or Gray8
     * (values masked to a byte). */
   def write(path: String, data: Array[Array[Array[Int]]],
-            pixelType: Int = CziFormat.PixelGray16): Unit = {
+            pixelType: Int = CziFormat.PixelGray16): Unit =
+    writeChannels(path, Array(data), pixelType)
+
+  /** Multi-channel variant: `data(c)(z)(y)(x)`, one subblock per
+    * (channel, z-slice), each carrying a C dimension entry (start=c,
+    * size=1) — the ZISRAW norm the multi-channel scan relies on. */
+  def writeChannels(path: String, chans: Array[Array[Array[Array[Int]]]],
+                    pixelType: Int = CziFormat.PixelGray16): Unit = {
+    val nc = chans.length
+    val data = chans(0)
     val (nz, ny, nx) = (data.length, data(0).length, data(0)(0).length)
     val isz = CziFormat.bytesPerPixel(pixelType)
     val out = new DataOutputStream(new FileOutputStream(path))
@@ -68,10 +77,10 @@ object SyntheticCzi {
 
     // --- subblocks ---
     val entries = Seq.newBuilder[(Long, Int, Seq[(String, Int, Int)])]
-    for (z <- 0 until nz) {
+    for (c <- 0 until nc; z <- 0 until nz) {
       val slicePixels = new Array[Byte](ny * nx * isz)
       for (y <- 0 until ny; x <- 0 until nx) {
-        val v = data(z)(y)(x)
+        val v = chans(c)(z)(y)(x)
         if (isz == 1) slicePixels(y * nx + x) = (v & 0xFF).toByte
         else {
           slicePixels(2 * (y * nx + x)) = (v & 0xFF).toByte
@@ -93,7 +102,7 @@ object SyntheticCzi {
           val hdr: Array[Byte] = if (hiLo) Array(3, 1, 1) else Array(1)
           hdr ++ body
       }
-      val dims = Seq(("X", 0, nx), ("Y", 0, ny), ("Z", z, 1), ("C", 0, 1))
+      val dims = Seq(("X", 0, nx), ("Y", 0, ny), ("Z", z, 1), ("C", c, 1))
       val entry = entryBytes(pixelType, pos, compression, dims)
       val headerSpace = math.max(256, 16 + entry.length)
       val used = headerSpace + payload.length

@@ -88,6 +88,74 @@ class CziSpec extends AnyFunSuite {
     }
   }
 
+  test("multi-channel CZI: per-channel voxel-exact chunks, both scan variants") {
+    val dir = Files.createTempDirectory("czi-mc").toString
+    val path = s"$dir/mc.czi"
+    // channel c holds value(z,y,x) + 1000c — catches any cross-channel mixup
+    val chans = Array.tabulate(3, 10, 20, 20)((c, z, y, x) =>
+      (SyntheticStack.value(z, y, x) + 1000 * c) & 0xFFFF)
+    SyntheticCzi.writeChannels(path, chans)
+    val (vol, idx) = CziSource.volume(path, "mc", Array(8, 16, 16))
+    assert(vol.shape.toSeq == Seq(1, 3, 10, 20, 20))
+    assert(vol.numChunks == 3 * 2 * 2 * 2)
+
+    val slab = CziSource.scan(spark, path, vol, idx).collect()
+    assert(slab.length == 24)
+    assert(slab.map(_.c).distinct.sorted.toSeq == Seq(0, 1, 2))
+    slab.foreach { ck =>
+      val px = ck.pixels
+      val (sz, sy, sx) = (ck.shape(2), ck.shape(3), ck.shape(4))
+      for (z <- 0 until sz; y <- 0 until sy; x <- 0 until sx) {
+        val expect = (SyntheticStack.value(ck.z * 8 + z, ck.y * 16 + y, ck.x * 16 + x)
+          + 1000 * ck.c) & 0xFFFF
+        assert(px(z * sy * sx + y * sx + x) == expect,
+          s"chunk(c=${ck.c},${ck.z},${ck.y},${ck.x}) voxel($z,$y,$x)")
+      }
+    }
+
+    val byCoord = slab.map(c => ((c.c, c.z, c.y, c.x), c)).toMap
+    val shuffled = CziSourceShuffled.scan(spark, path, vol, idx).collect()
+    assert(shuffled.length == slab.length)
+    shuffled.foreach { ck =>
+      val ref = byCoord((ck.c, ck.z, ck.y, ck.x))
+      assert(ck.shape.toSeq == ref.shape.toSeq)
+      assert(ck.data.sameElements(ref.data), s"chunk c=${ck.c},${ck.z},${ck.y},${ck.x}")
+    }
+  }
+
+  test("multi-channel CZI end-to-end: per-channel pyramid, zarr, omero channels") {
+    val root = Files.createTempDirectory("czi-mc-e2e").toString
+    val chans = Array.tabulate(2, 16, 16, 16)((c, z, y, x) =>
+      (SyntheticStack.value(z, y, x) + 1000 * c) & 0xFFFF)
+    SyntheticCzi.writeChannels(s"$root/mc.czi", chans)
+    val settings = ZeissJob.Settings(
+      inputSource = root, outputDirectory = s"$root/out",
+      chunkSize = Array(8, 8, 8), downsampleLevels = 2)
+    val vol = ZeissJob.convertStack(spark, s"$root/mc.czi", s"$root/out",
+      settings, Seq(1.0, 1.0, 1.0))
+    assert(vol.shape.toSeq == Seq(1, 2, 16, 16, 16))
+
+    // two omero channel entries in the stack .zattrs
+    val attrs = Files.readString(java.nio.file.Paths.get(s"$root/out/mc/.zattrs"))
+    assert(attrs.contains("\"ch0\"") && attrs.contains("\"ch1\""), attrs)
+
+    // level 1: halved per channel, values = per-channel 2x2x2 means
+    val l1 = ZarrIO.readChunks(spark, s"$root/out", "mc", 1).collect()
+    assert(l1.map(_.c).distinct.sorted.toSeq == Seq(0, 1))
+    l1.foreach { ck =>
+      val px = ck.pixels
+      val (sz, sy, sx) = (ck.shape(2), ck.shape(3), ck.shape(4))
+      for (z <- 0 until sz; y <- 0 until sy; x <- 0 until sx) {
+        var sum = 0L
+        for (dz <- 0 until 2; dy <- 0 until 2; dx <- 0 until 2)
+          sum += (SyntheticStack.value((ck.z * 8 + z) * 2 + dz, (ck.y * 8 + y) * 2 + dy,
+            (ck.x * 8 + x) * 2 + dx) + 1000 * ck.c) & 0xFFFF
+        assert(px(z * sy * sx + y * sx + x) == (sum / 8).toInt,
+          s"c=${ck.c} chunk(${ck.z},${ck.y},${ck.x}) voxel($z,$y,$x)")
+      }
+    }
+  }
+
   test("end-to-end ZeissJob: SPIM discovery -> CZI -> multiscale zarr") {
     val root = Files.createTempDirectory("zeiss").toString
     val spim = new java.io.File(s"$root/in/SPIM"); spim.mkdirs()
