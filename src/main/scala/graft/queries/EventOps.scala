@@ -89,6 +89,20 @@ object EventOps {
           round(avg(col("k")), 4).as("avg_k"),
           min(col("k")).as("min_k"), max(col("k")).as("max_k"))
         .orderBy(col("event_type"))
+    }),
+
+    // --- hopping (sliding) event-time window: 10-minute windows every
+    //     5 minutes via the built-in window() generator (each event lands
+    //     in exactly 2 windows; the oracle recomputes the same starts
+    //     with floor arithmetic). Batch twin of the streaming form. ---
+    "e6_hopping_window" -> ((s, dir) => {
+      ev(s, dir)
+        .select(window(col("ts"), "10 minutes", "5 minutes").as("w"),
+          col("event_type"), col("value"))
+        .select(unix_timestamp(col("w.start")).as("wstart"), col("event_type"), col("value"))
+        .groupBy(col("wstart"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("total_value"))
+        .orderBy(col("wstart"), col("event_type"))
     })
   )
 
@@ -147,6 +161,12 @@ object EventOps {
         |  FROM events)
         |SELECT event_type, count(*) AS n, CAST(sum(k) AS BIGINT) AS sum_k,
         |  round(avg(k), 4) AS avg_k, min(k) AS min_k, max(k) AS max_k
-        |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin
+        |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "e6_hopping_window" ->
+      """SELECT CAST((CAST(floor(epoch(ts) / 300) AS BIGINT) - j) * 300 AS BIGINT) AS wstart,
+        |  event_type, count(*) AS n, round(sum(value), 4) AS total_value
+        |FROM events, LATERAL (SELECT unnest(generate_series(0, 1)) AS j) u
+        |GROUP BY 1, 2 ORDER BY wstart, event_type""".stripMargin
   )
 }

@@ -109,6 +109,32 @@ object Relational2 {
         .orderBy(col("o_orderpriority"))
     }),
 
+    // --- explicit GROUPING SETS (the general form cube/rollup special-
+    //     case): one Expand + one hash aggregate, no extra shuffle per set ---
+    "q4_grouping_sets" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql(
+        """SELECT o_orderpriority, o_orderstatus, count(*) AS n,
+          |  round(sum(o_totalprice), 2) AS total
+          |FROM orders
+          |GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus), (o_orderpriority), ())
+          |ORDER BY o_orderpriority ASC NULLS FIRST, o_orderstatus ASC NULLS FIRST""".stripMargin)
+    }),
+
+    // --- lag/lead/ntile window pack over each customer's order history ---
+    "w3_lag_lead" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      t(s, dir, "orders").filter(col("o_custkey") < 100)
+        .select(col("o_custkey"), col("o_orderkey"),
+          lag(col("o_orderkey"), 1).over(w).as("prev_key"),
+          lead(col("o_orderkey"), 1).over(w).as("next_key"),
+          round(col("o_totalprice") - lag(col("o_totalprice"), 1).over(w), 4).as("delta_prev"),
+          ntile(4).over(w).as("quartile"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    }),
+
     // --- approximate stats: rows-only check (no SQL oracle — sketches
     //     are engine-specific by design); exact twins ride along so the
     //     approximation error is visible in the output ---
@@ -134,6 +160,23 @@ object Relational2 {
         |FROM orders
         |GROUP BY CUBE (o_orderstatus, o_orderpriority)
         |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+
+    "q4_grouping_sets" ->
+      """SELECT o_orderpriority, o_orderstatus, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS total
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus), (o_orderpriority), ())
+        |ORDER BY o_orderpriority ASC NULLS FIRST, o_orderstatus ASC NULLS FIRST""".stripMargin,
+
+    "w3_lag_lead" ->
+      """SELECT o_custkey, o_orderkey,
+        |  lag(o_orderkey, 1) OVER w AS prev_key,
+        |  lead(o_orderkey, 1) OVER w AS next_key,
+        |  round(o_totalprice - lag(o_totalprice, 1) OVER w, 4) AS delta_prev,
+        |  ntile(4) OVER w AS quartile
+        |FROM orders WHERE o_custkey < 100
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
 
     "sub_exists" ->
       """SELECT c_custkey, c_acctbal

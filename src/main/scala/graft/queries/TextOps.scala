@@ -96,6 +96,69 @@ object TextOps {
         .select(col("doc_id"),
           substring(md5(regexp_replace(lower(col("text")), "\\s+", " ")), 1, 16).as("fp"))
         .orderBy(col("doc_id"))
+    }),
+
+    // --- BPE-ish pre-tokenization (GPT-2-style splitter: letter runs,
+    //     digit runs, single punctuation marks) — token-class stats per
+    //     source. regexp_extract_all + higher-order filters; tok_chars
+    //     exploits that the pattern covers every non-space char exactly
+    //     once, so sum(len(tok)) = len(text minus whitespace) without a
+    //     per-token aggregate. ---
+    "t5_bpe_tokens" -> ((s, dir) => {
+      val pat = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
+      docs(s, dir)
+        .select(col("source"),
+          regexp_extract_all(col("text"), lit(pat), lit(0)).as("tk"),
+          length(regexp_replace(col("text"), "\\s", "")).as("tok_chars"))
+        .select(col("source"), size(col("tk")).as("n_bpe"),
+          expr("size(filter(tk, x -> x rlike '^[0-9]+$'))").as("n_num"),
+          expr("size(filter(tk, x -> x rlike '^[a-zA-Z]+$'))").as("n_word"),
+          col("tok_chars"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_bpe")).cast("long").as("total_bpe"),
+          round(avg(col("n_bpe")), 4).as("avg_bpe"),
+          sum(col("n_num")).cast("long").as("total_num"),
+          (sum(col("n_bpe")) - sum(col("n_num")) - sum(col("n_word"))).cast("long").as("total_punct"),
+          round(sum(col("tok_chars")) / sum(col("n_bpe")), 4).as("avg_tok_len"))
+        .orderBy(col("source"))
+    }),
+
+    // --- the composite training-data pipeline: quality gate -> length
+    //     gate -> exact dedup (min doc_id survives per fingerprint) ->
+    //     per-(source, lang) corpus stats. Scale shape: the quality/
+    //     length gates are map-side (pushed before any exchange), dedup
+    //     is one shuffle keyed by the md5 fingerprint (uniform — content
+    //     hash), the final rollup a small hash aggregate. ---
+    "t6_corpus_filter" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val d = docs(s, dir)
+      val p = padded(d)
+      val nTok = size(split(trim(col("text")), "\\s+"))
+      val alpha = length(regexp_replace(lower(col("text")), "[^a-z]", ""))
+      val stops = wordCount(p, "the") + wordCount(p, "a") + wordCount(p, "of")
+      val quality = round(
+        least(col("n_chars") / 500.0, lit(1.0)) * 0.3 +
+        (alpha / col("n_chars")) * 0.4 +
+        least(stops * lit(5.0) / nTok, lit(1.0)) * 0.3, 4)
+      val scored = d.select(col("doc_id"), col("source"), col("lang"),
+          nTok.cast("long").as("n_tok"),
+          md5(regexp_replace(lower(col("text")), "\\s+", " ")).as("fp"),
+          quality.as("q"))
+        .filter(col("q") >= 0.55 && col("n_tok") >= 25)
+      scored
+        .withColumn("rk", row_number().over(Window.partitionBy(col("fp")).orderBy(col("doc_id"))))
+        .filter(col("rk") === 1)
+        .groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).cast("long").as("total_tokens"),
+          // q is 4-decimal; average in scaled-integer space (exact sum),
+          // and round via floor(x+0.5): a .5-boundary mean (e.g. 6647.5/1e4)
+          // rounds identically in both engines, unlike round() — Spark
+          // rounds the decimal string, DuckDB the raw binary
+          (floor(sum(round(col("q") * 10000).cast("long")) / count(lit(1)) + 0.5) / 10000.0)
+            .as("avg_quality"))
+        .orderBy(col("source"), col("lang"))
     })
   )
 
@@ -154,6 +217,52 @@ object TextOps {
     "t4_fingerprint" ->
       """SELECT doc_id,
         |  substr(md5(regexp_replace(lower(text), '\s+', ' ', 'g')), 1, 16) AS fp
-        |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin
+        |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin,
+
+    "t5_bpe_tokens" ->
+      """WITH t AS (
+        |  SELECT source,
+        |    regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]') AS tk,
+        |    length(regexp_replace(text, '\s', '', 'g')) AS tok_chars
+        |  FROM documents),
+        |u AS (
+        |  SELECT source, len(tk) AS n_bpe,
+        |    len(list_filter(tk, x -> regexp_full_match(x, '[0-9]+'))) AS n_num,
+        |    len(list_filter(tk, x -> regexp_full_match(x, '[a-zA-Z]+'))) AS n_word,
+        |    tok_chars
+        |  FROM t)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(n_bpe) AS BIGINT) AS total_bpe,
+        |  round(avg(n_bpe), 4) AS avg_bpe,
+        |  CAST(sum(n_num) AS BIGINT) AS total_num,
+        |  CAST(sum(n_bpe) - sum(n_num) - sum(n_word) AS BIGINT) AS total_punct,
+        |  round(sum(tok_chars) * 1.0 / sum(n_bpe), 4) AS avg_tok_len
+        |FROM u GROUP BY source ORDER BY source""".stripMargin,
+
+    "t6_corpus_filter" ->
+      """WITH t AS (
+        |  SELECT doc_id, source, lang, n_chars, ' ' || text || ' ' AS p,
+        |    len(regexp_split_to_array(trim(text), '\s+')) AS n_tok,
+        |    length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS alpha,
+        |    md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp
+        |  FROM documents),
+        |u AS (
+        |  SELECT doc_id, source, lang, n_tok, fp,
+        |    round(least(n_chars / 500.0, 1.0) * 0.3 + (alpha * 1.0 / n_chars) * 0.4 +
+        |      least((CAST(floor((length(p) - length(replace(p, ' the ', ''))) / 5.0) AS BIGINT)
+        |           + CAST(floor((length(p) - length(replace(p, ' a ', ''))) / 3.0) AS BIGINT)
+        |           + CAST(floor((length(p) - length(replace(p, ' of ', ''))) / 4.0) AS BIGINT))
+        |        * 5.0 / n_tok, 1.0) * 0.3, 4) AS q
+        |  FROM t),
+        |kept AS (
+        |  SELECT * FROM (
+        |    SELECT doc_id, source, lang, n_tok, q,
+        |      row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rk
+        |    FROM u WHERE q >= 0.55 AND n_tok >= 25)
+        |  WHERE rk = 1)
+        |SELECT source, lang, count(*) AS n_docs,
+        |  CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+        |  floor(sum(CAST(round(q * 10000) AS BIGINT)) * 1.0 / count(*) + 0.5) / 10000.0 AS avg_quality
+        |FROM kept GROUP BY source, lang ORDER BY source, lang""".stripMargin
   )
 }
