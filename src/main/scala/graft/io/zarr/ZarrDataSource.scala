@@ -96,8 +96,11 @@ final case class ZarrInputPartition(firstChunk: Long, lastChunk: Long) extends I
   * (counts, coordinate joins, grid audits) never opens a chunk file.
   */
 class ZarrScanBuilder(root: String, stack: String, level: Int)
-    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with SupportsPushDownAggregates {
   import org.apache.spark.sql.sources._
+  import org.apache.spark.sql.connector.expressions.NamedReference
+  import org.apache.spark.sql.connector.expressions.aggregate._
 
   private val axes = Seq("t", "c", "z", "y", "x")
   // per-axis inclusive coordinate bounds, refined by each accepted filter
@@ -105,6 +108,8 @@ class ZarrScanBuilder(root: String, stack: String, level: Int)
   private val hi = Array.fill(5)(Long.MaxValue)
   private var pushed = Array.empty[Filter]
   private var required: StructType = ZarrDataSource.chunkSchema
+  // complete aggregate pushdown: ops like ("count","") / ("min","z")
+  private var aggOps: Option[Seq[(String, String)]] = None
 
   private def refine(ax: Int, l: Long, h: Long): Unit = {
     lo(ax) = math.max(lo(ax), l)
@@ -157,11 +162,43 @@ class ZarrScanBuilder(root: String, stack: String, level: Int)
     required = StructType(ZarrDataSource.chunkSchema.filter(f => keep.contains(f.name)))
   }
 
-  override def build(): Scan = new ZarrScan(root, stack, level, lo, hi, required)
+  /** COUNT(*) / MIN / MAX over chunk coordinates are grid arithmetic —
+    * answered on the driver-planned bounds with a single no-IO task, the
+    * "billions of chunk files, zero list calls" property taken to its
+    * endpoint. Only exact cases are accepted (ungrouped, every aggregate
+    * translatable, and — since the sub-grid is a superset of an In's
+    * point set — no residual filters). */
+  private def translate(agg: Aggregation): Option[Seq[(String, String)]] = {
+    if (agg.groupByExpressions.nonEmpty) return None
+    def ax(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] = e match {
+      case f: NamedReference if f.fieldNames.length == 1 && axes.contains(f.fieldNames()(0)) =>
+        Some(f.fieldNames()(0))
+      case _ => None
+    }
+    val ops = agg.aggregateExpressions.toSeq.map {
+      case _: CountStar => Some(("count", ""))
+      case m: Min => ax(m.column).map(("min", _))
+      case m: Max => ax(m.column).map(("max", _))
+      case _ => None
+    }
+    if (ops.forall(_.isDefined)) Some(ops.map(_.get)) else None
+  }
+
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    translate(agg).isDefined
+
+  override def pushAggregation(agg: Aggregation): Boolean =
+    translate(agg) match {
+      case Some(ops) => aggOps = Some(ops); true
+      case None => false
+    }
+
+  override def build(): Scan = new ZarrScan(root, stack, level, lo, hi, required, aggOps)
 }
 
 class ZarrScan(root: String, stack: String, level: Int,
-               lo: Array[Long], hi: Array[Long], required: StructType) extends Scan with Batch {
+               lo: Array[Long], hi: Array[Long], required: StructType,
+               aggOps: Option[Seq[(String, String)]] = None) extends Scan with Batch {
   // driver-side: only the tiny .zarray descriptor is read; the chunk grid
   // stays arithmetic
   private lazy val meta = ZarrIO.readZarray(root, stack, level)
@@ -172,17 +209,29 @@ class ZarrScan(root: String, stack: String, level: Int,
   private lazy val ext = Array.tabulate(5)(d =>
     math.max(0L, math.min(grid(d) - 1, hi(d)) - base(d) + 1))
 
-  override def readSchema(): StructType = required
+  override def readSchema(): StructType = aggOps match {
+    case Some(ops) => StructType(ops.zipWithIndex.map {
+      case (("count", _), i) => StructField(s"agg$i", LongType, nullable = false)
+      case ((op, ax), i) => StructField(s"agg$i", IntegerType, nullable = true)
+    })
+    case None => required
+  }
   override def toBatch: Batch = this
   override def description(): String = {
     val bounds = (0 until 5).collect {
       case d if lo(d) > 0L || hi(d) != Long.MaxValue =>
         s"${Seq("t", "c", "z", "y", "x")(d)}=[${lo(d)}..${if (hi(d) == Long.MaxValue) "*" else hi(d)}]"
     }
-    s"ZarrScan($root/$stack/$level${if (bounds.isEmpty) "" else bounds.mkString(" ", ",", "")} cols=${required.fieldNames.mkString(",")})"
+    val agg = aggOps.map(ops => " agg=" + ops.map {
+      case ("count", _) => "count(*)"
+      case (op, ax) => s"$op($ax)"
+    }.mkString(",")).getOrElse("")
+    s"ZarrScan($root/$stack/$level${if (bounds.isEmpty) "" else bounds.mkString(" ", ",", "")} cols=${required.fieldNames.mkString(",")}$agg)"
   }
 
   override def planInputPartitions(): Array[InputPartition] = {
+    // a pushed aggregate is one arithmetic row — a single no-IO partition
+    if (aggOps.isDefined) return Array(ZarrInputPartition(0L, 0L))
     val total = ext.product
     if (total == 0L) return Array.empty
     val targetPartitions = math.min(total, 256L)
@@ -192,9 +241,37 @@ class ZarrScan(root: String, stack: String, level: Int,
       .toArray
   }
 
-  override def createReaderFactory(): PartitionReaderFactory =
-    ZarrReaderFactory(root, stack, level, shape, chunk, compressed,
+  override def createReaderFactory(): PartitionReaderFactory = aggOps match {
+    case Some(ops) => ZarrAggReaderFactory(ops, base, ext)
+    case None => ZarrReaderFactory(root, stack, level, shape, chunk, compressed,
       meta.dtype.itemSize, base, ext, required.fieldNames)
+  }
+}
+
+/** Emits the single pre-aggregated row for a pushed COUNT/MIN/MAX: the
+  * chunk count is the sub-grid volume, coordinate extrema are its corner
+  * coordinates. No filesystem access at all. */
+final case class ZarrAggReaderFactory(ops: Seq[(String, String)],
+                                      base: Array[Long], ext: Array[Long])
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new PartitionReader[InternalRow] {
+      private val axes = Seq("t", "c", "z", "y", "x")
+      private var done = false
+      override def next(): Boolean = if (done) false else { done = true; true }
+      override def get(): InternalRow = {
+        val n = ext.product
+        InternalRow.fromSeq(ops.map {
+          case ("count", _) => n
+          case (op, ax) if n == 0L => null // empty sub-grid: min/max of no rows
+          case ("min", ax) => base(axes.indexOf(ax)).toInt
+          case ("max", ax) =>
+            val d = axes.indexOf(ax)
+            (base(d) + ext(d) - 1).toInt
+        })
+      }
+      override def close(): Unit = ()
+    }
 }
 
 final case class ZarrReaderFactory(root: String, stack: String, level: Int,

@@ -131,6 +131,33 @@ class ZarrDataSourceSpec extends AnyFunSuite {
     intercept[org.apache.spark.SparkException](withData.collect())
   }
 
+  test("count/min/max over coordinates push down to grid arithmetic (no IO)") {
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    val dir = Files.createTempDirectory("zarr-dsv2-agg").toString
+    val vol = Volume("ag", 0, Array(1L, 1L, 40L, 24L, 24L), Array(1, 1, 8, 8, 8))
+    ZarrIO.writeMetadata(dir, vol, nLevels = 1)
+    // NO chunk files written: a scan that touched data would read zeros,
+    // but the aggregate must come straight from the .zarray arithmetic
+    val t = spark.read.format("zarr").option("path", dir).option("stack", "ag").load()
+
+    val full = t.agg(count(lit(1)).as("n"), min(col("z")).as("minz"), max(col("z")).as("maxz"))
+    val r = full.collect()(0)
+    assert((r.getLong(0), r.getInt(1), r.getInt(2)) == (45L, 0, 4))
+    val scan = full.queryExecution.executedPlan.collect { case b: BatchScanExec => b }.head
+    assert(scan.scan.description().contains("agg=count(*),min(z),max(z)"),
+      scan.scan.description())
+    assert(scan.inputPartitions.size == 1)
+
+    // composes with filter pushdown: bounds clip the arithmetic
+    val filt = t.filter(col("z") >= 2 && col("y") === 1).agg(count(lit(1)), max(col("z")))
+    val fr = filt.collect()(0)
+    assert((fr.getLong(0), fr.getInt(1)) == (3L * 3, 4))
+
+    // an empty sub-grid yields count 0 / null extrema
+    val empty = t.filter(col("z") > 100).agg(count(lit(1)), max(col("z"))).collect()(0)
+    assert(empty.getLong(0) == 0L && empty.isNullAt(1))
+  }
+
   test("missing chunk files read as fill-value zeros") {
     val dir = Files.createTempDirectory("zarr-dsv2-fill").toString
     val vol = Volume("s", 0, Array(1L, 1L, 8L, 8L, 8L), Array(1, 1, 8, 8, 8))
