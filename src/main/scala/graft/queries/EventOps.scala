@@ -103,6 +103,22 @@ object EventOps {
         .groupBy(col("wstart"), col("event_type"))
         .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("total_value"))
         .orderBy(col("wstart"), col("event_type"))
+    }),
+
+    // --- native session_window operator (vs e2's hand-rolled islands):
+    //     30-min gap sessions per user, one row per session. Events merge
+    //     iff the next start is strictly inside [prev, prev+30min) — the
+    //     oracle replicates that half-open semantics in exact integer
+    //     microseconds (epoch_us), never float seconds. ---
+    "e7_session_window" -> ((s, dir) => {
+      ev(s, dir).filter(col("user_id") < 50)
+        .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          unix_timestamp(col("w.start")).as("start_sec"),
+          (unix_timestamp(col("w.end")) - unix_timestamp(col("w.start")) - 1800).as("dur_sec"),
+          col("n_events"))
+        .orderBy(col("user_id"), col("start_sec"))
     })
   )
 
@@ -167,6 +183,27 @@ object EventOps {
       """SELECT CAST((CAST(floor(epoch(ts) / 300) AS BIGINT) - j) * 300 AS BIGINT) AS wstart,
         |  event_type, count(*) AS n, round(sum(value), 4) AS total_value
         |FROM events, LATERAL (SELECT unnest(generate_series(0, 1)) AS j) u
-        |GROUP BY 1, 2 ORDER BY wstart, event_type""".stripMargin
+        |GROUP BY 1, 2 ORDER BY wstart, event_type""".stripMargin,
+
+    "e7_session_window" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS us FROM events WHERE user_id < 50),
+        |g AS (
+        |  SELECT user_id, us,
+        |    CASE WHEN lag(us) OVER w IS NULL
+        |         OR us - lag(us) OVER w >= 1800000000 THEN 1 ELSE 0 END AS brk
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)),
+        |s AS (
+        |  SELECT user_id, us,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY us ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM g),
+        |sess AS (
+        |  SELECT user_id, sid, count(*) AS n_events,
+        |    CAST(floor(min(us) / 1000000) AS BIGINT) AS start_sec,
+        |    CAST(floor(max(us) / 1000000) AS BIGINT)
+        |      - CAST(floor(min(us) / 1000000) AS BIGINT) AS dur_sec
+        |  FROM s GROUP BY user_id, sid)
+        |SELECT user_id, start_sec, dur_sec, n_events
+        |FROM sess ORDER BY user_id, start_sec""".stripMargin
   )
 }

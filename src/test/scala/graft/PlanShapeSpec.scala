@@ -41,4 +41,24 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("vector_dot"), p)
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
   }
+
+  test("v5: LSH candidates come from an equi-join shuffle, never a cross join") {
+    val p = plan("v5_rhp_lsh")
+    assert(!p.toLowerCase.contains("cartesianproduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q4: grouping sets expand once into one aggregate") {
+    val p = plan("q4_grouping_sets")
+    assert(p.linesIterator.count(_.trim.startsWith("Expand")) <= 2, p)
+    assert(!p.toLowerCase.contains("cartesianproduct"), p)
+  }
+
+  test("t6: corpus pipeline keeps the quality gate ahead of the dedup exchange") {
+    val p = plan("t6_corpus_filter")
+    // the dedup shuffle is hash-partitioned by fingerprint, and the only
+    // wide operators are that exchange + the final rollup
+    assert(p.contains("hashpartitioning(fp"), p)
+    assert(!p.toLowerCase.contains("cartesianproduct"), p)
+  }
 }
