@@ -68,6 +68,7 @@ object EventStream {
   }
 
   final case class Ev(event_id: Long, sec: Long, user_id: Long)
+  final case class TsEv(event_id: Long, ts: java.sql.Timestamp, user_id: Long)
   final case class SessionState(start: Long, last: Long, n: Int)
   final case class Session(user_id: Long, start_sec: Long, n_events: Int, dur_sec: Long)
 
@@ -98,6 +99,46 @@ object EventStream {
           }
           state.update(open.toList)
           closed.result().iterator
+      }
+  }
+
+  /** Sessionization that ALSO closes idle sessions by event-time timeout:
+    * when the watermark passes last+gap, the open session is emitted and
+    * its state dropped without waiting for a successor event —
+    * [[sessionize]] above can never close a user's final session. The
+    * production form: state is bounded by the watermark horizon, keyed by
+    * user_id. Caller must `withWatermark("ts", ...)` the input. */
+  def sessionizeWithTimeout(events: Dataset[TsEv], gapSec: Long = 1800L): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[List[SessionState], Session](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, evs: Iterator[TsEv], state: GroupState[List[SessionState]]) =>
+          if (state.hasTimedOut) {
+            val out = state.getOption.getOrElse(Nil)
+              .map(s => Session(user, s.start, s.n, s.last - s.start))
+            state.remove()
+            out.iterator
+          } else {
+            val sorted = evs.map(e => (e.event_id, e.ts.getTime / 1000))
+              .toSeq.sortBy(e => (e._2, e._1))
+            var open = state.getOption.flatMap(_.headOption)
+            val closed = List.newBuilder[Session]
+            sorted.foreach { case (_, sec) =>
+              open match {
+                case Some(s) if sec - s.last <= gapSec =>
+                  open = Some(s.copy(last = sec, n = s.n + 1))
+                case Some(s) =>
+                  closed += Session(user, s.start, s.n, s.last - s.start)
+                  open = Some(SessionState(sec, sec, 1))
+                case None =>
+                  open = Some(SessionState(sec, sec, 1))
+              }
+            }
+            state.update(open.toList)
+            open.foreach(s => state.setTimeoutTimestamp((s.last + gapSec) * 1000))
+            closed.result().iterator
+          }
       }
   }
 }

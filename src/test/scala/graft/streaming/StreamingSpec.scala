@@ -84,6 +84,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == want, s"streamed $got vs batch $want")
   }
 
+  test("event-time timeout closes idle sessions without a successor event") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.EventStream.TsEv
+    val mem = MemoryStream[TsEv](spark)
+    val q = EventStream.sessionizeWithTimeout(
+        mem.toDS().withWatermark("ts", "0 seconds").as[TsEv])
+      .writeStream.format("memory").queryName("to_sessions")
+      .outputMode("append").start()
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000)
+    val t0 = 1700000000L
+    // user 1: two events, then silence forever
+    mem.addData(TsEv(1, ts(t0), 1), TsEv(2, ts(t0 + 60), 1))
+    q.processAllAvailable() // watermark -> t0+60
+    // user 2 advances the watermark far past user 1's last+gap
+    mem.addData(TsEv(3, ts(t0 + 7200), 2))
+    q.processAllAvailable() // watermark -> t0+7200
+    // one more batch: the timeout fires against the advanced watermark
+    mem.addData(TsEv(4, ts(t0 + 7260), 2))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.sql("SELECT * FROM to_sessions")
+      .as[graft.streaming.EventStream.Session].collect()
+    assert(got.exists(s => s.user_id == 1 && s.n_events == 2 && s.dur_sec == 60),
+      got.mkString(", "))
+  }
+
   test("stateful sessionization emits gap-closed sessions") {
     import spark.implicits._
     val evs = spark.readStream.schema(EventStream.schema).parquet(eventsDir)
