@@ -21,6 +21,9 @@ object Spark {
       // events.parquet carries TIMESTAMP(NANOS); Spark 4 only reads those
       // as raw longs behind this flag (converted in Tables.load).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // bucketed-table storage (co-located joins) out of the repo tree
+      .config("spark.sql.warehouse.dir",
+        s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft-warehouse")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.functions.registerAll(spark) // vector_dot, blosc_(de)compress SQL names
