@@ -78,6 +78,38 @@ object MediaOps {
     }
   }
 
+  final case class ResizedImage(media_id: Long, out_w: Int, out_h: Int, pixels: Array[Byte])
+
+  /** Nearest-neighbor resize of stub-decoded images to (outW, outH).
+    * The stub's "decoded" source pixel grid is the deterministic function
+    * p(x, y) = (nBytes + 31x + 17y) mod 256 over the decode() dimensions —
+    * recomputable by the oracle — and the resized payload is a REAL
+    * binary column built row-local inside mapPartitions (no shuffle,
+    * memory bounded by one output image). A real decoder swaps in at the
+    * p() line, the resampling loop and plumbing stay. */
+  def resizeImages(media: Dataset[MediaRecord], outW: Int, outH: Int): Dataset[ResizedImage] = {
+    import media.sparkSession.implicits._
+    media.filter(_.kind == "image").mapPartitions { it =>
+      it.map { m =>
+        val (w, h, _) = StubCodec.decode(m.kind, m.payload)
+        val n = m.payload.length
+        val out = new Array[Byte](outW * outH)
+        var j = 0
+        while (j < outH) {
+          val sy = j * h / outH
+          var i = 0
+          while (i < outW) {
+            val sx = i * w / outW
+            out(j * outW + i) = ((n + 31 * sx + 17 * sy) % 256).toByte
+            i += 1
+          }
+          j += 1
+        }
+        ResizedImage(m.media_id, outW, outH, out)
+      }
+    }
+  }
+
   /** Sample every `stride`-th frame of video records — emits frame
     * metadata (index + byte offset), not decoded frames. */
   def sampleFrames(media: Dataset[MediaRecord], stride: Int = 10): Dataset[FrameSample] = {

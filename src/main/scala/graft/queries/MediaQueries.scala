@@ -27,6 +27,19 @@ object MediaQueries {
         .orderBy(col("kind"))
     }),
 
+    // nearest-neighbor resize to 16x12: the resized payload is a real
+    // binary column; the gate checks its byte-sum per image
+    "m3_resize" -> ((s, dir) => {
+      import s.implicits._
+      val media = MediaOps.asMedia(
+        Tables.load(s, dir, "documents").filter(col("doc_id") < 300))
+      MediaOps.resizeImages(media, 16, 12)
+        .map(r => (r.media_id, r.out_w, r.out_h,
+          r.pixels.foldLeft(0L)((a, b) => a + (b & 0xFF))))
+        .toDF("media_id", "out_w", "out_h", "res_checksum")
+        .orderBy(col("media_id"))
+    }),
+
     // frame sampling: per-media sampled frame count for first videos
     "m2_frame_sample" -> ((s, dir) => {
       val media = MediaOps.asMedia(
@@ -63,6 +76,20 @@ object MediaQueries {
         |  CAST(sum(n_frames) AS BIGINT) AS sum_frames,
         |  CAST(sum(checksum) AS BIGINT) AS sum_checksum
         |FROM f GROUP BY kind ORDER BY kind""".stripMargin,
+
+    "m3_resize" ->
+      """WITH img AS (
+        |  SELECT doc_id AS media_id, strlen(text) AS n,
+        |    64 + (strlen(text) % 8) * 16 AS w, 64 + (strlen(text) % 5) * 16 AS h
+        |  FROM documents WHERE doc_id < 300 AND doc_id % 3 = 0),
+        |px AS (
+        |  SELECT media_id,
+        |    (n + 31 * ((i.x * w) // 16) + 17 * ((j.y * h) // 12)) % 256 AS p
+        |  FROM img,
+        |       (SELECT unnest(generate_series(0, 15)) AS x) i,
+        |       (SELECT unnest(generate_series(0, 11)) AS y) j)
+        |SELECT media_id, 16 AS out_w, 12 AS out_h, CAST(sum(p) AS BIGINT) AS res_checksum
+        |FROM px GROUP BY media_id ORDER BY media_id""".stripMargin,
 
     "m2_frame_sample" ->
       """WITH v AS (
