@@ -11,6 +11,14 @@ object Verify {
     val spark = Spark.session(appName = "graft-verify")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
+      // drop any previous run's output FIRST: a failed query must leave
+      // no parquet behind, so the compare reports the breakage instead of
+      // false-passing on stale data
+      val qDir = Paths.get(s"$outDir/$name")
+      if (Files.exists(qDir)) {
+        Files.walk(qDir).sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => Files.delete(p))
+      }
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

@@ -192,6 +192,47 @@ object SimilarityOps {
         .filter(col("rk") <= 3)
         .select(col("qid"), col("eid"), round(col("cos_raw"), 6).as("cos"), col("rk"))
         .orderBy(col("qid"), col("rk"))
+    }),
+
+    // --- multi-probe IVF: queries search their top-2 cells instead of 1.
+    //     The standard recall lever — each probe is still a broadcast of
+    //     5 tiny query rows into one cell partition; the corpus (assigned
+    //     exactly once to its own top cell) never reshuffles, work scales
+    //     as probes/cells, not corpus size. ---
+    "v6_ivf_multiprobe" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = emb(s, dir)
+      val cent = e.select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy(col("label"), col("pos"))
+        .agg(avg(col("v")).as("cv"))
+        .groupBy(col("label"))
+        .agg(expr("transform(array_sort(collect_list(struct(pos, cv))), x -> x.cv)").as("centroid"))
+        .select(col("label").as("cell"), col("centroid"))
+      val wA = Window.partitionBy(col("vec_id")).orderBy(round(col("cos_raw"), 6).desc, col("cell"))
+      val ranked = withNorm(e).join(
+          broadcast(cent.withColumn("cn",
+            sqrt(graft.functions.vector_dot(col("centroid"), col("centroid"))))))
+        .select(col("vec_id"), col("embedding"), col("nrm"), col("cell"),
+          (dot("embedding", "centroid") / (col("nrm") * col("cn"))).as("cos_raw"))
+        .withColumn("rk", row_number().over(wA))
+      // corpus membership: exactly one cell per vector (its top cell)
+      val assigned = ranked.filter(col("rk") === 1)
+        .select(col("vec_id"), col("embedding"), col("nrm"), col("cell"))
+      // query probes: the two nearest cells -> (qid, eid) pairs stay
+      // unique because each corpus vector lives in exactly one cell
+      val probes = ranked.filter(col("vec_id") < 5 && col("rk") <= 2)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("nrm").as("qn"), col("cell"))
+      val corpus = assigned.select(
+        col("vec_id").as("eid"), col("embedding").as("ee"), col("nrm").as("en"), col("cell"))
+      val wQ = Window.partitionBy(col("qid")).orderBy(round(col("cos_raw"), 6).desc, col("eid"))
+      broadcast(probes).join(corpus, Seq("cell"))
+        .filter(col("qid") =!= col("eid"))
+        .select(col("qid"), col("eid"),
+          (dot("qe", "ee") / (col("qn") * col("en"))).as("cos_raw"))
+        .withColumn("rk", row_number().over(wQ))
+        .filter(col("rk") <= 3)
+        .select(col("qid"), col("eid"), round(col("cos_raw"), 6).as("cos"), col("rk"))
+        .orderBy(col("qid"), col("rk"))
     })
   )
 
@@ -273,6 +314,41 @@ object SimilarityOps {
         |            JOIN embeddings c ON cand.id2 = c.vec_id)
         |SELECT id1, id2, round(cos_raw, 6) AS cos FROM conf
         |WHERE round(cos_raw, 6) >= 0.45 ORDER BY id1, id2""".stripMargin,
+
+    "v6_ivf_multiprobe" ->
+      """WITH dims AS (
+        |  SELECT label, i AS pos, avg(CAST(embedding[i + 1] AS DOUBLE)) AS cv
+        |  FROM embeddings, LATERAL (SELECT unnest(generate_series(0, 63)) AS i) u
+        |  GROUP BY label, i),
+        |cent AS (
+        |  SELECT label AS cell, list(cv ORDER BY pos) AS centroid FROM dims GROUP BY label),
+        |scored AS (
+        |  SELECT e.vec_id, e.embedding, c.cell,
+        |    list_dot_product(CAST(e.embedding AS DOUBLE[]), c.centroid) /
+        |      (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) *
+        |       sqrt(list_dot_product(c.centroid, c.centroid))) AS cos_raw
+        |  FROM embeddings e, cent c),
+        |ranked AS (
+        |  SELECT vec_id, embedding, cell,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY round(cos_raw, 6) DESC, cell) AS rk
+        |  FROM scored),
+        |assigned AS (
+        |  SELECT vec_id, embedding, cell FROM ranked WHERE rk = 1),
+        |probes AS (
+        |  SELECT vec_id AS qid, embedding AS qe, cell FROM ranked
+        |  WHERE vec_id < 5 AND rk <= 2),
+        |probe AS (
+        |  SELECT q.qid, e.vec_id AS eid,
+        |    list_dot_product(CAST(q.qe AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) /
+        |      (sqrt(list_dot_product(CAST(q.qe AS DOUBLE[]), CAST(q.qe AS DOUBLE[]))) *
+        |       sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))) AS cos_raw
+        |  FROM probes q JOIN assigned e ON q.cell = e.cell AND q.qid != e.vec_id),
+        |rankedq AS (
+        |  SELECT qid, eid, round(cos_raw, 6) AS cos,
+        |    row_number() OVER (PARTITION BY qid ORDER BY round(cos_raw, 6) DESC, eid) AS rk
+        |  FROM probe)
+        |SELECT qid, eid, cos, rk FROM rankedq WHERE rk <= 3
+        |ORDER BY qid, rk""".stripMargin,
 
     "v3_ivf_topk" ->
       """WITH dims AS (
