@@ -119,6 +119,29 @@ object ArrayOps {
         .orderBy(col("cz"), col("cy"), col("cx"))
     }),
 
+    // --- multi-channel CZI under the gate: 2 channels, one task per
+    //     (channel, z-slab), per-channel chunk sums recomputed by the
+    //     oracle from arithmetic (channel offset 1000c mod 65536) ---
+    "z6_multichannel" -> ((s, _) => {
+      import s.implicits._
+      val dir = Files.createTempDirectory("graft-czi-mc-q").toString
+      val path = s"$dir/mc.czi"
+      val chans = Array.tabulate(2, 24, 40, 40)((c, z, y, x) =>
+        (SyntheticStack.value(z, y, x) + 1000 * c) & 0xFFFF)
+      graft.sources.czi.SyntheticCzi.writeChannels(path, chans)
+      val (vol, idx) = graft.sources.czi.CziSource.volume(path, "mc", Array(8, 16, 16))
+      graft.sources.czi.CziSource.scan(s, path, vol, idx)
+        .map { ck =>
+          val px = ck.pixels
+          var sum = 0L
+          var i = 0
+          while (i < px.length) { sum += px(i); i += 1 }
+          (ck.c.toLong, ck.z.toLong, ck.y.toLong, ck.x.toLong, sum, px.length.toLong)
+        }
+        .toDF("cc", "cz", "cy", "cx", "sum_v", "n_voxels")
+        .orderBy(col("cc"), col("cz"), col("cy"), col("cx"))
+    }),
+
     // --- the CZI (ZISRAW) parser under the gate: write a synthetic CZI
     //     (mixed raw + zstd0 subblocks), scan it distributed, aggregate
     //     per-chunk sums that the oracle recomputes from arithmetic ---
@@ -201,6 +224,18 @@ object ArrayOps {
         |          * (CASE WHEN cx = 2 THEN 8 ELSE 16 END) AS BIGINT) AS n_voxels
         |FROM g WHERE cz = 1 AND cy >= 1 AND cx < 2
         |ORDER BY cz, cy, cx""".stripMargin,
+
+    "z6_multichannel" ->
+      """WITH l0 AS (
+        |  SELECT c.c AS cc, range // 1600 AS z, (range // 40) % 40 AS y, range % 40 AS x,
+        |         (31 * (range // 1600) + 17 * ((range // 40) % 40) + 13 * (range % 40)
+        |          + 1000 * c.c) % 65536 AS v
+        |  FROM range(38400), (SELECT unnest(generate_series(0, 1)) AS c) c
+        |)
+        |SELECT cc, z // 8 AS cz, y // 16 AS cy, x // 16 AS cx,
+        |       CAST(sum(v) AS BIGINT) AS sum_v, count(*) AS n_voxels
+        |FROM l0 GROUP BY 1, 2, 3, 4
+        |ORDER BY cc, cz, cy, cx""".stripMargin,
 
     "z4_czi_scan" ->
       """WITH l0 AS (

@@ -135,6 +135,17 @@ object Relational2 {
         .orderBy(col("o_custkey"), col("o_orderkey"))
     }),
 
+    // --- relative-position window functions: percent_rank + cume_dist ---
+    "w4_pct_rank" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_orderpriority")).orderBy(col("o_totalprice"))
+      t(s, dir, "orders").filter(col("o_custkey") < 50)
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          round(percent_rank().over(w), 6).as("pct"),
+          round(cume_dist().over(w), 6).as("cd"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     // --- approximate stats: rows-only check (no SQL oracle — sketches
     //     are engine-specific by design); exact twins ride along so the
     //     approximation error is visible in the output ---
@@ -177,6 +188,14 @@ object Relational2 {
         |FROM orders WHERE o_custkey < 100
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "w4_pct_rank" ->
+      """SELECT o_orderkey, o_orderpriority,
+        |  round(percent_rank() OVER w, 6) AS pct,
+        |  round(cume_dist() OVER w, 6) AS cd
+        |FROM orders WHERE o_custkey < 50
+        |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice)
+        |ORDER BY o_orderkey""".stripMargin,
 
     "sub_exists" ->
       """SELECT c_custkey, c_acctbal
