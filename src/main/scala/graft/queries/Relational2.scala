@@ -135,6 +135,38 @@ object Relational2 {
         .orderBy(col("o_custkey"), col("o_orderkey"))
     }),
 
+    // --- TPC-H Q7 shape: nation-pair trade volume by ship year. Five
+    //     joins; both nation dims broadcast, the (supp, cust) name pair
+    //     filter prunes before the aggregate ---
+    "q7_nation_trade" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql(
+        """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+          |  year(l_shipdate) AS l_year,
+          |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+          |FROM supplier, lineitem, orders, customer, nation n1, nation n2
+          |WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+          |  AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey
+          |  AND c_nationkey = n2.n_nationkey
+          |  AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+          |    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+          |GROUP BY 1, 2, 3
+          |ORDER BY supp_nation, cust_nation, l_year""".stripMargin)
+    }),
+
+    // --- fixed-width histogram over prices: width_bucket on the Spark
+    //     side, the equivalent floor arithmetic in the oracle (bucket
+    //     width 10000 divides the range exactly, so the two formulas
+    //     agree even at boundaries) ---
+    "a4_histogram" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .select(expr("width_bucket(l_extendedprice, 0, 110000, 11)").as("bucket"),
+          col("l_extendedprice"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"), round(avg(col("l_extendedprice")), 4).as("avg_price"))
+        .orderBy(col("bucket"))
+    }),
+
     // --- relative-position window functions: percent_rank + cume_dist ---
     "w4_pct_rank" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
@@ -188,6 +220,24 @@ object Relational2 {
         |FROM orders WHERE o_custkey < 100
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q7_nation_trade" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |  year(l_shipdate) AS l_year,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+        |FROM supplier, lineitem, orders, customer, nation n1, nation n2
+        |WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+        |  AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey
+        |  AND c_nationkey = n2.n_nationkey
+        |  AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        |    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        |GROUP BY 1, 2, 3
+        |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
+
+    "a4_histogram" ->
+      """SELECT CAST(floor(l_extendedprice / 10000) AS BIGINT) + 1 AS bucket,
+        |  count(*) AS n, round(avg(l_extendedprice), 4) AS avg_price
+        |FROM lineitem GROUP BY 1 ORDER BY bucket""".stripMargin,
 
     "w4_pct_rank" ->
       """SELECT o_orderkey, o_orderpriority,
