@@ -167,6 +167,26 @@ object Relational2 {
         .orderBy(col("bucket"))
     }),
 
+    // --- statistical aggregates: correlation / covariance / stddev ---
+    "a5_corr_covar" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qp"),
+          round(covar_samp(col("l_quantity"), col("l_extendedprice")), 4).as("covar_qp"),
+          round(stddev_samp(col("l_extendedprice")), 4).as("sd_price"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // --- calendar decomposition: ISO weekday x quarter seasonality
+    //     (Spark weekday() is 0=Mon; +1 aligns with DuckDB isodow) ---
+    "cal1_date_parts" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupBy(expr("CAST(weekday(o_orderdate) + 1 AS BIGINT)").as("dow"),
+          expr("CAST(quarter(o_orderdate) AS BIGINT)").as("qtr"))
+        .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 4).as("total"))
+        .orderBy(col("dow"), col("qtr"))
+    }),
+
     // --- relative-position window functions: percent_rank + cume_dist ---
     "w4_pct_rank" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
@@ -238,6 +258,19 @@ object Relational2 {
       """SELECT CAST(floor(l_extendedprice / 10000) AS BIGINT) + 1 AS bucket,
         |  count(*) AS n, round(avg(l_extendedprice), 4) AS avg_price
         |FROM lineitem GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    "a5_corr_covar" ->
+      """SELECT l_returnflag,
+        |  round(corr(l_quantity, l_extendedprice), 4) AS corr_qp,
+        |  round(covar_samp(l_quantity, l_extendedprice), 4) AS covar_qp,
+        |  round(stddev_samp(l_extendedprice), 4) AS sd_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "cal1_date_parts" ->
+      """SELECT CAST(isodow(o_orderdate) AS BIGINT) AS dow,
+        |  CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
+        |  count(*) AS n, round(sum(o_totalprice), 4) AS total
+        |FROM orders GROUP BY 1, 2 ORDER BY dow, qtr""".stripMargin,
 
     "w4_pct_rank" ->
       """SELECT o_orderkey, o_orderpriority,
