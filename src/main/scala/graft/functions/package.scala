@@ -22,7 +22,7 @@ package object functions {
     column(BloscDecompress(expression(c)))
 
   /** Register the SQL names (`vector_dot`, `blosc_compress`,
-    * `blosc_decompress`) on a session. */
+    * `blosc_decompress`, `gmean`) on a session. */
   def registerAll(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("vector_dot",
@@ -31,5 +31,6 @@ package object functions {
       exprs => BloscCompress(exprs.head, 2, 3), "scala_udf")
     reg.createOrReplaceTempFunction("blosc_decompress",
       exprs => BloscDecompress(exprs.head), "scala_udf")
+    spark.udf.register("gmean", org.apache.spark.sql.functions.udaf(new GeoMean))
   }
 }

@@ -177,6 +177,16 @@ object Relational2 {
         .orderBy(col("l_returnflag"))
     }),
 
+    // --- custom typed-Aggregator UDAF under the gate: geometric mean of
+    //     prices per flag (log-sum partials -> two-phase aggregate) ---
+    "a6_gmean" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(expr("round(gmean(l_extendedprice), 4)").as("gm_price"),
+          round(avg(col("l_extendedprice")), 4).as("am_price"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // --- calendar decomposition: ISO weekday x quarter seasonality
     //     (Spark weekday() is 0=Mon; +1 aligns with DuckDB isodow) ---
     "cal1_date_parts" -> ((s, dir) => {
@@ -264,6 +274,12 @@ object Relational2 {
         |  round(corr(l_quantity, l_extendedprice), 4) AS corr_qp,
         |  round(covar_samp(l_quantity, l_extendedprice), 4) AS covar_qp,
         |  round(stddev_samp(l_extendedprice), 4) AS sd_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "a6_gmean" ->
+      """SELECT l_returnflag,
+        |  round(exp(avg(ln(l_extendedprice))), 4) AS gm_price,
+        |  round(avg(l_extendedprice), 4) AS am_price
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "cal1_date_parts" ->
