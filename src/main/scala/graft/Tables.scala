@@ -27,7 +27,13 @@ object Tables {
     }
   }
 
-  /** Register every table as a temp view (used by SQL-form queries). */
+  private val lastDir = new java.util.concurrent.ConcurrentHashMap[SparkSession, String]()
+
+  /** Register every table as a temp view (used by SQL-form queries).
+    * Idempotent per (session, dir): repeated calls — every SQL query
+    * invokes this — skip the 10 parquet footer reads + view swaps unless
+    * the data directory actually changed. */
   def registerAll(spark: SparkSession, dir: String): Unit =
-    names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+    if (lastDir.put(spark, dir) != dir)
+      names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
 }
