@@ -15,17 +15,26 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    val df = spark.read.parquet(s"$dir/$name.parquet")
-    // events.ts is TIMESTAMP(NANOS) parquet, which Spark 4 only reads as
-    // long (spark.sql.legacy.parquet.nanosAsLong=true, set in Spark.session).
-    // Truncate ns -> us exactly in integer math (matches DuckDB, which also
-    // truncates ns to its internal microsecond timestamps).
-    df.schema.find(f => f.name == "ts" && f.dataType == LongType) match {
-      case Some(_) => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      case None    => df
-    }
-  }
+  private val dfCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    // cache the (immutable) logical plan per table: a fresh spark.read
+    // re-lists the path and re-reads parquet footers on every call, pure
+    // overhead when every query loads its inputs through here. The
+    // testdata is read-only, so the cached FileIndex snapshot cannot
+    // go stale.
+    dfCache.computeIfAbsent((spark, dir, name), _ => {
+      val df = spark.read.parquet(s"$dir/$name.parquet")
+      // events.ts is TIMESTAMP(NANOS) parquet, which Spark 4 only reads as
+      // long (spark.sql.legacy.parquet.nanosAsLong=true, set in Spark.session).
+      // Truncate ns -> us exactly in integer math (matches DuckDB, which also
+      // truncates ns to its internal microsecond timestamps).
+      df.schema.find(f => f.name == "ts" && f.dataType == LongType) match {
+        case Some(_) => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        case None    => df
+      }
+    })
 
   private val lastDir = new java.util.concurrent.ConcurrentHashMap[SparkSession, String]()
 
