@@ -100,6 +100,20 @@ object Relational2 {
     }),
 
     // --- pivot (Spark .pivot vs CASE-expression oracle) ---
+    // --- deterministic stratified sampling: md5-hash gating, per-stratum
+    //     rates (en 50% / de 20% / else 10%). The reproducible-at-scale
+    //     sampling form — no RNG state, any engine recomputes the same
+    //     sample, membership is a map-side filter ---
+    "p3_hash_sample" -> ((s, dir) => {
+      val bucket = expr("conv(substr(md5(CAST(doc_id AS STRING)), 1, 4), 16, 10) % 100")
+      val rate = when(col("lang") === "en", 50).when(col("lang") === "de", 20).otherwise(10)
+      Tables.load(s, dir, "documents")
+        .filter(bucket < rate)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_sampled"), sum(col("n_chars")).cast("long").as("sampled_chars"))
+        .orderBy(col("lang"))
+    }),
+
     "p2_pivot" -> ((s, dir) => {
       t(s, dir, "orders")
         .groupBy(col("o_orderpriority"))
@@ -334,6 +348,14 @@ object Relational2 {
         |  round(lead(o_totalprice, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderkey), 4) AS next_price
         |FROM orders WHERE o_custkey < 30
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "p3_hash_sample" ->
+      """SELECT lang, count(*) AS n_sampled,
+        |  CAST(sum(n_chars) AS BIGINT) AS sampled_chars
+        |FROM documents
+        |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 100
+        |      < (CASE WHEN lang = 'en' THEN 50 WHEN lang = 'de' THEN 20 ELSE 10 END)
+        |GROUP BY lang ORDER BY lang""".stripMargin,
 
     "p2_pivot" ->
       """SELECT o_orderpriority,
