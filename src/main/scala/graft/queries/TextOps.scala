@@ -37,6 +37,13 @@ object TextOps {
   private def padded(df: DataFrame) =
     concat(lit(" "), col("text"), lit(" "))
 
+  /** Horner-form rolling hash of the 8-gram at position i, mod 1000003
+    * with base 257, reduced at every step so both engines stay in exact
+    * BIGINT range. `arr(j)` renders the j-th character code. */
+  private def horner(arr: Int => String): String =
+    (1 to 7).foldLeft(s"CAST(${arr(0)} AS BIGINT)")((acc, j) =>
+      s"((($acc) * 257 + ${arr(j)}) % 1000003)")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // --- token counting (whitespace tokenizer), per-language stats ---
     "t1_token_stats" -> ((s, dir) => {
@@ -95,6 +102,26 @@ object TextOps {
         .filter(col("doc_id") < 200)
         .select(col("doc_id"),
           substring(md5(regexp_replace(lower(col("text")), "\\s+", " ")), 1, 16).as("fp"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // --- winnowing fingerprints (Schleimer et al. '03): rolling 8-gram
+    //     hash (Horner, base 257 mod 1000003), minimum per 4-hash window,
+    //     distinct minima = the document sketch. Everything is row-local
+    //     higher-order-function arithmetic — no explode, no shuffle
+    //     before the final per-doc projection. ---
+    "t7_winnow" -> ((s, dir) => {
+      val h = horner(j => if (j == 0) "element_at(a, i)" else s"element_at(a, i + $j)")
+      docs(s, dir).filter(col("doc_id") < 100)
+        .withColumn("a", expr("transform(sequence(1, length(text)), i -> ascii(substr(text, i, 1)))"))
+        .withColumn("hs", expr(
+          s"CASE WHEN size(a) < 8 THEN array() ELSE transform(sequence(1, size(a) - 7), i -> $h) END"))
+        .withColumn("fps", expr(
+          "array_distinct(CASE WHEN size(hs) < 4 THEN hs ELSE " +
+          "transform(sequence(1, size(hs) - 3), i -> array_min(slice(hs, i, 4))) END)"))
+        .select(col("doc_id"),
+          size(col("fps")).cast("long").as("n_fp"),
+          expr("CAST(aggregate(fps, 0L, (acc, x) -> acc + x) AS BIGINT)").as("sum_fp"))
         .orderBy(col("doc_id"))
     }),
 
@@ -163,6 +190,29 @@ object TextOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "t7_winnow" -> {
+      val h = horner(j => if (j == 0) "cs[i]" else s"cs[i + $j]")
+      s"""WITH t AS (
+         |  SELECT doc_id, text AS s, length(text) AS n FROM documents WHERE doc_id < 100),
+         |a AS (
+         |  SELECT doc_id, n,
+         |    list_transform(generate_series(1, n), i -> unicode(substr(s, i, 1))) AS cs
+         |  FROM t),
+         |h AS (
+         |  SELECT doc_id,
+         |    CASE WHEN n < 8 THEN [] ELSE
+         |      list_transform(generate_series(1, n - 7), i -> $h) END AS hs
+         |  FROM a),
+         |w AS (
+         |  SELECT doc_id,
+         |    list_distinct(CASE WHEN len(hs) < 4 THEN hs ELSE
+         |      list_transform(generate_series(1, len(hs) - 3),
+         |        i -> list_aggregate(hs[i:i+3], 'min')) END) AS fps
+         |  FROM h)
+         |SELECT doc_id, len(fps) AS n_fp,
+         |  CAST(coalesce(list_aggregate(fps, 'sum'), 0) AS BIGINT) AS sum_fp
+         |FROM w ORDER BY doc_id""".stripMargin
+    },
     "t1_token_stats" ->
       """WITH t AS (
         |  SELECT lang, len(regexp_split_to_array(trim(text), '\s+')) AS n_tok, n_chars
