@@ -11,6 +11,7 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Tabl
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.connector.write.{streaming => streamingw}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -72,7 +73,7 @@ class ZarrTable(props: Map[String, String]) extends Table with SupportsRead with
   override def schema(): StructType = ZarrDataSource.chunkSchema
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.TRUNCATE).asJava
+      TableCapability.TRUNCATE, TableCapability.STREAMING_WRITE).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ZarrScanBuilder(root, stack, level)
@@ -349,7 +350,26 @@ class ZarrWriteBuilder(root: String, clevel: Int, typesize: Int)
 
   override def build(): Write = new Write {
     override def toBatch: BatchWrite = new ZarrBatchWrite(root, clevel, typesize, doTruncate)
+    // streaming append: chunk placement is deterministic by coordinates
+    // and each file lands via tmp + atomic rename, so epoch retries and
+    // replays are idempotent — exactly-once without any commit log
+    override def toStreaming: streamingw.StreamingWrite =
+      ZarrStreamingWrite(root, clevel, typesize)
   }
+}
+
+final case class ZarrStreamingWrite(root: String, clevel: Int, typesize: Int)
+    extends streamingw.StreamingWrite {
+  override def createStreamingWriterFactory(info: PhysicalWriteInfo): streamingw.StreamingDataWriterFactory =
+    ZarrStreamingWriterFactory(root, clevel, typesize)
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
+}
+
+final case class ZarrStreamingWriterFactory(root: String, clevel: Int, typesize: Int)
+    extends streamingw.StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] =
+    new ZarrDataWriter(root, clevel, typesize)
 }
 
 class ZarrBatchWrite(root: String, clevel: Int, typesize: Int, truncate: Boolean) extends BatchWrite {

@@ -158,6 +158,43 @@ class ZarrDataSourceSpec extends AnyFunSuite {
     assert(empty.getLong(0) == 0L && empty.isNullAt(1))
   }
 
+  test("writeStream into a zarr store: incremental chunk ingest, exactly-once by rename") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.core.ZarrChunk
+    import spark.implicits._
+    val dir = Files.createTempDirectory("zarr-stream").toString
+    val ckpt = Files.createTempDirectory("zarr-stream-ckpt").toString
+    val vol = Volume("st", 0, Array(1L, 1L, 16L, 8L, 8L), Array(1, 1, 8, 8, 8))
+    ZarrIO.writeMetadata(dir, vol, nLevels = 1)
+
+    val all = SyntheticStack.generate(spark, vol).collect()
+    assert(all.length == 2)
+    val mem = MemoryStream[ZarrChunk](spark)
+    val q = mem.toDS().writeStream.format("zarr")
+      .option("path", dir).option("checkpointLocation", ckpt)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    mem.addData(all(0))
+    q.processAllAvailable()
+    q.stop()
+    // second micro-batch stream (fresh AvailableNow run, same checkpoint)
+    val q2 = mem.toDS().writeStream.format("zarr")
+      .option("path", dir).option("checkpointLocation", ckpt)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    mem.addData(all(1))
+    q2.processAllAvailable()
+    q2.stop()
+
+    val back = ZarrIO.readChunks(spark, dir, "st", 0).collect()
+    assert(back.map(_.numVoxels).sum == 16 * 8 * 8)
+    back.foreach { ck =>
+      val px = ck.pixels
+      for (z <- 0 until 8; y <- 0 until 8; x <- 0 until 8)
+        assert(px(z * 64 + y * 8 + x) ==
+          SyntheticStack.value(ck.z * 8 + z, y, x))
+    }
+  }
+
   test("missing chunk files read as fill-value zeros") {
     val dir = Files.createTempDirectory("zarr-dsv2-fill").toString
     val vol = Volume("s", 0, Array(1L, 1L, 8L, 8L, 8L), Array(1, 1, 8, 8, 8))
