@@ -119,6 +119,23 @@ object ArrayOps {
         .orderBy(col("cz"), col("cy"), col("cx"))
     }),
 
+    // --- aggregate pushdown under the gate: COUNT/MIN/MAX over chunk
+    //     coordinates on a store with NO chunk files at all — the answer
+    //     must come from .zarray grid arithmetic (one no-IO task), which
+    //     the oracle states as constants ---
+    "z7_dsv2_agg" -> ((s, _) => {
+      val dir = Files.createTempDirectory("graft-zarr-agg-q").toString
+      val vol = Volume("aq", 0, Array(1L, 1L, 40L, 24L, 24L), Array(1, 1, 8, 8, 8))
+      ZarrIO.writeMetadata(dir, vol, nLevels = 1)
+      s.read.format("zarr").option("path", dir).option("stack", "aq").load()
+        .filter(col("z") >= 1 && col("z") <= 3)
+        .agg(count(lit(1)).as("n_chunks"),
+          min(col("z")).cast("long").as("min_z"),
+          max(col("z")).cast("long").as("max_z"),
+          min(col("y")).cast("long").as("min_y"),
+          max(col("x")).cast("long").as("max_x"))
+    }),
+
     // --- multi-channel CZI under the gate: 2 channels, one task per
     //     (channel, z-slab), per-channel chunk sums recomputed by the
     //     oracle from arithmetic (channel offset 1000c mod 65536) ---
@@ -224,6 +241,11 @@ object ArrayOps {
         |          * (CASE WHEN cx = 2 THEN 8 ELSE 16 END) AS BIGINT) AS n_voxels
         |FROM g WHERE cz = 1 AND cy >= 1 AND cx < 2
         |ORDER BY cz, cy, cx""".stripMargin,
+
+    "z7_dsv2_agg" ->
+      """SELECT CAST(27 AS BIGINT) AS n_chunks,
+        |  CAST(1 AS BIGINT) AS min_z, CAST(3 AS BIGINT) AS max_z,
+        |  CAST(0 AS BIGINT) AS min_y, CAST(2 AS BIGINT) AS max_x""".stripMargin,
 
     "z6_multichannel" ->
       """WITH l0 AS (
