@@ -43,6 +43,10 @@ object Tables {
     * invokes this — skip the 10 parquet footer reads + view swaps unless
     * the data directory actually changed. */
   def registerAll(spark: SparkSession, dir: String): Unit =
-    if (lastDir.put(spark, dir) != dir)
+    if (lastDir.get(spark) != dir) {
       names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+      // recorded only after every view registered: a failure mid-loop must
+      // leave the next call re-registering, not serving a mixed view set
+      lastDir.put(spark, dir)
+    }
 }

@@ -80,7 +80,8 @@ class ZarrTable(props: Map[String, String]) extends Table with SupportsRead with
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new ZarrWriteBuilder(root, props.getOrElse("clevel", "3").toInt,
-      props.getOrElse("typesize", "2").toInt)
+      props.getOrElse("typesize", "2").toInt,
+      props.get("stack"), props.get("level").map(_.toInt))
 }
 
 final case class ZarrInputPartition(firstChunk: Long, lastChunk: Long) extends InputPartition
@@ -340,19 +341,26 @@ class ZarrPartitionReader(root: String, stack: String, level: Int,
   override def close(): Unit = ()
 }
 
-class ZarrWriteBuilder(root: String, clevel: Int, typesize: Int)
+class ZarrWriteBuilder(root: String, clevel: Int, typesize: Int,
+                       stack: Option[String], level: Option[Int])
     extends WriteBuilder with SupportsTruncate {
   private var doTruncate = false
 
   // mode("overwrite") on a path-identified table = truncate: clear existing
-  // chunk data but keep the store's dot-metadata (.zgroup/.zattrs/.zarray)
+  // chunk data but keep the store's dot-metadata (.zgroup/.zattrs/.zarray).
+  // Scope: the `stack`/`level` options when given, else the whole store —
+  // an unscoped overwrite into a multi-stack store is destructive by
+  // definition, so callers writing one stack should pass option("stack").
   override def truncate(): WriteBuilder = { doTruncate = true; this }
 
   override def build(): Write = new Write {
-    override def toBatch: BatchWrite = new ZarrBatchWrite(root, clevel, typesize, doTruncate)
-    // streaming append: chunk placement is deterministic by coordinates
-    // and each file lands via tmp + atomic rename, so epoch retries and
-    // replays are idempotent — exactly-once without any commit log
+    override def toBatch: BatchWrite =
+      new ZarrBatchWrite(root, clevel, typesize, doTruncate, stack, level)
+    // streaming append: chunk placement is deterministic by coordinates and
+    // each file lands via tmp + atomic rename, so epoch REPLAYS are
+    // idempotent (a retried epoch rewrites byte-identical files). Durability
+    // is per-row: an epoch abandoned forever leaves its chunks visible —
+    // at-least-once that converges to exactly-once when the stream resumes.
     override def toStreaming: streamingw.StreamingWrite =
       ZarrStreamingWrite(root, clevel, typesize)
   }
@@ -372,17 +380,24 @@ final case class ZarrStreamingWriterFactory(root: String, clevel: Int, typesize:
     new ZarrDataWriter(root, clevel, typesize)
 }
 
-class ZarrBatchWrite(root: String, clevel: Int, typesize: Int, truncate: Boolean) extends BatchWrite {
+class ZarrBatchWrite(root: String, clevel: Int, typesize: Int, truncate: Boolean,
+                     onlyStack: Option[String], onlyLevel: Option[Int]) extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     if (truncate) {
       // driver-side, before any task launches: remove chunk subtrees
-      // (non-dot children of each stack/level dir) so stale chunks from a
-      // previous, larger extent can't survive the overwrite
+      // (non-dot children of each selected stack/level dir) so stale
+      // chunks from a previous, larger extent can't survive the overwrite.
+      // Restricted to the stack/level options when present — overwriting
+      // stack 'a' must not silently zero stack 'b'.
       val fs = new Path(root).getFileSystem(new Configuration())
       val rootPath = new Path(root)
       if (fs.exists(rootPath)) {
-        for (stack <- fs.listStatus(rootPath) if stack.isDirectory && !stack.getPath.getName.startsWith(".");
-             level <- fs.listStatus(stack.getPath) if level.isDirectory && !level.getPath.getName.startsWith(".");
+        for (stack <- fs.listStatus(rootPath)
+               if stack.isDirectory && !stack.getPath.getName.startsWith(".")
+               && onlyStack.forall(_ == stack.getPath.getName);
+             level <- fs.listStatus(stack.getPath)
+               if level.isDirectory && !level.getPath.getName.startsWith(".")
+               && onlyLevel.forall(_.toString == level.getPath.getName);
              child <- fs.listStatus(level.getPath) if !child.getPath.getName.startsWith("."))
           fs.delete(child.getPath, true)
       }

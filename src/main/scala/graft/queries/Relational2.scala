@@ -169,11 +169,14 @@ object Relational2 {
     }),
 
     // --- fixed-width histogram over prices: width_bucket on the Spark
-    //     side, the equivalent floor arithmetic in the oracle (bucket
-    //     width 10000 divides the range exactly, so the two formulas
-    //     agree even at boundaries) ---
+    //     side, the equivalent floor arithmetic in the oracle. The two
+    //     formulas agree only INSIDE [0, 110000) (width_bucket clamps
+    //     out-of-range values to buckets 0 / num+1, floor does not), so
+    //     both sides restrict to that domain explicitly rather than
+    //     relying on the current data's range ---
     "a4_histogram" -> ((s, dir) => {
       t(s, dir, "lineitem")
+        .filter(col("l_extendedprice") >= 0 && col("l_extendedprice") < 110000)
         .select(expr("width_bucket(l_extendedprice, 0, 110000, 11)").as("bucket"),
           col("l_extendedprice"))
         .groupBy(col("bucket"))
@@ -281,7 +284,9 @@ object Relational2 {
     "a4_histogram" ->
       """SELECT CAST(floor(l_extendedprice / 10000) AS BIGINT) + 1 AS bucket,
         |  count(*) AS n, round(avg(l_extendedprice), 4) AS avg_price
-        |FROM lineitem GROUP BY 1 ORDER BY bucket""".stripMargin,
+        |FROM lineitem
+        |WHERE l_extendedprice >= 0 AND l_extendedprice < 110000
+        |GROUP BY 1 ORDER BY bucket""".stripMargin,
 
     "a5_corr_covar" ->
       """SELECT l_returnflag,

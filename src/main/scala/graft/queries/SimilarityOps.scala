@@ -43,6 +43,30 @@ object SimilarityOps {
   private def withNorm(df: DataFrame): DataFrame =
     df.withColumn("nrm", sqrt(graft.functions.vector_dot(col("embedding"), col("embedding"))))
 
+  /** IVF coarse quantizer: per-label mean centroids as (cell, centroid) —
+    * shared by v2/v3/v6 so the quantizer cannot silently diverge. */
+  private def centroids(e: DataFrame): DataFrame =
+    e.select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col("label"), col("pos"))
+      .agg(avg(col("v")).as("cv"))
+      .groupBy(col("label"))
+      .agg(expr("transform(array_sort(collect_list(struct(pos, cv))), x -> x.cv)").as("centroid"))
+      .select(col("label").as("cell"), col("centroid"))
+
+  /** Every vector scored against every centroid (broadcast) and ranked by
+    * cosine: (vec_id, embedding, nrm, cell, cos_raw, rk). rk=1 is the IVF
+    * assignment; rk<=p gives multi-probe cells. */
+  private def rankedCells(e: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wA = Window.partitionBy(col("vec_id")).orderBy(round(col("cos_raw"), 6).desc, col("cell"))
+    withNorm(e).join(
+        broadcast(centroids(e).withColumn("cn",
+          sqrt(graft.functions.vector_dot(col("centroid"), col("centroid"))))))
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("cell"),
+        (dot("embedding", "centroid") / (col("nrm") * col("cn"))).as("cos_raw"))
+      .withColumn("rk", row_number().over(wA))
+  }
+
   /** 16 random hyperplanes for sign-bit LSH (Charikar '02). Components
     * are md5-derived so the oracle recomputes the identical planes:
     * w(b,i) = int(md5("b_i")[0:8], 16) / 2^31 - 1  in [-1, 1). */
@@ -76,12 +100,7 @@ object SimilarityOps {
       import org.apache.spark.sql.expressions.Window
       val e = emb(s, dir)
       // cell centroids: mean per (label, dim) — posexplode + hash agg
-      val cent = e.select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
-        .groupBy(col("label"), col("pos"))
-        .agg(avg(col("v")).as("cv"))
-        .groupBy(col("label"))
-        .agg(expr("transform(array_sort(collect_list(struct(pos, cv))), x -> x.cv)").as("centroid"))
-        .select(col("label").as("cell"), col("centroid"))
+      val cent = centroids(e)
       // assign every vector to its nearest cell by cosine (broadcast join);
       // both norms hoisted out of the n x cells pair expression
       val scored = withNorm(e).join(
@@ -124,6 +143,8 @@ object SimilarityOps {
     //     one shuffle on a high-cardinality key, never O(n^2); the
     //     quadratic exact scorer runs only inside buckets. ---
     "v5_rhp_lsh" -> ((s, dir) => {
+      // session-lifetime cache (like d2/d4's shingle cache): the corpus is
+      // tiny relative to storage memory and Spark evicts LRU under pressure
       val e = withNorm(emb(s, dir).select(col("vec_id"), col("embedding"))).cache()
       // 16 sign bits -> one 16-bit signature per vector, row-local
       val sig = e.select(col("vec_id"),
@@ -161,21 +182,8 @@ object SimilarityOps {
     //     probes touch one cell partition each. ---
     "v3_ivf_topk" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
-      val e = emb(s, dir)
-      val cent = e.select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
-        .groupBy(col("label"), col("pos"))
-        .agg(avg(col("v")).as("cv"))
-        .groupBy(col("label"))
-        .agg(expr("transform(array_sort(collect_list(struct(pos, cv))), x -> x.cv)").as("centroid"))
-        .select(col("label").as("cell"), col("centroid"))
       // assignment of every vector (and thereby of the queries)
-      val wA = Window.partitionBy(col("vec_id")).orderBy(round(col("cos_raw"), 6).desc, col("cell"))
-      val assigned = withNorm(e).join(
-          broadcast(cent.withColumn("cn",
-            sqrt(graft.functions.vector_dot(col("centroid"), col("centroid"))))))
-        .select(col("vec_id"), col("embedding"), col("nrm"), col("cell"),
-          (dot("embedding", "centroid") / (col("nrm") * col("cn"))).as("cos_raw"))
-        .withColumn("rk", row_number().over(wA))
+      val assigned = rankedCells(emb(s, dir))
         .filter(col("rk") === 1)
         .select(col("vec_id"), col("embedding"), col("nrm"), col("cell"))
       val queries = assigned.filter(col("vec_id") < 5)
@@ -201,20 +209,7 @@ object SimilarityOps {
     //     as probes/cells, not corpus size. ---
     "v6_ivf_multiprobe" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
-      val e = emb(s, dir)
-      val cent = e.select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
-        .groupBy(col("label"), col("pos"))
-        .agg(avg(col("v")).as("cv"))
-        .groupBy(col("label"))
-        .agg(expr("transform(array_sort(collect_list(struct(pos, cv))), x -> x.cv)").as("centroid"))
-        .select(col("label").as("cell"), col("centroid"))
-      val wA = Window.partitionBy(col("vec_id")).orderBy(round(col("cos_raw"), 6).desc, col("cell"))
-      val ranked = withNorm(e).join(
-          broadcast(cent.withColumn("cn",
-            sqrt(graft.functions.vector_dot(col("centroid"), col("centroid"))))))
-        .select(col("vec_id"), col("embedding"), col("nrm"), col("cell"),
-          (dot("embedding", "centroid") / (col("nrm") * col("cn"))).as("cos_raw"))
-        .withColumn("rk", row_number().over(wA))
+      val ranked = rankedCells(emb(s, dir))
       // corpus membership: exactly one cell per vector (its top cell)
       val assigned = ranked.filter(col("rk") === 1)
         .select(col("vec_id"), col("embedding"), col("nrm"), col("cell"))

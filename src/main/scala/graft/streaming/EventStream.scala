@@ -127,7 +127,11 @@ object EventStream {
             sorted.foreach { case (_, sec) =>
               open match {
                 case Some(s) if sec - s.last <= gapSec =>
-                  open = Some(s.copy(last = sec, n = s.n + 1))
+                  // a late-but-valid event may precede the open session:
+                  // extend both ends, never move `last` backwards (that
+                  // would shrink the timeout and emit negative durations)
+                  open = Some(SessionState(math.min(s.start, sec),
+                    math.max(s.last, sec), s.n + 1))
                 case Some(s) =>
                   closed += Session(user, s.start, s.n, s.last - s.start)
                   open = Some(SessionState(sec, sec, 1))

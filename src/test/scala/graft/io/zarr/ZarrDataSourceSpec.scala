@@ -86,6 +86,27 @@ class ZarrDataSourceSpec extends AnyFunSuite {
     assert(px(0) == SyntheticStack.value(0, 0, 0))
   }
 
+  test("overwrite with option('stack') truncates only that stack") {
+    val dir = Files.createTempDirectory("zarr-dsv2-trunc-scope").toString
+    val volA = Volume("a", 0, Array(1L, 1L, 8L, 8L, 8L), Array(1, 1, 8, 8, 8))
+    val volB = Volume("b", 0, Array(1L, 1L, 8L, 8L, 8L), Array(1, 1, 8, 8, 8))
+    ZarrIO.writeMetadata(dir, volA, nLevels = 1)
+    ZarrIO.writeMetadata(dir, volB, nLevels = 1)
+    SyntheticStack.generate(spark, volA).toDF()
+      .write.format(fmt).option("path", dir).mode("append").save()
+    SyntheticStack.generate(spark, volB).toDF()
+      .write.format(fmt).option("path", dir).mode("append").save()
+
+    // scoped overwrite of stack 'a' must not touch stack 'b''s chunks
+    SyntheticStack.generate(spark, volA).toDF()
+      .write.format(fmt).option("path", dir).option("stack", "a")
+      .mode("overwrite").save()
+    val b = spark.read.format("zarr").option("path", dir).option("stack", "b")
+      .load().collect()
+    assert(b.length == 1 && b(0).getAs[Array[Byte]]("data").exists(_ != 0),
+      "stack 'b' lost its data to a stack-'a' overwrite")
+  }
+
   test("coordinate filters prune the planned sub-grid, not just rows") {
     import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
     val dir = Files.createTempDirectory("zarr-dsv2-push").toString
