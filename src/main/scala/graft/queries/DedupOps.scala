@@ -123,6 +123,33 @@ object DedupOps {
         .orderBy(col("d1"), col("d2"))
     }),
 
+    // --- the stop-shingle-capped form of d2: shingles appearing in more
+    //     than 5 documents are excluded from PAIR GENERATION (their
+    //     buckets explode as freq^2 — the skew-control lever at 100 TB,
+    //     CCNet/Gopher-style), while per-doc sizes keep every shingle so
+    //     the capped Jaccard is a strict underestimate, never an
+    //     overestimate. ---
+    "d7_jaccard_capped" -> ((s, dir) => {
+      val sh = shingles(docs(s, dir)).cache()
+      val cold = sh.groupBy(col("h"))
+        .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+        .filter(size(col("ids")) > 1 && size(col("ids")) <= 5)
+      val pairs = cold
+        .select(explode(expr(
+          "flatten(transform(ids, a -> transform(filter(ids, b -> b > a), b -> struct(a AS d1, b AS d2))))"))
+          .as("p"))
+        .groupBy(col("p.d1").as("d1"), col("p.d2").as("d2"))
+        .agg(count(lit(1)).as("m"))
+      val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      pairs
+        .join(cnt.as("c1"), col("d1") === col("c1.doc_id"))
+        .join(cnt.as("c2"), col("d2") === col("c2.doc_id"))
+        .withColumn("jac_raw", col("m") / (col("c1.n") + col("c2.n") - col("m")))
+        .filter(col("jac_raw") >= 0.5)
+        .select(col("d1"), col("d2"), round(col("jac_raw"), 6).as("jaccard_capped"))
+        .orderBy(col("d1"), col("d2"))
+    }),
+
     // --- MinHash signatures (8 hash functions) for the first 50 docs.
     //     All 8 mins computed in ONE hash aggregate over the (doc,
     //     fingerprint) relation — no hash-index explode, no pivot: the
@@ -203,6 +230,19 @@ object DedupOps {
       s"""WITH $shingleSql,
          |$jaccardTail
          |SELECT d1, d2, round(m * 1.0 / (c1.n + c2.n - m), 6) AS jaccard
+         |FROM m JOIN cnt c1 ON d1 = c1.doc_id JOIN cnt c2 ON d2 = c2.doc_id
+         |WHERE m * 1.0 / (c1.n + c2.n - m) >= 0.5
+         |ORDER BY d1, d2""".stripMargin,
+
+    "d7_jaccard_capped" ->
+      s"""WITH $shingleSql,
+         |freq AS (SELECT h, count(*) AS df FROM sh GROUP BY h),
+         |cold AS (SELECT sh.doc_id, sh.h FROM sh JOIN freq USING (h) WHERE df <= 5),
+         |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |m AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS m
+         |      FROM cold a JOIN cold b ON a.h = b.h AND a.doc_id < b.doc_id
+         |      GROUP BY 1, 2)
+         |SELECT d1, d2, round(m * 1.0 / (c1.n + c2.n - m), 6) AS jaccard_capped
          |FROM m JOIN cnt c1 ON d1 = c1.doc_id JOIN cnt c2 ON d2 = c2.doc_id
          |WHERE m * 1.0 / (c1.n + c2.n - m) >= 0.5
          |ORDER BY d1, d2""".stripMargin,
