@@ -216,6 +216,27 @@ class ZarrDataSourceSpec extends AnyFunSuite {
     }
   }
 
+  test("option('level') reads pyramid levels above 0 through the connector") {
+    val dir = Files.createTempDirectory("zarr-dsv2-lvl").toString
+    val vol = Volume("lv", 0, Array(1L, 1L, 16L, 16L, 16L), Array(1, 1, 8, 8, 8))
+    val l0 = SyntheticStack.generate(spark, vol)
+    ZarrIO.writeMetadata(dir, vol, nLevels = 2)
+    ZarrIO.writeChunks(l0, dir)
+    val (v1, l1) = graft.operators.Pyramid.levels(spark, l0, vol, nLevels = 2).head
+    ZarrIO.writeChunks(l1, dir)
+
+    val back = spark.read.format("zarr")
+      .option("path", dir).option("stack", "lv").option("level", "1")
+      .load().collect()
+    assert(back.length == 1 && back(0).getAs[Int]("level") == 1)
+    val px = graft.core.PixelCodec.toInts(back(0).getAs[Array[Byte]]("data"))
+    // level-1 voxel (0,0,0) = mean of the 2x2x2 block at the origin
+    var sum = 0L
+    for (dz <- 0 until 2; dy <- 0 until 2; dx <- 0 until 2)
+      sum += SyntheticStack.value(dz, dy, dx)
+    assert(px(0) == (sum / 8).toInt)
+  }
+
   test("missing chunk files read as fill-value zeros") {
     val dir = Files.createTempDirectory("zarr-dsv2-fill").toString
     val vol = Volume("s", 0, Array(1L, 1L, 8L, 8L, 8L), Array(1, 1, 8, 8, 8))

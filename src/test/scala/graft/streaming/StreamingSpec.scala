@@ -84,6 +84,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == want, s"streamed $got vs batch $want")
   }
 
+  test("stream-static join: events enriched by a broadcast dimension") {
+    // static side: per-user tier from the customer table (re-keyed to the
+    // events' user space); Spark re-plans the static side per micro-batch
+    val tiers = Tables.load(spark, "/root/testdata/sf0.001", "customer")
+      .select(col("c_custkey").as("user_id"),
+        (col("c_custkey") % 3).as("tier"))
+    val enriched = EventStream.read(spark, eventsDir)
+      .join(broadcast(tiers), Seq("user_id"))
+      .groupBy(col("tier"))
+      .agg(count(lit(1)).as("n"))
+    val q = enriched.writeStream.format("memory").queryName("tiered")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.sql("SELECT tier, n FROM tiered ORDER BY tier").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val want = Tables.load(spark, "/root/testdata/sf0.001", "events")
+      .join(broadcast(tiers), Seq("user_id"))
+      .groupBy(col("tier")).agg(count(lit(1)).as("n"))
+      .orderBy(col("tier")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == want && got.nonEmpty, s"streamed $got vs batch $want")
+  }
+
   test("event-time timeout closes idle sessions without a successor event") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
