@@ -18,7 +18,25 @@ object Tables {
   private val dfCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+  /** Drop entries whose session has been stopped — keeps the static maps
+    * from retaining dead sessions (and their cached plans) for the JVM
+    * lifetime when sessions are created and stopped repeatedly. */
+  private def purgeStopped(): Unit = {
+    dfCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    lastDir.keySet.removeIf(s => s.sparkContext.isStopped)
+  }
+
+  /** Invalidate every cached plan/view registration under `dir` — the
+    * escape hatch for non-read-only uses: the cached FileIndex snapshot
+    * would otherwise serve stale file listings if data under `dir`
+    * changed. */
+  def invalidate(dir: String): Unit = {
+    dfCache.keySet.removeIf(k => k._2 == dir)
+    lastDir.entrySet.removeIf(e => e.getValue == dir)
+  }
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    purgeStopped()
     // cache the (immutable) logical plan per table: a fresh spark.read
     // re-lists the path and re-reads parquet footers on every call, pure
     // overhead when every query loads its inputs through here. The
@@ -35,6 +53,7 @@ object Tables {
         case None    => df
       }
     })
+  }
 
   private val lastDir = new java.util.concurrent.ConcurrentHashMap[SparkSession, String]()
 

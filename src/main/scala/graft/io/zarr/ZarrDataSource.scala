@@ -361,8 +361,16 @@ class ZarrWriteBuilder(root: String, clevel: Int, typesize: Int,
     // idempotent (a retried epoch rewrites byte-identical files). Durability
     // is per-row: an epoch abandoned forever leaves its chunks visible —
     // at-least-once that converges to exactly-once when the stream resumes.
-    override def toStreaming: streamingw.StreamingWrite =
+    // Only append mode is implemented: Complete output mode sets the
+    // truncate flag per epoch, which a silent append would turn into stale
+    // chunks a reader sees as valid data — reject it loudly instead.
+    override def toStreaming: streamingw.StreamingWrite = {
+      if (doTruncate)
+        throw new UnsupportedOperationException(
+          "zarr streaming sink supports append output mode only " +
+          "(per-epoch truncate is not implemented)")
       ZarrStreamingWrite(root, clevel, typesize)
+    }
   }
 }
 
@@ -392,6 +400,18 @@ class ZarrBatchWrite(root: String, clevel: Int, typesize: Int, truncate: Boolean
       val fs = new Path(root).getFileSystem(new Configuration())
       val rootPath = new Path(root)
       if (fs.exists(rootPath)) {
+        // an unscoped overwrite into a multi-stack store would truncate
+        // every stack, not just the one being written — since the stack
+        // option is not required for writes, fail loudly instead
+        if (onlyStack.isEmpty) {
+          val stacks = fs.listStatus(rootPath)
+            .filter(s => s.isDirectory && !s.getPath.getName.startsWith("."))
+          if (stacks.length > 1)
+            throw new IllegalArgumentException(
+              s"mode('overwrite') on a store with ${stacks.length} stacks " +
+              s"(${stacks.map(_.getPath.getName).sorted.mkString(", ")}) would " +
+              "truncate all of them; pass option(\"stack\", <name>) to scope it")
+        }
         for (stack <- fs.listStatus(rootPath)
                if stack.isDirectory && !stack.getPath.getName.startsWith(".")
                && onlyStack.forall(_ == stack.getPath.getName);

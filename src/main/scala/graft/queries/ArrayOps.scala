@@ -1,7 +1,5 @@
 package graft.queries
 
-import java.nio.file.Files
-
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -60,7 +58,7 @@ object ArrayOps {
 
     "z2_zarr_roundtrip" -> ((s, _) => {
       import s.implicits._
-      val dir = Files.createTempDirectory("graft-zarr-q").toString
+      val dir = graft.Scratch.dir("zarr-q")
       val l0 = SyntheticStack.generate(s, rtVol)
       ZarrIO.writeMetadata(dir, rtVol, nLevels = 1)
       ZarrIO.writeChunks(l0, dir)
@@ -79,7 +77,7 @@ object ArrayOps {
     // --- same roundtrip through the Zarr DataSource V2 connector:
     //     df.write.format("zarr") -> spark.read.format("zarr") ---
     "z3_dsv2_scan" -> ((s, _) => {
-      val dir = Files.createTempDirectory("graft-zarr-dsv2-q").toString
+      val dir = graft.Scratch.dir("zarr-dsv2-q")
       val vol = Volume("v2q", 0, Array(1L, 1L, 40L, 40L, 40L), Array(1, 1, 16, 16, 16))
       ZarrIO.writeMetadata(dir, vol, nLevels = 1)
       SyntheticStack.generate(s, vol).toDF()
@@ -106,7 +104,7 @@ object ArrayOps {
     //     projection drops `data`, so no chunk file is ever opened —
     //     the Zarr analogue of parquet partition pruning + ReadSchema ---
     "z5_dsv2_pushdown" -> ((s, _) => {
-      val dir = Files.createTempDirectory("graft-zarr-push-q").toString
+      val dir = graft.Scratch.dir("zarr-push-q")
       val vol = Volume("pq", 0, Array(1L, 1L, 40L, 40L, 40L), Array(1, 1, 16, 16, 16))
       ZarrIO.writeMetadata(dir, vol, nLevels = 1)
       SyntheticStack.generate(s, vol).toDF()
@@ -124,7 +122,7 @@ object ArrayOps {
     //     must come from .zarray grid arithmetic (one no-IO task), which
     //     the oracle states as constants ---
     "z7_dsv2_agg" -> ((s, _) => {
-      val dir = Files.createTempDirectory("graft-zarr-agg-q").toString
+      val dir = graft.Scratch.dir("zarr-agg-q")
       val vol = Volume("aq", 0, Array(1L, 1L, 40L, 24L, 24L), Array(1, 1, 8, 8, 8))
       ZarrIO.writeMetadata(dir, vol, nLevels = 1)
       s.read.format("zarr").option("path", dir).option("stack", "aq").load()
@@ -141,7 +139,7 @@ object ArrayOps {
     //     oracle from arithmetic (channel offset 1000c mod 65536) ---
     "z6_multichannel" -> ((s, _) => {
       import s.implicits._
-      val dir = Files.createTempDirectory("graft-czi-mc-q").toString
+      val dir = graft.Scratch.dir("czi-mc-q")
       val path = s"$dir/mc.czi"
       val chans = Array.tabulate(2, 24, 40, 40)((c, z, y, x) =>
         (SyntheticStack.value(z, y, x) + 1000 * c) & 0xFFFF)
@@ -164,7 +162,7 @@ object ArrayOps {
     //     per-chunk sums that the oracle recomputes from arithmetic ---
     "z4_czi_scan" -> ((s, _) => {
       import s.implicits._
-      val dir = Files.createTempDirectory("graft-czi-q").toString
+      val dir = graft.Scratch.dir("czi-q")
       val path = s"$dir/q.czi"
       val data = Array.tabulate(24, 40, 40)((z, y, x) => SyntheticStack.value(z, y, x))
       graft.sources.czi.SyntheticCzi.write(path, data)

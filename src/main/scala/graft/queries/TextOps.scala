@@ -113,7 +113,11 @@ object TextOps {
     "t7_winnow" -> ((s, dir) => {
       val h = horner(j => if (j == 0) "element_at(a, i)" else s"element_at(a, i + $j)")
       docs(s, dir).filter(col("doc_id") < 100)
-        .withColumn("a", expr("transform(sequence(1, length(text)), i -> ascii(substr(text, i, 1)))"))
+        // Spark ascii() and DuckDB unicode() agree only on ASCII input, so
+        // non-ASCII chars are stripped identically on both sides before
+        // hashing (a no-op on the current corpus, which is pure ASCII)
+        .withColumn("t7", regexp_replace(col("text"), "[^\\x00-\\x7F]", ""))
+        .withColumn("a", expr("transform(sequence(1, length(t7)), i -> ascii(substr(t7, i, 1)))"))
         .withColumn("hs", expr(
           s"CASE WHEN size(a) < 8 THEN array() ELSE transform(sequence(1, size(a) - 7), i -> $h) END"))
         .withColumn("fps", expr(
@@ -193,7 +197,9 @@ object TextOps {
     "t7_winnow" -> {
       val h = horner(j => if (j == 0) "cs[i]" else s"cs[i + $j]")
       s"""WITH t AS (
-         |  SELECT doc_id, text AS s, length(text) AS n FROM documents WHERE doc_id < 100),
+         |  SELECT doc_id, regexp_replace(text, '[^\\x00-\\x7F]', '', 'g') AS s,
+         |    length(regexp_replace(text, '[^\\x00-\\x7F]', '', 'g')) AS n
+         |  FROM documents WHERE doc_id < 100),
          |a AS (
          |  SELECT doc_id, n,
          |    list_transform(generate_series(1, n), i -> unicode(substr(s, i, 1))) AS cs

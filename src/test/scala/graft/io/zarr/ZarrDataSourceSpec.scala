@@ -107,6 +107,40 @@ class ZarrDataSourceSpec extends AnyFunSuite {
       "stack 'b' lost its data to a stack-'a' overwrite")
   }
 
+  test("unscoped overwrite on a multi-stack store fails instead of truncating both") {
+    val dir = Files.createTempDirectory("zarr-dsv2-trunc-guard").toString
+    val volA = Volume("a", 0, Array(1L, 1L, 8L, 8L, 8L), Array(1, 1, 8, 8, 8))
+    val volB = Volume("b", 0, Array(1L, 1L, 8L, 8L, 8L), Array(1, 1, 8, 8, 8))
+    ZarrIO.writeMetadata(dir, volA, nLevels = 1)
+    ZarrIO.writeMetadata(dir, volB, nLevels = 1)
+    SyntheticStack.generate(spark, volA).toDF()
+      .write.format(fmt).option("path", dir).mode("append").save()
+    SyntheticStack.generate(spark, volB).toDF()
+      .write.format(fmt).option("path", dir).mode("append").save()
+
+    val e = intercept[Exception] {
+      SyntheticStack.generate(spark, volA).toDF()
+        .write.format(fmt).option("path", dir).mode("overwrite").save()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Seq.empty else t +: causes(t.getCause)
+    assert(causes(e).exists(_.getMessage != null) &&
+      causes(e).flatMap(c => Option(c.getMessage)).exists(_.contains("option(\"stack\"")), e)
+    // and neither stack lost data
+    for (st <- Seq("a", "b")) {
+      val rows = spark.read.format("zarr").option("path", dir).option("stack", st)
+        .load().collect()
+      assert(rows.length == 1 && rows(0).getAs[Array[Byte]]("data").exists(_ != 0),
+        s"stack '$st' lost data to the rejected truncate")
+    }
+  }
+
+  test("streaming sink rejects Complete-mode truncate instead of appending silently") {
+    val b = new ZarrWriteBuilder("/tmp/nonexistent-zarr", 3, 2, None, None)
+    b.truncate()
+    intercept[UnsupportedOperationException] { b.build().toStreaming }
+  }
+
   test("coordinate filters prune the planned sub-grid, not just rows") {
     import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
     val dir = Files.createTempDirectory("zarr-dsv2-push").toString
