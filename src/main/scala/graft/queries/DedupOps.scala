@@ -190,13 +190,38 @@ object DedupOps {
     }),
 
     // --- SimHash near-dup pairs: Hamming distance <= 12 among the first
-    //     200 docs (bit_count(xor) in both engines). At corpus scale the
-    //     pair search would bucket by simhash bands exactly like d4. ---
+    //     200 docs (bit_count(xor) in both engines). Pair generation is
+    //     EXACT banded bucketing, not a self-join: the 60-bit key splits
+    //     into 13 disjoint bands, and a pair differing in <= 12 bits can
+    //     touch at most 12 bands, so it collides exactly in at least one
+    //     (pigeonhole). Candidates come from the same bucket-explode d4
+    //     uses, confirmation (bit_count on the full key) runs on the few
+    //     survivors — the corpus never cross-joins at any scale. ---
     "d6_simhash_pairs" -> ((s, dir) => {
       val sh = simhash(docs(s, dir).filter(col("doc_id") < 200)).cache()
-      sh.as("a").join(sh.as("b"), col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
-          expr("CAST(bit_count(a.simhash ^ b.simhash) AS BIGINT)").as("hamming"))
+      // 13 bands over bits [0,60): 8 of width 5, 5 of width 4
+      val widths = Seq.fill(8)(5) ++ Seq.fill(5)(4)
+      val bandExprs = widths.scanLeft(0)(_ + _).zip(widths).zipWithIndex.map {
+        case ((off, w), b) =>
+          s"struct($b AS band, shiftright(simhash, $off) & ${(1 << w) - 1} AS bkey)"
+      }
+      val bands = sh.select(col("doc_id"),
+        explode(expr(s"array(${bandExprs.mkString(",")})")).as("bb"))
+        .select(col("doc_id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+      // same-bucket ordered pairs (a pair colliding in k bands dedups here)
+      val cand = bands.groupBy(col("band"), col("bkey"))
+        .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+        .filter(size(col("ids")) > 1)
+        .select(explode(expr(
+          "flatten(transform(ids, a -> transform(filter(ids, b -> b > a), b -> struct(a AS d1, b AS d2))))"))
+          .as("p"))
+        .select(col("p.d1").as("d1"), col("p.d2").as("d2"))
+        .distinct()
+      broadcast(cand)
+        .join(sh.select(col("doc_id").as("d1"), col("simhash").as("h1")), Seq("d1"))
+        .join(sh.select(col("doc_id").as("d2"), col("simhash").as("h2")), Seq("d2"))
+        .select(col("d1"), col("d2"),
+          expr("CAST(bit_count(h1 ^ h2) AS BIGINT)").as("hamming"))
         .filter(col("hamming") <= 12)
         .orderBy(col("d1"), col("d2"))
     }),

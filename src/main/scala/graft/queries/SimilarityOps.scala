@@ -116,21 +116,30 @@ object SimilarityOps {
         .orderBy(col("label"), col("cell"))
     }),
 
-    // --- embedding-cosine near-duplicate pairs (threshold tuned to this
-    //     corpus's max inter-vector similarity; at scale the candidate
-    //     set would come from v2's cells or random-hyperplane LSH, with
-    //     this exact scoring as the confirmation pass) ---
+    // --- embedding-cosine near-duplicate pairs, EXACT (an LSH candidate
+    //     set is not a substitute: on this corpus v5's banded RHP-LSH
+    //     recalls only ~half of the >= 0.45 pairs — measured 70 of 144 at
+    //     sf0.1 — so the exact audit must score every pair). The O(n^2)
+    //     work is partitioned as a BLOCKED pair join, not a nested-loop
+    //     broadcast: vectors land in B hash blocks, the left side
+    //     replicates to every block key, and a shuffled equi-join on the
+    //     block id gives each task one (all, block_b) slab — per-task
+    //     build memory is n/B rows instead of the whole corpus, and the
+    //     quadratic scoring spreads evenly across B tasks. At 100 TB the
+    //     approximate path is v5/v6; this is the shape an exact pass has
+    //     to take when it is required at all. ---
     "v4_embedding_neardup" -> ((s, dir) => {
+      val nBlocks = s.sparkContext.defaultParallelism
       val e = withNorm(emb(s, dir).select(col("vec_id"), col("embedding")))
-      // the corpus parquet is one file -> one scan partition; the O(n^2)
-      // scoring loop needs the STREAM side spread over every core (the
-      // broadcast side stays whole). At 100 TB the stream side is already
-      // many partitions and this repartition drops out.
-      val a = e.repartition(s.sparkContext.defaultParallelism)
-      val pairs = a.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
-        .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"),
-          (graft.functions.vector_dot(col("a.embedding"), col("b.embedding")) /
-            (col("a.nrm") * col("b.nrm"))).as("cos_raw"))
+      val left = e.select(col("vec_id").as("id1"), col("embedding").as("e1"),
+          col("nrm").as("n1"),
+          explode(expr(s"sequence(0, ${nBlocks - 1})")).as("blk"))
+      val right = e.select(col("vec_id").as("id2"), col("embedding").as("e2"),
+          col("nrm").as("n2"), pmod(col("vec_id"), lit(nBlocks)).as("blk"))
+      val pairs = left.join(right, left("blk") === right("blk") && col("id1") < col("id2"))
+        .select(col("id1"), col("id2"),
+          (graft.functions.vector_dot(col("e1"), col("e2")) /
+            (col("n1") * col("n2"))).as("cos_raw"))
       pairs.filter(round(col("cos_raw"), 6) >= 0.45)
         .select(col("id1"), col("id2"), round(col("cos_raw"), 6).as("cos"))
         .orderBy(col("id1"), col("id2"))

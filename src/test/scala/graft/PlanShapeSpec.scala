@@ -48,6 +48,18 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("d6: banded SimHash candidates come from bucket equi-joins, no nested loop") {
+    val p = plan("d6_simhash_pairs")
+    assert(!p.toLowerCase.contains("cartesianproduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("v4: exact pair scoring is a blocked equi-join, no nested loop") {
+    val p = plan("v4_embedding_neardup")
+    assert(!p.toLowerCase.contains("cartesianproduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("q4: grouping sets expand once into one aggregate") {
     val p = plan("q4_grouping_sets")
     assert(p.linesIterator.count(_.trim.startsWith("Expand")) <= 2, p)
