@@ -34,7 +34,12 @@ object ZeissJob {
       downsampleLevels: Int = 4,
       compressorLevel: Int = 3,
       compress: Boolean = true,
-      targetSizeMb: Long = 19200) // reference models.py:77-81 job default
+      targetSizeMb: Long = 19200, // reference models.py:77-81 job default
+      // engine knob (no reference analogue — the reference converts stacks
+      // strictly sequentially): how many stack conversions the driver
+      // submits concurrently. Overlapping jobs keeps executors busy
+      // through each stack's task tail.
+      maxConcurrentStacks: Int = 4)
 
   final case class JobResponse(statusCode: Int, message: String)
 
@@ -55,7 +60,9 @@ object ZeissJob {
       scaleFactor = arr3(n.get("scale_factor"), Array(2, 2, 2)),
       downsampleLevels = if (n.has("downsample_levels")) n.get("downsample_levels").asInt else 4,
       compressorLevel = if (n.has("compressor_level")) n.get("compressor_level").asInt else 3,
-      targetSizeMb = if (n.has("target_size_mb")) n.get("target_size_mb").asLong else 19200L)
+      targetSizeMb = if (n.has("target_size_mb")) n.get("target_size_mb").asLong else 19200L,
+      maxConcurrentStacks =
+        if (n.has("max_concurrent_stacks")) n.get("max_concurrent_stacks").asInt else 4)
   }
 
   /** Voxel resolution from acquisition.json: first tile's scale transform,
@@ -155,11 +162,39 @@ object ZeissJob {
       catch { case _: Throwable => Seq(1.0, 1.0, 1.0) }
     val out = settings.s3Location.getOrElse(settings.outputDirectory)
     uploadDerivatives(settings.inputSource, out)
-    stacks.foreach { czi =>
-      convertStack(spark, czi, out, settings, voxel)
-    }
+    convertAll(spark, stacks, out, settings, voxel)
     val secs = (System.nanoTime() - t0) / 1e9
     JobResponse(200, f"converted ${stacks.size} stacks in $secs%.1f s")
+  }
+
+  /** Convert stacks with up to `maxConcurrentStacks` conversions in
+    * flight: a directory of many small stacks would otherwise leave most
+    * executors idle during each stack's task tail. Each conversion runs
+    * in its own scheduler pool (effective under FAIR scheduling, harmless
+    * under FIFO) so one huge stack cannot starve the others. Failures
+    * propagate after all in-flight conversions settle. */
+  def convertAll(spark: SparkSession, stacks: Seq[String], out: String,
+                 settings: Settings, voxelZyx: Seq[Double]): Seq[Volume] = {
+    val par = math.max(1, math.min(settings.maxConcurrentStacks, stacks.size))
+    if (par == 1) stacks.map(czi => convertStack(spark, czi, out, settings, voxelZyx))
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(par)
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutor(pool)
+      try {
+        val futs = stacks.map { czi =>
+          scala.concurrent.Future {
+            spark.sparkContext.setLocalProperty("spark.scheduler.pool",
+              new Path(czi).getName.stripSuffix(".czi"))
+            try convertStack(spark, czi, out, settings, voxelZyx)
+            finally spark.sparkContext.setLocalProperty("spark.scheduler.pool", null)
+          }
+        }
+        scala.concurrent.Await.result(
+          scala.concurrent.Future.sequence(futs),
+          scala.concurrent.duration.Duration.Inf)
+      } finally pool.shutdown()
+    }
   }
 
   def main(args: Array[String]): Unit = {

@@ -106,6 +106,27 @@ object CziReader {
         val ends = entries.map(e => e.start(d) + e.size(d))
         (starts.min, ends.max)
       }
+
+      // Axis vocabulary beyond TCZYX, per the reference's tolerated set
+      // (utils.py:438-459: b/v/i/h/r/s plus the czifile '0' sample axis;
+      // 'M' is ZISRAW's mosaic-tile index). A singleton extra axis
+      // squeezes away exactly like the reference's collapse-to-TCZYX; an
+      // extra axis spanning >1 (multi-scene / mosaic / multi-view file)
+      // has no correct TCZYX reading, so it must fail loudly — silently
+      // folding scenes onto the same (z,y,x) coordinates would corrupt
+      // the output. An axis outside the vocabulary is rejected outright.
+      val known = Set("T", "C", "Z", "Y", "X", "B", "V", "I", "H", "R", "S", "M", "0")
+      val present = entries.iterator.flatMap(_.dims.keysIterator).toSet
+      val unknown = present -- known
+      require(unknown.isEmpty, s"unknown CZI axes ${unknown.toSeq.sorted.mkString(", ")}")
+      for (d <- (present -- Set("T", "C", "Z", "Y", "X")).toSeq.sorted) {
+        val (lo, hi) = extent(d)
+        if (hi - lo > 1)
+          throw new UnsupportedOperationException(
+            s"CZI axis '$d' spans [$lo, $hi): multi-scene/mosaic/multi-view files " +
+            "are not supported — split them (e.g. one scene per file) before ingest")
+      }
+
       val axes = Seq("T", "C", "Z", "Y", "X")
       val exts = axes.map(extent)
       val origin = exts.map(_._1).toArray

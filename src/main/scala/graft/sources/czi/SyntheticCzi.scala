@@ -58,9 +58,13 @@ object SyntheticCzi {
 
   /** Multi-channel variant: `data(c)(z)(y)(x)`, one subblock per
     * (channel, z-slice), each carrying a C dimension entry (start=c,
-    * size=1) — the ZISRAW norm the multi-channel scan relies on. */
+    * size=1) — the ZISRAW norm the multi-channel scan relies on.
+    * `extraDims(c, z)` appends additional dimension entries (scene/
+    * mosaic/view axes) to that subblock's directory entry — the fixture
+    * hook for the reader's axis-vocabulary handling. */
   def writeChannels(path: String, chans: Array[Array[Array[Array[Int]]]],
-                    pixelType: Int = CziFormat.PixelGray16): Unit = {
+                    pixelType: Int = CziFormat.PixelGray16,
+                    extraDims: (Int, Int) => Seq[(String, Int, Int)] = (_, _) => Nil): Unit = {
     val nc = chans.length
     val data = chans(0)
     val (nz, ny, nx) = (data.length, data(0).length, data(0)(0).length)
@@ -102,7 +106,7 @@ object SyntheticCzi {
           val hdr: Array[Byte] = if (hiLo) Array(3, 1, 1) else Array(1)
           hdr ++ body
       }
-      val dims = Seq(("X", 0, nx), ("Y", 0, ny), ("Z", z, 1), ("C", c, 1))
+      val dims = Seq(("X", 0, nx), ("Y", 0, ny), ("Z", z, 1), ("C", c, 1)) ++ extraDims(c, z)
       val entry = entryBytes(pixelType, pos, compression, dims)
       val headerSpace = math.max(256, 16 + entry.length)
       val used = headerSpace + payload.length

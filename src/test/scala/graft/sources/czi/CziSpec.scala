@@ -31,6 +31,45 @@ class CziSpec extends AnyFunSuite {
         CziFormat.CompressionZstd1))
   }
 
+  test("singleton scene/view/mosaic axes squeeze away like the reference's collapse") {
+    val dir = Files.createTempDirectory("czi-axes").toString
+    val path = s"$dir/s1.czi"
+    SyntheticCzi.writeChannels(path, Array(synth(8, 16, 16)),
+      extraDims = (_, _) => Seq(("S", 0, 1), ("B", 0, 1), ("V", 0, 1)))
+    val idx = CziReader.index(path)
+    assert(idx.shape.toSeq == Seq(1L, 1L, 8L, 16L, 16L))
+    // and the data reads back voxel-exact through the scan
+    val (vol, i2) = CziSource.volume(path, "s1", Array(8, 16, 16))
+    val chunks = CziSource.scan(spark, path, vol, i2).collect()
+    assert(chunks.length == 1)
+    val px = chunks(0).pixels
+    assert(px(17) == SyntheticStack.value(0, 1, 1))
+  }
+
+  test("multi-scene / mosaic CZI is rejected loudly, never silently folded") {
+    val dir = Files.createTempDirectory("czi-axes").toString
+    // scenes alternate per z-slice: axis S spans [0, 2)
+    val pathS = s"$dir/s2.czi"
+    SyntheticCzi.writeChannels(pathS, Array(synth(8, 16, 16)),
+      extraDims = (_, z) => Seq(("S", z % 2, 1)))
+    val eS = intercept[UnsupportedOperationException] { CziReader.index(pathS) }
+    assert(eS.getMessage.contains("'S'") && eS.getMessage.contains("[0, 2)"), eS.getMessage)
+
+    // mosaic tiles: axis M spanning > 1 on a single subblock
+    val pathM = s"$dir/m.czi"
+    SyntheticCzi.writeChannels(pathM, Array(synth(4, 8, 8)),
+      extraDims = (_, _) => Seq(("M", 0, 2)))
+    val eM = intercept[UnsupportedOperationException] { CziReader.index(pathM) }
+    assert(eM.getMessage.contains("'M'"), eM.getMessage)
+
+    // an axis outside the tolerated vocabulary fails even when singleton
+    val pathQ = s"$dir/q.czi"
+    SyntheticCzi.writeChannels(pathQ, Array(synth(4, 8, 8)),
+      extraDims = (_, _) => Seq(("Q", 0, 1)))
+    val eQ = intercept[IllegalArgumentException] { CziReader.index(pathQ) }
+    assert(eQ.getMessage.contains("Q"), eQ.getMessage)
+  }
+
   test("zstd1 decode: plain header and hi-lo byte-packed payloads") {
     val e = CziFormat.SubBlockEntry(0L, CziFormat.PixelGray16, CziFormat.CompressionZstd1,
       Map("X" -> CziFormat.DimEntry("X", 0, 4, 4), "Y" -> CziFormat.DimEntry("Y", 0, 2, 2)))
@@ -206,6 +245,39 @@ class CziSpec extends AnyFunSuite {
     for (dz <- 0 until 2; dy <- 0 until 2; dx <- 0 until 2)
       sum += SyntheticStack.value(dz, dy, dx)
     assert(c0.pixels(0) == (sum / 8).toInt)
+  }
+
+  test("multi-stack conversion overlaps stacks and beats the sequential sum") {
+    val root = Files.createTempDirectory("zeiss-par").toString
+    val spim = new java.io.File(s"$root/in/SPIM"); spim.mkdirs()
+    for (i <- 1 to 4)
+      SyntheticCzi.write(s"$root/in/SPIM/st$i.czi", synth(16, 32, 32))
+    val stacks = ZeissJob.discoverStacks(s"$root/in")
+    assert(stacks.size == 4)
+    val voxel = Seq(1.0, 1.0, 1.0)
+    def settings(out: String, par: Int) = ZeissJob.Settings(
+      inputSource = s"$root/in", outputDirectory = out,
+      chunkSize = Array(8, 16, 16), downsampleLevels = 2,
+      maxConcurrentStacks = par)
+
+    val t1 = System.nanoTime()
+    ZeissJob.convertAll(spark, stacks, s"$root/seq", settings(s"$root/seq", 1), voxel)
+    val seqS = (System.nanoTime() - t1) / 1e9
+
+    val t2 = System.nanoTime()
+    ZeissJob.convertAll(spark, stacks, s"$root/par", settings(s"$root/par", 4), voxel)
+    val parS = (System.nanoTime() - t2) / 1e9
+
+    info(f"sequential $seqS%.2f s, parallel $parS%.2f s")
+    assert(parS < seqS, f"parallel ($parS%.2f s) not faster than sequential ($seqS%.2f s)")
+
+    // both outputs identical and voxel-exact for every stack
+    for (st <- Seq("st1", "st2", "st3", "st4"); out <- Seq("seq", "par")) {
+      val l0 = ZarrIO.readChunks(spark, s"$root/$out", st, 0).collect()
+      assert(l0.map(_.numVoxels).sum == 16 * 32 * 32, s"$out/$st")
+      val c = l0.find(c => c.z == 0 && c.y == 0 && c.x == 0).get
+      assert(c.pixels(0) == SyntheticStack.value(0, 0, 0))
+    }
   }
 
   test("Gray8 CZI end-to-end: u8 dtype through scan, pyramid, and zarr") {
