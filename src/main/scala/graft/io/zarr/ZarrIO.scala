@@ -52,9 +52,15 @@ object ZarrIO {
     put(new Path(rootPath, ".zgroup"), ZarrMeta.zgroup)
     val stackPath = new Path(rootPath, vol.stack)
     put(new Path(stackPath, ".zgroup"), ZarrMeta.zgroup)
-    put(new Path(stackPath, ".zattrs"),
-      ZarrMeta.stackAttrs(vol.stack, vol.shape.toSeq, nLevels, voxelZyx,
-        factorZyx, channelNames, originZyx, vol.dtype))
+    val attrs = ZarrMeta.stackAttrs(vol.stack, vol.shape.toSeq, nLevels, voxelZyx,
+      factorZyx, channelNames, originZyx, vol.dtype)
+    // independent NGFF 0.4 conformance check (the reference validates via
+    // ome_zarr.format.CurrentFormat(), czi_to_zarr.py:300-320); golden-JSON
+    // specs alone would only compare this code against itself
+    val violations = JsonSchema.validateNgffImage(attrs)
+    require(violations.isEmpty,
+      s"emitted .zattrs violates the NGFF 0.4 image schema: ${violations.mkString("; ")}")
+    put(new Path(stackPath, ".zattrs"), attrs)
     // one .zarray per level; shapes follow the ceil cascade
     var shape = vol.shape
     for (l <- 0 until nLevels) {

@@ -49,6 +49,22 @@ object EventStream {
       .withWatermark("ts", "2 hours")
       .dropDuplicates("user_id", "event_type")
 
+  /** Content-fingerprint streaming dedup via Spark 4's
+    * `dropDuplicatesWithinWatermark` — the streaming twin of batch
+    * `d1_dedup_exact` (md5-of-content dedup): duplicate payloads arriving
+    * within the watermark horizon collapse to one row. Unlike
+    * `dropDuplicates`, a fingerprint's state is EVICTED once the
+    * watermark passes its event time + horizon, so state is bounded by
+    * the horizon, not the stream's lifetime key cardinality — the form
+    * that survives an unbounded 100 TB/day firehose where at-least-once
+    * delivery makes duplicates arrive within a bounded lag. */
+  def dedupContentWithinWatermark(events: DataFrame, horizon: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", horizon)
+      .withColumn("fp", md5(concat_ws("",
+        col("user_id"), col("event_type"), col("value"), col("props"))))
+      .dropDuplicatesWithinWatermark("fp")
+
   /** Stream-stream self-join: for each purchase, the error events of the
     * same user within the following 30 minutes. Both sides watermarked so
     * join state is bounded (Spark requires the time-interval condition). */
@@ -67,6 +83,8 @@ object EventStream {
       col("e_ts") <= col("p_ts") + expr("INTERVAL 30 MINUTES"))
   }
 
+  final case class FullEv(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+                          event_type: String, value: Double, props: String)
   final case class Ev(event_id: Long, sec: Long, user_id: Long)
   final case class TsEv(event_id: Long, ts: java.sql.Timestamp, user_id: Long)
   final case class SessionState(start: Long, last: Long, n: Int)

@@ -66,6 +66,46 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == want, s"streamed $got vs batch distinct $want")
   }
 
+  test("content dedup within watermark: dups collapse, state evicts past the horizon") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.EventStream.FullEv
+    val mem = MemoryStream[FullEv](spark)
+    val q = EventStream.dedupContentWithinWatermark(mem.toDS().toDF())
+      .writeStream.format("memory").queryName("content_dedup")
+      .outputMode("append").start()
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000)
+    val t0 = 1700000000L
+    // same content three times within the horizon (different event ids) +
+    // one distinct payload
+    val batch1 = Seq(
+      FullEv(1, ts(t0), 7, "click", 1.5, "{}"),
+      FullEv(2, ts(t0 + 60), 7, "click", 1.5, "{}"),
+      FullEv(3, ts(t0 + 120), 7, "click", 1.5, "{}"),
+      FullEv(4, ts(t0 + 60), 8, "purchase", 9.0, "{}"))
+    mem.addData(batch1: _*)
+    q.processAllAvailable()
+    // batch-twin equivalence over the same replay: one row per fingerprint
+    val afterB1 = spark.sql("SELECT count(*) FROM content_dedup").collect()(0).getLong(0)
+    val batchTwin = batch1.toDF()
+      .withColumn("fp", md5(concat_ws("",
+        col("user_id"), col("event_type"), col("value"), col("props"))))
+      .dropDuplicates("fp").count()
+    assert(afterB1 == batchTwin && afterB1 == 2, s"streamed $afterB1 vs batch $batchTwin")
+
+    // advance the watermark 10h past t0, then replay the SAME content:
+    // its state must have been evicted, so it is emitted again — the
+    // within-watermark semantics (a plain dropDuplicates would drop it)
+    mem.addData(FullEv(5, ts(t0 + 36000), 9, "view", 0.0, "{}"))
+    q.processAllAvailable()
+    mem.addData(FullEv(6, ts(t0 + 36060), 7, "click", 1.5, "{}"))
+    q.processAllAvailable()
+    q.stop()
+    val clicks = spark.sql(
+      "SELECT count(*) FROM content_dedup WHERE user_id = 7").collect()(0).getLong(0)
+    assert(clicks == 2, s"expected re-admission after state eviction, got $clicks")
+  }
+
   test("stream-stream interval join matches the batch twin") {
     val q = EventStream.purchaseThenError(EventStream.read(spark, eventsDir))
       .writeStream.format("memory").queryName("ssjoin")
