@@ -182,8 +182,13 @@ object CziReader {
           require(bpp == 2, s"zstd1 hi-lo byte packing only defined for 16-bit pixels, got $bpp bytes/px")
           graft.core.Blosc.unshuffle(out, 2)
         } else out
+      case CompressionJpgXr =>
+        // parses the container + codestream headers, then throws with the
+        // full stream configuration (see JpegXr's class doc for why the
+        // entropy layer is out of scope offline)
+        JpegXr.decode(raw)
       case other =>
-        throw new UnsupportedOperationException(s"CZI compression $other (JPEG/JPEG-XR) not supported")
+        throw new UnsupportedOperationException(s"CZI compression $other (JPEG?) not supported")
     }
   }
 }
