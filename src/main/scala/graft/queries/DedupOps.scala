@@ -228,7 +228,48 @@ object DedupOps {
 
     // --- SimHash (60-bit, md5-derived token hashes) for first 100 docs ---
     "d5_simhash" -> ((s, dir) =>
-      simhash(docs(s, dir).filter(col("doc_id") < 100)).orderBy(col("doc_id")))
+      simhash(docs(s, dir).filter(col("doc_id") < 100)).orderBy(col("doc_id"))),
+
+    // --- near-duplicate CLUSTERS: connected components over d2's
+    //     Jaccard >= 0.5 edges, labeled by component-minimum doc_id —
+    //     what a dedup pipeline actually needs (keep one survivor per
+    //     cluster, not a bag of pairs). Iterative min-label propagation:
+    //     each round is one equi-join + hash aggregate over the edge
+    //     list; rounds are bounded by component diameter (near-dup
+    //     clusters are shallow — 3-4 rounds here). The only driver-side
+    //     value per round is the single changed-count scalar. ---
+    "d8_dup_clusters" -> ((s, dir) => {
+      val sh = shingles(docs(s, dir)).cache()
+      val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val edges = pairCounts(sh, "h")
+        .join(cnt.as("c1"), col("d1") === col("c1.doc_id"))
+        .join(cnt.as("c2"), col("d2") === col("c2.doc_id"))
+        .filter(col("m") / (col("c1.n") + col("c2.n") - col("m")) >= 0.5)
+        .select(col("d1"), col("d2"))
+        .cache()
+      val bi = edges.union(edges.select(col("d2").as("d1"), col("d1").as("d2")))
+      var labels = edges.select(col("d1").as("id"))
+        .union(edges.select(col("d2").as("id")))
+        .distinct().withColumn("lbl", col("id")).cache()
+      var changed = 1L
+      var iters = 0
+      while (changed > 0 && iters < 20) {
+        val next = labels.as("l")
+          .join(bi.as("e"), col("l.id") === col("e.d1"), "left")
+          .join(labels.as("nb"), col("e.d2") === col("nb.id"), "left")
+          .groupBy(col("l.id").as("id"))
+          .agg(least(min(col("l.lbl")), min(col("nb.lbl"))).as("lbl"))
+          .cache()
+        changed = next.as("a").join(labels.as("b"), col("a.id") === col("b.id"))
+          .filter(col("a.lbl") =!= col("b.lbl")).count()
+        labels.unpersist()
+        labels = next
+        iters += 1
+      }
+      require(changed == 0, s"label propagation did not converge in $iters rounds")
+      labels.select(col("id").as("doc_id"), col("lbl").as("cluster"))
+        .orderBy(col("doc_id"))
+    })
   )
 
   private val shingleSql =
@@ -328,6 +369,25 @@ object DedupOps {
         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 12
         |ORDER BY d1, d2""".stripMargin,
+
+    "d8_dup_clusters" ->
+      s"""WITH RECURSIVE $shingleSql,
+         |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |m AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS m
+         |      FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
+         |      GROUP BY 1, 2),
+         |edges AS (
+         |  SELECT d1, d2 FROM m
+         |  JOIN cnt c1 ON d1 = c1.doc_id JOIN cnt c2 ON d2 = c2.doc_id
+         |  WHERE m * 1.0 / (c1.n + c2.n - m) >= 0.5),
+         |bi AS (SELECT d1 AS a, d2 AS b FROM edges
+         |       UNION ALL SELECT d2, d1 FROM edges),
+         |reach(a, b) AS (
+         |  SELECT a, b FROM bi
+         |  UNION
+         |  SELECT r.a, bi.b FROM reach r JOIN bi ON r.b = bi.a)
+         |SELECT a AS doc_id, least(a, min(b)) AS cluster
+         |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin,
 
     "d5_simhash" ->
       """WITH toks AS (

@@ -119,6 +119,23 @@ object EventOps {
           (unix_timestamp(col("w.end")) - unix_timestamp(col("w.start")) - 1800).as("dur_sec"),
           col("n_events"))
         .orderBy(col("user_id"), col("start_sec"))
+    }),
+
+    // --- weekly cohort retention: users bucketed by their first active
+    //     week, counted in each later week they return. The canonical
+    //     product-analytics rollup: two hash aggregates (distinct active
+    //     weeks, then per-(cohort, offset) distinct users) — both keyed
+    //     uniformly, both map-side combinable; nothing here changes at
+    //     100 TB beyond partition counts. ---
+    "e8_retention" -> ((s, dir) => {
+      val weeks = ev(s, dir)
+        .select(col("user_id"), expr("unix_timestamp(ts) div 604800").as("wk"))
+        .distinct()
+      val cohort = weeks.groupBy(col("user_id")).agg(min(col("wk")).as("cohort_wk"))
+      weeks.join(cohort, Seq("user_id"))
+        .groupBy(col("cohort_wk"), (col("wk") - col("cohort_wk")).as("k"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .orderBy(col("cohort_wk"), col("k"))
     })
   )
 
@@ -204,6 +221,18 @@ object EventOps {
         |      - CAST(floor(min(us) / 1000000) AS BIGINT) AS dur_sec
         |  FROM s GROUP BY user_id, sid)
         |SELECT user_id, start_sec, dur_sec, n_events
-        |FROM sess ORDER BY user_id, start_sec""".stripMargin
+        |FROM sess ORDER BY user_id, start_sec""".stripMargin,
+
+    "e8_retention" ->
+      """WITH weeks AS (
+        |  SELECT DISTINCT user_id,
+        |    CAST(floor(epoch(ts)) AS BIGINT) // 604800 AS wk
+        |  FROM events),
+        |cohort AS (
+        |  SELECT user_id, min(wk) AS cohort_wk FROM weeks GROUP BY user_id)
+        |SELECT c.cohort_wk, w.wk - c.cohort_wk AS k,
+        |  count(DISTINCT w.user_id) AS n_users
+        |FROM weeks w JOIN cohort c USING (user_id)
+        |GROUP BY 1, 2 ORDER BY cohort_wk, k""".stripMargin
   )
 }

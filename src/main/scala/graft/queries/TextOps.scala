@@ -190,6 +190,46 @@ object TextOps {
           (floor(sum(round(col("q") * 10000).cast("long")) / count(lit(1)) + 0.5) / 10000.0)
             .as("avg_quality"))
         .orderBy(col("source"), col("lang"))
+    }),
+
+    // --- BM25 ranking (Robertson k1=1.2, b=0.75, +1 idf) of the corpus
+    //     against a fixed 3-term query. Scale shape: term frequencies are
+    //     one explode + hash aggregate keyed by (doc, term); document
+    //     frequencies and avgdl are tiny aggregates that BROADCAST back
+    //     into the per-doc scorer, so the corpus is read once and never
+    //     reshuffled by anything larger than the (doc, term) aggregate. ---
+    "t8_bm25" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val terms = Seq("spark", "merge", "vector")
+      val k1 = 1.2; val b = 0.75
+      val base = docs(s, dir).select(col("doc_id"),
+        split(trim(col("text")), "\\s+").as("tok"))
+        .select(col("doc_id"), size(col("tok")).as("dl"), col("tok"))
+      val stats = base.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+      val tf = base
+        .select(col("doc_id"), col("dl"), explode(col("tok")).as("term"))
+        .filter(col("term").isin(terms: _*))
+        .groupBy(col("doc_id"), col("dl"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val scored = tf
+        .join(broadcast(df), Seq("term"))
+        .crossJoin(broadcast(stats))
+        .select(col("doc_id"),
+          (log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0) *
+            (col("tf") * (k1 + 1)) /
+            (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl")))).as("part"))
+        // per-term parts summed as scaled integers: a 3-double sum is
+        // aggregation-order-dependent at the last ulp, which round(_, 6)
+        // can surface at a boundary; integers commute exactly
+        .select(col("doc_id"), round(col("part") * 1e9).cast("long").as("p9"))
+        .groupBy(col("doc_id"))
+        .agg(round(sum(col("p9")) / 1e9, 6).as("bm25"))
+      val w = Window.orderBy(col("bm25").desc, col("doc_id"))
+      scored.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 10)
+        .select(col("doc_id"), col("bm25"), col("rk"))
+        .orderBy(col("rk"))
     })
   )
 
@@ -319,6 +359,33 @@ object TextOps {
         |SELECT source, lang, count(*) AS n_docs,
         |  CAST(sum(n_tok) AS BIGINT) AS total_tokens,
         |  floor(sum(CAST(round(q * 10000) AS BIGINT)) * 1.0 / count(*) + 0.5) / 10000.0 AS avg_quality
-        |FROM kept GROUP BY source, lang ORDER BY source, lang""".stripMargin
+        |FROM kept GROUP BY source, lang ORDER BY source, lang""".stripMargin,
+
+    "t8_bm25" ->
+      """WITH base AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tok FROM documents),
+        |d AS (SELECT doc_id, len(tok) AS dl, tok FROM base),
+        |stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM d),
+        |tf AS (
+        |  SELECT doc_id, dl, term, count(*) AS tf
+        |  FROM (SELECT doc_id, dl, unnest(tok) AS term FROM d)
+        |  WHERE term IN ('spark', 'merge', 'vector')
+        |  GROUP BY doc_id, dl, term),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |parts AS (
+        |  SELECT tf.doc_id,
+        |    CAST(round(
+        |      ln((s.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0) *
+        |      (tf.tf * 2.2) /
+        |      (tf.tf + 1.2 * (1 - 0.75 + 0.75 * tf.dl / s.avgdl)) * 1e9) AS BIGINT) AS p9
+        |  FROM tf JOIN df USING (term), stats s),
+        |scored AS (
+        |  SELECT doc_id, round(CAST(sum(p9) AS BIGINT) / 1e9, 6) AS bm25
+        |  FROM parts GROUP BY doc_id),
+        |ranked AS (
+        |  SELECT doc_id, bm25,
+        |    row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rk
+        |  FROM scored)
+        |SELECT doc_id, bm25, rk FROM ranked WHERE rk <= 10 ORDER BY rk""".stripMargin
   )
 }
