@@ -136,6 +136,35 @@ object EventOps {
         .groupBy(col("cohort_wk"), (col("wk") - col("cohort_wk")).as("k"))
         .agg(countDistinct(col("user_id")).as("n_users"))
         .orderBy(col("cohort_wk"), col("k"))
+    }),
+
+    // --- ordered funnel (view -> click -> purchase): per-user first-view,
+    //     first click at-or-after it, first purchase at-or-after that.
+    //     Each stage is a min-aggregate keyed by user (uniform), the
+    //     per-stage tables are tiny relative to the event stream and
+    //     broadcast into the next stage's filter — the fact table is
+    //     scanned once per stage and never self-joined row-to-row. ---
+    "e9_funnel" -> ((s, dir) => {
+      val e = ev(s, dir).select(col("user_id"), col("event_type"),
+        unix_timestamp(col("ts")).as("sec"))
+      val v = e.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("sec")).as("tv"))
+      val c = e.filter(col("event_type") === "click")
+        .join(broadcast(v), Seq("user_id"))
+        .filter(col("sec") >= col("tv"))
+        .groupBy(col("user_id"), col("tv")).agg(min(col("sec")).as("tc"))
+      val p = e.filter(col("event_type") === "purchase")
+        .join(broadcast(c), Seq("user_id"))
+        .filter(col("sec") >= col("tc"))
+        .groupBy(col("user_id"), col("tv"), col("tc")).agg(min(col("sec")).as("tp"))
+      val nv = v.agg(count(lit(1)).as("n_view"))
+      val nc = c.agg(count(lit(1)).as("n_click"))
+      val np = p.agg(count(lit(1)).as("n_purchase"),
+        // mean seconds-to-convert, floor(x+.5)-rounded to 4dp so both
+        // engines round identical doubles identically
+        (floor(sum(col("tp") - col("tv")) * 10000L / count(lit(1)) + 0.5) / 10000.0)
+          .as("avg_conv_sec"))
+      nv.crossJoin(nc).crossJoin(np)
     })
   )
 
@@ -233,6 +262,22 @@ object EventOps {
         |SELECT c.cohort_wk, w.wk - c.cohort_wk AS k,
         |  count(DISTINCT w.user_id) AS n_users
         |FROM weeks w JOIN cohort c USING (user_id)
-        |GROUP BY 1, 2 ORDER BY cohort_wk, k""".stripMargin
+        |GROUP BY 1, 2 ORDER BY cohort_wk, k""".stripMargin,
+
+    "e9_funnel" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events),
+        |v AS (SELECT user_id, min(sec) AS tv FROM e WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, v.tv, min(sec) AS tc
+        |      FROM e JOIN v USING (user_id)
+        |      WHERE event_type = 'click' AND sec >= tv GROUP BY e.user_id, v.tv),
+        |p AS (SELECT e.user_id, c.tv, c.tc, min(sec) AS tp
+        |      FROM e JOIN c USING (user_id)
+        |      WHERE event_type = 'purchase' AND sec >= tc GROUP BY e.user_id, c.tv, c.tc)
+        |SELECT (SELECT count(*) FROM v) AS n_view,
+        |       (SELECT count(*) FROM c) AS n_click,
+        |       (SELECT count(*) FROM p) AS n_purchase,
+        |       (SELECT floor(CAST(sum(tp - tv) AS BIGINT) * 10000 / count(*) + 0.5) / 10000.0
+        |        FROM p) AS avg_conv_sec""".stripMargin
   )
 }

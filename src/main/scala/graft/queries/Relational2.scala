@@ -235,10 +235,63 @@ object Relational2 {
           countDistinct(col("l_partkey")).as("exact_parts"),
           round(expr("approx_percentile(l_extendedprice, 0.5, 10000)"), 4).as("approx_p50"))
         .orderBy(col("l_returnflag"))
+    }),
+
+    // --- TPC-H Q13-style: distribution of customers by order count via a
+    //     LEFT OUTER join (zero-order customers must survive). Shape: one
+    //     shuffle keyed by custkey for the outer join + per-customer
+    //     count, then a tiny distribution aggregate. ---
+    "q8_custdist" -> ((s, dir) => {
+      val c = t(s, dir, "customer").select(col("c_custkey"))
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderpriority") =!= "1-URGENT")
+        .select(col("o_custkey"), col("o_orderkey"))
+      c.join(o, col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    }),
+
+    // --- deterministic stratified train/val/test split: the md5-bucket
+    //     assignment every training-data pipeline needs — reproducible
+    //     across engines and runs (no RNG), stratified per source purely
+    //     map-side; the only shuffle is the final per-(source, split)
+    //     rollup. ---
+    "p4_split" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .withColumn("bucket",
+          expr("CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 4), 16, 10) AS BIGINT) % 100"))
+        .withColumn("split",
+          when(col("bucket") < 80, "train").when(col("bucket") < 90, "val").otherwise("test"))
+        .groupBy(col("source"), col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).cast("long").as("total_chars"))
+        .orderBy(col("source"), col("split"))
     })
   )
 
   val oracles: Map[String, String] = Map(
+    "q8_custdist" ->
+      """SELECT c_count, count(*) AS custdist FROM (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderpriority != '1-URGENT'
+        |  GROUP BY c_custkey)
+        |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin,
+
+    "p4_split" ->
+      """WITH b AS (
+        |  SELECT source, n_chars,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 100 AS bucket
+        |  FROM documents)
+        |SELECT source,
+        |  CASE WHEN bucket < 80 THEN 'train'
+        |       WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
+        |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM b GROUP BY 1, 2 ORDER BY source, split""".stripMargin,
+
     "q6_filter_agg" ->
       """SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue, count(*) AS n
         |FROM lineitem
