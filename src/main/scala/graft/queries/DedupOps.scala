@@ -269,6 +269,29 @@ object DedupOps {
       require(changed == 0, s"label propagation did not converge in $iters rounds")
       labels.select(col("id").as("doc_id"), col("lbl").as("cluster"))
         .orderBy(col("doc_id"))
+    }),
+
+    // --- benchmark decontamination: fraction of each training doc's
+    //     3-gram shingles that appear in the held-out set (doc_id < 20
+    //     stands in for an eval benchmark). The benchmark shingle set is
+    //     tiny and BROADCASTs into a semi-join against the corpus
+    //     shingles — the corpus-side relation is scanned once, keyed
+    //     only by its own doc_id aggregate. At 100 TB this is the
+    //     standard eval-overlap sweep: benchmark n-grams always fit in
+    //     a broadcast. ---
+    "d9_contamination" -> ((s, dir) => {
+      val sh = shingles(docs(s, dir)).cache()
+      val bench = sh.filter(col("doc_id") < 20).select(col("h")).distinct()
+      val corpus = sh.filter(col("doc_id") >= 20)
+      val total = corpus.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
+      val hit = corpus.join(broadcast(bench), Seq("h"), "left_semi")
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hit"))
+      total.join(hit, Seq("doc_id"))
+        .withColumn("frac_raw", col("n_hit") / col("n_shingles"))
+        .filter(col("frac_raw") >= 0.15)
+        .select(col("doc_id"), col("n_shingles"), col("n_hit"),
+          round(col("frac_raw"), 6).as("contamination"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -369,6 +392,19 @@ object DedupOps {
         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 12
         |ORDER BY d1, d2""".stripMargin,
+
+    "d9_contamination" ->
+      s"""WITH $shingleSql,
+         |bench AS (SELECT DISTINCT h FROM sh WHERE doc_id < 20),
+         |corpus AS (SELECT doc_id, h FROM sh WHERE doc_id >= 20),
+         |total AS (SELECT doc_id, count(*) AS n_shingles FROM corpus GROUP BY doc_id),
+         |hit AS (SELECT doc_id, count(*) AS n_hit
+         |        FROM corpus WHERE h IN (SELECT h FROM bench) GROUP BY doc_id)
+         |SELECT t.doc_id, t.n_shingles, h.n_hit,
+         |  round(h.n_hit * 1.0 / t.n_shingles, 6) AS contamination
+         |FROM total t JOIN hit h USING (doc_id)
+         |WHERE h.n_hit * 1.0 / t.n_shingles >= 0.15
+         |ORDER BY t.doc_id""".stripMargin,
 
     "d8_dup_clusters" ->
       s"""WITH RECURSIVE $shingleSql,

@@ -230,6 +230,29 @@ object TextOps {
         .filter(col("rk") <= 10)
         .select(col("doc_id"), col("bm25"), col("rk"))
         .orderBy(col("rk"))
+    }),
+
+    // --- vocabulary head: top-20 tokens with cumulative Zipf coverage —
+    //     the tokenizer-training sanity sweep. One hash aggregate keyed
+    //     by token (the explode is map-side); the ranked head is 20 rows,
+    //     so the unpartitioned window runs on a trivial set, and the
+    //     integer cumulative sum divides by the broadcast total only at
+    //     output. ---
+    "t9_vocab" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val freq = docs(s, dir)
+        .select(explode(split(trim(col("text")), "\\s+")).as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      val total = freq.agg(sum(col("cnt")).cast("long").as("total"))
+      val w = Window.orderBy(col("cnt").desc, col("token"))
+      freq.withColumn("rank", row_number().over(w))
+        .withColumn("cum", sum(col("cnt")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .filter(col("rank") <= 20)
+        .crossJoin(broadcast(total))
+        .select(col("rank"), col("token"), col("cnt"),
+          round(col("cum") / col("total"), 6).as("coverage"))
+        .orderBy(col("rank"))
     })
   )
 
@@ -386,6 +409,20 @@ object TextOps {
         |  SELECT doc_id, bm25,
         |    row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rk
         |  FROM scored)
-        |SELECT doc_id, bm25, rk FROM ranked WHERE rk <= 10 ORDER BY rk""".stripMargin
+        |SELECT doc_id, bm25, rk FROM ranked WHERE rk <= 10 ORDER BY rk""".stripMargin,
+
+    "t9_vocab" ->
+      """WITH tok AS (
+        |  SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token FROM documents),
+        |freq AS (SELECT token, count(*) AS cnt FROM tok GROUP BY token),
+        |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM freq),
+        |r AS (
+        |  SELECT token, cnt,
+        |    row_number() OVER (ORDER BY cnt DESC, token) AS rank,
+        |    CAST(sum(cnt) OVER (ORDER BY cnt DESC, token
+        |                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        |  FROM freq)
+        |SELECT rank, token, cnt, round(cum * 1.0 / total, 6) AS coverage
+        |FROM r, tot WHERE rank <= 20 ORDER BY rank""".stripMargin
   )
 }
