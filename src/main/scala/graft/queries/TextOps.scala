@@ -225,9 +225,13 @@ object TextOps {
         .select(col("doc_id"), round(col("part") * 1e9).cast("long").as("p9"))
         .groupBy(col("doc_id"))
         .agg(round(sum(col("p9")) / 1e9, 6).as("bm25"))
+      // global top-10 via orderBy+limit -> TakeOrderedAndProject (each
+      // partition keeps 10 rows, driver merges), NOT an unpartitioned
+      // window that would drag every scored doc into one partition;
+      // the rank window then runs over just the 10 survivors
       val w = Window.orderBy(col("bm25").desc, col("doc_id"))
-      scored.withColumn("rk", row_number().over(w))
-        .filter(col("rk") <= 10)
+      scored.orderBy(col("bm25").desc, col("doc_id")).limit(10)
+        .withColumn("rk", row_number().over(w))
         .select(col("doc_id"), col("bm25"), col("rk"))
         .orderBy(col("rk"))
     }),
@@ -244,11 +248,14 @@ object TextOps {
         .select(explode(split(trim(col("text")), "\\s+")).as("token"))
         .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
       val total = freq.agg(sum(col("cnt")).cast("long").as("total"))
+      // top-20 via TakeOrderedAndProject first; the rank + cumulative-sum
+      // windows then run over 20 rows (the prefix sums at ranks 1..20
+      // only involve the top-20 counts, so the result is unchanged)
       val w = Window.orderBy(col("cnt").desc, col("token"))
-      freq.withColumn("rank", row_number().over(w))
+      freq.orderBy(col("cnt").desc, col("token")).limit(20)
+        .withColumn("rank", row_number().over(w))
         .withColumn("cum", sum(col("cnt")).over(
           w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        .filter(col("rank") <= 20)
         .crossJoin(broadcast(total))
         .select(col("rank"), col("token"), col("cnt"),
           round(col("cum") / col("total"), 6).as("coverage"))
