@@ -60,6 +60,26 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("d9: benchmark shingles broadcast into a semi-join, corpus scanned once") {
+    val p = plan("d9_contamination")
+    assert(p.contains("LeftSemi"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.toLowerCase.contains("cartesianproduct"), p)
+  }
+
+  test("t8/t9: global top-k is TakeOrderedAndProject, not a one-partition window") {
+    for (q <- Seq("t8_bm25", "t9_vocab")) {
+      val p = plan(q)
+      assert(p.contains("TakeOrderedAndProject"), s"$q: $p")
+    }
+  }
+
+  test("q8: outer join distribution has no cartesian") {
+    val p = plan("q8_custdist")
+    assert(p.contains("LeftOuter"), p)
+    assert(!p.toLowerCase.contains("cartesianproduct"), p)
+  }
+
   test("q4: grouping sets expand once into one aggregate") {
     val p = plan("q4_grouping_sets")
     assert(p.linesIterator.count(_.trim.startsWith("Expand")) <= 2, p)
