@@ -232,6 +232,62 @@ object SimilarityOps {
         .orderBy(col("qid"), col("rk"))
     }),
 
+    // --- product quantization + asymmetric distance computation (ADC):
+    //     the other canonical 100 TB ANN compression (Jegou et al. '11).
+    //     64 dims split into 8 subspaces of 8; per-subspace codebooks are
+    //     the label sub-centroids (deterministic, like v2's quantizer, so
+    //     the oracle recomputes them bit-for-bit); each corpus vector
+    //     stores only 8 small codes. Queries stay full-precision and
+    //     score against the BROADCAST codebook: ADC(q, x) = sum_s
+    //     dot(q_s, codebook[s][code_s(x)]). Per-subspace partials are
+    //     summed as scaled integers so the 8-double sum stays
+    //     aggregation-order-independent. Corpus bytes per vector: 8
+    //     codes instead of 64 floats — the table that stays in memory at
+    //     100 TB. ---
+    "v8_pq_adc" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val nSub = 8; val subDim = 8
+      val e = emb(s, dir)
+      // per-(label, subspace) sub-centroids as double arrays
+      val cb = e.select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy(col("label"), col("pos")).agg(avg(col("v")).as("cv"))
+        .groupBy(col("label"), (col("pos") / subDim).cast("int").as("sub"))
+        .agg(expr("transform(array_sort(collect_list(struct(pos, cv))), x -> x.cv)").as("cent"))
+        .select(col("sub"), col("label").as("code"), col("cent"))
+      // corpus sub-vectors: (vec_id, sub, double[8])
+      val subs = e.select(col("vec_id"), col("embedding"),
+          explode(expr(s"sequence(0, ${nSub - 1})")).as("sub"))
+        .select(col("vec_id"), col("sub"),
+          expr(s"transform(slice(embedding, sub * $subDim + 1, $subDim), x -> CAST(x AS DOUBLE))")
+            .as("sv"))
+      // encode: nearest sub-centroid by (2*x.c - |c|^2) max == min L2
+      val wEnc = Window.partitionBy(col("vec_id"), col("sub"))
+        .orderBy(round(col("fit"), 6).desc, col("code"))
+      val codes = subs.join(broadcast(cb), Seq("sub"))
+        .select(col("vec_id"), col("sub"), col("code"),
+          (graft.functions.vector_dot(col("sv"), col("cent")) * 2.0 -
+            graft.functions.vector_dot(col("cent"), col("cent"))).as("fit"))
+        .withColumn("rk", row_number().over(wEnc))
+        .filter(col("rk") === 1)
+        .select(col("vec_id"), col("sub"), col("code"))
+      // ADC: full-precision query subvectors x broadcast codebook lookup
+      val qsubs = subs.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("sub"), col("sv").as("qv"))
+      val partials = codes.filter(col("vec_id") >= 5)
+        .join(broadcast(cb), Seq("sub", "code"))
+        .join(broadcast(qsubs), Seq("sub"))
+        .select(col("qid"), col("vec_id").as("eid"),
+          round(graft.functions.vector_dot(col("qv"), col("cent")) * 1e9)
+            .cast("long").as("p9"))
+      val wQ = Window.partitionBy(col("qid")).orderBy(col("adc9").desc, col("eid"))
+      partials.groupBy(col("qid"), col("eid"))
+        .agg(sum(col("p9")).as("adc9"))
+        .withColumn("rk", row_number().over(wQ))
+        .filter(col("rk") <= 3)
+        .select(col("qid"), col("eid"), round(col("adc9") / 1e9, 6).as("adc"), col("rk"))
+        .orderBy(col("qid"), col("rk"))
+    }),
+
     // --- IVF probe: ANN top-3 searching ONLY the query's nearest cell.
     //     Composes v2's coarse quantizer with v1's scoring: the corpus is
     //     pre-partitioned by cell, the probe scores ~1/nCells of it.
@@ -366,6 +422,41 @@ object SimilarityOps {
         |            JOIN embeddings c ON cand.id2 = c.vec_id)
         |SELECT id1, id2, round(cos_raw, 6) AS cos FROM conf
         |WHERE round(cos_raw, 6) >= 0.45 ORDER BY id1, id2""".stripMargin,
+
+    "v8_pq_adc" ->
+      """WITH cbdim AS (
+        |  SELECT label, i AS pos, avg(CAST(embedding[i + 1] AS DOUBLE)) AS cv
+        |  FROM embeddings, LATERAL (SELECT unnest(generate_series(0, 63)) AS i) u
+        |  GROUP BY label, i),
+        |cb AS (
+        |  SELECT label AS code, pos // 8 AS sub, list(cv ORDER BY pos) AS cent
+        |  FROM cbdim GROUP BY label, pos // 8),
+        |subs AS (
+        |  SELECT e.vec_id, s.sub,
+        |    list_transform(e.embedding[s.sub * 8 + 1 : s.sub * 8 + 8],
+        |                   x -> CAST(x AS DOUBLE)) AS sv
+        |  FROM embeddings e, (SELECT unnest(generate_series(0, 7)) AS sub) s),
+        |enc AS (
+        |  SELECT vec_id, sub, code FROM (
+        |    SELECT subs.vec_id, subs.sub, cb.code,
+        |      row_number() OVER (PARTITION BY subs.vec_id, subs.sub
+        |        ORDER BY round(list_dot_product(sv, cent) * 2
+        |                       - list_dot_product(cent, cent), 6) DESC, cb.code) AS rk
+        |    FROM subs JOIN cb ON subs.sub = cb.sub) WHERE rk = 1),
+        |partials AS (
+        |  SELECT q.vec_id AS qid, enc.vec_id AS eid,
+        |    CAST(round(list_dot_product(q.sv, cb.cent) * 1e9) AS BIGINT) AS p9
+        |  FROM enc JOIN cb ON enc.sub = cb.sub AND enc.code = cb.code
+        |           JOIN subs q ON q.sub = enc.sub AND q.vec_id < 5
+        |  WHERE enc.vec_id >= 5),
+        |adc AS (SELECT qid, eid, CAST(sum(p9) AS BIGINT) AS adc9
+        |        FROM partials GROUP BY qid, eid),
+        |ranked AS (
+        |  SELECT qid, eid, adc9,
+        |    row_number() OVER (PARTITION BY qid ORDER BY adc9 DESC, eid) AS rk
+        |  FROM adc)
+        |SELECT qid, eid, round(adc9 / 1e9, 6) AS adc, rk
+        |FROM ranked WHERE rk <= 3 ORDER BY qid, rk""".stripMargin,
 
     "v7_sq8_rerank" ->
       """WITH b AS (
