@@ -157,6 +157,36 @@ object ArrayOps {
         .orderBy(col("cc"), col("cz"), col("cy"), col("cx"))
     }),
 
+    // --- the CZI connector as a first-class source: format("czi") with
+    //     channel/slab PARTITION pruning (the c=1 filter plans only that
+    //     channel's slabs — asserted in CziDataSourceSpec), same chunk
+    //     rows as the zarr connector, same arithmetic oracle as z6 for
+    //     the pruned channel ---
+    "z8_czi_dsv2" -> ((s, _) => {
+      import s.implicits._
+      val dir = graft.Scratch.dir("czi-dsv2-q")
+      val path = s"$dir/q8.czi"
+      val chans = Array.tabulate(2, 24, 40, 40)((c, z, y, x) =>
+        (SyntheticStack.value(z, y, x) + 1000 * c) & 0xFFFF)
+      graft.sources.czi.SyntheticCzi.writeChannels(path, chans)
+      s.read.format("czi")
+        .option("path", path)
+        .option("chunk_z", "8").option("chunk_y", "16").option("chunk_x", "16")
+        .load()
+        .filter(col("c") === 1)
+        .select(col("z"), col("y"), col("x"), col("data"))
+        .as[(Int, Int, Int, Array[Byte])]
+        .map { case (z, y, x, data) =>
+          val px = graft.core.PixelCodec.toInts(data)
+          var sum = 0L
+          var i = 0
+          while (i < px.length) { sum += px(i); i += 1 }
+          (z.toLong, y.toLong, x.toLong, sum, px.length.toLong)
+        }
+        .toDF("cz", "cy", "cx", "sum_v", "n_voxels")
+        .orderBy(col("cz"), col("cy"), col("cx"))
+    }),
+
     // --- the CZI (ZISRAW) parser under the gate: write a synthetic CZI
     //     (mixed raw + zstd0 subblocks), scan it distributed, aggregate
     //     per-chunk sums that the oracle recomputes from arithmetic ---
@@ -256,6 +286,18 @@ object ArrayOps {
         |       CAST(sum(v) AS BIGINT) AS sum_v, count(*) AS n_voxels
         |FROM l0 GROUP BY 1, 2, 3, 4
         |ORDER BY cc, cz, cy, cx""".stripMargin,
+
+    "z8_czi_dsv2" ->
+      """WITH l0 AS (
+        |  SELECT range // 1600 AS z, (range // 40) % 40 AS y, range % 40 AS x,
+        |         (31 * (range // 1600) + 17 * ((range // 40) % 40) + 13 * (range % 40)
+        |          + 1000) % 65536 AS v
+        |  FROM range(38400)
+        |)
+        |SELECT z // 8 AS cz, y // 16 AS cy, x // 16 AS cx,
+        |       CAST(sum(v) AS BIGINT) AS sum_v, count(*) AS n_voxels
+        |FROM l0 GROUP BY 1, 2, 3
+        |ORDER BY cz, cy, cx""".stripMargin,
 
     "z4_czi_scan" ->
       """WITH l0 AS (

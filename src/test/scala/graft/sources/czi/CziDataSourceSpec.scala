@@ -1,0 +1,73 @@
+package graft.sources.czi
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.Spark
+import graft.sources.SyntheticStack
+
+class CziDataSourceSpec extends AnyFunSuite {
+
+  private lazy val spark = Spark.session(master = "local[4]", shufflePartitions = 4,
+    appName = "graft-czi-dsv2-test")
+
+  private def fixture(): String = {
+    val dir = Files.createTempDirectory("czi-dsv2").toString
+    val path = s"$dir/f.czi"
+    val chans = Array.tabulate(2, 16, 32, 32)((c, z, y, x) =>
+      (SyntheticStack.value(z, y, x) + 1000 * c) & 0xFFFF)
+    SyntheticCzi.writeChannels(path, chans)
+    path
+  }
+
+  test("format('czi') reads voxel-exact chunk rows, same shape as the zarr connector") {
+    val path = fixture()
+    val df = spark.read.format("czi").option("path", path)
+      .option("chunk_z", "8").option("chunk_y", "16").option("chunk_x", "16")
+      .load()
+    assert(df.schema.fieldNames.toSeq ==
+      Seq("stack", "level", "t", "c", "z", "y", "x", "shape", "data"))
+    val rows = df.collect()
+    assert(rows.length == 2 * 2 * 2 * 2) // c * z-slabs * gridY * gridX
+    val r = rows.find(r => r.getAs[Int]("c") == 1 && r.getAs[Int]("z") == 0 &&
+      r.getAs[Int]("y") == 0 && r.getAs[Int]("x") == 0).get
+    val px = graft.core.PixelCodec.toInts(r.getAs[Array[Byte]]("data"))
+    assert(px(0) == ((SyntheticStack.value(0, 0, 0) + 1000) & 0xFFFF))
+    assert(r.getAs[String]("stack") == "f")
+  }
+
+  test("c/z filters prune input PARTITIONS, not just rows") {
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    val path = fixture()
+    val df = spark.read.format("czi").option("path", path)
+      .option("chunk_z", "8").option("chunk_y", "16").option("chunk_x", "16")
+      .load()
+      .filter(col("c") === 1 && col("z") === 0)
+    val scan = df.queryExecution.executedPlan.collectFirst {
+      case b: BatchScanExec => b
+    }.get
+    // without pruning: 2 channels x 2 slabs = 4 partitions; pruned: 1
+    assert(scan.inputPartitions.size == 1, scan.inputPartitions)
+    assert(df.count() == 4) // the slab still cuts into 2x2 XY tiles
+  }
+
+  test("CZI -> Zarr conversion is one connector-to-connector pipeline") {
+    val path = fixture()
+    val out = Files.createTempDirectory("czi-dsv2-out").toString
+    val vol = graft.core.Volume("f", 0, Array(1L, 2L, 16L, 32L, 32L), Array(1, 1, 8, 16, 16))
+    graft.io.zarr.ZarrIO.writeMetadata(out, vol, nLevels = 1)
+    spark.read.format("czi").option("path", path)
+      .option("chunk_z", "8").option("chunk_y", "16").option("chunk_x", "16")
+      .load()
+      .write.format("zarr").option("path", out).mode("append").save()
+    val back = spark.read.format("zarr").option("path", out).option("stack", "f")
+      .load().collect()
+    assert(back.length == 16)
+    val b = back.find(r => r.getAs[Int]("c") == 1 && r.getAs[Int]("z") == 1 &&
+      r.getAs[Int]("y") == 0 && r.getAs[Int]("x") == 0).get
+    val px = graft.core.PixelCodec.toInts(b.getAs[Array[Byte]]("data"))
+    assert(px(0) == ((SyntheticStack.value(8, 0, 0) + 1000) & 0xFFFF))
+  }
+}
