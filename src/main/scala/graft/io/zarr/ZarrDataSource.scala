@@ -400,17 +400,20 @@ class ZarrBatchWrite(root: String, clevel: Int, typesize: Int, truncate: Boolean
       val fs = new Path(root).getFileSystem(new Configuration())
       val rootPath = new Path(root)
       if (fs.exists(rootPath)) {
-        // an unscoped overwrite into a multi-stack store would truncate
-        // every stack, not just the one being written — since the stack
-        // option is not required for writes, fail loudly instead
+        // an unscoped overwrite would truncate EVERY existing stack —
+        // including ones the incoming rows never touch (the writer can't
+        // know the incoming stack names before tasks run). Since the
+        // stack option is not required for writes, fail loudly whenever
+        // anything already exists and no scope was given.
         if (onlyStack.isEmpty) {
           val stacks = fs.listStatus(rootPath)
             .filter(s => s.isDirectory && !s.getPath.getName.startsWith("."))
-          if (stacks.length > 1)
+          if (stacks.nonEmpty)
             throw new IllegalArgumentException(
-              s"mode('overwrite') on a store with ${stacks.length} stacks " +
+              s"mode('overwrite') on a store with ${stacks.length} existing stack(s) " +
               s"(${stacks.map(_.getPath.getName).sorted.mkString(", ")}) would " +
-              "truncate all of them; pass option(\"stack\", <name>) to scope it")
+              "truncate all of them, including stacks this write never touches; " +
+              "pass option(\"stack\", <name>) to scope the truncate")
         }
         for (stack <- fs.listStatus(rootPath)
                if stack.isDirectory && !stack.getPath.getName.startsWith(".")

@@ -190,9 +190,16 @@ object ZeissJob {
             finally spark.sparkContext.setLocalProperty("spark.scheduler.pool", null)
           }
         }
-        scala.concurrent.Await.result(
-          scala.concurrent.Future.sequence(futs),
+        // settle EVERY conversion before surfacing the first failure: a
+        // fail-fast Await would return while sibling conversions keep
+        // writing into the output from live pool threads
+        val settled = scala.concurrent.Await.result(
+          scala.concurrent.Future.traverse(futs)(f =>
+            f.map(Right(_): Either[Throwable, Volume])
+              .recover { case t => Left(t) }),
           scala.concurrent.duration.Duration.Inf)
+        settled.collectFirst { case Left(t) => t }.foreach(throw _)
+        settled.collect { case Right(v) => v }
       } finally pool.shutdown()
     }
   }

@@ -205,18 +205,13 @@ object DedupOps {
         case ((off, w), b) =>
           s"struct($b AS band, shiftright(simhash, $off) & ${(1 << w) - 1} AS bkey)"
       }
+      // one string bucket key per (band, bkey), pair-exploded by the same
+      // pairCounts helper d4's LSH uses (a pair colliding in k bands
+      // appears with m = k; only the key set matters here)
       val bands = sh.select(col("doc_id"),
         explode(expr(s"array(${bandExprs.mkString(",")})")).as("bb"))
-        .select(col("doc_id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
-      // same-bucket ordered pairs (a pair colliding in k bands dedups here)
-      val cand = bands.groupBy(col("band"), col("bkey"))
-        .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
-        .filter(size(col("ids")) > 1)
-        .select(explode(expr(
-          "flatten(transform(ids, a -> transform(filter(ids, b -> b > a), b -> struct(a AS d1, b AS d2))))"))
-          .as("p"))
-        .select(col("p.d1").as("d1"), col("p.d2").as("d2"))
-        .distinct()
+        .select(col("doc_id"), concat_ws(",", col("bb.band"), col("bb.bkey")).as("s"))
+      val cand = pairCounts(bands).select(col("d1"), col("d2"))
       broadcast(cand)
         .join(sh.select(col("doc_id").as("d1"), col("simhash").as("h1")), Seq("d1"))
         .join(sh.select(col("doc_id").as("d2"), col("simhash").as("h2")), Seq("d2"))

@@ -145,58 +145,14 @@ class CziPartitionReader(f: CziReaderFactory, cIdx: Int, slab: Int)
     val fs = p.getFileSystem(conf)
     val in = fs.open(p)
     try {
-      val isz = f.itemSize
-      val (sy, sx) = (f.shape(3).toInt, f.shape(4).toInt)
-      val gridY = ChunkGrid.ceilDiv(f.shape(3), f.chunk(3)).toInt
-      val gridX = ChunkGrid.ceilDiv(f.shape(4), f.chunk(4)).toInt
-      val z0 = slab * f.chunk(2)
-      val zN = math.min(f.chunk(2).toLong, f.shape(2) - z0).toInt
-      val buf = new Array[Byte](zN * sy * sx * isz)
-      f.entries.foreach { e =>
-        require(e.size("C") == 1, "subblocks spanning multiple channels unsupported")
-        val ez0 = e.start("Z") - f.origin(2)
-        val lo = math.max(ez0, z0)
-        val hi = math.min(ez0 + e.size("Z"), z0 + zN)
-        if (lo < hi && e.start("C") - f.origin(1) == cIdx) {
-          val data = CziReader.subblockData(in, e)
-          val (ey0, ex0) = (e.start("Y") - f.origin(3), e.start("X") - f.origin(4))
-          val (eyN, exN) = (e.size("Y"), e.size("X"))
-          var z = lo
-          while (z < hi) {
-            val srcZ = (z - ez0) * eyN * exN * isz
-            val dstZ = (z - z0) * sy * sx * isz
-            var y = 0
-            while (y < eyN) {
-              System.arraycopy(data, srcZ + y * exN * isz,
-                buf, dstZ + ((ey0 + y) * sx + ex0) * isz, exN * isz)
-              y += 1
-            }
-            z += 1
-          }
+      CziSource.slabChunks(in, f.entries, f.shape, f.chunk, f.origin,
+          f.itemSize, cIdx, slab)
+        .map { case (ty, tx, shape5, out) =>
+          InternalRow(
+            UTF8String.fromString(f.stack), 0, 0, cIdx, slab, ty, tx,
+            ArrayData.toArrayData(shape5), out)
         }
-      }
-      (for {
-        ty <- 0 until gridY
-        tx <- 0 until gridX
-      } yield {
-        val yN = math.min(f.chunk(3).toLong, f.shape(3) - ty.toLong * f.chunk(3)).toInt
-        val xN = math.min(f.chunk(4).toLong, f.shape(4) - tx.toLong * f.chunk(4)).toInt
-        val out = new Array[Byte](zN * yN * xN * isz)
-        var z = 0
-        while (z < zN) {
-          var y = 0
-          while (y < yN) {
-            System.arraycopy(
-              buf, (z * sy * sx + (ty * f.chunk(3) + y) * sx + tx * f.chunk(4)) * isz,
-              out, (z * yN * xN + y * xN) * isz, xN * isz)
-            y += 1
-          }
-          z += 1
-        }
-        InternalRow(
-          UTF8String.fromString(f.stack), 0, 0, cIdx, slab, ty, tx,
-          ArrayData.toArrayData(Array(1, 1, zN, yN, xN)), out)
-      }).iterator
+        .toVector.iterator // materialize before the stream closes
     } finally in.close()
   }
 

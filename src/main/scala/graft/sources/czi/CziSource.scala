@@ -34,6 +34,76 @@ object CziSource {
     (vol, idx)
   }
 
+  /** One (channel, z-slab)'s chunk tiles: scatter the slab's subblocks
+    * into a buffer at their start offsets (reference placement semantics,
+    * `utils.py:269-276`), then cut chunk-grid tiles — the shared kernel
+    * behind [[scan]] and the `format("czi")` connector's partition
+    * reader, so a fix lands in exactly one place.
+    *
+    * Yields `(ty, tx, shape5, bytes)` per tile. */
+  def slabChunks(in: org.apache.hadoop.fs.FSDataInputStream,
+                 entries: Array[SubBlockEntry], shape: Array[Long],
+                 chunk: Array[Int], origin: Array[Int], isz: Int,
+                 cIdx: Int, slab: Int): Iterator[(Int, Int, Array[Int], Array[Byte])] = {
+    val (sy, sx) = (shape(3).toInt, shape(4).toInt)
+    val gridY = ChunkGrid.ceilDiv(shape(3), chunk(3)).toInt
+    val gridX = ChunkGrid.ceilDiv(shape(4), chunk(4)).toInt
+    val z0 = slab * chunk(2)
+    val zN = math.min(chunk(2).toLong, shape(2) - z0).toInt
+    // guard the Int offset arithmetic below: a slab of a huge stitched XY
+    // plane can exceed a JVM array — that is CziSourceShuffled's territory
+    // (ZeissJob switches at 1 GiB), never a silent wrap here
+    val slabBytes = zN.toLong * sy * sx * isz
+    require(slabBytes <= Int.MaxValue,
+      s"slab of $slabBytes bytes exceeds a JVM array (${zN}x${sy}x${sx}x$isz); " +
+      "reduce chunk_z or use the shuffle-assembled scan for stitched planes")
+    val buf = new Array[Byte](slabBytes.toInt)
+    entries.foreach { e =>
+      require(e.size("C") == 1, "subblocks spanning multiple channels unsupported")
+      val ez0 = e.start("Z") - origin(2)
+      val lo = math.max(ez0, z0)
+      val hi = math.min(ez0 + e.size("Z"), z0 + zN)
+      if (lo < hi && e.start("C") - origin(1) == cIdx) {
+        val data = CziReader.subblockData(in, e)
+        val (ey0, ex0) = (e.start("Y") - origin(3), e.start("X") - origin(4))
+        val (eyN, exN) = (e.size("Y"), e.size("X"))
+        var z = lo
+        while (z < hi) {
+          val srcZ = (z - ez0) * eyN * exN * isz
+          val dstZ = (z - z0) * sy * sx * isz
+          var y = 0
+          while (y < eyN) {
+            System.arraycopy(data, srcZ + y * exN * isz,
+              buf, dstZ + ((ey0 + y) * sx + ex0) * isz, exN * isz)
+            y += 1
+          }
+          z += 1
+        }
+      }
+    }
+    // cut the slab into chunk tiles — chunk-local, no shuffle
+    (for {
+      ty <- 0 until gridY
+      tx <- 0 until gridX
+    } yield {
+      val yN = math.min(chunk(3).toLong, shape(3) - ty.toLong * chunk(3)).toInt
+      val xN = math.min(chunk(4).toLong, shape(4) - tx.toLong * chunk(4)).toInt
+      val out = new Array[Byte](zN * yN * xN * isz)
+      var z = 0
+      while (z < zN) {
+        var y = 0
+        while (y < yN) {
+          System.arraycopy(
+            buf, (z * sy * sx + (ty * chunk(3) + y) * sx + tx * chunk(4)) * isz,
+            out, (z * yN * xN + y * xN) * isz, xN * isz)
+          y += 1
+        }
+        z += 1
+      }
+      (ty, tx, Array(1, 1, zN, yN, xN), out)
+    }).iterator
+  }
+
   /** Scan the file into level-0 chunks.
     *
     * Generalizes the reference's 1-channel-per-file assumption
@@ -60,63 +130,12 @@ object CziSource {
       val in = fs.open(p)
       Option(org.apache.spark.TaskContext.get())
         .foreach(_.addTaskCompletionListener[Unit](_ => in.close()))
-      val (sy, sx) = (shape(3).toInt, shape(4).toInt)
-      val gridY = ChunkGrid.ceilDiv(shape(3), chunk(3)).toInt
-      val gridX = ChunkGrid.ceilDiv(shape(4), chunk(4)).toInt
-
       taskIt.flatMap { taskId =>
         val cIdx = (taskId / zSlabs).toInt
-        val slab = taskId % zSlabs
-        val z0 = (slab * chunk(2)).toInt
-        val zN = math.min(chunk(2).toLong, shape(2) - z0).toInt
-        // slab buffer: zN * Y * X uint16 (LE bytes), reference scatter
-        // semantics: place each subblock at its start offsets
-        val buf = new Array[Byte](zN * sy * sx * isz)
-        entries.foreach { e =>
-          require(e.size("C") == 1, "subblocks spanning multiple channels unsupported")
-          val ez0 = e.start("Z") - origin(2)
-          val ezN = e.size("Z")
-          val lo = math.max(ez0, z0)
-          val hi = math.min(ez0 + ezN, z0 + zN)
-          if (lo < hi && e.start("C") - origin(1) == cIdx) {
-            val data = CziReader.subblockData(in, e)
-            val (ey0, ex0) = (e.start("Y") - origin(3), e.start("X") - origin(4))
-            val (eyN, exN) = (e.size("Y"), e.size("X"))
-            var z = lo
-            while (z < hi) {
-              val srcZ = (z - ez0) * eyN * exN * isz
-              val dstZ = (z - z0) * sy * sx * isz
-              var y = 0
-              while (y < eyN) {
-                System.arraycopy(data, srcZ + y * exN * isz,
-                  buf, dstZ + ((ey0 + y) * sx + ex0) * isz, exN * isz)
-                y += 1
-              }
-              z += 1
-            }
-          }
-        }
-        // cut the slab into chunk tiles — chunk-local, no shuffle
-        for {
-          ty <- 0 until gridY
-          tx <- 0 until gridX
-        } yield {
-          val yN = math.min(chunk(3).toLong, shape(3) - ty.toLong * chunk(3)).toInt
-          val xN = math.min(chunk(4).toLong, shape(4) - tx.toLong * chunk(4)).toInt
-          val out = new Array[Byte](zN * yN * xN * isz)
-          var z = 0
-          while (z < zN) {
-            var y = 0
-            while (y < yN) {
-              System.arraycopy(
-                buf, (z * sy * sx + (ty * chunk(3) + y) * sx + tx * chunk(4)) * isz,
-                out, (z * yN * xN + y * xN) * isz, xN * isz)
-              y += 1
-            }
-            z += 1
-          }
-          ZarrChunk(stack, 0, 0, cIdx, slab.toInt, ty, tx,
-            Array(1, 1, zN, yN, xN), out)
+        val slab = (taskId % zSlabs).toInt
+        slabChunks(in, entries, shape, chunk, origin, isz, cIdx, slab).map {
+          case (ty, tx, shape5, out) =>
+            ZarrChunk(stack, 0, 0, cIdx, slab, ty, tx, shape5, out)
         }
       }
     }

@@ -183,7 +183,13 @@ object JpegXr {
   def decode(bytes: Array[Byte]): Array[Byte] = {
     val desc =
       try describe(bytes)
-      catch { case e: IllegalArgumentException => s"unparseable (${e.getMessage})" }
+      catch {
+        // a truncated codestream can also surface as the BitReader or a
+        // GUID read running off the array — still "unparseable", never a
+        // bare index error escaping the scan
+        case e: IllegalArgumentException => s"unparseable (${e.getMessage})"
+        case e: IndexOutOfBoundsException => s"unparseable (truncated: ${e.getMessage})"
+      }
     throw new UnsupportedOperationException(
       s"JPEG-XR subblock ($desc): entropy decoding is not implemented — " +
       "T.832's adaptive-VLC code tables are unavailable in this offline build; " +

@@ -61,7 +61,7 @@ object EventStream {
   def dedupContentWithinWatermark(events: DataFrame, horizon: String = "2 hours"): DataFrame =
     events
       .withWatermark("ts", horizon)
-      .withColumn("fp", md5(concat_ws("",
+      .withColumn("fp", md5(concat_ws("\u0001",
         col("user_id"), col("event_type"), col("value"), col("props"))))
       .dropDuplicatesWithinWatermark("fp")
 

@@ -57,9 +57,12 @@ class ZarrDataSourceSpec extends AnyFunSuite {
       .load().count() == 8)
 
     // overwrite with only one chunk: the other 7 files must be gone
-    // (read back as fill-value zeros), and .zarray must survive
+    // (read back as fill-value zeros), and .zarray must survive; the
+    // truncate must be scoped — an unscoped overwrite on a non-empty
+    // store is rejected (see the guard test below)
     full.filter(col("z") === 0 && col("y") === 0 && col("x") === 0)
-      .write.format(fmt).option("path", dir).mode("overwrite").save()
+      .write.format(fmt).option("path", dir).option("stack", "tr")
+      .mode("overwrite").save()
     assert(new java.io.File(s"$dir/tr/0/.zarray").exists())
     val back = spark.read.format("zarr").option("path", dir).option("stack", "tr")
       .load().collect()

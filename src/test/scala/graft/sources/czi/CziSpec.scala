@@ -260,16 +260,21 @@ class CziSpec extends AnyFunSuite {
       chunkSize = Array(8, 16, 16), downsampleLevels = 2,
       maxConcurrentStacks = par)
 
-    val t1 = System.nanoTime()
-    ZeissJob.convertAll(spark, stacks, s"$root/seq", settings(s"$root/seq", 1), voxel)
-    val seqS = (System.nanoTime() - t1) / 1e9
-
+    // parallel FIRST: JIT/code-cache warm-up then favors the sequential
+    // run, so a parallel win is not a warm-up artifact
     val t2 = System.nanoTime()
     ZeissJob.convertAll(spark, stacks, s"$root/par", settings(s"$root/par", 4), voxel)
     val parS = (System.nanoTime() - t2) / 1e9
 
-    info(f"sequential $seqS%.2f s, parallel $parS%.2f s")
-    assert(parS < seqS, f"parallel ($parS%.2f s) not faster than sequential ($seqS%.2f s)")
+    val t1 = System.nanoTime()
+    ZeissJob.convertAll(spark, stacks, s"$root/seq", settings(s"$root/seq", 1), voxel)
+    val seqS = (System.nanoTime() - t1) / 1e9
+
+    info(f"parallel $parS%.2f s, sequential $seqS%.2f s")
+    // wall-clock comparison only where the overlap can actually win;
+    // correctness assertions below hold regardless
+    if (Runtime.getRuntime.availableProcessors >= 8)
+      assert(parS < seqS, f"parallel ($parS%.2f s) not faster than sequential ($seqS%.2f s)")
 
     // both outputs identical and voxel-exact for every stack
     for (st <- Seq("st1", "st2", "st3", "st4"); out <- Seq("seq", "par")) {

@@ -88,7 +88,7 @@ class StreamingSpec extends AnyFunSuite {
     // batch-twin equivalence over the same replay: one row per fingerprint
     val afterB1 = spark.sql("SELECT count(*) FROM content_dedup").collect()(0).getLong(0)
     val batchTwin = batch1.toDF()
-      .withColumn("fp", md5(concat_ws("",
+      .withColumn("fp", md5(concat_ws("\u0001",
         col("user_id"), col("event_type"), col("value"), col("props"))))
       .dropDuplicates("fp").count()
     assert(afterB1 == batchTwin && afterB1 == 2, s"streamed $afterB1 vs batch $batchTwin")
