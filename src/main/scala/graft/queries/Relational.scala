@@ -117,6 +117,24 @@ object Relational {
       withO.unionAll(withoutO).orderBy(col("kind"), col("c_custkey"))
     }),
 
+    // --- FULL OUTER reconciliation: rich customers vs big spenders.
+    //     The standard two-source diff: classify every key as both /
+    //     left_only / right_only with one full outer join (a single
+    //     custkey shuffle) and roll the classes up. ---
+    "j2_full_outer" -> ((s, dir) => {
+      val rich = t(s, dir, "customer").filter(col("c_acctbal") > 5000)
+        .select(col("c_custkey").as("lk"))
+      val big = t(s, dir, "orders")
+        .groupBy(col("o_custkey")).agg(sum(col("o_totalprice")).as("spend"))
+        .filter(col("spend") > 300000)
+        .select(col("o_custkey").as("rk"))
+      rich.join(big, col("lk") === col("rk"), "full_outer")
+        .select(when(col("lk").isNotNull && col("rk").isNotNull, "both")
+          .when(col("lk").isNotNull, "rich_only").otherwise("spender_only").as("kind"))
+        .groupBy(col("kind")).agg(count(lit(1)).as("n"))
+        .orderBy(col("kind"))
+    }),
+
     // --- set operations ---
     "set_ops" -> ((s, dir) => {
       val custNations = t(s, dir, "customer").select(col("c_nationkey").cast("int").as("nk")).distinct()
@@ -269,6 +287,18 @@ object Relational {
         |  FROM orders) t
         |WHERE rk <= 3
         |ORDER BY o_custkey, rk, o_orderkey""".stripMargin,
+
+    "j2_full_outer" ->
+      """WITH rich AS (
+        |  SELECT c_custkey AS lk FROM customer WHERE c_acctbal > 5000),
+        |big AS (
+        |  SELECT o_custkey AS rk FROM orders
+        |  GROUP BY o_custkey HAVING sum(o_totalprice) > 300000)
+        |SELECT CASE WHEN lk IS NOT NULL AND rk IS NOT NULL THEN 'both'
+        |            WHEN lk IS NOT NULL THEN 'rich_only'
+        |            ELSE 'spender_only' END AS kind, count(*) AS n
+        |FROM rich FULL OUTER JOIN big ON lk = rk
+        |GROUP BY 1 ORDER BY kind""".stripMargin,
 
     "j1_semi_anti" ->
       """SELECT 'with_orders' AS kind, c_custkey FROM customer
