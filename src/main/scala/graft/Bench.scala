@@ -6,32 +6,48 @@ package graft
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     val spark = Spark.session(appName = "graft-bench")
     // Steady-state methodology: one untimed warmup pass at the bench SF
     // (codegen class generation, parquet footers/dictionaries, cache
-    // population), then the timed pass.
+    // population), then the timed passes.
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
     ordered.foreach { case (_, fn) =>
       try fn(spark, sfDir).count()
       catch { case _: Throwable => () }
     }
-    // two timed passes, keep the per-query minimum: the host shows heavy
-    // run-to-run variance (GC/noisy neighbors), min-of-2 is far stabler
-    // a failed query must not contribute a bogus (fast) elapsed time:
-    // mark it -1 so the report shows the breakage instead of hiding it
+    // This host shows heavy run-to-run variance (GC, noisy neighbors):
+    // identical code has benched 21-52 s total. Three timed passes per
+    // query; the MEDIAN is the headline (robust to a single glitched
+    // pass in either direction) and min plus the raw runs are emitted so
+    // variance is visible downstream instead of being averaged away.
+    // A failed query must not contribute a bogus (fast) elapsed time:
+    // mark it -1 so the report shows the breakage instead of hiding it.
     def timed(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
       catch { case _: Throwable => -1.0 }
     }
     val results = ordered.map { case (name, fn) =>
-      val (a, b) = (timed(fn), timed(fn))
-      name -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
+      val times = Seq.fill(math.max(1, runs))(timed(fn))
+      name -> times
     }
-    val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+    }
+    def stats(ts: Seq[Double]): (Double, Double) =
+      if (ts.exists(_ < 0)) (-1.0, -1.0) else (median(ts), ts.min)
+    def obj(f: ((String, Seq[Double])) => Double): String =
+      results.map { case (k, ts) => "\"" + k + f"""\":${f((k, ts))}%.3f""" }
+        .mkString("{", ",", "}")
+    val runsObj = results.map { case (k, ts) =>
+      "\"" + k + "\":[" + ts.map(t => f"$t%.3f").mkString(",") + "]"
+    }.mkString("{", ",", "}")
+    val medians = obj { case (_, ts) => stats(ts)._1 }
+    val mins = obj { case (_, ts) => stats(ts)._2 }
+    val total = results.map { case (_, ts) => stats(ts)._1 }.filter(_ >= 0).sum
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","stat":"median-of-$runs","queries":$medians,"queries_min":$mins,"queries_runs":$runsObj,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -228,11 +228,10 @@ object DedupOps {
     // --- near-duplicate CLUSTERS: connected components over d2's
     //     Jaccard >= 0.5 edges, labeled by component-minimum doc_id —
     //     what a dedup pipeline actually needs (keep one survivor per
-    //     cluster, not a bag of pairs). Iterative min-label propagation:
-    //     each round is one equi-join + hash aggregate over the edge
-    //     list; rounds are bounded by component diameter (near-dup
-    //     clusters are shallow — 3-4 rounds here). The only driver-side
-    //     value per round is the single changed-count scalar. ---
+    //     cluster, not a bag of pairs). Delegates to
+    //     [[graft.operators.ConnectedComponents]]: min-label propagation
+    //     with pointer jumping (O(log diameter) rounds), every loop
+    //     cache released before the result returns. ---
     "d8_dup_clusters" -> ((s, dir) => {
       val sh = shingles(docs(s, dir)).cache()
       val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
@@ -241,27 +240,7 @@ object DedupOps {
         .join(cnt.as("c2"), col("d2") === col("c2.doc_id"))
         .filter(col("m") / (col("c1.n") + col("c2.n") - col("m")) >= 0.5)
         .select(col("d1"), col("d2"))
-        .cache()
-      val bi = edges.union(edges.select(col("d2").as("d1"), col("d1").as("d2")))
-      var labels = edges.select(col("d1").as("id"))
-        .union(edges.select(col("d2").as("id")))
-        .distinct().withColumn("lbl", col("id")).cache()
-      var changed = 1L
-      var iters = 0
-      while (changed > 0 && iters < 20) {
-        val next = labels.as("l")
-          .join(bi.as("e"), col("l.id") === col("e.d1"), "left")
-          .join(labels.as("nb"), col("e.d2") === col("nb.id"), "left")
-          .groupBy(col("l.id").as("id"))
-          .agg(least(min(col("l.lbl")), min(col("nb.lbl"))).as("lbl"))
-          .cache()
-        changed = next.as("a").join(labels.as("b"), col("a.id") === col("b.id"))
-          .filter(col("a.lbl") =!= col("b.lbl")).count()
-        labels.unpersist()
-        labels = next
-        iters += 1
-      }
-      require(changed == 0, s"label propagation did not converge in $iters rounds")
+      val (labels, _) = graft.operators.ConnectedComponents.label(edges)
       labels.select(col("id").as("doc_id"), col("lbl").as("cluster"))
         .orderBy(col("doc_id"))
     }),
