@@ -37,6 +37,18 @@ object ZarrIO {
     (f, p)
   }
 
+  /** Driver-side, idempotent: the store-root `.zgroup` shared by every
+    * stack. Concurrent per-stack conversions must NOT each create/truncate
+    * this path (benign locally only because the bytes are identical, and
+    * fragile on object stores) — [[graft.jobs.ZeissJob.convertAll]] writes
+    * it once before fanning out; [[writeMetadata]] only fills it in when
+    * absent. */
+  def writeStoreRoot(root: String): Unit = {
+    val (f, rootPath) = fs(root)
+    val out = f.create(new Path(rootPath, ".zgroup"), true)
+    try out.write(ZarrMeta.zgroup.getBytes("UTF-8")) finally out.close()
+  }
+
   /** Driver-side: group + array metadata for one stack/level. */
   def writeMetadata(root: String, vol: Volume, nLevels: Int,
                     voxelZyx: Seq[Double] = Seq(1.0, 1.0, 1.0),
@@ -49,7 +61,7 @@ object ZarrIO {
       val out = f.create(p, true)
       try out.write(content.getBytes("UTF-8")) finally out.close()
     }
-    put(new Path(rootPath, ".zgroup"), ZarrMeta.zgroup)
+    if (!f.exists(new Path(rootPath, ".zgroup"))) writeStoreRoot(root)
     val stackPath = new Path(rootPath, vol.stack)
     put(new Path(stackPath, ".zgroup"), ZarrMeta.zgroup)
     val attrs = ZarrMeta.stackAttrs(vol.stack, vol.shape.toSeq, nLevels, voxelZyx,

@@ -176,6 +176,9 @@ object ZeissJob {
   def convertAll(spark: SparkSession, stacks: Seq[String], out: String,
                  settings: Settings, voxelZyx: Seq[Double]): Seq[Volume] = {
     val par = math.max(1, math.min(settings.maxConcurrentStacks, stacks.size))
+    // shared store-root metadata lands exactly once, on the driver, BEFORE
+    // any concurrent conversion can race a create/truncate of the same path
+    ZarrIO.writeStoreRoot(out)
     if (par == 1) stacks.map(czi => convertStack(spark, czi, out, settings, voxelZyx))
     else {
       val pool = java.util.concurrent.Executors.newFixedThreadPool(par)

@@ -187,6 +187,29 @@ object ArrayOps {
         .orderBy(col("cz"), col("cy"), col("cx"))
     }),
 
+    // --- CZI aggregate pushdown under the gate: the c/z filters prune
+    //     the (channel, slab) grid at planning time and the ungrouped
+    //     COUNT/MIN/MAX is answered from that arithmetic in one no-IO
+    //     task — parity with the zarr connector's z7 (no subblock is
+    //     ever opened; the oracle states the constants) ---
+    "z9_czi_agg" -> ((s, _) => {
+      val dir = graft.Scratch.dir("czi-agg-q")
+      val path = s"$dir/q9.czi"
+      val chans = Array.tabulate(2, 24, 40, 40)((c, z, y, x) =>
+        (SyntheticStack.value(z, y, x) + 1000 * c) & 0xFFFF)
+      graft.sources.czi.SyntheticCzi.writeChannels(path, chans)
+      s.read.format("czi")
+        .option("path", path)
+        .option("chunk_z", "8").option("chunk_y", "16").option("chunk_x", "16")
+        .load()
+        .filter(col("c") === 1 && col("z") >= 1)
+        .agg(count(lit(1)).as("n_chunks"),
+          min(col("z")).cast("long").as("min_z"),
+          max(col("z")).cast("long").as("max_z"),
+          min(col("y")).cast("long").as("min_y"),
+          max(col("x")).cast("long").as("max_x"))
+    }),
+
     // --- the CZI (ZISRAW) parser under the gate: write a synthetic CZI
     //     (mixed raw + zstd0 subblocks), scan it distributed, aggregate
     //     per-chunk sums that the oracle recomputes from arithmetic ---
@@ -298,6 +321,12 @@ object ArrayOps {
         |       CAST(sum(v) AS BIGINT) AS sum_v, count(*) AS n_voxels
         |FROM l0 GROUP BY 1, 2, 3
         |ORDER BY cz, cy, cx""".stripMargin,
+
+    // 2 channels x 3 z-slabs x 3x3 XY tiles; c=1, z>=1 selects 1x2x9=18
+    "z9_czi_agg" ->
+      """SELECT CAST(18 AS BIGINT) AS n_chunks,
+        |  CAST(1 AS BIGINT) AS min_z, CAST(2 AS BIGINT) AS max_z,
+        |  CAST(0 AS BIGINT) AS min_y, CAST(2 AS BIGINT) AS max_x""".stripMargin,
 
     "z4_czi_scan" ->
       """WITH l0 AS (

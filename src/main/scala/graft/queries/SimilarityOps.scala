@@ -209,8 +209,13 @@ object SimilarityOps {
           expr("transform(array_sort(collect_list(struct(pos, hiv))), x -> CAST(x.hiv AS DOUBLE))").as("hi"))
       val q = e.crossJoin(broadcast(bounds))
         .select(col("vec_id"), col("embedding"), col("nrm"),
+          // a dimension constant across the corpus (hi = lo) would divide
+          // by zero: Spark yields NaN and the oracle errors on the BIGINT
+          // cast — quantize such dims to 0 with the SAME expression on
+          // both engines so they cannot diverge
           expr("transform(sequence(0, size(embedding) - 1), " +
-            "i -> CAST(floor((CAST(embedding[i] AS DOUBLE) - lo[i]) * 255.0 / (hi[i] - lo[i]) + 0.5D) AS DOUBLE))")
+            "i -> CASE WHEN hi[i] = lo[i] THEN 0.0D ELSE " +
+            "CAST(floor((CAST(embedding[i] AS DOUBLE) - lo[i]) * 255.0 / (hi[i] - lo[i]) + 0.5D) AS DOUBLE) END)")
             .as("qv"))
       val queries = q.filter(col("vec_id") < 5)
         .select(col("vec_id").as("qid"), col("embedding").as("qe"),
@@ -467,8 +472,9 @@ object SimilarityOps {
         |  GROUP BY i),
         |q AS (
         |  SELECT e.vec_id, e.embedding,
-        |    list(CAST(floor((CAST(e.embedding[b.pos + 1] AS DOUBLE) - b.lo) * 255.0
-        |                    / (b.hi - b.lo) + 0.5) AS DOUBLE) ORDER BY b.pos) AS qv
+        |    list(CASE WHEN b.hi = b.lo THEN CAST(0 AS DOUBLE)
+        |         ELSE CAST(floor((CAST(e.embedding[b.pos + 1] AS DOUBLE) - b.lo) * 255.0
+        |                    / (b.hi - b.lo) + 0.5) AS DOUBLE) END ORDER BY b.pos) AS qv
         |  FROM embeddings e, b GROUP BY e.vec_id, e.embedding),
         |cand AS (
         |  SELECT qs.vec_id AS qid, qs.embedding AS qe, es.vec_id AS eid,

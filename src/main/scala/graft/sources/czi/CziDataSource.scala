@@ -12,7 +12,7 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapabil
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -28,12 +28,17 @@ import graft.core.ChunkGrid
   * data`), so a CZI→Zarr conversion is literally
   * `spark.read.format("czi").load()...write.format("zarr")`.
   *
-  * Planning: the driver parses only the subblock directory (KBs); one
-  * InputPartition per (channel, z-slab), exactly the no-shuffle task
-  * layout of [[CziSource.scan]]. Coordinate filters on `c` and `z` prune
-  * PARTITIONS (whole slabs are never read), the same
-  * plan-before-launch pruning the zarr scan does from `.zarray`
-  * arithmetic.
+  * Scan quality matches the zarr connector's:
+  *   - '''partition pruning''' — the driver parses only the subblock
+  *     directory (KBs); one InputPartition per (channel, z-slab), and
+  *     coordinate filters on `c`/`z` (any integral literal type) shrink
+  *     the planned set before a task launches;
+  *   - '''column pruning''' — a projection without `data` plans the same
+  *     partitions but its readers emit rows from chunk-grid arithmetic
+  *     alone: no subblock is read, the file is never opened;
+  *   - '''aggregate pushdown''' — ungrouped COUNT(*)/MIN/MAX over the
+  *     coordinate columns are answered at planning time from the pruned
+  *     grid bounds with a single no-IO task.
   */
 class CziDataSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "czi"
@@ -65,35 +70,53 @@ class CziTable(props: Map[String, String]) extends Table with SupportsRead {
 final case class CziInputPartition(cIdx: Int, slab: Int) extends InputPartition
 
 class CziScanBuilder(path: String, stack: String, chunkZyx: Array[Int])
-    extends ScanBuilder with SupportsPushDownFilters {
+    extends ScanBuilder with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
+  import org.apache.spark.sql.connector.expressions.NamedReference
+  import org.apache.spark.sql.connector.expressions.aggregate._
 
   // inclusive bounds on the chunk-grid c and z coordinates, refined by
   // accepted filters — slabs/channels outside them are never planned
   private var (cLo, cHi) = (0L, Long.MaxValue)
   private var (zLo, zHi) = (0L, Long.MaxValue)
   private var pushed = Array.empty[Filter]
+  private var required: StructType = graft.io.zarr.ZarrDataSource.chunkSchema
+  // complete aggregate pushdown: ops like ("count","") / ("min","z")
+  private var aggOps: Option[Seq[(String, String)]] = None
 
+  // long/short/byte literals and casts must prune exactly like int
+  // literals — a silent fall-through to "plan everything" is the fragile
+  // contract the round-3 review flagged
+  private def asLong(v: Any): Option[Long] = v match {
+    case i: Int => Some(i.toLong)
+    case l: Long => Some(l)
+    case s: Short => Some(s.toLong)
+    case b: Byte => Some(b.toLong)
+    case _ => None
+  }
+
+  /** Rows carry c = channel index and z = slab index — exactly the
+    * partition key — so an accepted c/z range is fully absorbed at
+    * partition granularity (no residual re-evaluation needed). */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    val (accepted, rest) = filters.partition {
-      case EqualTo(a, _: java.lang.Integer) => a == "c" || a == "z"
-      case GreaterThan(a, _: java.lang.Integer) => a == "c" || a == "z"
-      case GreaterThanOrEqual(a, _: java.lang.Integer) => a == "c" || a == "z"
-      case LessThan(a, _: java.lang.Integer) => a == "c" || a == "z"
-      case LessThanOrEqual(a, _: java.lang.Integer) => a == "c" || a == "z"
-      case _ => false
+    val residual = filters.filterNot { f =>
+      val accepted = f match {
+        case EqualTo(a, v) if a == "c" || a == "z" =>
+          asLong(v).exists { x => refine(a, x, x); true }
+        case GreaterThan(a, v) if a == "c" || a == "z" =>
+          asLong(v).exists { x => refine(a, x + 1, Long.MaxValue); true }
+        case GreaterThanOrEqual(a, v) if a == "c" || a == "z" =>
+          asLong(v).exists { x => refine(a, x, Long.MaxValue); true }
+        case LessThan(a, v) if a == "c" || a == "z" =>
+          asLong(v).exists { x => refine(a, Long.MinValue, x - 1); true }
+        case LessThanOrEqual(a, v) if a == "c" || a == "z" =>
+          asLong(v).exists { x => refine(a, Long.MinValue, x); true }
+        case _ => false
+      }
+      if (accepted) pushed :+= f
+      accepted
     }
-    accepted.foreach {
-      case EqualTo(a, v: java.lang.Integer) => refine(a, v.toLong, v.toLong)
-      case GreaterThan(a, v: java.lang.Integer) => refine(a, v.toLong + 1, Long.MaxValue)
-      case GreaterThanOrEqual(a, v: java.lang.Integer) => refine(a, v.toLong, Long.MaxValue)
-      case LessThan(a, v: java.lang.Integer) => refine(a, 0L, v.toLong - 1)
-      case LessThanOrEqual(a, v: java.lang.Integer) => refine(a, 0L, v.toLong)
-      case _ => ()
-    }
-    pushed = accepted
-    // keep accepted filters in the residual too (they are exact on rows,
-    // but re-evaluating them is free and keeps the contract simple)
-    filters
+    residual
   }
   private def refine(axis: String, l: Long, h: Long): Unit =
     if (axis == "c") { cLo = math.max(cLo, l); cHi = math.min(cHi, h) }
@@ -101,31 +124,138 @@ class CziScanBuilder(path: String, stack: String, chunkZyx: Array[Int])
 
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def build(): Scan = new Scan with Batch {
-    override def readSchema(): StructType = graft.io.zarr.ZarrDataSource.chunkSchema
-    override def toBatch: Batch = this
+  override def pruneColumns(requiredSchema: StructType): Unit = {
+    // preserve source column order; an empty projection (count(*)) keeps
+    // nothing and the reader emits empty rows
+    val keep = requiredSchema.fieldNames.toSet
+    required = StructType(
+      graft.io.zarr.ZarrDataSource.chunkSchema.filter(f => keep.contains(f.name)))
+  }
 
-    // driver-side directory parse happens once at planning time
-    private lazy val (vol, idx) = CziSource.volume(path, stack, chunkZyx)
+  /** COUNT(*) / MIN / MAX over chunk coordinates are grid arithmetic on
+    * the pruned (c, z) bounds and the fixed XY tile grid — one no-IO
+    * task, no subblock ever read. Spark only offers an aggregate for
+    * pushdown when every filter was absorbed, so the bounds are exact. */
+  private def translate(agg: Aggregation): Option[Seq[(String, String)]] = {
+    if (agg.groupByExpressions.nonEmpty) return None
+    val axes = Seq("t", "c", "z", "y", "x")
+    def ax(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] = e match {
+      case f: NamedReference if f.fieldNames.length == 1 && axes.contains(f.fieldNames()(0)) =>
+        Some(f.fieldNames()(0))
+      case _ => None
+    }
+    val ops = agg.aggregateExpressions.toSeq.map {
+      case _: CountStar => Some(("count", ""))
+      case m: Min => ax(m.column).map(("min", _))
+      case m: Max => ax(m.column).map(("max", _))
+      case _ => None
+    }
+    if (ops.forall(_.isDefined)) Some(ops.map(_.get)) else None
+  }
 
-    override def planInputPartitions(): Array[InputPartition] = {
-      val zSlabs = ChunkGrid.ceilDiv(vol.shape(2), vol.chunk(2))
-      val parts = for {
-        c <- 0L until vol.shape(1) if c >= cLo && c <= cHi
-        slab <- 0L until zSlabs if slab >= zLo && slab <= zHi
-      } yield CziInputPartition(c.toInt, slab.toInt): InputPartition
-      parts.toArray
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    translate(agg).isDefined
+
+  override def pushAggregation(agg: Aggregation): Boolean =
+    translate(agg) match {
+      case Some(ops) => aggOps = Some(ops); true
+      case None => false
     }
 
-    override def createReaderFactory(): PartitionReaderFactory =
-      CziReaderFactory(path, vol.stack, vol.shape, vol.chunk,
-        idx.origin, idx.entries.toArray, vol.dtype.itemSize)
+  override def build(): Scan =
+    new CziScan(path, stack, chunkZyx, cLo, cHi, zLo, zHi, required, aggOps)
+}
+
+class CziScan(path: String, stack: String, chunkZyx: Array[Int],
+              cLo: Long, cHi: Long, zLo: Long, zHi: Long,
+              required: StructType, aggOps: Option[Seq[(String, String)]])
+    extends Scan with Batch {
+
+  // driver-side directory parse happens once at planning time
+  private lazy val (vol, idx) = CziSource.volume(path, stack, chunkZyx)
+  private lazy val zSlabs = ChunkGrid.ceilDiv(vol.shape(2), vol.chunk(2))
+  private lazy val gridY = ChunkGrid.ceilDiv(vol.shape(3), vol.chunk(3))
+  private lazy val gridX = ChunkGrid.ceilDiv(vol.shape(4), vol.chunk(4))
+  // pruned inclusive selection on the partition axes
+  private lazy val cSel = (math.max(0L, cLo), math.min(vol.shape(1) - 1, cHi))
+  private lazy val zSel = (math.max(0L, zLo), math.min(zSlabs - 1, zHi))
+
+  override def readSchema(): StructType = aggOps match {
+    case Some(ops) => StructType(ops.zipWithIndex.map {
+      case (("count", _), i) => StructField(s"agg$i", LongType, nullable = false)
+      case ((_, _), i) => StructField(s"agg$i", IntegerType, nullable = true)
+    })
+    case None => required
   }
+  override def toBatch: Batch = this
+  override def description(): String = {
+    val bounds = Seq(("c", cLo, cHi), ("z", zLo, zHi)).collect {
+      case (a, l, h) if l > 0L || h != Long.MaxValue =>
+        s"$a=[$l..${if (h == Long.MaxValue) "*" else h}]"
+    }
+    val agg = aggOps.map(ops => " agg=" + ops.map {
+      case ("count", _) => "count(*)"
+      case (op, ax) => s"$op($ax)"
+    }.mkString(",")).getOrElse("")
+    s"CziScan($path${if (bounds.isEmpty) "" else bounds.mkString(" ", ",", "")} cols=${required.fieldNames.mkString(",")}$agg)"
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    // a pushed aggregate is one arithmetic row — a single no-IO partition
+    if (aggOps.isDefined) return Array(CziInputPartition(-1, -1))
+    val parts = for {
+      c <- cSel._1 to cSel._2
+      slab <- zSel._1 to zSel._2
+    } yield CziInputPartition(c.toInt, slab.toInt): InputPartition
+    parts.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = aggOps match {
+    case Some(ops) =>
+      val nSel =
+        if (cSel._2 < cSel._1 || zSel._2 < zSel._1) 0L
+        else (cSel._2 - cSel._1 + 1) * (zSel._2 - zSel._1 + 1) * gridY * gridX
+      CziAggReaderFactory(ops, nSel, cSel, zSel, gridY, gridX)
+    case None =>
+      CziReaderFactory(path, vol.stack, vol.shape, vol.chunk,
+        idx.origin, idx.entries.toArray, vol.dtype.itemSize, required.fieldNames)
+  }
+}
+
+/** Emits the single pre-aggregated row for a pushed COUNT/MIN/MAX: the
+  * chunk count is the pruned grid volume, coordinate extrema are its
+  * corners. No filesystem access at all. */
+final case class CziAggReaderFactory(ops: Seq[(String, String)], nSel: Long,
+                                     cSel: (Long, Long), zSel: (Long, Long),
+                                     gridY: Long, gridX: Long)
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new PartitionReader[InternalRow] {
+      private var done = false
+      override def next(): Boolean = if (done) false else { done = true; true }
+      override def get(): InternalRow = {
+        def corner(ax: String, hi: Boolean): Any = ax match {
+          case "t" => 0
+          case "c" => (if (hi) cSel._2 else cSel._1).toInt
+          case "z" => (if (hi) zSel._2 else zSel._1).toInt
+          case "y" => if (hi) (gridY - 1).toInt else 0
+          case "x" => if (hi) (gridX - 1).toInt else 0
+        }
+        InternalRow.fromSeq(ops.map {
+          case ("count", _) => nSel
+          case (_, _) if nSel == 0L => null // empty selection: min/max of no rows
+          case ("min", ax) => corner(ax, hi = false)
+          case ("max", ax) => corner(ax, hi = true)
+        })
+      }
+      override def close(): Unit = ()
+    }
 }
 
 final case class CziReaderFactory(path: String, stack: String,
     shape: Array[Long], chunk: Array[Int], origin: Array[Int],
-    entries: Array[CziFormat.SubBlockEntry], itemSize: Int)
+    entries: Array[CziFormat.SubBlockEntry], itemSize: Int,
+    cols: Array[String])
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[CziInputPartition]
@@ -135,30 +265,60 @@ final case class CziReaderFactory(path: String, stack: String,
 
 /** Reads one (channel, slab): scatter the slab's subblocks into a buffer
   * (reference placement semantics, `utils.py:269-276`), cut chunk tiles,
-  * emit one row per tile. Same kernel as [[CziSource.scan]]. */
+  * emit one row per tile — the kernel shared with [[CziSource.scan]].
+  * When the projection pruned `data` away, every remaining column is
+  * chunk-grid arithmetic: the rows are synthesized without opening the
+  * file at all (parity with the zarr connector's pruned scan). */
 class CziPartitionReader(f: CziReaderFactory, cIdx: Int, slab: Int)
     extends PartitionReader[InternalRow] {
 
-  private val rows: Iterator[InternalRow] = {
-    val conf = new Configuration()
-    val p = new Path(f.path)
-    val fs = p.getFileSystem(conf)
-    val in = fs.open(p)
-    try {
-      CziSource.slabChunks(in, f.entries, f.shape, f.chunk, f.origin,
-          f.itemSize, cIdx, slab)
-        .map { case (ty, tx, shape5, out) =>
-          InternalRow(
-            UTF8String.fromString(f.stack), 0, 0, cIdx, slab, ty, tx,
-            ArrayData.toArrayData(shape5), out)
-        }
-        .toVector.iterator // materialize before the stream closes
-    } finally in.close()
-  }
+  private val needData = f.cols.contains("data")
 
-  private var row: InternalRow = _
+  private def row(ty: Int, tx: Int, shape5: => Array[Int], data: => Array[Byte]): InternalRow =
+    InternalRow.fromSeq(f.cols.toIndexedSeq.map {
+      case "stack" => UTF8String.fromString(f.stack)
+      case "level" => 0
+      case "t" => 0
+      case "c" => cIdx
+      case "z" => slab
+      case "y" => ty
+      case "x" => tx
+      case "shape" => ArrayData.toArrayData(shape5)
+      case "data" => data
+    })
+
+  private val rows: Iterator[InternalRow] =
+    if (needData) {
+      val conf = new Configuration()
+      val p = new Path(f.path)
+      val fs = p.getFileSystem(conf)
+      val in = fs.open(p)
+      try {
+        CziSource.slabChunks(in, f.entries, f.shape, f.chunk, f.origin,
+            f.itemSize, cIdx, slab)
+          .map { case (ty, tx, shape5, out) => row(ty, tx, shape5, out) }
+          .toVector.iterator // materialize before the stream closes
+      } finally in.close()
+    } else {
+      // no pixel bytes requested: coordinates and clamped shapes are pure
+      // arithmetic — zero IO
+      val gridY = ChunkGrid.ceilDiv(f.shape(3), f.chunk(3)).toInt
+      val gridX = ChunkGrid.ceilDiv(f.shape(4), f.chunk(4)).toInt
+      val zN = math.min(f.chunk(2).toLong, f.shape(2) - slab.toLong * f.chunk(2)).toInt
+      (for {
+        ty <- 0 until gridY
+        tx <- 0 until gridX
+      } yield {
+        val yN = math.min(f.chunk(3).toLong, f.shape(3) - ty.toLong * f.chunk(3)).toInt
+        val xN = math.min(f.chunk(4).toLong, f.shape(4) - tx.toLong * f.chunk(4)).toInt
+        row(ty, tx, Array(1, 1, zN, yN, xN),
+          sys.error("data column pruned — never evaluated"))
+      }).iterator
+    }
+
+  private var cur: InternalRow = _
   override def next(): Boolean =
-    if (rows.hasNext) { row = rows.next(); true } else false
-  override def get(): InternalRow = row
+    if (rows.hasNext) { cur = rows.next(); true } else false
+  override def get(): InternalRow = cur
   override def close(): Unit = ()
 }

@@ -127,6 +127,18 @@ object CziReader {
             "are not supported — split them (e.g. one scene per file) before ingest")
       }
 
+      // T survives in the TCZYX vocabulary, but the slab scatter kernel
+      // ([[CziSource.slabChunks]]) ignores a subblock's T start and every
+      // row emits t=0 — a multi-timepoint file would silently fold all
+      // timepoints onto the same (z,y,x) coordinates (last write wins),
+      // the same corruption the scene/mosaic guard above prevents.
+      // Reject loudly until per-(timepoint, channel, slab) tasks exist.
+      val (tLo, tHi) = extent("T")
+      if (tHi - tLo > 1)
+        throw new UnsupportedOperationException(
+          s"CZI axis 'T' spans [$tLo, $tHi): multi-timepoint files are not " +
+          "supported — split them (one timepoint per file) before ingest")
+
       val axes = Seq("T", "C", "Z", "Y", "X")
       val exts = axes.map(extent)
       val origin = exts.map(_._1).toArray

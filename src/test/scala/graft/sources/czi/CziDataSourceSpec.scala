@@ -53,6 +53,63 @@ class CziDataSourceSpec extends AnyFunSuite {
     assert(df.count() == 4) // the slab still cuts into 2x2 XY tiles
   }
 
+  test("long-typed literals prune exactly like int literals") {
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    val path = fixture()
+    def planned(f: org.apache.spark.sql.Column): Int = {
+      val df = spark.read.format("czi").option("path", path)
+        .option("chunk_z", "8").option("chunk_y", "16").option("chunk_x", "16")
+        .load().filter(f)
+      df.queryExecution.executedPlan.collectFirst {
+        case b: BatchScanExec => b
+      }.get.inputPartitions.size
+    }
+    // 2 channels x 2 slabs = 4 unpruned; z <= 0 keeps one slab per channel.
+    // A long literal (lit(0L) forces z to cast) must prune identically —
+    // the round-3 review's fragile-contract finding.
+    val intCase = planned(col("z") <= 0)
+    val longCase = planned(col("z").cast("long") <= 0L)
+    assert(intCase == 2, s"int literal planned $intCase")
+    assert(longCase == intCase, s"long literal planned $longCase, int $intCase")
+  }
+
+  test("data-free projection synthesizes rows from arithmetic, no subblock read") {
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    val path = fixture()
+    val df = spark.read.format("czi").option("path", path)
+      .option("chunk_z", "8").option("chunk_y", "16").option("chunk_x", "16")
+      .load()
+      .select(col("c"), col("z"), col("y"), col("x"), col("shape"))
+    val scan = df.queryExecution.executedPlan.collectFirst {
+      case b: BatchScanExec => b
+    }.get
+    // the pruned projection reaches the scan (no `data` in its description)
+    val desc = scan.scan.description()
+    assert(desc.contains("cols=c,z,y,x,shape"), desc)
+    // rows are still exact: full grid with clamped edge shapes
+    val rows = df.collect()
+    assert(rows.length == 16)
+    assert(rows.forall(_.getAs[Seq[Int]]("shape") == Seq(1, 1, 8, 16, 16)))
+  }
+
+  test("ungrouped COUNT/MIN/MAX answers at planning time in one no-IO task") {
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    val path = fixture()
+    val df = spark.read.format("czi").option("path", path)
+      .option("chunk_z", "8").option("chunk_y", "16").option("chunk_x", "16")
+      .load()
+      .filter(col("c") === 1)
+      .agg(count(lit(1)).as("n"), min(col("z")).as("mn"), max(col("x")).as("mx"))
+    val scan = df.queryExecution.executedPlan.collectFirst {
+      case b: BatchScanExec => b
+    }.get
+    assert(scan.scan.description().contains("agg=count(*),min(z),max(x)"),
+      scan.scan.description())
+    assert(scan.inputPartitions.size == 1, scan.inputPartitions)
+    val r = df.collect().head
+    assert(r.getLong(0) == 8L && r.getInt(1) == 0 && r.getInt(2) == 1, r)
+  }
+
   test("CZI -> Zarr conversion is one connector-to-connector pipeline") {
     val path = fixture()
     val out = Files.createTempDirectory("czi-dsv2-out").toString

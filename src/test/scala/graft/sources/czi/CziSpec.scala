@@ -70,6 +70,24 @@ class CziSpec extends AnyFunSuite {
     assert(eQ.getMessage.contains("Q"), eQ.getMessage)
   }
 
+  test("multi-timepoint CZI (T spanning > 1) is rejected, singleton T is fine") {
+    val dir = Files.createTempDirectory("czi-taxis").toString
+    // timepoints alternate per z-slice: T spans [0, 2) — the slab kernel
+    // would fold both timepoints onto the same (z,y,x) and emit t=0
+    val pathT = s"$dir/t2.czi"
+    SyntheticCzi.writeChannels(pathT, Array(synth(8, 16, 16)),
+      extraDims = (_, z) => Seq(("T", z % 2, 1)))
+    val eT = intercept[UnsupportedOperationException] { CziReader.index(pathT) }
+    assert(eT.getMessage.contains("'T'") && eT.getMessage.contains("[0, 2)"), eT.getMessage)
+
+    // an explicit singleton T entry squeezes away like the reference's pad
+    val path1 = s"$dir/t1.czi"
+    SyntheticCzi.writeChannels(path1, Array(synth(4, 8, 8)),
+      extraDims = (_, _) => Seq(("T", 0, 1)))
+    val idx = CziReader.index(path1)
+    assert(idx.shape.toSeq == Seq(1L, 1L, 4L, 8L, 8L))
+  }
+
   test("zstd1 decode: plain header and hi-lo byte-packed payloads") {
     val e = CziFormat.SubBlockEntry(0L, CziFormat.PixelGray16, CziFormat.CompressionZstd1,
       Map("X" -> CziFormat.DimEntry("X", 0, 4, 4), "Y" -> CziFormat.DimEntry("Y", 0, 2, 2)))
