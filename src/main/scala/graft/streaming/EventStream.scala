@@ -90,6 +90,49 @@ object EventStream {
   final case class SessionState(start: Long, last: Long, n: Int)
   final case class Session(user_id: Long, start_sec: Long, n_events: Int, dur_sec: Long)
 
+  final case class TypedEv(event_id: Long, ts: java.sql.Timestamp, event_type: String)
+  final case class WindowTopK(window_start: Long, event_type: String, n: Long, rk: Int)
+
+  /** Streaming per-window top-k event types — the rank-after-aggregate
+    * shape ("GROUP BY window, type, then take the k largest per window")
+    * that append-mode Structured Streaming cannot express as two chained
+    * aggregations. State is keyed by tumbling-window start and holds one
+    * counter per distinct type seen in that window: bounded by the type
+    * vocabulary times the watermark horizon, never by event volume. The
+    * window's top-k rows emit exactly once, when the watermark passes the
+    * window end (event-time timeout) — so results are final, no
+    * retraction needed. Caller must `withWatermark("ts", ...)` the input.
+    *
+    * At scale this is the canonical trending-items job: the per-window
+    * candidate counts live distributed in the state store (one shuffle by
+    * window key), and only k rows per window ever leave it. */
+  def topKPerWindow(events: Dataset[TypedEv], windowSec: Long = 3600L,
+                    k: Int = 3): Dataset[WindowTopK] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(e => e.ts.getTime / 1000 / windowSec * windowSec)
+      .flatMapGroupsWithState[Map[String, Long], WindowTopK](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (winStart: Long, evs: Iterator[TypedEv], state: GroupState[Map[String, Long]]) =>
+          if (state.hasTimedOut) {
+            // watermark passed window end: finalize, emit, drop state
+            val counts = state.getOption.getOrElse(Map.empty[String, Long])
+            state.remove()
+            counts.toSeq.sortBy { case (t, n) => (-n, t) }.take(k).zipWithIndex
+              .map { case ((t, n), i) => WindowTopK(winStart, t, n, i + 1) }
+              .iterator
+          } else {
+            val counts = evs.foldLeft(state.getOption.getOrElse(Map.empty[String, Long])) {
+              (m, e) => m.updated(e.event_type, m.getOrElse(e.event_type, 0L) + 1L)
+            }
+            state.update(counts)
+            // rows older than the watermark never reach here, so window
+            // end is always strictly ahead of the watermark — legal timeout
+            state.setTimeoutTimestamp((winStart + windowSec) * 1000)
+            Iterator.empty
+          }
+      }
+  }
+
   /** Stateful gap sessionization (30-min inactivity), the streaming twin
     * of the batch `e2_sessionize` query: closed sessions are emitted as
     * soon as a later event proves the gap. */

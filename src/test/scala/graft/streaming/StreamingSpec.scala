@@ -175,6 +175,38 @@ class StreamingSpec extends AnyFunSuite {
       got.mkString(", "))
   }
 
+  test("streaming per-window top-k: final ranks emit once on window close") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.EventStream.{TypedEv, WindowTopK}
+    val mem = MemoryStream[TypedEv](spark)
+    val q = EventStream.topKPerWindow(
+        mem.toDS().withWatermark("ts", "0 seconds").as[TypedEv],
+        windowSec = 600L, k = 2)
+      .writeStream.format("memory").queryName("topk")
+      .outputMode("append").start()
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000)
+    val w0 = 1700000400L // aligned: 1700000400 % 600 == 0
+    // window w0: a x3, b x2, c x1 -> top-2 = a(3), b(2)
+    mem.addData(
+      TypedEv(1, ts(w0 + 10), "a"), TypedEv(2, ts(w0 + 20), "b"),
+      TypedEv(3, ts(w0 + 30), "a"), TypedEv(4, ts(w0 + 40), "c"),
+      TypedEv(5, ts(w0 + 50), "b"), TypedEv(6, ts(w0 + 60), "a"))
+    q.processAllAvailable() // watermark -> w0+60: window still open, no rows
+    assert(spark.sql("SELECT * FROM topk").count() == 0)
+    // next window's traffic pushes the watermark past w0's end
+    mem.addData(TypedEv(7, ts(w0 + 1200), "d"))
+    q.processAllAvailable()
+    mem.addData(TypedEv(8, ts(w0 + 1260), "d"))
+    q.processAllAvailable() // timeout fires against watermark w0+1260
+    q.stop()
+    val got = spark.sql("SELECT * FROM topk").as[WindowTopK].collect()
+      .sortBy(r => (r.window_start, r.rk))
+    assert(got.toSeq == Seq(
+      WindowTopK(w0, "a", 3L, 1), WindowTopK(w0, "b", 2L, 2)),
+      got.mkString(", "))
+  }
+
   test("stateful sessionization emits gap-closed sessions") {
     import spark.implicits._
     val evs = spark.readStream.schema(EventStream.schema).parquet(eventsDir)
