@@ -293,6 +293,69 @@ object SimilarityOps {
         .orderBy(col("qid"), col("rk"))
     }),
 
+    // --- rotation-PQ: OPQ's random-rotation baseline (Ge et al. '13 —
+    //     a rotation before PQ redistributes correlated dimensions across
+    //     subspaces and cuts quantization error; full OPQ learns R by
+    //     SVD, the standard cheap baseline draws a random orthogonal R).
+    //     Here R is a deterministic SIGNED PERMUTATION — dims reordered
+    //     by the md5 rank of their index, signs flipped by a hex digit —
+    //     which is orthogonal by construction and md5-derived so the
+    //     oracle recomputes it bit-for-bit. Everything downstream is
+    //     v8's PQ+ADC pipeline over the rotated vectors: codebooks
+    //     broadcast, corpus stores 8 codes/vector, order-independent
+    //     scaled-integer partial sums. ---
+    "v9_pq_rot" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val nSub = 8; val subDim = 8
+      // signed permutation: output position j takes source dim pi[j]
+      // with sign ps[j] (one tiny broadcast row)
+      val pm = s.range(64).select(col("id").cast("int").as("i"))
+        .select(col("i"), md5(concat(lit("rot"), col("i"))).as("h"))
+        .select(col("i"), col("h"),
+          when(expr("substr(h, 2, 1) IN ('0','1','2','3','4','5','6','7')"), 1.0)
+            .otherwise(-1.0).as("sg"))
+        .groupBy()
+        .agg(expr("transform(array_sort(collect_list(struct(h, i, sg))), x -> x.i)").as("pi"),
+          expr("transform(array_sort(collect_list(struct(h, i, sg))), x -> x.sg)").as("ps"))
+      val e = emb(s, dir).crossJoin(broadcast(pm))
+        .select(col("vec_id"), col("label"),
+          expr("transform(sequence(0, 63), j -> ps[j] * CAST(embedding[pi[j]] AS DOUBLE))")
+            .as("embedding"))
+      val cb = e.select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy(col("label"), col("pos")).agg(avg(col("v")).as("cv"))
+        .groupBy(col("label"), (col("pos") / subDim).cast("int").as("sub"))
+        .agg(expr("transform(array_sort(collect_list(struct(pos, cv))), x -> x.cv)").as("cent"))
+        .select(col("sub"), col("label").as("code"), col("cent"))
+      val subs = e.select(col("vec_id"), col("embedding"),
+          explode(expr(s"sequence(0, ${nSub - 1})")).as("sub"))
+        .select(col("vec_id"), col("sub"),
+          expr(s"slice(embedding, sub * $subDim + 1, $subDim)").as("sv"))
+      val wEnc = Window.partitionBy(col("vec_id"), col("sub"))
+        .orderBy(round(col("fit"), 6).desc, col("code"))
+      val codes = subs.join(broadcast(cb), Seq("sub"))
+        .select(col("vec_id"), col("sub"), col("code"),
+          (graft.functions.vector_dot(col("sv"), col("cent")) * 2.0 -
+            graft.functions.vector_dot(col("cent"), col("cent"))).as("fit"))
+        .withColumn("rk", row_number().over(wEnc))
+        .filter(col("rk") === 1)
+        .select(col("vec_id"), col("sub"), col("code"))
+      val qsubs = subs.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("sub"), col("sv").as("qv"))
+      val partials = codes.filter(col("vec_id") >= 5)
+        .join(broadcast(cb), Seq("sub", "code"))
+        .join(broadcast(qsubs), Seq("sub"))
+        .select(col("qid"), col("vec_id").as("eid"),
+          round(graft.functions.vector_dot(col("qv"), col("cent")) * 1e9)
+            .cast("long").as("p9"))
+      val wQ = Window.partitionBy(col("qid")).orderBy(col("adc9").desc, col("eid"))
+      partials.groupBy(col("qid"), col("eid"))
+        .agg(sum(col("p9")).as("adc9"))
+        .withColumn("rk", row_number().over(wQ))
+        .filter(col("rk") <= 3)
+        .select(col("qid"), col("eid"), round(col("adc9") / 1e9, 6).as("adc"), col("rk"))
+        .orderBy(col("qid"), col("rk"))
+    }),
+
     // --- IVF probe: ANN top-3 searching ONLY the query's nearest cell.
     //     Composes v2's coarse quantizer with v1's scoring: the corpus is
     //     pre-partitioned by cell, the probe scores ~1/nCells of it.
@@ -427,6 +490,51 @@ object SimilarityOps {
         |            JOIN embeddings c ON cand.id2 = c.vec_id)
         |SELECT id1, id2, round(cos_raw, 6) AS cos FROM conf
         |WHERE round(cos_raw, 6) >= 0.45 ORDER BY id1, id2""".stripMargin,
+
+    "v9_pq_rot" ->
+      """WITH pm AS (
+        |  SELECT i, md5('rot' || CAST(i AS VARCHAR)) AS h,
+        |    CASE WHEN substr(md5('rot' || CAST(i AS VARCHAR)), 2, 1)
+        |              IN ('0','1','2','3','4','5','6','7')
+        |         THEN 1.0 ELSE -1.0 END AS sg
+        |  FROM (SELECT unnest(generate_series(0, 63)) AS i)),
+        |ord AS (SELECT i, sg, row_number() OVER (ORDER BY h, i) - 1 AS j FROM pm),
+        |rot AS (
+        |  SELECT e.vec_id, e.label,
+        |    list(o.sg * CAST(e.embedding[o.i + 1] AS DOUBLE) ORDER BY o.j) AS embedding
+        |  FROM embeddings e, ord o GROUP BY e.vec_id, e.label),
+        |cbdim AS (
+        |  SELECT label, i AS pos, avg(embedding[i + 1]) AS cv
+        |  FROM rot, LATERAL (SELECT unnest(generate_series(0, 63)) AS i) u
+        |  GROUP BY label, i),
+        |cb AS (
+        |  SELECT label AS code, pos // 8 AS sub, list(cv ORDER BY pos) AS cent
+        |  FROM cbdim GROUP BY label, pos // 8),
+        |subs AS (
+        |  SELECT e.vec_id, s.sub,
+        |    e.embedding[s.sub * 8 + 1 : s.sub * 8 + 8] AS sv
+        |  FROM rot e, (SELECT unnest(generate_series(0, 7)) AS sub) s),
+        |enc AS (
+        |  SELECT vec_id, sub, code FROM (
+        |    SELECT subs.vec_id, subs.sub, cb.code,
+        |      row_number() OVER (PARTITION BY subs.vec_id, subs.sub
+        |        ORDER BY round(list_dot_product(sv, cent) * 2
+        |                       - list_dot_product(cent, cent), 6) DESC, cb.code) AS rk
+        |    FROM subs JOIN cb ON subs.sub = cb.sub) WHERE rk = 1),
+        |partials AS (
+        |  SELECT q.vec_id AS qid, enc.vec_id AS eid,
+        |    CAST(round(list_dot_product(q.sv, cb.cent) * 1e9) AS BIGINT) AS p9
+        |  FROM enc JOIN cb ON enc.sub = cb.sub AND enc.code = cb.code
+        |           JOIN subs q ON q.sub = enc.sub AND q.vec_id < 5
+        |  WHERE enc.vec_id >= 5),
+        |adc AS (SELECT qid, eid, CAST(sum(p9) AS BIGINT) AS adc9
+        |        FROM partials GROUP BY qid, eid),
+        |ranked AS (
+        |  SELECT qid, eid, adc9,
+        |    row_number() OVER (PARTITION BY qid ORDER BY adc9 DESC, eid) AS rk
+        |  FROM adc)
+        |SELECT qid, eid, round(adc9 / 1e9, 6) AS adc, rk
+        |FROM ranked WHERE rk <= 3 ORDER BY qid, rk""".stripMargin,
 
     "v8_pq_adc" ->
       """WITH cbdim AS (
