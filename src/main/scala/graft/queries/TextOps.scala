@@ -260,10 +260,56 @@ object TextOps {
         .select(col("rank"), col("token"), col("cnt"),
           round(col("cum") / col("total"), 6).as("coverage"))
         .orderBy(col("rank"))
+    }),
+
+    // --- repetition quality signals (Gopher/MassiveText repetition
+    //     filters): fraction of 3-gram occurrences that are duplicates
+    //     and the share of the single most frequent bigram — the two
+    //     signals that catch boilerplate/spam which length and stopword
+    //     ratios miss. One generated-column pass + one narrow per-doc
+    //     aggregate; everything keys on doc_id (uniform), nothing joins
+    //     the corpus against itself. ---
+    "t10_repetition" -> ((s, dir) => {
+      val base = docs(s, dir).filter(col("doc_id") < 200)
+        .select(col("doc_id"), split(trim(col("text")), "\\s+").as("ts"))
+        .filter(size(col("ts")) >= 3)
+      val g = base.select(col("doc_id"),
+        expr("transform(sequence(0, size(ts) - 3), i -> concat_ws(' ', ts[i], ts[i+1], ts[i+2]))").as("g3"),
+        expr("transform(sequence(0, size(ts) - 2), i -> concat_ws(' ', ts[i], ts[i+1]))").as("g2"))
+        .select(col("doc_id"),
+          size(col("g3")).as("n3"), size(array_distinct(col("g3"))).as("d3"),
+          col("g2"))
+      g.select(col("doc_id"), col("n3"), col("d3"), explode(col("g2")).as("b"))
+        .groupBy(col("doc_id"), col("n3"), col("d3"), col("b"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"), col("n3"), col("d3"))
+        .agg(max(col("c")).as("maxb"), sum(col("c")).cast("long").as("n2"))
+        .select(col("doc_id"),
+          round((col("n3") - col("d3")) / col("n3"), 6).as("dup3_frac"),
+          round(col("maxb") / col("n2"), 6).as("top_bigram_frac"))
+        .orderBy(col("doc_id"))
     })
   )
 
   val oracles: Map[String, String] = Map(
+    "t10_repetition" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ts
+        |  FROM documents WHERE doc_id < 200),
+        |f AS (SELECT doc_id, ts FROM t WHERE len(ts) >= 3),
+        |g3 AS (SELECT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS g
+        |       FROM f, LATERAL (SELECT unnest(generate_series(1, len(ts) - 2)) AS i) u),
+        |a3 AS (SELECT doc_id, count(*) AS n3, count(DISTINCT g) AS d3
+        |       FROM g3 GROUP BY doc_id),
+        |g2 AS (SELECT doc_id, ts[i] || ' ' || ts[i+1] AS g
+        |       FROM f, LATERAL (SELECT unnest(generate_series(1, len(ts) - 1)) AS i) u),
+        |bc AS (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY doc_id, g),
+        |a2 AS (SELECT doc_id, max(c) AS maxb, CAST(sum(c) AS BIGINT) AS n2
+        |       FROM bc GROUP BY doc_id)
+        |SELECT a3.doc_id, round((n3 - d3) * 1.0 / n3, 6) AS dup3_frac,
+        |       round(maxb * 1.0 / n2, 6) AS top_bigram_frac
+        |FROM a3 JOIN a2 USING (doc_id) ORDER BY a3.doc_id""".stripMargin,
+
     "t7_winnow" -> {
       val h = horner(j => if (j == 0) "cs[i]" else s"cs[i + $j]")
       s"""WITH t AS (
