@@ -47,7 +47,16 @@ object Bench {
     val medians = obj { case (_, ts) => stats(ts)._1 }
     val mins = obj { case (_, ts) => stats(ts)._2 }
     val total = results.map { case (_, ts) => stats(ts)._1 }.filter(_ >= 0).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","stat":"median-of-$runs","queries":$medians,"queries_min":$mins,"queries_runs":$runsObj,"sf":"$sfDir"}""")
+    // The driver captures only the TAIL of stdout: the single JSON line must
+    // stay small (the round-4 line with per-run arrays inlined overflowed the
+    // buffer and parsed as null). Keep stdout to the compact contract line —
+    // medians per query — and write min + raw runs to a side file instead.
+    val detail = f"""{"stat":"median-of-$runs","queries_min":$mins,"queries_runs":$runsObj,"sf":"$sfDir"}"""
+    try {
+      val p = java.nio.file.Paths.get("bench_detail.json")
+      java.nio.file.Files.write(p, detail.getBytes("UTF-8"))
+    } catch { case _: Throwable => () }
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","stat":"median-of-$runs","queries":$medians,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

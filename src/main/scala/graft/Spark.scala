@@ -21,6 +21,20 @@ object Spark {
       // events.parquet carries TIMESTAMP(NANOS); Spark 4 only reads those
       // as raw longs behind this flag (converted in Tables.load).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // InferFiltersFromGenerate duplicates the generator expression of an
+      // explode into a pre-Generate Filter (IsNotNull(e) && size(e) > 0).
+      // For a stored array column that filter is nearly free, but this
+      // engine's generators are computed higher-order expressions
+      // (transform/sequence/flatten shingle builders): HOFs evaluate
+      // interpreted, CollapseProject inlines their inputs, and the
+      // duplicated lambda re-runs per element — t10's bigram explode spent
+      // 4.5 s re-splitting document text inside the inferred filter vs
+      // 0.2 s without it (21x, measured sf0.1), and the dedup family's
+      // shingle explodes carry the same shape. Every generator in this
+      // engine yields a non-null (possibly empty) array, so the inferred
+      // filter can never drop a row here — it is pure recompute cost.
+      .config("spark.sql.optimizer.excludedRules",
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
       // bucketed-table storage (co-located joins) out of the repo tree
       .config("spark.sql.warehouse.dir",
         s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft-warehouse")

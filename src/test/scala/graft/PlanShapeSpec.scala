@@ -93,4 +93,20 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("hashpartitioning(fp"), p)
     assert(!p.toLowerCase.contains("cartesianproduct"), p)
   }
+
+  test("generator expressions are never duplicated into inferred filters") {
+    // InferFiltersFromGenerate copies the explode's child expression into a
+    // Filter (IsNotNull && size > 0); with computed higher-order generators
+    // (shingle/bigram transform builders) that filter re-evaluates the
+    // lambda interpreted, per element — measured 21x slower on t10 at
+    // sf0.1. The session excludes the rule (Spark.scala); these plans are
+    // the regression tripwire: no Filter condition may contain a
+    // higher-order generator rebuild.
+    for (q <- Seq("t10_repetition", "d2_ngram_jaccard", "d7_jaccard_capped")) {
+      val p = plan(q)
+      val badFilter = p.linesIterator.exists(l =>
+        l.contains("Filter ") && l.contains("transform("))
+      assert(!badFilter, s"$q has a Filter re-evaluating a generator HOF:\n$p")
+    }
+  }
 }
