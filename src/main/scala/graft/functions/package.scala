@@ -31,6 +31,22 @@ package object functions {
       exprs => BloscCompress(exprs.head, 2, 3), "scala_udf")
     reg.createOrReplaceTempFunction("blosc_decompress",
       exprs => BloscDecompress(exprs.head), "scala_udf")
+    // Spark ships BloomFilterAggregate / BloomFilterMightContain for its
+    // own runtime join filters but does not register SQL names for them.
+    // Exposed here, they are the canonical 100 TB decontamination
+    // prefilter: a few-MB bloom of the blocklist side replaces an exact
+    // broadcast set, and corpus rows die map-side before any join.
+    reg.createOrReplaceTempFunction("bloom_filter_agg",
+      {
+        case Seq(c)       => new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(c)
+        case Seq(c, n)    => new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(c, n)
+        case Seq(c, n, b) => new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(c, n, b)
+        case other => throw new IllegalArgumentException(
+          s"bloom_filter_agg takes 1-3 arguments, got ${other.size}")
+      }, "scala_udf")
+    reg.createOrReplaceTempFunction("might_contain",
+      exprs => new org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(exprs(0), exprs(1)),
+      "scala_udf")
     spark.udf.register("gmean", org.apache.spark.sql.functions.udaf(new GeoMean))
   }
 }

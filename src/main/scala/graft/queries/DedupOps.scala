@@ -266,6 +266,42 @@ object DedupOps {
         .select(col("doc_id"), col("n_shingles"), col("n_hit"),
           round(col("frac_raw"), 6).as("contamination"))
         .orderBy(col("doc_id"))
+    }),
+
+    // --- bloom-prefiltered decontamination: the drop-contaminated-docs
+    //     sweep at 100 TB scale. d9 ships the benchmark shingle set as an
+    //     exact broadcast; here the corpus probes a BLOOM of it first
+    //     (bloom_filter_agg / might_contain — Spark's own runtime-filter
+    //     expressions, SQL-registered by this engine), so ~all clean
+    //     shingle rows die map-side inside the scan stage and only
+    //     bloom-positives reach the exact confirmation semi-join that
+    //     kills false positives. A bloom of millions of benchmark n-grams
+    //     is a few MB where the exact set is hundreds; the output is
+    //     EXACT either way (no false negatives + exact confirm), which is
+    //     why the oracle can gate it. ---
+    "d10_bloom_decontam" -> ((s, dir) => {
+      docs(s, dir).createOrReplaceTempView("d10_docs")
+      s.sql("""
+        WITH t AS (SELECT doc_id, source, split(trim(text), '\\s+') AS ts FROM d10_docs),
+        sh AS (SELECT DISTINCT doc_id,
+                 CAST(conv(substr(md5(g), 1, 15), 16, 10) AS BIGINT) AS h
+               FROM (SELECT doc_id,
+                       explode(CASE WHEN size(ts) < 3 THEN array()
+                               ELSE transform(sequence(0, size(ts) - 3),
+                                 i -> concat_ws(' ', ts[i], ts[i+1], ts[i+2])) END) AS g
+                     FROM t)),
+        bench AS (SELECT DISTINCT h FROM sh WHERE doc_id < 20),
+        corpus AS (SELECT doc_id, h FROM sh WHERE doc_id >= 20),
+        cand AS (SELECT doc_id, h FROM corpus
+                 WHERE might_contain(
+                   (SELECT bloom_filter_agg(h, 100000L, 1048576L) FROM bench), h)),
+        bad AS (SELECT DISTINCT c.doc_id FROM cand c LEFT SEMI JOIN bench b ON c.h = b.h),
+        d AS (SELECT doc_id, source FROM d10_docs WHERE doc_id >= 20)
+        SELECT d.source, count(*) AS n_docs,
+          CAST(sum(CASE WHEN bad.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+          CAST(sum(CASE WHEN bad.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+        FROM d LEFT JOIN bad ON d.doc_id = bad.doc_id
+        GROUP BY d.source ORDER BY d.source""")
     })
   )
 
@@ -379,6 +415,20 @@ object DedupOps {
          |FROM total t JOIN hit h USING (doc_id)
          |WHERE h.n_hit * 1.0 / t.n_shingles >= 0.15
          |ORDER BY t.doc_id""".stripMargin,
+
+    // exact semantics only — the bloom is a prefilter with no false
+    // negatives followed by an exact confirm, so the oracle skips it
+    "d10_bloom_decontam" ->
+      s"""WITH $shingleSql,
+         |bench AS (SELECT DISTINCT h FROM sh WHERE doc_id < 20),
+         |bad AS (SELECT DISTINCT doc_id FROM sh
+         |        WHERE doc_id >= 20 AND h IN (SELECT h FROM bench)),
+         |d AS (SELECT doc_id, source FROM documents WHERE doc_id >= 20)
+         |SELECT d.source, count(*) AS n_docs,
+         |  CAST(sum(CASE WHEN bad.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+         |  CAST(sum(CASE WHEN bad.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+         |FROM d LEFT JOIN bad ON d.doc_id = bad.doc_id
+         |GROUP BY d.source ORDER BY d.source""".stripMargin,
 
     "d8_dup_clusters" ->
       s"""WITH RECURSIVE $shingleSql,

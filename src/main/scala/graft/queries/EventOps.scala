@@ -165,6 +165,44 @@ object EventOps {
         (floor(sum(col("tp") - col("tv")) * 10000L / count(lit(1)) + 0.5) / 10000.0)
           .as("avg_conv_sec"))
       nv.crossJoin(nc).crossJoin(np)
+    }),
+
+    // --- time-series gap-fill (densification): materialize EVERY hour of
+    //     the observed span per event type, zero-fill missing cells, then
+    //     window over the dense series (longest empty run per type) — the
+    //     sparse-to-dense step a monitoring/feature pipeline needs before
+    //     rolling aggregates make sense. The grid is generated by
+    //     arithmetic (types x sequence(h0, h1)), never by scanning: at
+    //     100 TB the dense grid's size is (span-hours x types), which is
+    //     independent of event count; the only wide ops are the per-cell
+    //     count and the per-type (tiny-keyed) window. user_id % 100
+    //     sparsifies so empty cells exist at every SF. ---
+    "e10_gapfill" -> ((s, dir) => {
+      val e = ev(s, dir).filter(col("user_id") % 100 === 7)
+        .select(col("event_type"),
+          floor(unix_timestamp(col("ts")) / 3600).cast("long").as("hr"))
+      val bounds = e.groupBy().agg(min(col("hr")).as("h0"), max(col("hr")).as("h1"))
+      val grid = e.select(col("event_type")).distinct()
+        .crossJoin(broadcast(bounds))
+        .select(col("event_type"), explode(expr("sequence(h0, h1)")).as("hr"))
+      val obs = e.groupBy(col("event_type"), col("hr")).agg(count(lit(1)).as("cnt"))
+      val dense = grid.join(obs, Seq("event_type", "hr"), "left")
+        .select(col("event_type"), col("hr"), coalesce(col("cnt"), lit(0L)).as("cnt"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("hr"))
+      val zeroRuns = dense
+        .withColumn("grp", sum(when(col("cnt") > 0, 1).otherwise(0)).over(
+          w.rowsBetween(Window.unboundedPreceding, 0)))
+        .filter(col("cnt") === 0)
+        .groupBy(col("event_type"), col("grp")).agg(count(lit(1)).as("run"))
+        .groupBy(col("event_type")).agg(max(col("run")).as("max_zero_run"))
+      dense.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_hours"),
+          sum(when(col("cnt") === 0, 1).otherwise(0)).cast("long").as("n_empty"),
+          sum(col("cnt")).cast("long").as("n_events"))
+        .join(zeroRuns, Seq("event_type"), "left")
+        .select(col("event_type"), col("n_hours"), col("n_empty"),
+          coalesce(col("max_zero_run"), lit(0L)).as("max_zero_run"), col("n_events"))
+        .orderBy(col("event_type"))
     })
   )
 
@@ -278,6 +316,38 @@ object EventOps {
         |       (SELECT count(*) FROM c) AS n_click,
         |       (SELECT count(*) FROM p) AS n_purchase,
         |       (SELECT floor(CAST(sum(tp - tv) AS BIGINT) * 10000 / count(*) + 0.5) / 10000.0
-        |        FROM p) AS avg_conv_sec""".stripMargin
+        |        FROM p) AS avg_conv_sec""".stripMargin,
+
+    "e10_gapfill" ->
+      """WITH e AS (
+        |  SELECT event_type, CAST(floor(floor(epoch(ts)) / 3600) AS BIGINT) AS hr
+        |  FROM events WHERE user_id % 100 = 7),
+        |b AS (SELECT min(hr) AS h0, max(hr) AS h1 FROM e),
+        |g AS (
+        |  SELECT t.event_type, u.hr
+        |  FROM (SELECT DISTINCT event_type FROM e) t, b,
+        |       LATERAL (SELECT unnest(generate_series(b.h0, b.h1)) AS hr) u),
+        |o AS (SELECT event_type, hr, count(*) AS cnt FROM e GROUP BY 1, 2),
+        |d AS (
+        |  SELECT g.event_type, g.hr, coalesce(o.cnt, 0) AS cnt
+        |  FROM g LEFT JOIN o ON g.event_type = o.event_type AND g.hr = o.hr),
+        |r AS (
+        |  SELECT event_type, hr, cnt,
+        |    sum(CASE WHEN cnt > 0 THEN 1 ELSE 0 END) OVER (
+        |      PARTITION BY event_type ORDER BY hr ROWS UNBOUNDED PRECEDING) AS grp
+        |  FROM d),
+        |z AS (
+        |  SELECT event_type, max(run) AS max_zero_run FROM (
+        |    SELECT event_type, grp, count(*) AS run FROM r WHERE cnt = 0 GROUP BY 1, 2)
+        |  GROUP BY event_type),
+        |s AS (
+        |  SELECT event_type, count(*) AS n_hours,
+        |    CAST(sum(CASE WHEN cnt = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_empty,
+        |    CAST(sum(cnt) AS BIGINT) AS n_events
+        |  FROM d GROUP BY event_type)
+        |SELECT s.event_type, s.n_hours, s.n_empty,
+        |  CAST(coalesce(z.max_zero_run, 0) AS BIGINT) AS max_zero_run, s.n_events
+        |FROM s LEFT JOIN z ON s.event_type = z.event_type
+        |ORDER BY s.event_type""".stripMargin
   )
 }

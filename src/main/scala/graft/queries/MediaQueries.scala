@@ -48,6 +48,32 @@ object MediaQueries {
         .groupBy(col("media_id"))
         .agg(count(lit(1)).as("n_sampled"), max(col("frame_off")).as("last_off"))
         .orderBy(col("media_id"))
+    }),
+
+    // average-hash (aHash) image near-dup groups: thumbnail to 8x8
+    // through the SAME resize plumbing m3 gates, threshold each pixel
+    // against the thumbnail mean (compared integer-exactly as px*64 vs
+    // sum), group identical 64-bit signatures. The image-side twin of
+    // d1's content-hash dedup: at 100 TB the signature is 8 bytes per
+    // image, the groupBy key is uniform, and no pair generation ever
+    // happens — identical signatures collide in one hash aggregate.
+    "m4_ahash_dups" -> ((s, dir) => {
+      import s.implicits._
+      val media = MediaOps.asMedia(
+        Tables.load(s, dir, "documents").filter(col("doc_id") < 300))
+      val sigs = MediaOps.resizeImages(media, 8, 8)
+        .map { r =>
+          val px = r.pixels.map(_ & 0xFF)
+          val total = px.sum
+          (r.media_id, new String(px.map(p => if (p * 64 > total) '1' else '0')))
+        }
+        .toDF("media_id", "bitsig")
+      sigs.select(col("media_id"),
+          expr("CAST(conv(substr(md5(bitsig), 1, 15), 16, 10) AS BIGINT)").as("ahash"))
+        .groupBy(col("ahash"))
+        .agg(count(lit(1)).as("n_dups"), min(col("media_id")).as("keeper"))
+        .filter(col("n_dups") > 1)
+        .orderBy(col("ahash"))
     })
   )
 
@@ -98,6 +124,25 @@ object MediaQueries {
         |SELECT media_id,
         |  CAST((n_frames + 9) // 10 AS BIGINT) AS n_sampled,
         |  CAST(((n_frames - 1) // 10) * 10 * 50 AS BIGINT) AS last_off
-        |FROM v ORDER BY media_id""".stripMargin
+        |FROM v ORDER BY media_id""".stripMargin,
+
+    "m4_ahash_dups" ->
+      """WITH img AS (
+        |  SELECT doc_id AS media_id, strlen(text) AS n,
+        |    64 + (strlen(text) % 8) * 16 AS w, 64 + (strlen(text) % 5) * 16 AS h
+        |  FROM documents WHERE doc_id < 300 AND doc_id % 3 = 0),
+        |px AS (
+        |  SELECT media_id, j.y * 8 + i.x AS idx,
+        |    (n + 31 * ((i.x * w) // 8) + 17 * ((j.y * h) // 8)) % 256 AS p
+        |  FROM img, (SELECT unnest(generate_series(0, 7)) AS x) i,
+        |       (SELECT unnest(generate_series(0, 7)) AS y) j),
+        |tot AS (SELECT media_id, CAST(sum(p) AS BIGINT) AS total FROM px GROUP BY media_id),
+        |sig AS (
+        |  SELECT px.media_id,
+        |    string_agg(CASE WHEN p * 64 > total THEN '1' ELSE '0' END, '' ORDER BY idx) AS bitsig
+        |  FROM px JOIN tot USING (media_id) GROUP BY px.media_id),
+        |hh AS (SELECT media_id, ('0x' || substr(md5(bitsig), 1, 15))::BIGINT AS ahash FROM sig)
+        |SELECT ahash, count(*) AS n_dups, min(media_id) AS keeper
+        |FROM hh GROUP BY ahash HAVING count(*) > 1 ORDER BY ahash""".stripMargin
   )
 }

@@ -356,6 +356,53 @@ object SimilarityOps {
         .orderBy(col("qid"), col("rk"))
     }),
 
+    // --- binary (sign-bit) quantization + Hamming candidates + exact
+    //     rerank: the most aggressive ANN compression — one BIT per
+    //     dimension (64x vs float32), the corpus scan is xor + popcount.
+    //     Codes are sign bits against the per-dimension corpus mean
+    //     (centering balances the bits), packed as TWO 32-bit words so
+    //     the oracle's BIGINT shifts never touch bit 63 — which is also
+    //     the realistic layout (>64-dim codes are word arrays). Top-10
+    //     Hamming candidates per query rerank by exact cosine to top-3:
+    //     full floats are read for ~10 rows/query, the scan touches only
+    //     16 bytes/vector. ---
+    "v10_bq_hamming" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = withNorm(emb(s, dir))
+      val mu = e.select(posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy(col("pos")).agg(avg(col("v")).as("m"))
+        .groupBy()
+        .agg(expr("transform(array_sort(collect_list(struct(pos, m))), x -> x.m)").as("mu"))
+      val coded = e.crossJoin(broadcast(mu))
+        .select(col("vec_id"), col("embedding"), col("nrm"),
+          expr("aggregate(sequence(0, 31), 0L, (acc, i) -> acc + " +
+            "CASE WHEN CAST(embedding[i] AS DOUBLE) > mu[i] THEN shiftleft(1L, i) ELSE 0L END)")
+            .as("code_lo"),
+          expr("aggregate(sequence(32, 63), 0L, (acc, i) -> acc + " +
+            "CASE WHEN CAST(embedding[i] AS DOUBLE) > mu[i] THEN shiftleft(1L, i - 32) ELSE 0L END)")
+            .as("code_hi"))
+      val queries = coded.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("nrm").as("qn"),
+          col("code_lo").as("qlo"), col("code_hi").as("qhi"))
+      val wH = Window.partitionBy(col("qid")).orderBy(col("ham"), col("eid"))
+      val cand = broadcast(queries).join(coded, col("qid") =!= col("vec_id"))
+        .select(col("qid"), col("qe"), col("qn"), col("vec_id").as("eid"),
+          col("embedding").as("ee"), col("nrm").as("en"),
+          (expr("CAST(bit_count(qlo ^ code_lo) AS BIGINT)") +
+            expr("CAST(bit_count(qhi ^ code_hi) AS BIGINT)")).as("ham"))
+        .withColumn("hrk", row_number().over(wH))
+        .filter(col("hrk") <= 10)
+      val wC = Window.partitionBy(col("qid")).orderBy(round(col("cos_raw"), 6).desc, col("eid"))
+      cand
+        .select(col("qid"), col("eid"), col("ham"),
+          (dot("qe", "ee") / (col("qn") * col("en"))).as("cos_raw"))
+        .withColumn("rk", row_number().over(wC))
+        .filter(col("rk") <= 3)
+        .select(col("qid"), col("eid"), col("ham"),
+          round(col("cos_raw"), 6).as("cos"), col("rk"))
+        .orderBy(col("qid"), col("rk"))
+    }),
+
     // --- IVF probe: ANN top-3 searching ONLY the query's nearest cell.
     //     Composes v2's coarse quantizer with v1's scoring: the corpus is
     //     pre-partitioned by cell, the probe scores ~1/nCells of it.
@@ -604,6 +651,40 @@ object SimilarityOps {
         |    row_number() OVER (PARTITION BY qid ORDER BY round(cos_raw, 6) DESC, eid) AS rk
         |  FROM rer)
         |SELECT qid, eid, cos, rk FROM ranked WHERE rk <= 3
+        |ORDER BY qid, rk""".stripMargin,
+
+    "v10_bq_hamming" ->
+      """WITH mu AS (
+        |  SELECT i AS pos, avg(CAST(embedding[i + 1] AS DOUBLE)) AS m
+        |  FROM embeddings, LATERAL (SELECT unnest(generate_series(0, 63)) AS i) u
+        |  GROUP BY i),
+        |codes AS (
+        |  SELECT e.vec_id, e.embedding,
+        |    CAST(sum(CASE WHEN mu.pos < 32 AND CAST(e.embedding[mu.pos + 1] AS DOUBLE) > mu.m
+        |             THEN (CAST(1 AS BIGINT) << mu.pos) ELSE 0 END) AS BIGINT) AS code_lo,
+        |    CAST(sum(CASE WHEN mu.pos >= 32 AND CAST(e.embedding[mu.pos + 1] AS DOUBLE) > mu.m
+        |             THEN (CAST(1 AS BIGINT) << (mu.pos - 32)) ELSE 0 END) AS BIGINT) AS code_hi
+        |  FROM embeddings e, mu GROUP BY e.vec_id, e.embedding),
+        |cand AS (
+        |  SELECT q.vec_id AS qid, q.embedding AS qe, c.vec_id AS eid, c.embedding AS ee,
+        |    CAST(bit_count(xor(q.code_lo, c.code_lo)) AS BIGINT) +
+        |    CAST(bit_count(xor(q.code_hi, c.code_hi)) AS BIGINT) AS ham
+        |  FROM codes q JOIN codes c ON q.vec_id < 5 AND c.vec_id != q.vec_id),
+        |top AS (
+        |  SELECT qid, qe, eid, ee, ham,
+        |    row_number() OVER (PARTITION BY qid ORDER BY ham, eid) AS hrk
+        |  FROM cand),
+        |rer AS (
+        |  SELECT qid, eid, ham,
+        |    list_dot_product(CAST(qe AS DOUBLE[]), CAST(ee AS DOUBLE[])) /
+        |      (sqrt(list_dot_product(CAST(qe AS DOUBLE[]), CAST(qe AS DOUBLE[]))) *
+        |       sqrt(list_dot_product(CAST(ee AS DOUBLE[]), CAST(ee AS DOUBLE[])))) AS cos_raw
+        |  FROM top WHERE hrk <= 10),
+        |ranked AS (
+        |  SELECT qid, eid, ham, round(cos_raw, 6) AS cos,
+        |    row_number() OVER (PARTITION BY qid ORDER BY round(cos_raw, 6) DESC, eid) AS rk
+        |  FROM rer)
+        |SELECT qid, eid, ham, cos, rk FROM ranked WHERE rk <= 3
         |ORDER BY qid, rk""".stripMargin,
 
     "v6_ivf_multiprobe" ->

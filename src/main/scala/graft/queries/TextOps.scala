@@ -288,6 +288,41 @@ object TextOps {
           round((col("n3") - col("d3")) / col("n3"), 6).as("dup3_frac"),
           round(col("maxb") / col("n2"), 6).as("top_bigram_frac"))
         .orderBy(col("doc_id"))
+    }),
+
+    // --- bigram language-model scoring: train add-one-smoothed bigram
+    //     statistics on the corpus itself, score docs by their average
+    //     next-token probability — the cheap statistical stand-in for
+    //     perplexity filtering (CCNet trains a real LM; the plumbing is
+    //     identical: model tables built once, then a per-doc join+agg).
+    //     Probabilities stay RATIONAL (integer counts divided once, both
+    //     engines same IEEE op) and per-doc sums use scaled integers, so
+    //     no transcendental (log) ever risks cross-engine ulp drift.
+    //     Scale: two hash aggregates build the model; scoring joins on
+    //     (w1, w2) then w1 — the w1 join carries Zipf skew (stopword
+    //     heads), where the d7-style frequency cap or key salting is the
+    //     standing lever. ---
+    "t11_bigram_lm" -> ((s, dir) => {
+      val toks = docs(s, dir)
+        .select(col("doc_id"), split(trim(col("text")), "\\s+").as("ts"))
+      val big = toks.filter(size(col("ts")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(0, size(ts) - 2), i -> struct(ts[i] AS w1, ts[i+1] AS w2))")).as("b"))
+        .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      val c12 = big.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+      val c1 = c12.groupBy(col("w1")).agg(sum(col("c12")).cast("long").as("c1"))
+      val vocab = toks.select(explode(col("ts")).as("tok"))
+        .agg(countDistinct(col("tok")).as("v"))
+      val scored = big.filter(col("doc_id") < 100)
+        .join(c12, Seq("w1", "w2"))
+        .join(c1, Seq("w1"))
+        .crossJoin(broadcast(vocab))
+        .select(col("doc_id"),
+          floor((col("c12") + 1) / (col("c1") + col("v")) * 1e9 + 0.5).as("p9"))
+      scored.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"),
+          round(sum(col("p9")) / 1e9 / count(lit(1)), 6).as("avg_p"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -309,6 +344,25 @@ object TextOps {
         |SELECT a3.doc_id, round((n3 - d3) * 1.0 / n3, 6) AS dup3_frac,
         |       round(maxb * 1.0 / n2, 6) AS top_bigram_frac
         |FROM a3 JOIN a2 USING (doc_id) ORDER BY a3.doc_id""".stripMargin,
+
+    "t11_bigram_lm" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ts FROM documents),
+        |big AS (
+        |  SELECT doc_id, ts[i] AS w1, ts[i+1] AS w2
+        |  FROM t, LATERAL (SELECT unnest(generate_series(1, len(ts) - 1)) AS i) u
+        |  WHERE len(ts) >= 2),
+        |c12 AS (SELECT w1, w2, count(*) AS c12 FROM big GROUP BY 1, 2),
+        |c1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM c12 GROUP BY 1),
+        |v AS (SELECT count(DISTINCT tok) AS v FROM (SELECT unnest(ts) AS tok FROM t)),
+        |sc AS (
+        |  SELECT big.doc_id,
+        |    CAST(floor((c12.c12 + 1) * 1.0 / (c1.c1 + v.v) * 1e9 + 0.5) AS BIGINT) AS p9
+        |  FROM big JOIN c12 USING (w1, w2) JOIN c1 USING (w1), v
+        |  WHERE big.doc_id < 100)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |  round(CAST(sum(p9) AS BIGINT) / 1e9 / count(*), 6) AS avg_p
+        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "t7_winnow" -> {
       val h = horner(j => if (j == 0) "cs[i]" else s"cs[i + $j]")

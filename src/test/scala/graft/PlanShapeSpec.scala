@@ -94,6 +94,28 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.toLowerCase.contains("cartesianproduct"), p)
   }
 
+  test("d10: bloom prefilter guards the exact confirmation semi-join") {
+    val p = plan("d10_bloom_decontam")
+    // the bloom probe must appear as a filter on the corpus side, and the
+    // exactness comes from a semi-join behind it — never a cartesian
+    assert(p.contains("might_contain"), p)
+    assert(p.contains("LeftSemi"), p)
+    assert(!p.toLowerCase.contains("cartesianproduct"), p)
+  }
+
+  test("v10: Hamming candidate scan is xor+popcount, rerank never cross-joins") {
+    val p = plan("v10_bq_hamming")
+    assert(p.contains("bit_count"), p)
+    assert(!p.toLowerCase.contains("cartesianproduct"), p)
+  }
+
+  test("t11/e10: model joins and grid build stay hash/broadcast, no cartesian") {
+    for (q <- Seq("t11_bigram_lm", "e10_gapfill")) {
+      val p = plan(q)
+      assert(!p.toLowerCase.contains("cartesianproduct"), s"$q: $p")
+    }
+  }
+
   test("generator expressions are never duplicated into inferred filters") {
     // InferFiltersFromGenerate copies the explode's child expression into a
     // Filter (IsNotNull && size > 0); with computed higher-order generators
