@@ -302,6 +302,47 @@ object DedupOps {
           CAST(sum(CASE WHEN bad.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
         FROM d LEFT JOIN bad ON d.doc_id = bad.doc_id
         GROUP BY d.source ORDER BY d.source""")
+    }),
+
+    // --- incremental-batch dedup: the ingestion-time operation — a new
+    //     batch (doc_id % 7 = 3 stands in for today's crawl) classified
+    //     against the standing corpus as exact_dup (content hash already
+    //     present), near_dup (Jaccard >= 0.5 vs any corpus doc), or new.
+    //     Scale shape: the exact check is a hash semi-join (uniform key);
+    //     the near-dup check never touches corpus-x-corpus pairs — corpus
+    //     shingles are first semi-filtered to buckets the BATCH touches
+    //     (batch shingle set broadcasts), then batch x corpus pairs come
+    //     from a broadcast hash join on the shingle key. Work is bounded
+    //     by batch size x bucket frequency, with d7's stop-shingle cap as
+    //     the standing skew lever — the corpus is scanned, never
+    //     reshuffled against itself. ---
+    "d11_incremental" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val isBatch = col("doc_id") % 7 === 3
+      val hashes = d.select(col("doc_id"), md5(col("text")).as("ch"), isBatch.as("b"))
+      val exact = hashes.filter(col("b"))
+        .join(hashes.filter(!col("b")).select(col("ch")).distinct(), Seq("ch"), "left_semi")
+        .select(col("doc_id"))
+      val sh = shingles(d).cache()
+      val bsh = sh.filter(col("doc_id") % 7 === 3)
+      val csh = sh.filter(col("doc_id") % 7 =!= 3)
+        .join(broadcast(bsh.select(col("h")).distinct()), Seq("h"), "left_semi")
+      val pairs = broadcast(bsh.select(col("h"), col("doc_id").as("bd")))
+        .join(csh.select(col("h"), col("doc_id").as("cd")), Seq("h"))
+        .groupBy(col("bd"), col("cd")).agg(count(lit(1)).as("m"))
+      val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val near = pairs
+        .join(cnt.select(col("doc_id").as("bd"), col("n").as("nb")), Seq("bd"))
+        .join(cnt.select(col("doc_id").as("cd"), col("n").as("nc")), Seq("cd"))
+        .filter(col("m") / (col("nb") + col("nc") - col("m")) >= 0.5)
+        .select(col("bd").as("doc_id")).distinct()
+      d.filter(isBatch).select(col("doc_id"))
+        .join(exact.withColumn("e", lit(1)), Seq("doc_id"), "left")
+        .join(near.withColumn("nd", lit(1)), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          when(col("e") === 1, "exact_dup")
+            .when(col("nd") === 1, "near_dup").otherwise("new").as("status"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -429,6 +470,25 @@ object DedupOps {
          |  CAST(sum(CASE WHEN bad.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
          |FROM d LEFT JOIN bad ON d.doc_id = bad.doc_id
          |GROUP BY d.source ORDER BY d.source""".stripMargin,
+
+    "d11_incremental" ->
+      s"""WITH $shingleSql,
+         |b AS (SELECT doc_id, md5(text) AS ch FROM documents WHERE doc_id % 7 = 3),
+         |c AS (SELECT doc_id, md5(text) AS ch FROM documents WHERE doc_id % 7 != 3),
+         |ex AS (SELECT DISTINCT b.doc_id FROM b WHERE b.ch IN (SELECT ch FROM c)),
+         |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |pr AS (SELECT a.doc_id AS bd, d.doc_id AS cd, count(*) AS m
+         |       FROM sh a JOIN sh d ON a.h = d.h
+         |       WHERE a.doc_id % 7 = 3 AND d.doc_id % 7 != 3
+         |       GROUP BY 1, 2),
+         |nr AS (SELECT DISTINCT pr.bd AS doc_id
+         |       FROM pr JOIN cnt c1 ON pr.bd = c1.doc_id JOIN cnt c2 ON pr.cd = c2.doc_id
+         |       WHERE m * 1.0 / (c1.n + c2.n - m) >= 0.5)
+         |SELECT b.doc_id,
+         |  CASE WHEN ex.doc_id IS NOT NULL THEN 'exact_dup'
+         |       WHEN nr.doc_id IS NOT NULL THEN 'near_dup' ELSE 'new' END AS status
+         |FROM b LEFT JOIN ex ON b.doc_id = ex.doc_id LEFT JOIN nr ON b.doc_id = nr.doc_id
+         |ORDER BY b.doc_id""".stripMargin,
 
     "d8_dup_clusters" ->
       s"""WITH RECURSIVE $shingleSql,

@@ -269,6 +269,28 @@ object Relational2 {
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_chars")).cast("long").as("total_chars"))
         .orderBy(col("source"), col("split"))
+    }),
+
+    // --- per-source cap (the C4/RefinedWeb domain cap): keep at most 15
+    //     docs per source, chosen by deterministic md5 rank so the
+    //     selection is reproducible and uniform within a source. At
+    //     100 TB a giant domain would skew the rank window; since only
+    //     ranks <= K matter, the lever is a partial per-partition top-K
+    //     before the per-source window (TakeOrderedAndProject shape),
+    //     which bounds any partition's state at K rows per source. ---
+    "p5_source_cap" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val k = 15
+      val w = Window.partitionBy(col("source"))
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      t(s, dir, "documents")
+        .withColumn("rk", row_number().over(w))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("rk") <= k, 1).otherwise(0)).cast("long").as("n_kept"),
+          sum(when(col("rk") > k, 1).otherwise(0)).cast("long").as("n_dropped"),
+          sum(when(col("rk") <= k, col("n_chars")).otherwise(0L)).cast("long").as("kept_chars"))
+        .orderBy(col("source"))
     })
   )
 
@@ -291,6 +313,18 @@ object Relational2 {
         |       WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
         |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
         |FROM b GROUP BY 1, 2 ORDER BY source, split""".stripMargin,
+
+    "p5_source_cap" ->
+      """WITH r AS (
+        |  SELECT source, n_chars,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        |  FROM documents)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN rk <= 15 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  CAST(sum(CASE WHEN rk > 15 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+        |  CAST(sum(CASE WHEN rk <= 15 THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars
+        |FROM r GROUP BY source ORDER BY source""".stripMargin,
 
     "q6_filter_agg" ->
       """SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue, count(*) AS n

@@ -116,6 +116,13 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("d11: batch side broadcasts into the near-dup join, no cartesian") {
+    val p = plan("d11_incremental")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("LeftSemi"), p)
+    assert(!p.toLowerCase.contains("cartesianproduct"), p)
+  }
+
   test("generator expressions are never duplicated into inferred filters") {
     // InferFiltersFromGenerate copies the explode's child expression into a
     // Filter (IsNotNull && size > 0); with computed higher-order generators
