@@ -15,6 +15,30 @@ package object functions {
   def cosine_sim(a: Column, b: Column): Column =
     vector_dot(a, b) / (sqrt(vector_dot(a, a)) * sqrt(vector_dot(b, b)))
 
+  /** Bloom membership probe over a serialized bloom filter (Spark's
+    * internal BloomFilterMightContain; no false negatives). */
+  def might_contain(bloom: Column, value: Column): Column =
+    column(new org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+      expression(bloom), expression(value)))
+
+  /** Bloom filter aggregate over a long key column. */
+  def bloom_filter_agg(c: Column, estimatedItems: Long, numBits: Long): Column =
+    column(new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+      expression(c),
+      org.apache.spark.sql.catalyst.expressions.Literal(estimatedItems),
+      org.apache.spark.sql.catalyst.expressions.Literal(numBits)).toAggregateExpression())
+
+  /** Aggregate a (small) key DataFrame into one serialized bloom filter on
+    * the driver — the build side of a bloom-guarded filter/join. The
+    * collect is ONE row (the filter bytes), same order of driver traffic
+    * as a broadcast-join build; the probe side then needs no join at all
+    * for the ~(1-fpp) of rows the bloom rules out. */
+  def buildBloom(keys: org.apache.spark.sql.DataFrame, keyCol: String,
+                 estimatedItems: Long, numBits: Long): Array[Byte] =
+    keys.agg(bloom_filter_agg(org.apache.spark.sql.functions.col(keyCol),
+      estimatedItems, numBits).as("bf"))
+      .head().getAs[Array[Byte]]("bf")
+
   def blosc_compress(c: Column, typesize: Int = 2, clevel: Int = 3): Column =
     column(BloscCompress(expression(c), typesize, clevel))
 

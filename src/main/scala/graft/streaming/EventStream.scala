@@ -65,6 +65,24 @@ object EventStream {
         col("user_id"), col("event_type"), col("value"), col("props"))))
       .dropDuplicatesWithinWatermark("fp")
 
+  /** Bloom-guarded streaming decontamination: drop every event whose
+    * `key` is in the static blocklist. Rows the bloom rules out pass
+    * straight through MAP-SIDE (a bloom has no false negatives — no join
+    * runs for them at all); only bloom-positive candidates anti-join the
+    * static blocklist to clear false positives. At a 100 TB/day firehose
+    * the anti-join branch sees ~fpp of the stream while the blocklist
+    * bloom (a few MB even for millions of keys) rides along as a task
+    * literal — the streaming twin of batch d10's prefilter + exact
+    * confirm. */
+  def dropBlocked(events: DataFrame, key: String, bloom: Array[Byte],
+                  blocklist: DataFrame): DataFrame = {
+    val probe = graft.functions.might_contain(lit(bloom), col(key))
+    val clean = events.filter(!probe)
+    val cleared = events.filter(probe)
+      .join(broadcast(blocklist), Seq(key), "left_anti")
+    clean.unionByName(cleared)
+  }
+
   /** Stream-stream self-join: for each purchase, the error events of the
     * same user within the following 30 minutes. Both sides watermarked so
     * join state is bounded (Spark requires the time-interval condition). */

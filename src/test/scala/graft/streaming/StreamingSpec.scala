@@ -148,6 +148,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == want && got.nonEmpty, s"streamed $got vs batch $want")
   }
 
+  test("bloom-guarded streaming decontamination equals the batch anti-join") {
+    val ev = Tables.load(spark, "/root/testdata/sf0.001", "events")
+    // blocklist: a subset of users (at sf0.001 every user has produced an
+    // error at some point, so key off id range to keep both sides nonempty)
+    val block = ev.filter(col("user_id") % 3 === 1)
+      .select(col("user_id")).distinct()
+    val bloom = graft.functions.buildBloom(block, "user_id", 1000L, 8192L)
+    val q = EventStream.dropBlocked(
+        EventStream.read(spark, eventsDir), "user_id", bloom, block)
+      .select(col("event_id"))
+      .writeStream.format("memory").queryName("decontam").outputMode("append")
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.sql("SELECT event_id FROM decontam").collect()
+      .map(_.getLong(0)).sorted
+    val batch = ev.join(block, Seq("user_id"), "left_anti")
+      .select(col("event_id")).collect().map(_.getLong(0)).sorted
+    // the filter must actually drop something, and the bloom's false
+    // positives must all have been cleared by the exact anti-join branch
+    assert(batch.nonEmpty && batch.length < ev.count(), "blocklist dropped nothing")
+    assert(streamed.sameElements(batch),
+      s"streamed ${streamed.length} rows vs batch ${batch.length}")
+  }
+
   test("event-time timeout closes idle sessions without a successor event") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
