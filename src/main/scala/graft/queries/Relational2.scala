@@ -204,6 +204,22 @@ object Relational2 {
         .orderBy(col("l_returnflag"))
     }),
 
+    // --- exact per-group percentiles: Spark's `percentile` (exact,
+    //     sort-based with linear interpolation) vs DuckDB quantile_cont —
+    //     the distribution sweep a data-quality report runs per segment.
+    //     Exact percentile sorts each group's values; at 100 TB the
+    //     approx_percentile sketch (see approx_stats) is the scale path
+    //     and this is the auditor that validates it on samples. ---
+    "a7_percentiles" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(round(expr("percentile(l_quantity, 0.25D)"), 4).as("q25"),
+          round(expr("percentile(l_quantity, 0.5D)"), 4).as("q50"),
+          round(expr("percentile(l_quantity, 0.75D)"), 4).as("q75"),
+          round(expr("percentile(l_extendedprice, 0.95D)"), 4).as("p95"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // --- calendar decomposition: ISO weekday x quarter seasonality
     //     (Spark weekday() is 0=Mon; +1 aligns with DuckDB isodow) ---
     "cal1_date_parts" -> ((s, dir) => {
@@ -386,6 +402,14 @@ object Relational2 {
       """SELECT l_returnflag,
         |  round(exp(avg(ln(l_extendedprice))), 4) AS gm_price,
         |  round(avg(l_extendedprice), 4) AS am_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "a7_percentiles" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_quantity, 0.25), 4) AS q25,
+        |  round(quantile_cont(l_quantity, 0.5), 4) AS q50,
+        |  round(quantile_cont(l_quantity, 0.75), 4) AS q75,
+        |  round(quantile_cont(l_extendedprice, 0.95), 4) AS p95
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "cal1_date_parts" ->
