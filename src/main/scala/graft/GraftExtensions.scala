@@ -21,5 +21,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) => functions.BloscCompress(exprs.head, 2, 3)))
     ext.injectFunction((FunctionIdentifier("blosc_decompress"), info("blosc_decompress"),
       (exprs: Seq[Expression]) => functions.BloscDecompress(exprs.head)))
+    // same bloom surface graft.functions.registerAll exposes on local
+    // sessions (decontamination prefilters — see d10/dropBlocked)
+    ext.injectFunction((FunctionIdentifier("bloom_filter_agg"), info("bloom_filter_agg"),
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(c)       => new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(c)
+        case Seq(c, n)    => new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(c, n)
+        case Seq(c, n, b) => new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(c, n, b)
+        case other => throw new IllegalArgumentException(
+          s"bloom_filter_agg takes 1-3 arguments, got ${other.size}")
+      }))
+    ext.injectFunction((FunctionIdentifier("might_contain"), info("might_contain"),
+      (exprs: Seq[Expression]) =>
+        new org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(exprs(0), exprs(1))))
   }
 }

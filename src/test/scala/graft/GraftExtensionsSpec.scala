@@ -28,6 +28,15 @@ class GraftExtensionsSpec extends AnyFunSuite {
       val rt = spark.sql("SELECT blosc_decompress(blosc_compress(CAST('abcabcabc' AS BINARY))) AS r")
         .collect()(0).getAs[Array[Byte]]("r")
       assert(new String(rt, "UTF-8") == "abcabcabc")
+      // bloom surface: a member probes true (no false negatives ever);
+      // a clearly-absent key probes false at this bloom size
+      val probes = spark.sql(
+        """WITH b AS (SELECT bloom_filter_agg(id, 100L, 8192L) AS bf
+          |           FROM (SELECT CAST(id AS BIGINT) AS id FROM range(100)))
+          |SELECT might_contain((SELECT bf FROM b), 42L) AS hit,
+          |       might_contain((SELECT bf FROM b), 123456789L) AS miss""".stripMargin)
+        .collect()(0)
+      assert(probes.getBoolean(0) && !probes.getBoolean(1))
     } finally {
       SparkSession.clearDefaultSession()
       SparkSession.clearActiveSession()
