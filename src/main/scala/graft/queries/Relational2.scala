@@ -204,6 +204,21 @@ object Relational2 {
         .orderBy(col("l_returnflag"))
     }),
 
+    // --- unpivot (melt): the wide-to-long reshape a feature store needs
+    //     going into per-metric pipelines — Spark's `stack` generator
+    //     (codegen'd, map-side: the reshape itself is shuffle-free; only
+    //     the upstream aggregate exchanges) vs a UNION ALL oracle. ---
+    "p6_unpivot" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(round(sum(col("l_quantity")), 4).as("qty"),
+          round(sum(col("l_extendedprice")), 4).as("price"),
+          round(sum(col("l_discount")), 4).as("disc"))
+        .selectExpr("l_returnflag",
+          "stack(3, 'qty', qty, 'price', price, 'disc', disc) AS (metric, val)")
+        .orderBy(col("l_returnflag"), col("metric"))
+    }),
+
     // --- exact per-group percentiles: Spark's `percentile` (exact,
     //     sort-based with linear interpolation) vs DuckDB quantile_cont —
     //     the distribution sweep a data-quality report runs per segment.
@@ -403,6 +418,18 @@ object Relational2 {
         |  round(exp(avg(ln(l_extendedprice))), 4) AS gm_price,
         |  round(avg(l_extendedprice), 4) AS am_price
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "p6_unpivot" ->
+      """WITH a AS (
+        |  SELECT l_returnflag, round(sum(l_quantity), 4) AS qty,
+        |    round(sum(l_extendedprice), 4) AS price,
+        |    round(sum(l_discount), 4) AS disc
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_returnflag, metric, val FROM (
+        |  SELECT l_returnflag, 'qty' AS metric, qty AS val FROM a
+        |  UNION ALL SELECT l_returnflag, 'price', price FROM a
+        |  UNION ALL SELECT l_returnflag, 'disc', disc FROM a)
+        |ORDER BY l_returnflag, metric""".stripMargin,
 
     "a7_percentiles" ->
       """SELECT l_returnflag,

@@ -323,6 +323,36 @@ object TextOps {
         .agg(count(lit(1)).as("n_bigrams"),
           round(sum(col("p9")) / 1e9 / count(lit(1)), 6).as("avg_p"))
         .orderBy(col("doc_id"))
+    }),
+
+    // --- KMV (k-minimum-values) distinct-token estimator per language,
+    //     audited against the exact count. The scale story: engine-native
+    //     sketches (HLL) are implementation-defined and can't be checked
+    //     across engines, but KMV built on md5 IS deterministic — at
+    //     100 TB the estimate is reproducible on any engine and auditable
+    //     on samples, which is why this gate can hash-match it. Estimate:
+    //     est = (k-1) * 2^60 / h_(k) over distinct 60-bit hashes. The
+    //     rank window here sorts each group's full hash set; the scale
+    //     path keeps only k per-partition minima per group (partial
+    //     TakeOrdered shape) before a tiny merge. ---
+    "t12_kmv_distinct" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val k = 64
+      val h = docs(s, dir)
+        .select(col("lang"), explode(split(trim(col("text")), "\\s+")).as("tok"))
+        .select(col("lang"),
+          expr("CAST(conv(substr(md5(tok), 1, 15), 16, 10) AS BIGINT)").as("hl"))
+        .distinct()
+      val w = Window.partitionBy(col("lang")).orderBy(col("hl"))
+      val est = h.withColumn("rk", row_number().over(w))
+        .filter(col("rk") === k)
+        .select(col("lang"),
+          round(lit((k - 1).toDouble) * lit(1152921504606846976.0) / col("hl"), 4)
+            .as("kmv_est"))
+      val exact = h.groupBy(col("lang")).agg(count(lit(1)).as("n_exact"))
+      exact.join(est, Seq("lang"))
+        .select(col("lang"), col("n_exact"), col("kmv_est"))
+        .orderBy(col("lang"))
     })
   )
 
@@ -363,6 +393,21 @@ object TextOps {
         |SELECT doc_id, count(*) AS n_bigrams,
         |  round(CAST(sum(p9) AS BIGINT) / 1e9 / count(*), 6) AS avg_p
         |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "t12_kmv_distinct" ->
+      """WITH h AS (
+        |  SELECT DISTINCT lang,
+        |    ('0x' || substr(md5(tok), 1, 15))::BIGINT AS hl
+        |  FROM (SELECT lang, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+        |        FROM documents)),
+        |r AS (SELECT lang, hl,
+        |        row_number() OVER (PARTITION BY lang ORDER BY hl) AS rk FROM h),
+        |est AS (SELECT lang, round(63.0 * 1152921504606846976.0 / hl, 4) AS kmv_est
+        |        FROM r WHERE rk = 64),
+        |ex AS (SELECT lang, count(*) AS n_exact FROM h GROUP BY lang)
+        |SELECT ex.lang, ex.n_exact, est.kmv_est
+        |FROM ex JOIN est ON ex.lang = est.lang
+        |ORDER BY ex.lang""".stripMargin,
 
     "t7_winnow" -> {
       val h = horner(j => if (j == 0) "cs[i]" else s"cs[i + $j]")
