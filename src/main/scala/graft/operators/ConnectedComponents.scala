@@ -26,20 +26,23 @@ import org.apache.spark.sql.functions._
   * label is constant per component, and the minimum node labels itself —
   * i.e. lbl = component min, identical to naive propagation's answer.
   *
-  * Lineage discipline: every round ends in an eager `localCheckpoint`,
-  * so round k+1 plans from a materialized leaf instead of a logical
-  * plan that embeds round k's four times over (the jump self-joins the
-  * propagation result — under plain `cache()` the LOGICAL plan still
-  * grows ~4x per round and analysis cost explodes long before the data
-  * does). Checkpointing also scopes memory: the per-round `prop` cache
-  * is explicitly unpersisted, the edge cache is released before
-  * returning, and each superseded round's checkpoint blocks become
-  * unreachable (the next round's plan is a fresh leaf) so Spark's
+  * Lineage discipline: every round ends in a `localCheckpoint` (lazy —
+  * the round's changed-count job materializes it, so each round runs
+  * exactly one job), so round k+1 plans from a materialized leaf instead
+  * of a logical plan that embeds round k's four times over (the jump
+  * self-joins the propagation result — under plain `cache()` the LOGICAL
+  * plan still grows ~4x per round and analysis cost explodes long before
+  * the data does). Checkpointing also scopes memory: the per-round
+  * `prop` cache is explicitly unpersisted, the edge cache is released
+  * before returning, and each superseded round's checkpoint blocks
+  * become unreachable (the next round's plan is a fresh leaf) so Spark's
   * ContextCleaner frees them. No `cache()` this operator takes outlives
   * the call.
   *
   * The only driver-side value per round is the single changed-count
-  * scalar; labels and edges never collect.
+  * scalar (computed from the `prev` label carried through the round —
+  * no join back against the previous labels); labels and edges never
+  * collect.
   */
 object ConnectedComponents {
 
@@ -61,26 +64,32 @@ object ConnectedComponents {
     var rounds = 0
     while (changed > 0 && rounds < maxRounds) {
       // 1. neighbor-min propagation (left joins keep isolated-in-this-
-      //    direction nodes; least/min both null-skip)
+      //    direction nodes; least/min both null-skip). The node's own
+      //    previous label rides along as `prev` (min over the duplicated
+      //    join rows of a per-id-constant value), so the convergence
+      //    check below needs no join back against `labels`.
       val prop = labels.as("l")
         .join(bi.as("e"), col("l.id") === col("e.d1"), "left")
         .join(labels.as("nb"), col("e.d2") === col("nb.id"), "left")
         .groupBy(col("l.id").as("id"))
-        .agg(least(min(col("l.lbl")), min(col("nb.lbl"))).as("lbl"))
+        .agg(least(min(col("l.lbl")), min(col("nb.lbl"))).as("lbl"),
+          min(col("l.lbl")).as("prev"))
         .cache() // referenced twice by the jump's self-join
       // 2. pointer jump: lbl <- prop(lbl). Every label value is a node id
       //    (see scaladoc), so the left join always matches; coalesce is
-      //    belt-and-braces. Eager checkpoint = this round's result is a
-      //    plan LEAF for the next round.
+      //    belt-and-braces. The LAZY checkpoint is materialized by the
+      //    changed-count job right below — one materialization per round
+      //    (an eager checkpoint plus a count would do two), and the next
+      //    round still plans from a leaf.
       val next = prop.as("a")
         .join(prop.select(col("id").as("jid"), col("lbl").as("jlbl")).as("j"),
           col("a.lbl") === col("jid"), "left")
-        .select(col("a.id").as("id"), coalesce(col("jlbl"), col("a.lbl")).as("lbl"))
-        .localCheckpoint(true)
-      changed = next.as("a").join(labels.as("b"), col("a.id") === col("b.id"))
-        .filter(col("a.lbl") =!= col("b.lbl")).count()
+        .select(col("a.id").as("id"), coalesce(col("jlbl"), col("a.lbl")).as("lbl"),
+          col("a.prev").as("prev"))
+        .localCheckpoint(false)
+      changed = next.filter(col("lbl") =!= col("prev")).count()
       prop.unpersist()
-      labels = next
+      labels = next.select(col("id"), col("lbl"))
       rounds += 1
     }
     require(changed == 0, s"label propagation did not converge in $rounds rounds")
