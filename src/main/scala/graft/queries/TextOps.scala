@@ -337,7 +337,10 @@ object TextOps {
     //     TakeOrdered shape) before a tiny merge. ---
     "t12_kmv_distinct" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
-      val k = 64
+      // k = 16: the synthetic corpus has ~31 distinct tokens per language
+      // at every SF, so a larger k would leave no rank-k hash to estimate
+      // from (production k is 256-1024; the estimator is k-agnostic)
+      val k = 16
       val h = docs(s, dir)
         .select(col("lang"), explode(split(trim(col("text")), "\\s+")).as("tok"))
         .select(col("lang"),
@@ -402,8 +405,8 @@ object TextOps {
         |        FROM documents)),
         |r AS (SELECT lang, hl,
         |        row_number() OVER (PARTITION BY lang ORDER BY hl) AS rk FROM h),
-        |est AS (SELECT lang, round(63.0 * 1152921504606846976.0 / hl, 4) AS kmv_est
-        |        FROM r WHERE rk = 64),
+        |est AS (SELECT lang, round(15.0 * 1152921504606846976.0 / hl, 4) AS kmv_est
+        |        FROM r WHERE rk = 16),
         |ex AS (SELECT lang, count(*) AS n_exact FROM h GROUP BY lang)
         |SELECT ex.lang, ex.n_exact, est.kmv_est
         |FROM ex JOIN est ON ex.lang = est.lang

@@ -1,0 +1,70 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Streaming operators over the documents corpus — the ingestion-time
+  * form of the text/dedup surface (a crawl arrives as a stream, not a
+  * table).
+  *
+  * The KMV sketch here is the streaming twin of the batch
+  * `t12_kmv_distinct` gate: per key, state holds only the k smallest
+  * DISTINCT 60-bit hashes (k longs — bounded regardless of stream
+  * length), and because "the k minima of a set" is order-independent,
+  * the final estimate is deterministic: any arrival order, any
+  * partitioning, same answer as the batch sketch over the same corpus.
+  * That determinism is what engine-native streaming HLL cannot offer and
+  * is why the spec can assert exact equality with the batch gate. */
+object CorpusStream {
+
+  val schema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  /** File-source stream over a directory of documents parquet. */
+  def read(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(schema).parquet(dir)
+
+  final case class KeyHash(key: String, hl: Long)
+  final case class KmvEstimate(key: String, n_tracked: Int, kth: Long, est: Double)
+
+  /** Tokenize a document stream into md5-hashed (lang, token) pairs —
+    * identical hashing to the batch t12 gate. */
+  def hashedTokens(docs: DataFrame): Dataset[KeyHash] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("lang").as("key"),
+        explode(split(trim(col("text")), "\\s+")).as("tok"))
+      .select(col("key"),
+        expr("CAST(conv(substr(md5(tok), 1, 15), 16, 10) AS BIGINT)").as("hl"))
+      .as[KeyHash]
+  }
+
+  /** Per-key KMV distinct estimate, updated each micro-batch. State per
+    * key: the k smallest distinct hashes (a sorted Vector of <= k longs).
+    * Emits the current estimate whenever a batch touches the key; with
+    * fewer than k distinct hashes seen the estimate is the exact tracked
+    * count. est = (k-1) * 2^60 / h_(k), matching the batch gate. */
+  def kmvDistinct(hashed: Dataset[KeyHash], k: Int = 16): Dataset[KmvEstimate] = {
+    import hashed.sparkSession.implicits._
+    hashed.groupByKey(_.key)
+      .mapGroupsWithState[Vector[Long], KmvEstimate](GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[KeyHash], state: GroupState[Vector[Long]]) =>
+          val prev = state.getOption.getOrElse(Vector.empty[Long])
+          // merge: distinct k-minima of (state ∪ batch) — order-independent
+          val merged = (prev ++ rows.map(_.hl)).distinct.sorted.take(k)
+          state.update(merged)
+          val est =
+            if (merged.size < k) merged.size.toDouble
+            // HALF_UP at 4dp = Spark's round(), so the spec can compare
+            // against the batch gate's rounded column bit-for-bit
+            else BigDecimal((k - 1).toDouble * 1152921504606846976.0 / merged.last)
+              .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+          KmvEstimate(key, merged.size, if (merged.isEmpty) 0L else merged.last, est)
+      }
+  }
+}

@@ -173,6 +173,35 @@ class StreamingSpec extends AnyFunSuite {
       s"streamed ${streamed.length} rows vs batch ${batch.length}")
   }
 
+  test("streaming KMV sketch converges to the batch t12 estimate exactly") {
+    val docsDir = {
+      val dir = Files.createTempDirectory("docs-stream")
+      Files.copy(Paths.get("/root/testdata/sf0.001/documents.parquet"),
+        dir.resolve("documents.parquet"), StandardCopyOption.REPLACE_EXISTING)
+      dir.toString
+    }
+    val q = CorpusStream.kmvDistinct(
+        CorpusStream.hashedTokens(CorpusStream.read(spark, docsDir)), k = 16)
+      .writeStream.format("memory").queryName("kmv").outputMode("update")
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable()
+    q.stop()
+    // last update per key = the final sketch state
+    val streamed = spark.sql(
+      """SELECT key, est FROM (
+        |  SELECT key, est, row_number() OVER (
+        |    PARTITION BY key ORDER BY n_tracked DESC) AS rn FROM kmv)
+        |WHERE rn = 1 ORDER BY key""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    // batch twin: the oracle-gated t12 query on the same corpus
+    val batch = graft.SparkEntry.queries("t12_kmv_distinct")(spark, "/root/testdata/sf0.001")
+      .select(col("lang"), col("kmv_est"))
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    assert(batch.nonEmpty)
+    assert(streamed == batch,
+      s"streaming sketch $streamed vs batch gate $batch")
+  }
+
   test("event-time timeout closes idle sessions without a successor event") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
