@@ -343,6 +343,37 @@ object DedupOps {
           when(col("e") === 1, "exact_dup")
             .when(col("nd") === 1, "near_dup").otherwise("new").as("status"))
         .orderBy(col("doc_id"))
+    }),
+
+    // --- survivor selection: d8 labels the clusters, this picks WHO
+    //     SURVIVES — the policy step an actual dedup run executes (drop
+    //     everything but one doc per cluster). Keep-rule: longest doc,
+    //     ties to the lowest doc_id (the common "most content wins"
+    //     policy). One window per cluster over cluster-sized groups —
+    //     bounded by the largest near-dup cluster, which the d7-style
+    //     shingle cap already bounds upstream at scale. ---
+    "d12_cluster_keepers" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val d = docs(s, dir)
+      val sh = shingles(d).cache()
+      val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val edges = pairCounts(sh, "h")
+        .join(cnt.as("c1"), col("d1") === col("c1.doc_id"))
+        .join(cnt.as("c2"), col("d2") === col("c2.doc_id"))
+        .filter(col("m") / (col("c1.n") + col("c2.n") - col("m")) >= 0.5)
+        .select(col("d1"), col("d2"))
+      val (labels, _) = graft.operators.ConnectedComponents.label(edges)
+      val members = labels.select(col("id").as("doc_id"), col("lbl").as("cluster"))
+        .join(d.select(col("doc_id"), col("n_chars")), Seq("doc_id"))
+      val w = Window.partitionBy(col("cluster"))
+        .orderBy(col("n_chars").desc, col("doc_id"))
+      members.withColumn("rk", row_number().over(w))
+        .groupBy(col("cluster"))
+        .agg(count(lit(1)).as("n_members"),
+          min(when(col("rk") === 1, col("doc_id"))).as("keeper"),
+          sum(when(col("rk") > 1, col("n_chars")).otherwise(0L)).cast("long")
+            .as("chars_dropped"))
+        .orderBy(col("cluster"))
     })
   )
 
@@ -508,6 +539,33 @@ object DedupOps {
          |  SELECT r.a, bi.b FROM reach r JOIN bi ON r.b = bi.a)
          |SELECT a AS doc_id, least(a, min(b)) AS cluster
          |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin,
+
+    "d12_cluster_keepers" ->
+      s"""WITH RECURSIVE $shingleSql,
+         |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |m AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS m
+         |      FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
+         |      GROUP BY 1, 2),
+         |edges AS (
+         |  SELECT d1, d2 FROM m
+         |  JOIN cnt c1 ON d1 = c1.doc_id JOIN cnt c2 ON d2 = c2.doc_id
+         |  WHERE m * 1.0 / (c1.n + c2.n - m) >= 0.5),
+         |bi AS (SELECT d1 AS a, d2 AS b FROM edges
+         |       UNION ALL SELECT d2, d1 FROM edges),
+         |reach(a, b) AS (
+         |  SELECT a, b FROM bi
+         |  UNION
+         |  SELECT r.a, bi.b FROM reach r JOIN bi ON r.b = bi.a),
+         |lbl AS (SELECT a AS doc_id, least(a, min(b)) AS cluster
+         |        FROM reach GROUP BY a),
+         |mem AS (SELECT lbl.doc_id, lbl.cluster, d.n_chars,
+         |          row_number() OVER (PARTITION BY cluster
+         |            ORDER BY d.n_chars DESC, lbl.doc_id) AS rk
+         |        FROM lbl JOIN documents d ON lbl.doc_id = d.doc_id)
+         |SELECT cluster, count(*) AS n_members,
+         |  min(CASE WHEN rk = 1 THEN doc_id END) AS keeper,
+         |  CAST(sum(CASE WHEN rk > 1 THEN n_chars ELSE 0 END) AS BIGINT) AS chars_dropped
+         |FROM mem GROUP BY cluster ORDER BY cluster""".stripMargin,
 
     "d5_simhash" ->
       """WITH toks AS (

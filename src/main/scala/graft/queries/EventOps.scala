@@ -167,6 +167,31 @@ object EventOps {
       nv.crossJoin(nc).crossJoin(np)
     }),
 
+    // --- last-touch attribution: each purchase credited to the user's
+    //     most recent view/click in the preceding 24 h — the marketing
+    //     twin of the as-of join (e3 is forward; this is backward with a
+    //     bounded lookback). The range predicate bounds join state the
+    //     same way a stream-stream interval join's watermark would; the
+    //     per-purchase window ranks only that purchase's in-range
+    //     touches. ---
+    "e11_attribution" -> ((s, dir) => {
+      val e = ev(s, dir).select(col("event_id"), col("user_id"),
+        col("event_type"), unix_timestamp(col("ts")).as("sec"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("user_id"), col("sec").as("p_sec"))
+      val touches = e.filter(col("event_type").isin("view", "click"))
+        .select(col("event_id").as("t_id"), col("user_id"),
+          col("event_type").as("touch_type"), col("sec").as("t_sec"))
+      val w = Window.partitionBy(col("p_id")).orderBy(col("t_sec").desc, col("t_id").desc)
+      purchases.join(touches, Seq("user_id"))
+        .filter(col("t_sec") <= col("p_sec") && col("t_sec") >= col("p_sec") - 86400)
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("p_id"), col("t_id"), col("touch_type"),
+          (col("p_sec") - col("t_sec")).as("lag_sec"))
+        .orderBy(col("p_id"))
+    }),
+
     // --- time-series gap-fill (densification): materialize EVERY hour of
     //     the observed span per event type, zero-fill missing cells, then
     //     window over the dense series (longest empty run per type) — the
@@ -317,6 +342,23 @@ object EventOps {
         |       (SELECT count(*) FROM p) AS n_purchase,
         |       (SELECT floor(CAST(sum(tp - tv) AS BIGINT) * 10000 / count(*) + 0.5) / 10000.0
         |        FROM p) AS avg_conv_sec""".stripMargin,
+
+    "e11_attribution" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, event_type,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events),
+        |p AS (SELECT event_id AS p_id, user_id, sec AS p_sec
+        |      FROM e WHERE event_type = 'purchase'),
+        |t AS (SELECT event_id AS t_id, user_id, event_type AS touch_type, sec AS t_sec
+        |      FROM e WHERE event_type IN ('view', 'click')),
+        |j AS (
+        |  SELECT p.p_id, t.t_id, t.touch_type, p.p_sec - t.t_sec AS lag_sec,
+        |    row_number() OVER (PARTITION BY p.p_id
+        |      ORDER BY t.t_sec DESC, t.t_id DESC) AS rk
+        |  FROM p JOIN t ON p.user_id = t.user_id
+        |  WHERE t.t_sec <= p.p_sec AND t.t_sec >= p.p_sec - 86400)
+        |SELECT p_id, t_id, touch_type, lag_sec FROM j WHERE rk = 1
+        |ORDER BY p_id""".stripMargin,
 
     "e10_gapfill" ->
       """WITH e AS (
