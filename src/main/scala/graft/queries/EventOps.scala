@@ -21,6 +21,24 @@ object EventOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // --- Markov transition matrix: (event_type -> next event_type) counts
+    //     per user-ordered stream. One window keyed by user_id (uniform
+    //     key, scales with users) + one global hash aggregate over the
+    //     tiny (from, to) type space — no self-join, no row explosion. ---
+    "e12_transitions" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("sec"), col("event_id"))
+      ev(s, dir)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_timestamp(col("ts")).as("sec"))
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .withColumn("gap", lead(col("sec"), 1).over(w) - col("sec"))
+        .filter(col("next_type").isNotNull)
+        .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+        .agg(count(lit(1)).as("n"),
+          round(avg(col("gap")), 4).as("avg_gap_sec"))
+        .orderBy(col("from_type"), col("to_type"))
+    }),
+
     // --- gap-based sessionization (30-min inactivity closes a session) ---
     "e2_sessionize" -> ((s, dir) => {
       val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
@@ -232,6 +250,20 @@ object EventOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "e12_transitions" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type,
+        |         CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events),
+        |x AS (
+        |  SELECT event_type,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY sec, event_id) AS next_type,
+        |    lead(sec) OVER (PARTITION BY user_id ORDER BY sec, event_id) - sec AS gap
+        |  FROM e)
+        |SELECT event_type AS from_type, next_type AS to_type,
+        |  count(*) AS n, round(avg(gap), 4) AS avg_gap_sec
+        |FROM x WHERE next_type IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY from_type, to_type""".stripMargin,
+
     "e2_sessionize" ->
       """WITH e AS (
         |  SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events),

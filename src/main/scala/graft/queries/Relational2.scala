@@ -17,6 +17,44 @@ object Relational2 {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // --- sequence packing (GPT-style concat-and-chunk): assign every doc
+    //     a global token start-offset, then pack_id = start / 4096. The
+    //     prefix sum is two-phase so NO stage ever sees a single-partition
+    //     window over the corpus: (1) an in-bucket prefix window keyed by
+    //     doc_id range-bucket, (2) a bucket-totals cumsum over a table
+    //     500x smaller than the corpus, broadcast back. At 100 TB the
+    //     bucket-totals pass recurses (bucket the buckets) — each level
+    //     shrinks 500x, so 3 levels cover 10^8 buckets; here one level
+    //     suffices and the totals window is a few thousand rows. ---
+    "p7_pack" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ctx = 4096L
+      val bucketSz = 500L
+      val toks = t(s, dir, "documents")
+        .select(col("doc_id"),
+          size(split(trim(col("text")), "\\s+")).cast("long").as("n_tok"),
+          expr(s"doc_id div $bucketSz").as("bucket"))
+      val inBucket = toks.withColumn("local_pre",
+        coalesce(sum(col("n_tok")).over(
+          Window.partitionBy(col("bucket")).orderBy(col("doc_id"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      val bucketTotals = toks.groupBy(col("bucket"))
+        .agg(sum(col("n_tok")).as("btot"))
+        .withColumn("boff",
+          coalesce(sum(col("btot")).over(
+            Window.orderBy(col("bucket"))
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select(col("bucket"), col("boff"))
+      inBucket.join(broadcast(bucketTotals), Seq("bucket"))
+        .select(col("doc_id"), col("n_tok"),
+          expr(s"(boff + local_pre) div $ctx").as("pack_id"))
+        .groupBy(col("pack_id"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).cast("long").as("pack_tokens"),
+          min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+        .orderBy(col("pack_id"))
+    }),
+
     // --- TPC-H Q6-style: pure filter + agg, pushdown showcase ---
     "q6_filter_agg" -> ((s, dir) => {
       t(s, dir, "lineitem")
@@ -326,6 +364,21 @@ object Relational2 {
   )
 
   val oracles: Map[String, String] = Map(
+    "p7_pack" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |pre AS (
+        |  SELECT doc_id, n_tok,
+        |    COALESCE(sum(n_tok) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start
+        |  FROM toks)
+        |SELECT CAST(start // 4096 AS BIGINT) AS pack_id, count(*) AS n_docs,
+        |  CAST(sum(n_tok) AS BIGINT) AS pack_tokens,
+        |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM pre GROUP BY 1 ORDER BY pack_id""".stripMargin,
+
     "q8_custdist" ->
       """SELECT c_count, count(*) AS custdist FROM (
         |  SELECT c_custkey, count(o_orderkey) AS c_count
