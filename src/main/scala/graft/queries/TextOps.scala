@@ -335,6 +335,54 @@ object TextOps {
     //     rank window here sorts each group's full hash set; the scale
     //     path keeps only k per-partition minima per group (partial
     //     TakeOrdered shape) before a tiny merge. ---
+    // --- HyperLogLog distinct-3-gram estimate per language. Unlike
+    //     engine-native approx_count_distinct (implementation-defined,
+    //     un-auditable across engines), this HLL is built from the same
+    //     md5-derived 60-bit hash as the dedup shingles, so the register
+    //     state itself is deterministic: register = h mod 64, rho =
+    //     leading-zero count of the remaining 54 bits + 1 (via bin()
+    //     string length — identical in both engines). The estimator's
+    //     harmonic denominator sum(2^-rho_j) is kept EXACT by scaling to
+    //     integers (2^(55-rho_j), each a power of two, summed as BIGINT)
+    //     — floating addition order never enters, so even the sketch is
+    //     hash-gated. Scale shape: two map-side-combinable aggregates
+    //     (320 register groups, then 5 langs); a single pass over the
+    //     corpus with O(m) state per group, the whole point of HLL. ---
+    "t13_hll_shingles" -> ((s, dir) => {
+      val toks = split(trim(col("text")), "\\s+")
+      val sh = docs(s, dir).select(col("lang"), toks.as("ts"))
+        .select(col("lang"), explode(expr(
+          "CASE WHEN size(ts) < 3 THEN array() ELSE " +
+          "transform(sequence(0, size(ts) - 3), i -> concat_ws(' ', ts[i], ts[i+1], ts[i+2])) END"))
+          .as("sgl"))
+        .select(col("lang"),
+          expr("CAST(conv(substr(md5(sgl), 1, 15), 16, 10) AS BIGINT)").as("h"))
+      val reg = sh
+        .select(col("lang"), (col("h") % 64).as("register"),
+          expr("h div 64").as("rem"))
+        .select(col("lang"), col("register"),
+          when(col("rem") === 0, lit(55))
+            .otherwise(lit(55) - length(expr("bin(rem)"))).as("rho"))
+        .groupBy(col("lang"), col("register"))
+        .agg(max(col("rho")).as("rho_j"))
+      val hll = reg.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_registers"),
+          sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(55 - rho_j AS INT))")).as("sd"))
+        .select(col("lang"), col("n_registers"),
+          (col("sd") + (lit(64L) - col("n_registers")) *
+            expr("shiftleft(CAST(1 AS BIGINT), 55)")).as("denom"))
+        // alpha_64 * m^2 * 2^55 precomputed as ONE double literal (the
+        // decimal-vs-double literal typing of 0.709 differs across
+        // engines; a single constant parses to the same IEEE double)
+        .withColumn("est_distinct", expr(
+          "CAST(floor(1.0462993238608057e20 / denom + 0.5) AS BIGINT)"))
+      val exact = sh.groupBy(col("lang")).agg(count_distinct(col("h")).as("n_exact"))
+      hll.join(exact, Seq("lang"))
+        .select(col("lang"), col("n_registers"), col("denom"),
+          col("est_distinct"), col("n_exact"))
+        .orderBy(col("lang"))
+    }),
+
     "t12_kmv_distinct" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       // k = 16: the synthetic corpus has ~31 distinct tokens per language
@@ -360,6 +408,29 @@ object TextOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "t13_hll_shingles" ->
+      """WITH sh AS (
+        |  SELECT lang,
+        |    ('0x' || substr(md5(ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]), 1, 15))::BIGINT AS h
+        |  FROM (SELECT lang, regexp_split_to_array(trim(text), '\s+') AS ts FROM documents) t,
+        |       LATERAL (SELECT unnest(generate_series(1, greatest(len(ts) - 2, 0))) AS i) u),
+        |r AS (
+        |  SELECT lang, h % 64 AS register,
+        |    CASE WHEN h // 64 = 0 THEN 55
+        |         ELSE 55 - length(bin(h // 64)) END AS rho
+        |  FROM sh),
+        |m AS (SELECT lang, register, max(rho) AS rho_j FROM r GROUP BY 1, 2),
+        |d AS (
+        |  SELECT lang, count(*) AS n_registers,
+        |    CAST(sum(1::BIGINT << CAST(55 - rho_j AS INT))
+        |         + (64 - count(*)) * (1::BIGINT << 55) AS BIGINT) AS denom
+        |  FROM m GROUP BY lang),
+        |x AS (SELECT lang, count(DISTINCT h) AS n_exact FROM sh GROUP BY lang)
+        |SELECT d.lang, n_registers, denom,
+        |  CAST(floor(1.0462993238608057e20 / denom + 0.5) AS BIGINT) AS est_distinct,
+        |  n_exact
+        |FROM d JOIN x ON d.lang = x.lang ORDER BY d.lang""".stripMargin,
+
     "t10_repetition" ->
       """WITH t AS (
         |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ts
