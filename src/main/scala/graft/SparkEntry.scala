@@ -20,6 +20,7 @@ object SparkEntry {
       (graft.queries.DedupOps.queries, graft.queries.DedupOps.oracles),
       (graft.queries.SimilarityOps.queries, graft.queries.SimilarityOps.oracles),
       (graft.queries.EventOps.queries, graft.queries.EventOps.oracles),
+      (graft.queries.GraphOps.queries, graft.queries.GraphOps.oracles),
       (graft.queries.MediaQueries.queries, graft.queries.MediaQueries.oracles)
     )
 

@@ -1,0 +1,110 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Graph operators over relations — the web-graph-shaped half of a
+  * training-data pipeline (link-based quality weights, co-occurrence
+  * graphs). Kin to [[graft.operators.ConnectedComponents]], which covers
+  * the clustering side.
+  *
+  * PageRank here is ENTIRELY in 64-bit integer arithmetic: ranks are
+  * micro-units of 1e12, every per-edge contribution is `r div deg`, and
+  * the damping update is `0.15*SCALE + (17*S) div 20`. Integer sums are
+  * associative-commutative with no rounding, so the result is invariant
+  * to partitioning / aggregation order — the property that lets a
+  * distributed 5-iteration run hash-match a single-threaded SQL oracle
+  * exactly, and lets two cluster runs at different parallelism agree
+  * bit-for-bit (a reproducibility property float PageRank lacks).
+  * SCALE bounds: 17 * N * SCALE must stay under 2^63 — at N = 1e9 nodes
+  * pick SCALE = 1e8 (rank resolution 1e-8, plenty; the reference point
+  * is that ranks sum to ~N * SCALE).
+  *
+  * Scale shape (100 TB): edge generation is the bucket-explode pattern
+  * (group by part, emit ordered supplier pairs — never a self-join on
+  * the fact table; pairs per part bounded by the per-part supplier
+  * count). Each iteration is one equi-join (rank onto the adjacency
+  * list, both sides hash-partitioned by node) + one hash aggregate —
+  * the canonical Pregel-as-dataflow shape. The adjacency list is
+  * materialized once via `localCheckpoint` so five iterations don't
+  * re-derive it from the fact table (and, unlike `cache()`, the blocks
+  * are released when the DataFrame goes out of scope — no cache leak
+  * past the query).
+  */
+object GraphOps {
+
+  private val Scale = 1000000000000L // 1e12 micro-rank units per node
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // --- 5-iteration PageRank over the supplier co-supply graph: two
+    //     suppliers are linked iff some part ships from both. Top-20
+    //     hubs by final rank. ---
+    "g1_pagerank" -> ((s, dir) => {
+      val ps = t(s, dir, "lineitem")
+        .select(col("l_partkey").as("p"), col("l_suppkey").as("sk"))
+        .distinct()
+      val edges = ps.groupBy(col("p"))
+        .agg(sort_array(collect_set(col("sk"))).as("ids"))
+        .filter(size(col("ids")) > 1)
+        .select(explode(expr(
+          "flatten(transform(ids, a -> transform(filter(ids, b -> b > a), " +
+          "b -> struct(a AS d1, b AS d2))))")).as("e"))
+        .select(col("e.d1").as("d1"), col("e.d2").as("d2"))
+        .distinct()
+      val bi = edges.union(
+        edges.select(col("d2").as("d1"), col("d1").as("d2")))
+      val deg = bi.groupBy(col("d1")).agg(count(lit(1)).as("deg"))
+      val adj = bi.join(deg, Seq("d1"))
+        .select(col("d1").as("src"), col("d2").as("dst"), col("deg"))
+        .localCheckpoint(true)
+      val nd = adj.select(col("src").as("node"), col("deg")).distinct()
+      var rank = nd.select(col("node"), lit(Scale).as("r"))
+      for (_ <- 1 to 5) {
+        val contrib = adj
+          .join(rank, col("src") === col("node"))
+          .select(col("dst"), expr("r div deg").as("c"))
+          .groupBy(col("dst")).agg(sum(col("c")).as("s"))
+        rank = nd.select(col("node"))
+          .join(contrib, col("node") === col("dst"), "left")
+          .select(col("node"), expr(
+            s"${Scale * 15 / 100} + (17 * coalesce(s, CAST(0 AS BIGINT))) div 20")
+            .as("r"))
+      }
+      rank.join(nd, Seq("node"))
+        .select(col("node").as("s_suppkey"), col("deg"), col("r").as("pr"))
+        .orderBy(col("pr").desc, col("s_suppkey"))
+        .limit(20)
+    })
+  )
+
+  // oracle: the same 5 iterations unrolled as chained CTEs (r0..r5),
+  // all-BIGINT arithmetic with DuckDB's `//` floor division
+  private val prIters: String = (1 to 5).map { k =>
+    s"""c$k AS (SELECT bi.d2 AS node, CAST(sum(r${k - 1}.r // deg.deg) AS BIGINT) AS s
+       |  FROM bi JOIN r${k - 1} ON bi.d1 = r${k - 1}.node
+       |  JOIN deg ON bi.d1 = deg.node GROUP BY 1),
+       |r$k AS (SELECT deg.node,
+       |  CAST(${Scale * 15 / 100} + (17 * COALESCE(c$k.s, 0)) // 20 AS BIGINT) AS r
+       |  FROM deg LEFT JOIN c$k ON deg.node = c$k.node)""".stripMargin
+  }.mkString(",\n")
+
+  val oracles: Map[String, String] = Map(
+    "g1_pagerank" ->
+      s"""WITH ps AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS sk FROM lineitem),
+         |e AS (SELECT DISTINCT a.sk AS d1, b.sk AS d2
+         |      FROM ps a JOIN ps b ON a.p = b.p AND a.sk < b.sk),
+         |bi AS (SELECT d1, d2 FROM e UNION ALL SELECT d2, d1 FROM e),
+         |deg AS (SELECT d1 AS node, count(*) AS deg FROM bi GROUP BY 1),
+         |r0 AS (SELECT node, CAST($Scale AS BIGINT) AS r FROM deg),
+         |$prIters
+         |SELECT r5.node AS s_suppkey, deg.deg, r5.r AS pr
+         |FROM r5 JOIN deg ON r5.node = deg.node
+         |ORDER BY pr DESC, s_suppkey LIMIT 20""".stripMargin
+  )
+}
