@@ -116,6 +116,50 @@ object SimilarityOps {
         .orderBy(col("label"), col("cell"))
     }),
 
+    // --- SemDeDup (Abbas et al. '23): semantic dedup = cluster the
+    //     embedding space, then prune near-duplicates ONLY within each
+    //     cluster — the trick that turns v4's O(n^2) exact pass into
+    //     O(n^2 / K) while catching the semantically-close mass (cross-
+    //     cluster pairs are far by construction). Exemplar "centroids"
+    //     are the K=32 vectors with smallest md5(vec_id) — deterministic
+    //     and oracle-recomputable, where a Lloyd's k-means seed would be
+    //     RNG-dependent; assignment is one broadcast join + per-vector
+    //     top-1, and the within-cluster pair scan is an equi-join ON THE
+    //     CLUSTER ID (shuffle-hash, never a cross join). A member is
+    //     dropped when a same-cluster smaller-id member sits at cosine
+    //     >= 0.35. K is the scale lever: at 100 TB raise K so n/K rows
+    //     fit a task (the paper runs K ~ 10^5). ---
+    "v11_semdedup" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = withNorm(emb(s, dir))
+      val cents = e
+        .orderBy(md5(col("vec_id").cast("string")), col("vec_id")).limit(32)
+        .select(col("vec_id").as("cell"), col("embedding").as("ce"), col("nrm").as("cn"))
+      val wA = Window.partitionBy(col("vec_id"))
+        .orderBy(round(col("cos_raw"), 6).desc, col("cell"))
+      val assigned = e.join(broadcast(cents))
+        .select(col("vec_id"), col("embedding"), col("nrm"), col("cell"),
+          (dot("embedding", "ce") / (col("nrm") * col("cn"))).as("cos_raw"))
+        .withColumn("rk", row_number().over(wA))
+        .filter(col("rk") === 1)
+        .select(col("cell"), col("vec_id"), col("embedding"), col("nrm"))
+      val a = assigned.select(col("cell"), col("vec_id").as("ida"),
+        col("embedding").as("ea"), col("nrm").as("na"))
+      val b = assigned.select(col("cell"), col("vec_id").as("idb"),
+        col("embedding").as("eb"), col("nrm").as("nb"))
+      val dropped = a.join(b.hint("shuffle_hash"), Seq("cell"))
+        .filter(col("ida") < col("idb"))
+        .filter(round(dot("ea", "eb") / (col("na") * col("nb")), 6) >= 0.35)
+        .select(col("cell"), col("idb")).distinct()
+      assigned.select(col("cell"), col("vec_id"))
+        .join(dropped.withColumnRenamed("idb", "vec_id")
+          .withColumn("dropped", lit(1)), Seq("cell", "vec_id"), "left")
+        .groupBy(col("cell"))
+        .agg(count(lit(1)).as("n_members"),
+          sum(coalesce(col("dropped"), lit(0))).cast("long").as("n_dropped"))
+        .orderBy(col("cell"))
+    }),
+
     // --- embedding-cosine near-duplicate pairs, EXACT (an LSH candidate
     //     set is not a substitute: on this corpus v5's banded RHP-LSH
     //     recalls only ~half of the >= 0.45 pairs — measured 70 of 144 at
@@ -463,6 +507,31 @@ object SimilarityOps {
     "list_dot_product(CAST(%s AS DOUBLE[]), CAST(%s AS DOUBLE[]))"
 
   val oracles: Map[String, String] = Map(
+    "v11_semdedup" ->
+      """WITH n AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+        |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+        |                          CAST(embedding AS DOUBLE[]))) AS nrm
+        |  FROM embeddings),
+        |c AS (SELECT vec_id AS cell, v AS ce, nrm AS cn FROM n
+        |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 32),
+        |ass AS (
+        |  SELECT vec_id, cell, v, nrm,
+        |    row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY round(list_dot_product(v, ce)/(nrm*cn), 6) DESC, cell) AS rk
+        |  FROM n CROSS JOIN c),
+        |a1 AS (SELECT vec_id, v, nrm, cell FROM ass WHERE rk = 1),
+        |drp AS (
+        |  SELECT DISTINCT b.cell, b.vec_id
+        |  FROM a1 a JOIN a1 b ON a.cell = b.cell AND a.vec_id < b.vec_id
+        |  WHERE round(list_dot_product(a.v, b.v)/(a.nrm*b.nrm), 6) >= 0.35)
+        |SELECT a1.cell, count(*) AS n_members,
+        |  CAST(sum(CASE WHEN drp.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_dropped
+        |FROM a1 LEFT JOIN drp
+        |  ON a1.cell = drp.cell AND a1.vec_id = drp.vec_id
+        |GROUP BY a1.cell ORDER BY a1.cell""".stripMargin,
+
     "v1_cosine_topk" ->
       """WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5),
         |scored AS (
