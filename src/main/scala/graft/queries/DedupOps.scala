@@ -93,6 +93,38 @@ object DedupOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // --- boilerplate-dominated documents (the C4/RefinedWeb inter-doc
+    //     repetition filter): a shingle is boilerplate when >= 3 distinct
+    //     docs contain it; a doc is flagged when boilerplate shingles are
+    //     >= half its distinct shingles (2*n_bp >= n_sh — integer
+    //     arithmetic, no float threshold). Shape: one doc-frequency hash
+    //     aggregate keyed by the 60-bit shingle hash, then the (much
+    //     smaller) boilerplate set joins back on h — the corpus-sized
+    //     relation is only ever aggregated, never self-joined. At 100 TB
+    //     the df table is the big intermediate; it stays (h, count) pairs
+    //     and the >= B filter prunes it before the join back. ---
+    "d13_boilerplate" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val sh = shingles(d)
+      val bp = sh.groupBy(col("h")).agg(count(lit(1)).as("dfreq"))
+        .filter(col("dfreq") >= 3).select(col("h"))
+      val nSh = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+      val nBp = sh.join(bp, Seq("h"))
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_bp"))
+      val flagged = nSh.join(nBp, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_sh"),
+          coalesce(col("n_bp"), lit(0L)).as("n_bp"))
+        .withColumn("flag", (lit(2) * col("n_bp") >= col("n_sh")).cast("int"))
+      d.select(col("doc_id"), col("source"), col("n_chars"))
+        .join(flagged, Seq("doc_id"), "left")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(coalesce(col("flag"), lit(0))).cast("long").as("n_flagged"),
+          sum(when(coalesce(col("flag"), lit(0)) === 1, col("n_chars"))
+            .otherwise(0L)).cast("long").as("chars_flagged"))
+        .orderBy(col("source"))
+    }),
+
     // --- exact dedup: content-hash groups + survivor stats per source ---
     "d1_dedup_exact" -> ((s, dir) => {
       docs(s, dir)
@@ -391,6 +423,24 @@ object DedupOps {
       |      GROUP BY 1, 2)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "d13_boilerplate" ->
+      s"""WITH $shingleSql,
+         |bp AS (SELECT h FROM (SELECT h, count(*) AS dfreq FROM sh GROUP BY h)
+         |       WHERE dfreq >= 3),
+         |nsh AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+         |nbp AS (SELECT sh.doc_id, count(*) AS n_bp
+         |        FROM sh JOIN bp ON sh.h = bp.h GROUP BY sh.doc_id),
+         |per AS (
+         |  SELECT nsh.doc_id,
+         |    CASE WHEN 2 * COALESCE(nbp.n_bp, 0) >= nsh.n_sh THEN 1 ELSE 0 END AS flag
+         |  FROM nsh LEFT JOIN nbp ON nsh.doc_id = nbp.doc_id)
+         |SELECT d.source, count(*) AS n_docs,
+         |  CAST(sum(COALESCE(per.flag, 0)) AS BIGINT) AS n_flagged,
+         |  CAST(sum(CASE WHEN COALESCE(per.flag, 0) = 1 THEN d.n_chars ELSE 0 END)
+         |       AS BIGINT) AS chars_flagged
+         |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+         |GROUP BY d.source ORDER BY d.source""".stripMargin,
+
     "d1_dedup_exact" ->
       """SELECT source, count(*) AS n_docs,
         |  count(DISTINCT md5(text)) AS n_unique,
