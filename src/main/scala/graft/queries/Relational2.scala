@@ -55,6 +55,29 @@ object Relational2 {
         .orderBy(col("pack_id"))
     }),
 
+    // --- weighted sampling without replacement (Efraimidis-Spirakis
+    //     A-ES): key = ln(u) / w with u a deterministic md5-derived
+    //     uniform in (0,1] and w = n_chars; the k largest keys are the
+    //     sample, giving inclusion probability proportional to weight —
+    //     the "sample big documents proportionally" pass of corpus
+    //     curation, reproducible across engines because u comes from
+    //     md5(doc_id), not an RNG. The top-k is TakeOrderedAndProject
+    //     (per-partition partial top-k, tiny driver merge) so no global
+    //     sort ever happens; keys are rounded to 6 decimals before
+    //     ranking so the float ln() sits far from any compare. ---
+    "p8_weighted_sample" -> ((s, dir) => {
+      val k = 50
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          expr("round(ln((CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT) + 1)" +
+            " / 4294967296.0) * 1000000 / n_chars, 6)").as("sk"))
+        .orderBy(col("sk").desc, col("doc_id")).limit(k)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_sampled"),
+          sum(col("n_chars")).cast("long").as("sampled_chars"))
+        .orderBy(col("source"))
+    }),
+
     // --- TPC-H Q6-style: pure filter + agg, pushdown showcase ---
     "q6_filter_agg" -> ((s, dir) => {
       t(s, dir, "lineitem")
@@ -364,6 +387,17 @@ object Relational2 {
   )
 
   val oracles: Map[String, String] = Map(
+    "p8_weighted_sample" ->
+      """WITH keyed AS (
+        |  SELECT doc_id, source, n_chars,
+        |    round(ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT + 1)
+        |      / 4294967296.0) * 1000000 / n_chars, 6) AS sk
+        |  FROM documents),
+        |top AS (SELECT * FROM keyed ORDER BY sk DESC, doc_id LIMIT 50)
+        |SELECT source, count(*) AS n_sampled,
+        |  CAST(sum(n_chars) AS BIGINT) AS sampled_chars
+        |FROM top GROUP BY source ORDER BY source""".stripMargin,
+
     "p7_pack" ->
       """WITH toks AS (
         |  SELECT doc_id,

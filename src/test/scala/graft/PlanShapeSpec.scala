@@ -123,6 +123,34 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.toLowerCase.contains("cartesianproduct"), p)
   }
 
+  test("v11: semdedup pair scan is a shuffle-hash equi-join on the cluster id") {
+    val p = plan("v11_semdedup")
+    assert(p.contains("ShuffledHashJoin"), p)
+    assert(!p.toLowerCase.contains("cartesianproduct"), p)
+  }
+
+  test("p7: the corpus prefix-sum window is partitioned by bucket") {
+    val p = plan("p7_pack")
+    // the only window over corpus-sized data must be keyed by the range
+    // bucket; the bucket-totals window runs on the 500x-smaller table
+    assert(p.contains("hashpartitioning(bucket"), p)
+    assert(!p.toLowerCase.contains("cartesianproduct"), p)
+  }
+
+  test("p8: weighted-sample top-k is TakeOrderedAndProject, not a global sort") {
+    val p = plan("p8_weighted_sample")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("g1/d13/t13/e12: round-5 aggregation pipelines never cross-join") {
+    for (q <- Seq("g1_pagerank", "d13_boilerplate", "t13_hll_shingles",
+        "e12_transitions")) {
+      val p = plan(q)
+      assert(!p.toLowerCase.contains("cartesianproduct"), s"$q: $p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q: $p")
+    }
+  }
+
   test("generator expressions are never duplicated into inferred filters") {
     // InferFiltersFromGenerate copies the explode's child expression into a
     // Filter (IsNotNull && size > 0); with computed higher-order generators
