@@ -31,6 +31,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case other => throw new IllegalArgumentException(
           s"bloom_filter_agg takes 1-3 arguments, got ${other.size}")
       }))
+    ext.injectFunction((FunctionIdentifier("hll_estimate"), info("hll_estimate"),
+      (exprs: Seq[Expression]) => functions.HllSketchAgg(exprs.head)
+        .toAggregateExpression()))
     ext.injectFunction((FunctionIdentifier("might_contain"), info("might_contain"),
       (exprs: Seq[Expression]) =>
         new org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(exprs(0), exprs(1))))

@@ -21,6 +21,12 @@ package object functions {
     column(new org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
       expression(bloom), expression(value)))
 
+  /** Single-pass 64-register HLL distinct estimate over a 60-bit hash
+    * column (see [[HllSketchAgg]]); byte-identical to the expression-level
+    * HLL in `t13_hll_shingles`. */
+  def hll_estimate(c: Column): Column =
+    column(HllSketchAgg(expression(c)).toAggregateExpression())
+
   /** Bloom filter aggregate over a long key column. */
   def bloom_filter_agg(c: Column, estimatedItems: Long, numBits: Long): Column =
     column(new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(

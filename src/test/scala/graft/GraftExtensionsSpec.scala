@@ -37,6 +37,12 @@ class GraftExtensionsSpec extends AnyFunSuite {
           |       might_contain((SELECT bf FROM b), 123456789L) AS miss""".stripMargin)
         .collect()(0)
       assert(probes.getBoolean(0) && !probes.getBoolean(1))
+      // HLL sketch aggregate: 2000 distinct md5-derived hashes estimate
+      // within the 64-register error envelope
+      val est = spark.sql(
+        """SELECT hll_estimate(CAST(conv(substr(md5(CAST(id AS STRING)), 1, 15), 16, 10) AS BIGINT)) AS e
+          |FROM range(2000)""".stripMargin).collect()(0).getLong(0)
+      assert(est > 1500 && est < 2500, est.toString)
     } finally {
       SparkSession.clearDefaultSession()
       SparkSession.clearActiveSession()

@@ -23,6 +23,47 @@ class FunctionsSpec extends AnyFunSuite {
     }
   }
 
+  test("hll_estimate matches the expression-level HLL estimate per group") {
+    import spark.implicits._
+    // same shingle-hash input as t13_hll_shingles
+    val sh = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("lang"), split(trim(col("text")), "\\s+").as("ts"))
+      .select(col("lang"), explode(expr(
+        "CASE WHEN size(ts) < 3 THEN array() ELSE " +
+        "transform(sequence(0, size(ts) - 3), i -> concat_ws(' ', ts[i], ts[i+1], ts[i+2])) END"))
+        .as("sgl"))
+      .select(col("lang"),
+        expr("CAST(conv(substr(md5(sgl), 1, 15), 16, 10) AS BIGINT)").as("h"))
+    val imperative = sh.groupBy(col("lang")).agg(hll_estimate(col("h")).as("est"))
+      .as[(String, Long)].collect().toMap
+    val viaExprs = sh
+      .select(col("lang"), (col("h") % 64).as("register"), expr("h div 64").as("rem"))
+      .select(col("lang"), col("register"),
+        when(col("rem") === 0, lit(55))
+          .otherwise(lit(55) - length(expr("bin(rem)"))).as("rho"))
+      .groupBy(col("lang"), col("register")).agg(max(col("rho")).as("rho_j"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("nr"),
+        sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(55 - rho_j AS INT))")).as("sd"))
+      .select(col("lang"), expr(
+        "CAST(floor(1.0462993238608057e20 / (sd + (64 - nr) * shiftleft(CAST(1 AS BIGINT), 55)) + 0.5) AS BIGINT)")
+        .as("est"))
+      .as[(String, Long)].collect().toMap
+    assert(imperative.keySet == viaExprs.keySet && imperative.nonEmpty)
+    imperative.foreach { case (lang, est) => assert(est == viaExprs(lang), lang) }
+  }
+
+  test("hll_estimate merge is order/partitioning independent") {
+    import spark.implicits._
+    val df = (1L to 10000L).toDF("x")
+      .select(expr("CAST(conv(substr(md5(CAST(x AS STRING)), 1, 15), 16, 10) AS BIGINT)").as("h"))
+    val est1 = df.repartition(1).agg(hll_estimate(col("h"))).as[Long].head()
+    val est32 = df.repartition(32).agg(hll_estimate(col("h"))).as[Long].head()
+    assert(est1 == est32)
+    // a 64-register sketch should land within ~20% of 10k distinct
+    assert(est1 > 8000 && est1 < 12500, est1.toString)
+  }
+
   test("vector_dot enters whole-stage codegen") {
     val e = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     val plan = e.select(vector_dot(col("embedding"), col("embedding")))
