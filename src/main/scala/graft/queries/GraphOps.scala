@@ -46,37 +46,58 @@ object GraphOps {
     //     suppliers are linked iff some part ships from both. Top-20
     //     hubs by final rank. ---
     "g1_pagerank" -> ((s, dir) => {
+      // Pair generation as a codegen'd self-equi-join on the part key
+      // rather than a collect_set + HOF explode: `p` has BOUNDED
+      // multiplicity (suppliers per part), so the join's per-key output
+      // is bounded too — the skew argument that forces bucket-explode
+      // for document shingles (unbounded hot buckets, see DedupOps
+      // .pairCounts) doesn't bite here, and the join generates the ~8.7M
+      // candidate pairs in whole-stage codegen instead of an interpreted
+      // lambda chain (measured 2.4 s vs 4.5-7 s at sf0.1).
       val ps = t(s, dir, "lineitem")
         .select(col("l_partkey").as("p"), col("l_suppkey").as("sk"))
         .distinct()
-      val edges = ps.groupBy(col("p"))
-        .agg(sort_array(collect_set(col("sk"))).as("ids"))
-        .filter(size(col("ids")) > 1)
-        .select(explode(expr(
-          "flatten(transform(ids, a -> transform(filter(ids, b -> b > a), " +
-          "b -> struct(a AS d1, b AS d2))))")).as("e"))
-        .select(col("e.d1").as("d1"), col("e.d2").as("d2"))
+      val edges = ps.as("a").join(ps.as("b"),
+          col("a.p") === col("b.p") && col("a.sk") < col("b.sk"))
+        .select(col("a.sk").as("d1"), col("b.sk").as("d2"))
         .distinct()
+        // EAGER checkpoint: `bi` references edges twice (the union) and
+        // the node table plus every iteration reference bi — without a
+        // materialized leaf Spark replans (and re-executes) the
+        // million-pair join+distinct up to 6x per query; measured as
+        // the dominant cost of the whole query at sf0.1.
+        .localCheckpoint(true)
       val bi = edges.union(
         edges.select(col("d2").as("d1"), col("d1").as("d2")))
-      val deg = bi.groupBy(col("d1")).agg(count(lit(1)).as("deg"))
-      val adj = bi.join(deg, Seq("d1"))
-        .select(col("d1").as("src"), col("d2").as("dst"), col("deg"))
+      // deg doubles as the node table (one row per node by construction,
+      // so no extra distinct); tiny — checkpointed once, reused by all
+      // 5 rounds and the final projection
+      val nd = bi.groupBy(col("d1")).agg(count(lit(1)).as("deg"))
+        .select(col("d1").as("node"), col("deg"))
         .localCheckpoint(true)
-      val nd = adj.select(col("src").as("node"), col("deg")).distinct()
-      var rank = nd.select(col("node"), lit(Scale).as("r"))
+      // deg rides inside `rank` (n rows), so no separate adjacency-with-
+      // degree table is materialized — each round joins the checkpointed
+      // edge list against the small rank relation (AQE broadcasts it at
+      // this scale; at 1e9 nodes it degrades to a partitioned join).
+      var rank = nd.select(col("node"), col("deg"), lit(Scale).as("r"))
       for (_ <- 1 to 5) {
-        val contrib = adj
-          .join(rank, col("src") === col("node"))
-          .select(col("dst"), expr("r div deg").as("c"))
+        val contrib = bi
+          .join(rank, col("d1") === col("node"))
+          .select(col("d2").as("dst"), expr("r div deg").as("c"))
           .groupBy(col("dst")).agg(sum(col("c")).as("s"))
-        rank = nd.select(col("node"))
-          .join(contrib, col("node") === col("dst"), "left")
-          .select(col("node"), expr(
+        // LAZY checkpoint per round: the next round (and the final job)
+        // plans from a materialized leaf instead of a logical plan that
+        // nests every prior round — without it the final plan is a
+        // 10+-join tree that Catalyst/AQE re-analyzes stage by stage.
+        // Lazy, not eager, so the chain still materializes in one job
+        // with each round's RDD computed exactly once.
+        rank = nd.join(contrib, col("node") === col("dst"), "left")
+          .select(col("node"), col("deg"), expr(
             s"${Scale * 15 / 100} + (17 * coalesce(s, CAST(0 AS BIGINT))) div 20")
             .as("r"))
+          .localCheckpoint(false)
       }
-      rank.join(nd, Seq("node"))
+      rank
         .select(col("node").as("s_suppkey"), col("deg"), col("r").as("pr"))
         .orderBy(col("pr").desc, col("s_suppkey"))
         .limit(20)
