@@ -11,7 +11,12 @@ object Bench {
     // Steady-state methodology: one untimed warmup pass at the bench SF
     // (codegen class generation, parquet footers/dictionaries, cache
     // population), then the timed passes.
+    // Dev-only: SPARK_GRAFT_BENCH_FILTER=prefix[,prefix...] restricts the
+    // run to matching query names (the driver never sets it).
+    val filters = sys.env.get("SPARK_GRAFT_BENCH_FILTER")
+      .map(_.split(",").toSeq).getOrElse(Seq(""))
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => filters.exists(n.startsWith) }
     ordered.foreach { case (_, fn) =>
       try fn(spark, sfDir).count()
       catch { case _: Throwable => () }
