@@ -404,10 +404,85 @@ object TextOps {
       exact.join(est, Seq("lang"))
         .select(col("lang"), col("n_exact"), col("kmv_est"))
         .orderBy(col("lang"))
+    }),
+
+    // --- BPE merge learning: learn the first 5 byte-pair-encoding merges
+    //     from the corpus, the way production tokenizer trainers do it —
+    //     pair statistics come from the (word, freq) VOCABULARY, not the
+    //     raw corpus (Zipf compaction: the corpus shuffles once into the
+    //     tiny vocab, then every iteration runs on vocab-sized data), and
+    //     each learned merge broadcasts back into the segmentation.
+    //     Words are held as double-space-separated symbol strings
+    //     ("  a  b  "); applying merge (a,b) is then a literal
+    //     `replace(' a  b ' -> ' ab ')` whose left-to-right
+    //     non-overlapping scan IS the BPE merge rule, and the shared
+    //     boundary space survives for back-to-back occurrences (both
+    //     engines' `replace` has identical semantics — same trick as
+    //     wordCount above). Argmax ties break on (count desc, pair) so
+    //     the merge sequence is fully deterministic. ---
+    "t14_bpe_learn" -> ((s, dir) => {
+      val w = docs(s, dir).filter(col("doc_id") < 100)
+        .select(explode(split(trim(col("text")), "\\s+")).as("word"))
+        .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      var sym = w.select(
+        concat(lit("  "), regexp_replace(col("word"), "(.)", "$1  ")).as("sym"),
+        col("freq"))
+      var merges: DataFrame = null
+      for (k <- 1 to 5) {
+        val pairs = sym
+          .select(expr("filter(split(sym, '  '), x -> x != '')").as("l"), col("freq"))
+          .select(explode(expr(
+            // sequence(0,-1) descends — guard single-symbol words
+            "CASE WHEN size(l) < 2 THEN array() ELSE " +
+            "transform(sequence(0, size(l) - 2), i -> struct(l[i] AS a, l[i+1] AS b)) END"))
+            .as("p"), col("freq"))
+          .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+          .agg(sum(col("freq")).cast("long").as("cnt"))
+        // deterministic argmax; tiny (1 row) — eager checkpoint because
+        // it is consumed twice (merge application + result union)
+        val top = pairs.orderBy(col("cnt").desc, col("a"), col("b")).limit(1)
+          .select(lit(k).as("rank"), col("a"), col("b"), col("cnt"))
+          .localCheckpoint(true)
+        merges = if (merges == null) top else merges.union(top)
+        sym = sym.crossJoin(broadcast(top))
+          .select(expr(
+            "replace(sym, concat(' ', a, '  ', b, ' '), concat(' ', a, b, ' '))")
+            .as("sym"), col("freq"))
+          .localCheckpoint(false) // leaf per round, one materialization
+      }
+      merges.orderBy(col("rank"))
     })
   )
 
+  // t14's 5 merge iterations unrolled as chained CTEs: p_k counts
+  // adjacent symbol pairs of segmentation s_{k-1} (freq-weighted), t_k is
+  // the deterministic argmax, s_k applies the merge via the same literal
+  // replace on the double-space symbol string the Spark side uses.
+  private val bpeIters: String = (1 to 5).map { k =>
+    s"""p$k AS (
+       |  SELECT l[i] AS a, l[i+1] AS b, CAST(sum(freq) AS BIGINT) AS cnt
+       |  FROM (SELECT list_filter(string_split(sym, '  '), x -> x != '') AS l, freq
+       |        FROM s${k - 1}) t,
+       |       LATERAL (SELECT unnest(generate_series(1, len(l) - 1)) AS i) u
+       |  GROUP BY 1, 2),
+       |t$k AS (SELECT $k AS rank, a, b, cnt FROM p$k ORDER BY cnt DESC, a, b LIMIT 1),
+       |s$k AS (SELECT replace(sym, ' ' || a || '  ' || b || ' ', ' ' || a || b || ' ') AS sym,
+       |               freq
+       |        FROM s${k - 1} CROSS JOIN t$k)""".stripMargin
+  }.mkString(",\n")
+
   val oracles: Map[String, String] = Map(
+    "t14_bpe_learn" ->
+      raw"""WITH w AS (
+         |  SELECT word, count(*) AS freq
+         |  FROM (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS word
+         |        FROM documents WHERE doc_id < 100) GROUP BY 1),
+         |s0 AS (SELECT '  ' || regexp_replace(word, '(.)', '\1  ', 'g') AS sym, freq FROM w),
+         |$bpeIters
+         |SELECT rank, a, b, cnt FROM t1 UNION ALL SELECT rank, a, b, cnt FROM t2
+         |UNION ALL SELECT rank, a, b, cnt FROM t3 UNION ALL SELECT rank, a, b, cnt FROM t4
+         |UNION ALL SELECT rank, a, b, cnt FROM t5 ORDER BY rank""".stripMargin,
+
     "t13_hll_shingles" ->
       """WITH sh AS (
         |  SELECT lang,

@@ -40,6 +40,7 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     "v8_pq_adc",           // PQ codebooks + scaled-integer ADC
     "t13_hll_shingles",    // 64-register HLL sketch
     "p8_weighted_sample",  // Efraimidis-Spirakis keys + top-k
+    "t14_bpe_learn",       // iterative argmax + broadcast merge
     "e3_asof_join",        // as-of join (window over time)
   )
 
