@@ -67,7 +67,7 @@ class CziTable(props: Map[String, String]) extends Table with SupportsRead {
     new CziScanBuilder(path, stack, chunkZyx)
 }
 
-final case class CziInputPartition(cIdx: Int, slab: Int) extends InputPartition
+final case class CziInputPartition(tIdx: Int, cIdx: Int, slab: Int) extends InputPartition
 
 class CziScanBuilder(path: String, stack: String, chunkZyx: Array[Int])
     extends ScanBuilder with SupportsPushDownFilters
@@ -75,8 +75,9 @@ class CziScanBuilder(path: String, stack: String, chunkZyx: Array[Int])
   import org.apache.spark.sql.connector.expressions.NamedReference
   import org.apache.spark.sql.connector.expressions.aggregate._
 
-  // inclusive bounds on the chunk-grid c and z coordinates, refined by
-  // accepted filters — slabs/channels outside them are never planned
+  // inclusive bounds on the chunk-grid t, c and z coordinates, refined by
+  // accepted filters — frames/slabs outside them are never planned
+  private var (tLo, tHi) = (0L, Long.MaxValue)
   private var (cLo, cHi) = (0L, Long.MaxValue)
   private var (zLo, zHi) = (0L, Long.MaxValue)
   private var pushed = Array.empty[Filter]
@@ -95,21 +96,23 @@ class CziScanBuilder(path: String, stack: String, chunkZyx: Array[Int])
     case _ => None
   }
 
-  /** Rows carry c = channel index and z = slab index — exactly the
-    * partition key — so an accepted c/z range is fully absorbed at
+  private val partAxes = Set("t", "c", "z")
+
+  /** Rows carry t = timepoint, c = channel and z = slab index — exactly
+    * the partition key — so an accepted t/c/z range is fully absorbed at
     * partition granularity (no residual re-evaluation needed). */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val residual = filters.filterNot { f =>
       val accepted = f match {
-        case EqualTo(a, v) if a == "c" || a == "z" =>
+        case EqualTo(a, v) if partAxes(a) =>
           asLong(v).exists { x => refine(a, x, x); true }
-        case GreaterThan(a, v) if a == "c" || a == "z" =>
+        case GreaterThan(a, v) if partAxes(a) =>
           asLong(v).exists { x => refine(a, x + 1, Long.MaxValue); true }
-        case GreaterThanOrEqual(a, v) if a == "c" || a == "z" =>
+        case GreaterThanOrEqual(a, v) if partAxes(a) =>
           asLong(v).exists { x => refine(a, x, Long.MaxValue); true }
-        case LessThan(a, v) if a == "c" || a == "z" =>
+        case LessThan(a, v) if partAxes(a) =>
           asLong(v).exists { x => refine(a, Long.MinValue, x - 1); true }
-        case LessThanOrEqual(a, v) if a == "c" || a == "z" =>
+        case LessThanOrEqual(a, v) if partAxes(a) =>
           asLong(v).exists { x => refine(a, Long.MinValue, x); true }
         case _ => false
       }
@@ -118,9 +121,11 @@ class CziScanBuilder(path: String, stack: String, chunkZyx: Array[Int])
     }
     residual
   }
-  private def refine(axis: String, l: Long, h: Long): Unit =
-    if (axis == "c") { cLo = math.max(cLo, l); cHi = math.min(cHi, h) }
-    else { zLo = math.max(zLo, l); zHi = math.min(zHi, h) }
+  private def refine(axis: String, l: Long, h: Long): Unit = axis match {
+    case "t" => tLo = math.max(tLo, l); tHi = math.min(tHi, h)
+    case "c" => cLo = math.max(cLo, l); cHi = math.min(cHi, h)
+    case _   => zLo = math.max(zLo, l); zHi = math.min(zHi, h)
+  }
 
   override def pushedFilters(): Array[Filter] = pushed
 
@@ -163,11 +168,11 @@ class CziScanBuilder(path: String, stack: String, chunkZyx: Array[Int])
     }
 
   override def build(): Scan =
-    new CziScan(path, stack, chunkZyx, cLo, cHi, zLo, zHi, required, aggOps)
+    new CziScan(path, stack, chunkZyx, tLo, tHi, cLo, cHi, zLo, zHi, required, aggOps)
 }
 
 class CziScan(path: String, stack: String, chunkZyx: Array[Int],
-              cLo: Long, cHi: Long, zLo: Long, zHi: Long,
+              tLo: Long, tHi: Long, cLo: Long, cHi: Long, zLo: Long, zHi: Long,
               required: StructType, aggOps: Option[Seq[(String, String)]])
     extends Scan with Batch {
 
@@ -177,6 +182,7 @@ class CziScan(path: String, stack: String, chunkZyx: Array[Int],
   private lazy val gridY = ChunkGrid.ceilDiv(vol.shape(3), vol.chunk(3))
   private lazy val gridX = ChunkGrid.ceilDiv(vol.shape(4), vol.chunk(4))
   // pruned inclusive selection on the partition axes
+  private lazy val tSel = (math.max(0L, tLo), math.min(vol.shape(0) - 1, tHi))
   private lazy val cSel = (math.max(0L, cLo), math.min(vol.shape(1) - 1, cHi))
   private lazy val zSel = (math.max(0L, zLo), math.min(zSlabs - 1, zHi))
 
@@ -189,7 +195,7 @@ class CziScan(path: String, stack: String, chunkZyx: Array[Int],
   }
   override def toBatch: Batch = this
   override def description(): String = {
-    val bounds = Seq(("c", cLo, cHi), ("z", zLo, zHi)).collect {
+    val bounds = Seq(("t", tLo, tHi), ("c", cLo, cHi), ("z", zLo, zHi)).collect {
       case (a, l, h) if l > 0L || h != Long.MaxValue =>
         s"$a=[$l..${if (h == Long.MaxValue) "*" else h}]"
     }
@@ -202,20 +208,22 @@ class CziScan(path: String, stack: String, chunkZyx: Array[Int],
 
   override def planInputPartitions(): Array[InputPartition] = {
     // a pushed aggregate is one arithmetic row — a single no-IO partition
-    if (aggOps.isDefined) return Array(CziInputPartition(-1, -1))
+    if (aggOps.isDefined) return Array(CziInputPartition(-1, -1, -1))
     val parts = for {
+      t <- tSel._1 to tSel._2
       c <- cSel._1 to cSel._2
       slab <- zSel._1 to zSel._2
-    } yield CziInputPartition(c.toInt, slab.toInt): InputPartition
+    } yield CziInputPartition(t.toInt, c.toInt, slab.toInt): InputPartition
     parts.toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory = aggOps match {
     case Some(ops) =>
       val nSel =
-        if (cSel._2 < cSel._1 || zSel._2 < zSel._1) 0L
-        else (cSel._2 - cSel._1 + 1) * (zSel._2 - zSel._1 + 1) * gridY * gridX
-      CziAggReaderFactory(ops, nSel, cSel, zSel, gridY, gridX)
+        if (tSel._2 < tSel._1 || cSel._2 < cSel._1 || zSel._2 < zSel._1) 0L
+        else (tSel._2 - tSel._1 + 1) * (cSel._2 - cSel._1 + 1) *
+          (zSel._2 - zSel._1 + 1) * gridY * gridX
+      CziAggReaderFactory(ops, nSel, tSel, cSel, zSel, gridY, gridX)
     case None =>
       CziReaderFactory(path, vol.stack, vol.shape, vol.chunk,
         idx.origin, idx.entries.toArray, vol.dtype.itemSize, required.fieldNames)
@@ -226,7 +234,8 @@ class CziScan(path: String, stack: String, chunkZyx: Array[Int],
   * chunk count is the pruned grid volume, coordinate extrema are its
   * corners. No filesystem access at all. */
 final case class CziAggReaderFactory(ops: Seq[(String, String)], nSel: Long,
-                                     cSel: (Long, Long), zSel: (Long, Long),
+                                     tSel: (Long, Long), cSel: (Long, Long),
+                                     zSel: (Long, Long),
                                      gridY: Long, gridX: Long)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
@@ -235,7 +244,7 @@ final case class CziAggReaderFactory(ops: Seq[(String, String)], nSel: Long,
       override def next(): Boolean = if (done) false else { done = true; true }
       override def get(): InternalRow = {
         def corner(ax: String, hi: Boolean): Any = ax match {
-          case "t" => 0
+          case "t" => (if (hi) tSel._2 else tSel._1).toInt
           case "c" => (if (hi) cSel._2 else cSel._1).toInt
           case "z" => (if (hi) zSel._2 else zSel._1).toInt
           case "y" => if (hi) (gridY - 1).toInt else 0
@@ -259,17 +268,18 @@ final case class CziReaderFactory(path: String, stack: String,
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[CziInputPartition]
-    new CziPartitionReader(this, p.cIdx, p.slab)
+    new CziPartitionReader(this, p.tIdx, p.cIdx, p.slab)
   }
 }
 
-/** Reads one (channel, slab): scatter the slab's subblocks into a buffer
-  * (reference placement semantics, `utils.py:269-276`), cut chunk tiles,
-  * emit one row per tile — the kernel shared with [[CziSource.scan]].
+/** Reads one (timepoint, channel, slab): scatter the slab's subblocks
+  * into a buffer (reference placement semantics, `utils.py:269-276`),
+  * cut chunk tiles, emit one row per tile — the kernel shared with
+  * [[CziSource.scan]].
   * When the projection pruned `data` away, every remaining column is
   * chunk-grid arithmetic: the rows are synthesized without opening the
   * file at all (parity with the zarr connector's pruned scan). */
-class CziPartitionReader(f: CziReaderFactory, cIdx: Int, slab: Int)
+class CziPartitionReader(f: CziReaderFactory, tIdx: Int, cIdx: Int, slab: Int)
     extends PartitionReader[InternalRow] {
 
   private val needData = f.cols.contains("data")
@@ -278,7 +288,7 @@ class CziPartitionReader(f: CziReaderFactory, cIdx: Int, slab: Int)
     InternalRow.fromSeq(f.cols.toIndexedSeq.map {
       case "stack" => UTF8String.fromString(f.stack)
       case "level" => 0
-      case "t" => 0
+      case "t" => tIdx
       case "c" => cIdx
       case "z" => slab
       case "y" => ty
@@ -295,7 +305,7 @@ class CziPartitionReader(f: CziReaderFactory, cIdx: Int, slab: Int)
       val in = fs.open(p)
       try {
         CziSource.slabChunks(in, f.entries, f.shape, f.chunk, f.origin,
-            f.itemSize, cIdx, slab)
+            f.itemSize, tIdx, cIdx, slab)
           .map { case (ty, tx, shape5, out) => row(ty, tx, shape5, out) }
           .toVector.iterator // materialize before the stream closes
       } finally in.close()

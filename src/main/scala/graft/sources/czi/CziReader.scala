@@ -127,17 +127,18 @@ object CziReader {
             "are not supported — split them (e.g. one scene per file) before ingest")
       }
 
-      // T survives in the TCZYX vocabulary, but the slab scatter kernel
-      // ([[CziSource.slabChunks]]) ignores a subblock's T start and every
-      // row emits t=0 — a multi-timepoint file would silently fold all
-      // timepoints onto the same (z,y,x) coordinates (last write wins),
-      // the same corruption the scene/mosaic guard above prevents.
-      // Reject loudly until per-(timepoint, channel, slab) tasks exist.
-      val (tLo, tHi) = extent("T")
-      if (tHi - tLo > 1)
-        throw new UnsupportedOperationException(
-          s"CZI axis 'T' spans [$tLo, $tHi): multi-timepoint files are not " +
-          "supported — split them (one timepoint per file) before ingest")
+      // Multi-timepoint files are first-class: the scans plan one task
+      // per (timepoint, channel, z-slab) and each task keeps only its own
+      // timepoint's subblocks. What must still hold is the ZISRAW norm
+      // that a single subblock carries a single frame — a subblock
+      // spanning several timepoints would need a T-major de-interleave
+      // the placement kernel doesn't do, so it fails loudly here (same
+      // policy as the multi-channel-subblock guard in the scans).
+      for (e <- entries)
+        if (e.size("T") > 1)
+          throw new UnsupportedOperationException(
+            s"CZI subblock spans ${e.size("T")} timepoints (T size > 1): " +
+            "one-frame-per-subblock files only")
 
       val axes = Seq("T", "C", "Z", "Y", "X")
       val exts = axes.map(extent)

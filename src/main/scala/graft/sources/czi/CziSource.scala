@@ -34,17 +34,17 @@ object CziSource {
     (vol, idx)
   }
 
-  /** One (channel, z-slab)'s chunk tiles: scatter the slab's subblocks
-    * into a buffer at their start offsets (reference placement semantics,
-    * `utils.py:269-276`), then cut chunk-grid tiles — the shared kernel
-    * behind [[scan]] and the `format("czi")` connector's partition
-    * reader, so a fix lands in exactly one place.
+  /** One (timepoint, channel, z-slab)'s chunk tiles: scatter the slab's
+    * subblocks into a buffer at their start offsets (reference placement
+    * semantics, `utils.py:269-276`), then cut chunk-grid tiles — the
+    * shared kernel behind [[scan]] and the `format("czi")` connector's
+    * partition reader, so a fix lands in exactly one place.
     *
     * Yields `(ty, tx, shape5, bytes)` per tile. */
   def slabChunks(in: org.apache.hadoop.fs.FSDataInputStream,
                  entries: Array[SubBlockEntry], shape: Array[Long],
                  chunk: Array[Int], origin: Array[Int], isz: Int,
-                 cIdx: Int, slab: Int): Iterator[(Int, Int, Array[Int], Array[Byte])] = {
+                 tIdx: Int, cIdx: Int, slab: Int): Iterator[(Int, Int, Array[Int], Array[Byte])] = {
     val (sy, sx) = (shape(3).toInt, shape(4).toInt)
     val gridY = ChunkGrid.ceilDiv(shape(3), chunk(3)).toInt
     val gridX = ChunkGrid.ceilDiv(shape(4), chunk(4)).toInt
@@ -60,10 +60,12 @@ object CziSource {
     val buf = new Array[Byte](slabBytes.toInt)
     entries.foreach { e =>
       require(e.size("C") == 1, "subblocks spanning multiple channels unsupported")
+      require(e.size("T") == 1, "subblocks spanning multiple timepoints unsupported")
       val ez0 = e.start("Z") - origin(2)
       val lo = math.max(ez0, z0)
       val hi = math.min(ez0 + e.size("Z"), z0 + zN)
-      if (lo < hi && e.start("C") - origin(1) == cIdx) {
+      if (lo < hi && e.start("C") - origin(1) == cIdx
+          && e.start("T") - origin(0) == tIdx) {
         val data = CziReader.subblockData(in, e)
         val (ey0, ex0) = (e.start("Y") - origin(3), e.start("X") - origin(4))
         val (eyN, exN) = (e.size("Y"), e.size("X"))
@@ -107,23 +109,24 @@ object CziSource {
   /** Scan the file into level-0 chunks.
     *
     * Generalizes the reference's 1-channel-per-file assumption
-    * (`utils.py:355`): multi-channel files scan as one task per
-    * (channel, z-slab) — channels are independent slabs, so c>1 adds
-    * parallelism, not buffer size. Each subblock must carry a single
-    * channel (C size 1, the ZISRAW norm); the slab task keeps only the
-    * subblocks of its own channel. */
+    * (`utils.py:355`): multi-channel and multi-timepoint files scan as
+    * one task per (timepoint, channel, z-slab) — frames are independent
+    * slabs, so t>1 / c>1 add parallelism, not buffer size. Each subblock
+    * must carry a single frame (T and C size 1, the ZISRAW norm); the
+    * slab task keeps only the subblocks of its own frame. */
   def scan(spark: SparkSession, path: String, vol: Volume, idx: CziIndex): Dataset[ZarrChunk] = {
     import spark.implicits._
     val chunk = vol.chunk
     val shape = vol.shape
     val zSlabs = ChunkGrid.ceilDiv(shape(2), chunk(2))
     val nC = shape(1)
+    val nT = shape(0)
     val stack = vol.stack
     val origin = idx.origin
     val entries = idx.entries.toArray
     val isz = vol.dtype.itemSize
 
-    spark.range(nC * zSlabs).mapPartitions { taskIt =>
+    spark.range(nT * nC * zSlabs).mapPartitions { taskIt =>
       val conf = new Configuration()
       val p = new Path(path)
       val fs = p.getFileSystem(conf)
@@ -131,11 +134,12 @@ object CziSource {
       Option(org.apache.spark.TaskContext.get())
         .foreach(_.addTaskCompletionListener[Unit](_ => in.close()))
       taskIt.flatMap { taskId =>
-        val cIdx = (taskId / zSlabs).toInt
+        val tIdx = (taskId / (nC * zSlabs)).toInt
+        val cIdx = (taskId / zSlabs % nC).toInt
         val slab = (taskId % zSlabs).toInt
-        slabChunks(in, entries, shape, chunk, origin, isz, cIdx, slab).map {
+        slabChunks(in, entries, shape, chunk, origin, isz, tIdx, cIdx, slab).map {
           case (ty, tx, shape5, out) =>
-            ZarrChunk(stack, 0, 0, cIdx, slab, ty, tx, shape5, out)
+            ZarrChunk(stack, 0, tIdx, cIdx, slab, ty, tx, shape5, out)
         }
       }
     }

@@ -47,7 +47,9 @@ object CziSourceShuffled {
       it.flatMap { ei =>
         val e = entries(ei.toInt)
         require(e.size("C") == 1, "subblocks spanning multiple channels unsupported")
+        require(e.size("T") == 1, "subblocks spanning multiple timepoints unsupported")
         val data = CziReader.subblockData(in, e)
+        val tt = e.start("T") - origin(0)
         val cc = e.start("C") - origin(1)
         val (ez0, ey0, ex0) = (e.start("Z") - origin(2), e.start("Y") - origin(3), e.start("X") - origin(4))
         val (ezN, eyN, exN) = (e.size("Z"), e.size("Y"), e.size("X"))
@@ -70,20 +72,20 @@ object CziSourceShuffled {
               piece, ((y - yLo) * w) * isz, w * isz)
             y += 1
           }
-          // key: target chunk (channel included); payload: (z, yLo, xLo, h, w, bytes)
-          (cc, gz / chunk(2), cy, cx, gz, yLo, xLo, h, w, piece)
+          // key: target chunk (frame included); payload: (z, yLo, xLo, h, w, bytes)
+          (tt, cc, gz / chunk(2), cy, cx, gz, yLo, xLo, h, w, piece)
         }
       }
     }
 
     // assemble each chunk from its plane pieces — the one shuffle
-    pieces.groupByKey { case (cc, cz, cy, cx, _, _, _, _, _, _) => (cc, cz, cy, cx) }
-      .mapGroups { (key: (Int, Int, Int, Int), it: Iterator[(Int, Int, Int, Int, Int, Int, Int, Int, Int, Array[Byte])]) =>
-        val (cc, cz, cy, cx) = key
-        val coords = Array(0L, cc.toLong, cz.toLong, cy.toLong, cx.toLong)
+    pieces.groupByKey { case (tt, cc, cz, cy, cx, _, _, _, _, _, _) => (tt, cc, cz, cy, cx) }
+      .mapGroups { (key: (Int, Int, Int, Int, Int), it: Iterator[(Int, Int, Int, Int, Int, Int, Int, Int, Int, Int, Array[Byte])]) =>
+        val (tt, cc, cz, cy, cx) = key
+        val coords = Array(tt.toLong, cc.toLong, cz.toLong, cy.toLong, cx.toLong)
         val cs = ChunkGrid.clampedChunkShape(coords, shape, chunk)
         val buf = new Array[Byte](cs.product * isz)
-        it.foreach { case (_, _, _, _, gz, yLo, xLo, h, w, piece) =>
+        it.foreach { case (_, _, _, _, _, gz, yLo, xLo, h, w, piece) =>
           val lz = gz - cz * chunk(2)
           var y = 0
           while (y < h) {
@@ -93,7 +95,7 @@ object CziSourceShuffled {
             y += 1
           }
         }
-        ZarrChunk(stack, 0, 0, cc, cz, cy, cx, cs, buf)
+        ZarrChunk(stack, 0, tt, cc, cz, cy, cx, cs, buf)
       }
   }
 }

@@ -64,9 +64,19 @@ object SyntheticCzi {
     * hook for the reader's axis-vocabulary handling. */
   def writeChannels(path: String, chans: Array[Array[Array[Array[Int]]]],
                     pixelType: Int = CziFormat.PixelGray16,
-                    extraDims: (Int, Int) => Seq[(String, Int, Int)] = (_, _) => Nil): Unit = {
-    val nc = chans.length
-    val data = chans(0)
+                    extraDims: (Int, Int) => Seq[(String, Int, Int)] = (_, _) => Nil): Unit =
+    writeTC(path, Array(chans), pixelType, (_, c, z) => extraDims(c, z))
+
+  /** Multi-timepoint, multi-channel variant: `data(t)(c)(z)(y)(x)`, one
+    * subblock per (timepoint, channel, z-slice), each carrying T and C
+    * dimension entries of span 1 (the ZISRAW norm — time series store one
+    * frame per subblock). */
+  def writeTC(path: String, frames: Array[Array[Array[Array[Array[Int]]]]],
+              pixelType: Int = CziFormat.PixelGray16,
+              extraDims: (Int, Int, Int) => Seq[(String, Int, Int)] = (_, _, _) => Nil): Unit = {
+    val nt = frames.length
+    val nc = frames(0).length
+    val data = frames(0)(0)
     val (nz, ny, nx) = (data.length, data(0).length, data(0)(0).length)
     val isz = CziFormat.bytesPerPixel(pixelType)
     val out = new DataOutputStream(new FileOutputStream(path))
@@ -81,10 +91,10 @@ object SyntheticCzi {
 
     // --- subblocks ---
     val entries = Seq.newBuilder[(Long, Int, Seq[(String, Int, Int)])]
-    for (c <- 0 until nc; z <- 0 until nz) {
+    for (t <- 0 until nt; c <- 0 until nc; z <- 0 until nz) {
       val slicePixels = new Array[Byte](ny * nx * isz)
       for (y <- 0 until ny; x <- 0 until nx) {
-        val v = chans(c)(z)(y)(x)
+        val v = frames(t)(c)(z)(y)(x)
         if (isz == 1) slicePixels(y * nx + x) = (v & 0xFF).toByte
         else {
           slicePixels(2 * (y * nx + x)) = (v & 0xFF).toByte
@@ -106,7 +116,12 @@ object SyntheticCzi {
           val hdr: Array[Byte] = if (hiLo) Array(3, 1, 1) else Array(1)
           hdr ++ body
       }
-      val dims = Seq(("X", 0, nx), ("Y", 0, ny), ("Z", z, 1), ("C", c, 1)) ++ extraDims(c, z)
+      // single-T files keep their historical dim list (no T entry): the
+      // reader squeezes the absent axis to extent [0, 1) either way, and
+      // existing fixtures stay byte-identical
+      val tDim = if (nt > 1) Seq(("T", t, 1)) else Nil
+      val dims = Seq(("X", 0, nx), ("Y", 0, ny), ("Z", z, 1), ("C", c, 1)) ++
+        tDim ++ extraDims(t, c, z)
       val entry = entryBytes(pixelType, pos, compression, dims)
       val headerSpace = math.max(256, 16 + entry.length)
       val used = headerSpace + payload.length

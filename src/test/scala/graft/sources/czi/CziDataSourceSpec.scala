@@ -53,6 +53,30 @@ class CziDataSourceSpec extends AnyFunSuite {
     assert(df.count() == 4) // the slab still cuts into 2x2 XY tiles
   }
 
+  test("t filters prune frame partitions on a multi-timepoint file") {
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    val dir = Files.createTempDirectory("czi-dsv2-t").toString
+    val path = s"$dir/mt.czi"
+    val frames = Array.tabulate(3, 2, 16, 32, 32)((t, c, z, y, x) =>
+      (SyntheticStack.value(z, y, x) + 3000 * t + 1000 * c) & 0xFFFF)
+    SyntheticCzi.writeTC(path, frames)
+    val df = spark.read.format("czi").option("path", path)
+      .option("chunk_z", "8").option("chunk_y", "16").option("chunk_x", "16")
+      .load()
+      .filter(col("t") === 2 && col("c") === 1)
+    val scan = df.queryExecution.executedPlan.collectFirst {
+      case b: BatchScanExec => b
+    }.get
+    // unpruned: 3 t x 2 c x 2 slabs = 12 partitions; t=2 && c=1 keeps 2
+    assert(scan.inputPartitions.size == 2, scan.inputPartitions)
+    val rows = df.collect()
+    assert(rows.length == 2 * 2 * 2) // slabs x gridY x gridX
+    val r = rows.find(r => r.getAs[Int]("z") == 0 && r.getAs[Int]("y") == 0 &&
+      r.getAs[Int]("x") == 0).get
+    val px = graft.core.PixelCodec.toInts(r.getAs[Array[Byte]]("data"))
+    assert(px(0) == ((SyntheticStack.value(0, 0, 0) + 3000 * 2 + 1000) & 0xFFFF))
+  }
+
   test("long-typed literals prune exactly like int literals") {
     import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
     val path = fixture()

@@ -70,15 +70,15 @@ class CziSpec extends AnyFunSuite {
     assert(eQ.getMessage.contains("Q"), eQ.getMessage)
   }
 
-  test("multi-timepoint CZI (T spanning > 1) is rejected, singleton T is fine") {
+  test("subblocks spanning several timepoints are rejected, singleton T squeezes") {
     val dir = Files.createTempDirectory("czi-taxis").toString
-    // timepoints alternate per z-slice: T spans [0, 2) — the slab kernel
-    // would fold both timepoints onto the same (z,y,x) and emit t=0
-    val pathT = s"$dir/t2.czi"
+    // a subblock claiming T size 2 would need a T-major de-interleave the
+    // placement kernel doesn't do — loud reject, never a silent fold
+    val pathT = s"$dir/tspan.czi"
     SyntheticCzi.writeChannels(pathT, Array(synth(8, 16, 16)),
-      extraDims = (_, z) => Seq(("T", z % 2, 1)))
+      extraDims = (_, _) => Seq(("T", 0, 2)))
     val eT = intercept[UnsupportedOperationException] { CziReader.index(pathT) }
-    assert(eT.getMessage.contains("'T'") && eT.getMessage.contains("[0, 2)"), eT.getMessage)
+    assert(eT.getMessage.contains("timepoints"), eT.getMessage)
 
     // an explicit singleton T entry squeezes away like the reference's pad
     val path1 = s"$dir/t1.czi"
@@ -86,6 +86,42 @@ class CziSpec extends AnyFunSuite {
       extraDims = (_, _) => Seq(("T", 0, 1)))
     val idx = CziReader.index(path1)
     assert(idx.shape.toSeq == Seq(1L, 1L, 4L, 8L, 8L))
+  }
+
+  test("multi-timepoint CZI: per-frame voxel-exact chunks, both scan variants") {
+    val dir = Files.createTempDirectory("czi-mt").toString
+    val path = s"$dir/mt.czi"
+    // frame (t, c) holds value(z,y,x) + 3000t + 1000c — catches any
+    // cross-frame mixup in either scan
+    val frames = Array.tabulate(2, 2, 10, 20, 20)((t, c, z, y, x) =>
+      (SyntheticStack.value(z, y, x) + 3000 * t + 1000 * c) & 0xFFFF)
+    SyntheticCzi.writeTC(path, frames)
+    val (vol, idx) = CziSource.volume(path, "mt", Array(8, 16, 16))
+    assert(vol.shape.toSeq == Seq(2, 2, 10, 20, 20))
+
+    val slab = CziSource.scan(spark, path, vol, idx).collect()
+    assert(slab.length == 2 * 2 * 2 * 2 * 2)
+    assert(slab.map(_.t).distinct.sorted.toSeq == Seq(0, 1))
+    slab.foreach { ck =>
+      val px = ck.pixels
+      val (sz, sy, sx) = (ck.shape(2), ck.shape(3), ck.shape(4))
+      for (z <- 0 until sz; y <- 0 until sy; x <- 0 until sx) {
+        val expect = (SyntheticStack.value(ck.z * 8 + z, ck.y * 16 + y, ck.x * 16 + x)
+          + 3000 * ck.t + 1000 * ck.c) & 0xFFFF
+        assert(px(z * sy * sx + y * sx + x) == expect,
+          s"chunk(t=${ck.t},c=${ck.c},${ck.z},${ck.y},${ck.x}) voxel($z,$y,$x)")
+      }
+    }
+
+    val byCoord = slab.map(c => ((c.t, c.c, c.z, c.y, c.x), c)).toMap
+    val shuffled = CziSourceShuffled.scan(spark, path, vol, idx).collect()
+    assert(shuffled.length == slab.length)
+    shuffled.foreach { ck =>
+      val ref = byCoord((ck.t, ck.c, ck.z, ck.y, ck.x))
+      assert(ck.shape.toSeq == ref.shape.toSeq)
+      assert(ck.data.sameElements(ref.data),
+        s"chunk t=${ck.t},c=${ck.c},${ck.z},${ck.y},${ck.x}")
+    }
   }
 
   test("zstd1 decode: plain header and hi-lo byte-packed payloads") {
