@@ -157,6 +157,36 @@ object ArrayOps {
         .orderBy(col("cc"), col("cz"), col("cy"), col("cx"))
     }),
 
+    // --- multi-timepoint CZI under the gate: 2 timepoints x 2 channels,
+    //     one task per (timepoint, channel, z-slab); the t=1 filter
+    //     prunes FRAME partitions (asserted in CziDataSourceSpec) and the
+    //     oracle recomputes the kept frame's chunk sums from arithmetic
+    //     (offsets 3000t + 1000c mod 65536) ---
+    "z10_czi_timeseries" -> ((s, _) => {
+      import s.implicits._
+      val dir = graft.Scratch.dir("czi-ts-q")
+      val path = s"$dir/ts.czi"
+      val frames = Array.tabulate(2, 2, 16, 32, 32)((t, c, z, y, x) =>
+        (SyntheticStack.value(z, y, x) + 3000 * t + 1000 * c) & 0xFFFF)
+      graft.sources.czi.SyntheticCzi.writeTC(path, frames)
+      s.read.format("czi")
+        .option("path", path)
+        .option("chunk_z", "8").option("chunk_y", "16").option("chunk_x", "16")
+        .load()
+        .filter(col("t") === 1)
+        .select(col("c"), col("z"), col("y"), col("x"), col("data"))
+        .as[(Int, Int, Int, Int, Array[Byte])]
+        .map { case (c, z, y, x, data) =>
+          val px = graft.core.PixelCodec.toInts(data)
+          var sum = 0L
+          var i = 0
+          while (i < px.length) { sum += px(i); i += 1 }
+          (c.toLong, z.toLong, y.toLong, x.toLong, sum, px.length.toLong)
+        }
+        .toDF("cc", "cz", "cy", "cx", "sum_v", "n_voxels")
+        .orderBy(col("cc"), col("cz"), col("cy"), col("cx"))
+    }),
+
     // --- the CZI connector as a first-class source: format("czi") with
     //     channel/slab PARTITION pruning (the c=1 filter plans only that
     //     channel's slabs — asserted in CziDataSourceSpec), same chunk
@@ -304,6 +334,19 @@ object ArrayOps {
         |         (31 * (range // 1600) + 17 * ((range // 40) % 40) + 13 * (range % 40)
         |          + 1000 * c.c) % 65536 AS v
         |  FROM range(38400), (SELECT unnest(generate_series(0, 1)) AS c) c
+        |)
+        |SELECT cc, z // 8 AS cz, y // 16 AS cy, x // 16 AS cx,
+        |       CAST(sum(v) AS BIGINT) AS sum_v, count(*) AS n_voxels
+        |FROM l0 GROUP BY 1, 2, 3, 4
+        |ORDER BY cc, cz, cy, cx""".stripMargin,
+
+    // t=1 kept: per-voxel value (31z + 17y + 13x + 3000 + 1000c) mod 65536
+    "z10_czi_timeseries" ->
+      """WITH l0 AS (
+        |  SELECT c.c AS cc, range // 1024 AS z, (range // 32) % 32 AS y, range % 32 AS x,
+        |         (31 * (range // 1024) + 17 * ((range // 32) % 32) + 13 * (range % 32)
+        |          + 3000 + 1000 * c.c) % 65536 AS v
+        |  FROM range(16384), (SELECT unnest(generate_series(0, 1)) AS c) c
         |)
         |SELECT cc, z // 8 AS cz, y // 16 AS cy, x // 16 AS cx,
         |       CAST(sum(v) AS BIGINT) AS sum_v, count(*) AS n_voxels
