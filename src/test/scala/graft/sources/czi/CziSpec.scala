@@ -249,6 +249,36 @@ class CziSpec extends AnyFunSuite {
     }
   }
 
+  test("multi-timepoint CZI end-to-end: per-frame pyramid and zarr") {
+    val root = Files.createTempDirectory("czi-mt-e2e").toString
+    val frames = Array.tabulate(2, 2, 16, 16, 16)((t, c, z, y, x) =>
+      (SyntheticStack.value(z, y, x) + 3000 * t + 1000 * c) & 0xFFFF)
+    SyntheticCzi.writeTC(s"$root/mt.czi", frames)
+    val settings = ZeissJob.Settings(
+      inputSource = root, outputDirectory = s"$root/out",
+      chunkSize = Array(8, 8, 8), downsampleLevels = 2)
+    val vol = ZeissJob.convertStack(spark, s"$root/mt.czi", s"$root/out",
+      settings, Seq(1.0, 1.0, 1.0))
+    assert(vol.shape.toSeq == Seq(2, 2, 16, 16, 16))
+
+    // level 1: halved per (t, c) frame, values = per-frame 2x2x2 means
+    val l1 = ZarrIO.readChunks(spark, s"$root/out", "mt", 1).collect()
+    assert(l1.map(ck => (ck.t, ck.c)).distinct.sorted.toSeq ==
+      Seq((0, 0), (0, 1), (1, 0), (1, 1)))
+    l1.foreach { ck =>
+      val px = ck.pixels
+      val (sz, sy, sx) = (ck.shape(2), ck.shape(3), ck.shape(4))
+      for (z <- 0 until sz; y <- 0 until sy; x <- 0 until sx) {
+        var sum = 0L
+        for (dz <- 0 until 2; dy <- 0 until 2; dx <- 0 until 2)
+          sum += (SyntheticStack.value((ck.z * 8 + z) * 2 + dz, (ck.y * 8 + y) * 2 + dy,
+            (ck.x * 8 + x) * 2 + dx) + 3000 * ck.t + 1000 * ck.c) & 0xFFFF
+        assert(px(z * sy * sx + y * sx + x) == (sum / 8).toInt,
+          s"t=${ck.t} c=${ck.c} chunk(${ck.z},${ck.y},${ck.x}) voxel($z,$y,$x)")
+      }
+    }
+  }
+
   test("end-to-end ZeissJob: SPIM discovery -> CZI -> multiscale zarr") {
     val root = Files.createTempDirectory("zeiss").toString
     val spim = new java.io.File(s"$root/in/SPIM"); spim.mkdirs()
