@@ -30,6 +30,8 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
+  // The heavyweights get their own test case (failure isolation); the
+  // whole remaining gate surface runs in one sweep below.
   private val representative = Seq(
     "q1_agg",              // decimal aggregate over the fact table
     "d2_ngram_jaccard",    // bucket-explode pair generation
@@ -48,4 +50,15 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     test(s"$name: identical results under 3 vs 17 shuffle partitions") {
       assert(rows(name, 3) == rows(name, 17))
     }
+
+  test("every other gate query is partition-invariant at sf0.001") {
+    // approx_stats is the one intentionally engine-approximate query
+    // (rows-only gate downstream for the same reason)
+    val rest = SparkEntry.queries.keySet -- representative - "approx_stats"
+    val broken = rest.toSeq.sorted.flatMap { name =>
+      try if (rows(name, 3) == rows(name, 17)) None else Some(s"$name: results differ")
+      catch { case e: Throwable => Some(s"$name: ${e.getMessage.take(120)}") }
+    }
+    assert(broken.isEmpty, broken.mkString("\n"))
+  }
 }
