@@ -95,10 +95,18 @@ object SyntheticCzi {
       val slicePixels = new Array[Byte](ny * nx * isz)
       for (y <- 0 until ny; x <- 0 until nx) {
         val v = frames(t)(c)(z)(y)(x)
-        if (isz == 1) slicePixels(y * nx + x) = (v & 0xFF).toByte
-        else {
-          slicePixels(2 * (y * nx + x)) = (v & 0xFF).toByte
-          slicePixels(2 * (y * nx + x) + 1) = ((v >>> 8) & 0xFF).toByte
+        isz match {
+          case 1 => slicePixels(y * nx + x) = (v & 0xFF).toByte
+          case 2 =>
+            slicePixels(2 * (y * nx + x)) = (v & 0xFF).toByte
+            slicePixels(2 * (y * nx + x) + 1) = ((v >>> 8) & 0xFF).toByte
+          case 4 => // Gray32Float: the int fixture value, as an LE float
+            val bits = java.lang.Float.floatToIntBits(v.toFloat)
+            var b = 0
+            while (b < 4) {
+              slicePixels(4 * (y * nx + x) + b) = ((bits >>> (8 * b)) & 0xFF).toByte
+              b += 1
+            }
         }
       }
       val compression = z % 4 match {

@@ -401,6 +401,24 @@ class CziSpec extends AnyFunSuite {
     assert(PixelCodec.u8ToInts(c0.data)(0) == (sum / 8).toInt)
   }
 
+  test("Gray32Float CZI: float voxels voxel-exact through the scan") {
+    val dir = Files.createTempDirectory("czi-f32").toString
+    val path = s"$dir/f32.czi"
+    SyntheticCzi.write(path, synth(8, 16, 16), CziFormat.PixelGray32Float)
+    val (vol, idx) = CziSource.volume(path, "f32", Array(4, 8, 8))
+    assert(vol.dtype == graft.core.PixelDtype.F32)
+    val chunks = CziSource.scan(spark, path, vol, idx).collect()
+    assert(chunks.length == 2 * 2 * 2)
+    chunks.foreach { ck =>
+      val px = graft.core.PixelCodec.f32ToFloats(ck.data)
+      val (sz, sy, sx) = (ck.shape(2), ck.shape(3), ck.shape(4))
+      for (z <- 0 until sz; y <- 0 until sy; x <- 0 until sx)
+        assert(px(z * sy * sx + y * sx + x) ==
+          SyntheticStack.value(ck.z * 4 + z, ck.y * 8 + y, ck.x * 8 + x).toFloat,
+          s"chunk(${ck.z},${ck.y},${ck.x}) voxel($z,$y,$x)")
+    }
+  }
+
   test("decode rejects unsupported compression") {
     val e = CziFormat.SubBlockEntry(0L, CziFormat.PixelGray16, CziFormat.CompressionJpgXr,
       Map("X" -> CziFormat.DimEntry("X", 0, 2, 2)))
