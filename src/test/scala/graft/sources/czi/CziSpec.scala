@@ -417,6 +417,27 @@ class CziSpec extends AnyFunSuite {
           SyntheticStack.value(ck.z * 4 + z, ck.y * 8 + y, ck.x * 8 + x).toFloat,
           s"chunk(${ck.z},${ck.y},${ck.x}) voxel($z,$y,$x)")
     }
+
+    // end-to-end: float pyramid level 1 = double-accumulated 2x2x2 means
+    val out = s"$dir/out"
+    val settings = ZeissJob.Settings(
+      inputSource = dir, outputDirectory = out,
+      chunkSize = Array(4, 8, 8), downsampleLevels = 2)
+    ZeissJob.convertStack(spark, path, out, settings, Seq(1.0, 1.0, 1.0))
+    val l1 = ZarrIO.readChunks(spark, out, "f32", 1).collect()
+    assert(l1.nonEmpty)
+    l1.foreach { ck =>
+      val px = graft.core.PixelCodec.f32ToFloats(ck.data)
+      val (sz, sy, sx) = (ck.shape(2), ck.shape(3), ck.shape(4))
+      for (z <- 0 until sz; y <- 0 until sy; x <- 0 until sx) {
+        var sum = 0.0
+        for (dz <- 0 until 2; dy <- 0 until 2; dx <- 0 until 2)
+          sum += SyntheticStack.value((ck.z * 4 + z) * 2 + dz, (ck.y * 8 + y) * 2 + dy,
+            (ck.x * 8 + x) * 2 + dx).toFloat
+        assert(px(z * sy * sx + y * sx + x) == (sum / 8).toFloat,
+          s"l1 chunk(${ck.z},${ck.y},${ck.x}) voxel($z,$y,$x)")
+      }
+    }
   }
 
   test("decode rejects unsupported compression") {
