@@ -125,6 +125,38 @@ object DedupOps {
         .orderBy(col("source"))
     }),
 
+    // --- exact substring-window dedup (the practical fixed-length form
+    //     of suffix-array exact-substring dedup): every 40-char window,
+    //     stride 1, keyed by its md5-derived 60-bit hash; a window is
+    //     duplicated when >= 2 DISTINCT docs contain it, and each doc
+    //     reports how much of it is covered by cross-document repeats.
+    //     Character windows catch verbatim reuse that word-shingle
+    //     Jaccard blurs (partial sentences, templated spans). Scale
+    //     shape: the window explode is map-side; one distinct + one
+    //     doc-frequency aggregate on the 60-bit key; the duplicated-key
+    //     set joins back by hash — never a doc-to-doc comparison. The
+    //     d7-style frequency cap is the standing skew lever for
+    //     boilerplate-heavy corpora. ---
+    "d14_substring_windows" -> ((s, dir) => {
+      val L = 40
+      val win = docs(s, dir).filter(length(col("text")) >= L)
+        .select(col("doc_id"), explode(expr(
+          s"transform(sequence(1, length(text) - ${L - 1}), i -> substring(text, i, $L))"))
+          .as("w"))
+        .select(col("doc_id"),
+          expr("CAST(conv(substr(md5(w), 1, 15), 16, 10) AS BIGINT)").as("h"))
+      val dup = win.select(col("doc_id"), col("h")).distinct()
+        .groupBy(col("h")).agg(count(lit(1)).as("df"))
+        .filter(col("df") >= 2).select(col("h"))
+      val per = win.groupBy(col("doc_id")).agg(count(lit(1)).as("n_windows"))
+      val hit = win.join(dup, Seq("h"))
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_dup"))
+      per.join(hit, Seq("doc_id"))
+        .select(col("doc_id"), col("n_windows"), col("n_dup"),
+          round(col("n_dup") / col("n_windows"), 6).as("dup_frac"))
+        .orderBy(col("doc_id"))
+    }),
+
     // --- exact dedup: content-hash groups + survivor stats per source ---
     "d1_dedup_exact" -> ((s, dir) => {
       docs(s, dir)
@@ -440,6 +472,20 @@ object DedupOps {
          |       AS BIGINT) AS chars_flagged
          |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
          |GROUP BY d.source ORDER BY d.source""".stripMargin,
+
+    "d14_substring_windows" ->
+      """WITH w AS (
+        |  SELECT doc_id, ('0x' || substr(md5(substr(text, i, 40)), 1, 15))::BIGINT AS h
+        |  FROM documents, LATERAL (SELECT unnest(generate_series(1, len(text) - 39)) AS i) u
+        |  WHERE len(text) >= 40),
+        |dw AS (SELECT DISTINCT doc_id, h FROM w),
+        |dup AS (SELECT h FROM (SELECT h, count(*) AS df FROM dw GROUP BY h) t WHERE df >= 2),
+        |per AS (SELECT doc_id, count(*) AS n_windows FROM w GROUP BY doc_id),
+        |hit AS (SELECT w.doc_id, count(*) AS n_dup FROM w JOIN dup USING (h) GROUP BY w.doc_id)
+        |SELECT per.doc_id, per.n_windows, hit.n_dup,
+        |       round(hit.n_dup * 1.0 / per.n_windows, 6) AS dup_frac
+        |FROM per JOIN hit USING (doc_id)
+        |ORDER BY per.doc_id""".stripMargin,
 
     "d1_dedup_exact" ->
       """SELECT source, count(*) AS n_docs,
