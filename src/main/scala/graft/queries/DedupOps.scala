@@ -145,6 +145,7 @@ object DedupOps {
           .as("w"))
         .select(col("doc_id"),
           expr("CAST(conv(substr(md5(w), 1, 15), 16, 10) AS BIGINT)").as("h"))
+        .cache() // referenced by three branches (per/dup/hit), like `sh`
       val dup = win.select(col("doc_id"), col("h")).distinct()
         .groupBy(col("h")).agg(count(lit(1)).as("df"))
         .filter(col("df") >= 2).select(col("h"))
