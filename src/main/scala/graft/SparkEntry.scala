@@ -11,7 +11,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object SparkEntry {
 
-  private def packs: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
+  private[graft] def packs: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
     Seq(
       (graft.queries.Relational.queries, graft.queries.Relational.oracles),
       (graft.queries.Relational2.queries, graft.queries.Relational2.oracles),
