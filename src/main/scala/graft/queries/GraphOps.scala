@@ -101,6 +101,34 @@ object GraphOps {
         .select(col("node").as("s_suppkey"), col("deg"), col("r").as("pr"))
         .orderBy(col("pr").desc, col("s_suppkey"))
         .limit(20)
+    }),
+
+    // --- weighted co-supply edges: top-20 supplier pairs by number of
+    //     shared parts, with nation names. Same bounded-key pair join as
+    //     g1 but keeping multiplicities (groupBy replaces distinct); the
+    //     part-key subset is the d7-style cost cap. Suppliers/nations are
+    //     classic broadcast dims; the top-k is a deterministic
+    //     TakeOrderedAndProject (ties break on the pair), never a global
+    //     sort. ---
+    "g2_edge_weights" -> ((s, dir) => {
+      val ps = t(s, dir, "lineitem")
+        .filter(col("l_partkey") < 5000)
+        .select(col("l_partkey").as("p"), col("l_suppkey").as("sk"))
+        .distinct()
+      val w = ps.as("a").join(ps.as("b"),
+          col("a.p") === col("b.p") && col("a.sk") < col("b.sk"))
+        .groupBy(col("a.sk").as("s1"), col("b.sk").as("s2"))
+        .agg(count(lit(1)).as("shared_parts"))
+      val sup = t(s, dir, "supplier").select(col("s_suppkey"), col("s_nationkey"))
+      val nat = t(s, dir, "nation").select(col("n_nationkey"), col("n_name"))
+      w.join(broadcast(sup.as("u1")), col("s1") === col("u1.s_suppkey"))
+        .join(broadcast(nat.as("m1")), col("u1.s_nationkey") === col("m1.n_nationkey"))
+        .join(broadcast(sup.as("u2")), col("s2") === col("u2.s_suppkey"))
+        .join(broadcast(nat.as("m2")), col("u2.s_nationkey") === col("m2.n_nationkey"))
+        .select(col("s1"), col("s2"), col("shared_parts"),
+          col("m1.n_name").as("nation1"), col("m2.n_name").as("nation2"))
+        .orderBy(col("shared_parts").desc, col("s1"), col("s2"))
+        .limit(20)
     })
   )
 
@@ -126,6 +154,18 @@ object GraphOps {
          |$prIters
          |SELECT r5.node AS s_suppkey, deg.deg, r5.r AS pr
          |FROM r5 JOIN deg ON r5.node = deg.node
-         |ORDER BY pr DESC, s_suppkey LIMIT 20""".stripMargin
+         |ORDER BY pr DESC, s_suppkey LIMIT 20""".stripMargin,
+
+    "g2_edge_weights" ->
+      """WITH ps AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS sk
+        |            FROM lineitem WHERE l_partkey < 5000),
+        |w AS (SELECT a.sk AS s1, b.sk AS s2, CAST(count(*) AS BIGINT) AS shared_parts
+        |      FROM ps a JOIN ps b ON a.p = b.p AND a.sk < b.sk GROUP BY 1, 2)
+        |SELECT s1, s2, shared_parts, n1.n_name AS nation1, n2.n_name AS nation2
+        |FROM w JOIN supplier u1 ON s1 = u1.s_suppkey
+        |       JOIN nation n1 ON u1.s_nationkey = n1.n_nationkey
+        |       JOIN supplier u2 ON s2 = u2.s_suppkey
+        |       JOIN nation n2 ON u2.s_nationkey = n2.n_nationkey
+        |ORDER BY shared_parts DESC, s1, s2 LIMIT 20""".stripMargin
   )
 }
