@@ -79,6 +79,31 @@ object SimilarityOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // --- exact cosine top-3 neighbors for 5 query vectors ---
+    // --- filtered vector search (PRE-filtering): top-3 neighbors among
+    //     only the vectors satisfying a metadata predicate (label = 3,
+    //     ~5% selective). The predicate applies BEFORE scoring — always
+    //     exactly k results when k exist, unlike post-filtering a top-k'
+    //     — and lands in the parquet scan as a pushed filter, so the
+    //     engine reads only the eligible slice. In a dedicated vector
+    //     store, composing filters with the index is the hard case;
+    //     in a relational plan it is one Filter node ahead of the
+    //     broadcast scoring join. ---
+    "v12_filtered_topk" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = withNorm(emb(s, dir).filter(col("label") === 3))
+        .select(col("vec_id").as("eid"), col("embedding").as("ee"), col("nrm").as("en"))
+      val q = withNorm(emb(s, dir).filter(col("vec_id") < 5))
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("nrm").as("qn"))
+      val scored = broadcast(q).join(e, col("qid") =!= col("eid"))
+        .select(col("qid"), col("eid"),
+          (dot("qe", "ee") / (col("qn") * col("en"))).as("cos_raw"))
+      val w = Window.partitionBy(col("qid")).orderBy(round(col("cos_raw"), 6).desc, col("eid"))
+      scored.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("qid"), col("eid"), round(col("cos_raw"), 6).as("cos"), col("rk"))
+        .orderBy(col("qid"), col("rk"))
+    }),
+
     "v1_cosine_topk" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val e = withNorm(emb(s, dir))
@@ -531,6 +556,22 @@ object SimilarityOps {
         |FROM a1 LEFT JOIN drp
         |  ON a1.cell = drp.cell AND a1.vec_id = drp.vec_id
         |GROUP BY a1.cell ORDER BY a1.cell""".stripMargin,
+
+    "v12_filtered_topk" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5),
+        |f AS (SELECT vec_id, embedding FROM embeddings WHERE label = 3),
+        |scored AS (
+        |  SELECT q.qid, e.vec_id AS eid,
+        |    list_dot_product(CAST(q.qe AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) /
+        |      (sqrt(list_dot_product(CAST(q.qe AS DOUBLE[]), CAST(q.qe AS DOUBLE[]))) *
+        |       sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))) AS cos_raw
+        |  FROM q, f e WHERE e.vec_id != q.qid),
+        |ranked AS (
+        |  SELECT qid, eid, round(cos_raw, 6) AS cos,
+        |    row_number() OVER (PARTITION BY qid ORDER BY round(cos_raw, 6) DESC, eid) AS rk
+        |  FROM scored)
+        |SELECT qid, eid, cos, rk FROM ranked WHERE rk <= 3
+        |ORDER BY qid, rk""".stripMargin,
 
     "v1_cosine_topk" ->
       """WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5),
