@@ -151,6 +151,20 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("v12: the metadata predicate reaches the parquet scan before scoring") {
+    val p = plan("v12_filtered_topk")
+    assert(p.contains("EqualTo(label,3)"), p)
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("d14/g2: window and pair aggregates stay equi-join/broadcast, no cartesian") {
+    for (q <- Seq("d14_substring_windows", "g2_edge_weights")) {
+      val p = plan(q)
+      assert(!p.toLowerCase.contains("cartesianproduct"), s"$q: $p")
+    }
+    assert(plan("g2_edge_weights").contains("TakeOrderedAndProject"))
+  }
+
   test("generator expressions are never duplicated into inferred filters") {
     // InferFiltersFromGenerate copies the explode's child expression into a
     // Filter (IsNotNull && size > 0); with computed higher-order generators
