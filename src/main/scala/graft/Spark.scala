@@ -19,7 +19,7 @@ object Spark {
       // conf). This library's gate surface alone compiles ~400+ codegen
       // stages; at the default size every bench/verify pass thrashes the
       // cache and re-runs Janino per query — measured ~2x inflation on
-      // the dedup family inside the full 103-query run vs in isolation.
+      // the dedup family inside the full gate-surface run vs in isolation.
       // Generated classes are tiny; 10k entries is still a bounded cache.
       .config("spark.sql.codegen.cache.maxEntries", "10000")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

@@ -152,7 +152,12 @@ object DedupOps {
       val per = win.groupBy(col("doc_id")).agg(count(lit(1)).as("n_windows"))
       val hit = win.join(dup, Seq("h"))
         .groupBy(col("doc_id")).agg(count(lit(1)).as("n_dup"))
-      per.join(hit, Seq("doc_id"))
+      // LEFT join (d13 precedent): clean documents report n_dup = 0
+      // rather than vanishing — corpus-level statistics over this output
+      // must see every doc that has windows at all
+      per.join(hit, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_windows"),
+          coalesce(col("n_dup"), lit(0L)).as("n_dup"))
         .select(col("doc_id"), col("n_windows"), col("n_dup"),
           round(col("n_dup") / col("n_windows"), 6).as("dup_frac"))
         .orderBy(col("doc_id"))
@@ -483,9 +488,10 @@ object DedupOps {
         |dup AS (SELECT h FROM (SELECT h, count(*) AS df FROM dw GROUP BY h) t WHERE df >= 2),
         |per AS (SELECT doc_id, count(*) AS n_windows FROM w GROUP BY doc_id),
         |hit AS (SELECT w.doc_id, count(*) AS n_dup FROM w JOIN dup USING (h) GROUP BY w.doc_id)
-        |SELECT per.doc_id, per.n_windows, hit.n_dup,
-        |       round(hit.n_dup * 1.0 / per.n_windows, 6) AS dup_frac
-        |FROM per JOIN hit USING (doc_id)
+        |SELECT per.doc_id, per.n_windows,
+        |       CAST(COALESCE(hit.n_dup, 0) AS BIGINT) AS n_dup,
+        |       round(COALESCE(hit.n_dup, 0) * 1.0 / per.n_windows, 6) AS dup_frac
+        |FROM per LEFT JOIN hit USING (doc_id)
         |ORDER BY per.doc_id""".stripMargin,
 
     "d1_dedup_exact" ->

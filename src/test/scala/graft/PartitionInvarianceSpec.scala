@@ -57,7 +57,7 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     val rest = SparkEntry.queries.keySet -- representative - "approx_stats"
     val broken = rest.toSeq.sorted.flatMap { name =>
       try if (rows(name, 3) == rows(name, 17)) None else Some(s"$name: results differ")
-      catch { case e: Throwable => Some(s"$name: ${e.getMessage.take(120)}") }
+      catch { case e: Throwable => Some(s"$name: ${String.valueOf(e.getMessage).take(120)}") }
     }
     assert(broken.isEmpty, broken.mkString("\n"))
   }
