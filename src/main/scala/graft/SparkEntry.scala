@@ -21,6 +21,7 @@ object SparkEntry {
       (graft.queries.SimilarityOps.queries, graft.queries.SimilarityOps.oracles),
       (graft.queries.EventOps.queries, graft.queries.EventOps.oracles),
       (graft.queries.GraphOps.queries, graft.queries.GraphOps.oracles),
+      (graft.queries.ClusterOps.queries, graft.queries.ClusterOps.oracles),
       (graft.queries.MediaQueries.queries, graft.queries.MediaQueries.oracles)
     )
 

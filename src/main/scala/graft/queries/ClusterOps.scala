@@ -1,0 +1,166 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Clustering over the `embeddings` table — the model-state-is-small,
+  * corpus-is-huge iteration pattern (k-means for data curation: SemDeDup
+  * partitions, domain discovery, diversity sampling all start from a
+  * k-means pass over document embeddings).
+  *
+  * Everything is EXACT integer/IEEE-pinned arithmetic so a distributed
+  * run hash-matches the single-threaded SQL oracle:
+  *   - vectors quantize once to 1e6-scaled BIGINT components
+  *     (`floor(x*1e6 + 0.5)` — the same double multiply+floor on both
+  *     engines);
+  *   - distances are integer sums of squares (max |q| ~ 6e5 ->
+  *     64 * (1.2e6)^2 ~ 9e13, comfortably in 64 bits);
+  *   - centroid updates divide the exact integer component sum by the
+  *     member count in DOUBLE (sums < 2^53, so the division is the same
+  *     IEEE op in both engines) and round back to the integer grid;
+  *   - seeds are the K smallest md5(vec_id) — no RNG anywhere.
+  *
+  * Scale shape (100 TB): the model (K x 64 longs) rides in a single
+  * broadcast row; assignment is a ROW-LOCAL argmin over the broadcast
+  * centroid array (`array_min` over struct(dist, cid) — lexicographic
+  * struct ordering gives the deterministic tiebreak), so the corpus is
+  * scanned once per iteration and NEVER shuffled by key; the update
+  * aggregate explodes to (cid, dim) keys — at most K*64 = 512 groups, so
+  * map-side partial aggregation reduces each task's output to the model
+  * size. Per iteration: one scan, one tiny exchange. That is the textbook
+  * distributed Lloyd step (MLlib's KMeans has the same dataflow, with
+  * float accumulation this gate could not hash-check).
+  */
+object ClusterOps {
+
+  /** DuckDB SQL for Lloyd iteration k: distances to c{k-1}, argmin
+    * assignment, per-(cid,dim) integer mean, empty clusters keep their
+    * previous centroid. */
+  private def kmIter(k: Int): String =
+    s"""d$k AS (
+       |  SELECT q.vec_id, c.cid,
+       |    sum((q.qv[u.i+1] - c.cv[u.i+1]) * (q.qv[u.i+1] - c.cv[u.i+1])) AS dist
+       |  FROM q, c${k - 1} c, LATERAL (SELECT unnest(generate_series(0, 63)) AS i) u
+       |  GROUP BY q.vec_id, c.cid),
+       |a$k AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT vec_id, cid,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rk
+       |    FROM d$k) WHERE rk = 1),
+       |s$k AS (
+       |  SELECT a.cid, u.i AS pos,
+       |    CAST(floor(CAST(sum(q.qv[u.i+1]) AS DOUBLE) / count(*) + 0.5) AS BIGINT) AS cvi
+       |  FROM a$k a JOIN q ON a.vec_id = q.vec_id,
+       |    LATERAL (SELECT unnest(generate_series(0, 63)) AS i) u
+       |  GROUP BY a.cid, u.i),
+       |c$k AS (
+       |  SELECT c.cid, CASE WHEN u.cid IS NULL THEN c.cv ELSE u.cv END AS cv
+       |  FROM c${k - 1} c LEFT JOIN
+       |    (SELECT cid, list(cvi ORDER BY pos) AS cv FROM s$k GROUP BY cid) u
+       |    ON c.cid = u.cid)""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // --- k-means (K=8, 3 Lloyd iterations) over the embedding corpus:
+    //     cluster sizes, first centroid component, centroid component
+    //     sum, and within-cluster inertia after the final assignment.
+    //     Integer-exact end to end (see object doc) so the distributed
+    //     run hash-matches DuckDB's unrolled-CTE oracle. ---
+    "c1_kmeans" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = Tables.load(s, dir, "embeddings")
+      // quantize once; eager checkpoint — seeds + 4 assignment scans all
+      // read this leaf instead of re-decoding the parquet floats
+      val q = e.select(col("vec_id"),
+          expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT))")
+            .as("qv"))
+        .localCheckpoint(true)
+      // deterministic seeds: the 8 smallest md5(vec_id); cid = md5 rank
+      val seeds = q
+        .select(col("vec_id"), col("qv"), md5(col("vec_id").cast("string")).as("h"))
+        .orderBy(col("h"), col("vec_id")).limit(8)
+      var cent = seeds
+        .withColumn("cid",
+          (row_number().over(Window.orderBy(col("h"), col("vec_id"))) - 1).cast("long"))
+        .select(col("cid"), col("qv").as("cv"))
+        .localCheckpoint(true)
+      // the whole model as ONE broadcast row: assignment becomes a
+      // row-local argmin (no n x K explode, no exchange); struct
+      // ordering (dist, cid) is the deterministic tiebreak
+      def assign(c: DataFrame): DataFrame = {
+        val cmat = c.agg(expr("array_sort(collect_list(struct(cid, cv)))").as("cs"))
+        q.crossJoin(broadcast(cmat))
+          .select(col("vec_id"), col("qv"), expr(
+            "array_min(transform(cs, c -> struct(" +
+              "aggregate(sequence(0, 63), CAST(0 AS BIGINT)," +
+              " (acc, i) -> acc + (qv[i] - c.cv[i]) * (qv[i] - c.cv[i])) AS dist," +
+              " c.cid AS cid)))").as("m"))
+          .select(col("vec_id"), col("qv"),
+            col("m.cid").as("cid"), col("m.dist").as("dist"))
+      }
+      for (_ <- 1 to 3) {
+        // per-(cid, dim) exact integer sums -> <= K*64 groups; map-side
+        // partials shrink each task's contribution to model size
+        val sums = assign(cent)
+          .select(col("cid"), posexplode(col("qv")).as(Seq("pos", "v")))
+          .groupBy(col("cid"), col("pos"))
+          .agg(expr("CAST(floor(CAST(sum(v) AS DOUBLE) / count(1) + 0.5) AS BIGINT)").as("cvi"))
+        val upd = sums.groupBy(col("cid"))
+          .agg(expr("transform(array_sort(collect_list(struct(pos, cvi))), x -> x.cvi)").as("ncv"))
+        cent = cent.join(upd, Seq("cid"), "left")
+          .select(col("cid"), coalesce(col("ncv"), col("cv")).as("cv"))
+          .localCheckpoint(false)
+      }
+      val fin = assign(cent)
+        .groupBy(col("cid"))
+        .agg(count(lit(1)).as("n_members"), sum(col("dist")).as("inertia"))
+      cent.join(fin, Seq("cid"), "left")
+        .select(col("cid"),
+          coalesce(col("n_members"), lit(0L)).as("n_members"),
+          expr("cv[0]").as("c_first"),
+          expr("CAST(aggregate(cv, CAST(0 AS BIGINT), (acc, x) -> acc + x) AS BIGINT)").as("c_sum"),
+          coalesce(col("inertia"), lit(0L)).as("inertia"))
+        .orderBy(col("cid"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "c1_kmeans" ->
+      s"""WITH q AS (
+         |  SELECT vec_id,
+         |    list_transform(CAST(embedding AS DOUBLE[]),
+         |      x -> CAST(floor(x * 1000000 + 0.5) AS BIGINT)) AS qv
+         |  FROM embeddings),
+         |seeds AS (
+         |  SELECT vec_id, qv, md5(CAST(vec_id AS VARCHAR)) AS h
+         |  FROM q ORDER BY h, vec_id LIMIT 8),
+         |c0 AS (
+         |  SELECT row_number() OVER (ORDER BY h, vec_id) - 1 AS cid, qv AS cv
+         |  FROM seeds),
+         |${kmIter(1)},
+         |${kmIter(2)},
+         |${kmIter(3)},
+         |d4 AS (
+         |  SELECT q.vec_id, c.cid,
+         |    sum((q.qv[u.i+1] - c.cv[u.i+1]) * (q.qv[u.i+1] - c.cv[u.i+1])) AS dist
+         |  FROM q, c3 c, LATERAL (SELECT unnest(generate_series(0, 63)) AS i) u
+         |  GROUP BY q.vec_id, c.cid),
+         |a4 AS (
+         |  SELECT vec_id, cid, dist FROM (
+         |    SELECT vec_id, cid, dist,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rk
+         |    FROM d4) WHERE rk = 1),
+         |fin AS (
+         |  SELECT cid, CAST(count(*) AS BIGINT) AS n_members,
+         |    CAST(sum(dist) AS BIGINT) AS inertia
+         |  FROM a4 GROUP BY cid)
+         |SELECT c.cid, COALESCE(fin.n_members, 0) AS n_members,
+         |  c.cv[1] AS c_first,
+         |  CAST(list_sum(c.cv) AS BIGINT) AS c_sum,
+         |  COALESCE(fin.inertia, 0) AS inertia
+         |FROM c3 c LEFT JOIN fin ON c.cid = fin.cid
+         |ORDER BY c.cid""".stripMargin
+  )
+}

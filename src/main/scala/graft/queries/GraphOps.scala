@@ -135,6 +135,54 @@ object GraphOps {
           col("m1.n_name").as("nation1"), col("m2.n_name").as("nation2"))
         .orderBy(col("shared_parts").desc, col("s1"), col("s2"))
         .limit(20)
+    }),
+
+    // --- triangle counting over the part co-purchase graph (parts are
+    //     linked iff they appear in the same order): top-10 parts by
+    //     triangle participation. The graph is genuinely sparse (~48k
+    //     edges over ~4k nodes at sf0.1), unlike the near-complete
+    //     co-supply graph. Scale shape: edges are DEGREE-ORIENTED (each
+    //     edge points from its lower-(degree, id) endpoint), which bounds
+    //     every node's out-degree by O(sqrt(m)) — the classical bound
+    //     that keeps the wedge join's output near m^1.5 instead of
+    //     sum(deg^2) on skewed graphs. Wedges close against the
+    //     canonical edge list via one equi-join; per-node counts are
+    //     orientation-independent, so the oracle can use the simpler
+    //     id-orientation and still match exactly. ---
+    "g3_triangles" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .filter(col("l_partkey") < 4000)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+      // canonical undirected edges (p1 < p2); eager checkpoint — the
+      // orientation join and the closing join both read it
+      val e = li.as("a").join(li.as("b"),
+          col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+        .select(col("a.p").as("p1"), col("b.p").as("p2"))
+        .distinct()
+        .localCheckpoint(true)
+      val deg = e.select(col("p1").as("n")).union(e.select(col("p2").as("n")))
+        .groupBy(col("n")).agg(count(lit(1)).as("dg"))
+      val lower = struct(col("g1.dg"), col("p1")) < struct(col("g2.dg"), col("p2"))
+      val d = e.join(deg.as("g1"), col("p1") === col("g1.n"))
+        .join(deg.as("g2"), col("p2") === col("g2.n"))
+        .select(when(lower, col("p1")).otherwise(col("p2")).as("src"),
+          when(lower, col("p2")).otherwise(col("p1")).as("dst"))
+        .localCheckpoint(true)
+      // wedges at the low-order endpoint; (b, c) is already canonical
+      // (b < c), so the closing test is one equi-join against e
+      val tri = d.as("e1").join(d.as("e2"),
+          col("e1.src") === col("e2.src") && col("e1.dst") < col("e2.dst"))
+        .select(col("e1.src").as("ta"), col("e1.dst").as("tb"), col("e2.dst").as("tc"))
+        .join(e, col("tb") === col("p1") && col("tc") === col("p2"))
+        .select(col("ta"), col("tb"), col("tc"))
+      tri.select(col("ta").as("node"))
+        .union(tri.select(col("tb")))
+        .union(tri.select(col("tc")))
+        .groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))
+        .select(col("node").as("p_partkey"), col("n_triangles"))
+        .orderBy(col("n_triangles").desc, col("p_partkey"))
+        .limit(10)
     })
   )
 
@@ -172,6 +220,25 @@ object GraphOps {
         |       JOIN nation n1 ON u1.s_nationkey = n1.n_nationkey
         |       JOIN supplier u2 ON s2 = u2.s_suppkey
         |       JOIN nation n2 ON u2.s_nationkey = n2.n_nationkey
-        |ORDER BY shared_parts DESC, s1, s2 LIMIT 20""".stripMargin
+        |ORDER BY shared_parts DESC, s1, s2 LIMIT 20""".stripMargin,
+
+    // id-orientation instead of degree-orientation: the triangle SET is
+    // identical (orientation only changes who enumerates the wedge), so
+    // per-node participation counts match the Spark plan exactly
+    "g3_triangles" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+        |            FROM lineitem WHERE l_partkey < 4000),
+        |e AS (SELECT DISTINCT a.p AS p1, b.p AS p2
+        |      FROM li a JOIN li b ON a.o = b.o AND a.p < b.p),
+        |tri AS (
+        |  SELECT e1.p1 AS ta, e1.p2 AS tb, e2.p2 AS tc
+        |  FROM e e1 JOIN e e2 ON e1.p2 = e2.p1
+        |            JOIN e e3 ON e1.p1 = e3.p1 AND e2.p2 = e3.p2),
+        |nodes AS (SELECT ta AS node FROM tri
+        |          UNION ALL SELECT tb FROM tri
+        |          UNION ALL SELECT tc FROM tri)
+        |SELECT node AS p_partkey, CAST(count(*) AS BIGINT) AS n_triangles
+        |FROM nodes GROUP BY node
+        |ORDER BY n_triangles DESC, p_partkey LIMIT 10""".stripMargin
   )
 }

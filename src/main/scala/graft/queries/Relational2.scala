@@ -383,10 +383,76 @@ object Relational2 {
           sum(when(col("rk") > k, 1).otherwise(0)).cast("long").as("n_dropped"),
           sum(when(col("rk") <= k, col("n_chars")).otherwise(0L)).cast("long").as("kept_chars"))
         .orderBy(col("source"))
+    }),
+
+    // --- training-mixture materialization: per-source sampling rates
+    //     (rates > 1 mean epoch UPSAMPLING — extra full copies plus a
+    //     fractional md5-coin copy; rates < 1 downsample), realized as
+    //     integer-exact acceptance against a 32-bit md5 uniform so the
+    //     mixture is reproducible on any engine and any partitioning.
+    //     copies = floor(rate) + [u32 < frac(rate) * 2^32], epochs
+    //     explode row-locally — the corpus is scanned ONCE, nothing
+    //     shuffles until the 20-group source rollup. This is the
+    //     "mix sources at configured weights" pass every LLM training
+    //     run executes before packing. Rates here derive from the
+    //     source id (src%4 -> 1.0 / 0.5 / 0.25 / 1.5); in production
+    //     they arrive as a broadcast config table — same dataflow. ---
+    "p9_mixture" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val withCopies = d.select(col("source"), col("doc_id"), col("n_chars"),
+          expr("CAST(replace(source, 'src', '') AS INT) % 4").as("rq"),
+          expr("CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT)").as("u32"))
+        // quarter-unit rates: rq 0 -> 4/4, 1 -> 2/4, 2 -> 1/4, 3 -> 6/4;
+        // acceptance threshold in exact integer space (2^30 per quarter)
+        .withColumn("rate_q",
+          expr("CASE rq WHEN 0 THEN 4 WHEN 1 THEN 2 WHEN 2 THEN 1 ELSE 6 END"))
+        .withColumn("copies",
+          expr("CAST(rate_q div 4 + CASE WHEN u32 < CAST(rate_q % 4 AS BIGINT) * 1073741824" +
+            " THEN 1 ELSE 0 END AS INT)"))
+      val out = withCopies
+        .select(col("source"), col("n_chars"),
+          explode(expr("CASE WHEN copies < 1 THEN array() ELSE sequence(1, copies) END")).as("epoch"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_out"),
+          max(col("epoch")).as("epochs"),
+          sum(col("n_chars")).cast("long").as("chars_out"))
+      d.groupBy(col("source")).agg(count(lit(1)).as("n_in"))
+        .join(out, Seq("source"), "left")
+        .select(col("source"), col("n_in"),
+          coalesce(col("n_out"), lit(0L)).as("n_out"),
+          coalesce(col("epochs"), lit(0)).as("epochs"),
+          coalesce(col("chars_out"), lit(0L)).as("chars_out"))
+        .orderBy(col("source"))
     })
   )
 
   val oracles: Map[String, String] = Map(
+    "p9_mixture" ->
+      """WITH b AS (
+        |  SELECT source, doc_id, n_chars,
+        |    CASE CAST(replace(source, 'src', '') AS INTEGER) % 4
+        |      WHEN 0 THEN 4 WHEN 1 THEN 2 WHEN 2 THEN 1 ELSE 6 END AS rate_q,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS u32
+        |  FROM documents),
+        |c AS (
+        |  SELECT source, n_chars,
+        |    rate_q // 4 + CASE WHEN u32 < CAST(rate_q % 4 AS BIGINT) * 1073741824
+        |      THEN 1 ELSE 0 END AS copies
+        |  FROM b),
+        |x AS (
+        |  SELECT source, n_chars, CAST(u.epoch AS INTEGER) AS epoch
+        |  FROM c, LATERAL (SELECT unnest(generate_series(1, copies)) AS epoch) u),
+        |o AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_out,
+        |    max(epoch) AS epochs, CAST(sum(n_chars) AS BIGINT) AS chars_out
+        |  FROM x GROUP BY source)
+        |SELECT i.source, i.n_in, COALESCE(o.n_out, 0) AS n_out,
+        |  COALESCE(o.epochs, 0) AS epochs, COALESCE(o.chars_out, 0) AS chars_out
+        |FROM (SELECT source, CAST(count(*) AS BIGINT) AS n_in
+        |      FROM documents GROUP BY source) i
+        |LEFT JOIN o ON i.source = o.source
+        |ORDER BY i.source""".stripMargin,
+
     "p8_weighted_sample" ->
       """WITH keyed AS (
         |  SELECT doc_id, source, n_chars,

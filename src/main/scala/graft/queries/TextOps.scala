@@ -262,6 +262,35 @@ object TextOps {
         .orderBy(col("rank"))
     }),
 
+    // --- linear quality-classifier INFERENCE (the fasttext-style filter
+    //     pass of corpus curation): engineered integer features (per-mille
+    //     stopword rate, per-mille alpha rate, length deviation) scored by
+    //     a fixed weight vector, keep = logit >= 0. The model is
+    //     broadcast-constant state; scoring is row-local whole-stage
+    //     codegen with NO shuffle before the 5-group lang rollup — the
+    //     shape a classifier sweep over 100 TB needs (at real scale the
+    //     weights come off a trained model; the dataflow is identical).
+    //     Integer features + integer weights keep the logit exact, so
+    //     the keep decision can't drift across engines. ---
+    "t15_classifier" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val p = padded(d)
+      val nTok = size(split(trim(col("text")), "\\s+")).cast("long")
+      val alpha = length(regexp_replace(lower(col("text")), "[^a-z]", "")).cast("long")
+      val stops = (wordCount(p, "the") + wordCount(p, "a") + wordCount(p, "of")).cast("long")
+      d.select(col("lang"), col("n_chars"),
+          nTok.as("n_tok"), alpha.as("alpha"), stops.as("stops"))
+        .select(col("lang"),
+          (lit(3L) * expr("(stops * 1000) div n_tok") +
+            lit(2L) * expr("(alpha * 1000) div n_chars") -
+            lit(5L) * abs(col("n_tok") - 60) - 1700).as("logit"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("logit") >= 0, 1L).otherwise(0L)).cast("long").as("n_keep"),
+          round(avg(col("logit")), 4).as("avg_logit"))
+        .orderBy(col("lang"))
+    }),
+
     // --- repetition quality signals (Gopher/MassiveText repetition
     //     filters): fraction of 3-gram occurrences that are duplicates
     //     and the share of the single most frequent bigram — the two
@@ -505,6 +534,25 @@ object TextOps {
         |  CAST(floor(1.0462993238608057e20 / denom + 0.5) AS BIGINT) AS est_distinct,
         |  n_exact
         |FROM d JOIN x ON d.lang = x.lang ORDER BY d.lang""".stripMargin,
+
+    "t15_classifier" ->
+      raw"""WITH t AS (
+         |  SELECT lang, n_chars, ' ' || text || ' ' AS p,
+         |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tok,
+         |    CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS BIGINT) AS alpha
+         |  FROM documents),
+         |u AS (
+         |  SELECT lang,
+         |    3 * (((CAST(floor((length(p)-length(replace(p,' the ','')))/5.0) AS BIGINT)
+         |         + CAST(floor((length(p)-length(replace(p,' a ','')))/3.0) AS BIGINT)
+         |         + CAST(floor((length(p)-length(replace(p,' of ','')))/4.0) AS BIGINT)) * 1000) // n_tok)
+         |    + 2 * ((alpha * 1000) // n_chars)
+         |    - 5 * abs(n_tok - 60) - 1700 AS logit
+         |  FROM t)
+         |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(CASE WHEN logit >= 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+         |  round(avg(logit), 4) AS avg_logit
+         |FROM u GROUP BY lang ORDER BY lang""".stripMargin,
 
     "t10_repetition" ->
       """WITH t AS (
