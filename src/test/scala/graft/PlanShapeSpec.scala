@@ -165,6 +165,34 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(plan("g2_edge_weights").contains("TakeOrderedAndProject"))
   }
 
+  test("c1: kmeans assignment is a single-row broadcast, update shuffles model-sized keys") {
+    val p = plan("c1_kmeans")
+    // the centroid matrix rides in one broadcast row: the only join shapes
+    // allowed are broadcast (model) and the tiny cid-keyed left join
+    assert(!p.toLowerCase.contains("cartesianproduct"), p)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+    // per-(cid,dim) partial aggregation happens map-side before the exchange
+    assert(p.contains("partial_"), p)
+  }
+
+  test("g3: triangle closing is an equi-join over oriented edges, top-k never sorts globally") {
+    val p = plan("g3_triangles")
+    assert(!p.toLowerCase.contains("cartesianproduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("t15/p9: classifier scoring and mixture explode stay shuffle-free before the rollup") {
+    for (q <- Seq("t15_classifier", "p9_mixture")) {
+      val p = plan(q)
+      assert(!p.toLowerCase.contains("cartesianproduct"), s"$q: $p")
+      // exactly the aggregation exchanges, never a join/repartition of the corpus:
+      // scoring (t15) has one agg exchange; the mixture (p9) has its two rollups
+      val exchanges = p.linesIterator.count(_.trim.startsWith("Exchange"))
+      assert(exchanges <= (if (q == "p9_mixture") 3 else 1), s"$q exchanges=$exchanges:\n$p")
+    }
+  }
+
   test("generator expressions are never duplicated into inferred filters") {
     // InferFiltersFromGenerate copies the explode's child expression into a
     // Filter (IsNotNull && size > 0); with computed higher-order generators
