@@ -39,6 +39,32 @@ object EventOps {
         .orderBy(col("from_type"), col("to_type"))
     }),
 
+    // --- hourly spike detection: hours where an event type's count sits
+    //     more than 3 standard deviations from the type's mean. The
+    //     3-sigma test is algebraically cleared of division and sqrt:
+    //     (x - S/m)^2 > 9 * (mQ - S^2)/m^2  <=>  (mx - S)^2 > 9(mQ - S^2)
+    //     with S = sum(x), Q = sum(x^2) — ALL INTEGER, so the distributed
+    //     run can't drift from the oracle by a ulp at the threshold.
+    //     Scale shape: two hash aggregates (hourly counts, then per-type
+    //     moments over a handful of types) + one broadcast join back —
+    //     the monitoring sweep a 100 TB event store runs hourly. ---
+    "e13_anomaly" -> ((s, dir) => {
+      val hourly = ev(s, dir)
+        .select((floor(unix_timestamp(col("ts")) / 3600) * 3600).cast("long").as("bucket"),
+          col("event_type"))
+        .groupBy(col("event_type"), col("bucket"))
+        .agg(count(lit(1)).as("x"))
+      val stats = hourly.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("m"), sum(col("x")).cast("long").as("sv"),
+          sum(col("x") * col("x")).cast("long").as("q"))
+      hourly.join(broadcast(stats), Seq("event_type"))
+        .filter(expr("(m * x - sv) * (m * x - sv) > 9 * (m * q - sv * sv)"))
+        .select(col("event_type"), col("bucket"), col("x"),
+          expr("(m * x - sv) * (m * x - sv)").as("dev2_scaled"),
+          expr("m * q - sv * sv").as("var_scaled"))
+        .orderBy(col("event_type"), col("bucket"))
+    }),
+
     // --- gap-based sessionization (30-min inactivity closes a session) ---
     "e2_sessionize" -> ((s, dir) => {
       val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
@@ -250,6 +276,24 @@ object EventOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "e13_anomaly" ->
+      """WITH h AS (
+        |  SELECT event_type,
+        |    CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS bucket,
+        |    CAST(count(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2),
+        |st AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS m,
+        |    CAST(sum(x) AS BIGINT) AS sv, CAST(sum(x * x) AS BIGINT) AS q
+        |  FROM h GROUP BY 1)
+        |SELECT h.event_type, h.bucket, h.x,
+        |  (st.m * h.x - st.sv) * (st.m * h.x - st.sv) AS dev2_scaled,
+        |  st.m * st.q - st.sv * st.sv AS var_scaled
+        |FROM h JOIN st USING (event_type)
+        |WHERE (st.m * h.x - st.sv) * (st.m * h.x - st.sv)
+        |      > 9 * (st.m * st.q - st.sv * st.sv)
+        |ORDER BY h.event_type, h.bucket""".stripMargin,
+
     "e12_transitions" ->
       """WITH e AS (
         |  SELECT user_id, event_id, event_type,

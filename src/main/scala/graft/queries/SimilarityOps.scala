@@ -525,13 +525,98 @@ object SimilarityOps {
         .filter(col("rk") <= 3)
         .select(col("qid"), col("eid"), round(col("cos_raw"), 6).as("cos"), col("rk"))
         .orderBy(col("qid"), col("rk"))
+    }),
+
+    // --- MMR diversified top-k (Carbonell-Goldstein '98): greedy
+    //     re-ranking of a candidate pool, each pick maximizing
+    //     0.7*relevance - 0.3*max-similarity-to-already-picked. The scale
+    //     split is the point: candidate generation is v1's broadcast
+    //     corpus scan (the only part that touches N), the greedy loop
+    //     runs on a POOL-SIZED relation (20 rows, eager-checkpointed)
+    //     whose pairwise-cosine table is computed once — at 100 TB the
+    //     rerank cost is O(pool^2), independent of corpus size. All
+    //     cosines round to 6 before any comparison, so the greedy
+    //     argmax (ties to the lower id) is engine-independent. ---
+    "v13_mmr" -> ((s, dir) => {
+      val e = withNorm(emb(s, dir))
+      val qv = e.filter(col("vec_id") === 0)
+        .select(col("embedding").as("qe"), col("nrm").as("qn"))
+      val pool = e.filter(col("vec_id") =!= 0).crossJoin(broadcast(qv))
+        .select(col("vec_id").as("eid"), col("embedding").as("ee"), col("nrm").as("en"),
+          round(graft.functions.vector_dot(col("embedding"), col("qe"))
+            / (col("nrm") * col("qn")), 6).as("cq"))
+        .orderBy(col("cq").desc, col("eid")).limit(20)
+        .localCheckpoint(true)
+      val pc = pool.as("a").join(pool.as("b"), col("a.eid") =!= col("b.eid"))
+        .select(col("a.eid").as("e1"), col("b.eid").as("e2"),
+          round(graft.functions.vector_dot(col("a.ee"), col("b.ee"))
+            / (col("a.en") * col("b.en")), 6).as("c"))
+        .localCheckpoint(true)
+      var sel = pool
+        .orderBy(col("cq").desc, col("eid")).limit(1)
+        .select(col("eid"), lit(1).as("rk"), round(lit(0.7) * col("cq"), 6).as("score"))
+        .localCheckpoint(true)
+      for (k <- 2 to 5) {
+        val selIds = sel.select(col("eid").as("se"))
+        val pick = pool.join(sel.select(col("eid")), Seq("eid"), "left_anti")
+          .join(pc.join(selIds, col("e2") === col("se")), col("eid") === col("e1"))
+          .groupBy(col("eid"), col("cq"))
+          .agg(max(col("c")).as("maxsim"))
+          .select(col("eid"),
+            round(lit(0.7) * col("cq") - lit(0.3) * col("maxsim"), 6).as("score"))
+          .orderBy(col("score").desc, col("eid")).limit(1)
+          .select(col("eid"), lit(k).as("rk"), col("score"))
+        sel = sel.union(pick).localCheckpoint(true)
+      }
+      sel.select(col("rk"), col("eid"), col("score")).orderBy(col("rk"))
     })
   )
 
   private val dotSql =
     "list_dot_product(CAST(%s AS DOUBLE[]), CAST(%s AS DOUBLE[]))"
 
+  /** MMR oracle round k: score the not-yet-picked pool against the
+    * union of earlier picks, take the (score, eid)-max. */
+  private def mmrIter(k: Int): String = {
+    val selU = (1 until k).map(i => s"SELECT eid FROM s$i").mkString(" UNION ALL ")
+    s"""r$k AS (
+       |  SELECT p.eid, p.cq, max(pc.c) AS maxsim
+       |  FROM pool p JOIN pc ON p.eid = pc.e1
+       |  WHERE pc.e2 IN ($selU) AND p.eid NOT IN ($selU)
+       |  GROUP BY p.eid, p.cq),
+       |s$k AS (SELECT eid, $k AS rk, round(0.7 * cq - 0.3 * maxsim, 6) AS score
+       |        FROM r$k ORDER BY score DESC, eid LIMIT 1)""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "v13_mmr" ->
+      s"""WITH n AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+         |                          CAST(embedding AS DOUBLE[]))) AS nrm
+         |  FROM embeddings),
+         |q AS (SELECT v AS qe, nrm AS qn FROM n WHERE vec_id = 0),
+         |pool AS (
+         |  SELECT vec_id AS eid, v, nrm,
+         |    round(list_dot_product(v, qe) / (nrm * qn), 6) AS cq
+         |  FROM n, q WHERE vec_id != 0
+         |  ORDER BY cq DESC, eid LIMIT 20),
+         |pc AS (
+         |  SELECT a.eid AS e1, b.eid AS e2,
+         |    round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS c
+         |  FROM pool a JOIN pool b ON a.eid != b.eid),
+         |s1 AS (SELECT eid, 1 AS rk, round(0.7 * cq, 6) AS score
+         |       FROM pool ORDER BY cq DESC, eid LIMIT 1),
+         |${mmrIter(2)},
+         |${mmrIter(3)},
+         |${mmrIter(4)},
+         |${mmrIter(5)}
+         |SELECT rk, eid, score FROM (
+         |  SELECT * FROM s1 UNION ALL SELECT * FROM s2 UNION ALL
+         |  SELECT * FROM s3 UNION ALL SELECT * FROM s4 UNION ALL
+         |  SELECT * FROM s5)
+         |ORDER BY rk""".stripMargin,
+
     "v11_semdedup" ->
       """WITH n AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
