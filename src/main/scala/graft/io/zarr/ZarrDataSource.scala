@@ -110,8 +110,9 @@ class ZarrScanBuilder(root: String, stack: String, level: Int)
   private val hi = Array.fill(5)(Long.MaxValue)
   private var pushed = Array.empty[Filter]
   private var required: StructType = ZarrDataSource.chunkSchema
-  // complete aggregate pushdown: ops like ("count","") / ("min","z")
-  private var aggOps: Option[Seq[(String, String)]] = None
+  // complete aggregate pushdown: grouping axes + ops like ("count","") /
+  // ("min","z"); groupAxes empty = the ungrouped single-row case
+  private var aggOps: Option[(Seq[String], Seq[(String, String)])] = None
 
   private def refine(ax: Int, l: Long, h: Long): Unit = {
     lo(ax) = math.max(lo(ax), l)
@@ -165,25 +166,34 @@ class ZarrScanBuilder(root: String, stack: String, level: Int)
   }
 
   /** COUNT(*) / MIN / MAX over chunk coordinates are grid arithmetic —
-    * answered on the driver-planned bounds with a single no-IO task, the
+    * answered from the driver-planned bounds with no IO at all, the
     * "billions of chunk files, zero list calls" property taken to its
-    * endpoint. Only exact cases are accepted (ungrouped, every aggregate
-    * translatable, and — since the sub-grid is a superset of an In's
-    * point set — no residual filters). */
-  private def translate(agg: Aggregation): Option[Seq[(String, String)]] = {
-    if (agg.groupByExpressions.nonEmpty) return None
+    * endpoint. GROUP BY coordinate axes pushes down too: each group is a
+    * coordinate combination of the grouped axes, its count the product of
+    * the other axes' extents — still pure arithmetic, emitted without
+    * opening a single chunk file (group enumeration is range-partitioned,
+    * so even a billion-group axis stays distributed). Only exact cases
+    * are accepted (every aggregate and every grouping column
+    * translatable; residual-free bounds — an In's sub-grid superset is
+    * pruning-only and never reaches here as agg pushdown runs on the
+    * post-filter plan). */
+  private def translate(agg: Aggregation): Option[(Seq[String], Seq[(String, String)])] = {
     def ax(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] = e match {
       case f: NamedReference if f.fieldNames.length == 1 && axes.contains(f.fieldNames()(0)) =>
         Some(f.fieldNames()(0))
       case _ => None
     }
+    val groups = agg.groupByExpressions.toSeq.map(ax)
     val ops = agg.aggregateExpressions.toSeq.map {
       case _: CountStar => Some(("count", ""))
       case m: Min => ax(m.column).map(("min", _))
       case m: Max => ax(m.column).map(("max", _))
       case _ => None
     }
-    if (ops.forall(_.isDefined)) Some(ops.map(_.get)) else None
+    if (ops.forall(_.isDefined) && groups.forall(_.isDefined) &&
+        groups.flatten.distinct.size == groups.size)
+      Some((groups.flatten, ops.map(_.get)))
+    else None
   }
 
   override def supportCompletePushDown(agg: Aggregation): Boolean =
@@ -200,7 +210,8 @@ class ZarrScanBuilder(root: String, stack: String, level: Int)
 
 class ZarrScan(root: String, stack: String, level: Int,
                lo: Array[Long], hi: Array[Long], required: StructType,
-               aggOps: Option[Seq[(String, String)]] = None) extends Scan with Batch {
+               aggOps: Option[(Seq[String], Seq[(String, String)])] = None)
+    extends Scan with Batch {
   // driver-side: only the tiny .zarray descriptor is read; the chunk grid
   // stays arithmetic
   private lazy val meta = ZarrIO.readZarray(root, stack, level)
@@ -212,10 +223,12 @@ class ZarrScan(root: String, stack: String, level: Int,
     math.max(0L, math.min(grid(d) - 1, hi(d)) - base(d) + 1))
 
   override def readSchema(): StructType = aggOps match {
-    case Some(ops) => StructType(ops.zipWithIndex.map {
-      case (("count", _), i) => StructField(s"agg$i", LongType, nullable = false)
-      case ((op, ax), i) => StructField(s"agg$i", IntegerType, nullable = true)
-    })
+    case Some((groups, ops)) => StructType(
+      groups.map(g => StructField(g, IntegerType, nullable = false)) ++
+        ops.zipWithIndex.map {
+          case (("count", _), i) => StructField(s"agg$i", LongType, nullable = false)
+          case ((op, ax), i) => StructField(s"agg$i", IntegerType, nullable = true)
+        })
     case None => required
   }
   override def toBatch: Batch = this
@@ -224,17 +237,17 @@ class ZarrScan(root: String, stack: String, level: Int,
       case d if lo(d) > 0L || hi(d) != Long.MaxValue =>
         s"${Seq("t", "c", "z", "y", "x")(d)}=[${lo(d)}..${if (hi(d) == Long.MaxValue) "*" else hi(d)}]"
     }
-    val agg = aggOps.map(ops => " agg=" + ops.map {
-      case ("count", _) => "count(*)"
-      case (op, ax) => s"$op($ax)"
-    }.mkString(",")).getOrElse("")
+    val agg = aggOps.map { case (groups, ops) =>
+      val g = if (groups.isEmpty) "" else groups.mkString(" groupBy=", ",", "")
+      " agg=" + ops.map {
+        case ("count", _) => "count(*)"
+        case (op, ax) => s"$op($ax)"
+      }.mkString(",") + g
+    }.getOrElse("")
     s"ZarrScan($root/$stack/$level${if (bounds.isEmpty) "" else bounds.mkString(" ", ",", "")} cols=${required.fieldNames.mkString(",")}$agg)"
   }
 
-  override def planInputPartitions(): Array[InputPartition] = {
-    // a pushed aggregate is one arithmetic row — a single no-IO partition
-    if (aggOps.isDefined) return Array(ZarrInputPartition(0L, 0L))
-    val total = ext.product
+  private def ranged(total: Long): Array[InputPartition] = {
     if (total == 0L) return Array.empty
     val targetPartitions = math.min(total, 256L)
     val per = ChunkGrid.ceilDiv(total, targetPartitions)
@@ -243,34 +256,63 @@ class ZarrScan(root: String, stack: String, level: Int,
       .toArray
   }
 
+  override def planInputPartitions(): Array[InputPartition] = aggOps match {
+    // ungrouped pushed aggregate: one arithmetic row, one no-IO partition
+    case Some((groups, _)) if groups.isEmpty => Array(ZarrInputPartition(0L, 0L))
+    // grouped: range-partition the group space (arithmetic rows, no IO);
+    // an empty sub-grid has no groups at all
+    case Some((groups, _)) =>
+      val axesN = Seq("t", "c", "z", "y", "x")
+      if (ext.exists(_ == 0L)) Array.empty
+      else ranged(groups.map(g => ext(axesN.indexOf(g))).product)
+    case None => ranged(ext.product)
+  }
+
   override def createReaderFactory(): PartitionReaderFactory = aggOps match {
-    case Some(ops) => ZarrAggReaderFactory(ops, base, ext)
+    case Some((groups, ops)) => ZarrAggReaderFactory(groups, ops, base, ext)
     case None => ZarrReaderFactory(root, stack, level, shape, chunk, compressed,
       meta.dtype.itemSize, base, ext, required.fieldNames)
   }
 }
 
-/** Emits the single pre-aggregated row for a pushed COUNT/MIN/MAX: the
-  * chunk count is the sub-grid volume, coordinate extrema are its corner
-  * coordinates. No filesystem access at all. */
-final case class ZarrAggReaderFactory(ops: Seq[(String, String)],
+/** Emits pre-aggregated rows for a pushed COUNT/MIN/MAX: the chunk count
+  * is the (per-group) sub-grid volume, coordinate extrema are its corner
+  * coordinates. Grouped aggregates enumerate the grouped axes' coordinate
+  * combinations for this partition's [first..last] slice of the group
+  * space. No filesystem access at all. */
+final case class ZarrAggReaderFactory(groups: Seq[String], ops: Seq[(String, String)],
                                       base: Array[Long], ext: Array[Long])
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new PartitionReader[InternalRow] {
       private val axes = Seq("t", "c", "z", "y", "x")
-      private var done = false
-      override def next(): Boolean = if (done) false else { done = true; true }
+      private val gDims = groups.map(axes.indexOf).toArray
+      private val gExt = gDims.map(ext(_))
+      // per-group chunk count: product of the NON-grouped extents
+      private val perGroup = (0 until 5)
+        .filterNot(gDims.contains).map(ext(_)).product
+      private val p = partition.asInstanceOf[ZarrInputPartition]
+      private var cur = if (groups.isEmpty) -1L else p.firstChunk - 1
+      private val lastG = if (groups.isEmpty) 0L else p.lastChunk
+      override def next(): Boolean = { cur += 1; cur <= lastG }
       override def get(): InternalRow = {
-        val n = ext.product
-        InternalRow.fromSeq(ops.map {
+        // row-major decompose of the group index over the grouped axes
+        val combo = new Array[Long](gDims.length)
+        var rem = cur
+        var d = gDims.length - 1
+        while (d >= 0) { combo(d) = base(gDims(d)) + rem % gExt(d); rem /= gExt(d); d -= 1 }
+        val n = if (groups.isEmpty) ext.product else perGroup
+        val aggVals = ops.map {
           case ("count", _) => n
           case (op, ax) if n == 0L => null // empty sub-grid: min/max of no rows
-          case ("min", ax) => base(axes.indexOf(ax)).toInt
-          case ("max", ax) =>
-            val d = axes.indexOf(ax)
-            (base(d) + ext(d) - 1).toInt
-        })
+          case (op, ax) =>
+            val dim = axes.indexOf(ax)
+            val gi = gDims.indexOf(dim)
+            if (gi >= 0) combo(gi).toInt // grouped axis: the group's value
+            else if (op == "min") base(dim).toInt
+            else (base(dim) + ext(dim) - 1).toInt
+        }
+        InternalRow.fromSeq(combo.map(_.toInt: Any).toIndexedSeq ++ aggVals)
       }
       override def close(): Unit = ()
     }

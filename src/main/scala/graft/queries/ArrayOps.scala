@@ -134,6 +134,29 @@ object ArrayOps {
           max(col("x")).cast("long").as("max_x"))
     }),
 
+    // --- GROUPED aggregate pushdown: per-z chunk counts and channel/y
+    //     extrema GROUP BY a coordinate axis, again on a store with no
+    //     chunk files — each group is a coordinate combination whose
+    //     count is the product of the other axes' extents, enumerated
+    //     from .zarray arithmetic (range-partitioned group space, zero
+    //     IO). The per-partition/per-channel rollups a 100 TB store
+    //     answers without touching a single chunk. ---
+    "z11_dsv2_grouped_agg" -> ((s, _) => {
+      val dir = graft.Scratch.dir("zarr-gagg-q")
+      val vol = Volume("gq", 0, Array(1L, 3L, 40L, 24L, 24L), Array(1, 1, 8, 8, 8))
+      ZarrIO.writeMetadata(dir, vol, nLevels = 1)
+      s.read.format("zarr").option("path", dir).option("stack", "gq").load()
+        .filter(col("z") >= 1 && col("z") <= 3)
+        .groupBy(col("z"))
+        .agg(count(lit(1)).as("n_chunks"),
+          min(col("c")).cast("long").as("min_c"),
+          max(col("c")).cast("long").as("max_c"),
+          max(col("y")).cast("long").as("max_y"))
+        .select(col("z").cast("long").as("cz"), col("n_chunks"),
+          col("min_c"), col("max_c"), col("max_y"))
+        .orderBy(col("cz"))
+    }),
+
     // --- multi-channel CZI under the gate: 2 channels, one task per
     //     (channel, z-slab), per-channel chunk sums recomputed by the
     //     oracle from arithmetic (channel offset 1000c mod 65536) ---
@@ -327,6 +350,15 @@ object ArrayOps {
       """SELECT CAST(27 AS BIGINT) AS n_chunks,
         |  CAST(1 AS BIGINT) AS min_z, CAST(3 AS BIGINT) AS max_z,
         |  CAST(0 AS BIGINT) AS min_y, CAST(2 AS BIGINT) AS max_x""".stripMargin,
+
+    // grid (t,c,z,y,x) = (1,3,5,3,3), z restricted to [1..3]: each z
+    // group holds 3(c) * 3(y) * 3(x) = 27 chunks, c spans 0..2, y 0..2
+    "z11_dsv2_grouped_agg" ->
+      """SELECT CAST(r.range + 1 AS BIGINT) AS cz,
+        |  CAST(27 AS BIGINT) AS n_chunks,
+        |  CAST(0 AS BIGINT) AS min_c, CAST(2 AS BIGINT) AS max_c,
+        |  CAST(2 AS BIGINT) AS max_y
+        |FROM range(3) r ORDER BY cz""".stripMargin,
 
     "z6_multichannel" ->
       """WITH l0 AS (

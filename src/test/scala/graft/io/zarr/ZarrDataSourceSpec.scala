@@ -216,6 +216,45 @@ class ZarrDataSourceSpec extends AnyFunSuite {
     assert(empty.getLong(0) == 0L && empty.isNullAt(1))
   }
 
+  test("GROUP BY coordinate axes pushes the whole aggregate into grid arithmetic") {
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    val dir = Files.createTempDirectory("zarr-dsv2-gagg").toString
+    val vol = Volume("gg", 0, Array(1L, 3L, 40L, 24L, 24L), Array(1, 1, 8, 8, 8))
+    ZarrIO.writeMetadata(dir, vol, nLevels = 1)
+    // NO chunk files: grouped counts/extrema must come from .zarray math
+    val t = spark.read.format("zarr").option("path", dir).option("stack", "gg").load()
+
+    val g = t.groupBy(col("c"), col("z"))
+      .agg(count(lit(1)).as("n"), min(col("y")).as("miny"), max(col("x")).as("maxx"))
+    val rows = g.collect()
+    assert(rows.length == 3 * 5) // c in 0..2, z in 0..4
+    assert(rows.forall(r => r.getLong(2) == 9L && r.getInt(3) == 0 && r.getInt(4) == 2))
+    val scan = g.queryExecution.executedPlan.collect { case b: BatchScanExec => b }.head
+    assert(scan.scan.description().contains("agg=count(*),min(y),max(x) groupBy=c,z"),
+      scan.scan.description())
+    // COMPLETE pushdown: no Spark-side HashAggregate re-aggregates the scan
+    assert(!g.queryExecution.executedPlan.toString.contains("HashAggregate"),
+      g.queryExecution.executedPlan.toString)
+
+    // composes with filter pushdown; grouped MIN/MAX of a grouped axis is
+    // the group value itself
+    val f = t.filter(col("z") >= 1 && col("z") <= 3).groupBy(col("z"))
+      .agg(count(lit(1)).as("n"), min(col("z")).as("mz"))
+    val fr = f.collect().map(r => (r.getInt(0), r.getLong(1), r.getInt(2))).sorted
+    assert(fr.toSeq == Seq((1, 27L, 1), (2, 27L, 2), (3, 27L, 3)))
+
+    // an empty sub-grid has no groups at all
+    assert(t.filter(col("z") > 100).groupBy(col("z")).count().collect().isEmpty)
+
+    // a non-coordinate grouping column falls back to a real scan-side agg
+    // (AQE wraps the plan, so assert on the rendered plan string)
+    val nope = t.groupBy(col("stack")).agg(count(lit(1)).as("n"))
+    assert(nope.collect().map(r => (r.getString(0), r.getLong(1))).toSeq == Seq(("gg", 135L)))
+    val nplan = nope.queryExecution.executedPlan.toString
+    assert(!nplan.contains("groupBy="), nplan)
+    assert(nplan.contains("HashAggregate"), nplan)
+  }
+
   test("writeStream into a zarr store: incremental chunk ingest, exactly-once by rename") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.Trigger
