@@ -263,6 +263,31 @@ object ArrayOps {
           max(col("x")).cast("long").as("max_x"))
     }),
 
+    // --- grouped aggregate pushdown through format("czi"): per-channel
+    //     chunk counts and slab extrema GROUP BY c, straight from the
+    //     subblock-directory grid arithmetic — parity with the zarr
+    //     connector's z11, no subblock ever decompressed ---
+    "z12_czi_grouped_agg" -> ((s, _) => {
+      val dir = graft.Scratch.dir("czi-gagg-q")
+      val path = s"$dir/q12.czi"
+      val chans = Array.tabulate(2, 24, 40, 40)((c, z, y, x) =>
+        (SyntheticStack.value(z, y, x) + 1000 * c) & 0xFFFF)
+      graft.sources.czi.SyntheticCzi.writeChannels(path, chans)
+      s.read.format("czi")
+        .option("path", path)
+        .option("chunk_z", "8").option("chunk_y", "16").option("chunk_x", "16")
+        .load()
+        .filter(col("z") >= 1)
+        .groupBy(col("c"))
+        .agg(count(lit(1)).as("n_chunks"),
+          min(col("z")).cast("long").as("min_z"),
+          max(col("z")).cast("long").as("max_z"),
+          max(col("y")).cast("long").as("max_y"))
+        .select(col("c").cast("long").as("cc"), col("n_chunks"),
+          col("min_z"), col("max_z"), col("max_y"))
+        .orderBy(col("cc"))
+    }),
+
     // --- the CZI (ZISRAW) parser under the gate: write a synthetic CZI
     //     (mixed raw + zstd0 subblocks), scan it distributed, aggregate
     //     per-chunk sums that the oracle recomputes from arithmetic ---
@@ -398,6 +423,15 @@ object ArrayOps {
         |ORDER BY cz, cy, cx""".stripMargin,
 
     // 2 channels x 3 z-slabs x 3x3 XY tiles; c=1, z>=1 selects 1x2x9=18
+    // grid (t,c,z,y,x) = (1,2,3,3,3) at chunk (8,16,16), z >= 1: each
+    // channel keeps 2(z) * 3(y) * 3(x) = 18 chunks, slabs span 1..2
+    "z12_czi_grouped_agg" ->
+      """SELECT CAST(r.range AS BIGINT) AS cc,
+        |  CAST(18 AS BIGINT) AS n_chunks,
+        |  CAST(1 AS BIGINT) AS min_z, CAST(2 AS BIGINT) AS max_z,
+        |  CAST(2 AS BIGINT) AS max_y
+        |FROM range(2) r ORDER BY cc""".stripMargin,
+
     "z9_czi_agg" ->
       """SELECT CAST(18 AS BIGINT) AS n_chunks,
         |  CAST(1 AS BIGINT) AS min_z, CAST(2 AS BIGINT) AS max_z,

@@ -36,9 +36,11 @@ import graft.core.ChunkGrid
   *   - '''column pruning''' — a projection without `data` plans the same
   *     partitions but its readers emit rows from chunk-grid arithmetic
   *     alone: no subblock is read, the file is never opened;
-  *   - '''aggregate pushdown''' — ungrouped COUNT(*)/MIN/MAX over the
-  *     coordinate columns are answered at planning time from the pruned
-  *     grid bounds with a single no-IO task.
+  *   - '''aggregate pushdown''' — COUNT(*)/MIN/MAX over the coordinate
+  *     columns, ungrouped or GROUP BY coordinate axes, are answered at
+  *     planning time from the pruned grid bounds with no-IO tasks
+  *     (grouped counts are extent products, parity with the zarr
+  *     connector).
   */
 class CziDataSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "czi"
@@ -82,8 +84,9 @@ class CziScanBuilder(path: String, stack: String, chunkZyx: Array[Int])
   private var (zLo, zHi) = (0L, Long.MaxValue)
   private var pushed = Array.empty[Filter]
   private var required: StructType = graft.io.zarr.ZarrDataSource.chunkSchema
-  // complete aggregate pushdown: ops like ("count","") / ("min","z")
-  private var aggOps: Option[Seq[(String, String)]] = None
+  // complete aggregate pushdown: grouping axes + ops like ("count","") /
+  // ("min","z"); groupAxes empty = the ungrouped single-row case
+  private var aggOps: Option[(Seq[String], Seq[(String, String)])] = None
 
   // long/short/byte literals and casts must prune exactly like int
   // literals — a silent fall-through to "plan everything" is the fragile
@@ -138,24 +141,30 @@ class CziScanBuilder(path: String, stack: String, chunkZyx: Array[Int])
   }
 
   /** COUNT(*) / MIN / MAX over chunk coordinates are grid arithmetic on
-    * the pruned (c, z) bounds and the fixed XY tile grid — one no-IO
-    * task, no subblock ever read. Spark only offers an aggregate for
-    * pushdown when every filter was absorbed, so the bounds are exact. */
-  private def translate(agg: Aggregation): Option[Seq[(String, String)]] = {
-    if (agg.groupByExpressions.nonEmpty) return None
+    * the pruned (t, c, z) bounds and the fixed XY tile grid — answered
+    * with no subblock ever read. GROUP BY coordinate axes pushes down
+    * too (parity with the zarr connector): each group is a coordinate
+    * combination, its count the product of the remaining extents. Spark
+    * only offers an aggregate for pushdown when every filter was
+    * absorbed, so the bounds are exact. */
+  private def translate(agg: Aggregation): Option[(Seq[String], Seq[(String, String)])] = {
     val axes = Seq("t", "c", "z", "y", "x")
     def ax(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] = e match {
       case f: NamedReference if f.fieldNames.length == 1 && axes.contains(f.fieldNames()(0)) =>
         Some(f.fieldNames()(0))
       case _ => None
     }
+    val groups = agg.groupByExpressions.toSeq.map(ax)
     val ops = agg.aggregateExpressions.toSeq.map {
       case _: CountStar => Some(("count", ""))
       case m: Min => ax(m.column).map(("min", _))
       case m: Max => ax(m.column).map(("max", _))
       case _ => None
     }
-    if (ops.forall(_.isDefined)) Some(ops.map(_.get)) else None
+    if (ops.forall(_.isDefined) && groups.forall(_.isDefined) &&
+        groups.flatten.distinct.size == groups.size)
+      Some((groups.flatten, ops.map(_.get)))
+    else None
   }
 
   override def supportCompletePushDown(agg: Aggregation): Boolean =
@@ -173,7 +182,7 @@ class CziScanBuilder(path: String, stack: String, chunkZyx: Array[Int])
 
 class CziScan(path: String, stack: String, chunkZyx: Array[Int],
               tLo: Long, tHi: Long, cLo: Long, cHi: Long, zLo: Long, zHi: Long,
-              required: StructType, aggOps: Option[Seq[(String, String)]])
+              required: StructType, aggOps: Option[(Seq[String], Seq[(String, String)])])
     extends Scan with Batch {
 
   // driver-side directory parse happens once at planning time
@@ -187,10 +196,12 @@ class CziScan(path: String, stack: String, chunkZyx: Array[Int],
   private lazy val zSel = (math.max(0L, zLo), math.min(zSlabs - 1, zHi))
 
   override def readSchema(): StructType = aggOps match {
-    case Some(ops) => StructType(ops.zipWithIndex.map {
-      case (("count", _), i) => StructField(s"agg$i", LongType, nullable = false)
-      case ((_, _), i) => StructField(s"agg$i", IntegerType, nullable = true)
-    })
+    case Some((groups, ops)) => StructType(
+      groups.map(g => StructField(g, IntegerType, nullable = false)) ++
+        ops.zipWithIndex.map {
+          case (("count", _), i) => StructField(s"agg$i", LongType, nullable = false)
+          case ((_, _), i) => StructField(s"agg$i", IntegerType, nullable = true)
+        })
     case None => required
   }
   override def toBatch: Batch = this
@@ -199,10 +210,13 @@ class CziScan(path: String, stack: String, chunkZyx: Array[Int],
       case (a, l, h) if l > 0L || h != Long.MaxValue =>
         s"$a=[$l..${if (h == Long.MaxValue) "*" else h}]"
     }
-    val agg = aggOps.map(ops => " agg=" + ops.map {
-      case ("count", _) => "count(*)"
-      case (op, ax) => s"$op($ax)"
-    }.mkString(",")).getOrElse("")
+    val agg = aggOps.map { case (groups, ops) =>
+      val g = if (groups.isEmpty) "" else groups.mkString(" groupBy=", ",", "")
+      " agg=" + ops.map {
+        case ("count", _) => "count(*)"
+        case (op, ax) => s"$op($ax)"
+      }.mkString(",") + g
+    }.getOrElse("")
     s"CziScan($path${if (bounds.isEmpty) "" else bounds.mkString(" ", ",", "")} cols=${required.fieldNames.mkString(",")}$agg)"
   }
 
@@ -218,44 +232,59 @@ class CziScan(path: String, stack: String, chunkZyx: Array[Int],
   }
 
   override def createReaderFactory(): PartitionReaderFactory = aggOps match {
-    case Some(ops) =>
-      val nSel =
-        if (tSel._2 < tSel._1 || cSel._2 < cSel._1 || zSel._2 < zSel._1) 0L
-        else (tSel._2 - tSel._1 + 1) * (cSel._2 - cSel._1 + 1) *
-          (zSel._2 - zSel._1 + 1) * gridY * gridX
-      CziAggReaderFactory(ops, nSel, tSel, cSel, zSel, gridY, gridX)
+    case Some((groups, ops)) =>
+      CziAggReaderFactory(groups, ops, tSel, cSel, zSel, gridY, gridX)
     case None =>
       CziReaderFactory(path, vol.stack, vol.shape, vol.chunk,
         idx.origin, idx.entries.toArray, vol.dtype.itemSize, required.fieldNames)
   }
 }
 
-/** Emits the single pre-aggregated row for a pushed COUNT/MIN/MAX: the
-  * chunk count is the pruned grid volume, coordinate extrema are its
-  * corners. No filesystem access at all. */
-final case class CziAggReaderFactory(ops: Seq[(String, String)], nSel: Long,
+/** Emits pre-aggregated rows for a pushed COUNT/MIN/MAX: the chunk count
+  * is the (per-group) pruned grid volume, coordinate extrema its corners
+  * (or the group's own value for a grouped axis). Grouped aggregates
+  * enumerate the grouped axes' coordinate combinations. No filesystem
+  * access at all. */
+final case class CziAggReaderFactory(groups: Seq[String], ops: Seq[(String, String)],
                                      tSel: (Long, Long), cSel: (Long, Long),
                                      zSel: (Long, Long),
                                      gridY: Long, gridX: Long)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new PartitionReader[InternalRow] {
-      private var done = false
-      override def next(): Boolean = if (done) false else { done = true; true }
+      private val axes = Seq("t", "c", "z", "y", "x")
+      private val loA = Array(tSel._1, cSel._1, zSel._1, 0L, 0L)
+      private val extA = Array(
+        math.max(0L, tSel._2 - tSel._1 + 1), math.max(0L, cSel._2 - cSel._1 + 1),
+        math.max(0L, zSel._2 - zSel._1 + 1), gridY, gridX)
+      private val gDims = groups.map(axes.indexOf).toArray
+      private val nSel = extA.product
+      private val perGroup = (0 until 5)
+        .filterNot(gDims.contains).map(extA(_)).product
+      private val nRows =
+        if (groups.isEmpty) 1L // ungrouped: one row even when count = 0
+        else if (nSel == 0L) 0L // empty selection: no groups at all
+        else gDims.map(extA(_)).product
+      private var cur = -1L
+      override def next(): Boolean = { cur += 1; cur < nRows }
       override def get(): InternalRow = {
-        def corner(ax: String, hi: Boolean): Any = ax match {
-          case "t" => (if (hi) tSel._2 else tSel._1).toInt
-          case "c" => (if (hi) cSel._2 else cSel._1).toInt
-          case "z" => (if (hi) zSel._2 else zSel._1).toInt
-          case "y" => if (hi) (gridY - 1).toInt else 0
-          case "x" => if (hi) (gridX - 1).toInt else 0
+        // row-major decompose of the group index over the grouped axes
+        val combo = new Array[Long](gDims.length)
+        var rem = cur
+        var d = gDims.length - 1
+        while (d >= 0) { combo(d) = loA(gDims(d)) + rem % extA(gDims(d)); rem /= extA(gDims(d)); d -= 1 }
+        val n = if (groups.isEmpty) nSel else perGroup
+        val aggVals = ops.map {
+          case ("count", _) => n
+          case (_, _) if n == 0L => null // empty selection: min/max of no rows
+          case (op, ax) =>
+            val dim = axes.indexOf(ax)
+            val gi = gDims.indexOf(dim)
+            if (gi >= 0) combo(gi).toInt // grouped axis: the group's value
+            else if (op == "min") loA(dim).toInt
+            else (loA(dim) + extA(dim) - 1).toInt
         }
-        InternalRow.fromSeq(ops.map {
-          case ("count", _) => nSel
-          case (_, _) if nSel == 0L => null // empty selection: min/max of no rows
-          case ("min", ax) => corner(ax, hi = false)
-          case ("max", ax) => corner(ax, hi = true)
-        })
+        InternalRow.fromSeq(combo.map(_.toInt: Any).toIndexedSeq ++ aggVals)
       }
       override def close(): Unit = ()
     }

@@ -134,6 +134,26 @@ class CziDataSourceSpec extends AnyFunSuite {
     assert(r.getLong(0) == 8L && r.getInt(1) == 0 && r.getInt(2) == 1, r)
   }
 
+  test("GROUP BY coordinate axes pushes the whole aggregate into directory arithmetic") {
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    val path = fixture() // grid (t,c,z,y,x) = (1,2,2,2,2) at chunk (8,16,16)
+    val t = spark.read.format("czi").option("path", path)
+      .option("chunk_z", "8").option("chunk_y", "16").option("chunk_x", "16")
+      .load()
+    val g = t.filter(col("z") >= 1).groupBy(col("c"))
+      .agg(count(lit(1)).as("n"), min(col("z")).as("mz"), max(col("y")).as("my"))
+    val scan = g.queryExecution.executedPlan.collectFirst { case b: BatchScanExec => b }.get
+    assert(scan.scan.description().contains("agg=count(*),min(z),max(y) groupBy=c"),
+      scan.scan.description())
+    // COMPLETE pushdown: no Spark-side HashAggregate re-aggregates the scan
+    assert(!g.queryExecution.executedPlan.toString.contains("HashAggregate"),
+      g.queryExecution.executedPlan.toString)
+    val rows = g.collect().map(r => (r.getInt(0), r.getLong(1), r.getInt(2), r.getInt(3))).sorted
+    assert(rows.toSeq == Seq((0, 4L, 1, 1), (1, 4L, 1, 1)), rows.toSeq)
+    // empty selection: no groups at all
+    assert(t.filter(col("z") > 100).groupBy(col("c")).count().collect().isEmpty)
+  }
+
   test("CZI -> Zarr conversion is one connector-to-connector pipeline") {
     val path = fixture()
     val out = Files.createTempDirectory("czi-dsv2-out").toString
