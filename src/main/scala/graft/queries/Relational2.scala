@@ -160,6 +160,29 @@ object Relational2 {
         .orderBy(col("o_custkey"), col("o_orderkey"))
     }),
 
+    // --- value-based RANGE window frames (the frame kind w2's ROWS
+    //     frames don't cover): per event type, count and scaled-integer
+    //     sum of values in the trailing 10 minutes BY TIMESTAMP VALUE.
+    //     RANGE frames are tie-safe by construction (the frame is defined
+    //     by value bounds, so peer ordering can't change the result), and
+    //     the 1e3-scaled BIGINT value sum is addition-order-independent —
+    //     together the window is deterministic at any parallelism. One
+    //     exchange keyed by event_type. ---
+    "w5_range_frame" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("event_type")).orderBy(col("sec"))
+        .rangeBetween(-600, 0)
+      t(s, dir, "events")
+        .select(col("event_id"), col("event_type"),
+          unix_timestamp(col("ts")).as("sec"),
+          expr("CAST(floor(value * 1000 + 0.5) AS BIGINT)").as("mv"))
+        .withColumn("n_10min", count(lit(1)).over(w))
+        .withColumn("sum_mv", sum(col("mv")).over(w))
+        .filter(col("event_id") < 2000)
+        .select(col("event_id"), col("event_type"), col("n_10min"), col("sum_mv"))
+        .orderBy(col("event_id"))
+    }),
+
     // --- pivot (Spark .pivot vs CASE-expression oracle) ---
     // --- deterministic stratified sampling: md5-hash gating, per-stratum
     //     rates (en 50% / de 20% / else 10%). The reproducible-at-scale
@@ -427,6 +450,22 @@ object Relational2 {
   )
 
   val oracles: Map[String, String] = Map(
+    "w5_range_frame" ->
+      """WITH e AS (
+        |  SELECT event_id, event_type,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+        |    CAST(floor(value * 1000 + 0.5) AS BIGINT) AS mv
+        |  FROM events),
+        |x AS (
+        |  SELECT event_id, event_type,
+        |    count(*) OVER win AS n_10min,
+        |    CAST(sum(mv) OVER win AS BIGINT) AS sum_mv
+        |  FROM e
+        |  WINDOW win AS (PARTITION BY event_type ORDER BY sec
+        |                 RANGE BETWEEN 600 PRECEDING AND CURRENT ROW))
+        |SELECT event_id, event_type, n_10min, sum_mv
+        |FROM x WHERE event_id < 2000 ORDER BY event_id""".stripMargin,
+
     "p9_mixture" ->
       """WITH b AS (
         |  SELECT source, doc_id, n_chars,

@@ -480,6 +480,51 @@ object TextOps {
           .localCheckpoint(false) // leaf per round, one materialization
       }
       merges.orderBy(col("rank"))
+    }),
+
+    // --- BPE APPLICATION: t14 learns the merges; this runs the learned
+    //     tokenizer over the whole corpus and reports per-source token
+    //     compression. The production trick is word-level caching: BPE
+    //     segmentation depends only on the word TYPE, so the merges are
+    //     applied once per vocabulary entry and the corpus just joins the
+    //     (word -> token count) table — vocab-sized, broadcast — instead
+    //     of re-segmenting every occurrence. Corpus touched twice (vocab
+    //     build + final join), both map-side-combining aggregates. ---
+    "t16_bpe_apply" -> ((s, dir) => {
+      val words = docs(s, dir)
+        .select(col("source"), explode(split(trim(col("text")), "\\s+")).as("word"))
+      val vocab = words.groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      var sym = vocab.select(col("word"),
+        concat(lit("  "), regexp_replace(col("word"), "(.)", "$1  ")).as("sym"),
+        col("freq"))
+      for (_ <- 1 to 5) {
+        val pairs = sym
+          .select(expr("filter(split(sym, '  '), x -> x != '')").as("l"), col("freq"))
+          .select(explode(expr(
+            "CASE WHEN size(l) < 2 THEN array() ELSE " +
+            "transform(sequence(0, size(l) - 2), i -> struct(l[i] AS a, l[i+1] AS b)) END"))
+            .as("p"), col("freq"))
+          .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+          .agg(sum(col("freq")).cast("long").as("cnt"))
+        val top = pairs.orderBy(col("cnt").desc, col("a"), col("b")).limit(1)
+          .select(col("a"), col("b"))
+          .localCheckpoint(true)
+        sym = sym.crossJoin(broadcast(top))
+          .select(col("word"), expr(
+            "replace(sym, concat(' ', a, '  ', b, ' '), concat(' ', a, b, ' '))")
+            .as("sym"), col("freq"))
+          .localCheckpoint(false)
+      }
+      val toks = sym.select(col("word"),
+        expr("CAST(size(filter(split(sym, '  '), x -> x != '')) AS BIGINT)").as("n_sym"))
+      words.join(broadcast(toks), Seq("word"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_words"),
+          sum(length(col("word"))).cast("long").as("n_chars_tok"),
+          sum(col("n_sym")).cast("long").as("n_bpe"),
+          round(sum(length(col("word"))).cast("double") / sum(col("n_sym")), 6)
+            .as("chars_per_tok"))
+        .orderBy(col("source"))
     })
   )
 
@@ -500,7 +545,41 @@ object TextOps {
        |        FROM s${k - 1} CROSS JOIN t$k)""".stripMargin
   }.mkString(",\n")
 
+  // t16's variant of the merge loop: the word type rides along so the
+  // final segmentation can be joined back to corpus occurrences
+  private val bpeApplyIters: String = (1 to 5).map { k =>
+    s"""p$k AS (
+       |  SELECT l[i] AS a, l[i+1] AS b, CAST(sum(freq) AS BIGINT) AS cnt
+       |  FROM (SELECT list_filter(string_split(sym, '  '), x -> x != '') AS l, freq
+       |        FROM s${k - 1}) t,
+       |       LATERAL (SELECT unnest(generate_series(1, len(l) - 1)) AS i) u
+       |  GROUP BY 1, 2),
+       |t$k AS (SELECT a, b FROM p$k ORDER BY cnt DESC, a, b LIMIT 1),
+       |s$k AS (SELECT word,
+       |               replace(sym, ' ' || a || '  ' || b || ' ', ' ' || a || b || ' ') AS sym,
+       |               freq
+       |        FROM s${k - 1} CROSS JOIN t$k)""".stripMargin
+  }.mkString(",\n")
+
   val oracles: Map[String, String] = Map(
+    "t16_bpe_apply" ->
+      raw"""WITH cw AS (
+         |  SELECT source, unnest(regexp_split_to_array(trim(text), '\s+')) AS word
+         |  FROM documents),
+         |w AS (SELECT word, count(*) AS freq FROM cw GROUP BY 1),
+         |s0 AS (SELECT word, '  ' || regexp_replace(word, '(.)', '\1  ', 'g') AS sym, freq
+         |       FROM w),
+         |$bpeApplyIters,
+         |tok AS (SELECT word,
+         |  CAST(len(list_filter(string_split(sym, '  '), x -> x != '')) AS BIGINT) AS n_sym
+         |  FROM s5)
+         |SELECT cw.source, CAST(count(*) AS BIGINT) AS n_words,
+         |  CAST(sum(length(cw.word)) AS BIGINT) AS n_chars_tok,
+         |  CAST(sum(tok.n_sym) AS BIGINT) AS n_bpe,
+         |  round(CAST(sum(length(cw.word)) AS DOUBLE) / sum(tok.n_sym), 6) AS chars_per_tok
+         |FROM cw JOIN tok ON cw.word = tok.word
+         |GROUP BY cw.source ORDER BY cw.source""".stripMargin,
+
     "t14_bpe_learn" ->
       raw"""WITH w AS (
          |  SELECT word, count(*) AS freq
