@@ -7,7 +7,14 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
-    val spark = Spark.session(appName = "graft-bench")
+    // Benchmarks are only comparable at a pinned parallelism: default the
+    // bench (and only the bench) to 32 cores when SPARK_GRAFT_CPUS is
+    // unset, instead of Spark.session's conservative local[4] — an
+    // accidental 4-core run reads ~8x slow and poisons round-over-round
+    // regression detection.
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = Spark.session(master = s"local[$cpus]",
+      shufflePartitions = cpus.toInt, appName = "graft-bench")
     // Steady-state methodology: one untimed warmup pass at the bench SF
     // (codegen class generation, parquet footers/dictionaries, cache
     // population), then the timed passes.
@@ -56,12 +63,24 @@ object Bench {
     // stay small (the round-4 line with per-run arrays inlined overflowed the
     // buffer and parsed as null). Keep stdout to the compact contract line —
     // medians per query — and write min + raw runs to a side file instead.
-    val detail = f"""{"stat":"median-of-$runs","queries_min":$mins,"queries_runs":$runsObj,"sf":"$sfDir"}"""
+    // Spread guard: a query whose max/min exceeds 2x (above a 0.25 s
+    // floor — sub-100ms queries jitter harmlessly) means the host was
+    // noisy during the run and the medians are suspect. The violations
+    // ride in both JSON outputs so regression analysis can discount
+    // them; SPARK_GRAFT_BENCH_STRICT=1 turns them into a nonzero exit
+    // for dev loops that want a hard stop.
+    val spreadViolations = results.collect {
+      case (k, ts) if ts.forall(_ >= 0) && ts.max > 0.25 && ts.max / math.max(ts.min, 1e-9) > 2.0 => k
+    }
+    val spreadObj = spreadViolations.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val detail = f"""{"stat":"median-of-$runs","cpus":$cpus,"queries_min":$mins,"queries_runs":$runsObj,"spread_violations":$spreadObj,"sf":"$sfDir"}"""
     try {
       val p = java.nio.file.Paths.get("bench_detail.json")
       java.nio.file.Files.write(p, detail.getBytes("UTF-8"))
     } catch { case _: Throwable => () }
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","stat":"median-of-$runs","queries":$medians,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","stat":"median-of-$runs","cpus":$cpus,"n_spread_violations":${spreadViolations.size},"queries":$medians,"sf":"$sfDir"}""")
     spark.stop()
+    if (spreadViolations.nonEmpty && sys.env.get("SPARK_GRAFT_BENCH_STRICT").contains("1"))
+      sys.exit(2)
   }
 }

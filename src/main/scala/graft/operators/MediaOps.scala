@@ -135,6 +135,30 @@ object MediaOps {
     }
   }
 
+  /** Deterministic synthetic grayscale PNG: luma(x, y) = (3x + 7y + seed)
+    * mod 256, encoded through the JDK's own PNG writer. Gray PNG is
+    * lossless, so `ImageIoCodec.decodeLuma` recovers exactly these
+    * values — which a SQL oracle can recompute from the closed form
+    * WITHOUT being able to parse PNG. This is what lets the m5/m6 gates
+    * exercise the REAL codec end-to-end (encode → container bytes →
+    * `javax.imageio` decode → pixel statistics) under a value-level
+    * cross-engine check. */
+  def syntheticGrayPng(seed: Long, w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val buf = img.getRaster.getDataBuffer
+      .asInstanceOf[java.awt.image.DataBufferByte].getData
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { buf(y * w + x) = ((3 * x + 7 * y + seed) % 256).toByte; x += 1 }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    require(javax.imageio.ImageIO.write(img, "png", bos), "JDK PNG writer missing")
+    bos.toByteArray
+  }
+
   /** Wrap the documents table as a media corpus: payload = UTF-8 bytes,
     * kind assigned round-robin — a deterministic fake corpus with real
     * BINARY columns. */

@@ -145,7 +145,12 @@ object DedupOps {
           .as("w"))
         .select(col("doc_id"),
           expr("CAST(conv(substr(md5(w), 1, 15), 16, 10) AS BIGINT)").as("h"))
-        .cache() // referenced by three branches (per/dup/hit), like `sh`
+        // referenced by three branches (per/dup/hit); eager localCheckpoint
+        // (g1/t14 precedent) materializes once AND lets the ContextCleaner
+        // reclaim the blocks when the plan is dropped — cache() here leaked
+        // executor storage past the query (no unpersist hook in a pure
+        // DataFrame-returning API)
+        .localCheckpoint(true)
       val dup = win.select(col("doc_id"), col("h")).distinct()
         .groupBy(col("h")).agg(count(lit(1)).as("df"))
         .filter(col("df") >= 2).select(col("h"))

@@ -45,6 +45,13 @@ object EventOps {
     //     (x - S/m)^2 > 9 * (mQ - S^2)/m^2  <=>  (mx - S)^2 > 9(mQ - S^2)
     //     with S = sum(x), Q = sum(x^2) — ALL INTEGER, so the distributed
     //     run can't drift from the oracle by a ulp at the threshold.
+    //     The decision is made in 128-bit integer arithmetic (Spark
+    //     DECIMAL(38,0) / DuckDB HUGEINT) because the squared terms
+    //     exceed Long past |m*x - S| ~ 3e9 (e.g. 1e4 hours x 1e9
+    //     events/hour); exactness now holds to ~1e38, i.e. any corpus.
+    //     The dev2_scaled/var_scaled DIAGNOSTIC columns stay BIGINT —
+    //     they mirror the filter exactly within the Long envelope and
+    //     are reporting detail, not the anomaly decision.
     //     Scale shape: two hash aggregates (hourly counts, then per-type
     //     moments over a handful of types) + one broadcast join back —
     //     the monitoring sweep a 100 TB event store runs hourly. ---
@@ -58,7 +65,9 @@ object EventOps {
         .agg(count(lit(1)).as("m"), sum(col("x")).cast("long").as("sv"),
           sum(col("x") * col("x")).cast("long").as("q"))
       hourly.join(broadcast(stats), Seq("event_type"))
-        .filter(expr("(m * x - sv) * (m * x - sv) > 9 * (m * q - sv * sv)"))
+        .filter(expr(
+          "(CAST(m AS DECIMAL(38,0)) * x - sv) * (CAST(m AS DECIMAL(38,0)) * x - sv)" +
+            " > 9 * (CAST(m AS DECIMAL(38,0)) * q - CAST(sv AS DECIMAL(38,0)) * sv)"))
         .select(col("event_type"), col("bucket"), col("x"),
           expr("(m * x - sv) * (m * x - sv)").as("dev2_scaled"),
           expr("m * q - sv * sv").as("var_scaled"))
@@ -290,8 +299,8 @@ object EventOps {
         |  (st.m * h.x - st.sv) * (st.m * h.x - st.sv) AS dev2_scaled,
         |  st.m * st.q - st.sv * st.sv AS var_scaled
         |FROM h JOIN st USING (event_type)
-        |WHERE (st.m * h.x - st.sv) * (st.m * h.x - st.sv)
-        |      > 9 * (st.m * st.q - st.sv * st.sv)
+        |WHERE (CAST(st.m AS HUGEINT) * h.x - st.sv) * (CAST(st.m AS HUGEINT) * h.x - st.sv)
+        |      > 9 * (CAST(st.m AS HUGEINT) * st.q - CAST(st.sv AS HUGEINT) * st.sv)
         |ORDER BY h.event_type, h.bucket""".stripMargin,
 
     "e12_transitions" ->

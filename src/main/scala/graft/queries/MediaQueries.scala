@@ -7,9 +7,15 @@ import graft.Tables
 import graft.operators.MediaOps
 
 /** Multimodal-column queries: the documents table wrapped as a BINARY
-  * media corpus, decoded by the stub codec inside `mapPartitions`
-  * (real plumbing, fake codec — see [[graft.operators.MediaOps]]).
-  * The oracle recomputes the stub's arithmetic from octet_length. */
+  * media corpus, decoded inside `mapPartitions`.
+  *
+  * m1-m4 run the STUB codec (real plumbing, payload-derived fake decode;
+  * the oracle recomputes the stub's arithmetic from octet_length).
+  * m5-m6 run the REAL `javax.imageio` codec over deterministic synthetic
+  * gradient PNGs (`MediaOps.syntheticGrayPng`): the PNG container bytes
+  * are produced and decoded by the JDK, and the oracle recomputes the
+  * decoded luminance statistics from the gradient's closed form — a
+  * value-level gate on actual image decode, not on the stub. */
 object MediaQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -74,6 +80,42 @@ object MediaQueries {
         .agg(count(lit(1)).as("n_dups"), min(col("media_id")).as("keeper"))
         .filter(col("n_dups") > 1)
         .orderBy(col("ahash"))
+    }),
+
+    // REAL-codec decode gate: per-doc synthetic gradient PNG -> JDK PNG
+    // encode -> javax.imageio decode -> luminance features. Narrow
+    // map-only plan (encode+decode fused in one partition pass, no
+    // shuffle before the final sort); payloads never leave the executor.
+    "m5_imageio_decode" -> ((s, dir) => {
+      import s.implicits._
+      val media = Tables.load(s, dir, "documents")
+        .filter(col("doc_id") < 400).select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          MediaOps.MediaRecord(id, "image",
+            MediaOps.syntheticGrayPng(id, 16 + (id % 16).toInt, 12 + (id % 8).toInt))
+        })
+      MediaOps.extractFeaturesImageIo(media).toDF()
+        .select(col("media_id"), col("width"), col("height"),
+          col("checksum").as("lum_sum"))
+        .orderBy(col("media_id"))
+    }),
+
+    // REAL-codec resize gate: same PNG corpus, decoded by javax.imageio
+    // and nearest-neighbor resampled from the ACTUAL decoded pixels; the
+    // oracle evaluates the gradient at the sampled source coordinates.
+    "m6_imageio_resize" -> ((s, dir) => {
+      import s.implicits._
+      val media = Tables.load(s, dir, "documents")
+        .filter(col("doc_id") < 300).select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          MediaOps.MediaRecord(id, "image",
+            MediaOps.syntheticGrayPng(id, 16 + (id % 16).toInt, 12 + (id % 8).toInt))
+        })
+      MediaOps.resizeImagesImageIo(media, 8, 6)
+        .map(r => (r.media_id, r.out_w, r.out_h,
+          r.pixels.foldLeft(0L)((a, b) => a + (b & 0xFF))))
+        .toDF("media_id", "out_w", "out_h", "res_checksum")
+        .orderBy(col("media_id"))
     })
   )
 
@@ -143,6 +185,38 @@ object MediaQueries {
         |  FROM px JOIN tot USING (media_id) GROUP BY px.media_id),
         |hh AS (SELECT media_id, ('0x' || substr(md5(bitsig), 1, 15))::BIGINT AS ahash FROM sig)
         |SELECT ahash, count(*) AS n_dups, min(media_id) AS keeper
-        |FROM hh GROUP BY ahash HAVING count(*) > 1 ORDER BY ahash""".stripMargin
+        |FROM hh GROUP BY ahash HAVING count(*) > 1 ORDER BY ahash""".stripMargin,
+
+    // m5: decoded luminance of the gradient PNG — luma(x,y) =
+    // (3x + 7y + doc_id) % 256 over w = 16 + id%16, h = 12 + id%8
+    "m5_imageio_decode" ->
+      """WITH img AS (
+        |  SELECT doc_id AS media_id,
+        |    16 + doc_id % 16 AS w, 12 + doc_id % 8 AS h
+        |  FROM documents WHERE doc_id < 400),
+        |px AS (
+        |  SELECT media_id, w, h, (3 * i.x + 7 * j.y + media_id) % 256 AS p
+        |  FROM img, (SELECT unnest(generate_series(0, 30)) AS x) i,
+        |       (SELECT unnest(generate_series(0, 18)) AS y) j
+        |  WHERE i.x < w AND j.y < h)
+        |SELECT media_id, CAST(min(w) AS INTEGER) AS width,
+        |  CAST(min(h) AS INTEGER) AS height, CAST(sum(p) AS BIGINT) AS lum_sum
+        |FROM px GROUP BY media_id ORDER BY media_id""".stripMargin,
+
+    // m6: nearest-neighbor sample of the decoded gradient at source
+    // coordinates (x*w//8, y*h//6)
+    "m6_imageio_resize" ->
+      """WITH img AS (
+        |  SELECT doc_id AS media_id,
+        |    16 + doc_id % 16 AS w, 12 + doc_id % 8 AS h
+        |  FROM documents WHERE doc_id < 300),
+        |px AS (
+        |  SELECT media_id,
+        |    (3 * ((i.x * w) // 8) + 7 * ((j.y * h) // 6) + media_id) % 256 AS p
+        |  FROM img, (SELECT unnest(generate_series(0, 7)) AS x) i,
+        |       (SELECT unnest(generate_series(0, 5)) AS y) j)
+        |SELECT media_id, 8 AS out_w, 6 AS out_h,
+        |  CAST(sum(p) AS BIGINT) AS res_checksum
+        |FROM px GROUP BY media_id ORDER BY media_id""".stripMargin
   )
 }

@@ -340,15 +340,28 @@ object Relational2 {
         .orderBy(col("o_orderkey"))
     }),
 
-    // --- approximate stats: rows-only check (no SQL oracle — sketches
-    //     are engine-specific by design); exact twins ride along so the
-    //     approximation error is visible in the output ---
+    // --- approximate stats, value-gated: the raw sketch values
+    //     (HyperLogLog++, KLL-style percentile) are engine-specific and
+    //     can never hash-match DuckDB, so the gated OUTPUT carries the
+    //     exact twins plus TOLERANCE BOOLEANS — |approx - exact| within
+    //     the sketch's published error envelope (HLL rsd 0.05 -> 3-sigma
+    //     15%; approx_percentile accuracy 10000 -> ~exact at gate scale,
+    //     1% relative value slack). The oracle asserts the booleans as
+    //     literal TRUE: a sketch drifting out of bound flips the bit and
+    //     fails the hash compare, making this a value-level gate instead
+    //     of the old rows-only check. SparkEntryContractSpec additionally
+    //     asserts the raw |approx - exact| bound directly. ---
     "approx_stats" -> ((s, dir) => {
       t(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
-        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
-          countDistinct(col("l_partkey")).as("exact_parts"),
-          round(expr("approx_percentile(l_extendedprice, 0.5, 10000)"), 4).as("approx_p50"))
+        .agg(countDistinct(col("l_partkey")).as("exact_parts"),
+          approx_count_distinct(col("l_partkey")).as("ap"),
+          expr("percentile(l_extendedprice, 0.5D)").as("ep50"),
+          expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("ap50"))
+        .select(col("l_returnflag"), col("exact_parts"),
+          round(col("ep50"), 4).as("exact_p50"),
+          (abs(col("ap") - col("exact_parts")) <= col("exact_parts") * 0.15).as("cd_ok"),
+          (abs(col("ap50") - col("ep50")) <= abs(col("ep50")) * 0.01).as("p50_ok"))
         .orderBy(col("l_returnflag"))
     }),
 
@@ -697,7 +710,16 @@ object Relational2 {
         |  round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 4) AS total_f,
         |  round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 4) AS total_o,
         |  round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 4) AS total_p
-        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
-    // approx_stats: intentionally no oracle (rows-only check)
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    // approx_stats: the exact columns are cross-engine; the tolerance
+    // booleans are asserted as literal TRUE — DuckDB cannot run Spark's
+    // sketches, but it CAN demand they land inside their error envelope
+    "approx_stats" ->
+      """SELECT l_returnflag,
+        |  CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+        |  round(quantile_cont(l_extendedprice, 0.5), 4) AS exact_p50,
+        |  TRUE AS cd_ok, TRUE AS p50_ok
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
   )
 }

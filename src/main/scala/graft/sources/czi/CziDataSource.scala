@@ -71,6 +71,11 @@ class CziTable(props: Map[String, String]) extends Table with SupportsRead {
 
 final case class CziInputPartition(tIdx: Int, cIdx: Int, slab: Int) extends InputPartition
 
+/** Inclusive row range of the pushed-aggregate group space (no IO — the
+  * rows are pure chunk-grid arithmetic, so a "partition" is just an index
+  * range, mirroring the zarr connector's `ZarrInputPartition`). */
+final case class CziAggPartition(firstRow: Long, lastRow: Long) extends InputPartition
+
 class CziScanBuilder(path: String, stack: String, chunkZyx: Array[Int])
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
@@ -220,9 +225,29 @@ class CziScan(path: String, stack: String, chunkZyx: Array[Int],
     s"CziScan($path${if (bounds.isEmpty) "" else bounds.mkString(" ", ",", "")} cols=${required.fieldNames.mkString(",")}$agg)"
   }
 
-  override def planInputPartitions(): Array[InputPartition] = {
-    // a pushed aggregate is one arithmetic row — a single no-IO partition
-    if (aggOps.isDefined) return Array(CziInputPartition(-1, -1, -1))
+  override def planInputPartitions(): Array[InputPartition] = aggOps match {
+    // ungrouped pushed aggregate: one arithmetic row, one no-IO partition
+    case Some((groups, _)) if groups.isEmpty => Array(CziAggPartition(0L, 0L))
+    // grouped: range-partition the group space (zarr `ranged` parity —
+    // a GROUP BY y,x over a large tile grid must not serialize into one
+    // task just because the rows are synthesized)
+    case Some((groups, _)) =>
+      val axes = Seq("t", "c", "z", "y", "x")
+      val extA = Array(
+        math.max(0L, tSel._2 - tSel._1 + 1), math.max(0L, cSel._2 - cSel._1 + 1),
+        math.max(0L, zSel._2 - zSel._1 + 1), gridY, gridX)
+      if (extA.exists(_ == 0L)) Array.empty // empty selection: no groups
+      else {
+        val total = groups.map(g => extA(axes.indexOf(g))).product
+        val per = ChunkGrid.ceilDiv(total, math.min(total, 256L))
+        (0L until total by per)
+          .map(s => CziAggPartition(s, math.min(s + per, total) - 1): InputPartition)
+          .toArray
+      }
+    case None => planChunkPartitions()
+  }
+
+  private def planChunkPartitions(): Array[InputPartition] = {
     val parts = for {
       t <- tSel._1 to tSel._2
       c <- cSel._1 to cSel._2
@@ -261,12 +286,12 @@ final case class CziAggReaderFactory(groups: Seq[String], ops: Seq[(String, Stri
       private val nSel = extA.product
       private val perGroup = (0 until 5)
         .filterNot(gDims.contains).map(extA(_)).product
-      private val nRows =
-        if (groups.isEmpty) 1L // ungrouped: one row even when count = 0
-        else if (nSel == 0L) 0L // empty selection: no groups at all
-        else gDims.map(extA(_)).product
-      private var cur = -1L
-      override def next(): Boolean = { cur += 1; cur < nRows }
+      // the planner already sized the group space (and emitted zero
+      // partitions for an empty grouped selection): this reader walks its
+      // assigned inclusive row range only
+      private val range = partition.asInstanceOf[CziAggPartition]
+      private var cur = range.firstRow - 1L
+      override def next(): Boolean = { cur += 1; cur <= range.lastRow }
       override def get(): InternalRow = {
         // row-major decompose of the group index over the grouped axes
         val combo = new Array[Long](gDims.length)

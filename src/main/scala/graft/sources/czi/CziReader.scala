@@ -92,8 +92,16 @@ object CziReader {
       val dirBody = le(readFully(in, dirPos + SegmentHeaderSize, dirUsed.toInt))
       val entryCount = dirBody.getInt
       dirBody.position(dirBody.position() + 124)
-      val entries = (0 until entryCount).map(_ => parseEntry(dirBody)._1)
-      require(entries.nonEmpty, "CZI has no subblocks")
+      val allEntries = (0 until entryCount).map(_ => parseEntry(dirBody)._1)
+      // Level-0 only, czifile parity (`filtered_subblock_directory` keeps
+      // subblocks whose logical shape equals their stored shape): a mosaic
+      // CZI interleaves reduced-resolution pyramid subblocks with the
+      // full-resolution tiles; stitching a downsampled tile at its logical
+      // extent would corrupt the plane, so they are filtered here and the
+      // pyramid is rebuilt by our own windowed-mean operator instead.
+      val entries = allEntries.filter(e =>
+        e.dims.valuesIterator.forall(d => d.storedSize == d.size))
+      require(entries.nonEmpty, "CZI has no full-resolution subblocks")
 
       val pixelType = entries.head.pixelType
       require(entries.forall(_.pixelType == pixelType), "mixed pixel types unsupported")
@@ -110,21 +118,33 @@ object CziReader {
       // Axis vocabulary beyond TCZYX, per the reference's tolerated set
       // (utils.py:438-459: b/v/i/h/r/s plus the czifile '0' sample axis;
       // 'M' is ZISRAW's mosaic-tile index). A singleton extra axis
-      // squeezes away exactly like the reference's collapse-to-TCZYX; an
-      // extra axis spanning >1 (multi-scene / mosaic / multi-view file)
-      // has no correct TCZYX reading, so it must fail loudly — silently
-      // folding scenes onto the same (z,y,x) coordinates would corrupt
-      // the output. An axis outside the vocabulary is rejected outright.
+      // squeezes away exactly like the reference's collapse-to-TCZYX.
+      //
+      // 'S' (scene) and 'M' (mosaic tile) spanning > 1 are POSITIONAL
+      // ENUMERATION axes: each tile also carries its own Y/X start in
+      // stage coordinates, so the reference's start-offset scatter
+      // (`utils.py:269-276`) stitches them into one padded plane with the
+      // S/M index never entering the placement arithmetic. The same
+      // kernel here (`CziSource.slabChunks`) does the same, so these
+      // spans are accepted and the global extent is the stitched
+      // bounding box (gaps between tiles stay zero-filled; tiles
+      // overlapping in Y/X resolve last-in-directory-order wins, the
+      // reference's sequential-assignment semantics).
+      //
+      // 'B'/'V'/'I'/'H'/'R'/'0' spanning > 1 (multi-view, rotation,
+      // phase...) genuinely re-image the SAME volume: folding them onto
+      // one (z,y,x) grid would overwrite real data with a different
+      // acquisition, so they still fail loudly.
       val known = Set("T", "C", "Z", "Y", "X", "B", "V", "I", "H", "R", "S", "M", "0")
       val present = entries.iterator.flatMap(_.dims.keysIterator).toSet
       val unknown = present -- known
       require(unknown.isEmpty, s"unknown CZI axes ${unknown.toSeq.sorted.mkString(", ")}")
-      for (d <- (present -- Set("T", "C", "Z", "Y", "X")).toSeq.sorted) {
+      for (d <- (present -- Set("T", "C", "Z", "Y", "X", "S", "M")).toSeq.sorted) {
         val (lo, hi) = extent(d)
         if (hi - lo > 1)
           throw new UnsupportedOperationException(
-            s"CZI axis '$d' spans [$lo, $hi): multi-scene/mosaic/multi-view files " +
-            "are not supported — split them (e.g. one scene per file) before ingest")
+            s"CZI axis '$d' spans [$lo, $hi): multi-view/rotation/phase files " +
+            "are not supported — split them (e.g. one view per file) before ingest")
       }
 
       // Multi-timepoint files are first-class: the scans plan one task

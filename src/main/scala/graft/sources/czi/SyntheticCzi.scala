@@ -24,7 +24,8 @@ object SyntheticCzi {
   private def align32(n: Long): Long = (n + 31) / 32 * 32
 
   private def entryBytes(pixelType: Int, filePos: Long, compression: Int,
-                         dims: Seq[(String, Int, Int)]): Array[Byte] = {
+                         dims: Seq[(String, Int, Int)],
+                         stored: Map[String, Int] = Map.empty): Array[Byte] = {
     val b = ByteBuffer.allocate(32 + 20 * dims.size).order(ByteOrder.LITTLE_ENDIAN)
     b.put('D'.toByte); b.put('V'.toByte)
     b.putInt(pixelType)
@@ -41,9 +42,118 @@ object SyntheticCzi {
       b.putInt(start)
       b.putInt(size)
       b.putFloat(0.0f)
-      b.putInt(size)       // StoredSize
+      // StoredSize: equals the logical size for level-0 subblocks; a
+      // pyramid fixture overrides it smaller (czifile's level marker)
+      b.putInt(stored.getOrElse(d, size))
     }
     b.array()
+  }
+
+  private def encodePixels(values: Array[Int], isz: Int): Array[Byte] = {
+    val out = new Array[Byte](values.length * isz)
+    var i = 0
+    while (i < values.length) {
+      val v = values(i)
+      isz match {
+        case 1 => out(i) = (v & 0xFF).toByte
+        case 2 =>
+          out(2 * i) = (v & 0xFF).toByte
+          out(2 * i + 1) = ((v >>> 8) & 0xFF).toByte
+        case 4 =>
+          val bits = java.lang.Float.floatToIntBits(v.toFloat)
+          var b = 0
+          while (b < 4) { out(4 * i + b) = ((bits >>> (8 * b)) & 0xFF).toByte; b += 1 }
+      }
+      i += 1
+    }
+    out
+  }
+
+  /** One positioned subblock for [[writeTiles]]: `dims` carry the tile's
+    * own start offsets (stage coordinates) and any enumeration axes
+    * (S/M/...); `pixels` are z-major (z, y, x) over the tile's Z/Y/X
+    * sizes; `stored` overrides StoredSize per axis to fake a pyramid
+    * (reduced-resolution) subblock. */
+  final case class Tile(dims: Seq[(String, Int, Int)], pixels: Array[Int],
+                        compression: Int = CziFormat.CompressionNone,
+                        stored: Map[String, Int] = Map.empty)
+
+  /** Arbitrary-tile writer — the mosaic/scene fixture generator: unlike
+    * [[writeTC]] (full-plane subblock per z-slice), every tile here
+    * carries its own Y/X placement, so multi-scene and mosaic layouts
+    * (plus interleaved pyramid subblocks) can be synthesized. */
+  def writeTiles(path: String, tiles: Seq[Tile],
+                 pixelType: Int = CziFormat.PixelGray16): Unit = {
+    val isz = CziFormat.bytesPerPixel(pixelType)
+    val out = new DataOutputStream(new FileOutputStream(path))
+    var pos = 0L
+    def emit(bytes: Array[Byte]): Unit = { out.write(bytes); pos += bytes.length }
+    def pad(n: Long): Unit = { out.write(new Array[Byte](n.toInt)); pos += n }
+
+    val headerPayload = 512
+    emit(segHeader(CziFormat.IdFile, headerPayload, headerPayload))
+    pad(headerPayload)
+
+    val entryBlobs = Seq.newBuilder[Array[Byte]]
+    for (tile <- tiles) {
+      // a pyramid fixture stores stored-size pixels, not logical-size
+      val nPix = tile.dims.collect {
+        case (d, _, size) if d == "Z" || d == "Y" || d == "X" =>
+          tile.stored.getOrElse(d, size).toLong
+      }.product
+      require(tile.pixels.length.toLong == nPix,
+        s"tile pixels ${tile.pixels.length} != stored Z*Y*X $nPix")
+      val raw = encodePixels(tile.pixels, isz)
+      val payload = tile.compression match {
+        case CziFormat.CompressionNone => raw
+        case CziFormat.CompressionZstd0 => Zstd.compress(raw, 3)
+        case CziFormat.CompressionZstd1 => Array[Byte](1) ++ Zstd.compress(raw, 3)
+        case other => throw new IllegalArgumentException(s"unsupported fixture compression $other")
+      }
+      val entry = entryBytes(pixelType, pos, tile.compression, tile.dims, tile.stored)
+      entryBlobs += entry
+      val headerSpace = math.max(256, 16 + entry.length)
+      val used = headerSpace + payload.length
+      val alloc = align32(used)
+      emit(segHeader(CziFormat.IdSubBlock, alloc, used))
+      val fixed = ByteBuffer.allocate(16).order(ByteOrder.LITTLE_ENDIAN)
+      fixed.putInt(0)                      // MetadataSize
+      fixed.putInt(0)                      // AttachmentSize
+      fixed.putLong(payload.length.toLong) // DataSize
+      emit(fixed.array())
+      emit(entry)
+      pad(headerSpace - 16 - entry.length)
+      emit(payload)
+      pad(alloc - used)
+    }
+
+    val dirPos = pos
+    val blobs = entryBlobs.result()
+    val dirUsed = 4 + 124 + blobs.map(_.length).sum
+    emit(segHeader(CziFormat.IdDirectory, align32(dirUsed), dirUsed))
+    val cnt = ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN)
+    cnt.putInt(blobs.size)
+    emit(cnt.array())
+    pad(124)
+    blobs.foreach(emit)
+    pad(align32(dirUsed) - dirUsed)
+    out.close()
+    patchHeader(path, dirPos)
+  }
+
+  private def patchHeader(path: String, dirPos: Long): Unit = {
+    val raf = new java.io.RandomAccessFile(path, "rw")
+    try {
+      // payload offset 0: Major..Res2 (16) + GUIDs (32) + FilePart (4) = 52
+      raf.seek(32 + 52)
+      val b = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
+      b.putLong(dirPos)
+      raf.write(b.array())
+      raf.seek(32)
+      val mm = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
+      mm.putInt(1); mm.putInt(0)
+      raf.write(mm.array())
+    } finally raf.close()
   }
 
   /** Write `data(z)(y)(x)` as a CZI with one subblock per z-slice, cycling
@@ -162,20 +272,6 @@ object SyntheticCzi {
     entryBlobs.foreach(emit)
     pad(align32(dirUsed) - dirUsed)
     out.close()
-
-    // --- patch DirectoryPosition into the file header payload ---
-    val raf = new java.io.RandomAccessFile(path, "rw")
-    try {
-      // payload offset 0: Major..Res2 (16) + GUIDs (32) + FilePart (4) = 52
-      raf.seek(32 + 52)
-      val b = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
-      b.putLong(dirPos)
-      raf.write(b.array())
-      // Major/Minor
-      raf.seek(32)
-      val mm = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
-      mm.putInt(1); mm.putInt(0)
-      raf.write(mm.array())
-    } finally raf.close()
+    patchHeader(path, dirPos)
   }
 }

@@ -9,13 +9,38 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class SparkEntryContractSpec extends AnyFunSuite {
 
-  // the one intentional rows-only entry: engine-native approximate
-  // sketches are not hash-matchable across engines by design
-  private val rowsOnly = Set("approx_stats")
-
-  test("every query has an oracle (except the declared rows-only set)") {
-    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- rowsOnly
+  test("every query has an oracle") {
+    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(missing.isEmpty, s"queries without an oracle: ${missing.toSeq.sorted}")
+  }
+
+  // approx_stats gates its sketches through tolerance booleans the oracle
+  // pins to TRUE; this asserts the raw |approx - exact| distances directly
+  // so a tolerance-boolean bug (e.g. an always-true predicate) can't hide
+  // a drifting sketch.
+  test("approx_stats sketches land inside their error envelopes") {
+    val spark = Spark.session(master = "local[4]", shufflePartitions = 4,
+      appName = "graft-approx-contract")
+    val df = Tables.load(spark, "/root/testdata/sf0.001", "lineitem")
+      .groupBy(org.apache.spark.sql.functions.col("l_returnflag"))
+      .agg(
+        org.apache.spark.sql.functions.countDistinct(
+          org.apache.spark.sql.functions.col("l_partkey")).as("exact"),
+        org.apache.spark.sql.functions.approx_count_distinct(
+          org.apache.spark.sql.functions.col("l_partkey")).as("ap"),
+        org.apache.spark.sql.functions.expr("percentile(l_extendedprice, 0.5D)").as("ep50"),
+        org.apache.spark.sql.functions.expr(
+          "approx_percentile(l_extendedprice, 0.5, 10000)").as("ap50"))
+      .collect()
+    assert(df.nonEmpty)
+    df.foreach { r =>
+      val exact = r.getAs[Long]("exact"); val ap = r.getAs[Long]("ap")
+      val ep50 = r.getAs[Double]("ep50"); val ap50 = r.getAs[Double]("ap50")
+      assert(math.abs(ap - exact) <= exact * 0.15,
+        s"HLL count-distinct off by ${math.abs(ap - exact)} of $exact (>15%)")
+      assert(math.abs(ap50 - ep50) <= math.abs(ep50) * 0.01,
+        s"approx_percentile $ap50 vs exact $ep50 (>1%)")
+    }
   }
 
   test("every oracle names an existing query") {

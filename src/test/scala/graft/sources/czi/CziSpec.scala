@@ -46,21 +46,15 @@ class CziSpec extends AnyFunSuite {
     assert(px(17) == SyntheticStack.value(0, 1, 1))
   }
 
-  test("multi-scene / mosaic CZI is rejected loudly, never silently folded") {
+  test("multi-view CZI is rejected loudly; unknown axes fail even when singleton") {
     val dir = Files.createTempDirectory("czi-axes").toString
-    // scenes alternate per z-slice: axis S spans [0, 2)
-    val pathS = s"$dir/s2.czi"
-    SyntheticCzi.writeChannels(pathS, Array(synth(8, 16, 16)),
-      extraDims = (_, z) => Seq(("S", z % 2, 1)))
-    val eS = intercept[UnsupportedOperationException] { CziReader.index(pathS) }
-    assert(eS.getMessage.contains("'S'") && eS.getMessage.contains("[0, 2)"), eS.getMessage)
-
-    // mosaic tiles: axis M spanning > 1 on a single subblock
-    val pathM = s"$dir/m.czi"
-    SyntheticCzi.writeChannels(pathM, Array(synth(4, 8, 8)),
-      extraDims = (_, _) => Seq(("M", 0, 2)))
-    val eM = intercept[UnsupportedOperationException] { CziReader.index(pathM) }
-    assert(eM.getMessage.contains("'M'"), eM.getMessage)
+    // views alternate per z-slice: axis V spans [0, 2) — views re-image
+    // the SAME volume, so folding them is data corruption, not stitching
+    val pathV = s"$dir/v2.czi"
+    SyntheticCzi.writeChannels(pathV, Array(synth(8, 16, 16)),
+      extraDims = (_, z) => Seq(("V", z % 2, 1)))
+    val eV = intercept[UnsupportedOperationException] { CziReader.index(pathV) }
+    assert(eV.getMessage.contains("'V'") && eV.getMessage.contains("[0, 2)"), eV.getMessage)
 
     // an axis outside the tolerated vocabulary fails even when singleton
     val pathQ = s"$dir/q.czi"
@@ -68,6 +62,77 @@ class CziSpec extends AnyFunSuite {
       extraDims = (_, _) => Seq(("Q", 0, 1)))
     val eQ = intercept[IllegalArgumentException] { CziReader.index(pathQ) }
     assert(eQ.getMessage.contains("Q"), eQ.getMessage)
+  }
+
+  test("mosaic CZI: M tiles stitch by Y/X start into one plane, voxel-exact") {
+    val dir = Files.createTempDirectory("czi-mosaic").toString
+    val path = s"$dir/mosaic.czi"
+    // 2x2 tile grid of 8x8 tiles over a 16x16 plane, 2 z-slices; the
+    // global value grid is cut into positioned tiles so any placement
+    // slip (transposed offsets, ignored starts) changes read-back values
+    val nz = 2; val tile = 8; val plane = 16
+    val tiles = for {
+      z <- 0 until nz
+      my <- 0 until 2
+      mx <- 0 until 2
+    } yield SyntheticCzi.Tile(
+      dims = Seq(("X", mx * tile, tile), ("Y", my * tile, tile), ("Z", z, 1),
+        ("C", 0, 1), ("M", my * 2 + mx, 1)),
+      pixels = Array.tabulate(tile * tile) { i =>
+        SyntheticStack.value(z, my * tile + i / tile, mx * tile + i % tile)
+      },
+      compression = if ((my + mx) % 2 == 0) CziFormat.CompressionNone
+                    else CziFormat.CompressionZstd0)
+    SyntheticCzi.writeTiles(path, tiles)
+    val idx = CziReader.index(path)
+    assert(idx.shape.toSeq == Seq(1L, 1L, nz.toLong, plane.toLong, plane.toLong))
+    val (vol, i2) = CziSource.volume(path, "mosaic", Array(nz, plane, plane))
+    val chunks = CziSource.scan(spark, path, vol, i2).collect()
+    assert(chunks.length == 1)
+    val px = chunks(0).pixels
+    for (z <- 0 until nz; y <- 0 until plane; x <- 0 until plane)
+      assert(px(z * plane * plane + y * plane + x) ==
+        SyntheticStack.value(z, y, x), s"($z,$y,$x)")
+  }
+
+  test("multi-scene CZI: scenes stitch into the padded bounding box; pyramid subblocks skipped") {
+    val dir = Files.createTempDirectory("czi-scene").toString
+    val path = s"$dir/scenes.czi"
+    // scene 0 at stage (Y=0, X=100), scene 1 at (Y=0, X=120): a 12-wide
+    // X gap between them must stay zero-filled; stage offsets exercise
+    // the nominal-origin subtraction (`utils.py:272` dir_start)
+    val sceneVal = (s: Int, z: Int, y: Int, x: Int) =>
+      (SyntheticStack.value(z, y, x) + 5000 * s) & 0xFFFF
+    val sceneTiles = for {
+      s <- 0 until 2
+      z <- 0 until 2
+    } yield SyntheticCzi.Tile(
+      dims = Seq(("X", 100 + s * 20, 8), ("Y", 0, 8), ("Z", z, 1),
+        ("C", 0, 1), ("S", s, 1)),
+      pixels = Array.tabulate(64)(i => sceneVal(s, z, i / 8, i % 8)))
+    // plus a reduced-resolution (pyramid) subblock covering the whole
+    // plane — czifile's filtered_subblock_directory drops these; if it
+    // leaked into placement it would overwrite scene 1's pixels
+    val pyramid = SyntheticCzi.Tile(
+      dims = Seq(("X", 100, 28), ("Y", 0, 8), ("Z", 0, 1), ("C", 0, 1)),
+      pixels = Array.fill(4 * 14)(0xBEEF & 0xFFFF),
+      stored = Map("X" -> 14, "Y" -> 4))
+    SyntheticCzi.writeTiles(path, sceneTiles :+ pyramid)
+    val idx = CziReader.index(path)
+    // X extent: [100, 128) -> width 28; origin 100
+    assert(idx.shape.toSeq == Seq(1L, 1L, 2L, 8L, 28L))
+    val (vol, i2) = CziSource.volume(path, "scenes", Array(2, 8, 28))
+    val chunks = CziSource.scan(spark, path, vol, i2).collect()
+    assert(chunks.length == 1)
+    val px = chunks(0).pixels
+    def at(z: Int, y: Int, x: Int) = px(z * 8 * 28 + y * 28 + x)
+    for (z <- 0 until 2; y <- 0 until 8; x <- 0 until 8) {
+      assert(at(z, y, x) == sceneVal(0, z, y, x), s"scene0 ($z,$y,$x)")
+      assert(at(z, y, 20 + x) == sceneVal(1, z, y, x), s"scene1 ($z,$y,$x)")
+    }
+    // the inter-scene gap is padding, and the pyramid block never landed
+    for (z <- 0 until 2; y <- 0 until 8; x <- 8 until 20)
+      assert(at(z, y, x) == 0, s"gap ($z,$y,$x)")
   }
 
   test("subblocks spanning several timepoints are rejected, singleton T squeezes") {
