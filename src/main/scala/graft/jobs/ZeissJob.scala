@@ -100,7 +100,10 @@ object ZeissJob {
                    settings: Settings, voxelZyx: Seq[Double],
                    channelName: String = "ch0"): Volume = {
     val stackName = new Path(cziPath).getName.stripSuffix(".czi")
-    val (vol, idx) = CziSource.volume(cziPath, stackName, settings.chunkSize)
+    // JPEG-XR containment: swap in the transcode sidecar (or fail with
+    // the remediation) before any executor opens the file
+    val srcPath = CziSource.resolveInput(cziPath)
+    val (vol, idx) = CziSource.volume(srcPath, stackName, settings.chunkSize)
     // the reference assumes one channel per file (utils.py:355); we accept
     // c>1 and emit one omero channel entry per channel
     val chNames =
@@ -110,8 +113,8 @@ object ZeissJob {
     // planes, not for stitched volumes; switch to the shuffle-assembled
     // scan when a slab would exceed ~1 GiB (reference X3 vs Spark-scale)
     val slabBytes = vol.chunk(2).toLong * vol.shape(3) * vol.shape(4) * vol.dtype.itemSize
-    val level0 = (if (slabBytes <= (1L << 30)) CziSource.scan(spark, cziPath, vol, idx)
-                  else graft.sources.czi.CziSourceShuffled.scan(spark, cziPath, vol, idx))
+    val level0 = (if (slabBytes <= (1L << 30)) CziSource.scan(spark, srcPath, vol, idx)
+                  else graft.sources.czi.CziSourceShuffled.scan(spark, srcPath, vol, idx))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     ZarrIO.writeMetadata(outRoot, vol, settings.downsampleLevels, voxelZyx,

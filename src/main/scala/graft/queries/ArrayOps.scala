@@ -308,6 +308,48 @@ object ArrayOps {
         }
         .toDF("cz", "cy", "cx", "sum_v", "n_voxels")
         .orderBy(col("cz"), col("cy"), col("cx"))
+    }),
+
+    // --- mosaic stitching under the gate: a 2x2 grid of positioned M
+    //     tiles (plus one reduced-resolution pyramid subblock that MUST
+    //     be skipped) scans through the format("czi") connector into a
+    //     chunk grid whose tiles CROSS the mosaic seams (chunk 16 over
+    //     20-wide tiles) — any placement slip or pyramid leak changes the
+    //     per-chunk sums the oracle recomputes from the global value
+    //     formula. ---
+    "z13_mosaic_scan" -> ((s, _) => {
+      import s.implicits._
+      val dir = graft.Scratch.dir("czi-mosaic-q")
+      val path = s"$dir/q13.czi"
+      val nz = 8; val tile = 20
+      val tiles = (for {
+        z <- 0 until nz; my <- 0 until 2; mx <- 0 until 2
+      } yield graft.sources.czi.SyntheticCzi.Tile(
+        dims = Seq(("X", mx * tile, tile), ("Y", my * tile, tile), ("Z", z, 1),
+          ("C", 0, 1), ("M", my * 2 + mx, 1)),
+        pixels = Array.tabulate(tile * tile)(i =>
+          SyntheticStack.value(z, my * tile + i / tile, mx * tile + i % tile)),
+        compression = graft.sources.czi.CziFormat.CompressionZstd0)) :+
+        graft.sources.czi.SyntheticCzi.Tile(
+          dims = Seq(("X", 0, 40), ("Y", 0, 40), ("Z", 0, 1), ("C", 0, 1)),
+          pixels = Array.fill(20 * 20)(0x7777),
+          stored = Map("X" -> 20, "Y" -> 20))
+      graft.sources.czi.SyntheticCzi.writeTiles(path, tiles)
+      s.read.format("czi")
+        .option("path", path)
+        .option("chunk_z", "4").option("chunk_y", "16").option("chunk_x", "16")
+        .load()
+        .select(col("z"), col("y"), col("x"), col("data"))
+        .as[(Int, Int, Int, Array[Byte])]
+        .map { case (z, y, x, data) =>
+          val px = graft.core.PixelCodec.toInts(data)
+          var sum = 0L
+          var i = 0
+          while (i < px.length) { sum += px(i); i += 1 }
+          (z.toLong, y.toLong, x.toLong, sum, px.length.toLong)
+        }
+        .toDF("cz", "cy", "cx", "sum_v", "n_voxels")
+        .orderBy(col("cz"), col("cy"), col("cx"))
     })
   )
 
@@ -436,6 +478,20 @@ object ArrayOps {
       """SELECT CAST(18 AS BIGINT) AS n_chunks,
         |  CAST(1 AS BIGINT) AS min_z, CAST(2 AS BIGINT) AS max_z,
         |  CAST(0 AS BIGINT) AS min_y, CAST(2 AS BIGINT) AS max_x""".stripMargin,
+
+    // the stitched 8 x 40 x 40 volume IS the global value grid — the
+    // mosaic layout (tile offsets, M indices, the skipped pyramid
+    // subblock) must be invisible in the chunk sums
+    "z13_mosaic_scan" ->
+      """WITH l0 AS (
+        |  SELECT range // 1600 AS z, (range // 40) % 40 AS y, range % 40 AS x,
+        |         (31 * (range // 1600) + 17 * ((range // 40) % 40) + 13 * (range % 40)) % 65536 AS v
+        |  FROM range(12800)
+        |)
+        |SELECT z // 4 AS cz, y // 16 AS cy, x // 16 AS cx,
+        |       CAST(sum(v) AS BIGINT) AS sum_v, count(*) AS n_voxels
+        |FROM l0 GROUP BY 1, 2, 3
+        |ORDER BY cz, cy, cx""".stripMargin,
 
     "z4_czi_scan" ->
       """WITH l0 AS (

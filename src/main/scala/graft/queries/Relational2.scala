@@ -459,6 +459,38 @@ object Relational2 {
           coalesce(col("epochs"), lit(0)).as("epochs"),
           coalesce(col("chars_out"), lit(0L)).as("chars_out"))
         .orderBy(col("source"))
+    }),
+
+    // --- temperature-reweighted mixture allocation (the data-mixing
+    //     step of multi-source pretraining: upweight small sources, damp
+    //     large ones — rates ~ count^T with T = 1/2). Integer sqrt
+    //     (floor(sqrt(n))) keeps the whole allocation exact: sqrt of a
+    //     Long-exact double is correctly-rounded IEEE in both engines
+    //     and floor pins it to a BIGINT weight, so sums and divisions
+    //     never see an order-dependent double. The largest-remainder
+    //     top-up makes the per-source budget sum to EXACTLY the
+    //     requested 100k docs under any partitioning (ties broken by
+    //     source name). Scale shape: one per-source aggregate (a few
+    //     dozen rows at any corpus size), windows over sources only —
+    //     the corpus is scanned once. ---
+    "p10_temperature_mix" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val B = 100000L
+      val bySrc = t(s, dir, "documents").groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"))
+        .withColumn("w", expr("CAST(floor(sqrt(CAST(n_docs AS DOUBLE))) AS BIGINT)"))
+      val tot = bySrc.groupBy().agg(sum(col("w")).cast("long").as("tw"))
+      val base = bySrc.crossJoin(broadcast(tot))
+        .withColumn("alloc0", expr(s"($B * w) div tw"))
+        .withColumn("rem", expr(s"$B * w - (($B * w) div tw) * tw"))
+      val sumA = base.groupBy().agg(sum(col("alloc0")).cast("long").as("sa"))
+      val wr = Window.orderBy(col("rem").desc, col("source"))
+      base.crossJoin(broadcast(sumA))
+        .withColumn("rk", row_number().over(wr))
+        .select(col("source"), col("n_docs"), col("w"),
+          (col("alloc0") +
+            when(col("rk") <= lit(B) - col("sa"), 1L).otherwise(0L)).as("alloc"))
+        .orderBy(col("source"))
     })
   )
 
@@ -504,6 +536,27 @@ object Relational2 {
         |      FROM documents GROUP BY source) i
         |LEFT JOIN o ON i.source = o.source
         |ORDER BY i.source""".stripMargin,
+
+    "p10_temperature_mix" ->
+      """WITH s AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+        |  FROM documents GROUP BY source),
+        |w AS (
+        |  SELECT source, n_docs,
+        |    CAST(floor(sqrt(CAST(n_docs AS DOUBLE))) AS BIGINT) AS w
+        |  FROM s),
+        |t AS (SELECT CAST(sum(w) AS BIGINT) AS tw FROM w),
+        |b AS (
+        |  SELECT source, n_docs, w, (100000 * w) // tw AS alloc0,
+        |    100000 * w - ((100000 * w) // tw) * tw AS rem
+        |  FROM w CROSS JOIN t),
+        |sa AS (SELECT CAST(sum(alloc0) AS BIGINT) AS sa FROM b),
+        |r AS (
+        |  SELECT b.*, row_number() OVER (ORDER BY rem DESC, source) AS rk
+        |  FROM b)
+        |SELECT source, n_docs, w,
+        |  CAST(alloc0 + CASE WHEN rk <= 100000 - sa THEN 1 ELSE 0 END AS BIGINT) AS alloc
+        |FROM r CROSS JOIN sa ORDER BY source""".stripMargin,
 
     "p8_weighted_sample" ->
       """WITH keyed AS (

@@ -334,16 +334,18 @@ object SimilarityOps {
         .select(col("vec_id"), col("sub"),
           expr(s"transform(slice(embedding, sub * $subDim + 1, $subDim), x -> CAST(x AS DOUBLE))")
             .as("sv"))
-      // encode: nearest sub-centroid by (2*x.c - |c|^2) max == min L2
-      val wEnc = Window.partitionBy(col("vec_id"), col("sub"))
-        .orderBy(round(col("fit"), 6).desc, col("code"))
+      // encode: nearest sub-centroid by (2*x.c - |c|^2) max == min L2.
+      // max_by over a (rounded-fit, -code) struct replaces the earlier
+      // row_number window: a hash aggregate with map-side partials (the
+      // K candidate rows per (vec, sub) collapse before the shuffle)
+      // instead of sort-shuffling the entire K-times-exploded corpus —
+      // same deterministic tiebreak (highest fit, then lowest code).
       val codes = subs.join(broadcast(cb), Seq("sub"))
         .select(col("vec_id"), col("sub"), col("code"),
           (graft.functions.vector_dot(col("sv"), col("cent")) * 2.0 -
             graft.functions.vector_dot(col("cent"), col("cent"))).as("fit"))
-        .withColumn("rk", row_number().over(wEnc))
-        .filter(col("rk") === 1)
-        .select(col("vec_id"), col("sub"), col("code"))
+        .groupBy(col("vec_id"), col("sub"))
+        .agg(expr("max_by(code, struct(round(fit, 6) AS f, -code AS nc))").as("code"))
       // ADC: full-precision query subvectors x broadcast codebook lookup
       val qsubs = subs.filter(col("vec_id") < 5)
         .select(col("vec_id").as("qid"), col("sub"), col("sv").as("qv"))
@@ -399,15 +401,14 @@ object SimilarityOps {
           explode(expr(s"sequence(0, ${nSub - 1})")).as("sub"))
         .select(col("vec_id"), col("sub"),
           expr(s"slice(embedding, sub * $subDim + 1, $subDim)").as("sv"))
-      val wEnc = Window.partitionBy(col("vec_id"), col("sub"))
-        .orderBy(round(col("fit"), 6).desc, col("code"))
+      // nearest-sub-centroid encode via max_by hash aggregate (v8's
+      // map-side-combining shape; same deterministic tiebreak)
       val codes = subs.join(broadcast(cb), Seq("sub"))
         .select(col("vec_id"), col("sub"), col("code"),
           (graft.functions.vector_dot(col("sv"), col("cent")) * 2.0 -
             graft.functions.vector_dot(col("cent"), col("cent"))).as("fit"))
-        .withColumn("rk", row_number().over(wEnc))
-        .filter(col("rk") === 1)
-        .select(col("vec_id"), col("sub"), col("code"))
+        .groupBy(col("vec_id"), col("sub"))
+        .agg(expr("max_by(code, struct(round(fit, 6) AS f, -code AS nc))").as("code"))
       val qsubs = subs.filter(col("vec_id") < 5)
         .select(col("vec_id").as("qid"), col("sub"), col("sv").as("qv"))
       val partials = codes.filter(col("vec_id") >= 5)

@@ -525,6 +525,52 @@ object TextOps {
           round(sum(length(col("word"))).cast("double") / sum(col("n_sym")), 6)
             .as("chars_per_tok"))
         .orderBy(col("source"))
+    }),
+
+    // --- rare-term tf-idf cosine pairs: the WEIGHTED companion of d2's
+    //     Jaccard — an inverted-index (term-bucket) pair merge where each
+    //     shared term contributes tf1*tf2*iw^2. The idf surrogate is
+    //     LINEAR and integer ((N*100) div df) rather than logarithmic:
+    //     ln() is libm-dependent and a one-ulp disagreement at a rounding
+    //     boundary would poison a hash gate, while integer division is
+    //     bit-identical everywhere — same ordering of weights, exact
+    //     cross-engine. Only terms with 2 <= df <= 100 enter (the
+    //     d7-style stop-term cap: pair work is bounded by sum(df^2) and
+    //     a 100 TB corpus's head terms would otherwise dominate);
+    //     norms use the SAME capped vocabulary so cos <= 1 exactly.
+    //     All sums are BIGINT (aggregation-order-free); the one
+    //     sqrt/division per surviving pair runs on exact integers, so
+    //     the doubles are deterministic under any partitioning. ---
+    "t17_tfidf_pairs" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val tf = d.select(col("doc_id"),
+          explode(split(trim(lower(col("text"))), "\\s+")).as("w"))
+        .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+      val nd = d.groupBy().agg(count(lit(1)).as("n_docs"))
+      val dfq = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+        .filter(col("df") >= 2 && col("df") <= 100)
+      val wtf = tf.join(dfq, Seq("w")).crossJoin(broadcast(nd))
+        .select(col("doc_id"), col("w"), col("tf"),
+          expr("(n_docs * 100) div df").as("iw"))
+      val norms = wtf.groupBy(col("doc_id"))
+        .agg(sum(expr("tf * tf * iw * iw")).cast("long").as("nrm2"))
+      val dots = wtf.groupBy(col("w"), col("iw"))
+        .agg(sort_array(collect_list(struct(col("doc_id"), col("tf")))).as("ds"))
+        .filter(size(col("ds")) > 1)
+        .select(col("iw"), explode(expr(
+          "flatten(transform(ds, a -> transform(filter(ds, b -> b.doc_id > a.doc_id), " +
+            "b -> struct(a.doc_id AS d1, b.doc_id AS d2, a.tf AS tf1, b.tf AS tf2))))"))
+          .as("p"))
+        .select(col("p.d1").as("d1"), col("p.d2").as("d2"),
+          (col("p.tf1") * col("p.tf2") * col("iw") * col("iw")).as("c"))
+        .groupBy(col("d1"), col("d2")).agg(sum(col("c")).cast("long").as("dot"))
+      dots
+        .join(norms.select(col("doc_id").as("d1"), col("nrm2").as("m1")), Seq("d1"))
+        .join(norms.select(col("doc_id").as("d2"), col("nrm2").as("m2")), Seq("d2"))
+        .select(col("d1"), col("d2"),
+          round(col("dot") / (sqrt(col("m1")) * sqrt(col("m2"))), 6).as("cos"))
+        .filter(col("cos") >= 0.5)
+        .orderBy(col("d1"), col("d2"))
     })
   )
 
@@ -851,6 +897,27 @@ object TextOps {
         |                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
         |  FROM freq)
         |SELECT rank, token, cnt, round(cum * 1.0 / total, 6) AS coverage
-        |FROM r, tot WHERE rank <= 20 ORDER BY rank""".stripMargin
+        |FROM r, tot WHERE rank <= 20 ORDER BY rank""".stripMargin,
+
+    "t17_tfidf_pairs" ->
+      raw"""WITH tok AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+        |  FROM documents),
+        |tf AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2),
+        |nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+        |dfq AS (SELECT w, CAST(count(*) AS BIGINT) AS df FROM tf
+        |        GROUP BY 1 HAVING count(*) BETWEEN 2 AND 100),
+        |wtf AS (SELECT tf.doc_id, tf.w, tf.tf, (n_docs * 100) // df AS iw
+        |        FROM tf JOIN dfq USING (w) CROSS JOIN nd),
+        |nrm AS (SELECT doc_id, CAST(sum(tf * tf * iw * iw) AS BIGINT) AS nrm2
+        |        FROM wtf GROUP BY 1),
+        |dt AS (SELECT a.doc_id AS d1, b.doc_id AS d2,
+        |              CAST(sum(a.tf * b.tf * a.iw * a.iw) AS BIGINT) AS dot
+        |       FROM wtf a JOIN wtf b ON a.w = b.w AND a.doc_id < b.doc_id
+        |       GROUP BY 1, 2)
+        |SELECT d1, d2, round(dot / (sqrt(n1.nrm2) * sqrt(n2.nrm2)), 6) AS cos
+        |FROM dt JOIN nrm n1 ON d1 = n1.doc_id JOIN nrm n2 ON d2 = n2.doc_id
+        |WHERE round(dot / (sqrt(n1.nrm2) * sqrt(n2.nrm2)), 6) >= 0.5
+        |ORDER BY d1, d2""".stripMargin
   )
 }

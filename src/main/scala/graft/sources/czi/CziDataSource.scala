@@ -52,7 +52,10 @@ class CziDataSource extends TableProvider with DataSourceRegister {
 }
 
 class CziTable(props: Map[String, String]) extends Table with SupportsRead {
-  private val path = props.getOrElse("path", sys.error("czi: 'path' option required"))
+  // resolveInput: JPEG-XR files redirect to their transcode sidecar (or
+  // fail here, at table resolution, with the documented remediation)
+  private val path = CziSource.resolveInput(
+    props.getOrElse("path", sys.error("czi: 'path' option required")))
   private val stack =
     props.getOrElse("stack", new Path(path).getName.stripSuffix(".czi"))
   private val chunkZyx = Array(

@@ -20,6 +20,42 @@ import CziFormat._
   */
 object CziSource {
 
+  /** JPEG-XR containment (the T.832 entropy layer is out of scope
+    * offline — see [[JpegXr]]'s class doc): if `path` contains JPEG-XR
+    * (compression 4) subblocks, resolve to a losslessly transcoded
+    * sidecar `<base>.transcoded.czi` produced by an external tool (e.g.
+    * ZEISS's open-source `czicompress`, whose decompress mode rewrites
+    * subblocks as zstd without touching pixel values). The sidecar is
+    * validated to carry the same TCZYX shape and pixel type and no
+    * remaining JPEG-XR subblocks. Without a sidecar this fails at
+    * PLANNING time with the remediation, instead of deep inside an
+    * executor task. Files without JPEG-XR pass through untouched (one
+    * extra directory parse, KBs). */
+  def resolveInput(path: String, conf: Configuration = new Configuration()): String = {
+    val idx = CziReader.index(path)
+    if (!idx.entries.exists(_.compression == CziFormat.CompressionJpgXr)) path
+    else {
+      val sidecar = path.stripSuffix(".czi") + ".transcoded.czi"
+      val p = new Path(sidecar)
+      if (!p.getFileSystem(conf).exists(p))
+        throw new UnsupportedOperationException(
+          s"$path contains JPEG-XR (compression 4) subblocks; T.832 entropy " +
+          "decode is not implemented in this offline build. Remediation: " +
+          "losslessly transcode the file with an external tool (e.g. " +
+          "'czicompress --command decompress') and place the result at " +
+          s"$sidecar — all scans pick the sidecar up automatically")
+      val sidx = CziReader.index(sidecar)
+      require(!sidx.entries.exists(_.compression == CziFormat.CompressionJpgXr),
+        s"transcode sidecar $sidecar still contains JPEG-XR subblocks")
+      require(java.util.Arrays.equals(sidx.shape, idx.shape) &&
+          sidx.pixelType == idx.pixelType,
+        s"transcode sidecar $sidecar disagrees with $path: shape " +
+        s"${sidx.shape.mkString("x")} vs ${idx.shape.mkString("x")}, " +
+        s"pixelType ${sidx.pixelType} vs ${idx.pixelType}")
+      sidecar
+    }
+  }
+
   /** Volume descriptor for a CZI file (driver-side directory parse). */
   def volume(path: String, stack: String, chunkZyx: Array[Int] = Array(128, 128, 128)): (Volume, CziIndex) = {
     val idx = CziReader.index(path)

@@ -193,6 +193,9 @@ object JpegXr {
     throw new UnsupportedOperationException(
       s"JPEG-XR subblock ($desc): entropy decoding is not implemented — " +
       "T.832's adaptive-VLC code tables are unavailable in this offline build; " +
-      "supported CZI codecs: raw, zstd0, zstd1 (re-encode with --czi-compression zstd)")
+      "supported CZI codecs: raw, zstd0, zstd1. Remediation: losslessly " +
+      "transcode with an external tool (e.g. 'czicompress --command " +
+      "decompress') to <base>.transcoded.czi next to the original — " +
+      "CziSource.resolveInput picks the sidecar up automatically")
   }
 }

@@ -81,8 +81,10 @@ object SyntheticCzi {
   /** Arbitrary-tile writer — the mosaic/scene fixture generator: unlike
     * [[writeTC]] (full-plane subblock per z-slice), every tile here
     * carries its own Y/X placement, so multi-scene and mosaic layouts
-    * (plus interleaved pyramid subblocks) can be synthesized. */
-  def writeTiles(path: String, tiles: Seq[Tile],
+    * (plus interleaved pyramid subblocks) can be synthesized.
+    * `tiles` is consumed streaming (pass an Iterator for volumes larger
+    * than memory — only the current tile's pixels are ever resident). */
+  def writeTiles(path: String, tiles: IterableOnce[Tile],
                  pixelType: Int = CziFormat.PixelGray16): Unit = {
     val isz = CziFormat.bytesPerPixel(pixelType)
     val out = new DataOutputStream(new FileOutputStream(path))
@@ -95,7 +97,7 @@ object SyntheticCzi {
     pad(headerPayload)
 
     val entryBlobs = Seq.newBuilder[Array[Byte]]
-    for (tile <- tiles) {
+    for (tile <- tiles.iterator) {
       // a pyramid fixture stores stored-size pixels, not logical-size
       val nPix = tile.dims.collect {
         case (d, _, size) if d == "Z" || d == "Y" || d == "X" =>
@@ -108,6 +110,10 @@ object SyntheticCzi {
         case CziFormat.CompressionNone => raw
         case CziFormat.CompressionZstd0 => Zstd.compress(raw, 3)
         case CziFormat.CompressionZstd1 => Array[Byte](1) ++ Zstd.compress(raw, 3)
+        // containment-path fixture: the payload is opaque (a real encoder
+        // is out of scope, like the decoder) — only valid for tests that
+        // never decode it (transcode-sidecar resolution, loud-failure)
+        case CziFormat.CompressionJpgXr => raw
         case other => throw new IllegalArgumentException(s"unsupported fixture compression $other")
       }
       val entry = entryBytes(pixelType, pos, tile.compression, tile.dims, tile.stored)

@@ -193,6 +193,22 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("t17/p10/v8: pair merges and encodes stay equi-join + hash-agg shaped") {
+    // t17: candidate pairs come from term buckets, never a doc x doc join
+    val t17 = plan("t17_tfidf_pairs")
+    assert(!t17.toLowerCase.contains("cartesianproduct"), t17)
+    // p10: only source-count rows ever cross-join (single-row broadcasts)
+    val p10 = plan("p10_temperature_mix")
+    assert(!p10.toLowerCase.contains("cartesianproduct"), p10)
+    // v8: the PQ encode is a max_by hash aggregate with map-side partials
+    // (the only remaining window is the final per-query top-3 ranking)
+    val v8 = plan("v8_pq_adc")
+    assert(v8.contains("max_by"), v8)
+    // exactly one Window operator (the top-3 ranking; WindowGroupLimit
+    // rows are its pushed-down limit, not extra windows)
+    assert(v8.linesIterator.count(_.contains("Window [")) == 1, v8)
+  }
+
   test("generator expressions are never duplicated into inferred filters") {
     // InferFiltersFromGenerate copies the explode's child expression into a
     // Filter (IsNotNull && size > 0); with computed higher-order generators

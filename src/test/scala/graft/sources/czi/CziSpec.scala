@@ -135,6 +135,47 @@ class CziSpec extends AnyFunSuite {
       assert(at(z, y, x) == 0, s"gap ($z,$y,$x)")
   }
 
+  test("JPEG-XR CZI: fails with transcode remediation, or resolves to the sidecar voxel-exact") {
+    val dir = Files.createTempDirectory("czi-jxr").toString
+    val path = s"$dir/jx.czi"
+    val nz = 2; val n = 8
+    def tiles(comp: Int) = for (z <- 0 until nz) yield SyntheticCzi.Tile(
+      dims = Seq(("X", 0, n), ("Y", 0, n), ("Z", z, 1), ("C", 0, 1)),
+      pixels = Array.tabulate(n * n)(i => SyntheticStack.value(z, i / n, i % n)),
+      compression = comp)
+    SyntheticCzi.writeTiles(path, tiles(CziFormat.CompressionJpgXr))
+
+    // no sidecar: planning-time failure naming the remediation path
+    val e = intercept[UnsupportedOperationException] { CziSource.resolveInput(path) }
+    assert(e.getMessage.contains("jx.transcoded.czi") &&
+      e.getMessage.contains("czicompress"), e.getMessage)
+
+    // a shape-mismatched sidecar is rejected, not silently trusted
+    val sidecar = s"$dir/jx.transcoded.czi"
+    SyntheticCzi.writeTiles(sidecar, Seq(SyntheticCzi.Tile(
+      dims = Seq(("X", 0, 4), ("Y", 0, 4), ("Z", 0, 1), ("C", 0, 1)),
+      pixels = Array.fill(16)(1))))
+    val eBad = intercept[IllegalArgumentException] { CziSource.resolveInput(path) }
+    assert(eBad.getMessage.contains("disagrees"), eBad.getMessage)
+
+    // a valid transcode sidecar resolves, and the whole pipeline reads it:
+    // the scan sees the zstd pixels voxel-exact through the ORIGINAL path
+    SyntheticCzi.writeTiles(sidecar, tiles(CziFormat.CompressionZstd0))
+    val resolved = CziSource.resolveInput(path)
+    assert(resolved == sidecar)
+    val (vol, idx) = CziSource.volume(resolved, "jx", Array(nz, n, n))
+    val chunks = CziSource.scan(spark, resolved, vol, idx).collect()
+    assert(chunks.length == 1)
+    val px = chunks(0).pixels
+    for (z <- 0 until nz; y <- 0 until n; x <- 0 until n)
+      assert(px(z * n * n + y * n + x) == SyntheticStack.value(z, y, x), s"($z,$y,$x)")
+    // and the DSv2 connector resolves transparently from the original path
+    val df = spark.read.format("czi").option("path", path)
+      .option("chunk_z", nz.toString).option("chunk_y", n.toString)
+      .option("chunk_x", n.toString).load()
+    assert(df.count() == 1L)
+  }
+
   test("subblocks spanning several timepoints are rejected, singleton T squeezes") {
     val dir = Files.createTempDirectory("czi-taxis").toString
     // a subblock claiming T size 2 would need a T-major de-interleave the
