@@ -23,28 +23,45 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
-def main(sf_dir, oracle_path, runs=3):
+def connect(sf_dir):
     con = duckdb.connect()
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    return con
+
+
+def main(sf_dir, oracle_path, runs=3):
+    con = connect(sf_dir)
     oracle = json.load(open(oracle_path))
     medians, mins, failed = {}, {}, []
+
+    def timed(con, sql):
+        con.execute(sql).fetchall()  # warmup (plans, buffer pool)
+        ts = []
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            con.execute(sql).fetchall()
+            ts.append(time.perf_counter() - t0)
+        return ts
+
     for name, sql in sorted(oracle.items()):
         try:
-            con.execute(sql).fetchall()  # warmup (plans, buffer pool)
-            ts = []
-            for _ in range(runs):
-                t0 = time.perf_counter()
-                con.execute(sql).fetchall()
-                ts.append(time.perf_counter() - t0)
+            try:
+                ts = timed(con, sql)
+            except Exception:
+                # a wedged/OOM'd connection poisons every later query —
+                # reconnect once and retry before declaring failure
+                con = connect(sf_dir)
+                ts = timed(con, sql)
             medians[name] = round(statistics.median(ts), 3)
             mins[name] = round(min(ts), 3)
             print(f"{name}: median {medians[name]}s min {mins[name]}s", file=sys.stderr)
         except Exception as e:
             failed.append(name)
             print(f"{name}: FAILED {e}", file=sys.stderr)
+            con = connect(sf_dir)
     out = {
         "engine": "duckdb", "version": duckdb.__version__, "sf": sf_dir,
         "stat": f"median-of-{runs}", "total": round(sum(medians.values()), 3),

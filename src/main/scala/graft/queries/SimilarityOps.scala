@@ -528,6 +528,65 @@ object SimilarityOps {
         .orderBy(col("qid"), col("rk"))
     }),
 
+    // --- IVF-PQ composed (Jegou et al. '11, the canonical billion-scale
+    //     ANN shape): the coarse IVF quantizer prunes the corpus to the
+    //     query's 2 probed cells, and ONLY those vectors are scored — by
+    //     broadcast-codebook ADC over their 8 stored PQ codes, never
+    //     their floats. At 100 TB this is the whole game: candidate
+    //     volume is corpus/nCells * nProbe, scoring touches 8 bytes per
+    //     candidate, floats are read for nothing (no rerank here; v7
+    //     shows the rerank stage). The corpus-sided joins (codes with
+    //     assignment) are co-keyed equi-joins on vec_id; every
+    //     query-sided relation (probes, codebook, query subvectors) is
+    //     a broadcast. Encode reuses v8's max_by hash aggregate;
+    //     partial sums are the scaled integers that make ADC
+    //     aggregation-order-free. ---
+    "v14_ivfpq" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val nSub = 8; val subDim = 8
+      val e = emb(s, dir)
+      val ranked = rankedCells(e)
+      val assigned = ranked.filter(col("rk") === 1).select(col("vec_id"), col("cell"))
+      val probes = ranked.filter(col("vec_id") < 5 && col("rk") <= 2)
+        .select(col("vec_id").as("qid"), col("cell"))
+      val cb = e.select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy(col("label"), col("pos")).agg(avg(col("v")).as("cv"))
+        .groupBy(col("label"), (col("pos") / subDim).cast("int").as("sub"))
+        .agg(expr("transform(array_sort(collect_list(struct(pos, cv))), x -> x.cv)").as("cent"))
+        .select(col("sub"), col("label").as("code"), col("cent"))
+      val subs = e.select(col("vec_id"), col("embedding"),
+          explode(expr(s"sequence(0, ${nSub - 1})")).as("sub"))
+        .select(col("vec_id"), col("sub"),
+          expr(s"transform(slice(embedding, sub * $subDim + 1, $subDim), x -> CAST(x AS DOUBLE))")
+            .as("sv"))
+      val codes = subs.join(broadcast(cb), Seq("sub"))
+        .select(col("vec_id"), col("sub"), col("code"),
+          (graft.functions.vector_dot(col("sv"), col("cent")) * 2.0 -
+            graft.functions.vector_dot(col("cent"), col("cent"))).as("fit"))
+        .groupBy(col("vec_id"), col("sub"))
+        .agg(expr("max_by(code, struct(round(fit, 6) AS f, -code AS nc))").as("code"))
+      val qsubs = subs.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("sub"), col("sv").as("qv"))
+      // probe prune FIRST (corpus-keyed equi-join + broadcast probes),
+      // then ADC only on the survivors
+      val partials = codes.filter(col("vec_id") >= 5)
+        .join(assigned, Seq("vec_id"))
+        .join(broadcast(probes), Seq("cell"))
+        .filter(col("qid") =!= col("vec_id"))
+        .join(broadcast(cb), Seq("sub", "code"))
+        .join(broadcast(qsubs), Seq("qid", "sub"))
+        .select(col("qid"), col("vec_id").as("eid"),
+          round(graft.functions.vector_dot(col("qv"), col("cent")) * 1e9)
+            .cast("long").as("p9"))
+      val wQ = Window.partitionBy(col("qid")).orderBy(col("adc9").desc, col("eid"))
+      partials.groupBy(col("qid"), col("eid"))
+        .agg(sum(col("p9")).as("adc9"))
+        .withColumn("rk", row_number().over(wQ))
+        .filter(col("rk") <= 3)
+        .select(col("qid"), col("eid"), round(col("adc9") / 1e9, 6).as("adc"), col("rk"))
+        .orderBy(col("qid"), col("rk"))
+    }),
+
     // --- MMR diversified top-k (Carbonell-Goldstein '98): greedy
     //     re-ranking of a candidate pool, each pick maximizing
     //     0.7*relevance - 0.3*max-similarity-to-already-picked. The scale
@@ -813,6 +872,58 @@ object SimilarityOps {
         |  FROM adc)
         |SELECT qid, eid, round(adc9 / 1e9, 6) AS adc, rk
         |FROM ranked WHERE rk <= 3 ORDER BY qid, rk""".stripMargin,
+
+    "v14_ivfpq" ->
+      """WITH dims AS (
+        |  SELECT label, i AS pos, avg(CAST(embedding[i + 1] AS DOUBLE)) AS cv
+        |  FROM embeddings, LATERAL (SELECT unnest(generate_series(0, 63)) AS i) u
+        |  GROUP BY label, i),
+        |cent AS (
+        |  SELECT label AS cell, list(cv ORDER BY pos) AS centroid FROM dims GROUP BY label),
+        |scored AS (
+        |  SELECT e.vec_id, c.cell,
+        |    list_dot_product(CAST(e.embedding AS DOUBLE[]), c.centroid) /
+        |      (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) *
+        |       sqrt(list_dot_product(c.centroid, c.centroid))) AS cos_raw
+        |  FROM embeddings e, cent c),
+        |rankedc AS (
+        |  SELECT vec_id, cell,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY round(cos_raw, 6) DESC, cell) AS rk
+        |  FROM scored),
+        |assigned AS (SELECT vec_id, cell FROM rankedc WHERE rk = 1),
+        |probes AS (SELECT vec_id AS qid, cell FROM rankedc WHERE vec_id < 5 AND rk <= 2),
+        |cb AS (
+        |  SELECT label AS code, pos // 8 AS sub, list(cv ORDER BY pos) AS cent
+        |  FROM dims GROUP BY label, pos // 8),
+        |subs AS (
+        |  SELECT e.vec_id, s.sub,
+        |    list_transform(e.embedding[s.sub * 8 + 1 : s.sub * 8 + 8],
+        |                   x -> CAST(x AS DOUBLE)) AS sv
+        |  FROM embeddings e, (SELECT unnest(generate_series(0, 7)) AS sub) s),
+        |enc AS (
+        |  SELECT vec_id, sub, code FROM (
+        |    SELECT subs.vec_id, subs.sub, cb.code,
+        |      row_number() OVER (PARTITION BY subs.vec_id, subs.sub
+        |        ORDER BY round(list_dot_product(sv, cent) * 2
+        |                       - list_dot_product(cent, cent), 6) DESC, cb.code) AS rk
+        |    FROM subs JOIN cb ON subs.sub = cb.sub) WHERE rk = 1),
+        |partials AS (
+        |  SELECT p.qid, enc.vec_id AS eid,
+        |    CAST(round(list_dot_product(q.sv, cb.cent) * 1e9) AS BIGINT) AS p9
+        |  FROM enc
+        |       JOIN assigned a ON enc.vec_id = a.vec_id
+        |       JOIN probes p ON a.cell = p.cell AND p.qid != enc.vec_id
+        |       JOIN cb ON enc.sub = cb.sub AND enc.code = cb.code
+        |       JOIN subs q ON q.sub = enc.sub AND q.vec_id = p.qid
+        |  WHERE enc.vec_id >= 5),
+        |adc AS (SELECT qid, eid, CAST(sum(p9) AS BIGINT) AS adc9
+        |        FROM partials GROUP BY qid, eid),
+        |rankedq AS (
+        |  SELECT qid, eid, adc9,
+        |    row_number() OVER (PARTITION BY qid ORDER BY adc9 DESC, eid) AS rk
+        |  FROM adc)
+        |SELECT qid, eid, round(adc9 / 1e9, 6) AS adc, rk
+        |FROM rankedq WHERE rk <= 3 ORDER BY qid, rk""".stripMargin,
 
     "v7_sq8_rerank" ->
       """WITH b AS (
