@@ -80,6 +80,66 @@ case class VectorDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** First `nibbles` hex digits of md5(utf8(s)) as a BIGINT — the engine's
+  * universal deterministic hash, exactly equal to the composed idiom
+  * `CAST(conv(substr(md5(s), 1, nibbles), 16, 10) AS BIGINT)` (and the
+  * DuckDB oracle's `('0x' || substr(md5(s), 1, nibbles))::BIGINT`), so
+  * swapping it in changes NO gated value.
+  *
+  * Why native: the composed form materializes a 32-char hex string, a
+  * substring, and a base-16 string parse per row — measured as the
+  * dominant cost of the substring-window dedup (d14 hashes ~1k windows
+  * per document). This expression digests the UTF-8 bytes and assembles
+  * the value from the first 8 digest bytes directly; codegen holds one
+  * MessageDigest per operator instance. `nibbles` <= 15 keeps the value
+  * inside a non-negative Long. */
+case class Md5Bits(child: Expression, nibbles: Int) extends UnaryExpression {
+  require(nibbles >= 1 && nibbles <= 15, s"nibbles must be in [1, 15], got $nibbles")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"md5_bits expects a string input, got $t")
+  }
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "md5_bits"
+
+  // one digest instance per thread — interpreted eval can run
+  // concurrently on a shared expression tree
+  @transient private lazy val md =
+    ThreadLocal.withInitial[java.security.MessageDigest](() =>
+      java.security.MessageDigest.getInstance("MD5"))
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val d = md.get()
+    d.reset()
+    val digest = d.digest(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes)
+    var acc = 0L
+    var i = 0
+    while (i < 8) { acc = (acc << 8) | (digest(i) & 0xFFL); i += 1 }
+    acc >>> (4 * (16 - nibbles))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val digestRef = ctx.addMutableState("java.security.MessageDigest", "md5BitsDigest",
+        v => s"""try { $v = java.security.MessageDigest.getInstance("MD5"); }
+                |catch (java.security.NoSuchAlgorithmException e) { throw new RuntimeException(e); }""".stripMargin)
+      val d = ctx.freshName("digest")
+      val acc = ctx.freshName("acc")
+      val i = ctx.freshName("i")
+      s"""
+         |$digestRef.reset();
+         |byte[] $d = $digestRef.digest($c.getBytes());
+         |long $acc = 0L;
+         |for (int $i = 0; $i < 8; $i++) { $acc = ($acc << 8) | ($d[$i] & 0xFFL); }
+         |${ev.value} = $acc >>> ${4 * (16 - nibbles)};
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 case class BloscCompress(child: Expression, typesize: Int, clevel: Int)
     extends UnaryExpression with CodegenFallback {
   override def checkInputDataTypes(): TypeCheckResult =

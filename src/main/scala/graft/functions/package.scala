@@ -15,6 +15,11 @@ package object functions {
   def cosine_sim(a: Column, b: Column): Column =
     vector_dot(a, b) / (sqrt(vector_dot(a, a)) * sqrt(vector_dot(b, b)))
 
+  /** First `nibbles` md5 hex digits as BIGINT (codegen'd; equals the
+    * `conv(substr(md5(s), 1, n), 16, 10)` idiom bit-for-bit). */
+  def md5_bits(s: Column, nibbles: Int): Column =
+    column(Md5Bits(expression(s), nibbles))
+
   /** Bloom membership probe over a serialized bloom filter (Spark's
     * internal BloomFilterMightContain; no false negatives). */
   def might_contain(bloom: Column, value: Column): Column =
@@ -57,6 +62,9 @@ package object functions {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("vector_dot",
       exprs => VectorDot(exprs(0), exprs(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("md5_bits",
+      exprs => Md5Bits(exprs(0),
+        exprs(1).eval().asInstanceOf[Number].intValue()), "scala_udf")
     reg.createOrReplaceTempFunction("blosc_compress",
       exprs => BloscCompress(exprs.head, 2, 3), "scala_udf")
     reg.createOrReplaceTempFunction("blosc_decompress",

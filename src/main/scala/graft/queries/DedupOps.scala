@@ -46,7 +46,7 @@ object DedupOps {
         "transform(sequence(0, size(ts) - 3), i -> concat_ws(' ', ts[i], ts[i+1], ts[i+2])) END"))
         .as("s"))
       .select(col("doc_id"),
-        expr("CAST(conv(substr(md5(s), 1, 15), 16, 10) AS BIGINT)").as("h"))
+        expr("md5_bits(s, 15)").as("h"))
       .distinct()
   }
 
@@ -67,7 +67,7 @@ object DedupOps {
     val toks = d.select(col("doc_id"),
       explode(split(trim(col("text")), "\\s+")).as("tok"))
     val h = toks.select(col("doc_id"),
-      expr("CAST(conv(substr(md5(tok), 1, 15), 16, 10) AS BIGINT)").as("h"))
+      expr("md5_bits(tok, 15)").as("h"))
     h.select(col("doc_id"), col("h"), explode(expr("sequence(0, 59)")).as("j"))
       .select(col("doc_id"), col("j"),
         (expr("CAST(shiftright(h, j) AS BIGINT)") % 2 * 2 - 1).as("w"))
@@ -144,7 +144,7 @@ object DedupOps {
           s"transform(sequence(1, length(text) - ${L - 1}), i -> substring(text, i, $L))"))
           .as("w"))
         .select(col("doc_id"),
-          expr("CAST(conv(substr(md5(w), 1, 15), 16, 10) AS BIGINT)").as("h"))
+          expr("md5_bits(w, 15)").as("h"))
         // referenced by three branches (per/dup/hit); eager localCheckpoint
         // (g1/t14 precedent) materializes once AND lets the ContextCleaner
         // reclaim the blocks when the plan is dropped — cache() here leaked
@@ -359,7 +359,7 @@ object DedupOps {
       s.sql("""
         WITH t AS (SELECT doc_id, source, split(trim(text), '\\s+') AS ts FROM d10_docs),
         sh AS (SELECT DISTINCT doc_id,
-                 CAST(conv(substr(md5(g), 1, 15), 16, 10) AS BIGINT) AS h
+                 md5_bits(g, 15) AS h
                FROM (SELECT doc_id,
                        explode(CASE WHEN size(ts) < 3 THEN array()
                                ELSE transform(sequence(0, size(ts) - 3),

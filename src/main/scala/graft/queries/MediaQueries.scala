@@ -75,7 +75,7 @@ object MediaQueries {
         }
         .toDF("media_id", "bitsig")
       sigs.select(col("media_id"),
-          expr("CAST(conv(substr(md5(bitsig), 1, 15), 16, 10) AS BIGINT)").as("ahash"))
+          expr("md5_bits(bitsig, 15)").as("ahash"))
         .groupBy(col("ahash"))
         .agg(count(lit(1)).as("n_dups"), min(col("media_id")).as("keeper"))
         .filter(col("n_dups") > 1)

@@ -69,7 +69,7 @@ object Relational2 {
       val k = 50
       t(s, dir, "documents")
         .select(col("doc_id"), col("source"), col("n_chars"),
-          expr("round(ln((CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT) + 1)" +
+          expr("round(ln((md5_bits(CAST(doc_id AS STRING), 8) + 1)" +
             " / 4294967296.0) * 1000000 / n_chars, 6)").as("sk"))
         .orderBy(col("sk").desc, col("doc_id")).limit(k)
         .groupBy(col("source"))
@@ -189,7 +189,7 @@ object Relational2 {
     //     sampling form — no RNG state, any engine recomputes the same
     //     sample, membership is a map-side filter ---
     "p3_hash_sample" -> ((s, dir) => {
-      val bucket = expr("conv(substr(md5(CAST(doc_id AS STRING)), 1, 4), 16, 10) % 100")
+      val bucket = expr("md5_bits(CAST(doc_id AS STRING), 4) % 100")
       val rate = when(col("lang") === "en", 50).when(col("lang") === "de", 20).otherwise(10)
       Tables.load(s, dir, "documents")
         .filter(bucket < rate)
@@ -390,7 +390,7 @@ object Relational2 {
     "p4_split" -> ((s, dir) => {
       t(s, dir, "documents")
         .withColumn("bucket",
-          expr("CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 4), 16, 10) AS BIGINT) % 100"))
+          expr("md5_bits(CAST(doc_id AS STRING), 4) % 100"))
         .withColumn("split",
           when(col("bucket") < 80, "train").when(col("bucket") < 90, "val").otherwise("test"))
         .groupBy(col("source"), col("split"))
@@ -437,7 +437,7 @@ object Relational2 {
       val d = t(s, dir, "documents")
       val withCopies = d.select(col("source"), col("doc_id"), col("n_chars"),
           expr("CAST(replace(source, 'src', '') AS INT) % 4").as("rq"),
-          expr("CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT)").as("u32"))
+          expr("md5_bits(CAST(doc_id AS STRING), 8)").as("u32"))
         // quarter-unit rates: rq 0 -> 4/4, 1 -> 2/4, 2 -> 1/4, 3 -> 6/4;
         // acceptance threshold in exact integer space (2^30 per quarter)
         .withColumn("rate_q",

@@ -385,7 +385,7 @@ object TextOps {
           "transform(sequence(0, size(ts) - 3), i -> concat_ws(' ', ts[i], ts[i+1], ts[i+2])) END"))
           .as("sgl"))
         .select(col("lang"),
-          expr("CAST(conv(substr(md5(sgl), 1, 15), 16, 10) AS BIGINT)").as("h"))
+          expr("md5_bits(sgl, 15)").as("h"))
       val reg = sh
         .select(col("lang"), (col("h") % 64).as("register"),
           expr("h div 64").as("rem"))
@@ -421,7 +421,7 @@ object TextOps {
       val h = docs(s, dir)
         .select(col("lang"), explode(split(trim(col("text")), "\\s+")).as("tok"))
         .select(col("lang"),
-          expr("CAST(conv(substr(md5(tok), 1, 15), 16, 10) AS BIGINT)").as("hl"))
+          expr("md5_bits(tok, 15)").as("hl"))
         .distinct()
       val w = Window.partitionBy(col("lang")).orderBy(col("hl"))
       val est = h.withColumn("rk", row_number().over(w))

@@ -40,7 +40,7 @@ object CorpusStream {
     docs.select(col("lang").as("key"),
         explode(split(trim(col("text")), "\\s+")).as("tok"))
       .select(col("key"),
-        expr("CAST(conv(substr(md5(tok), 1, 15), 16, 10) AS BIGINT)").as("hl"))
+        expr("md5_bits(tok, 15)").as("hl"))
       .as[KeyHash]
   }
 

@@ -23,6 +23,28 @@ class FunctionsSpec extends AnyFunSuite {
     }
   }
 
+  test("md5_bits is bit-identical to the composed conv(substr(md5)) idiom") {
+    // the native expression replaced this idiom across the query packs —
+    // the gate's hash values all flow through it, so equality must hold
+    // for every width in use (4, 8, 15 nibbles)
+    import spark.implicits._
+    val df = spark.range(10000)
+      .select(concat(lit("probe-"), col("id")).cast("string").as("s"))
+    for (n <- Seq(4, 8, 15)) {
+      val bad = df.select(
+          expr(s"md5_bits(s, $n)").as("a"),
+          expr(s"CAST(conv(substr(md5(s), 1, $n), 16, 10) AS BIGINT)").as("b"))
+        .filter(col("a") =!= col("b")).count()
+      assert(bad == 0L, s"nibbles=$n: $bad mismatches vs the composed idiom")
+    }
+    // null propagates, and the column API agrees with the SQL name
+    val r = spark.sql("SELECT md5_bits(CAST(NULL AS STRING), 15)").collect()(0)
+    assert(r.isNullAt(0))
+    val viaApi = df.limit(1).select(graft.functions.md5_bits(col("s"), 15)).collect()(0).getLong(0)
+    val viaSql = df.limit(1).selectExpr("md5_bits(s, 15)").collect()(0).getLong(0)
+    assert(viaApi == viaSql)
+  }
+
   test("hll_estimate matches the expression-level HLL estimate per group") {
     import spark.implicits._
     // same shingle-hash input as t13_hll_shingles
