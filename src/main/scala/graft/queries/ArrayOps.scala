@@ -350,6 +350,28 @@ object ArrayOps {
         }
         .toDF("cz", "cy", "cx", "sum_v", "n_voxels")
         .orderBy(col("cz"), col("cy"), col("cx"))
+    }),
+
+    // --- distributed re-chunking under the gate: a (8,16,16)-chunked
+    //     volume re-cut to (12,20,8) — every axis misaligned, so every
+    //     output chunk assembles pieces from several inputs across one
+    //     voxel-exactly-once shuffle (`operators/Rechunk`). The oracle
+    //     recomputes per-TARGET-chunk sums from the value formula; any
+    //     piece offset slip or seam loss changes a sum. ---
+    "z14_rechunk" -> ((s, _) => {
+      import s.implicits._
+      val vol = Volume("rq", 0, Array(1L, 1L, 24L, 40L, 40L), Array(1, 1, 8, 16, 16))
+      val l0 = SyntheticStack.generate(s, vol)
+      graft.operators.Rechunk(l0, vol, Array(12, 20, 8))
+        .map { ck =>
+          val px = ck.pixels
+          var sum = 0L
+          var i = 0
+          while (i < px.length) { sum += px(i); i += 1 }
+          (ck.z.toLong, ck.y.toLong, ck.x.toLong, sum, px.length.toLong)
+        }
+        .toDF("cz", "cy", "cx", "sum_v", "n_voxels")
+        .orderBy(col("cz"), col("cy"), col("cx"))
     })
   )
 
@@ -478,6 +500,18 @@ object ArrayOps {
       """SELECT CAST(18 AS BIGINT) AS n_chunks,
         |  CAST(1 AS BIGINT) AS min_z, CAST(2 AS BIGINT) AS max_z,
         |  CAST(0 AS BIGINT) AS min_y, CAST(2 AS BIGINT) AS max_x""".stripMargin,
+
+    // target grid over 24 x 40 x 40: z // 12, y // 20, x // 8
+    "z14_rechunk" ->
+      """WITH l0 AS (
+        |  SELECT range // 1600 AS z, (range // 40) % 40 AS y, range % 40 AS x,
+        |         (31 * (range // 1600) + 17 * ((range // 40) % 40) + 13 * (range % 40)) % 65536 AS v
+        |  FROM range(38400)
+        |)
+        |SELECT z // 12 AS cz, y // 20 AS cy, x // 8 AS cx,
+        |       CAST(sum(v) AS BIGINT) AS sum_v, count(*) AS n_voxels
+        |FROM l0 GROUP BY 1, 2, 3
+        |ORDER BY cz, cy, cx""".stripMargin,
 
     // the stitched 8 x 40 x 40 volume IS the global value grid — the
     // mosaic layout (tile offsets, M indices, the skipped pyramid

@@ -74,6 +74,37 @@ object EventOps {
         .orderBy(col("event_type"), col("bucket"))
     }),
 
+    // --- count-min sketch heavy hitters (Cormode-Muthukrishnan '05):
+    //     the fixed-memory frequency sketch every 100 TB event monitor
+    //     runs — a 4 x 256 counter grid (1024 cells TOTAL, independent
+    //     of corpus size) built in ONE hash aggregate; estimates are
+    //     min-over-rows, so overestimates only. Hashes are md5-derived
+    //     (md5_bits) and counters integers, so the whole sketch is
+    //     bit-reproducible cross-engine and the oracle hash-matches it —
+    //     the exact count rides along to make the overestimate property
+    //     visible. The point-query join is against a BROADCAST 1024-row
+    //     relation; top-20 is a TakeOrdered, never a global sort. (A
+    //     streaming deployment tracks candidate keys online; the sketch
+    //     arithmetic is identical.) ---
+    "e14_cms_topk" -> ((s, dir) => {
+      val depth = 4; val width = 256
+      val keyed = ev(s, dir).select(col("user_id"))
+      val hashed = keyed
+        .select(col("user_id"), explode(expr(s"sequence(0, ${depth - 1})")).as("r"))
+        .select(col("user_id"), col("r"),
+          expr(s"md5_bits(concat(CAST(r AS STRING), ':', CAST(user_id AS STRING)), 8) % $width")
+            .as("b"))
+      val cells = hashed.groupBy(col("r"), col("b")).agg(count(lit(1)).as("c"))
+      val exact = keyed.groupBy(col("user_id")).agg(count(lit(1)).as("exact_n"))
+      val est = hashed.select(col("user_id"), col("r"), col("b")).distinct()
+        .join(broadcast(cells), Seq("r", "b"))
+        .groupBy(col("user_id")).agg(min(col("c")).cast("long").as("cms_est"))
+      exact.join(est, Seq("user_id"))
+        .orderBy(col("cms_est").desc, col("user_id")).limit(20)
+        .select(col("user_id"), col("exact_n"), col("cms_est"))
+        .orderBy(col("cms_est").desc, col("user_id"))
+    }),
+
     // --- gap-based sessionization (30-min inactivity closes a session) ---
     "e2_sessionize" -> ((s, dir) => {
       val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
@@ -285,6 +316,23 @@ object EventOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "e14_cms_topk" ->
+      """WITH rr AS (SELECT unnest(generate_series(0, 3)) AS r),
+        |k AS (SELECT user_id FROM events),
+        |h AS (
+        |  SELECT k.user_id, rr.r,
+        |    ('0x' || substr(md5(CAST(rr.r AS VARCHAR) || ':' || CAST(k.user_id AS VARCHAR)), 1, 8))::BIGINT % 256 AS b
+        |  FROM k, rr),
+        |cells AS (SELECT r, b, count(*) AS c FROM h GROUP BY 1, 2),
+        |exact AS (SELECT user_id, CAST(count(*) AS BIGINT) AS exact_n FROM k GROUP BY 1),
+        |hk AS (SELECT DISTINCT user_id, r, b FROM h),
+        |est AS (
+        |  SELECT hk.user_id, CAST(min(c.c) AS BIGINT) AS cms_est
+        |  FROM hk JOIN cells c USING (r, b) GROUP BY 1)
+        |SELECT e.user_id, e.exact_n, est.cms_est
+        |FROM exact e JOIN est USING (user_id)
+        |ORDER BY cms_est DESC, user_id LIMIT 20""".stripMargin,
+
     "e13_anomaly" ->
       """WITH h AS (
         |  SELECT event_type,

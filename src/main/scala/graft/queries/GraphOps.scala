@@ -183,6 +183,42 @@ object GraphOps {
         .select(col("node").as("p_partkey"), col("n_triangles"))
         .orderBy(col("n_triangles").desc, col("p_partkey"))
         .limit(10)
+    }),
+
+    // --- multi-source BFS over the part co-purchase graph (parts linked
+    //     when some order contains both — SPARSER than g1's co-supply
+    //     graph, which is near-complete at bench scale and would make
+    //     every distance 1). Distances from seed parts {1, 2}, 4
+    //     relaxation rounds, reached-node histogram per distance.
+    //     Same scale shape as g1: bounded-multiplicity pair join for
+    //     edges (order size bounds the per-key output), eager
+    //     checkpoint of the edge list, per-round join + min-aggregate
+    //     with lazy checkpoints — distances are INTEGERS so min() can't
+    //     drift and the frontier expansion is partitioning-independent.
+    //     At 100 TB rounds shuffle only frontier-sized relations. ---
+    "g4_bfs" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+      val edges = li.as("a").join(li.as("b"),
+          col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+        .select(col("a.p").as("d1"), col("b.p").as("d2"))
+        .distinct()
+        .localCheckpoint(true)
+      val bi = edges.union(
+        edges.select(col("d2").as("d1"), col("d1").as("d2")))
+      var dist = li.select(col("p")).distinct().filter(col("p") < 3)
+        .select(col("p").as("node"), lit(0L).as("dist"))
+        .localCheckpoint(true)
+      for (_ <- 1 to 4) {
+        val relaxed = bi.join(dist, col("d1") === col("node"))
+          .select(col("d2").as("node"), (col("dist") + 1L).as("dist"))
+        dist = dist.union(relaxed)
+          .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+          .localCheckpoint(false)
+      }
+      dist.groupBy(col("dist")).agg(count(lit(1)).as("n_nodes"))
+        .orderBy(col("dist"))
     })
   )
 
@@ -239,6 +275,33 @@ object GraphOps {
         |          UNION ALL SELECT tc FROM tri)
         |SELECT node AS p_partkey, CAST(count(*) AS BIGINT) AS n_triangles
         |FROM nodes GROUP BY node
-        |ORDER BY n_triangles DESC, p_partkey LIMIT 10""".stripMargin
+        |ORDER BY n_triangles DESC, p_partkey LIMIT 10""".stripMargin,
+
+    // the same 4 relaxation rounds unrolled as chained CTEs
+    "g4_bfs" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |e AS (SELECT DISTINCT a.p AS d1, b.p AS d2
+        |      FROM li a JOIN li b ON a.o = b.o AND a.p < b.p),
+        |bi AS (SELECT d1, d2 FROM e UNION ALL SELECT d2, d1 FROM e),
+        |s0 AS (SELECT DISTINCT p AS node, CAST(0 AS BIGINT) AS dist
+        |       FROM li WHERE p < 3),
+        |s1 AS (SELECT node, min(dist) AS dist FROM (
+        |         SELECT node, dist FROM s0 UNION ALL
+        |         SELECT bi.d2, s0.dist + 1 FROM bi JOIN s0 ON bi.d1 = s0.node) t
+        |       GROUP BY node),
+        |s2 AS (SELECT node, min(dist) AS dist FROM (
+        |         SELECT node, dist FROM s1 UNION ALL
+        |         SELECT bi.d2, s1.dist + 1 FROM bi JOIN s1 ON bi.d1 = s1.node) t
+        |       GROUP BY node),
+        |s3 AS (SELECT node, min(dist) AS dist FROM (
+        |         SELECT node, dist FROM s2 UNION ALL
+        |         SELECT bi.d2, s2.dist + 1 FROM bi JOIN s2 ON bi.d1 = s2.node) t
+        |       GROUP BY node),
+        |s4 AS (SELECT node, min(dist) AS dist FROM (
+        |         SELECT node, dist FROM s3 UNION ALL
+        |         SELECT bi.d2, s3.dist + 1 FROM bi JOIN s3 ON bi.d1 = s3.node) t
+        |       GROUP BY node)
+        |SELECT dist, CAST(count(*) AS BIGINT) AS n_nodes
+        |FROM s4 GROUP BY dist ORDER BY dist""".stripMargin
   )
 }
