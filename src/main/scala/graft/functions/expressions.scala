@@ -140,6 +140,123 @@ case class Md5Bits(child: Expression, nibbles: Int) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Shared md5-prefix machinery for the hash-array generators below. */
+trait Md5HashCore {
+  def nibbles: Int
+  @transient protected lazy val digestTL =
+    ThreadLocal.withInitial[java.security.MessageDigest](() =>
+      java.security.MessageDigest.getInstance("MD5"))
+
+  protected final def bits(digest: Array[Byte]): Long = {
+    var acc = 0L
+    var i = 0
+    while (i < 8) { acc = (acc << 8) | (digest(i) & 0xFFL); i += 1 }
+    acc >>> (4 * (16 - nibbles))
+  }
+}
+
+/** All word n-gram (shingle) hashes of a document in ONE evaluation:
+  * equal element-for-element to the composed pipeline
+  * `transform(sequence(0, size(ts) - n), i -> md5_bits(concat_ws(' ',
+  * ts[i], ...), 15))` over `ts = split(trim(text), "\\s+")`, but without
+  * the interpreted higher-order lambda, the per-shingle string array, or
+  * the per-element expression dispatch — one regex split, one reused
+  * StringBuilder, one digest per shingle. The split uses the same Java
+  * regex engine `split(trim(s), "\\s+")` compiles to, so tokenization
+  * cannot diverge from the SQL form (or from the DuckDB oracle's
+  * `regexp_split_to_array`). CodegenFallback on purpose: one call per
+  * ROW amortized over hundreds of shingles — codegen would only inline
+  * the call. Returns fewer-than-n-token documents as an empty array
+  * (the `CASE size < n` guard, built in). */
+case class WordShingleHashes(child: Expression, n: Int, nibbles: Int)
+    extends UnaryExpression with CodegenFallback with Md5HashCore {
+  require(n >= 1 && nibbles >= 1 && nibbles <= 15)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"word_shingle_hashes expects a string, got $t")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "word_shingle_hashes"
+
+  @transient private lazy val ws = java.util.regex.Pattern.compile("\\s+")
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val s = v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString.trim
+    val toks = ws.split(s, -1)
+    if (toks.length < n) return ArrayData.toArrayData(Array.empty[Long])
+    val md = digestTL.get()
+    val sb = new java.lang.StringBuilder(64)
+    val out = new Array[Long](toks.length - n + 1)
+    var i = 0
+    while (i < out.length) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      md.reset()
+      out(i) = bits(md.digest(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+      i += 1
+    }
+    ArrayData.toArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** All fixed-width character-window hashes of a document (stride 1) in
+  * one evaluation: equal to `transform(sequence(1, length(s) - w + 1),
+  * i -> md5_bits(substring(s, i, w), 15))` — the d14 substring-window
+  * key — without materializing a window string per position. For ASCII
+  * text (the overwhelmingly common case) the digest runs directly over a
+  * sliding range of the UTF-8 bytes, zero copies; any non-ASCII document
+  * falls back to per-window character substrings so char-vs-byte
+  * semantics stay EXACTLY those of `substring` (and the oracle's). */
+case class CharWindowHashes(child: Expression, width: Int, nibbles: Int)
+    extends UnaryExpression with CodegenFallback with Md5HashCore {
+  require(width >= 1 && nibbles >= 1 && nibbles <= 15)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"char_window_hashes expects a string, got $t")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "char_window_hashes"
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val str = v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString
+    val nWin = str.length - width + 1
+    if (nWin <= 0) return ArrayData.toArrayData(Array.empty[Long])
+    val md = digestTL.get()
+    val out = new Array[Long](nWin)
+    val bytes = str.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    if (bytes.length == str.length) {
+      // pure ASCII: char windows == byte windows, digest in place
+      var i = 0
+      while (i < nWin) {
+        md.reset()
+        md.update(bytes, i, width)
+        out(i) = bits(md.digest())
+        i += 1
+      }
+    } else {
+      var i = 0
+      while (i < nWin) {
+        md.reset()
+        out(i) = bits(md.digest(str.substring(i, i + width)
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+        i += 1
+      }
+    }
+    ArrayData.toArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 case class BloscCompress(child: Expression, typesize: Int, clevel: Int)
     extends UnaryExpression with CodegenFallback {
   override def checkInputDataTypes(): TypeCheckResult =

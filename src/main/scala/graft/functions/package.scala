@@ -65,6 +65,12 @@ package object functions {
     reg.createOrReplaceTempFunction("md5_bits",
       exprs => Md5Bits(exprs(0),
         exprs(1).eval().asInstanceOf[Number].intValue()), "scala_udf")
+    reg.createOrReplaceTempFunction("word_shingle_hashes",
+      exprs => WordShingleHashes(exprs(0),
+        exprs(1).eval().asInstanceOf[Number].intValue(), 15), "scala_udf")
+    reg.createOrReplaceTempFunction("char_window_hashes",
+      exprs => CharWindowHashes(exprs(0),
+        exprs(1).eval().asInstanceOf[Number].intValue(), 15), "scala_udf")
     reg.createOrReplaceTempFunction("blosc_compress",
       exprs => BloscCompress(exprs.head, 2, 3), "scala_udf")
     reg.createOrReplaceTempFunction("blosc_decompress",

@@ -36,19 +36,14 @@ object DedupOps {
     * shingle string shrinks every downstream shuffle and compare; the
     * oracle applies the identical hash, so even a (mirrored) collision
     * cannot diverge the gate. */
-  private def shingles(d: DataFrame): DataFrame = {
-    val toks = split(trim(col("text")), "\\s+")
-    d.select(col("doc_id"), toks.as("ts"))
-      .select(col("doc_id"), explode(expr(
-        // sequence(0,-1) would yield [0,-1] (Spark infers step -1), so
-        // short texts need an explicit empty-array branch
-        "CASE WHEN size(ts) < 3 THEN array() ELSE " +
-        "transform(sequence(0, size(ts) - 3), i -> concat_ws(' ', ts[i], ts[i+1], ts[i+2])) END"))
-        .as("s"))
-      .select(col("doc_id"),
-        expr("md5_bits(s, 15)").as("h"))
+  // word_shingle_hashes fuses the split -> transform-lambda -> concat ->
+  // hash pipeline into one native evaluation per document (the composed
+  // HOF form ran the lambda interpreted per shingle); element-for-element
+  // equal, asserted in FunctionsSpec
+  private def shingles(d: DataFrame): DataFrame =
+    d.select(col("doc_id"),
+        explode(expr("word_shingle_hashes(text, 3)")).as("h"))
       .distinct()
-  }
 
   /** shingle fingerprint: first 8 md5 hex digits as long (0 .. 2^32) —
     * the top 32 of the shingle key's 60 bits. */
@@ -139,12 +134,12 @@ object DedupOps {
     //     boilerplate-heavy corpora. ---
     "d14_substring_windows" -> ((s, dir) => {
       val L = 40
+      // char_window_hashes digests each 40-char window in place (ASCII:
+      // zero-copy over the UTF-8 bytes) instead of materializing ~1k
+      // window strings per document through an interpreted transform
       val win = docs(s, dir).filter(length(col("text")) >= L)
-        .select(col("doc_id"), explode(expr(
-          s"transform(sequence(1, length(text) - ${L - 1}), i -> substring(text, i, $L))"))
-          .as("w"))
         .select(col("doc_id"),
-          expr("md5_bits(w, 15)").as("h"))
+          explode(expr(s"char_window_hashes(text, $L)")).as("h"))
         // referenced by three branches (per/dup/hit); eager localCheckpoint
         // (g1/t14 precedent) materializes once AND lets the ContextCleaner
         // reclaim the blocks when the plan is dropped — cache() here leaked
@@ -357,14 +352,10 @@ object DedupOps {
     "d10_bloom_decontam" -> ((s, dir) => {
       docs(s, dir).createOrReplaceTempView("d10_docs")
       s.sql("""
-        WITH t AS (SELECT doc_id, source, split(trim(text), '\\s+') AS ts FROM d10_docs),
-        sh AS (SELECT DISTINCT doc_id,
-                 md5_bits(g, 15) AS h
+        WITH sh AS (SELECT DISTINCT doc_id, h
                FROM (SELECT doc_id,
-                       explode(CASE WHEN size(ts) < 3 THEN array()
-                               ELSE transform(sequence(0, size(ts) - 3),
-                                 i -> concat_ws(' ', ts[i], ts[i+1], ts[i+2])) END) AS g
-                     FROM t)),
+                       explode(word_shingle_hashes(text, 3)) AS h
+                     FROM d10_docs)),
         bench AS (SELECT DISTINCT h FROM sh WHERE doc_id < 20),
         corpus AS (SELECT doc_id, h FROM sh WHERE doc_id >= 20),
         cand AS (SELECT doc_id, h FROM corpus

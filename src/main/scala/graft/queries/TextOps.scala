@@ -378,14 +378,8 @@ object TextOps {
     //     (320 register groups, then 5 langs); a single pass over the
     //     corpus with O(m) state per group, the whole point of HLL. ---
     "t13_hll_shingles" -> ((s, dir) => {
-      val toks = split(trim(col("text")), "\\s+")
-      val sh = docs(s, dir).select(col("lang"), toks.as("ts"))
-        .select(col("lang"), explode(expr(
-          "CASE WHEN size(ts) < 3 THEN array() ELSE " +
-          "transform(sequence(0, size(ts) - 3), i -> concat_ws(' ', ts[i], ts[i+1], ts[i+2])) END"))
-          .as("sgl"))
-        .select(col("lang"),
-          expr("md5_bits(sgl, 15)").as("h"))
+      val sh = docs(s, dir).select(col("lang"),
+        explode(expr("word_shingle_hashes(text, 3)")).as("h"))
       val reg = sh
         .select(col("lang"), (col("h") % 64).as("register"),
           expr("h div 64").as("rem"))

@@ -45,6 +45,34 @@ class FunctionsSpec extends AnyFunSuite {
     assert(viaApi == viaSql)
   }
 
+  test("word_shingle_hashes / char_window_hashes equal their composed SQL pipelines") {
+    // the native generators replaced these pipelines in the dedup family;
+    // element-for-element equality on real documents is the contract
+    val d = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), col("text"))
+    val shingleComposed = expr(
+      "transform(CASE WHEN size(ts) < 3 THEN array() ELSE sequence(0, size(ts) - 3) END, " +
+        "i -> md5_bits(concat_ws(' ', ts[i], ts[i+1], ts[i+2]), 15))")
+    val badShingles = d
+      .withColumn("ts", split(trim(col("text")), "\\s+"))
+      .select(expr("word_shingle_hashes(text, 3)").as("a"), shingleComposed.as("b"))
+      .filter(col("a") =!= col("b")).count()
+    assert(badShingles == 0L, s"$badShingles docs with shingle-hash mismatch")
+    val windowComposed = expr(
+      "transform(CASE WHEN length(text) < 40 THEN array() ELSE sequence(1, length(text) - 39) END, " +
+        "i -> md5_bits(substring(text, i, 40), 15))")
+    val badWindows = d
+      .select(expr("char_window_hashes(text, 40)").as("a"), windowComposed.as("b"))
+      .filter(col("a") =!= col("b")).count()
+    assert(badWindows == 0L, s"$badWindows docs with window-hash mismatch")
+    // non-ASCII fallback keeps CHARACTER window semantics
+    val uni = spark.sql(
+      "SELECT char_window_hashes('äbcdëfghij', 4) AS a, " +
+        "transform(sequence(1, 7), i -> md5_bits(substring('äbcdëfghij', i, 4), 15)) AS b")
+      .collect()(0)
+    assert(uni.getSeq[Long](0) == uni.getSeq[Long](1))
+  }
+
   test("hll_estimate matches the expression-level HLL estimate per group") {
     import spark.implicits._
     // same shingle-hash input as t13_hll_shingles
