@@ -15,6 +15,7 @@ object SparkEntry {
     Seq(
       (graft.queries.Relational.queries, graft.queries.Relational.oracles),
       (graft.queries.Relational2.queries, graft.queries.Relational2.oracles),
+      (graft.queries.Relational3.queries, graft.queries.Relational3.oracles),
       (graft.queries.ArrayOps.queries, graft.queries.ArrayOps.oracles),
       (graft.queries.TextOps.queries, graft.queries.TextOps.oracles),
       (graft.queries.DedupOps.queries, graft.queries.DedupOps.oracles),

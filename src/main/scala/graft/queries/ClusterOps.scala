@@ -123,6 +123,51 @@ object ClusterOps {
           expr("CAST(aggregate(cv, CAST(0 AS BIGINT), (acc, x) -> acc + x) AS BIGINT)").as("c_sum"),
           coalesce(col("inertia"), lit(0L)).as("inertia"))
         .orderBy(col("cid"))
+    }),
+
+    // --- grid-density clustering (DBSCAN's grid approximation): points
+    //     land in h=0.1 cells on the first two embedding dims, cells
+    //     with >= 8 points are "dense", and dense cells merge with their
+    //     8-neighborhood through 2 rounds of min-label propagation —
+    //     the density-based complement to c1's centroid clustering
+    //     (finds arbitrary-shaped blobs, labels sparse cells noise).
+    //     All arithmetic is exact: floor(double/0.1) quantization is
+    //     the same IEEE op both engines, labels are integer cell ids,
+    //     min() can't drift. Scale shape: the corpus contributes one
+    //     hash aggregate (cell counts); everything after runs on the
+    //     CELL relation (corpus/density smaller). The 8-neighborhood
+    //     lookup is an EQUI-join — each cell explodes its 9 neighbor
+    //     coordinates row-locally and joins on exact (gx, gy) — not a
+    //     range join, so it stays codegen + shuffle-hash at any scale. ---
+    "c2_grid_density" -> ((s, dir) => {
+      val pts = Tables.load(s, dir, "embeddings")
+        .select(col("vec_id"),
+          floor(col("embedding").getItem(0).cast("double") / 0.1).cast("long").as("gx"),
+          floor(col("embedding").getItem(1).cast("double") / 0.1).cast("long").as("gy"))
+      val dense = pts.groupBy(col("gx"), col("gy"))
+        .agg(count(lit(1)).as("n_pts"))
+        .filter(col("n_pts") >= 8)
+        .withColumn("cid", expr("(gx + 8) * 1000 + (gy + 8)"))
+        .localCheckpoint(true)
+      var lab = dense.select(col("gx"), col("gy"), col("cid").as("lbl"))
+      for (_ <- 1 to 2) {
+        lab = dense.select(col("gx"), col("gy"))
+          .withColumn("o", explode(expr(
+            "flatten(transform(sequence(-1, 1), dx ->" +
+              " transform(sequence(-1, 1), dy -> struct(dx AS dx, dy AS dy))))")))
+          .select(col("gx"), col("gy"),
+            (col("gx") + col("o.dx")).as("ngx"), (col("gy") + col("o.dy")).as("ngy"))
+          .join(lab.select(col("gx").as("ngx"), col("gy").as("ngy"), col("lbl")),
+            Seq("ngx", "ngy"))
+          .groupBy(col("gx"), col("gy"))
+          .agg(min(col("lbl")).as("lbl"))
+          .localCheckpoint(false)
+      }
+      dense.join(lab, Seq("gx", "gy"))
+        .groupBy(col("lbl"))
+        .agg(count(lit(1)).as("n_cells"), sum(col("n_pts")).cast("long").as("n_points"))
+        .select(col("lbl").as("cluster"), col("n_cells"), col("n_points"))
+        .orderBy(col("n_points").desc, col("cluster"))
     })
   )
 
@@ -161,6 +206,36 @@ object ClusterOps {
          |  CAST(list_sum(c.cv) AS BIGINT) AS c_sum,
          |  COALESCE(fin.inertia, 0) AS inertia
          |FROM c3 c LEFT JOIN fin ON c.cid = fin.cid
-         |ORDER BY c.cid""".stripMargin
+         |ORDER BY c.cid""".stripMargin,
+
+    // the same 2 min-label rounds; DuckDB's BETWEEN form of the
+    // 8-neighborhood is value-identical to the Spark equi-join on
+    // exploded neighbor coordinates
+    "c2_grid_density" ->
+      """WITH pts AS (
+        |  SELECT vec_id,
+        |    CAST(floor(CAST(embedding[1] AS DOUBLE) / 0.1) AS BIGINT) AS gx,
+        |    CAST(floor(CAST(embedding[2] AS DOUBLE) / 0.1) AS BIGINT) AS gy
+        |  FROM embeddings),
+        |dense AS (
+        |  SELECT gx, gy, count(*) AS n_pts, (gx + 8) * 1000 + (gy + 8) AS cid
+        |  FROM pts GROUP BY gx, gy HAVING count(*) >= 8),
+        |l0 AS (SELECT gx, gy, cid AS lbl FROM dense),
+        |l1 AS (
+        |  SELECT a.gx, a.gy, min(b.lbl) AS lbl
+        |  FROM dense a JOIN l0 b
+        |    ON b.gx BETWEEN a.gx - 1 AND a.gx + 1
+        |   AND b.gy BETWEEN a.gy - 1 AND a.gy + 1
+        |  GROUP BY a.gx, a.gy),
+        |l2 AS (
+        |  SELECT a.gx, a.gy, min(b.lbl) AS lbl
+        |  FROM dense a JOIN l1 b
+        |    ON b.gx BETWEEN a.gx - 1 AND a.gx + 1
+        |   AND b.gy BETWEEN a.gy - 1 AND a.gy + 1
+        |  GROUP BY a.gx, a.gy)
+        |SELECT l2.lbl AS cluster, count(*) AS n_cells,
+        |  CAST(sum(dense.n_pts) AS BIGINT) AS n_points
+        |FROM dense JOIN l2 ON dense.gx = l2.gx AND dense.gy = l2.gy
+        |GROUP BY l2.lbl ORDER BY n_points DESC, cluster""".stripMargin
   )
 }

@@ -312,10 +312,40 @@ object EventOps {
         .select(col("event_type"), col("n_hours"), col("n_empty"),
           coalesce(col("max_zero_run"), lit(0L)).as("max_zero_run"), col("n_events"))
         .orderBy(col("event_type"))
+    }),
+
+    // --- sliding-window engagement: distinct active users and distinct
+    //     purchasers per 6-hour window hopping every 3 hours. The
+    //     hop fan-out is a constant factor (window/slide = 2 rows per
+    //     event), then ONE hash aggregate with two exact count-distincts
+    //     over the same grouping — Spark plans multi-distinct via a
+    //     single expand + partial aggregate, no second scan. At 100 TB
+    //     the (window, user) key space is what shuffles, which is the
+    //     floor for exact sliding distinct counts; the approximate
+    //     drop-in is t13's HLL sketch keyed by window. ---
+    "e15_sliding_distinct" -> ((s, dir) => {
+      ev(s, dir)
+        .select(window(col("ts"), "6 hours", "3 hours").as("w"),
+          col("user_id"), col("event_type"))
+        .select(unix_timestamp(col("w.start")).as("wstart"),
+          col("user_id"), col("event_type"))
+        .groupBy(col("wstart"))
+        .agg(countDistinct(col("user_id")).as("n_users"),
+          countDistinct(when(col("event_type") === "purchase",
+            col("user_id"))).as("n_buyers"),
+          count(lit(1)).as("n_events"))
+        .orderBy(col("wstart"))
     })
   )
 
   val oracles: Map[String, String] = Map(
+    "e15_sliding_distinct" ->
+      """SELECT CAST((CAST(floor(epoch(ts) / 10800) AS BIGINT) - j) * 10800 AS BIGINT) AS wstart,
+        |  count(DISTINCT user_id) AS n_users,
+        |  count(DISTINCT CASE WHEN event_type = 'purchase' THEN user_id END) AS n_buyers,
+        |  count(*) AS n_events
+        |FROM events, LATERAL (SELECT unnest(generate_series(0, 1)) AS j) u
+        |GROUP BY 1 ORDER BY wstart""".stripMargin,
     "e14_cms_topk" ->
       """WITH rr AS (SELECT unnest(generate_series(0, 3)) AS r),
         |k AS (SELECT user_id FROM events),

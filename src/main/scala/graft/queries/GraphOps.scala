@@ -219,6 +219,52 @@ object GraphOps {
       }
       dist.groupBy(col("dist")).agg(count(lit(1)).as("n_nodes"))
         .orderBy(col("dist"))
+    }),
+
+    // --- label propagation (community detection) over the part
+    //     co-purchase graph, 3 synchronous rounds. Each round a node
+    //     adopts its neighbors' MODE label; the mode is made
+    //     deterministic (and cross-engine exact) by packing the vote
+    //     into one BIGINT — max(cnt * 1e6 + (999999 - lbl)) — so "most
+    //     votes, ties to smallest label" is a plain integer max: no
+    //     engine-specific mode()/arg_max tie behavior in play, and the
+    //     aggregation is partitioning-order invariant like g1's ranks.
+    //     Scale shape: per round one equi-join of the checkpointed
+    //     bidirectional edge list against the n-row label relation and
+    //     two hash aggregates ((node,lbl) vote counts, then per-node
+    //     max) — all map-side combinable, frontier never exceeds n.
+    //     Pack bounds: cnt <= max degree, lbl < 1e6 here (part keys);
+    //     at 1e9 nodes widen the label stride to 1e10 (cnt * 1e10 + ...)
+    //     and the pack still sits under 2^63 for degrees to ~1e8. ---
+    "g5_label_prop" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .filter(col("l_partkey") < 3000)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+      val edges = li.as("a").join(li.as("b"),
+          col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+        .select(col("a.p").as("d1"), col("b.p").as("d2"))
+        .distinct()
+        .localCheckpoint(true)
+      val bi = edges.union(
+        edges.select(col("d2").as("d1"), col("d1").as("d2")))
+        .localCheckpoint(true)
+      var lab = bi.select(col("d1")).distinct()
+        .select(col("d1").as("node"), col("d1").as("lbl"))
+        .localCheckpoint(true)
+      for (_ <- 1 to 3) {
+        lab = bi.join(lab, col("d1") === col("node"))
+          .groupBy(col("d2"), col("lbl")).agg(count(lit(1)).as("cnt"))
+          .groupBy(col("d2"))
+          .agg(max(expr("cnt * 1000000 + (999999 - lbl)")).as("sc"))
+          .select(col("d2").as("node"),
+            expr("CAST(999999 - sc % 1000000 AS BIGINT)").as("lbl"))
+          .localCheckpoint(false)
+      }
+      lab.groupBy(col("lbl")).agg(count(lit(1)).as("community_size"))
+        .select(col("lbl").as("community"), col("community_size"))
+        .orderBy(col("community_size").desc, col("community"))
+        .limit(20)
     })
   )
 
@@ -302,6 +348,28 @@ object GraphOps {
         |         SELECT bi.d2, s3.dist + 1 FROM bi JOIN s3 ON bi.d1 = s3.node) t
         |       GROUP BY node)
         |SELECT dist, CAST(count(*) AS BIGINT) AS n_nodes
-        |FROM s4 GROUP BY dist ORDER BY dist""".stripMargin
+        |FROM s4 GROUP BY dist ORDER BY dist""".stripMargin,
+
+    // the same 3 synchronous rounds unrolled; the packed-BIGINT mode
+    // (max(cnt * 1e6 + (999999 - lbl))) keeps tie-breaking identical
+    "g5_label_prop" -> {
+      val lpIters = (1 to 3).map { k =>
+        s"""v$k AS (SELECT bi.d2 AS node, l${k - 1}.lbl, count(*) AS cnt
+           |  FROM bi JOIN l${k - 1} ON bi.d1 = l${k - 1}.node GROUP BY 1, 2),
+           |l$k AS (SELECT node,
+           |  CAST(999999 - max(cnt * 1000000 + (999999 - lbl)) % 1000000 AS BIGINT) AS lbl
+           |  FROM v$k GROUP BY node)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+         |            FROM lineitem WHERE l_partkey < 3000),
+         |e AS (SELECT DISTINCT a.p AS d1, b.p AS d2
+         |      FROM li a JOIN li b ON a.o = b.o AND a.p < b.p),
+         |bi AS (SELECT d1, d2 FROM e UNION ALL SELECT d2, d1 FROM e),
+         |l0 AS (SELECT DISTINCT d1 AS node, d1 AS lbl FROM bi),
+         |$lpIters
+         |SELECT lbl AS community, CAST(count(*) AS BIGINT) AS community_size
+         |FROM l3 GROUP BY lbl
+         |ORDER BY community_size DESC, community LIMIT 20""".stripMargin
+    }
   )
 }

@@ -629,8 +629,83 @@ object SimilarityOps {
         sel = sel.union(pick).localCheckpoint(true)
       }
       sel.select(col("rk"), col("eid"), col("score")).orderBy(col("rk"))
+    }),
+
+    // --- ANN quality harness: recall@3 of the IVF probe (v3) against
+    //     the exact brute-force ground truth (v1) — the measurement every
+    //     production ANN deployment runs before trusting an index, as a
+    //     query rather than an offline notebook. Both sides reuse the
+    //     family's own entries verbatim so the evaluation can never
+    //     drift from what it claims to evaluate; the ground-truth side
+    //     scores only the 5-query slice, so at 100 TB this costs one
+    //     corpus pass (exact) + one cell probe — the standard recall-
+    //     sample shape (sample queries, not the corpus). ---
+    "v15_recall_eval" -> ((s, dir) => {
+      val exact = queries("v1_cosine_topk")(s, dir)
+        .select(col("qid"), col("eid"))
+      val approx = queries("v3_ivf_topk")(s, dir)
+        .select(col("qid").as("aq"), col("eid").as("ae"))
+      exact.join(approx,
+          col("qid") === col("aq") && col("eid") === col("ae"), "left")
+        .groupBy(col("qid"))
+        .agg(count(lit(1)).as("k"),
+          sum(when(col("aq").isNotNull, 1L).otherwise(0L)).as("n_hit"))
+        .select(col("qid"), col("k"), col("n_hit"),
+          round(col("n_hit") / col("k"), 4).as("recall"))
+        .orderBy(col("qid"))
     })
   )
+
+  /** v15: v1's exact CTEs and v3's IVF CTEs verbatim (renamed apart),
+    * joined into per-query recall. */
+  private val recallEvalSql =
+    """WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5),
+      |exs AS (
+      |  SELECT q.qid, e.vec_id AS eid,
+      |    list_dot_product(CAST(q.qe AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) /
+      |      (sqrt(list_dot_product(CAST(q.qe AS DOUBLE[]), CAST(q.qe AS DOUBLE[]))) *
+      |       sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))) AS cos_raw
+      |  FROM q, embeddings e WHERE e.vec_id != q.qid),
+      |ex AS (
+      |  SELECT qid, eid FROM (
+      |    SELECT qid, eid,
+      |      row_number() OVER (PARTITION BY qid ORDER BY round(cos_raw, 6) DESC, eid) AS rk
+      |    FROM exs) WHERE rk <= 3),
+      |dims AS (
+      |  SELECT label, i AS pos, avg(CAST(embedding[i + 1] AS DOUBLE)) AS cv
+      |  FROM embeddings, LATERAL (SELECT unnest(generate_series(0, 63)) AS i) u
+      |  GROUP BY label, i),
+      |cent AS (
+      |  SELECT label AS cell, list(cv ORDER BY pos) AS centroid FROM dims GROUP BY label),
+      |cs AS (
+      |  SELECT e.vec_id, e.embedding, c.cell,
+      |    list_dot_product(CAST(e.embedding AS DOUBLE[]), c.centroid) /
+      |      (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) *
+      |       sqrt(list_dot_product(c.centroid, c.centroid))) AS cos_raw
+      |  FROM embeddings e, cent c),
+      |assigned AS (
+      |  SELECT vec_id, embedding, cell FROM (
+      |    SELECT vec_id, embedding, cell,
+      |      row_number() OVER (PARTITION BY vec_id ORDER BY round(cos_raw, 6) DESC, cell) AS rk
+      |    FROM cs) WHERE rk = 1),
+      |probe AS (
+      |  SELECT qv.vec_id AS qid, e.vec_id AS eid,
+      |    list_dot_product(CAST(qv.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) /
+      |      (sqrt(list_dot_product(CAST(qv.embedding AS DOUBLE[]), CAST(qv.embedding AS DOUBLE[]))) *
+      |       sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))) AS cos_raw
+      |  FROM assigned qv JOIN assigned e ON qv.cell = e.cell AND qv.vec_id != e.vec_id
+      |  WHERE qv.vec_id < 5),
+      |ap AS (
+      |  SELECT qid, eid FROM (
+      |    SELECT qid, eid,
+      |      row_number() OVER (PARTITION BY qid ORDER BY round(cos_raw, 6) DESC, eid) AS rk
+      |    FROM probe) WHERE rk <= 3)
+      |SELECT ex.qid, count(*) AS k,
+      |  CAST(sum(CASE WHEN ap.eid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+      |  round(CAST(sum(CASE WHEN ap.eid IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / count(*), 4) AS recall
+      |FROM ex LEFT JOIN ap ON ex.qid = ap.qid AND ex.eid = ap.eid
+      |GROUP BY ex.qid ORDER BY ex.qid""".stripMargin
 
   private val dotSql =
     "list_dot_product(CAST(%s AS DOUBLE[]), CAST(%s AS DOUBLE[]))"
@@ -649,6 +724,8 @@ object SimilarityOps {
   }
 
   val oracles: Map[String, String] = Map(
+    "v15_recall_eval" -> recallEvalSql,
+
     "v13_mmr" ->
       s"""WITH n AS (
          |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
