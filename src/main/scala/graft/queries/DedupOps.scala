@@ -181,7 +181,7 @@ object DedupOps {
     //     stop-shingle frequency cap (not needed at this skew: max
     //     freq 25) would bound the worst key. ---
     "d2_ngram_jaccard" -> ((s, dir) => {
-      val sh = shingles(docs(s, dir)).cache()
+      val sh = shingles(docs(s, dir))
       val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
       val pairs = pairCounts(sh, "h")
       pairs
@@ -200,7 +200,7 @@ object DedupOps {
     //     the capped Jaccard is a strict underestimate, never an
     //     overestimate. ---
     "d7_jaccard_capped" -> ((s, dir) => {
-      val sh = shingles(docs(s, dir)).cache()
+      val sh = shingles(docs(s, dir))
       val cold = sh.groupBy(col("h"))
         .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
         .filter(size(col("ids")) > 1 && size(col("ids")) <= 5)
@@ -233,7 +233,7 @@ object DedupOps {
     // --- full MinHash-LSH dedup: 8 hashes, 4 bands x 2 rows, candidate
     //     pairs confirmed with exact Jaccard >= 0.5 ---
     "d4_lsh_pairs" -> ((s, dir) => {
-      val sh = shingles(docs(s, dir)).cache()
+      val sh = shingles(docs(s, dir))
       // signature in one aggregate (see d3), then 4 band rows per doc:
       // band key = "band,mh(2b),mh(2b+1)" — a narrow explode, no shuffle
       val bands = minhash(sh.select(col("doc_id"), fp.as("f")))
@@ -268,7 +268,7 @@ object DedupOps {
     //     uses, confirmation (bit_count on the full key) runs on the few
     //     survivors — the corpus never cross-joins at any scale. ---
     "d6_simhash_pairs" -> ((s, dir) => {
-      val sh = simhash(docs(s, dir).filter(col("doc_id") < 200)).cache()
+      val sh = simhash(docs(s, dir).filter(col("doc_id") < 200))
       // 13 bands over bits [0,60): 8 of width 5, 5 of width 4
       val widths = Seq.fill(8)(5) ++ Seq.fill(5)(4)
       val bandExprs = widths.scanLeft(0)(_ + _).zip(widths).zipWithIndex.map {
@@ -303,7 +303,7 @@ object DedupOps {
     //     with pointer jumping (O(log diameter) rounds), every loop
     //     cache released before the result returns. ---
     "d8_dup_clusters" -> ((s, dir) => {
-      val sh = shingles(docs(s, dir)).cache()
+      val sh = shingles(docs(s, dir))
       val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
       val edges = pairCounts(sh, "h")
         .join(cnt.as("c1"), col("d1") === col("c1.doc_id"))
@@ -324,7 +324,7 @@ object DedupOps {
     //     standard eval-overlap sweep: benchmark n-grams always fit in
     //     a broadcast. ---
     "d9_contamination" -> ((s, dir) => {
-      val sh = shingles(docs(s, dir)).cache()
+      val sh = shingles(docs(s, dir))
       val bench = sh.filter(col("doc_id") < 20).select(col("h")).distinct()
       val corpus = sh.filter(col("doc_id") >= 20)
       val total = corpus.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
@@ -389,7 +389,7 @@ object DedupOps {
       val exact = hashes.filter(col("b"))
         .join(hashes.filter(!col("b")).select(col("ch")).distinct(), Seq("ch"), "left_semi")
         .select(col("doc_id"))
-      val sh = shingles(d).cache()
+      val sh = shingles(d)
       val bsh = sh.filter(col("doc_id") % 7 === 3)
       val csh = sh.filter(col("doc_id") % 7 =!= 3)
         .join(broadcast(bsh.select(col("h")).distinct()), Seq("h"), "left_semi")
@@ -421,7 +421,7 @@ object DedupOps {
     "d12_cluster_keepers" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val d = docs(s, dir)
-      val sh = shingles(d).cache()
+      val sh = shingles(d)
       val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
       val edges = pairCounts(sh, "h")
         .join(cnt.as("c1"), col("d1") === col("c1.doc_id"))

@@ -226,9 +226,11 @@ object SimilarityOps {
     //     one shuffle on a high-cardinality key, never O(n^2); the
     //     quadratic exact scorer runs only inside buckets. ---
     "v5_rhp_lsh" -> ((s, dir) => {
-      // session-lifetime cache (like d2/d4's shingle cache): the corpus is
-      // tiny relative to storage memory and Spark evicts LRU under pressure
-      val e = withNorm(emb(s, dir).select(col("vec_id"), col("embedding"))).cache()
+      // no cache: a closure-registered cache() can never be unpersisted
+      // (the API returns a lazy DataFrame) and the entry outlives the
+      // query for the whole session — re-scanning the pruned parquet
+      // twice is cheaper than that leak at every scale
+      val e = withNorm(emb(s, dir).select(col("vec_id"), col("embedding")))
       // 16 sign bits -> one 16-bit signature per vector, row-local
       val sig = e.select(col("vec_id"),
         (0 until 16).map { b =>
