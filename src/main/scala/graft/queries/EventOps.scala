@@ -335,6 +335,43 @@ object EventOps {
             col("user_id"))).as("n_buyers"),
           count(lit(1)).as("n_events"))
         .orderBy(col("wstart"))
+    }),
+
+    // --- timed conversion funnel: a view "converts" when the same user
+    //     purchases within 30 minutes. The naive form is a range join
+    //     (every view x every purchase per user); here the range is
+    //     bucketed to the 30-minute grid first — a purchase can only
+    //     satisfy views in its own or the previous bucket, so purchases
+    //     emit TWO bucket keys and the join is pure equi on
+    //     (user, bucket) with a row-local time filter after. That keeps
+    //     the join shuffle-hash on a high-cardinality key at any scale
+    //     (e5's range-join lesson applied to funnel timing); left_semi
+    //     dedups multiple qualifying purchases for free. Day keyed by
+    //     integer epoch-div so neither engine's date casting enters the
+    //     hash. ---
+    "e16_timed_funnel" -> ((s, dir) => {
+      val W = 1800L
+      val ev0 = ev(s, dir)
+        .select(col("user_id"), col("event_type"),
+          unix_timestamp(col("ts")).as("e"))
+      val views = ev0.filter(col("event_type") === "view")
+        .select(col("user_id"), col("e"), (col("e") / W).cast("long").as("b"))
+      val buys = ev0.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("e").as("pe"),
+          explode(array((col("e") / W).cast("long"),
+            (col("e") / W).cast("long") - 1)).as("b"))
+      val converted = views.join(buys,
+          Seq("user_id", "b"), "inner")
+        .filter(col("pe") > col("e") && col("pe") <= col("e") + W)
+        .select(col("user_id"), col("e")).distinct()
+      views.select(col("user_id"), col("e"))
+        .join(converted.withColumn("c", lit(1L)), Seq("user_id", "e"), "left")
+        .groupBy((col("e") / 86400L).cast("long").as("day"))
+        .agg(count(lit(1)).as("n_views"),
+          sum(coalesce(col("c"), lit(0L))).cast("long").as("n_converted"))
+        .withColumn("conv_rate",
+          round(col("n_converted") / col("n_views"), 6))
+        .orderBy(col("day"))
     })
   )
 
@@ -346,6 +383,23 @@ object EventOps {
         |  count(*) AS n_events
         |FROM events, LATERAL (SELECT unnest(generate_series(0, 1)) AS j) u
         |GROUP BY 1 ORDER BY wstart""".stripMargin,
+
+    // the un-bucketed EXISTS form: value-identical to the Spark side's
+    // bucketed equi-join because a purchase <= 30 min after a view is
+    // always in the view's own or next 30-min bucket
+    "e16_timed_funnel" ->
+      """WITH v AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS e
+        |           FROM events WHERE event_type = 'view'),
+        |p AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS pe
+        |      FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT v.user_id, v.e,
+        |  CASE WHEN EXISTS (SELECT 1 FROM p WHERE p.user_id = v.user_id
+        |                    AND p.pe > v.e AND p.pe <= v.e + 1800)
+        |       THEN 1 ELSE 0 END AS conv FROM v)
+        |SELECT CAST(e // 86400 AS BIGINT) AS day, count(*) AS n_views,
+        |  CAST(sum(conv) AS BIGINT) AS n_converted,
+        |  round(sum(conv) * 1.0 / count(*), 6) AS conv_rate
+        |FROM c GROUP BY 1 ORDER BY day""".stripMargin,
     "e14_cms_topk" ->
       """WITH rr AS (SELECT unnest(generate_series(0, 3)) AS r),
         |k AS (SELECT user_id FROM events),

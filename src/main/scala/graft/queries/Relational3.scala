@@ -178,6 +178,40 @@ object Relational3 {
           sum(when(col("u") < col("rate_pct"), col("n_chars"))
             .otherwise(0L)).cast("long").as("kept_chars"))
         .orderBy(col("source"))
+    }),
+
+    // --- length-bucketed batch packing (the sequence-bucketing pass a
+    //     training loader runs to bound padding waste): docs land in
+    //     64-char-wide length buckets, each bucket is sorted longest-
+    //     first and cut into batches of 32, and every batch pads to its
+    //     own max — longest-first order makes per-batch max the batch's
+    //     first row, so waste is minimal for the bucketing. All integer
+    //     until the final efficiency ratio. Scale shape: one shuffle by
+    //     bucket; the per-bucket sort parallelizes across buckets
+    //     (bounded-width partitions — length caps bound the bucket
+    //     count); for a single monster bucket the p7 two-phase prefix
+    //     sum is the standing fix. ---
+    "p12_length_batches" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val B = 32
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars"),
+          expr("(n_chars + 63) div 64").as("bucket"))
+      val w = Window.partitionBy(col("bucket"))
+        .orderBy(col("n_chars").desc, col("doc_id"))
+      val batched = d
+        .withColumn("batch", ((row_number().over(w) - 1) / B).cast("long"))
+        .groupBy(col("bucket"), col("batch"))
+        .agg(count(lit(1)).as("bn"), sum(col("n_chars")).as("bsum"),
+          max(col("n_chars")).as("bmax"))
+      batched.groupBy(col("bucket"))
+        .agg(sum(col("bn")).cast("long").as("n_docs"),
+          count(lit(1)).as("n_batches"),
+          sum(col("bsum")).cast("long").as("sum_chars"),
+          sum(col("bn") * col("bmax")).cast("long").as("padded_chars"))
+        .withColumn("efficiency",
+          round(col("sum_chars") / col("padded_chars"), 6))
+        .orderBy(col("bucket"))
     })
   )
 
@@ -262,6 +296,26 @@ object Relational3 {
         |  CAST(sum(CASE WHEN u < rate_pct THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
         |  CAST(sum(CASE WHEN u < rate_pct THEN n_chars ELSE 0 END) AS BIGINT)
         |    AS kept_chars
-        |FROM d GROUP BY source, rate_pct ORDER BY source""".stripMargin
+        |FROM d GROUP BY source, rate_pct ORDER BY source""".stripMargin,
+
+    "p12_length_batches" ->
+      """WITH d AS (
+        |  SELECT doc_id, n_chars, (n_chars + 63) // 64 AS bucket
+        |  FROM documents),
+        |r AS (
+        |  SELECT bucket, n_chars,
+        |    CAST((row_number() OVER (PARTITION BY bucket
+        |      ORDER BY n_chars DESC, doc_id) - 1) // 32 AS BIGINT) AS batch
+        |  FROM d),
+        |b AS (
+        |  SELECT bucket, batch, count(*) AS bn,
+        |    sum(n_chars) AS bsum, max(n_chars) AS bmax
+        |  FROM r GROUP BY 1, 2)
+        |SELECT bucket, CAST(sum(bn) AS BIGINT) AS n_docs,
+        |  count(*) AS n_batches,
+        |  CAST(sum(bsum) AS BIGINT) AS sum_chars,
+        |  CAST(sum(bn * bmax) AS BIGINT) AS padded_chars,
+        |  round(CAST(sum(bsum) AS DOUBLE) / sum(bn * bmax), 6) AS efficiency
+        |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin
   )
 }

@@ -565,6 +565,48 @@ object TextOps {
           round(col("dot") / (sqrt(col("m1")) * sqrt(col("m2"))), 6).as("cos"))
         .filter(col("cos") >= 0.5)
         .orderBy(col("d1"), col("d2"))
+    }),
+
+    // --- PII detection + redaction (the compliance pass every corpus
+    //     release runs): emails and phone numbers matched by regex,
+    //     replaced by placeholder tags, with per-source counts and exact
+    //     redacted-character accounting. The synthetic corpus carries no
+    //     PII, so a deterministic needle mix (0-2 emails + 0-1 phones per
+    //     doc, keyed off doc_id) is injected FIRST — the gate then checks
+    //     real regex evaluation on both engines, not a vacuous zero. Both
+    //     patterns avoid regex features where Java and RE2 dialects
+    //     diverge (no backrefs, no lookaround). Row-local codegen end to
+    //     end: match counting and replacement never shuffle; the only
+    //     exchange is the final 5-group rollup. At 100 TB this is the
+    //     model scan-shaped pass — one read, one tiny aggregate. ---
+    "t18_pii_redact" -> ((s, dir) => {
+      val emailRe = "[A-Za-z0-9._]+@[A-Za-z0-9.]+[A-Za-z]"
+      val phoneRe = "[0-9]{3}-[0-9]{4}-[0-9]{4}"
+      val d = docs(s, dir).select(col("doc_id"), col("source"),
+        concat(col("text"),
+          when(col("doc_id") % 3 > 0,
+            concat(lit(" contact user"), col("doc_id").cast("string"),
+              lit("@example.org"))).otherwise(""),
+          when(col("doc_id") % 3 === 2,
+            concat(lit(" cc admin"), col("doc_id").cast("string"),
+              lit("@corp.net"))).otherwise(""),
+          when(col("doc_id") % 2 === 0,
+            concat(lit(" call 555-"),
+              lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+              lit("-1234"))).otherwise("")).as("t2"))
+      d.select(col("source"),
+          expr(s"regexp_count(t2, '$emailRe')").cast("long").as("ne"),
+          expr(s"regexp_count(t2, '$phoneRe')").cast("long").as("np"),
+          (length(col("t2")) - length(
+            regexp_replace(regexp_replace(col("t2"), emailRe, "<EMAIL>"),
+              phoneRe, "<PHONE>"))).cast("long").as("shrunk"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("ne")).cast("long").as("n_emails"),
+          sum(col("np")).cast("long").as("n_phones"),
+          sum(when(col("ne") + col("np") > 0, 1L).otherwise(0L)).as("n_docs_pii"),
+          sum(col("shrunk")).cast("long").as("chars_redacted"))
+        .orderBy(col("source"))
     })
   )
 
@@ -912,6 +954,37 @@ object TextOps {
         |SELECT d1, d2, round(dot / (sqrt(n1.nrm2) * sqrt(n2.nrm2)), 6) AS cos
         |FROM dt JOIN nrm n1 ON d1 = n1.doc_id JOIN nrm n2 ON d2 = n2.doc_id
         |WHERE round(dot / (sqrt(n1.nrm2) * sqrt(n2.nrm2)), 6) >= 0.5
-        |ORDER BY d1, d2""".stripMargin
+        |ORDER BY d1, d2""".stripMargin,
+
+    // the same needle injection; DuckDB counts via len(regexp_extract_all)
+    // (no regexp_count) and needs the 'g' flag for replace-all
+    "t18_pii_redact" ->
+      """WITH d AS (
+        |  SELECT doc_id, source, text
+        |    || CASE WHEN doc_id % 3 > 0
+        |         THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.org'
+        |         ELSE '' END
+        |    || CASE WHEN doc_id % 3 = 2
+        |         THEN ' cc admin' || CAST(doc_id AS VARCHAR) || '@corp.net'
+        |         ELSE '' END
+        |    || CASE WHEN doc_id % 2 = 0
+        |         THEN ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || '-1234'
+        |         ELSE '' END AS t2
+        |  FROM documents),
+        |m AS (
+        |  SELECT source,
+        |    CAST(len(regexp_extract_all(t2, '[A-Za-z0-9._]+@[A-Za-z0-9.]+[A-Za-z]')) AS BIGINT) AS ne,
+        |    CAST(len(regexp_extract_all(t2, '[0-9]{3}-[0-9]{4}-[0-9]{4}')) AS BIGINT) AS np,
+        |    CAST(length(t2) - length(
+        |      regexp_replace(regexp_replace(t2,
+        |        '[A-Za-z0-9._]+@[A-Za-z0-9.]+[A-Za-z]', '<EMAIL>', 'g'),
+        |        '[0-9]{3}-[0-9]{4}-[0-9]{4}', '<PHONE>', 'g')) AS BIGINT) AS shrunk
+        |  FROM d)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(ne) AS BIGINT) AS n_emails,
+        |  CAST(sum(np) AS BIGINT) AS n_phones,
+        |  CAST(sum(CASE WHEN ne + np > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_pii,
+        |  CAST(sum(shrunk) AS BIGINT) AS chars_redacted
+        |FROM m GROUP BY source ORDER BY source""".stripMargin
   )
 }
