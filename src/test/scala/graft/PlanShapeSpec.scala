@@ -224,4 +224,61 @@ class PlanShapeSpec extends AnyFunSuite {
       assert(!badFilter, s"$q has a Filter re-evaluating a generator HOF:\n$p")
     }
   }
+
+  test("q10/q18: date/flag filters push to the scans, top-k never sorts globally") {
+    val q10 = plan("q10_returned")
+    assert(q10.contains("GreaterThanOrEqual(o_orderdate"), q10)
+    assert(q10.contains("EqualTo(l_returnflag,R)"), q10)
+    assert(q10.contains("TakeOrderedAndProject"), q10)
+    val q18 = plan("q18_large_orders")
+    assert(q18.contains("TakeOrderedAndProject"), q18)
+    assert(!q18.toLowerCase.contains("cartesianproduct"), q18)
+  }
+
+  test("q15/q22: scalar thresholds ride in broadcasts, dormancy is a left anti join") {
+    val q15 = plan("q15_top_supplier")
+    assert(q15.contains("BroadcastHashJoin"), q15)
+    assert(!q15.toLowerCase.contains("cartesianproduct"), q15)
+    val q22 = plan("q22_dormant")
+    assert(q22.contains("LeftAnti"), q22)
+    // the dormancy cutoff prunes the orders scan before the anti join
+    assert(q22.contains("GreaterThanOrEqual(o_orderdate"), q22)
+    assert(!q22.toLowerCase.contains("cartesianproduct"), q22)
+  }
+
+  test("q17: correlated small-quantity avg decorrelates to aggregate-then-join") {
+    val p = plan("q17_small_qty")
+    assert(!p.toLowerCase.contains("cartesianproduct"), p)
+    assert(p.contains("partial_"), p) // per-part averages combine map-side
+  }
+
+  test("e16/g5/c2/v15: round-6 joins stay equi-keyed, never nested-loop on data") {
+    for (q <- Seq("e16_timed_funnel", "g5_label_prop", "c2_grid_density")) {
+      val p = plan(q)
+      assert(!p.toLowerCase.contains("cartesianproduct"), s"$q: $p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q: $p")
+    }
+    // v15 composes v1 (whose brute-force ground truth legitimately
+    // broadcasts the 5-query side as a nested loop) — only cartesians
+    // are banned there
+    assert(!plan("v15_recall_eval").toLowerCase.contains("cartesianproduct"))
+  }
+
+  test("t18: redaction is one scan and one rollup — no join, no extra exchange") {
+    val p = plan("t18_pii_redact")
+    // regexp_count lowers to size(regexp_extract_all(...)) — row-local
+    assert(p.contains("regexp_extract_all"), p)
+    assert(!p.contains("Join"), p)
+    // exactly the rollup's hash exchange + the final order-by's range
+    // exchange; nothing corpus-shaped moves besides the 5-group aggregate
+    val exchanges = p.linesIterator.count(_.trim.startsWith("Exchange"))
+    assert(exchanges <= 2, s"exchanges=$exchanges:\n$p")
+  }
+
+  test("p12: the only corpus window is partitioned by length bucket") {
+    val p = plan("p12_length_batches")
+    assert(p.contains("hashpartitioning(bucket"), p)
+    assert(!p.toLowerCase.contains("cartesianproduct"), p)
+    assert(!p.contains("Join"), p)
+  }
 }
