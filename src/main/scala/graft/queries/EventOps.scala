@@ -372,6 +372,45 @@ object EventOps {
         .withColumn("conv_rate",
           round(col("n_converted") / col("n_views"), 6))
         .orderBy(col("day"))
+    }),
+
+    // --- RFM segmentation (recency / frequency / monetary), the
+    //     classic user-value rollup: per purchaser, days since last
+    //     purchase, purchase count, and spend — each scored 1-3 on
+    //     FIXED thresholds (ntile would need a global sort and its
+    //     bucket edges drift with the data; fixed cutoffs are the
+    //     scale-free, engine-invariant form). Spend is quantized to
+    //     integer cents BEFORE summing so no float accumulation order
+    //     can flip a threshold: round(value*100) is one IEEE multiply +
+    //     half-away-from-zero round, identical in both engines, and the
+    //     cent sums are exact BIGINTs under any partitioning. Shape:
+    //     one purchase-filtered scan, one per-user hash aggregate, a
+    //     single-row broadcast for the reference timestamp, then a
+    //     27-way-max segment rollup. ---
+    "e17_rfm" -> ((s, dir) => {
+      val p = ev(s, dir).filter(col("event_type") === "purchase")
+        .select(col("user_id"), unix_timestamp(col("ts")).as("e"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      val ref = p.agg(max(col("e")).as("ref_e"))
+      val rfm = p.groupBy(col("user_id"))
+        .agg(max(col("e")).as("last_e"), count(lit(1)).as("f"),
+          sum(col("cents")).cast("long").as("m_cents"))
+        .join(broadcast(ref))
+        .select(col("user_id"), col("f"), col("m_cents"),
+          ((col("ref_e") - col("last_e")) / 86400L).cast("long").as("r_days"))
+      rfm.select(
+          when(col("r_days") <= 2, 3).when(col("r_days") <= 7, 2)
+            .otherwise(1).as("r_score"),
+          when(col("f") >= 16, 3).when(col("f") >= 10, 2)
+            .otherwise(1).as("f_score"),
+          when(col("m_cents") >= 80000L, 3).when(col("m_cents") >= 40000L, 2)
+            .otherwise(1).as("m_score"),
+          col("m_cents"))
+        .groupBy(col("r_score"), col("f_score"), col("m_score"))
+        .agg(count(lit(1)).as("n_users"),
+          sum(col("m_cents")).cast("long").as("seg_cents"))
+        .orderBy(col("r_score").desc, col("f_score").desc,
+          col("m_score").desc)
     })
   )
 
@@ -400,6 +439,27 @@ object EventOps {
         |  CAST(sum(conv) AS BIGINT) AS n_converted,
         |  round(sum(conv) * 1.0 / count(*), 6) AS conv_rate
         |FROM c GROUP BY 1 ORDER BY day""".stripMargin,
+
+    "e17_rfm" ->
+      """WITH p AS (
+        |  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS e,
+        |    CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events WHERE event_type = 'purchase'),
+        |ref AS (SELECT max(e) AS ref_e FROM p),
+        |rfm AS (
+        |  SELECT user_id, count(*) AS f, CAST(sum(cents) AS BIGINT) AS m_cents,
+        |    CAST((ref_e - max(e)) // 86400 AS BIGINT) AS r_days
+        |  FROM p, ref GROUP BY user_id, ref_e),
+        |sc AS (
+        |  SELECT CASE WHEN r_days <= 2 THEN 3 WHEN r_days <= 7 THEN 2 ELSE 1 END AS r_score,
+        |    CASE WHEN f >= 16 THEN 3 WHEN f >= 10 THEN 2 ELSE 1 END AS f_score,
+        |    CASE WHEN m_cents >= 80000 THEN 3 WHEN m_cents >= 40000 THEN 2 ELSE 1 END AS m_score,
+        |    m_cents
+        |  FROM rfm)
+        |SELECT r_score, f_score, m_score, count(*) AS n_users,
+        |  CAST(sum(m_cents) AS BIGINT) AS seg_cents
+        |FROM sc GROUP BY 1, 2, 3
+        |ORDER BY r_score DESC, f_score DESC, m_score DESC""".stripMargin,
     "e14_cms_topk" ->
       """WITH rr AS (SELECT unnest(generate_series(0, 3)) AS r),
         |k AS (SELECT user_id FROM events),

@@ -265,6 +265,49 @@ object GraphOps {
         .select(col("lbl").as("community"), col("community_size"))
         .orderBy(col("community_size").desc, col("community"))
         .limit(20)
+    }),
+
+    // --- degree assortativity (Newman's r) of the part co-purchase
+    //     graph: Pearson correlation of endpoint degrees over directed
+    //     edge ends — do similar-degree nodes connect? All five moments
+    //     (n, sum dx, sum dy, sum dx^2, sum dy^2, sum dx*dy) accumulate
+    //     as exact BIGINTs in ONE map-side-combinable aggregate, so the
+    //     distributed sums are partitioning-order invariant; floats
+    //     enter only in the final one-row Pearson formula, computed
+    //     from identical integers on both engines. Shape: the edge list
+    //     is built once (checkpointed), degrees are one hash aggregate,
+    //     and the moment pass is two narrow equi-joins (edge x degree)
+    //     — nothing ever exceeds edge-list size. At ~1e9 edges the
+    //     moments approach 2^63: widen to DECIMAL(38,0) there, same
+    //     plan. ---
+    "g6_assortativity" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .filter(col("l_partkey") < 3000)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+      val edges = li.as("a").join(li.as("b"),
+          col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+        .select(col("a.p").as("d1"), col("b.p").as("d2"))
+        .distinct()
+        .localCheckpoint(true)
+      val bi = edges.union(
+        edges.select(col("d2").as("d1"), col("d1").as("d2")))
+      val deg = bi.groupBy(col("d1")).agg(count(lit(1)).as("dg"))
+      val m = bi
+        .join(deg.select(col("d1"), col("dg").as("dx")), Seq("d1"))
+        .join(deg.select(col("d1").as("d2"), col("dg").as("dy")), Seq("d2"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("dx")).cast("long").as("sx"),
+          sum(col("dy")).cast("long").as("sy"),
+          sum(col("dx") * col("dx")).cast("long").as("sxx"),
+          sum(col("dy") * col("dy")).cast("long").as("syy"),
+          sum(col("dx") * col("dy")).cast("long").as("sxy"))
+      m.select((col("n") / 2).cast("long").as("n_edges"),
+        round(col("sx") / col("n"), 6).as("avg_degree"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double")) *
+           sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast("double"))), 6)
+          .as("assortativity"))
     })
   )
 
@@ -370,6 +413,30 @@ object GraphOps {
          |SELECT lbl AS community, CAST(count(*) AS BIGINT) AS community_size
          |FROM l3 GROUP BY lbl
          |ORDER BY community_size DESC, community LIMIT 20""".stripMargin
-    }
+    },
+
+    // identical integer moments; the Pearson division runs on the same
+    // BIGINTs in both engines
+    "g6_assortativity" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+        |            FROM lineitem WHERE l_partkey < 3000),
+        |e AS (SELECT DISTINCT a.p AS d1, b.p AS d2
+        |      FROM li a JOIN li b ON a.o = b.o AND a.p < b.p),
+        |bi AS (SELECT d1, d2 FROM e UNION ALL SELECT d2, d1 FROM e),
+        |deg AS (SELECT d1 AS node, CAST(count(*) AS BIGINT) AS dg
+        |        FROM bi GROUP BY d1),
+        |m AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x.dg) AS BIGINT) AS sx, CAST(sum(y.dg) AS BIGINT) AS sy,
+        |    CAST(sum(x.dg * x.dg) AS BIGINT) AS sxx,
+        |    CAST(sum(y.dg * y.dg) AS BIGINT) AS syy,
+        |    CAST(sum(x.dg * y.dg) AS BIGINT) AS sxy
+        |  FROM bi JOIN deg x ON bi.d1 = x.node JOIN deg y ON bi.d2 = y.node)
+        |SELECT CAST(n // 2 AS BIGINT) AS n_edges,
+        |  round(sx * 1.0 / n, 6) AS avg_degree,
+        |  round(CAST(n * sxy - sx * sy AS DOUBLE) /
+        |    (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
+        |     sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6) AS assortativity
+        |FROM m""".stripMargin
   )
 }
