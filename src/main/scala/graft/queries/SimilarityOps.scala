@@ -655,6 +655,37 @@ object SimilarityOps {
         .select(col("qid"), col("k"), col("n_hit"),
           round(col("n_hit") / col("k"), 4).as("recall"))
         .orderBy(col("qid"))
+    }),
+
+    // --- approximate kNN GRAPH (every vector's top-3 neighbors, not just
+    //     5 probe queries): the corpus-curation primitive behind SemDeDup
+    //     clustering, kNN-classifier labeling, and graph-based diversity
+    //     sampling. Exact all-pairs is O(n^2); restricting neighbors to
+    //     each vector's own IVF cell makes the pair scan a SELF-EQUI-JOIN
+    //     ON THE CELL ID — shuffle-hash, O(sum cell^2) = O(n^2/K), with
+    //     the cell count K the standing scale lever (raise K until a
+    //     cell's pairs fit a task). Both sides shuffle once by cell;
+    //     nothing broadcasts because both sides are corpus-sized — the
+    //     deliberate contrast with v3's broadcast-queries probe. Per-
+    //     vector top-3 is a window over cell-bounded groups. ---
+    "v16_knn_graph" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val assigned = rankedCells(emb(s, dir))
+        .filter(col("rk") === 1)
+        .select(col("cell"), col("vec_id"), col("embedding"), col("nrm"))
+      val rhs = assigned.select(col("cell"), col("vec_id").as("nid"),
+        col("embedding").as("ne"), col("nrm").as("nn"))
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy(round(col("cos_raw"), 6).desc, col("nid"))
+      assigned.join(rhs, Seq("cell"))
+        .filter(col("vec_id") =!= col("nid"))
+        .select(col("vec_id"), col("nid"),
+          (dot("embedding", "ne") / (col("nrm") * col("nn"))).as("cos_raw"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("vec_id"), col("rk"), col("nid"),
+          round(col("cos_raw"), 6).as("cos"))
+        .orderBy(col("vec_id"), col("rk"))
     })
   )
 
@@ -727,6 +758,39 @@ object SimilarityOps {
 
   val oracles: Map[String, String] = Map(
     "v15_recall_eval" -> recallEvalSql,
+
+    // v3's assignment CTEs, with the probe generalized from the 5-query
+    // slice to the whole corpus (self-join on the cell)
+    "v16_knn_graph" ->
+      """WITH dims AS (
+        |  SELECT label, i AS pos, avg(CAST(embedding[i + 1] AS DOUBLE)) AS cv
+        |  FROM embeddings, LATERAL (SELECT unnest(generate_series(0, 63)) AS i) u
+        |  GROUP BY label, i),
+        |cent AS (
+        |  SELECT label AS cell, list(cv ORDER BY pos) AS centroid FROM dims GROUP BY label),
+        |scored AS (
+        |  SELECT e.vec_id, e.embedding, c.cell,
+        |    list_dot_product(CAST(e.embedding AS DOUBLE[]), c.centroid) /
+        |      (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) *
+        |       sqrt(list_dot_product(c.centroid, c.centroid))) AS cos_raw
+        |  FROM embeddings e, cent c),
+        |assigned AS (
+        |  SELECT vec_id, embedding, cell FROM (
+        |    SELECT vec_id, embedding, cell,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY round(cos_raw, 6) DESC, cell) AS rk
+        |    FROM scored) WHERE rk = 1),
+        |pairs AS (
+        |  SELECT a.vec_id, b.vec_id AS nid,
+        |    list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) /
+        |      (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[]))) *
+        |       sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))) AS cos_raw
+        |  FROM assigned a JOIN assigned b ON a.cell = b.cell AND a.vec_id != b.vec_id),
+        |ranked AS (
+        |  SELECT vec_id, nid, round(cos_raw, 6) AS cos,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY round(cos_raw, 6) DESC, nid) AS rk
+        |  FROM pairs)
+        |SELECT vec_id, rk, nid, cos FROM ranked WHERE rk <= 3
+        |ORDER BY vec_id, rk""".stripMargin,
 
     "v13_mmr" ->
       s"""WITH n AS (

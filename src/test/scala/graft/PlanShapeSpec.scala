@@ -275,6 +275,16 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(exchanges <= 2, s"exchanges=$exchanges:\n$p")
   }
 
+  test("v16: the kNN-graph pair scan is a cell-keyed join, corpus never broadcasts") {
+    val p = plan("v16_knn_graph")
+    assert(!p.toLowerCase.contains("cartesianproduct"), p)
+    // the pair scan itself must be shuffle-keyed on the cell id (hash or
+    // sort-merge) — the only nested-loop broadcast in the plan is the
+    // K-row centroid relation inside the IVF assignment (v1/v2 pattern)
+    assert(p.contains("Join [cell#") || p.contains("ShuffledHashJoin") ||
+      p.contains("SortMergeJoin"), p)
+  }
+
   test("p12: the only corpus window is partitioned by length bucket") {
     val p = plan("p12_length_batches")
     assert(p.contains("hashpartitioning(bucket"), p)
