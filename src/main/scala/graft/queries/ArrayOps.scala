@@ -372,6 +372,40 @@ object ArrayOps {
         }
         .toDF("cz", "cy", "cx", "sum_v", "n_voxels")
         .orderBy(col("cz"), col("cy"), col("cx"))
+    }),
+
+    // --- voxel-value histogram THROUGH the connector's data path: the
+    //     intensity distribution A3's percentile stretch (and any omero
+    //     window-bounds estimate) would consume, computed the way a
+    //     100 TB scan must — each task folds its own chunks into a
+    //     bounded per-chunk histogram (≤256 buckets regardless of
+    //     volume size), and only those tiny partials shuffle to the
+    //     bucket rollup. The deliberate contrast with z9/z11: those
+    //     aggregates are answered from grid METADATA with zero chunk
+    //     IO; this one must decode every chunk, gating the connector's
+    //     read+decompress path under real aggregation. ---
+    "z15_voxel_histogram" -> ((s, _) => {
+      import s.implicits._
+      val dir = graft.Scratch.dir("zarr-hist-q")
+      val vol = Volume("vh", 0, Array(1L, 1L, 40L, 40L, 40L), Array(1, 1, 16, 16, 16))
+      ZarrIO.writeMetadata(dir, vol, nLevels = 1)
+      SyntheticStack.generate(s, vol).toDF()
+        .write.format("zarr").option("path", dir).mode("append").save()
+      s.read.format("zarr")
+        .option("path", dir).option("stack", "vh").load()
+        .select(col("data")).as[Array[Byte]]
+        .flatMap { data =>
+          val px = graft.core.PixelCodec.toInts(data)
+          val h = new Array[Long](256)
+          var i = 0
+          while (i < px.length) { h(px(i) >> 8) += 1; i += 1 }
+          h.iterator.zipWithIndex.collect {
+            case (n, b) if n > 0 => (b.toLong, n)
+          }
+        }
+        .toDF("bucket", "bn")
+        .groupBy(col("bucket")).agg(sum(col("bn")).cast("long").as("n_voxels"))
+        .orderBy(col("bucket"))
     })
   )
 
@@ -512,6 +546,16 @@ object ArrayOps {
         |       CAST(sum(v) AS BIGINT) AS sum_v, count(*) AS n_voxels
         |FROM l0 GROUP BY 1, 2, 3
         |ORDER BY cz, cy, cx""".stripMargin,
+
+    // v >> 8 on the Spark side is v // 256 here (uint16 values)
+    "z15_voxel_histogram" ->
+      """WITH l0 AS (
+        |  SELECT (31 * (range // 1600) + 17 * ((range // 40) % 40)
+        |          + 13 * (range % 40)) % 65536 AS v
+        |  FROM range(64000)
+        |)
+        |SELECT CAST(v // 256 AS BIGINT) AS bucket, count(*) AS n_voxels
+        |FROM l0 GROUP BY 1 ORDER BY bucket""".stripMargin,
 
     // the stitched 8 x 40 x 40 volume IS the global value grid — the
     // mosaic layout (tile offsets, M indices, the skipped pyramid
