@@ -61,6 +61,57 @@ object ClusterOps {
        |    (SELECT cid, list(cvi ORDER BY pos) AS cv FROM s$k GROUP BY cid) u
        |    ON c.cid = u.cid)""".stripMargin
 
+  /** The shared K=8 / 3-iteration Lloyd pipeline (see object doc):
+    * returns (final centroids as (cid, cv), final assignment as
+    * (vec_id, qv, cid, dist)). c1 aggregates it; c3 scores it. */
+  private def lloyd(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.load(s, dir, "embeddings")
+    // quantize once; eager checkpoint — seeds + 4 assignment scans all
+    // read this leaf instead of re-decoding the parquet floats
+    val q = e.select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT))")
+          .as("qv"))
+      .localCheckpoint(true)
+    // deterministic seeds: the 8 smallest md5(vec_id); cid = md5 rank
+    val seeds = q
+      .select(col("vec_id"), col("qv"), md5(col("vec_id").cast("string")).as("h"))
+      .orderBy(col("h"), col("vec_id")).limit(8)
+    var cent = seeds
+      .withColumn("cid",
+        (row_number().over(Window.orderBy(col("h"), col("vec_id"))) - 1).cast("long"))
+      .select(col("cid"), col("qv").as("cv"))
+      .localCheckpoint(true)
+    // the whole model as ONE broadcast row: assignment becomes a
+    // row-local argmin (no n x K explode, no exchange); struct
+    // ordering (dist, cid) is the deterministic tiebreak
+    def assign(c: DataFrame): DataFrame = {
+      val cmat = c.agg(expr("array_sort(collect_list(struct(cid, cv)))").as("cs"))
+      q.crossJoin(broadcast(cmat))
+        .select(col("vec_id"), col("qv"), expr(
+          "array_min(transform(cs, c -> struct(" +
+            "aggregate(sequence(0, 63), CAST(0 AS BIGINT)," +
+            " (acc, i) -> acc + (qv[i] - c.cv[i]) * (qv[i] - c.cv[i])) AS dist," +
+            " c.cid AS cid)))").as("m"))
+        .select(col("vec_id"), col("qv"),
+          col("m.cid").as("cid"), col("m.dist").as("dist"))
+    }
+    for (_ <- 1 to 3) {
+      // per-(cid, dim) exact integer sums -> <= K*64 groups; map-side
+      // partials shrink each task's contribution to model size
+      val sums = assign(cent)
+        .select(col("cid"), posexplode(col("qv")).as(Seq("pos", "v")))
+        .groupBy(col("cid"), col("pos"))
+        .agg(expr("CAST(floor(CAST(sum(v) AS DOUBLE) / count(1) + 0.5) AS BIGINT)").as("cvi"))
+      val upd = sums.groupBy(col("cid"))
+        .agg(expr("transform(array_sort(collect_list(struct(pos, cvi))), x -> x.cvi)").as("ncv"))
+      cent = cent.join(upd, Seq("cid"), "left")
+        .select(col("cid"), coalesce(col("ncv"), col("cv")).as("cv"))
+        .localCheckpoint(false)
+    }
+    (cent, assign(cent))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // --- k-means (K=8, 3 Lloyd iterations) over the embedding corpus:
@@ -69,51 +120,8 @@ object ClusterOps {
     //     Integer-exact end to end (see object doc) so the distributed
     //     run hash-matches DuckDB's unrolled-CTE oracle. ---
     "c1_kmeans" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val e = Tables.load(s, dir, "embeddings")
-      // quantize once; eager checkpoint — seeds + 4 assignment scans all
-      // read this leaf instead of re-decoding the parquet floats
-      val q = e.select(col("vec_id"),
-          expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT))")
-            .as("qv"))
-        .localCheckpoint(true)
-      // deterministic seeds: the 8 smallest md5(vec_id); cid = md5 rank
-      val seeds = q
-        .select(col("vec_id"), col("qv"), md5(col("vec_id").cast("string")).as("h"))
-        .orderBy(col("h"), col("vec_id")).limit(8)
-      var cent = seeds
-        .withColumn("cid",
-          (row_number().over(Window.orderBy(col("h"), col("vec_id"))) - 1).cast("long"))
-        .select(col("cid"), col("qv").as("cv"))
-        .localCheckpoint(true)
-      // the whole model as ONE broadcast row: assignment becomes a
-      // row-local argmin (no n x K explode, no exchange); struct
-      // ordering (dist, cid) is the deterministic tiebreak
-      def assign(c: DataFrame): DataFrame = {
-        val cmat = c.agg(expr("array_sort(collect_list(struct(cid, cv)))").as("cs"))
-        q.crossJoin(broadcast(cmat))
-          .select(col("vec_id"), col("qv"), expr(
-            "array_min(transform(cs, c -> struct(" +
-              "aggregate(sequence(0, 63), CAST(0 AS BIGINT)," +
-              " (acc, i) -> acc + (qv[i] - c.cv[i]) * (qv[i] - c.cv[i])) AS dist," +
-              " c.cid AS cid)))").as("m"))
-          .select(col("vec_id"), col("qv"),
-            col("m.cid").as("cid"), col("m.dist").as("dist"))
-      }
-      for (_ <- 1 to 3) {
-        // per-(cid, dim) exact integer sums -> <= K*64 groups; map-side
-        // partials shrink each task's contribution to model size
-        val sums = assign(cent)
-          .select(col("cid"), posexplode(col("qv")).as(Seq("pos", "v")))
-          .groupBy(col("cid"), col("pos"))
-          .agg(expr("CAST(floor(CAST(sum(v) AS DOUBLE) / count(1) + 0.5) AS BIGINT)").as("cvi"))
-        val upd = sums.groupBy(col("cid"))
-          .agg(expr("transform(array_sort(collect_list(struct(pos, cvi))), x -> x.cvi)").as("ncv"))
-        cent = cent.join(upd, Seq("cid"), "left")
-          .select(col("cid"), coalesce(col("ncv"), col("cv")).as("cv"))
-          .localCheckpoint(false)
-      }
-      val fin = assign(cent)
+      val (cent, assigned) = lloyd(s, dir)
+      val fin = assigned
         .groupBy(col("cid"))
         .agg(count(lit(1)).as("n_members"), sum(col("dist")).as("inertia"))
       cent.join(fin, Seq("cid"), "left")
@@ -168,6 +176,43 @@ object ClusterOps {
         .agg(count(lit(1)).as("n_cells"), sum(col("n_pts")).cast("long").as("n_points"))
         .select(col("lbl").as("cluster"), col("n_cells"), col("n_points"))
         .orderBy(col("n_points").desc, col("cluster"))
+    }),
+
+    // --- cluster-quality metrics over c1's clustering (the evaluation
+    //     pass that decides whether a curation k-means is usable):
+    //     per-cluster scatter, nearest other centroid, and the
+    //     Davies-Bouldin term max_j (S_i + S_j) / d_ij. Determinism
+    //     discipline: scatter is sqrt(sum(dist)/n) — the SUM is an exact
+    //     BIGINT (never a float accumulation, whose order would drift
+    //     distributed), so the one sqrt/divide runs on identical
+    //     integers in both engines; centroid pair distances are exact
+    //     integer sums over the K x K grid (64 rows — driver-trivial,
+    //     broadcast). Corpus cost: the one assignment scan lloyd()
+    //     already produces; everything else is model-sized. ---
+    "c3_cluster_metrics" -> ((s, dir) => {
+      val (cent, assigned) = lloyd(s, dir)
+      val scat = assigned.groupBy(col("cid"))
+        .agg(count(lit(1)).as("n_members"),
+          sum(col("dist")).cast("long").as("sum_d2"))
+        .select(col("cid"), col("n_members"),
+          sqrt(col("sum_d2") / col("n_members")).as("s"))
+      val pairs = cent.select(col("cid").as("i"), col("cv").as("ci"))
+        .join(broadcast(cent.select(col("cid").as("j"), col("cv").as("cj"))))
+        .filter(col("i") =!= col("j"))
+        .select(col("i"), col("j"), expr(
+          "sqrt(CAST(aggregate(sequence(0, 63), CAST(0 AS BIGINT)," +
+            " (acc, k) -> acc + (ci[k] - cj[k]) * (ci[k] - cj[k])) AS DOUBLE))")
+          .as("dij"))
+      val db = pairs
+        .join(scat.select(col("cid").as("i"), col("s").as("si")), Seq("i"))
+        .join(scat.select(col("cid").as("j"), col("s").as("sj")), Seq("j"))
+        .groupBy(col("i"))
+        .agg(max(round((col("si") + col("sj")) / col("dij"), 6)).as("db_term"),
+          min(struct(round(col("dij"), 4).as("d"), col("j"))).as("nn"))
+      scat.join(db, col("cid") === col("i"))
+        .select(col("cid"), col("n_members"), round(col("s"), 4).as("scatter"),
+          col("nn.j").as("nn_cid"), col("nn.d").as("nn_dist"), col("db_term"))
+        .orderBy(col("cid"))
     })
   )
 
@@ -207,6 +252,57 @@ object ClusterOps {
          |  COALESCE(fin.inertia, 0) AS inertia
          |FROM c3 c LEFT JOIN fin ON c.cid = fin.cid
          |ORDER BY c.cid""".stripMargin,
+
+    // same Lloyd preamble as c1; scatter/pair distances are sqrt+divide
+    // over exact integers, so every float is computed from identical
+    // inputs in both engines
+    "c3_cluster_metrics" ->
+      s"""WITH q AS (
+         |  SELECT vec_id,
+         |    list_transform(CAST(embedding AS DOUBLE[]),
+         |      x -> CAST(floor(x * 1000000 + 0.5) AS BIGINT)) AS qv
+         |  FROM embeddings),
+         |seeds AS (
+         |  SELECT vec_id, qv, md5(CAST(vec_id AS VARCHAR)) AS h
+         |  FROM q ORDER BY h, vec_id LIMIT 8),
+         |c0 AS (
+         |  SELECT row_number() OVER (ORDER BY h, vec_id) - 1 AS cid, qv AS cv
+         |  FROM seeds),
+         |${kmIter(1)},
+         |${kmIter(2)},
+         |${kmIter(3)},
+         |d4 AS (
+         |  SELECT q.vec_id, c.cid,
+         |    sum((q.qv[u.i+1] - c.cv[u.i+1]) * (q.qv[u.i+1] - c.cv[u.i+1])) AS dist
+         |  FROM q, c3 c, LATERAL (SELECT unnest(generate_series(0, 63)) AS i) u
+         |  GROUP BY q.vec_id, c.cid),
+         |a4 AS (
+         |  SELECT vec_id, cid, dist FROM (
+         |    SELECT vec_id, cid, dist,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rk
+         |    FROM d4) WHERE rk = 1),
+         |scat AS (
+         |  SELECT cid, CAST(count(*) AS BIGINT) AS n_members,
+         |    sqrt(CAST(sum(dist) AS BIGINT) / count(*)) AS s
+         |  FROM a4 GROUP BY cid),
+         |pr AS (
+         |  SELECT a.cid AS i, b.cid AS j,
+         |    sqrt(CAST(sum((a.cv[u.k+1] - b.cv[u.k+1]) * (a.cv[u.k+1] - b.cv[u.k+1])) AS DOUBLE)) AS dij
+         |  FROM c3 a, c3 b, LATERAL (SELECT unnest(generate_series(0, 63)) AS k) u
+         |  WHERE a.cid != b.cid GROUP BY a.cid, b.cid),
+         |nn AS (
+         |  SELECT i, j AS nn_cid, round(dij, 4) AS nn_dist FROM (
+         |    SELECT i, j, dij,
+         |      row_number() OVER (PARTITION BY i ORDER BY round(dij, 4), j) AS rk
+         |    FROM pr) WHERE rk = 1),
+         |dbt AS (
+         |  SELECT pr.i, max(round((si.s + sj.s) / pr.dij, 6)) AS db_term
+         |  FROM pr JOIN scat si ON pr.i = si.cid JOIN scat sj ON pr.j = sj.cid
+         |  GROUP BY pr.i)
+         |SELECT scat.cid, scat.n_members, round(scat.s, 4) AS scatter,
+         |  nn.nn_cid, nn.nn_dist, dbt.db_term
+         |FROM scat JOIN nn ON scat.cid = nn.i JOIN dbt ON scat.cid = dbt.i
+         |ORDER BY scat.cid""".stripMargin,
 
     // the same 2 min-label rounds; DuckDB's BETWEEN form of the
     // 8-neighborhood is value-identical to the Spark equi-join on
