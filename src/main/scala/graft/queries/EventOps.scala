@@ -411,6 +411,29 @@ object EventOps {
           sum(col("m_cents")).cast("long").as("seg_cents"))
         .orderBy(col("r_score").desc, col("f_score").desc,
           col("m_score").desc)
+    }),
+
+    // --- clickstream path mining: the 10 most frequent 3-step event-type
+    //     paths. Per-user event order is made total by (ts, event_id) —
+    //     same-timestamp events would otherwise make lead() engine-
+    //     nondeterministic, which is the classic path-mining footgun.
+    //     Shape: one window pass over user-bounded partitions (the
+    //     per-user sequence IS the parallel unit), a tiny path rollup
+    //     (|event_types|^3 = 125 groups max at any corpus size), then
+    //     TakeOrderedAndProject for the global top-10. ---
+    "e18_event_paths" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      ev(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("e2", lead(col("event_type"), 1).over(w))
+        .withColumn("e3", lead(col("event_type"), 2).over(w))
+        .filter(col("e3").isNotNull)
+        .select(concat_ws(">", col("event_type"), col("e2"), col("e3")).as("path"))
+        .groupBy(col("path")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("path"))
+        .limit(10)
     })
   )
 
@@ -460,6 +483,17 @@ object EventOps {
         |  CAST(sum(m_cents) AS BIGINT) AS seg_cents
         |FROM sc GROUP BY 1, 2, 3
         |ORDER BY r_score DESC, f_score DESC, m_score DESC""".stripMargin,
+
+    "e18_event_paths" ->
+      """WITH s AS (
+        |  SELECT user_id, event_type,
+        |    lead(event_type, 1) OVER w AS e2,
+        |    lead(event_type, 2) OVER w AS e3
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT event_type || '>' || e2 || '>' || e3 AS path, count(*) AS n
+        |FROM s WHERE e3 IS NOT NULL
+        |GROUP BY 1 ORDER BY n DESC, path LIMIT 10""".stripMargin,
     "e14_cms_topk" ->
       """WITH rr AS (SELECT unnest(generate_series(0, 3)) AS r),
         |k AS (SELECT user_id FROM events),

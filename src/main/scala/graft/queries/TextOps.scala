@@ -607,6 +607,36 @@ object TextOps {
           sum(when(col("ne") + col("np") > 0, 1L).otherwise(0L)).as("n_docs_pii"),
           sum(col("shrunk")).cast("long").as("chars_redacted"))
         .orderBy(col("source"))
+    }),
+
+    // --- cross-source contamination matrix: for every ordered source
+    //     pair, how much of source A's shingle vocabulary also appears
+    //     in source B — the provenance-level overlap scan run before
+    //     mixing crawls (is dataset X largely a re-crawl of Y?).
+    //     Shape discipline: the corpus relation is only ever AGGREGATED
+    //     by (source, h); the pair explode happens per shingle over its
+    //     distinct-source list, which is bounded by the SOURCE COUNT
+    //     (here 5, never corpus-sized) — so pair work is
+    //     O(shingles x sources^2) worst case with a tiny constant, and
+    //     the output is the S x S matrix. ---
+    "t20_source_overlap" -> ((s, dir) => {
+      val srcSh = docs(s, dir).select(col("source"),
+          explode(expr("word_shingle_hashes(text, 3)")).as("h"))
+        .distinct()
+      val sizes = srcSh.groupBy(col("source")).agg(count(lit(1)).as("n_sh"))
+      val shared = srcSh.groupBy(col("h"))
+        .agg(sort_array(collect_set(col("source"))).as("ss"))
+        .filter(size(col("ss")) > 1)
+        .select(explode(expr(
+          "flatten(transform(ss, a -> transform(filter(ss, b -> b != a), " +
+            "b -> struct(a AS s1, b AS s2))))")).as("p"))
+        .groupBy(col("p.s1").as("s1"), col("p.s2").as("s2"))
+        .agg(count(lit(1)).as("n_shared"))
+      shared
+        .join(sizes.select(col("source").as("s1"), col("n_sh").as("n1")), Seq("s1"))
+        .select(col("s1"), col("s2"), col("n_shared"),
+          round(col("n_shared") / col("n1"), 6).as("overlap_frac"))
+        .orderBy(col("s1"), col("s2"))
     })
   )
 
@@ -985,6 +1015,22 @@ object TextOps {
         |  CAST(sum(np) AS BIGINT) AS n_phones,
         |  CAST(sum(CASE WHEN ne + np > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_pii,
         |  CAST(sum(shrunk) AS BIGINT) AS chars_redacted
-        |FROM m GROUP BY source ORDER BY source""".stripMargin
+        |FROM m GROUP BY source ORDER BY source""".stripMargin,
+
+    "t20_source_overlap" ->
+      raw"""WITH sh AS (
+        |  SELECT DISTINCT source,
+        |    ('0x' || substr(md5(ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]), 1, 15))::BIGINT AS h
+        |  FROM (SELECT source, regexp_split_to_array(trim(text), '\s+') AS ts FROM documents) t,
+        |       LATERAL (SELECT unnest(generate_series(1, greatest(len(ts) - 2, 0))) AS i) u),
+        |sizes AS (SELECT source, count(*) AS n_sh FROM sh GROUP BY source),
+        |shared AS (
+        |  SELECT a.source AS s1, b.source AS s2, count(*) AS n_shared
+        |  FROM sh a JOIN sh b ON a.h = b.h AND a.source != b.source
+        |  GROUP BY 1, 2)
+        |SELECT s1, s2, n_shared,
+        |  round(n_shared * 1.0 / sizes.n_sh, 6) AS overlap_frac
+        |FROM shared JOIN sizes ON s1 = sizes.source
+        |ORDER BY s1, s2""".stripMargin
   )
 }
