@@ -61,6 +61,12 @@ object MediaOps {
     * the DuckDB oracle can only recompute features it can derive from
     * the payload's text, not from a binary image container. */
   object ImageIoCodec {
+    // ImageIO wraps InputStreams in a FileCacheImageInputStream by
+    // default — a temp FILE per decoded image. Payloads here are already
+    // in memory, so the disk round-trip is pure churn (it showed up as
+    // bench spread on the 400-image gate); memory-cache instead.
+    javax.imageio.ImageIO.setUseCache(false)
+
     /** Decode to 8-bit luminance (ITU-R 601 integer weights); loud
       * failure on undecodable payloads — a corrupt image in a 100 TB
       * corpus should surface, not silently zero-fill. */
