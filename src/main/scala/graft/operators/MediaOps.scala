@@ -61,17 +61,20 @@ object MediaOps {
     * the DuckDB oracle can only recompute features it can derive from
     * the payload's text, not from a binary image container. */
   object ImageIoCodec {
-    // ImageIO wraps InputStreams in a FileCacheImageInputStream by
-    // default — a temp FILE per decoded image. Payloads here are already
-    // in memory, so the disk round-trip is pure churn (it showed up as
-    // bench spread on the 400-image gate); memory-cache instead.
-    javax.imageio.ImageIO.setUseCache(false)
-
     /** Decode to 8-bit luminance (ITU-R 601 integer weights); loud
       * failure on undecodable payloads — a corrupt image in a 100 TB
       * corpus should surface, not silently zero-fill. */
     def decodeLuma(payload: Array[Byte]): (Int, Int, Array[Byte]) = {
-      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      // a bare InputStream gets wrapped in a FileCacheImageInputStream —
+      // a temp FILE per decoded image (measured as bench spread on the
+      // 400-image gate). The payload is already in memory: wrap it in a
+      // memory-cached stream locally instead of flipping the
+      // process-global ImageIO.setUseCache default under other users
+      // ImageIO.read(ImageInputStream) closes the stream itself (a
+      // second close() throws "closed"), so no finally here
+      val img = javax.imageio.ImageIO.read(
+        new javax.imageio.stream.MemoryCacheImageInputStream(
+          new java.io.ByteArrayInputStream(payload)))
       require(img != null, s"payload of ${payload.length} bytes is not a decodable image")
       val (w, h) = (img.getWidth, img.getHeight)
       val out = new Array[Byte](w * h)

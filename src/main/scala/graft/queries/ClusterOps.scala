@@ -155,7 +155,11 @@ object ClusterOps {
       val dense = pts.groupBy(col("gx"), col("gy"))
         .agg(count(lit(1)).as("n_pts"))
         .filter(col("n_pts") >= 8)
-        .withColumn("cid", expr("(gx + 8) * 1000 + (gy + 8)"))
+        // cell-id pack: the gy stride (1e7) must exceed any possible
+        // gy + 1e6 offset span or distinct cells would collide (and the
+        // oracle, packing identically, would agree on the wrong merge);
+        // |coords| < 9e6 keeps the pack under 2^63
+        .withColumn("cid", expr("(gx + 1000000) * 10000000 + (gy + 1000000)"))
         .localCheckpoint(true)
       var lab = dense.select(col("gx"), col("gy"), col("cid").as("lbl"))
       for (_ <- 1 to 2) {
@@ -314,7 +318,8 @@ object ClusterOps {
         |    CAST(floor(CAST(embedding[2] AS DOUBLE) / 0.1) AS BIGINT) AS gy
         |  FROM embeddings),
         |dense AS (
-        |  SELECT gx, gy, count(*) AS n_pts, (gx + 8) * 1000 + (gy + 8) AS cid
+        |  SELECT gx, gy, count(*) AS n_pts,
+        |    (gx + 1000000) * 10000000 + (gy + 1000000) AS cid
         |  FROM pts GROUP BY gx, gy HAVING count(*) >= 8),
         |l0 AS (SELECT gx, gy, cid AS lbl FROM dense),
         |l1 AS (

@@ -46,6 +46,23 @@ object GraphOps {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
+  /** Canonical part co-purchase edge list (d1 < d2, distinct, eagerly
+    * checkpointed), shared by g4/g5/g6 so the graph definition cannot
+    * drift between them. `cap` bounds the part-id range (the d7-style
+    * density lever); None takes the whole graph. */
+  private def coPurchaseEdges(s: SparkSession, dir: String,
+      cap: Option[Long]): DataFrame = {
+    val base = t(s, dir, "lineitem")
+    val li = cap.fold(base)(c => base.filter(col("l_partkey") < c))
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .distinct()
+    li.as("a").join(li.as("b"),
+        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .select(col("a.p").as("d1"), col("b.p").as("d2"))
+      .distinct()
+      .localCheckpoint(true)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // --- 5-iteration PageRank over the supplier co-supply graph: two
@@ -200,13 +217,11 @@ object GraphOps {
       val li = t(s, dir, "lineitem")
         .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
         .distinct()
-      val edges = li.as("a").join(li.as("b"),
-          col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-        .select(col("a.p").as("d1"), col("b.p").as("d2"))
-        .distinct()
-        .localCheckpoint(true)
+      val edges = coPurchaseEdges(s, dir, cap = None)
       val bi = edges.union(
         edges.select(col("d2").as("d1"), col("d1").as("d2")))
+      // sources come from li (all parts in lineitem), not from edges:
+      // an isolated part with no co-purchase partner is still a source
       var dist = li.select(col("p")).distinct().filter(col("p") < 3)
         .select(col("p").as("node"), lit(0L).as("dist"))
         .localCheckpoint(true)
@@ -237,15 +252,7 @@ object GraphOps {
     //     at 1e9 nodes widen the label stride to 1e10 (cnt * 1e10 + ...)
     //     and the pack still sits under 2^63 for degrees to ~1e8. ---
     "g5_label_prop" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem")
-        .filter(col("l_partkey") < 3000)
-        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-        .distinct()
-      val edges = li.as("a").join(li.as("b"),
-          col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-        .select(col("a.p").as("d1"), col("b.p").as("d2"))
-        .distinct()
-        .localCheckpoint(true)
+      val edges = coPurchaseEdges(s, dir, cap = Some(3000L))
       val bi = edges.union(
         edges.select(col("d2").as("d1"), col("d1").as("d2")))
         .localCheckpoint(true)
@@ -281,15 +288,7 @@ object GraphOps {
     //     moments approach 2^63: widen to DECIMAL(38,0) there, same
     //     plan. ---
     "g6_assortativity" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem")
-        .filter(col("l_partkey") < 3000)
-        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-        .distinct()
-      val edges = li.as("a").join(li.as("b"),
-          col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-        .select(col("a.p").as("d1"), col("b.p").as("d2"))
-        .distinct()
-        .localCheckpoint(true)
+      val edges = coPurchaseEdges(s, dir, cap = Some(3000L))
       val bi = edges.union(
         edges.select(col("d2").as("d1"), col("d1").as("d2")))
       val deg = bi.groupBy(col("d1")).agg(count(lit(1)).as("dg"))

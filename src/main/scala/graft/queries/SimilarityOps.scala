@@ -670,9 +670,13 @@ object SimilarityOps {
     //     vector top-3 is a window over cell-bounded groups. ---
     "v16_knn_graph" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
+      // eager checkpoint before the self-join: without it the rank
+      // window above the assignment re-executes once per join side
+      // (g3's edge-list precedent)
       val assigned = rankedCells(emb(s, dir))
         .filter(col("rk") === 1)
         .select(col("cell"), col("vec_id"), col("embedding"), col("nrm"))
+        .localCheckpoint(true)
       val rhs = assigned.select(col("cell"), col("vec_id").as("nid"),
         col("embedding").as("ne"), col("nrm").as("nn"))
       val w = Window.partitionBy(col("vec_id"))
