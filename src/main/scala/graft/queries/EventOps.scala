@@ -434,6 +434,38 @@ object EventOps {
         .groupBy(col("path")).agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("path"))
         .limit(10)
+    }),
+
+    // --- activity concentration (Gini coefficient per event type): how
+    //     unequally each activity spreads across users — the same
+    //     measurement corpus curation runs on per-source/per-domain
+    //     contribution before capping heavy tails (p5's cap is the
+    //     remedy; this is the detector). Gini from the rank formula
+    //     G = (2*sum(i*x_i) - (n+1)*sum(x)) / (n*sum(x)) with x sorted
+    //     ascending: every sum is an exact BIGINT, and rank ties (equal
+    //     x) contribute x*sum(i) regardless of tiebreak order, so the
+    //     statistic is partitioning- and tiebreak-invariant; the one
+    //     division runs on identical integers in both engines. Shape:
+    //     the corpus collapses to (type, user) counts first, so the
+    //     rank window runs over the USERS relation, partitioned by
+    //     type; at billions of users the p7 two-phase prefix-sum form
+    //     replaces the window, same arithmetic. ---
+    "e19_gini" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val cnt = ev(s, dir).groupBy(col("event_type"), col("user_id"))
+        .agg(count(lit(1)).as("x"))
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("x"), col("user_id"))
+      cnt.withColumn("i", row_number().over(w))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_users"),
+          sum(col("x")).cast("long").as("n_events"),
+          sum(col("i") * col("x")).cast("long").as("six"))
+        .select(col("event_type"), col("n_users"), col("n_events"),
+          round((lit(2L) * col("six") - (col("n_users") + 1) * col("n_events"))
+            .cast("double") /
+            (col("n_users") * col("n_events")).cast("double"), 6).as("gini"))
+        .orderBy(col("event_type"))
     })
   )
 
@@ -494,6 +526,24 @@ object EventOps {
         |SELECT event_type || '>' || e2 || '>' || e3 AS path, count(*) AS n
         |FROM s WHERE e3 IS NOT NULL
         |GROUP BY 1 ORDER BY n DESC, path LIMIT 10""".stripMargin,
+
+    "e19_gini" ->
+      """WITH c AS (
+        |  SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2),
+        |r AS (
+        |  SELECT event_type, x,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY x, user_id) AS i
+        |  FROM c),
+        |g AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_users,
+        |    CAST(sum(x) AS BIGINT) AS n_events,
+        |    CAST(sum(i * x) AS BIGINT) AS six
+        |  FROM r GROUP BY 1)
+        |SELECT event_type, n_users, n_events,
+        |  round(CAST(2 * six - (n_users + 1) * n_events AS DOUBLE)
+        |    / (n_users * n_events), 6) AS gini
+        |FROM g ORDER BY event_type""".stripMargin,
     "e14_cms_topk" ->
       """WITH rr AS (SELECT unnest(generate_series(0, 3)) AS r),
         |k AS (SELECT user_id FROM events),

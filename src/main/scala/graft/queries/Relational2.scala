@@ -303,6 +303,37 @@ object Relational2 {
         .orderBy(col("l_returnflag"), col("metric"))
     }),
 
+    // --- referential-integrity audit: orphan counts across every
+    //     foreign-key edge of the star schema, the data-quality sweep a
+    //     warehouse load runs before trusting joins. Each check is one
+    //     left-anti join on the key (Catalyst's NOT EXISTS shape — one
+    //     shuffle of the child's keys against the parent, no per-row
+    //     probe); the five audits union into a single report. On healthy
+    //     data every count is 0, which is exactly the assertion — and
+    //     total row counts ride along so the gate is not vacuous. ---
+    "a8_ref_audit" -> ((s, dir) => {
+      def audit(name: String, child: DataFrame, key: String,
+          parent: DataFrame, pkey: String): DataFrame = {
+        val orphans = child.join(parent.select(col(pkey)),
+          child(key) === col(pkey), "left_anti")
+        child.agg(count(lit(1)).as("n_rows"))
+          .crossJoin(orphans.agg(count(lit(1)).as("n_orphans")))
+          .select(lit(name).as("fk_edge"), col("n_rows"), col("n_orphans"))
+      }
+      Seq(
+        audit("lineitem.orderkey->orders", t(s, dir, "lineitem"), "l_orderkey",
+          t(s, dir, "orders"), "o_orderkey"),
+        audit("lineitem.partkey->part", t(s, dir, "lineitem"), "l_partkey",
+          t(s, dir, "part"), "p_partkey"),
+        audit("orders.custkey->customer", t(s, dir, "orders"), "o_custkey",
+          t(s, dir, "customer"), "c_custkey"),
+        audit("customer.nationkey->nation", t(s, dir, "customer"), "c_nationkey",
+          t(s, dir, "nation"), "n_nationkey"),
+        audit("supplier.nationkey->nation", t(s, dir, "supplier"), "s_nationkey",
+          t(s, dir, "nation"), "n_nationkey")
+      ).reduce(_ unionAll _).orderBy(col("fk_edge"))
+    }),
+
     // --- exact per-group percentiles: Spark's `percentile` (exact,
     //     sort-based with linear interpolation) vs DuckDB quantile_cont —
     //     the distribution sweep a data-quality report runs per segment.
@@ -688,6 +719,34 @@ object Relational2 {
         |  UNION ALL SELECT l_returnflag, 'price', price FROM a
         |  UNION ALL SELECT l_returnflag, 'disc', disc FROM a)
         |ORDER BY l_returnflag, metric""".stripMargin,
+
+    "a8_ref_audit" ->
+      """SELECT * FROM (
+        |  SELECT 'lineitem.orderkey->orders' AS fk_edge,
+        |    (SELECT count(*) FROM lineitem) AS n_rows,
+        |    (SELECT count(*) FROM lineitem WHERE NOT EXISTS
+        |      (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey)) AS n_orphans
+        |  UNION ALL
+        |  SELECT 'lineitem.partkey->part',
+        |    (SELECT count(*) FROM lineitem),
+        |    (SELECT count(*) FROM lineitem WHERE NOT EXISTS
+        |      (SELECT 1 FROM part WHERE p_partkey = l_partkey))
+        |  UNION ALL
+        |  SELECT 'orders.custkey->customer',
+        |    (SELECT count(*) FROM orders),
+        |    (SELECT count(*) FROM orders WHERE NOT EXISTS
+        |      (SELECT 1 FROM customer WHERE c_custkey = o_custkey))
+        |  UNION ALL
+        |  SELECT 'customer.nationkey->nation',
+        |    (SELECT count(*) FROM customer),
+        |    (SELECT count(*) FROM customer WHERE NOT EXISTS
+        |      (SELECT 1 FROM nation WHERE n_nationkey = c_nationkey))
+        |  UNION ALL
+        |  SELECT 'supplier.nationkey->nation',
+        |    (SELECT count(*) FROM supplier),
+        |    (SELECT count(*) FROM supplier WHERE NOT EXISTS
+        |      (SELECT 1 FROM nation WHERE n_nationkey = s_nationkey))
+        |) ORDER BY fk_edge""".stripMargin,
 
     "a7_percentiles" ->
       """SELECT l_returnflag,
