@@ -158,13 +158,21 @@ object ZarrIO {
         // substring matching on stack/level would misparse when those
         // names collide with coordinate values
         val parts = path.split('/').takeRight(5)
-        val Array(t, c, z, y, x) = parts.map(_.toInt)
-        val coords = Array(t.toLong, c.toLong, z.toLong, y.toLong, x.toLong)
-        val cs = ChunkGrid.clampedChunkShape(coords, shape, chunk)
-        val raw = if (compressed) Blosc.decompress(content) else content
-        require(raw.length == cs.product * itemSize,
-          s"chunk ${parts.mkString("/")}: ${raw.length} bytes, expected ${cs.product * itemSize}")
-        ZarrChunk(stack, level, t, c, z, y, x, cs, raw)
+        try {
+          val Array(t, c, z, y, x) = parts.map(_.toInt)
+          val coords = Array(t.toLong, c.toLong, z.toLong, y.toLong, x.toLong)
+          val cs = ChunkGrid.clampedChunkShape(coords, shape, chunk)
+          val raw = if (compressed) Blosc.decompress(content) else content
+          require(raw.length == cs.product * itemSize,
+            s"${raw.length} bytes, expected ${cs.product * itemSize}")
+          ZarrChunk(stack, level, t, c, z, y, x, cs, raw)
+        } catch {
+          // a corrupt chunk in a 100 TB store must surface WITH ITS PATH —
+          // a bare frame/length error from deep inside the codec is
+          // undebuggable when a million tasks each read thousands of files
+          case e: Exception => throw new IllegalStateException(
+            s"corrupt zarr chunk at $path: ${e.getMessage}", e)
+        }
       }
   }
 

@@ -75,6 +75,24 @@ class ZarrPipelineSpec extends AnyFunSuite {
     assert(edge.shape.toSeq == Seq(1, 1, 4, 4, 4))
   }
 
+  test("corrupt chunk file fails loudly, naming the chunk path") {
+    val dir = Files.createTempDirectory("zarr-corrupt").toString
+    val vol = Volume("cr", 0, Array(1L, 1L, 8L, 8L, 8L), Array(1, 1, 8, 8, 8))
+    ZarrIO.writeMetadata(dir, vol, nLevels = 1)
+    ZarrIO.writeChunks(SyntheticStack.generate(spark, vol), dir)
+    // truncate the one chunk file mid-frame
+    val chunkFile = java.nio.file.Paths.get(dir, "cr", "0", "0", "0", "0", "0", "0")
+    val bytes = Files.readAllBytes(chunkFile)
+    Files.write(chunkFile, bytes.take(bytes.length / 2))
+    val e = intercept[org.apache.spark.SparkException] {
+      ZarrIO.readChunks(spark, dir, "cr", 0).collect()
+    }
+    // the task failure must carry the chunk PATH, not just a codec error —
+    // in a million-task read a bare "zstd decoded N bytes" is undebuggable
+    val msg = e.getCause match { case c: Throwable => String.valueOf(c.getMessage) }
+    assert(msg.contains("corrupt zarr chunk at") && msg.contains("0/0/0/0/0"), msg)
+  }
+
   test("float32 volume: pyramid + zarr roundtrip with <f4 dtype") {
     import spark.implicits._
     import graft.core.{PixelCodec, PixelDtype}
