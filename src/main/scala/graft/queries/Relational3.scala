@@ -158,6 +158,57 @@ object Relational3 {
         .orderBy(col("c_nationkey"))
     }),
 
+    // --- TPC-H Q16 archetype: supplier diversity per part segment.
+    //     partsupp doesn't exist in this schema, so the association is
+    //     the DISTINCT (partkey, suppkey) pairs observed in lineitem —
+    //     same join/distinct-count shape. "Complaint" suppliers
+    //     (negative balance) are excluded by an anti-joined one-column
+    //     relation, and the count is an exact count(DISTINCT suppkey)
+    //     per (brand, type, size) — Spark plans the distinct via a
+    //     two-level aggregate (partial by group+suppkey, then count),
+    //     all map-side combinable. ---
+    "q16_supplier_cnt" -> ((s, dir) => {
+      val assoc = t(s, dir, "lineitem")
+        .select(col("l_partkey"), col("l_suppkey")).distinct()
+      val badSupp = t(s, dir, "supplier").filter(col("s_acctbal") < 0)
+        .select(col("s_suppkey"))
+      val parts = t(s, dir, "part")
+        .filter(col("p_type") =!= "PROMO" && col("p_size").isin(5, 10, 15, 20))
+      assoc
+        .join(badSupp, col("l_suppkey") === col("s_suppkey"), "left_anti")
+        .join(parts, col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+          col("p_size"))
+        .limit(25)
+    }),
+
+    // --- TPC-H Q19 archetype: disjunctive multi-attribute predicate
+    //     (OR of three brand/size/quantity bands) over the
+    //     lineitem x part join — the classic test that an engine
+    //     doesn't collapse OR-of-ANDs into a full scan-join-filter of
+    //     everything. The join itself stays an equi-join on partkey;
+    //     the band predicate evaluates row-locally post-join, and the
+    //     common bounds (p_size <= 30, l_quantity <= 30) are written
+    //     separately so they PUSH to both parquet scans and prune
+    //     before the join. ---
+    "q19_disjunctive" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").filter(col("l_quantity") <= 30)
+      val pt = t(s, dir, "part").filter(col("p_size") <= 30)
+      val bands =
+        (col("p_type") === "PROMO" && col("p_size").between(1, 10) &&
+          col("l_quantity").between(1, 11)) ||
+        (col("p_type") === "STANDARD" && col("p_size").between(1, 20) &&
+          col("l_quantity").between(10, 20)) ||
+        (col("p_type") === "LARGE" && col("p_size").between(1, 30) &&
+          col("l_quantity").between(20, 30))
+      li.join(pt, col("l_partkey") === col("p_partkey"))
+        .filter(bands)
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+          .as("revenue"), count(lit(1)).as("n_lines"))
+    }),
+
     // --- stratified sampling: each source stratum gets its own keep-rate
     //     (here derived from md5(source) so the oracle recomputes it; in
     //     production it comes from a mixture config — p10 covers that
@@ -285,6 +336,30 @@ object Relational3 {
         |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
         |                  AND o_orderdate >= TIMESTAMP '2001-01-01')
         |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+
+    "q16_supplier_cnt" ->
+      """SELECT p_brand, p_type, p_size,
+        |  count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) a, part
+        |WHERE l_partkey = p_partkey
+        |  AND p_type <> 'PROMO' AND p_size IN (5, 10, 15, 20)
+        |  AND l_suppkey NOT IN
+        |    (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY p_brand, p_type, p_size
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size LIMIT 25""".stripMargin,
+
+    "q19_disjunctive" ->
+      """SELECT round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+        |  count(*) AS n_lines
+        |FROM lineitem, part
+        |WHERE l_partkey = p_partkey
+        |  AND l_quantity <= 30 AND p_size <= 30
+        |  AND ((p_type = 'PROMO' AND p_size BETWEEN 1 AND 10
+        |        AND l_quantity BETWEEN 1 AND 11)
+        |    OR (p_type = 'STANDARD' AND p_size BETWEEN 1 AND 20
+        |        AND l_quantity BETWEEN 10 AND 20)
+        |    OR (p_type = 'LARGE' AND p_size BETWEEN 1 AND 30
+        |        AND l_quantity BETWEEN 20 AND 30))""".stripMargin,
 
     "p11_stratified_sample" ->
       """WITH d AS (
