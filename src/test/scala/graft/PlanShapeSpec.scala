@@ -289,6 +289,13 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastHashJoin [cell"), p)
   }
 
+  test("q19: the disjunction's common bounds push to both scans") {
+    val p = plan("q19_disjunctive")
+    assert(p.contains("LessThanOrEqual(l_quantity,30"), p)
+    assert(p.contains("LessThanOrEqual(p_size,30)"), p)
+    assert(!p.toLowerCase.contains("cartesianproduct"), p)
+  }
+
   test("p12: the only corpus window is partitioned by length bucket") {
     val p = plan("p12_length_batches")
     assert(p.contains("hashpartitioning(bucket"), p)
