@@ -163,6 +163,56 @@ object DedupOps {
         .orderBy(col("doc_id"))
     }),
 
+    // --- the curation funnel: the four standing filters composed as one
+    //     cumulative cascade with per-source survivor accounting — the
+    //     shape every corpus-curation run reports (how many docs each
+    //     stage costs, per source). Stages: (1) length band, (2) alpha
+    //     ratio >= 0.6 (t2's quality core, as an INTEGER cross-multiply
+    //     so no float compare), (3) not boilerplate (d13's 2*n_bp <
+    //     n_sh), (4) exact-dup survivor (first doc_id per content hash,
+    //     d1's keeper rule). Stage flags are booleans computed in ONE
+    //     pass over the corpus (the boilerplate join is the only extra
+    //     shuffle, shared with d13's plan shape; the dedup survivor is
+    //     a window over the content-hash — at 100 TB a max_by aggregate
+    //     per hash replaces the window, same keeper). Output stays
+    //     integer-only: counts and chars. ---
+    "d15_curation_funnel" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val d = docs(s, dir)
+      val sh = shingles(d)
+      val bp = sh.groupBy(col("h")).agg(count(lit(1)).as("dfreq"))
+        .filter(col("dfreq") >= 3).select(col("h"))
+      val nSh = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+      val nBp = sh.join(bp, Seq("h"))
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_bp"))
+      val wD = Window.partitionBy(col("hash")).orderBy(col("doc_id"))
+      val alpha = length(regexp_replace(lower(col("text")), "[^a-z]", ""))
+      val staged = d
+        .withColumn("hash", md5(col("text")))
+        .withColumn("rn", row_number().over(wD))
+        .join(nSh, Seq("doc_id"), "left")
+        .join(nBp, Seq("doc_id"), "left")
+        .select(col("source"), col("n_chars"),
+          (col("n_chars") >= 100 && col("n_chars") <= 20000).as("f1"),
+          (lit(10) * alpha >= lit(6) * col("n_chars")).as("f2"),
+          (lit(2) * coalesce(col("n_bp"), lit(0L)) <
+            coalesce(col("n_sh"), lit(1L))).as("f3"),
+          (col("rn") === 1).as("f4"))
+        .select(col("source"), col("n_chars"), col("f1"),
+          (col("f1") && col("f2")).as("c2"),
+          (col("f1") && col("f2") && col("f3")).as("c3"),
+          (col("f1") && col("f2") && col("f3") && col("f4")).as("c4"))
+      staged.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("f1").cast("int")).cast("long").as("n_len"),
+          sum(col("c2").cast("int")).cast("long").as("n_quality"),
+          sum(col("c3").cast("int")).cast("long").as("n_clean"),
+          sum(col("c4").cast("int")).cast("long").as("n_kept"),
+          sum(when(col("c4"), col("n_chars")).otherwise(0L)).cast("long")
+            .as("chars_kept"))
+        .orderBy(col("source"))
+    }),
+
     // --- exact dedup: content-hash groups + survivor stats per source ---
     "d1_dedup_exact" -> ((s, dir) => {
       docs(s, dir)
@@ -474,6 +524,38 @@ object DedupOps {
          |       AS BIGINT) AS chars_flagged
          |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
          |GROUP BY d.source ORDER BY d.source""".stripMargin,
+
+    // identical cumulative flags: length band, integer cross-multiplied
+    // alpha ratio, d13's boilerplate test, d1's first-per-hash keeper
+    "d15_curation_funnel" ->
+      s"""WITH $shingleSql,
+         |bp AS (SELECT h FROM (SELECT h, count(*) AS dfreq FROM sh GROUP BY h)
+         |       WHERE dfreq >= 3),
+         |nsh AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+         |nbp AS (SELECT sh.doc_id, count(*) AS n_bp
+         |        FROM sh JOIN bp ON sh.h = bp.h GROUP BY sh.doc_id),
+         |base AS (
+         |  SELECT d.source, d.n_chars,
+         |    (d.n_chars BETWEEN 100 AND 20000) AS f1,
+         |    (10 * len(regexp_replace(lower(d.text), '[^a-z]', '', 'g'))
+         |       >= 6 * d.n_chars) AS f2,
+         |    (2 * COALESCE(nbp.n_bp, 0) < COALESCE(nsh.n_sh, 1)) AS f3,
+         |    (row_number() OVER (PARTITION BY md5(d.text) ORDER BY d.doc_id) = 1) AS f4
+         |  FROM documents d
+         |  LEFT JOIN nsh ON d.doc_id = nsh.doc_id
+         |  LEFT JOIN nbp ON d.doc_id = nbp.doc_id),
+         |st AS (
+         |  SELECT source, n_chars, f1,
+         |    (f1 AND f2) AS c2, (f1 AND f2 AND f3) AS c3,
+         |    (f1 AND f2 AND f3 AND f4) AS c4
+         |  FROM base)
+         |SELECT source, count(*) AS n_docs,
+         |  CAST(sum(CASE WHEN f1 THEN 1 ELSE 0 END) AS BIGINT) AS n_len,
+         |  CAST(sum(CASE WHEN c2 THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+         |  CAST(sum(CASE WHEN c3 THEN 1 ELSE 0 END) AS BIGINT) AS n_clean,
+         |  CAST(sum(CASE WHEN c4 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |  CAST(sum(CASE WHEN c4 THEN n_chars ELSE 0 END) AS BIGINT) AS chars_kept
+         |FROM st GROUP BY source ORDER BY source""".stripMargin,
 
     "d14_substring_windows" ->
       """WITH w AS (

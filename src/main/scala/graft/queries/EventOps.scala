@@ -466,6 +466,39 @@ object EventOps {
             .cast("double") /
             (col("n_users") * col("n_events")).cast("double"), 6).as("gini"))
         .orderBy(col("event_type"))
+    }),
+
+    // --- per-user behavioral entropy: Shannon entropy of each user's
+    //     event-type distribution, H = ln(N) - (1/N)*sum(c*ln c) — the
+    //     diversity signal that separates bots (one repeated action,
+    //     H ~ 0) from organic users, rolled into quarter-nat histogram
+    //     buckets. Determinism: each (user, type) term c*ln(c) is
+    //     quantized to integer micro-nats BEFORE the per-user sum, so
+    //     the BIGINT sums are aggregation-order invariant; ln only ever
+    //     sees exact integer counts (identical doubles both engines),
+    //     and single-type users (H that quantizes to ~±1e-7) clamp to
+    //     bucket 0 via greatest(H, 0). Shape: two hash aggregates
+    //     ((user, type), then user) + a tiny bucket rollup — nothing
+    //     wider than the user relation ever shuffles, and the bucket
+    //     stats stay order-invariant (count/sum/min/max only). ---
+    "e20_user_entropy" -> ((s, dir) => {
+      val ct = ev(s, dir).groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("c"))
+        .select(col("user_id"), col("c"),
+          floor(col("c") * log(col("c").cast("double")) * 1e6 + 0.5)
+            .cast("long").as("cl6"))
+      val h = ct.groupBy(col("user_id"))
+        .agg(sum(col("c")).cast("long").as("n"),
+          sum(col("cl6")).cast("long").as("sl6"))
+        .select(col("n"),
+          greatest(log(col("n").cast("double")) - col("sl6") / 1e6 / col("n"),
+            lit(0.0)).as("hn"))
+      h.groupBy(floor(col("hn") * 4).cast("long").as("bucket4"))
+        .agg(count(lit(1)).as("n_users"),
+          sum(col("n")).cast("long").as("n_events"),
+          round(min(col("hn")), 4).as("h_min"),
+          round(max(col("hn")), 4).as("h_max"))
+        .orderBy(col("bucket4"))
     })
   )
 
@@ -544,6 +577,26 @@ object EventOps {
         |  round(CAST(2 * six - (n_users + 1) * n_events AS DOUBLE)
         |    / (n_users * n_events), 6) AS gini
         |FROM g ORDER BY event_type""".stripMargin,
+
+    // identical micro-nat quantization: c*ln(c) floors to BIGINT per
+    // (user, type) before any sum, ln only sees exact integers
+    "e20_user_entropy" ->
+      """WITH c AS (
+        |  SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2),
+        |q AS (
+        |  SELECT user_id, c,
+        |    CAST(floor(c * ln(CAST(c AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS cl6
+        |  FROM c),
+        |h AS (
+        |  SELECT CAST(sum(c) AS BIGINT) AS n,
+        |    greatest(ln(CAST(sum(c) AS DOUBLE)) -
+        |      CAST(sum(cl6) AS BIGINT) / 1e6 / CAST(sum(c) AS BIGINT), 0.0) AS hn
+        |  FROM q GROUP BY user_id)
+        |SELECT CAST(floor(hn * 4) AS BIGINT) AS bucket4,
+        |  count(*) AS n_users, CAST(sum(n) AS BIGINT) AS n_events,
+        |  round(min(hn), 4) AS h_min, round(max(hn), 4) AS h_max
+        |FROM h GROUP BY 1 ORDER BY bucket4""".stripMargin,
     "e14_cms_topk" ->
       """WITH rr AS (SELECT unnest(generate_series(0, 3)) AS r),
         |k AS (SELECT user_id FROM events),

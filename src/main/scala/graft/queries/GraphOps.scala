@@ -307,6 +307,42 @@ object GraphOps {
           (sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double")) *
            sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast("double"))), 6)
           .as("assortativity"))
+    }),
+
+    // --- k-core decomposition (k=80, 4 peel rounds) over the part
+    //     co-purchase graph: repeatedly delete nodes with degree < k and
+    //     every edge touching them — the degeneracy peel that isolates
+    //     cohesive cores (community seeds, link-farm detection). Output
+    //     is the peel convergence curve: per-round surviving (nodes,
+    //     edges). State is integer-only, so the distributed rounds
+    //     hash-match the oracle's unrolled CTEs exactly. Scale shape:
+    //     each round is ONE degree hash aggregate over the (shrinking)
+    //     edge list plus two left-semi joins (both endpoints must
+    //     survive), eagerly checkpointed because the round's edges feed
+    //     both its summary row and the next round — work only ever
+    //     decreases round over round, the property that makes peeling
+    //     viable at web-graph scale. ---
+    "g7_kcore" -> ((s, dir) => {
+      val k = 80
+      var e = coPurchaseEdges(s, dir, cap = Some(3000L))
+      val rounds = (1 to 4).map { r =>
+        val bi = e.union(e.select(col("d2").as("d1"), col("d1").as("d2")))
+        val keep = bi.groupBy(col("d1")).agg(count(lit(1)).as("deg"))
+          .filter(col("deg") >= k)
+          .select(col("d1").as("node"))
+        // the USING semi-joins move the join column first (schema becomes
+        // (d2, d1)); re-select before the positional union in the next
+        // round reads it as (d1, d2)
+        e = e.join(keep.select(col("node").as("d1")), Seq("d1"), "left_semi")
+          .join(keep.select(col("node").as("d2")), Seq("d2"), "left_semi")
+          .select(col("d1"), col("d2"))
+          .localCheckpoint(true)
+        val bi2 = e.union(e.select(col("d2").as("d1"), col("d1").as("d2")))
+        bi2.agg(countDistinct(col("d1")).as("n_nodes"),
+            (count(lit(1)) / 2).cast("long").as("n_edges"))
+          .select(lit(r).as("round"), col("n_nodes"), col("n_edges"))
+      }
+      rounds.reduce(_ union _).orderBy(col("round"))
     })
   )
 
@@ -436,6 +472,39 @@ object GraphOps {
         |  round(CAST(n * sxy - sx * sy AS DOUBLE) /
         |    (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
         |     sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6) AS assortativity
-        |FROM m""".stripMargin
+        |FROM m""".stripMargin,
+
+    // the same 4 peel rounds unrolled; each round recomputes degrees
+    // over the previous round's surviving edges and keeps only edges
+    // whose BOTH endpoints still clear the degree-k bar. Every e$r is
+    // MATERIALIZED: each is referenced ~3x by its round, so the default
+    // CTE inlining would expand the chain 3^4-fold (measured: the
+    // un-hinted form never finished at sf0.01)
+    "g7_kcore" -> {
+      val peel = (1 to 4).map { r =>
+        s"""kp$r AS MATERIALIZED (
+           |  SELECT d1 AS node FROM (SELECT d1, d2 FROM e${r - 1}
+           |    UNION ALL SELECT d2, d1 FROM e${r - 1})
+           |  GROUP BY d1 HAVING count(*) >= 80),
+           |e$r AS MATERIALIZED (
+           |  SELECT d1, d2 FROM e${r - 1}
+           |  WHERE d1 IN (SELECT node FROM kp$r)
+           |    AND d2 IN (SELECT node FROM kp$r)),
+           |s$r AS (SELECT CAST($r AS INT) AS round,
+           |  CAST(count(DISTINCT d1) AS BIGINT) AS n_nodes,
+           |  CAST(count(*) // 2 AS BIGINT) AS n_edges
+           |  FROM (SELECT d1, d2 FROM e$r UNION ALL SELECT d2, d1 FROM e$r))""".stripMargin
+      }.mkString(",\n")
+      s"""WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+         |            FROM lineitem WHERE l_partkey < 3000),
+         |e0 AS MATERIALIZED (
+         |  SELECT DISTINCT a.p AS d1, b.p AS d2
+         |  FROM li a JOIN li b ON a.o = b.o AND a.p < b.p),
+         |$peel
+         |SELECT * FROM (
+         |  SELECT * FROM s1 UNION ALL SELECT * FROM s2
+         |  UNION ALL SELECT * FROM s3 UNION ALL SELECT * FROM s4)
+         |ORDER BY round""".stripMargin
+    }
   )
 }

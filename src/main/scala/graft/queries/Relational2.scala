@@ -183,6 +183,32 @@ object Relational2 {
         .orderBy(col("event_id"))
     }),
 
+    // --- distribution windows (the w-family kinds not yet covered):
+    //     ntile quartiles + cume_dist + percent_rank over account
+    //     balance within market segment, rolled up per (segment, tile).
+    //     The ORDER BY carries the unique custkey tiebreak, so every
+    //     fraction is deterministic under ties; the rollup keeps only
+    //     order-invariant stats (count, min/max, and the cume_dist/
+    //     pct_rank extrema, which are exact rationals). One exchange
+    //     keyed by segment. ---
+    "w6_ntile_cume" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("c_acctbal"), col("c_custkey"))
+      t(s, dir, "customer")
+        .select(col("c_mktsegment"), col("c_custkey"), col("c_acctbal"))
+        .withColumn("tile", ntile(4).over(w))
+        .withColumn("cd", cume_dist().over(w))
+        .withColumn("pr", percent_rank().over(w))
+        .groupBy(col("c_mktsegment"), col("tile"))
+        .agg(count(lit(1)).as("n"),
+          round(min(col("c_acctbal")), 4).as("bal_min"),
+          round(max(col("c_acctbal")), 4).as("bal_max"),
+          round(max(col("cd")), 6).as("cd_max"),
+          round(min(col("pr")), 6).as("pr_min"))
+        .orderBy(col("c_mktsegment"), col("tile"))
+    }),
+
     // --- pivot (Spark .pivot vs CASE-expression oracle) ---
     // --- deterministic stratified sampling: md5-hash gating, per-stratum
     //     rates (en 50% / de 20% / else 10%). The reproducible-at-scale
@@ -541,6 +567,23 @@ object Relational2 {
         |                 RANGE BETWEEN 600 PRECEDING AND CURRENT ROW))
         |SELECT event_id, event_type, n_10min, sum_mv
         |FROM x WHERE event_id < 2000 ORDER BY event_id""".stripMargin,
+
+    // same unique-tiebreak ORDER BY, so ntile/cume_dist/percent_rank
+    // agree exactly; both engines assign ntile remainders to low tiles
+    "w6_ntile_cume" ->
+      """WITH x AS (
+        |  SELECT c_mktsegment, c_acctbal,
+        |    ntile(4) OVER win AS tile,
+        |    cume_dist() OVER win AS cd,
+        |    percent_rank() OVER win AS pr
+        |  FROM customer
+        |  WINDOW win AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey))
+        |SELECT c_mktsegment, tile, count(*) AS n,
+        |  round(min(c_acctbal), 4) AS bal_min,
+        |  round(max(c_acctbal), 4) AS bal_max,
+        |  round(max(cd), 6) AS cd_max,
+        |  round(min(pr), 6) AS pr_min
+        |FROM x GROUP BY 1, 2 ORDER BY c_mktsegment, tile""".stripMargin,
 
     "p9_mixture" ->
       """WITH b AS (

@@ -354,6 +354,51 @@ object TextOps {
         .orderBy(col("doc_id"))
     }),
 
+    // --- corpus-LM perplexity scoring: every document scored by the
+    //     add-one-smoothed bigram LM the corpus itself induces (t11's
+    //     model, applied corpus-wide), rolled into perplexity bands —
+    //     the model-based quality filter (CCNet/Gopher-style): docs
+    //     whose perplexity sits far out of band are boilerplate or
+    //     gibberish. Determinism: bigram probability quantizes to
+    //     integer nano-units first (t11's hash-matched p9), surprisal
+    //     -ln(p9/1e9) quantizes to micro-nats per bigram, and the
+    //     per-doc mean is an integer division — every cross-engine sum
+    //     is BIGINT, ln/exp only ever see identical doubles. Shape:
+    //     the LM tables (c12, c1) shuffle once at vocab size; scoring
+    //     re-joins the bigram stream against them (at 100 TB c1 and
+    //     vocab broadcast, c12 stays an equi-join on w1) and each doc
+    //     collapses to one row before the tiny band rollup. ---
+    "t21_perplexity" -> ((s, dir) => {
+      val toks = docs(s, dir)
+        .select(col("doc_id"), split(trim(col("text")), "\\s+").as("ts"))
+      val big = toks.filter(size(col("ts")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(0, size(ts) - 2), i -> struct(ts[i] AS w1, ts[i+1] AS w2))")).as("b"))
+        .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      val c12 = big.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+      val c1 = c12.groupBy(col("w1")).agg(sum(col("c12")).cast("long").as("c1"))
+      val vocab = toks.select(explode(col("ts")).as("tok"))
+        .agg(countDistinct(col("tok")).as("v"))
+      val s6 = big
+        .join(c12, Seq("w1", "w2"))
+        .join(c1, Seq("w1"))
+        .crossJoin(broadcast(vocab))
+        .select(col("doc_id"),
+          floor((col("c12") + 1) / (col("c1") + col("v")) * 1e9 + 0.5).as("p9"))
+        .select(col("doc_id"),
+          floor(-log(col("p9") / 1e9) * 1e6 + 0.5).cast("long").as("s6"))
+      val perDoc = s6.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("nb"), sum(col("s6")).cast("long").as("ss6"))
+        .select(col("nb"), expr("ss6 div nb").as("h6"))
+      perDoc.select(col("nb"), exp(col("h6") / 1e6).as("ppl"))
+        .groupBy(floor(col("ppl") / 2).cast("long").as("band"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("nb")).cast("long").as("n_bigrams"),
+          round(min(col("ppl")), 4).as("ppl_min"),
+          round(max(col("ppl")), 4).as("ppl_max"))
+        .orderBy(col("band"))
+    }),
+
     // --- KMV (k-minimum-values) distinct-token estimator per language,
     //     audited against the exact count. The scale story: engine-native
     //     sketches (HLL) are implementation-defined and can't be checked
@@ -781,6 +826,32 @@ object TextOps {
         |SELECT doc_id, count(*) AS n_bigrams,
         |  round(CAST(sum(p9) AS BIGINT) / 1e9 / count(*), 6) AS avg_p
         |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // t11's LM tables, surprisal in integer micro-nats per bigram,
+    // integer-division per-doc mean; ln/exp see identical doubles
+    "t21_perplexity" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ts FROM documents),
+        |big AS (
+        |  SELECT doc_id, ts[i] AS w1, ts[i+1] AS w2
+        |  FROM t, LATERAL (SELECT unnest(generate_series(1, len(ts) - 1)) AS i) u
+        |  WHERE len(ts) >= 2),
+        |c12 AS (SELECT w1, w2, count(*) AS c12 FROM big GROUP BY 1, 2),
+        |c1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM c12 GROUP BY 1),
+        |v AS (SELECT count(DISTINCT tok) AS v FROM (SELECT unnest(ts) AS tok FROM t)),
+        |sc AS (
+        |  SELECT big.doc_id,
+        |    CAST(floor((c12.c12 + 1) * 1.0 / (c1.c1 + v.v) * 1e9 + 0.5) AS BIGINT) AS p9
+        |  FROM big JOIN c12 USING (w1, w2) JOIN c1 USING (w1), v),
+        |s6 AS (SELECT doc_id,
+        |         CAST(floor(-ln(p9 / 1e9) * 1e6 + 0.5) AS BIGINT) AS s6 FROM sc),
+        |pd AS (SELECT doc_id, count(*) AS nb,
+        |         CAST(sum(s6) AS BIGINT) // count(*) AS h6 FROM s6 GROUP BY 1),
+        |pp AS (SELECT nb, exp(h6 / 1e6) AS ppl FROM pd)
+        |SELECT CAST(floor(ppl / 2) AS BIGINT) AS band, count(*) AS n_docs,
+        |  CAST(sum(nb) AS BIGINT) AS n_bigrams,
+        |  round(min(ppl), 4) AS ppl_min, round(max(ppl), 4) AS ppl_max
+        |FROM pp GROUP BY 1 ORDER BY band""".stripMargin,
 
     "t12_kmv_distinct" ->
       """WITH h AS (
