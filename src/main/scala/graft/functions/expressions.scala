@@ -257,6 +257,107 @@ case class CharWindowHashes(child: Expression, width: Int, nibbles: Int)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Argmin over a broadcast centroid matrix with integer squared
+  * distances: `nearest_centroid(qv, cs)` where `qv` is array<bigint>
+  * and `cs` is array<struct<cid bigint, cv array<bigint>>>, returning
+  * struct(dist, cid) for the closest centroid (ties to the smallest
+  * cid — identical to `array_min(transform(cs, c -> struct(dist,
+  * cid)))` lexicographic semantics).
+  *
+  * Why native: the composable form runs `aggregate(sequence(0, 63),
+  * ...)` inside a `transform` lambda — interpreted per element, K*64
+  * lambda dispatches per row, and the whole projection drops out of
+  * whole-stage codegen. This emits one tight K x dim primitive loop;
+  * measured ~2x on the k-means assignment scan (the corpus-sized cost
+  * of c1/c3). Arithmetic is exact BIGINT, same as the HOF form. */
+case class NearestCentroid(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  private def centElem(t: DataType): Boolean = t match {
+    case ArrayType(StructType(fs), _) if fs.length == 2 =>
+      fs(0).dataType == LongType &&
+        (fs(1).dataType match {
+          case ArrayType(LongType, _) => true
+          case _ => false
+        })
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(LongType, _), r) if centElem(r) => TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"nearest_centroid expects (array<bigint>, array<struct<bigint, array<bigint>>>), got $l / $r")
+  }
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("dist", LongType, nullable = false),
+    StructField("cid", LongType, nullable = false)))
+  override def prettyName: String = "nearest_centroid"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val qv = a.asInstanceOf[ArrayData]
+    val cs = b.asInstanceOf[ArrayData]
+    var bestD = Long.MaxValue
+    var bestC = Long.MaxValue
+    val k = cs.numElements()
+    var j = 0
+    while (j < k) {
+      val c = cs.getStruct(j, 2)
+      val cid = c.getLong(0)
+      val cv = c.getArray(1)
+      val n = math.min(qv.numElements(), cv.numElements())
+      var s = 0L
+      var i = 0
+      while (i < n) {
+        val d = qv.getLong(i) - cv.getLong(i)
+        s += d * d
+        i += 1
+      }
+      if (s < bestD || (s == bestD && cid < bestC)) { bestD = s; bestC = cid }
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](bestD, bestC))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val j = ctx.freshName("j")
+      val i = ctx.freshName("i")
+      val k = ctx.freshName("k")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      val d = ctx.freshName("d")
+      val cRow = ctx.freshName("cRow")
+      val cid = ctx.freshName("cid")
+      val cv = ctx.freshName("cv")
+      val bestD = ctx.freshName("bestD")
+      val bestC = ctx.freshName("bestC")
+      s"""
+         |long $bestD = Long.MAX_VALUE;
+         |long $bestC = Long.MAX_VALUE;
+         |int $k = $b.numElements();
+         |for (int $j = 0; $j < $k; $j++) {
+         |  org.apache.spark.sql.catalyst.InternalRow $cRow = $b.getStruct($j, 2);
+         |  long $cid = $cRow.getLong(0);
+         |  org.apache.spark.sql.catalyst.util.ArrayData $cv = $cRow.getArray(1);
+         |  int $n = java.lang.Math.min($a.numElements(), $cv.numElements());
+         |  long $s = 0L;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    long $d = $a.getLong($i) - $cv.getLong($i);
+         |    $s += $d * $d;
+         |  }
+         |  if ($s < $bestD || ($s == $bestD && $cid < $bestC)) { $bestD = $s; $bestC = $cid; }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+         |  new Object[]{$bestD, $bestC});
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 case class BloscCompress(child: Expression, typesize: Int, clevel: Int)
     extends UnaryExpression with CodegenFallback {
   override def checkInputDataTypes(): TypeCheckResult =

@@ -20,6 +20,12 @@ package object functions {
   def md5_bits(s: Column, nibbles: Int): Column =
     column(Md5Bits(expression(s), nibbles))
 
+  /** Integer-exact argmin over a centroid matrix: struct(dist, cid) of
+    * the nearest centroid, ties to the smallest cid (codegen'd; equals
+    * the `array_min(transform(...))` HOF form value-for-value). */
+  def nearest_centroid(qv: Column, cs: Column): Column =
+    column(NearestCentroid(expression(qv), expression(cs)))
+
   /** Bloom membership probe over a serialized bloom filter (Spark's
     * internal BloomFilterMightContain; no false negatives). */
   def might_contain(bloom: Column, value: Column): Column =
@@ -65,6 +71,8 @@ package object functions {
     reg.createOrReplaceTempFunction("md5_bits",
       exprs => Md5Bits(exprs(0),
         exprs(1).eval().asInstanceOf[Number].intValue()), "scala_udf")
+    reg.createOrReplaceTempFunction("nearest_centroid",
+      exprs => NearestCentroid(exprs(0), exprs(1)), "scala_udf")
     reg.createOrReplaceTempFunction("word_shingle_hashes",
       exprs => WordShingleHashes(exprs(0),
         exprs(1).eval().asInstanceOf[Number].intValue(), 15), "scala_udf")

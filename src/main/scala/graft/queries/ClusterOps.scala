@@ -83,16 +83,16 @@ object ClusterOps {
       .select(col("cid"), col("qv").as("cv"))
       .localCheckpoint(true)
     // the whole model as ONE broadcast row: assignment becomes a
-    // row-local argmin (no n x K explode, no exchange); struct
-    // ordering (dist, cid) is the deterministic tiebreak
+    // row-local argmin (no n x K explode, no exchange) via the
+    // codegen'd nearest_centroid expression — the equivalent
+    // array_min(transform(aggregate(...))) HOF chain ran interpreted
+    // (K*64 lambda dispatches per row) and was the corpus-sized cost
+    // of c1/c3; ties break to the smallest cid in both forms
     def assign(c: DataFrame): DataFrame = {
       val cmat = c.agg(expr("array_sort(collect_list(struct(cid, cv)))").as("cs"))
       q.crossJoin(broadcast(cmat))
-        .select(col("vec_id"), col("qv"), expr(
-          "array_min(transform(cs, c -> struct(" +
-            "aggregate(sequence(0, 63), CAST(0 AS BIGINT)," +
-            " (acc, i) -> acc + (qv[i] - c.cv[i]) * (qv[i] - c.cv[i])) AS dist," +
-            " c.cid AS cid)))").as("m"))
+        .select(col("vec_id"), col("qv"),
+          graft.functions.nearest_centroid(col("qv"), col("cs")).as("m"))
         .select(col("vec_id"), col("qv"),
           col("m.cid").as("cid"), col("m.dist").as("dist"))
     }

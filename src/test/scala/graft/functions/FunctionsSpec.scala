@@ -73,6 +73,37 @@ class FunctionsSpec extends AnyFunSuite {
     assert(uni.getSeq[Long](0) == uni.getSeq[Long](1))
   }
 
+  test("nearest_centroid equals the array_min(transform(...)) HOF form") {
+    // the native expression replaced this HOF chain in the k-means
+    // assignment (c1/c3) — (dist, cid) equality incl. tiebreak is the
+    // contract; built on real embeddings so quantization is exercised
+    import spark.implicits._
+    val q = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT))")
+          .as("qv"))
+    val cmat = q.filter(col("vec_id") < 8)
+      .select(expr("struct(vec_id AS cid, qv AS cv)").as("c"))
+      .agg(expr("array_sort(collect_list(c))").as("cs"))
+    val rows = q.crossJoin(broadcast(cmat))
+      .select(
+        nearest_centroid(col("qv"), col("cs")).as("native"),
+        expr("array_min(transform(cs, c -> struct(" +
+          "aggregate(sequence(0, 63), CAST(0 AS BIGINT)," +
+          " (acc, i) -> acc + (qv[i] - c.cv[i]) * (qv[i] - c.cv[i])) AS dist," +
+          " c.cid AS cid)))").as("hof"))
+      .as[((Long, Long), (Long, Long))].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (n, h) => assert(n == h) }
+    // exact-tie determinism: two centroids at the same point -> lowest cid
+    val tie = spark.sql(
+      """SELECT nearest_centroid(array(CAST(0 AS BIGINT), CAST(0 AS BIGINT)),
+        |  array(struct(CAST(7 AS BIGINT) AS cid, array(CAST(1 AS BIGINT), CAST(0 AS BIGINT)) AS cv),
+        |        struct(CAST(3 AS BIGINT) AS cid, array(CAST(1 AS BIGINT), CAST(0 AS BIGINT)) AS cv))) AS m
+        |""".stripMargin).select(col("m.dist"), col("m.cid")).as[(Long, Long)].head()
+    assert(tie == ((1L, 3L)))
+  }
+
   test("hll_estimate matches the expression-level HLL estimate per group") {
     import spark.implicits._
     // same shingle-hash input as t13_hll_shingles
