@@ -309,6 +309,41 @@ object DedupOps {
         .orderBy(col("d1"), col("d2"))
     }),
 
+    // --- LSH quality evaluation: d4's band-bucket candidate surface
+    //     scored against d2's exact-Jaccard ground truth (>= 0.5) —
+    //     the v15-style "evaluate the approximation against the exact
+    //     twin" gate, for dedup. Reuses the shingle/minhash/band
+    //     helpers verbatim so the measurement cannot drift from the
+    //     measured pipeline. Output: truth/candidate/hit counts and
+    //     precision/recall — counts are integers, the two divisions run
+    //     on identical BIGINTs in both engines. Shape: both pair sets
+    //     are bucket-bounded (never a corpus self-join); the combine is
+    //     three one-row aggregates cross-joined. ---
+    "d16_lsh_eval" -> ((s, dir) => {
+      val sh = shingles(docs(s, dir))
+      val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val truth = pairCounts(sh, "h")
+        .join(cnt.as("c1"), col("d1") === col("c1.doc_id"))
+        .join(cnt.as("c2"), col("d2") === col("c2.doc_id"))
+        .filter(col("m") / (col("c1.n") + col("c2.n") - col("m")) >= 0.5)
+        .select(col("d1"), col("d2"))
+        .localCheckpoint(true) // consumed by n_truth AND the hit semi-join
+      val bands = minhash(sh.select(col("doc_id"), fp.as("f")))
+        .select(col("doc_id"), explode(expr(
+          "array(" + (0 to 3).map(b =>
+            s"concat('$b,', mh${2 * b}, ',', mh${2 * b + 1})").mkString(",") + ")"))
+          .as("s"))
+      val cand = pairCounts(bands).select(col("d1"), col("d2"))
+        .localCheckpoint(true) // consumed by n_cand AND the hit semi-join
+      val hit = cand.join(truth, Seq("d1", "d2"), "left_semi")
+      truth.agg(count(lit(1)).as("n_truth"))
+        .crossJoin(cand.agg(count(lit(1)).as("n_cand")))
+        .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+        .select(col("n_truth"), col("n_cand"), col("n_hit"),
+          round(col("n_hit") / col("n_cand"), 6).as("prec"),
+          round(col("n_hit") / col("n_truth"), 6).as("recall"))
+    }),
+
     // --- SimHash near-dup pairs: Hamming distance <= 12 among the first
     //     200 docs (bit_count(xor) in both engines). Pair generation is
     //     EXACT banded bucketing, not a self-join: the 60-bit key splits
@@ -638,6 +673,33 @@ object DedupOps {
          |FROM m JOIN cnt c1 ON d1 = c1.doc_id JOIN cnt c2 ON d2 = c2.doc_id
          |WHERE m * 1.0 / (c1.n + c2.n - m) >= 0.5
          |ORDER BY d1, d2""".stripMargin,
+
+    // same shingle/minhash/band formulas as d2 + d4; the eval combines
+    // their outputs into one row of counts + ratios
+    "d16_lsh_eval" ->
+      s"""WITH $shingleSql,
+         |$jaccardTail,
+         |truth AS (
+         |  SELECT d1, d2 FROM m
+         |  JOIN cnt c1 ON d1 = c1.doc_id JOIN cnt c2 ON d2 = c2.doc_id
+         |  WHERE m * 1.0 / (c1.n + c2.n - m) >= 0.5),
+         |f AS (SELECT doc_id, h // 268435456 AS f FROM sh),
+         |mhv AS (SELECT doc_id, i, min(((2*i+1) * f + 7919*i) % 2147483647) AS mh
+         |        FROM f, LATERAL (SELECT unnest(generate_series(0, 7)) AS i) u
+         |        GROUP BY doc_id, i),
+         |bands AS (SELECT doc_id, i // 2 AS band,
+         |                 string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i) AS bucket
+         |          FROM mhv GROUP BY doc_id, i // 2),
+         |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+         |         FROM bands a JOIN bands b
+         |           ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+         |hit AS (SELECT c.d1, c.d2 FROM cand c
+         |        JOIN truth t ON c.d1 = t.d1 AND c.d2 = t.d2)
+         |SELECT nt AS n_truth, nc AS n_cand, nh AS n_hit,
+         |  round(nh * 1.0 / nc, 6) AS prec, round(nh * 1.0 / nt, 6) AS recall
+         |FROM (SELECT (SELECT count(*) FROM truth) AS nt,
+         |             (SELECT count(*) FROM cand) AS nc,
+         |             (SELECT count(*) FROM hit) AS nh)""".stripMargin,
 
     "d6_simhash_pairs" ->
       """WITH toks AS (

@@ -360,6 +360,44 @@ object Relational2 {
       ).reduce(_ unionAll _).orderBy(col("fk_edge"))
     }),
 
+    // --- one-pass column profiling (the ANALYZE-style sweep a warehouse
+    //     runs on ingest): per column, null count, exact distinct count,
+    //     and min/max — numeric columns report rounded doubles, string
+    //     columns lexicographic bounds, the date column epoch seconds.
+    //     ONE aggregate over the table computes all six profiles (the
+    //     multi-distinct plans as a single Expand pass — six grouping
+    //     replicas of one scan, not six scans), then a codegen'd `stack`
+    //     reshapes the single row to row-per-column. At 100 TB the exact
+    //     distincts downgrade to approx_count_distinct (approx_stats is
+    //     the audited twin) and the pass is otherwise unchanged. ---
+    "a9_profile" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      def nulls(c: String) = sum(col(c).isNull.cast("int")).cast("long")
+      li.agg(
+          nulls("l_quantity").as("q_nul"), countDistinct(col("l_quantity")).as("q_dis"),
+          round(min(col("l_quantity")), 4).as("q_min"), round(max(col("l_quantity")), 4).as("q_max"),
+          nulls("l_extendedprice").as("p_nul"), countDistinct(col("l_extendedprice")).as("p_dis"),
+          round(min(col("l_extendedprice")), 4).as("p_min"), round(max(col("l_extendedprice")), 4).as("p_max"),
+          nulls("l_discount").as("d_nul"), countDistinct(col("l_discount")).as("d_dis"),
+          round(min(col("l_discount")), 4).as("d_min"), round(max(col("l_discount")), 4).as("d_max"),
+          nulls("l_returnflag").as("r_nul"), countDistinct(col("l_returnflag")).as("r_dis"),
+          min(col("l_returnflag")).as("r_min"), max(col("l_returnflag")).as("r_max"),
+          nulls("l_linestatus").as("l_nul"), countDistinct(col("l_linestatus")).as("l_dis"),
+          min(col("l_linestatus")).as("l_min"), max(col("l_linestatus")).as("l_max"),
+          nulls("l_shipdate").as("s_nul"), countDistinct(col("l_shipdate")).as("s_dis"),
+          unix_timestamp(min(col("l_shipdate"))).cast("double").as("s_min"),
+          unix_timestamp(max(col("l_shipdate"))).cast("double").as("s_max"))
+        .selectExpr("stack(6," +
+          " 'l_discount', d_nul, d_dis, d_min, d_max, CAST(NULL AS STRING), CAST(NULL AS STRING)," +
+          " 'l_extendedprice', p_nul, p_dis, p_min, p_max, CAST(NULL AS STRING), CAST(NULL AS STRING)," +
+          " 'l_linestatus', l_nul, l_dis, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), l_min, l_max," +
+          " 'l_quantity', q_nul, q_dis, q_min, q_max, CAST(NULL AS STRING), CAST(NULL AS STRING)," +
+          " 'l_returnflag', r_nul, r_dis, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), r_min, r_max," +
+          " 'l_shipdate', s_nul, s_dis, s_min, s_max, CAST(NULL AS STRING), CAST(NULL AS STRING)" +
+          ") AS (column_name, n_nulls, n_distinct, vmin, vmax, smin, smax)")
+        .orderBy(col("column_name"))
+    }),
+
     // --- exact per-group percentiles: Spark's `percentile` (exact,
     //     sort-based with linear interpolation) vs DuckDB quantile_cont —
     //     the distribution sweep a data-quality report runs per segment.
@@ -790,6 +828,45 @@ object Relational2 {
         |    (SELECT count(*) FROM supplier WHERE NOT EXISTS
         |      (SELECT 1 FROM nation WHERE n_nationkey = s_nationkey))
         |) ORDER BY fk_edge""".stripMargin,
+
+    // one UNION-ALL branch per column (oracle clarity over speed; the
+    // engine side is the one-pass Expand plan)
+    "a9_profile" ->
+      """SELECT * FROM (
+        |  SELECT 'l_quantity' AS column_name,
+        |    count(*) - count(l_quantity) AS n_nulls,
+        |    count(DISTINCT l_quantity) AS n_distinct,
+        |    round(min(l_quantity), 4) AS vmin, round(max(l_quantity), 4) AS vmax,
+        |    CAST(NULL AS VARCHAR) AS smin, CAST(NULL AS VARCHAR) AS smax
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_extendedprice', count(*) - count(l_extendedprice),
+        |    count(DISTINCT l_extendedprice),
+        |    round(min(l_extendedprice), 4), round(max(l_extendedprice), 4),
+        |    NULL, NULL
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_discount', count(*) - count(l_discount),
+        |    count(DISTINCT l_discount),
+        |    round(min(l_discount), 4), round(max(l_discount), 4), NULL, NULL
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_returnflag', count(*) - count(l_returnflag),
+        |    count(DISTINCT l_returnflag), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+        |    min(l_returnflag), max(l_returnflag)
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_linestatus', count(*) - count(l_linestatus),
+        |    count(DISTINCT l_linestatus), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+        |    min(l_linestatus), max(l_linestatus)
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_shipdate', count(*) - count(l_shipdate),
+        |    count(DISTINCT l_shipdate),
+        |    floor(epoch(min(l_shipdate))), floor(epoch(max(l_shipdate))),
+        |    NULL, NULL
+        |  FROM lineitem
+        |) ORDER BY column_name""".stripMargin,
 
     "a7_percentiles" ->
       """SELECT l_returnflag,
