@@ -263,6 +263,41 @@ object Relational3 {
         .withColumn("efficiency",
           round(col("sum_chars") / col("padded_chars"), 6))
         .orderBy(col("bucket"))
+    }),
+
+    // --- curriculum epoch ordering: 2 training epochs, each reading the
+    //     corpus easy-to-hard (difficulty = 500-char length band) with a
+    //     deterministic md5 shuffle WITHIN each band, re-keyed per epoch
+    //     so no two epochs repeat an order — the data-ordering pass a
+    //     curriculum-training loader materializes. The gate pins the
+    //     EXACT global permutation: every 97th position reports its
+    //     (epoch, band, doc). Scale shape: the global position is the
+    //     p7 two-phase prefix sum — within-band row_number (bounded
+    //     partitions) + band offsets from a window over the TINY
+    //     (epoch, band) relation — never a single-partition corpus
+    //     window; the shuffle key ships as one md5_bits call, no RNG. ---
+    "p13_curriculum" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars"),
+          expr("n_chars div 500").as("band"))
+        .withColumn("ep", explode(expr("sequence(0, 1)")))
+        .withColumn("sk", expr(
+          "md5_bits(concat(CAST(ep AS STRING), ':', CAST(doc_id AS STRING)), 15)"))
+      val wIn = Window.partitionBy(col("ep"), col("band"))
+        .orderBy(col("sk"), col("doc_id"))
+      val inBand = d.withColumn("rn", row_number().over(wIn) - 1)
+      val offsets = d.groupBy(col("ep"), col("band"))
+        .agg(count(lit(1)).as("bn"))
+        .withColumn("boff", coalesce(sum(col("bn")).over(
+          Window.orderBy(col("ep"), col("band"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select(col("ep"), col("band"), col("boff"))
+      inBand.join(broadcast(offsets), Seq("ep", "band"))
+        .select((col("boff") + col("rn")).as("pos"), col("ep"),
+          col("band"), col("doc_id"))
+        .filter(col("pos") % 97 === 0)
+        .orderBy(col("pos"))
     })
   )
 
@@ -391,6 +426,31 @@ object Relational3 {
         |  CAST(sum(bsum) AS BIGINT) AS sum_chars,
         |  CAST(sum(bn * bmax) AS BIGINT) AS padded_chars,
         |  round(CAST(sum(bsum) AS DOUBLE) / sum(bn * bmax), 6) AS efficiency
-        |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin
+        |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+    // the same two-phase position: within-band row_number by the md5
+    // shuffle key, band offsets from a cumulative window over the tiny
+    // (epoch, band) relation
+    "p13_curriculum" ->
+      """WITH d AS (
+        |  SELECT doc_id, n_chars, n_chars // 500 AS band, CAST(u.ep AS INT) AS ep
+        |  FROM documents, LATERAL (SELECT unnest(generate_series(0, 1)) AS ep) u),
+        |k AS (
+        |  SELECT *, ('0x' || substr(md5(CAST(ep AS VARCHAR) || ':' ||
+        |    CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS sk
+        |  FROM d),
+        |r AS (
+        |  SELECT ep, band, doc_id,
+        |    row_number() OVER (PARTITION BY ep, band ORDER BY sk, doc_id) - 1 AS rn
+        |  FROM k),
+        |off AS (
+        |  SELECT ep, band,
+        |    COALESCE(CAST(sum(bn) OVER (ORDER BY ep, band
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS boff
+        |  FROM (SELECT ep, band, count(*) AS bn FROM k GROUP BY 1, 2))
+        |SELECT CAST(off.boff + r.rn AS BIGINT) AS pos, r.ep, r.band, r.doc_id
+        |FROM r JOIN off ON r.ep = off.ep AND r.band = off.band
+        |WHERE (off.boff + r.rn) % 97 = 0
+        |ORDER BY pos""".stripMargin
   )
 }

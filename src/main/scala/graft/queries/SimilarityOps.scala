@@ -657,6 +657,47 @@ object SimilarityOps {
         .orderBy(col("qid"))
     }),
 
+    // --- the probe-count tuning curve: recall@3 at probes = 1, 2, 3 in
+    //     ONE query — the accuracy-vs-cost sweep that picks an IVF
+    //     deployment's nprobe (v15 measures one point; this measures the
+    //     curve). The candidate set is scored ONCE for the widest probe
+    //     and each level re-ranks the prefix (prk <= p) — no per-level
+    //     corpus pass; candidates explode 3x through a row-local
+    //     sequence, the window runs over (p, qid) groups. Ground truth
+    //     reuses v1 verbatim (v15's can't-drift rule). ---
+    "v17_probe_sweep" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      // eager checkpoint: the ranked-cell scan feeds both the corpus
+      // assignment and the query probes (v16 precedent)
+      val rc = rankedCells(emb(s, dir)).localCheckpoint(true)
+      val a = rc.filter(col("rk") === 1)
+        .select(col("cell"), col("vec_id").as("eid"),
+          col("embedding").as("ee"), col("nrm").as("en"))
+      val qp = rc.filter(col("vec_id") < 5 && col("rk") <= 3)
+        .select(col("cell"), col("vec_id").as("qid"),
+          col("embedding").as("qe"), col("nrm").as("qn"), col("rk").as("prk"))
+      val cand = broadcast(qp).join(a, Seq("cell"))
+        .filter(col("eid") =!= col("qid"))
+        .select(col("qid"), col("eid"), col("prk"),
+          (dot("qe", "ee") / (col("qn") * col("en"))).as("cos_raw"))
+      val wP = Window.partitionBy(col("p"), col("qid"))
+        .orderBy(round(col("cos_raw"), 6).desc, col("eid"))
+      val ap = cand.withColumn("p", explode(expr("sequence(1, 3)")))
+        .filter(col("prk") <= col("p"))
+        .withColumn("rk", row_number().over(wP))
+        .filter(col("rk") <= 3)
+        .select(col("p"), col("qid"), col("eid"))
+      val exact = queries("v1_cosine_topk")(s, dir)
+        .select(col("qid"), col("eid"))
+        .localCheckpoint(true) // consumed by the hit join AND the count
+      val hits = ap.join(exact, Seq("qid", "eid"), "left_semi")
+        .groupBy(col("p")).agg(count(lit(1)).as("n_hit"))
+      hits.crossJoin(broadcast(exact.agg(count(lit(1)).as("n_exact"))))
+        .select(col("p"), col("n_exact"), col("n_hit"),
+          round(col("n_hit") / col("n_exact"), 4).as("recall"))
+        .orderBy(col("p"))
+    }),
+
     // --- approximate kNN GRAPH (every vector's top-3 neighbors, not just
     //     5 probe queries): the corpus-curation primitive behind SemDeDup
     //     clustering, kNN-classifier labeling, and graph-based diversity
@@ -762,6 +803,60 @@ object SimilarityOps {
 
   val oracles: Map[String, String] = Map(
     "v15_recall_eval" -> recallEvalSql,
+
+    // v15's exact + assignment CTEs with the probe generalized to
+    // rk <= 3 query cells; each level p re-ranks the prk <= p prefix
+    "v17_probe_sweep" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5),
+        |exs AS (
+        |  SELECT q.qid, e.vec_id AS eid,
+        |    list_dot_product(CAST(q.qe AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) /
+        |      (sqrt(list_dot_product(CAST(q.qe AS DOUBLE[]), CAST(q.qe AS DOUBLE[]))) *
+        |       sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))) AS cos_raw
+        |  FROM q, embeddings e WHERE e.vec_id != q.qid),
+        |ex AS (
+        |  SELECT qid, eid FROM (
+        |    SELECT qid, eid,
+        |      row_number() OVER (PARTITION BY qid ORDER BY round(cos_raw, 6) DESC, eid) AS rk
+        |    FROM exs) WHERE rk <= 3),
+        |dims AS (
+        |  SELECT label, i AS pos, avg(CAST(embedding[i + 1] AS DOUBLE)) AS cv
+        |  FROM embeddings, LATERAL (SELECT unnest(generate_series(0, 63)) AS i) u
+        |  GROUP BY label, i),
+        |cent AS (
+        |  SELECT label AS cell, list(cv ORDER BY pos) AS centroid FROM dims GROUP BY label),
+        |cs AS (
+        |  SELECT e.vec_id, e.embedding, c.cell,
+        |    list_dot_product(CAST(e.embedding AS DOUBLE[]), c.centroid) /
+        |      (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) *
+        |       sqrt(list_dot_product(c.centroid, c.centroid))) AS cos_raw
+        |  FROM embeddings e, cent c),
+        |ranked AS (
+        |  SELECT vec_id, embedding, cell,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY round(cos_raw, 6) DESC, cell) AS rk
+        |  FROM cs),
+        |assigned AS (SELECT vec_id, embedding, cell FROM ranked WHERE rk = 1),
+        |qp AS (SELECT vec_id AS qid, embedding AS qe, cell, rk AS prk
+        |       FROM ranked WHERE rk <= 3 AND vec_id < 5),
+        |cand AS (
+        |  SELECT qp.qid, e.vec_id AS eid, qp.prk,
+        |    list_dot_product(CAST(qp.qe AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) /
+        |      (sqrt(list_dot_product(CAST(qp.qe AS DOUBLE[]), CAST(qp.qe AS DOUBLE[]))) *
+        |       sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))) AS cos_raw
+        |  FROM qp JOIN assigned e ON qp.cell = e.cell AND e.vec_id != qp.qid),
+        |lv AS (SELECT CAST(unnest(generate_series(1, 3)) AS INT) AS p),
+        |rp AS (
+        |  SELECT lv.p, cand.qid, cand.eid,
+        |    row_number() OVER (PARTITION BY lv.p, cand.qid
+        |                       ORDER BY round(cand.cos_raw, 6) DESC, cand.eid) AS rk
+        |  FROM cand, lv WHERE cand.prk <= lv.p),
+        |ap AS (SELECT p, qid, eid FROM rp WHERE rk <= 3),
+        |hits AS (SELECT ap.p, count(*) AS n_hit
+        |         FROM ap JOIN ex ON ap.qid = ex.qid AND ap.eid = ex.eid
+        |         GROUP BY ap.p)
+        |SELECT p, (SELECT count(*) FROM ex) AS n_exact, n_hit,
+        |  round(n_hit * 1.0 / (SELECT count(*) FROM ex), 4) AS recall
+        |FROM hits ORDER BY p""".stripMargin,
 
     // v3's assignment CTEs, with the probe generalized from the 5-query
     // slice to the whole corpus (self-join on the cell)
