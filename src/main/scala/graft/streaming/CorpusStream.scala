@@ -30,6 +30,27 @@ object CorpusStream {
   def read(spark: SparkSession, dir: String): DataFrame =
     spark.readStream.schema(schema).parquet(dir)
 
+  /** The STREAMABLE half of the batch d15 curation funnel: the length
+    * band and the integer cross-multiplied alpha-ratio quality gate are
+    * row-local (pure map, identical expressions to the batch query),
+    * and exact content dedup becomes a streaming `dropDuplicates` on
+    * the md5 hash — one state row per distinct content, "keep the first
+    * ARRIVAL" (the batch keeps the lowest doc_id; which member survives
+    * differs, the surviving hash SET is identical — what the spec
+    * asserts). The corpus-global stages are deliberately absent:
+    * boilerplate (d13) needs corpus-wide document frequencies and
+    * survivor selection needs the whole dup group — those are batch
+    * passes by nature, and the funnel documents that boundary. In
+    * production the dedup state bounds via
+    * `withWatermark + dropDuplicatesWithinWatermark` once documents
+    * carry an ingest timestamp. */
+  def curationSurvivors(docs: DataFrame): DataFrame =
+    docs.filter(col("n_chars") >= 100 && col("n_chars") <= 20000)
+      .filter(lit(10) * length(regexp_replace(lower(col("text")), "[^a-z]", ""))
+        >= lit(6) * col("n_chars"))
+      .withColumn("hash", md5(col("text")))
+      .dropDuplicates("hash")
+
   final case class KeyHash(key: String, hl: Long)
   final case class KmvEstimate(key: String, n_tracked: Int, kth: Long, est: Double)
 

@@ -202,6 +202,37 @@ class StreamingSpec extends AnyFunSuite {
       s"streamed ${streamed.length} rows vs batch ${batch.length}")
   }
 
+  test("streaming curation stages match the batch funnel's survivor set") {
+    val docsDir = {
+      val dir = Files.createTempDirectory("docs-curation")
+      Files.copy(Paths.get("/root/testdata/sf0.001/documents.parquet"),
+        dir.resolve("documents.parquet"), StandardCopyOption.REPLACE_EXISTING)
+      dir.toString
+    }
+    val q = CorpusStream.curationSurvivors(CorpusStream.read(spark, docsDir))
+      .select(col("source"), col("hash"))
+      .writeStream.format("memory").queryName("curation").outputMode("append")
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable()
+    q.stop()
+    val streamedHashes = spark.sql("SELECT hash FROM curation")
+      .collect().map(_.getString(0)).sorted
+    // batch twin: the same row-local stages relationally, one row per
+    // distinct surviving content hash
+    val batch = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .filter(col("n_chars") >= 100 && col("n_chars") <= 20000)
+      .filter(lit(10) * length(regexp_replace(lower(col("text")), "[^a-z]", ""))
+        >= lit(6) * col("n_chars"))
+      .select(md5(col("text")).as("hash")).distinct()
+      .collect().map(_.getString(0)).sorted
+    // the stages must actually drop something, the dedup must actually
+    // collapse something, and the surviving hash set must be exact
+    val total = Tables.load(spark, "/root/testdata/sf0.001", "documents").count()
+    assert(batch.nonEmpty && batch.length < total, "curation dropped nothing")
+    assert(streamedHashes.sameElements(batch),
+      s"streamed ${streamedHashes.length} survivors vs batch ${batch.length}")
+  }
+
   test("streaming KMV sketch converges to the batch t12 estimate exactly") {
     val docsDir = {
       val dir = Files.createTempDirectory("docs-stream")
