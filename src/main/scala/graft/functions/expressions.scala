@@ -358,6 +358,56 @@ case class NearestCentroid(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** All ordered id pairs of a sorted distinct id array in ONE evaluation:
+  * element-for-element equal to the composed pipeline
+  * `flatten(transform(ids, a -> transform(filter(ids, b -> b > a),
+  * b -> struct(a AS d1, b AS d2))))` — the in-bucket pair explode at the
+  * heart of the dedup family (d2/d4/d6/d7/d16) — without the three
+  * nested interpreted lambdas, which dispatch per CANDIDATE element
+  * (O(n^2) lambda calls per bucket). CodegenFallback on purpose: one
+  * call per bucket row amortized over freq^2/2 output pairs. Equal ids
+  * produce no pair (the `b > a` filter), matching the HOF exactly. */
+case class IdPairs(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"id_pairs expects array<bigint>, got $t")
+  }
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("d1", LongType, nullable = false),
+    StructField("d2", LongType, nullable = false))), containsNull = false)
+  override def prettyName: String = "id_pairs"
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val ids = v.asInstanceOf[ArrayData].toLongArray()
+    val n = ids.length
+    val out = new Array[Any](n * (n - 1) / 2)
+    var k = 0
+    var i = 0
+    while (i < n) {
+      val a = ids(i)
+      var j = 0
+      while (j < n) {
+        // mirror the HOF's value filter (b > a), not position — equal
+        // ids pair with nothing, unsorted inputs still agree
+        if (ids(j) > a) {
+          out(k) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+            Array[Any](a, ids(j)))
+          k += 1
+        }
+        j += 1
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      if (k == out.length) out else out.take(k))
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 case class BloscCompress(child: Expression, typesize: Int, clevel: Int)
     extends UnaryExpression with CodegenFallback {
   override def checkInputDataTypes(): TypeCheckResult =

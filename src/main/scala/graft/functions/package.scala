@@ -26,6 +26,12 @@ package object functions {
   def nearest_centroid(qv: Column, cs: Column): Column =
     column(NearestCentroid(expression(qv), expression(cs)))
 
+  /** All ordered (d1 < d2) id pairs of an id array in one native
+    * evaluation (equals the nested transform/filter HOF pipeline
+    * element-for-element). */
+  def id_pairs(ids: Column): Column =
+    column(IdPairs(expression(ids)))
+
   /** Bloom membership probe over a serialized bloom filter (Spark's
     * internal BloomFilterMightContain; no false negatives). */
   def might_contain(bloom: Column, value: Column): Column =
@@ -73,6 +79,8 @@ package object functions {
         exprs(1).eval().asInstanceOf[Number].intValue()), "scala_udf")
     reg.createOrReplaceTempFunction("nearest_centroid",
       exprs => NearestCentroid(exprs(0), exprs(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("id_pairs",
+      exprs => IdPairs(exprs.head), "scala_udf")
     reg.createOrReplaceTempFunction("word_shingle_hashes",
       exprs => WordShingleHashes(exprs(0),
         exprs(1).eval().asInstanceOf[Number].intValue(), 15), "scala_udf")

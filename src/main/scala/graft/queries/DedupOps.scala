@@ -77,12 +77,14 @@ object DedupOps {
   /** Co-occurrence counts per doc pair from a (doc_id, key) relation:
     * group by key, explode ordered id-pairs within each bucket, count.
     * One shuffle by key + one by pair — no self-join. */
+  // id_pairs is the native form of the in-bucket pair explode
+  // (flatten(transform(ids, a -> transform(filter(ids, b -> b > a), ...)))
+  // — three nested interpreted lambdas, O(freq^2) dispatches per bucket);
+  // element-for-element equality is asserted in FunctionsSpec
   private def pairCounts(rel: DataFrame, key: String = "s"): DataFrame =
     rel.groupBy(col(key)).agg(sort_array(collect_list(col("doc_id"))).as("ids"))
       .filter(size(col("ids")) > 1)
-      .select(explode(expr(
-        "flatten(transform(ids, a -> transform(filter(ids, b -> b > a), b -> struct(a AS d1, b AS d2))))"))
-        .as("p"))
+      .select(explode(graft.functions.id_pairs(col("ids"))).as("p"))
       .groupBy(col("p.d1").as("d1"), col("p.d2").as("d2"))
       .agg(count(lit(1)).as("m"))
 
@@ -320,7 +322,10 @@ object DedupOps {
     //     are bucket-bounded (never a corpus self-join); the combine is
     //     three one-row aggregates cross-joined. ---
     "d16_lsh_eval" -> ((s, dir) => {
-      val sh = shingles(docs(s, dir))
+      // three consumers (truth pairs, per-doc counts, minhash bands) —
+      // eager checkpoint so the shingle extraction runs once (d14
+      // precedent; cache() would leak past the query)
+      val sh = shingles(docs(s, dir)).localCheckpoint(true)
       val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
       val truth = pairCounts(sh, "h")
         .join(cnt.as("c1"), col("d1") === col("c1.doc_id"))

@@ -104,6 +104,31 @@ class FunctionsSpec extends AnyFunSuite {
     assert(tie == ((1L, 3L)))
   }
 
+  test("id_pairs equals the nested transform/filter HOF pipeline") {
+    // the native generator replaced this pipeline in pairCounts (the
+    // whole dedup family's pair generation) — element-for-element
+    // equality on real shingle buckets is the contract
+    import spark.implicits._
+    val buckets = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), explode(expr("word_shingle_hashes(text, 3)")).as("h"))
+      .distinct()
+      .groupBy(col("h")).agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+    val rows = buckets.select(
+        id_pairs(col("ids")).as("native"),
+        expr("flatten(transform(ids, a -> transform(filter(ids, b -> b > a)," +
+          " b -> struct(a AS d1, b AS d2))))").as("hof"))
+      .as[(Seq[(Long, Long)], Seq[(Long, Long)])].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (n, h) => assert(n == h) }
+    // duplicates pair with nothing (the b > a value filter), empty is empty
+    val edge = spark.sql(
+      """SELECT id_pairs(array(CAST(3 AS BIGINT), CAST(3 AS BIGINT), CAST(7 AS BIGINT))) AS p,
+        |       id_pairs(array(CAST(5 AS BIGINT))) AS e""".stripMargin)
+      .as[(Seq[(Long, Long)], Seq[(Long, Long)])].head()
+    assert(edge._1 == Seq((3L, 7L), (3L, 7L)) && edge._2.isEmpty)
+  }
+
   test("hll_estimate matches the expression-level HLL estimate per group") {
     import spark.implicits._
     // same shingle-hash input as t13_hll_shingles
