@@ -1,0 +1,94 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{Spark, Tables}
+
+/** Query-side scale rehearsal: the d4 MinHash-LSH dedup shape (shingle →
+  * signature → banded buckets → in-bucket candidate pairs → exact
+  * confirmation) run at 1x and Kx corpus size, measuring whether the
+  * bucketed pair generation scales LINEARLY with the corpus — the claim
+  * the 100 TB design rests on (work bounded by sum(freq^2) per bucket,
+  * buckets never crossing independent corpus slices).
+  *
+  * The Kx corpus is K perturbed copies: every token gets a per-copy
+  * suffix, so shingles never collide ACROSS copies and the duplicate
+  * density (the thing that drives pair work) is identical per copy —
+  * i.e. K independent corpora, the honest composition of "10x more data
+  * of the same shape". Naive replication (identical text) would
+  * multiply every bucket's frequency by K and the pair work by K^2 BY
+  * CONSTRUCTION of the data, measuring the corpus, not the algorithm.
+  *
+  * Usage: Test/runMain graft.tools.QueryScaleRehearsal [sfDir] [K]
+  */
+object QueryScaleRehearsal {
+
+  /** The d4 pipeline over an arbitrary documents frame (same operators
+    * and constants as the gated query; reproduced here because the gate
+    * reads from parquet and this rehearsal feeds synthetic frames). */
+  private def lshPairs(d: DataFrame): DataFrame = {
+    val P = 2147483647L
+    val sh = d.select(col("doc_id"),
+        explode(expr("word_shingle_hashes(text, 3)")).as("h"))
+      .distinct()
+    val fp = expr("CAST(shiftright(h, 28) AS BIGINT)")
+    val aggs = (0 to 7).map(i =>
+      min((lit(2 * i + 1) * col("f") + lit(7919L * i)) % P).as(s"mh$i"))
+    val mh = sh.select(col("doc_id"), fp.as("f"))
+      .groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+    val bands = mh.select(col("doc_id"), explode(expr(
+      "array(" + (0 to 3).map(b =>
+        s"concat('$b,', mh${2 * b}, ',', mh${2 * b + 1})").mkString(",") + ")"))
+      .as("s"))
+    val cand = bands.groupBy(col("s"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(graft.functions.id_pairs(col("ids"))).as("p"))
+      .select(col("p.d1").as("d1"), col("p.d2").as("d2")).distinct()
+    val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    broadcast(cand).join(sh.as("s1"), col("d1") === col("s1.doc_id"))
+      .join(sh.as("s2"), col("d2") === col("s2.doc_id") && col("s1.h") === col("s2.h"))
+      .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("m"))
+      .join(cnt.as("c1"), col("d1") === col("c1.doc_id"))
+      .join(cnt.as("c2"), col("d2") === col("c2.doc_id"))
+      .filter(col("m") / (col("c1.n") + col("c2.n") - col("m")) >= 0.5)
+      .select(col("d1"), col("d2"))
+  }
+
+  private def timed(df: DataFrame): (Long, Double) = {
+    val t0 = System.nanoTime()
+    val n = df.count()
+    (n, (System.nanoTime() - t0) / 1e9)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val k = if (args.length > 1) args(1).toInt else 8
+    val spark: SparkSession = Spark.session(appName = "graft-query-scale")
+    val base = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"))
+      .localCheckpoint(true)
+    val nBase = base.count()
+    // K perturbed copies: doc_id remapped into disjoint ranges, every
+    // token suffixed with the copy index (shingles disjoint across copies)
+    val scaled = base
+      .withColumn("cp", explode(expr(s"sequence(0, ${k - 1})")))
+      .select((col("doc_id") * k + col("cp")).as("doc_id"),
+        expr("regexp_replace(text, '(\\\\S+)', concat('$1#', CAST(cp AS STRING)))")
+          .as("text"))
+      .localCheckpoint(true)
+    val nScaled = scaled.count()
+
+    // warmup (codegen, broadcast machinery), then timed passes
+    lshPairs(base).count()
+    val (pairs1, sec1) = timed(lshPairs(base))
+    val (pairsK, secK) = timed(lshPairs(scaled))
+
+    println(f"""{"rehearsal":"lsh-dedup-scaling","k":$k,"base_docs":$nBase,""" +
+      f""""scaled_docs":$nScaled,"base_pairs":$pairs1,"scaled_pairs":$pairsK,""" +
+      f""""base_sec":$sec1%.2f,"scaled_sec":$secK%.2f,""" +
+      f""""time_ratio":${secK / sec1}%.2f,"per_copy":${secK / sec1 / k}%.3f}""")
+    spark.stop()
+  }
+}
