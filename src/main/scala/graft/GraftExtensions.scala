@@ -17,6 +17,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[GraftExtensions].getName, name)
     ext.injectFunction((FunctionIdentifier("vector_dot"), info("vector_dot"),
       (exprs: Seq[Expression]) => functions.VectorDot(exprs(0), exprs(1))))
+    ext.injectFunction((FunctionIdentifier("nearest_centroid"), info("nearest_centroid"),
+      (exprs: Seq[Expression]) => functions.NearestCentroid(exprs(0), exprs(1))))
+    ext.injectFunction((FunctionIdentifier("id_pairs"), info("id_pairs"),
+      (exprs: Seq[Expression]) => functions.IdPairs(exprs.head)))
     ext.injectFunction((FunctionIdentifier("blosc_compress"), info("blosc_compress"),
       (exprs: Seq[Expression]) => functions.BloscCompress(exprs.head, 2, 3)))
     ext.injectFunction((FunctionIdentifier("blosc_decompress"), info("blosc_decompress"),

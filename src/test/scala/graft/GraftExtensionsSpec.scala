@@ -37,6 +37,17 @@ class GraftExtensionsSpec extends AnyFunSuite {
           |       might_contain((SELECT bf FROM b), 123456789L) AS miss""".stripMargin)
         .collect()(0)
       assert(probes.getBoolean(0) && !probes.getBoolean(1))
+      // the k-means argmin and the dedup pair generator ride along
+      val nc = spark.sql(
+        """SELECT nearest_centroid(array(CAST(0 AS BIGINT), CAST(0 AS BIGINT)),
+          |  array(struct(CAST(1 AS BIGINT) AS cid, array(CAST(5 AS BIGINT), CAST(0 AS BIGINT)) AS cv),
+          |        struct(CAST(2 AS BIGINT) AS cid, array(CAST(1 AS BIGINT), CAST(1 AS BIGINT)) AS cv))) AS m
+          |""".stripMargin).collect()(0).getStruct(0)
+      assert(nc.getLong(0) == 2L && nc.getLong(1) == 2L)
+      val np = spark.sql(
+        "SELECT size(id_pairs(array(CAST(1 AS BIGINT), CAST(2 AS BIGINT), CAST(3 AS BIGINT)))) AS n")
+        .collect()(0).getInt(0)
+      assert(np == 3)
       // HLL sketch aggregate: 2000 distinct md5-derived hashes estimate
       // within the 64-register error envelope
       val est = spark.sql(
