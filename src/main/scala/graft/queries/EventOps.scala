@@ -499,6 +499,37 @@ object EventOps {
           round(min(col("hn")), 4).as("h_min"),
           round(max(col("hn")), 4).as("h_max"))
         .orderBy(col("bucket4"))
+    }),
+
+    // --- inter-event periodicity (the metronome bot signal e20's
+    //     entropy complements): per user, the variance of consecutive
+    //     event gaps, ENTIRELY in exact arithmetic — with m gaps,
+    //     S = sum(gap), Q = sum(gap^2), the numerator V = m*Q - S^2 is
+    //     computed in DECIMAL(38,0) (e13's overflow discipline: Q alone
+    //     can pass 2^63 at ~1e3 gaps of ~1e7 s) and the reported
+    //     integer variance is V div m^2 — so the "most regular users"
+    //     ranking compares exact integers, nothing can drift. Shape:
+    //     one lag window per user (keyed shuffle), one hash aggregate,
+    //     TakeOrderedAndProject top-20. ---
+    "e21_periodicity" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val gaps = ev(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          unix_timestamp(col("ts")).as("sec"))
+        .withColumn("gap", col("sec") - lag(col("sec"), 1).over(w))
+        .filter(col("gap").isNotNull)
+      gaps.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("m"),
+          sum(col("gap")).cast("long").as("sg"),
+          sum(col("gap") * col("gap")).cast("long").as("qg"))
+        .filter(col("m") >= 10)
+        .select(col("user_id"), col("m"),
+          expr("sg div m").as("mean_gap"),
+          expr("CAST((CAST(m AS DECIMAL(38,0)) * qg - CAST(sg AS DECIMAL(38,0)) * sg)" +
+            " div (CAST(m AS DECIMAL(38,0)) * m) AS BIGINT)").as("var_gap"))
+        .orderBy(col("var_gap"), col("user_id"))
+        .limit(20)
     })
   )
 
@@ -597,6 +628,27 @@ object EventOps {
         |  count(*) AS n_users, CAST(sum(n) AS BIGINT) AS n_events,
         |  round(min(hn), 4) AS h_min, round(max(hn), 4) AS h_max
         |FROM h GROUP BY 1 ORDER BY bucket4""".stripMargin,
+
+    // the same exact variance numerator, in HUGEINT: DuckDB's `//` on
+    // DECIMAL is fractional (and the BIGINT cast ROUNDS — off-by-one vs
+    // Spark's integral `div`); HUGEINT `//` is true integral division
+    "e21_periodicity" ->
+      """WITH g AS (
+        |  SELECT user_id,
+        |    CAST(floor(epoch(ts)) AS BIGINT) -
+        |      lag(CAST(floor(epoch(ts)) AS BIGINT), 1) OVER w AS gap
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |a AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS m,
+        |    CAST(sum(gap) AS BIGINT) AS sg,
+        |    CAST(sum(gap * gap) AS BIGINT) AS qg
+        |  FROM g WHERE gap IS NOT NULL GROUP BY user_id
+        |  HAVING count(*) >= 10)
+        |SELECT user_id, m, sg // m AS mean_gap,
+        |  CAST((CAST(m AS HUGEINT) * qg - CAST(sg AS HUGEINT) * sg)
+        |    // (CAST(m AS HUGEINT) * m) AS BIGINT) AS var_gap
+        |FROM a ORDER BY var_gap, user_id LIMIT 20""".stripMargin,
     "e14_cms_topk" ->
       """WITH rr AS (SELECT unnest(generate_series(0, 3)) AS r),
         |k AS (SELECT user_id FROM events),

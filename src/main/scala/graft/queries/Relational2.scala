@@ -406,6 +406,49 @@ object Relational2 {
         .orderBy(col("column_name"))
     }),
 
+    // --- distribution-drift detection (PSI, the population stability
+    //     index a feature store monitors between training and serving
+    //     windows): order-value distribution 1996 vs 1997 in 10 fixed
+    //     50k buckets, Laplace-smoothed proportions so empty buckets
+    //     stay defined, per-bucket contribution (p-q)*ln(p/q). Each
+    //     contribution quantizes to integer micro-units BEFORE the
+    //     total sums (e20's discipline), so the one float total is an
+    //     exact-integer sum; ln sees ratios of exact counts. Shape: one
+    //     scan, one 10-group hash aggregate, a broadcast total, and a
+    //     10-row spine join — nothing bigger than the bucket relation
+    //     after the first aggregate. ---
+    "a10_psi_drift" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+        .select(year(col("o_orderdate")).as("y"), col("o_totalprice"))
+        .filter(col("y").isin(1996, 1997))
+        .select(col("y"),
+          least(floor(col("o_totalprice") / 50000).cast("long"), lit(9L)).as("bucket"))
+      val cnt = o.groupBy(col("bucket"))
+        .agg(sum(when(col("y") === 1996, 1).otherwise(0)).cast("long").as("n_a"),
+          sum(when(col("y") === 1997, 1).otherwise(0)).cast("long").as("n_b"))
+      val spine = s.range(10).select(col("id").cast("long").as("bucket"))
+      val tot = cnt.agg(sum(col("n_a")).cast("long").as("ta"),
+        sum(col("n_b")).cast("long").as("tb"))
+      val terms = spine.join(cnt, Seq("bucket"), "left")
+        .select(col("bucket"),
+          coalesce(col("n_a"), lit(0L)).as("n_a"),
+          coalesce(col("n_b"), lit(0L)).as("n_b"))
+        .crossJoin(broadcast(tot))
+        .select(col("bucket"), col("n_a"), col("n_b"),
+          ((col("n_a") + 1) / (col("ta") + 10)).as("pa"),
+          ((col("n_b") + 1) / (col("tb") + 10)).as("pb"))
+        .select(col("bucket"), col("n_a"), col("n_b"),
+          floor((col("pa") - col("pb")) * log(col("pa") / col("pb")) * 1e6 + 0.5)
+            .cast("long").as("t6"))
+      terms.select(col("bucket"), col("n_a"), col("n_b"),
+          round(col("t6") / 1e6, 6).as("psi_term"))
+        .union(terms.agg(lit(-1L).as("bucket"),
+          sum(col("n_a")).cast("long").as("n_a"),
+          sum(col("n_b")).cast("long").as("n_b"),
+          round(sum(col("t6")) / 1e6, 6).as("psi_term")))
+        .orderBy(col("bucket"))
+    }),
+
     // --- exact per-group percentiles: Spark's `percentile` (exact,
     //     sort-based with linear interpolation) vs DuckDB quantile_cont —
     //     the distribution sweep a data-quality report runs per segment.
@@ -875,6 +918,37 @@ object Relational2 {
         |    NULL, NULL
         |  FROM lineitem
         |) ORDER BY column_name""".stripMargin,
+
+    // identical Laplace smoothing and micro-unit quantization; the
+    // total row is an exact integer sum of the per-bucket terms
+    "a10_psi_drift" ->
+      """WITH o AS (
+        |  SELECT year(o_orderdate) AS y,
+        |    least(CAST(floor(o_totalprice / 50000) AS BIGINT), 9) AS bucket
+        |  FROM orders WHERE year(o_orderdate) IN (1996, 1997)),
+        |cnt AS (
+        |  SELECT bucket,
+        |    CAST(sum(CASE WHEN y = 1996 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |    CAST(sum(CASE WHEN y = 1997 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+        |  FROM o GROUP BY bucket),
+        |tot AS (SELECT CAST(sum(n_a) AS BIGINT) AS ta,
+        |               CAST(sum(n_b) AS BIGINT) AS tb FROM cnt),
+        |sp AS (SELECT CAST(unnest(generate_series(0, 9)) AS BIGINT) AS bucket),
+        |terms AS (
+        |  SELECT sp.bucket, COALESCE(cnt.n_a, 0) AS n_a, COALESCE(cnt.n_b, 0) AS n_b,
+        |    CAST(floor(((COALESCE(cnt.n_a, 0) + 1) * 1.0 / (tot.ta + 10) -
+        |                (COALESCE(cnt.n_b, 0) + 1) * 1.0 / (tot.tb + 10)) *
+        |      ln(((COALESCE(cnt.n_a, 0) + 1) * 1.0 / (tot.ta + 10)) /
+        |         ((COALESCE(cnt.n_b, 0) + 1) * 1.0 / (tot.tb + 10))) * 1e6 + 0.5)
+        |      AS BIGINT) AS t6
+        |  FROM sp LEFT JOIN cnt ON sp.bucket = cnt.bucket, tot)
+        |SELECT * FROM (
+        |  SELECT bucket, n_a, n_b, round(t6 / 1e6, 6) AS psi_term FROM terms
+        |  UNION ALL
+        |  SELECT CAST(-1 AS BIGINT), CAST(sum(n_a) AS BIGINT),
+        |    CAST(sum(n_b) AS BIGINT), round(CAST(sum(t6) AS BIGINT) / 1e6, 6)
+        |  FROM terms)
+        |ORDER BY bucket""".stripMargin,
 
     "a7_percentiles" ->
       """SELECT l_returnflag,
