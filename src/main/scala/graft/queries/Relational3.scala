@@ -265,6 +265,42 @@ object Relational3 {
         .orderBy(col("bucket"))
     }),
 
+    // --- market-basket association rules: support / confidence / lift
+    //     for part pairs co-purchased in one order — the classic
+    //     affinity analysis, built on the SAME bucket-explode the dedup
+    //     family uses (id_pairs over each order's sorted part list, so
+    //     pair work is bounded by order size squared, never a part
+    //     self-join). The ranking metric is EXACT: lift6 = n_ab * N *
+    //     1e6 div (n_a * n_b) — an integer, so top-20 cannot drift on
+    //     float division; confidence reports as a rounded rational of
+    //     the same exact counts. One shuffle keyed by order, one by
+    //     pair, two broadcast joins of the part-frequency relation. ---
+    "q20_basket_lift" -> ((s, dir) => {
+      val op = t(s, dir, "lineitem")
+        .filter(col("l_partkey") < 3000)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+        .localCheckpoint(true) // consumed by pairs, frequencies, and N
+      val pairs = op.groupBy(col("o"))
+        .agg(sort_array(collect_list(col("p"))).as("ids"))
+        .filter(size(col("ids")) > 1)
+        .select(explode(graft.functions.id_pairs(col("ids"))).as("pr"))
+        .groupBy(col("pr.d1").as("pa"), col("pr.d2").as("pb"))
+        .agg(count(lit(1)).as("n_ab"))
+        .filter(col("n_ab") >= 3)
+      val np = op.groupBy(col("p")).agg(count(lit(1)).as("n_p"))
+      val n = op.select(col("o")).distinct().agg(count(lit(1)).as("n_orders"))
+      pairs
+        .join(np.select(col("p").as("pa"), col("n_p").as("n_a")), Seq("pa"))
+        .join(np.select(col("p").as("pb"), col("n_p").as("n_b")), Seq("pb"))
+        .crossJoin(broadcast(n))
+        .select(col("pa"), col("pb"), col("n_ab"), col("n_a"), col("n_b"),
+          expr("(n_ab * n_orders * 1000000) div (n_a * n_b)").as("lift6"),
+          round(col("n_ab") / col("n_a"), 6).as("conf_ab"))
+        .orderBy(col("lift6").desc, col("pa"), col("pb"))
+        .limit(20)
+    }),
+
     // --- curriculum epoch ordering: 2 training epochs, each reading the
     //     corpus easy-to-hard (difficulty = 500-char length band) with a
     //     deterministic md5 shuffle WITHIN each band, re-keyed per epoch
@@ -427,6 +463,24 @@ object Relational3 {
         |  CAST(sum(bn * bmax) AS BIGINT) AS padded_chars,
         |  round(CAST(sum(bsum) AS DOUBLE) / sum(bn * bmax), 6) AS efficiency
         |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+    // identical exact-integer lift; the pair generation is an id-ordered
+    // self-join per order (value-identical to the bucket explode)
+    "q20_basket_lift" ->
+      """WITH op AS (
+        |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+        |  FROM lineitem WHERE l_partkey < 3000),
+        |pr AS (
+        |  SELECT a.p AS pa, b.p AS pb, CAST(count(*) AS BIGINT) AS n_ab
+        |  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+        |  GROUP BY 1, 2 HAVING count(*) >= 3),
+        |np AS (SELECT p, CAST(count(*) AS BIGINT) AS n_p FROM op GROUP BY p),
+        |n AS (SELECT CAST(count(DISTINCT o) AS BIGINT) AS n_orders FROM op)
+        |SELECT pr.pa, pr.pb, pr.n_ab, na.n_p AS n_a, nb.n_p AS n_b,
+        |  (pr.n_ab * n.n_orders * 1000000) // (na.n_p * nb.n_p) AS lift6,
+        |  round(pr.n_ab * 1.0 / na.n_p, 6) AS conf_ab
+        |FROM pr JOIN np na ON pr.pa = na.p JOIN np nb ON pr.pb = nb.p, n
+        |ORDER BY lift6 DESC, pa, pb LIMIT 20""".stripMargin,
 
     // the same two-phase position: within-band row_number by the md5
     // shuffle key, band offsets from a cumulative window over the tiny
