@@ -530,6 +530,40 @@ object EventOps {
             " div (CAST(m AS DECIMAL(38,0)) * m) AS BIGINT)").as("var_gap"))
         .orderBy(col("var_gap"), col("user_id"))
         .limit(20)
+    }),
+
+    // --- sliding-window change-point detection (the window form of
+    //     CUSUM, which needs a sequential recursion no parallel engine
+    //     should run): per event type's hourly count series, the mean
+    //     of the 6 hours BEFORE each point vs the 6 AFTER, shift =
+    //     after-mean minus before-mean in integer micro-events — both
+    //     means are exact integer divisions of BIGINT window sums, so
+    //     the top-10 largest shifts rank on exact integers. Full
+    //     windows only (count frames guard the edges). Shape: one hash
+    //     aggregate to the (type, hour) relation, two ROWS-frame
+    //     windows partitioned by type, TakeOrderedAndProject. ---
+    "e22_changepoint" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val hourly = ev(s, dir)
+        .groupBy(col("event_type"),
+          floor(unix_timestamp(col("ts")) / 3600).cast("long").as("hr"))
+        .agg(count(lit(1)).as("cnt"))
+      val wPrev = Window.partitionBy(col("event_type")).orderBy(col("hr"))
+        .rowsBetween(-6, -1)
+      val wNext = Window.partitionBy(col("event_type")).orderBy(col("hr"))
+        .rowsBetween(1, 6)
+      hourly
+        .withColumn("sp", sum(col("cnt")).over(wPrev))
+        .withColumn("np", count(lit(1)).over(wPrev))
+        .withColumn("sn", sum(col("cnt")).over(wNext))
+        .withColumn("nn", count(lit(1)).over(wNext))
+        .filter(col("np") === 6 && col("nn") === 6)
+        .select(col("event_type"), col("hr"), col("cnt"),
+          expr("sn * 1000000 div nn - sp * 1000000 div np").as("shift6"))
+        .orderBy(abs(col("shift6")).desc, col("event_type"), col("hr"))
+        .limit(10)
+        .select(col("event_type"), col("hr"), col("cnt"),
+          round(col("shift6") / 1e6, 4).as("mean_shift"))
     })
   )
 
@@ -649,6 +683,28 @@ object EventOps {
         |  CAST((CAST(m AS HUGEINT) * qg - CAST(sg AS HUGEINT) * sg)
         |    // (CAST(m AS HUGEINT) * m) AS BIGINT) AS var_gap
         |FROM a ORDER BY var_gap, user_id LIMIT 20""".stripMargin,
+
+    // identical ROWS frames and exact integer-division means
+    "e22_changepoint" ->
+      """WITH h AS (
+        |  SELECT event_type,
+        |    CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS hr,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |w AS (
+        |  SELECT event_type, hr, cnt,
+        |    CAST(sum(cnt) OVER wp AS BIGINT) AS sp, count(*) OVER wp AS np,
+        |    CAST(sum(cnt) OVER wn AS BIGINT) AS sn, count(*) OVER wn AS nn
+        |  FROM h
+        |  WINDOW wp AS (PARTITION BY event_type ORDER BY hr
+        |                ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING),
+        |         wn AS (PARTITION BY event_type ORDER BY hr
+        |                ROWS BETWEEN 1 FOLLOWING AND 6 FOLLOWING))
+        |SELECT event_type, hr, cnt,
+        |  round((sn * 1000000 // nn - sp * 1000000 // np) / 1e6, 4) AS mean_shift
+        |FROM w WHERE np = 6 AND nn = 6
+        |ORDER BY abs(sn * 1000000 // nn - sp * 1000000 // np) DESC, event_type, hr
+        |LIMIT 10""".stripMargin,
     "e14_cms_topk" ->
       """WITH rr AS (SELECT unnest(generate_series(0, 3)) AS r),
         |k AS (SELECT user_id FROM events),
