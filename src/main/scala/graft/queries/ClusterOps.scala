@@ -217,6 +217,40 @@ object ClusterOps {
         .select(col("cid"), col("n_members"), round(col("s"), 4).as("scatter"),
           col("nn.j").as("nn_cid"), col("nn.d").as("nn_dist"), col("db_term"))
         .orderBy(col("cid"))
+    }),
+
+    // --- external clustering evaluation: adjusted Rand index between
+    //     c1's k-means assignment and the corpus's true labels — "did
+    //     the clustering recover the structure?", the metric that
+    //     decides whether a curation k-means is trustworthy. Every
+    //     ARI ingredient is an exact BIGINT: the contingency table
+    //     (cid x label counts), its row/column sums, and the pair
+    //     counts C(x,2) = x*(x-1) div 2 — floats enter only in the
+    //     final one-row index formula, computed from identical
+    //     integers in both engines. Shape: the one assignment scan
+    //     lloyd() already produces, a K x L hash aggregate (64 cells),
+    //     then driver-trivial sums. At ~1e10 rows the C(x,2) products
+    //     approach 2^63 — widen to DECIMAL(38,0), same plan. ---
+    "c4_ari" -> ((s, dir) => {
+      val (_, assigned) = lloyd(s, dir)
+      val lab = Tables.load(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"))
+      val cont = assigned.select(col("vec_id"), col("cid"))
+        .join(lab, Seq("vec_id"))
+        .groupBy(col("cid"), col("label")).agg(count(lit(1)).as("nij"))
+        .localCheckpoint(true) // three aggregates below consume it
+      val sij = cont.agg(
+        sum(expr("nij * (nij - 1) div 2")).cast("long").as("sij"),
+        sum(col("nij")).cast("long").as("n"))
+      val sa = cont.groupBy(col("cid")).agg(sum(col("nij")).as("ai"))
+        .agg(sum(expr("ai * (ai - 1) div 2")).cast("long").as("sa"))
+      val sb = cont.groupBy(col("label")).agg(sum(col("nij")).as("bj"))
+        .agg(sum(expr("bj * (bj - 1) div 2")).cast("long").as("sb"))
+      sij.crossJoin(broadcast(sa)).crossJoin(broadcast(sb))
+        .select(col("n"), col("sij"), col("sa"), col("sb"),
+          round((col("sij") - col("sa") * col("sb") / expr("n * (n - 1) div 2")) /
+            ((col("sa") + col("sb")) / 2.0 -
+              col("sa") * col("sb") / expr("n * (n - 1) div 2")), 6).as("ari"))
     })
   )
 
@@ -307,6 +341,48 @@ object ClusterOps {
          |  nn.nn_cid, nn.nn_dist, dbt.db_term
          |FROM scat JOIN nn ON scat.cid = nn.i JOIN dbt ON scat.cid = dbt.i
          |ORDER BY scat.cid""".stripMargin,
+
+    // the same Lloyd preamble as c1; the ARI ingredients are exact
+    // BIGINTs, the index formula runs on identical integers
+    "c4_ari" ->
+      s"""WITH q AS (
+         |  SELECT vec_id,
+         |    list_transform(CAST(embedding AS DOUBLE[]),
+         |      x -> CAST(floor(x * 1000000 + 0.5) AS BIGINT)) AS qv
+         |  FROM embeddings),
+         |seeds AS (
+         |  SELECT vec_id, qv, md5(CAST(vec_id AS VARCHAR)) AS h
+         |  FROM q ORDER BY h, vec_id LIMIT 8),
+         |c0 AS (
+         |  SELECT row_number() OVER (ORDER BY h, vec_id) - 1 AS cid, qv AS cv
+         |  FROM seeds),
+         |${kmIter(1)},
+         |${kmIter(2)},
+         |${kmIter(3)},
+         |d4 AS (
+         |  SELECT q.vec_id, c.cid,
+         |    sum((q.qv[u.i+1] - c.cv[u.i+1]) * (q.qv[u.i+1] - c.cv[u.i+1])) AS dist
+         |  FROM q, c3 c, LATERAL (SELECT unnest(generate_series(0, 63)) AS i) u
+         |  GROUP BY q.vec_id, c.cid),
+         |a4 AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT vec_id, cid,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rk
+         |    FROM d4) WHERE rk = 1),
+         |cont AS (
+         |  SELECT a4.cid, e.label, CAST(count(*) AS BIGINT) AS nij
+         |  FROM a4 JOIN embeddings e ON a4.vec_id = e.vec_id
+         |  GROUP BY 1, 2),
+         |ar1 AS (SELECT CAST(sum(nij * (nij - 1) // 2) AS BIGINT) AS sij,
+         |               CAST(sum(nij) AS BIGINT) AS n FROM cont),
+         |ar2 AS (SELECT CAST(sum(ai * (ai - 1) // 2) AS BIGINT) AS sa FROM
+         |          (SELECT CAST(sum(nij) AS BIGINT) AS ai FROM cont GROUP BY cid)),
+         |ar3 AS (SELECT CAST(sum(bj * (bj - 1) // 2) AS BIGINT) AS sb FROM
+         |          (SELECT CAST(sum(nij) AS BIGINT) AS bj FROM cont GROUP BY label))
+         |SELECT n, sij, sa, sb,
+         |  round((sij - sa * sb / (n * (n - 1) // 2)) /
+         |    ((sa + sb) / 2.0 - sa * sb / (n * (n - 1) // 2)), 6) AS ari
+         |FROM ar1, ar2, ar3""".stripMargin,
 
     // the same 2 min-label rounds; DuckDB's BETWEEN form of the
     // 8-neighborhood is value-identical to the Spark equi-join on
