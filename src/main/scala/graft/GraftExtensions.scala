@@ -21,6 +21,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) => functions.NearestCentroid(exprs(0), exprs(1))))
     ext.injectFunction((FunctionIdentifier("id_pairs"), info("id_pairs"),
       (exprs: Seq[Expression]) => functions.IdPairs(exprs.head)))
+    ext.injectFunction((FunctionIdentifier("zorder_key"), info("zorder_key"),
+      (exprs: Seq[Expression]) => functions.ZorderKey(exprs(0), exprs(1))))
     ext.injectFunction((FunctionIdentifier("blosc_compress"), info("blosc_compress"),
       (exprs: Seq[Expression]) => functions.BloscCompress(exprs.head, 2, 3)))
     ext.injectFunction((FunctionIdentifier("blosc_decompress"), info("blosc_decompress"),

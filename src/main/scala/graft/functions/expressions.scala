@@ -140,6 +140,72 @@ case class Md5Bits(child: Expression, nibbles: Int) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Morton (Z-order) interleave of the low 16 bits of two non-negative
+  * integers — the multi-dimensional CLUSTERING KEY a lakehouse writer
+  * sorts by so that min/max zone maps prune on BOTH dimensions (Delta
+  * `OPTIMIZE ZORDER BY` / Iceberg sort-order semantics): sorting by the
+  * interleaved key gives every contiguous file a bounded rectangle in
+  * (x, y) space, so a predicate on either column skips most files.
+  * Bit i of x lands at position 2i, bit i of y at 2i+1; the result is
+  * in [0, 2^32) and exactly equals the 32-term shift/mask sum the SQL
+  * oracle spells out. Values are masked to 16 bits (callers bucket or
+  * hash wider domains first). Codegen'd: two table-free bit-spread
+  * sequences, no loop. */
+case class ZorderKey(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (LongType | IntegerType, LongType | IntegerType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"zorder_key expects integer inputs, got $l / $r")
+    }
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "zorder_key"
+
+  private def toLong(e: Expression, v: Any): Long = e.dataType match {
+    case IntegerType => v.asInstanceOf[Int].toLong
+    case _ => v.asInstanceOf[Long]
+  }
+
+  // spread the low 16 bits of v to the even positions of a 32-bit word
+  @inline private def spread(v0: Long): Long = {
+    var v = v0 & 0xFFFFL
+    v = (v | (v << 8)) & 0x00FF00FFL
+    v = (v | (v << 4)) & 0x0F0F0F0FL
+    v = (v | (v << 2)) & 0x33333333L
+    v = (v | (v << 1)) & 0x55555555L
+    v
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    spread(toLong(left, a)) | (spread(toLong(right, b)) << 1)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val x = ctx.freshName("zx")
+      val y = ctx.freshName("zy")
+      def spreadCode(v: String): String =
+        s"""$v &= 0xFFFFL;
+           |$v = ($v | ($v << 8)) & 0x00FF00FFL;
+           |$v = ($v | ($v << 4)) & 0x0F0F0F0FL;
+           |$v = ($v | ($v << 2)) & 0x33333333L;
+           |$v = ($v | ($v << 1)) & 0x55555555L;""".stripMargin
+      s"""
+         |long $x = (long) $a;
+         |long $y = (long) $b;
+         |${spreadCode(x)}
+         |${spreadCode(y)}
+         |${ev.value} = $x | ($y << 1);
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Shared md5-prefix machinery for the hash-array generators below. */
 trait Md5HashCore {
   def nibbles: Int

@@ -26,6 +26,12 @@ package object functions {
   def nearest_centroid(qv: Column, cs: Column): Column =
     column(NearestCentroid(expression(qv), expression(cs)))
 
+  /** Morton (Z-order) interleave of the low 16 bits of two integers —
+    * the multi-dimensional clustering key (codegen'd; equals the
+    * 32-term shift/mask sum the SQL oracle spells out). */
+  def zorder_key(x: Column, y: Column): Column =
+    column(ZorderKey(expression(x), expression(y)))
+
   /** All ordered (d1 < d2) id pairs of an id array in one native
     * evaluation (equals the nested transform/filter HOF pipeline
     * element-for-element). */
@@ -81,6 +87,8 @@ package object functions {
       exprs => NearestCentroid(exprs(0), exprs(1)), "scala_udf")
     reg.createOrReplaceTempFunction("id_pairs",
       exprs => IdPairs(exprs.head), "scala_udf")
+    reg.createOrReplaceTempFunction("zorder_key",
+      exprs => ZorderKey(exprs(0), exprs(1)), "scala_udf")
     reg.createOrReplaceTempFunction("word_shingle_hashes",
       exprs => WordShingleHashes(exprs(0),
         exprs(1).eval().asInstanceOf[Number].intValue(), 15), "scala_udf")

@@ -88,6 +88,24 @@ object DedupOps {
       .groupBy(col("p.d1").as("d1"), col("p.d2").as("d2"))
       .agg(count(lit(1)).as("m"))
 
+  /** d6/d17's banded SimHash candidate pairs: 13 bands over bits [0,60)
+    * (8 of width 5, 5 of width 4) — a pair differing in <= 12 bits can
+    * touch at most 12 bands, so it collides exactly in at least one
+    * (pigeonhole); the oracle may therefore check all-pairs-within-12
+    * directly. One string bucket key per (band, bkey), pair-exploded by
+    * the same pairCounts helper d4's LSH uses. */
+  private def simhashCandidates(sh: DataFrame): DataFrame = {
+    val widths = Seq.fill(8)(5) ++ Seq.fill(5)(4)
+    val bandExprs = widths.scanLeft(0)(_ + _).zip(widths).zipWithIndex.map {
+      case ((off, w), b) =>
+        s"struct($b AS band, shiftright(simhash, $off) & ${(1 << w) - 1} AS bkey)"
+    }
+    val bands = sh.select(col("doc_id"),
+      explode(expr(s"array(${bandExprs.mkString(",")})")).as("bb"))
+      .select(col("doc_id"), concat_ws(",", col("bb.band"), col("bb.bkey")).as("s"))
+    pairCounts(bands).select(col("d1"), col("d2"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // --- boilerplate-dominated documents (the C4/RefinedWeb inter-doc
@@ -359,25 +377,44 @@ object DedupOps {
     //     survivors — the corpus never cross-joins at any scale. ---
     "d6_simhash_pairs" -> ((s, dir) => {
       val sh = simhash(docs(s, dir).filter(col("doc_id") < 200))
-      // 13 bands over bits [0,60): 8 of width 5, 5 of width 4
-      val widths = Seq.fill(8)(5) ++ Seq.fill(5)(4)
-      val bandExprs = widths.scanLeft(0)(_ + _).zip(widths).zipWithIndex.map {
-        case ((off, w), b) =>
-          s"struct($b AS band, shiftright(simhash, $off) & ${(1 << w) - 1} AS bkey)"
-      }
-      // one string bucket key per (band, bkey), pair-exploded by the same
-      // pairCounts helper d4's LSH uses (a pair colliding in k bands
-      // appears with m = k; only the key set matters here)
-      val bands = sh.select(col("doc_id"),
-        explode(expr(s"array(${bandExprs.mkString(",")})")).as("bb"))
-        .select(col("doc_id"), concat_ws(",", col("bb.band"), col("bb.bkey")).as("s"))
-      val cand = pairCounts(bands).select(col("d1"), col("d2"))
+      val cand = simhashCandidates(sh)
       broadcast(cand)
         .join(sh.select(col("doc_id").as("d1"), col("simhash").as("h1")), Seq("d1"))
         .join(sh.select(col("doc_id").as("d2"), col("simhash").as("h2")), Seq("d2"))
         .select(col("d1"), col("d2"),
           expr("CAST(bit_count(h1 ^ h2) AS BIGINT)").as("hamming"))
         .filter(col("hamming") <= 12)
+        .orderBy(col("d1"), col("d2"))
+    }),
+
+    // --- edit-distance verification of LSH candidates — the final stage
+    //     of a fuzzy-dedup pipeline: banding proposes, Levenshtein
+    //     disposes. Candidates come from d6's 13-band SimHash buckets
+    //     (pigeonhole: every pair within 12 bits collides in >= 1 band),
+    //     confirmation runs the O(L^2) edit distance only on the 80-char
+    //     prefixes of the few survivors — the quadratic string kernel
+    //     never touches the corpus at large, which is what makes
+    //     character-level dedup affordable at 100 TB (cost is
+    //     sum(bucket_freq^2), not n^2, and both engines' native
+    //     `levenshtein` is unit-cost insert/delete/substitute so the
+    //     distances are integer-identical). sim_permille is the
+    //     length-normalized similarity in exact integer arithmetic. ---
+    "d17_edit_verify" -> ((s, dir) => {
+      val d = docs(s, dir).filter(col("doc_id") < 200)
+      val sh = simhash(d)
+      val cand = simhashCandidates(sh)
+      val pre = d.select(col("doc_id"), substring(col("text"), 1, 80).as("pre"))
+      broadcast(cand)
+        .join(sh.select(col("doc_id").as("d1"), col("simhash").as("h1")), Seq("d1"))
+        .join(sh.select(col("doc_id").as("d2"), col("simhash").as("h2")), Seq("d2"))
+        .filter(expr("bit_count(h1 ^ h2)") <= 12)
+        .join(pre.select(col("doc_id").as("d1"), col("pre").as("p1")), Seq("d1"))
+        .join(pre.select(col("doc_id").as("d2"), col("pre").as("p2")), Seq("d2"))
+        .select(col("d1"), col("d2"),
+          levenshtein(col("p1"), col("p2")).cast("long").as("lev"),
+          greatest(length(col("p1")), length(col("p2"))).cast("long").as("maxlen"))
+        .select(col("d1"), col("d2"), col("lev"),
+          expr("(maxlen - lev) * 1000 div maxlen").as("sim_permille"))
         .orderBy(col("d1"), col("d2"))
     }),
 
@@ -722,6 +759,31 @@ object DedupOps {
         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 12
         |ORDER BY d1, d2""".stripMargin,
+
+    // all-pairs-within-12 is exactly the banded candidate set (pigeonhole,
+    // see simhashCandidates); levenshtein is unit-cost in both engines
+    "d17_edit_verify" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+        |  FROM documents WHERE doc_id < 200),
+        |h AS (SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS h FROM toks),
+        |bits AS (SELECT doc_id, j, sum((h >> j) % 2 * 2 - 1) AS sw
+        |         FROM h, LATERAL (SELECT unnest(generate_series(0, 59)) AS j) u
+        |         GROUP BY doc_id, j),
+        |sh AS (SELECT doc_id,
+        |         CAST(sum(CASE WHEN sw > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS simhash
+        |       FROM bits GROUP BY doc_id),
+        |pre AS (SELECT doc_id, substr(text, 1, 80) AS p FROM documents WHERE doc_id < 200),
+        |pair AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2,
+        |    CAST(levenshtein(pa.p, pb.p) AS BIGINT) AS lev,
+        |    CAST(greatest(length(pa.p), length(pb.p)) AS BIGINT) AS maxlen
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |    AND bit_count(xor(a.simhash, b.simhash)) <= 12
+        |  JOIN pre pa ON pa.doc_id = a.doc_id
+        |  JOIN pre pb ON pb.doc_id = b.doc_id)
+        |SELECT d1, d2, lev, (maxlen - lev) * 1000 // maxlen AS sim_permille
+        |FROM pair ORDER BY d1, d2""".stripMargin,
 
     "d9_contamination" ->
       s"""WITH $shingleSql,

@@ -542,6 +542,40 @@ object EventOps {
     //     windows only (count frames guard the edges). Shape: one hash
     //     aggregate to the (type, hour) relation, two ROWS-frame
     //     windows partitioned by type, TakeOrderedAndProject. ---
+    // --- customer-lifetime churn hazard with right-censoring — the
+    //     discrete Kaplan-Meier life table every retention team builds:
+    //     per customer, tenure = quarters between first and last order
+    //     (exact calendar-quarter arithmetic, no float month fractions);
+    //     customers still ordering within a year of the data horizon are
+    //     CENSORED (alive when observation ended), not churned — the
+    //     distinction that makes naive "last seen" churn rates wrong.
+    //     at_risk(w) is a reverse cumulative sum; hazard the exact
+    //     integer ppm died*1e6 div at_risk. Shape: one customer-sized
+    //     aggregate, then everything runs on the quarter relation —
+    //     bounded by CALENDAR QUARTERS at any corpus size, so the
+    //     single-partition window over it is a constant-size tail, not
+    //     a scale hazard. ---
+    "e23_hazard" -> ((s, dir) => {
+      val lives = Tables.load(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(min(col("o_orderdate")).as("f"), max(col("o_orderdate")).as("l"))
+        .select(
+          ((year(col("l")) - year(col("f"))) * 4 +
+            (quarter(col("l")) - quarter(col("f")))).cast("long").as("w"),
+          (col("l") >= lit("2000-08-01").cast("timestamp")).as("censored"))
+      val byW = lives.groupBy(col("w"))
+        .agg(sum(when(col("censored"), 0L).otherwise(1L)).cast("long").as("died"),
+          sum(when(col("censored"), 1L).otherwise(0L)).cast("long").as("n_censored"))
+      val wRev = Window.orderBy(col("w").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      byW
+        .withColumn("at_risk",
+          sum(col("died") + col("n_censored")).over(wRev).cast("long"))
+        .select(col("w"), col("died"), col("n_censored"), col("at_risk"),
+          expr("died * 1000000 div at_risk").as("hazard_ppm"))
+        .orderBy(col("w"))
+    }),
+
     "e22_changepoint" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val hourly = ev(s, dir)
@@ -683,6 +717,29 @@ object EventOps {
         |  CAST((CAST(m AS HUGEINT) * qg - CAST(sg AS HUGEINT) * sg)
         |    // (CAST(m AS HUGEINT) * m) AS BIGINT) AS var_gap
         |FROM a ORDER BY var_gap, user_id LIMIT 20""".stripMargin,
+
+    // the same life table: calendar-quarter tenure, censoring cutoff,
+    // reverse cumulative at-risk, exact integer-ppm hazard
+    "e23_hazard" ->
+      """WITH lives AS (
+        |  SELECT o_custkey,
+        |    CAST((year(max(o_orderdate)) - year(min(o_orderdate))) * 4 +
+        |         (quarter(max(o_orderdate)) - quarter(min(o_orderdate))) AS BIGINT) AS w,
+        |    max(o_orderdate) >= TIMESTAMP '2000-08-01' AS censored
+        |  FROM orders GROUP BY o_custkey),
+        |byw AS (
+        |  SELECT w,
+        |    CAST(sum(CASE WHEN censored THEN 0 ELSE 1 END) AS BIGINT) AS died,
+        |    CAST(sum(CASE WHEN censored THEN 1 ELSE 0 END) AS BIGINT) AS n_censored
+        |  FROM lives GROUP BY w),
+        |r AS (
+        |  SELECT w, died, n_censored,
+        |    CAST(sum(died + n_censored) OVER (ORDER BY w DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS at_risk
+        |  FROM byw)
+        |SELECT w, died, n_censored, at_risk,
+        |  died * 1000000 // at_risk AS hazard_ppm
+        |FROM r ORDER BY w""".stripMargin,
 
     // identical ROWS frames and exact integer-division means
     "e22_changepoint" ->

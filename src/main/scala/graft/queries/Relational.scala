@@ -174,6 +174,31 @@ object Relational {
         .orderBy(col("source"))
     }),
 
+    // --- Z-order clustering layout audit — the lakehouse write
+    //     optimization (Delta OPTIMIZE ZORDER / Iceberg sort orders)
+    //     as an auditable operator: interleave two join/filter columns
+    //     into a Morton key with the codegen'd `zorder_key` expression,
+    //     then show that every contiguous key range occupies a BOUNDED
+    //     rectangle of the (x, y) domain — each aligned 2048-key
+    //     bucket spans at most 64x32 of the 256x256 grid, which is
+    //     precisely why sorting a 100 TB table by this key before
+    //     writing lets parquet min/max zone maps prune scans on EITHER
+    //     column. The audit itself is one hash aggregate into 32
+    //     groups; the sort it certifies is the writer's, not this
+    //     query's. ---
+    "s2_zorder_layout" -> ((s, dir) => {
+      val pts = t(s, dir, "lineitem").select(
+        pmod(col("l_partkey"), lit(256)).cast("long").as("x"),
+        pmod(col("l_suppkey"), lit(256)).cast("long").as("y"))
+      pts.select(col("x"), col("y"),
+          graft.functions.zorder_key(col("x"), col("y")).as("z"))
+        .groupBy(expr("z div 2048").as("zbucket"))
+        .agg(count(lit(1)).as("n"),
+          min(col("x")).as("xmin"), max(col("x")).as("xmax"),
+          min(col("y")).as("ymin"), max(col("y")).as("ymax"))
+        .orderBy(col("zbucket"))
+    }),
+
     // --- reference P1: round-robin partitioner (zeiss_job.py:29-40) ---
     "p1_round_robin" -> ((s, dir) => {
       t(s, dir, "documents")
@@ -336,6 +361,23 @@ object Relational {
       """SELECT source, count(*) AS n_docs,
         |  CAST(sum(n_chars) AS BIGINT) AS total_chars
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    // the Morton key spelled out as the 32-term shift/mask sum the
+    // codegen'd expression computes (bit i of x -> 2i, of y -> 2i+1)
+    "s2_zorder_layout" -> {
+      val terms = (0 until 16).map(i =>
+        s"(((x >> $i) & 1) << ${2 * i}) + (((y >> $i) & 1) << ${2 * i + 1})")
+        .mkString(" +\n        |    ")
+      s"""WITH p AS (
+         |  SELECT l_partkey % 256 AS x, l_suppkey % 256 AS y FROM lineitem),
+         |z AS (
+         |  SELECT x, y,
+         |    $terms AS z
+         |  FROM p)
+         |SELECT z // 2048 AS zbucket, count(*) AS n,
+         |  min(x) AS xmin, max(x) AS xmax, min(y) AS ymin, max(y) AS ymax
+         |FROM z GROUP BY 1 ORDER BY zbucket""".stripMargin
+    },
 
     "p1_round_robin" ->
       """SELECT doc_id % 8 AS partition_id, count(*) AS n,

@@ -449,6 +449,32 @@ object Relational2 {
         .orderBy(col("bucket"))
     }),
 
+    // --- Benford first-digit audit — the forensic data-quality check
+    //     (fabricated or truncated monetary data deviates from
+    //     log10(1+1/d)): leading digit taken from the DECIMAL STRING of
+    //     exact integer cents (never from float log10 of the value, so
+    //     no boundary can flip a digit), counted in one 9-group hash
+    //     aggregate. Observed shares are exact integer ppm
+    //     (n*1e6 div total); the Benford expectation quantizes to ppm
+    //     via floor(x*1e6+0.5) — e20's discipline — with every
+    //     expectation ≥ 9.4e-3 away from a rounding boundary, so the
+    //     one float (log10) can't drift across engines. Scale: a
+    //     full-corpus scan into 9 groups, then arithmetic on a 9-row
+    //     relation with a broadcast total. ---
+    "a11_benford" -> ((s, dir) => {
+      val d = t(s, dir, "orders").select(
+        substring(expr("CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS STRING)"), 1, 1)
+          .cast("int").as("digit"))
+      val g = d.groupBy(col("digit")).agg(count(lit(1)).as("n"))
+      val tot = g.agg(sum(col("n")).cast("long").as("total"))
+      g.crossJoin(broadcast(tot))
+        .select(col("digit"), col("n"),
+          expr("n * 1000000 div total").as("obs_ppm"),
+          expr("CAST(floor(log10(1 + 1.0 / digit) * 1e6 + 0.5) AS BIGINT)").as("exp_ppm"))
+        .withColumn("dev_ppm", col("obs_ppm") - col("exp_ppm"))
+        .orderBy(col("digit"))
+    }),
+
     // --- exact per-group percentiles: Spark's `percentile` (exact,
     //     sort-based with linear interpolation) vs DuckDB quantile_cont —
     //     the distribution sweep a data-quality report runs per segment.
@@ -921,6 +947,21 @@ object Relational2 {
 
     // identical Laplace smoothing and micro-unit quantization; the
     // total row is an exact integer sum of the per-bucket terms
+    // leading digit from the exact integer-cents string; expectation
+    // quantized floor(log10(1+1/d)*1e6+0.5), far from every boundary
+    "a11_benford" ->
+      """WITH c AS (
+        |  SELECT CAST(substr(CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+        |    AS VARCHAR), 1, 1) AS INT) AS digit
+        |  FROM orders),
+        |g AS (SELECT digit, CAST(count(*) AS BIGINT) AS n FROM c GROUP BY digit),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM g)
+        |SELECT digit, n, n * 1000000 // total AS obs_ppm,
+        |  CAST(floor(log10(1 + 1.0 / digit) * 1e6 + 0.5) AS BIGINT) AS exp_ppm,
+        |  n * 1000000 // total -
+        |    CAST(floor(log10(1 + 1.0 / digit) * 1e6 + 0.5) AS BIGINT) AS dev_ppm
+        |FROM g, t ORDER BY digit""".stripMargin,
+
     "a10_psi_drift" ->
       """WITH o AS (
         |  SELECT year(o_orderdate) AS y,

@@ -134,6 +134,41 @@ object Relational3 {
         .limit(25)
     }),
 
+    // --- TPC-H Q21 archetype: the waiting-supplier semi/anti chain —
+    //     late lines (shipped > 90 days after order date) on finished
+    //     orders, from a supplier who was the ONLY late supplier on a
+    //     multi-supplier order. The classic form is EXISTS(other
+    //     supplier) + NOT EXISTS(other LATE supplier) over two more
+    //     lineitem self-scans; here both quantifiers decorrelate into
+    //     ONE per-order aggregate (distinct suppliers, distinct late
+    //     suppliers) — the 100 TB plan scans the F-order join twice
+    //     (stats + probe), never four times, and both passes shuffle on
+    //     the same l_orderkey key so AQE reuses the exchange. The
+    //     oracle runs the textbook correlated form to prove the
+    //     decorrelation is semantics-preserving, not just faster. ---
+    "q21_waiting" -> ((s, dir) => {
+      val fOrders = t(s, dir, "orders")
+        .filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey"), col("o_orderdate"))
+      val lines = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+        .join(fOrders, col("l_orderkey") === col("o_orderkey"))
+        .withColumn("is_late",
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"))
+      val perOrder = lines.groupBy(col("l_orderkey").as("ok"))
+        .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+          countDistinct(when(col("is_late"), col("l_suppkey"))).as("n_late"))
+        .filter(col("n_supp") >= 2 && col("n_late") === 1)
+        .select(col("ok"))
+      lines.filter(col("is_late"))
+        .join(perOrder, col("l_orderkey") === col("ok"))
+        .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_suppkey"), col("s_name"))
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_suppkey"))
+        .limit(20)
+    }),
+
     // --- TPC-H Q22 archetype: customers with above-average balances and
     //     no RECENT orders (the synthetic generator gives every customer
     //     at least one lifetime order, so dormancy is "nothing since
@@ -397,6 +432,25 @@ object Relational3 {
         |   FROM lineitem GROUP BY l_orderkey HAVING sum_qty > 55) big
         |WHERE o_orderkey = big.l_orderkey AND o_custkey = c_custkey
         |ORDER BY total DESC, o_orderkey LIMIT 25""".stripMargin,
+
+    // the textbook correlated form — EXISTS + NOT EXISTS against two
+    // more lineitem scans — which the Spark side decorrelates into one
+    // per-order aggregate; value-identical by construction
+    "q21_waiting" ->
+      """SELECT s_suppkey, s_name, count(*) AS numwait
+        |FROM lineitem l1, orders, supplier
+        |WHERE o_orderkey = l1.l_orderkey AND o_orderstatus = 'F'
+        |  AND s_suppkey = l1.l_suppkey
+        |  AND l1.l_shipdate > o_orderdate + INTERVAL 90 DAY
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.l_shipdate > o_orderdate + INTERVAL 90 DAY)
+        |GROUP BY s_suppkey, s_name
+        |ORDER BY numwait DESC, s_suppkey LIMIT 20""".stripMargin,
 
     "q22_dormant" ->
       """SELECT c_nationkey, count(*) AS numcust,

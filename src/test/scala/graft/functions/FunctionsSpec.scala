@@ -129,6 +129,36 @@ class FunctionsSpec extends AnyFunSuite {
     assert(edge._1 == Seq((3L, 7L), (3L, 7L)) && edge._2.isEmpty)
   }
 
+  test("zorder_key equals the 32-term shift/mask sum and interleaves exactly") {
+    import spark.implicits._
+    val sumForm = (0 until 16).map(i =>
+      s"(shiftleft((x >> $i) & 1, ${2 * i}) + shiftleft((y >> $i) & 1, ${2 * i + 1}))")
+      .mkString(" + ")
+    val df = spark.range(20000).select(
+      (col("id") * 7919 % 65536).as("x"), (col("id") * 104729 % 65536).as("y"))
+    val bad = df.select(expr("zorder_key(x, y)").as("a"), expr(sumForm).as("b"))
+      .filter(col("a") =!= col("b")).count()
+    assert(bad == 0L, s"$bad mismatches vs the shift/mask sum")
+    // hand-checked corners: bit i of x -> 2i, bit i of y -> 2i+1
+    val corners = Seq((0L, 0L, 0L), (1L, 0L, 1L), (0L, 1L, 2L), (1L, 1L, 3L),
+      (0xFFFFL, 0L, 0x55555555L), (0L, 0xFFFFL, 0xAAAAAAAAL),
+      (0xFFFFL, 0xFFFFL, 0xFFFFFFFFL), (0x10000L, 0L, 0L))
+    corners.foreach { case (x, y, want) =>
+      val got = Seq((x, y)).toDF("x", "y")
+        .select(zorder_key(col("x"), col("y"))).as[Long].head()
+      assert(got == want, s"zorder_key($x, $y) = $got, want $want")
+    }
+    // an aligned 2^11-key range spans at most a 64x32 rectangle — the
+    // zone-map pruning bound s2_zorder_layout audits
+    val spans = df
+      .select(col("x") % 256 as "x", col("y") % 256 as "y")
+      .select(col("x"), col("y"), zorder_key(col("x"), col("y")).as("z"))
+      .groupBy(expr("z div 2048")).agg(
+        (max(col("x")) - min(col("x"))).as("xs"), (max(col("y")) - min(col("y"))).as("ys"))
+      .filter(col("xs") > 63 || col("ys") > 31).count()
+    assert(spans == 0L)
+  }
+
   test("hll_estimate matches the expression-level HLL estimate per group") {
     import spark.implicits._
     // same shingle-hash input as t13_hll_shingles
