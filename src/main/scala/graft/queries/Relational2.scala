@@ -449,6 +449,43 @@ object Relational2 {
         .orderBy(col("bucket"))
     }),
 
+    // --- incremental view maintenance — the materialized-aggregate
+    //     refresh path: the standing view (shipments before 1998) and
+    //     the day's delta (1998 onward) are aggregated SEPARATELY and
+    //     merged by summing partials — sum/count/min/max are all
+    //     decomposable, so the merge touches only (group, partial)
+    //     rows, never the 100 TB base scan a full refresh would pay.
+    //     The audit column recomputes the aggregate from the full scan
+    //     and pins merged == recomputed per group (exact integers: qty
+    //     is quantized to cents before summing), so the gate
+    //     value-checks the IVM algebra itself, not just the shapes. ---
+    "a12_ivm" -> ((s, dir) => {
+      def part(f: DataFrame): DataFrame = f
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(expr("CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)")).cast("long").as("qty_c"),
+          count(lit(1)).as("n"),
+          min(col("l_shipdate")).as("first_ship"),
+          max(col("l_shipdate")).as("last_ship"))
+      val li = t(s, dir, "lineitem")
+      val cut = lit("1998-01-01").cast("timestamp")
+      val base = part(li.filter(col("l_shipdate") < cut))
+      val delta = part(li.filter(col("l_shipdate") >= cut))
+      val merged = base.unionByName(delta)
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("qty_c")).cast("long").as("qty_c"),
+          sum(col("n")).cast("long").as("n"),
+          min(col("first_ship")).as("first_ship"),
+          max(col("last_ship")).as("last_ship"))
+      val full = part(li)
+        .select(col("l_returnflag"), col("l_linestatus"),
+          col("qty_c").as("f_qty"), col("n").as("f_n"))
+      merged.join(full, Seq("l_returnflag", "l_linestatus"))
+        .select(col("l_returnflag"), col("l_linestatus"), col("qty_c"), col("n"),
+          col("first_ship"), col("last_ship"),
+          (col("qty_c") === col("f_qty") && col("n") === col("f_n")).as("ivm_exact"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
     // --- Benford first-digit audit — the forensic data-quality check
     //     (fabricated or truncated monetary data deviates from
     //     log10(1+1/d)): leading digit taken from the DECIMAL STRING of
@@ -947,6 +984,31 @@ object Relational2 {
 
     // identical Laplace smoothing and micro-unit quantization; the
     // total row is an exact integer sum of the per-bucket terms
+    // the same partial-merge algebra; the audit recomputes from the
+    // full scan and pins equality per group
+    "a12_ivm" ->
+      """WITH part AS (
+        |  SELECT l_returnflag, l_linestatus,
+        |    CASE WHEN l_shipdate < TIMESTAMP '1998-01-01' THEN 0 ELSE 1 END AS d,
+        |    CAST(sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS BIGINT) AS qty_c,
+        |    count(*) AS n, min(l_shipdate) AS first_ship, max(l_shipdate) AS last_ship
+        |  FROM lineitem GROUP BY 1, 2, 3),
+        |merged AS (
+        |  SELECT l_returnflag, l_linestatus,
+        |    CAST(sum(qty_c) AS BIGINT) AS qty_c, CAST(sum(n) AS BIGINT) AS n,
+        |    min(first_ship) AS first_ship, max(last_ship) AS last_ship
+        |  FROM part GROUP BY 1, 2),
+        |full_r AS (
+        |  SELECT l_returnflag, l_linestatus,
+        |    CAST(sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS BIGINT) AS f_qty,
+        |    count(*) AS f_n
+        |  FROM lineitem GROUP BY 1, 2)
+        |SELECT m.l_returnflag, m.l_linestatus, m.qty_c, m.n,
+        |  m.first_ship, m.last_ship,
+        |  m.qty_c = f.f_qty AND m.n = f.f_n AS ivm_exact
+        |FROM merged m JOIN full_r f USING (l_returnflag, l_linestatus)
+        |ORDER BY m.l_returnflag, m.l_linestatus""".stripMargin,
+
     // leading digit from the exact integer-cents string; expectation
     // quantized floor(log10(1+1/d)*1e6+0.5), far from every boundary
     "a11_benford" ->

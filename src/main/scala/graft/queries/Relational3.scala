@@ -169,6 +169,46 @@ object Relational3 {
         .limit(20)
     }),
 
+    // --- SCD type-2 history build — the warehouse MERGE pattern: turn a
+    //     customer's order-priority observations into
+    //     validity-interval rows (valid_from/valid_to, is_current),
+    //     collapsing consecutive equal values the way a dimension MERGE
+    //     only writes rows on CHANGE. Gaps-and-islands: a segment opens
+    //     where lag(priority) differs, the segment id is a running sum
+    //     of those change flags, and the interval bounds are min/max +
+    //     lead per segment. Everything windows PARTITION BY custkey —
+    //     at 100 TB that is one shuffle by the dimension's natural key
+    //     and bounded per-customer state, the same shape a streaming
+    //     SCD2 upsert would keep in its state store. Ties on a
+    //     customer's same-date orders are totalized by orderkey so
+    //     lag() cannot go engine-nondeterministic. ---
+    "q23_scd2" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val wOrd = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      val obs = t(s, dir, "orders")
+        .filter(col("o_custkey") < 300)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+          col("o_orderpriority"))
+        .withColumn("chg",
+          when(lag(col("o_orderpriority"), 1).over(wOrd).isNull ||
+            lag(col("o_orderpriority"), 1).over(wOrd) =!= col("o_orderpriority"), 1L)
+            .otherwise(0L))
+        .withColumn("seg", sum(col("chg")).over(
+          wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val segs = obs.groupBy(col("o_custkey"), col("seg"))
+        .agg(min(col("o_orderpriority")).as("priority"), // constant per segment
+          min(col("o_orderdate")).as("valid_from"),
+          count(lit(1)).as("n_obs"))
+      val wSeg = Window.partitionBy(col("o_custkey")).orderBy(col("seg"))
+      segs
+        .withColumn("valid_to", lead(col("valid_from"), 1).over(wSeg))
+        .select(col("o_custkey"), col("seg"), col("priority"),
+          col("valid_from"), col("valid_to"),
+          col("valid_to").isNull.as("is_current"), col("n_obs"))
+        .orderBy(col("o_custkey"), col("seg"))
+    }),
+
     // --- TPC-H Q22 archetype: customers with above-average balances and
     //     no RECENT orders (the synthetic generator gives every customer
     //     at least one lifetime order, so dormancy is "nothing since
@@ -432,6 +472,31 @@ object Relational3 {
         |   FROM lineitem GROUP BY l_orderkey HAVING sum_qty > 55) big
         |WHERE o_orderkey = big.l_orderkey AND o_custkey = c_custkey
         |ORDER BY total DESC, o_orderkey LIMIT 25""".stripMargin,
+
+    // the same gaps-and-islands: change flags via lag, running-sum
+    // segment ids, lead for the closing bound
+    "q23_scd2" ->
+      """WITH obs AS (
+        |  SELECT o_custkey, o_orderkey, o_orderdate, o_orderpriority,
+        |    CASE WHEN lag(o_orderpriority) OVER w IS DISTINCT FROM o_orderpriority
+        |         THEN 1 ELSE 0 END AS chg
+        |  FROM orders WHERE o_custkey < 300
+        |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)),
+        |seg AS (
+        |  SELECT *, CAST(sum(chg) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS seg
+        |  FROM obs),
+        |segs AS (
+        |  SELECT o_custkey, seg, min(o_orderpriority) AS priority,
+        |    min(o_orderdate) AS valid_from, count(*) AS n_obs
+        |  FROM seg GROUP BY o_custkey, seg)
+        |SELECT o_custkey, seg, priority, valid_from,
+        |  lead(valid_from) OVER w2 AS valid_to,
+        |  lead(valid_from) OVER w2 IS NULL AS is_current, n_obs
+        |FROM segs
+        |WINDOW w2 AS (PARTITION BY o_custkey ORDER BY seg)
+        |ORDER BY o_custkey, seg""".stripMargin,
 
     // the textbook correlated form — EXISTS + NOT EXISTS against two
     // more lineitem scans — which the Spark side decorrelates into one
