@@ -334,6 +334,40 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("q21: the decorrelated quantifier pair never cartesians or nested-loops") {
+    val p = plan("q21_waiting")
+    assert(!p.toLowerCase.contains("cartesianproduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // the F-order status predicate reaches the orders scan
+    assert(p.contains("EqualTo(o_orderstatus,F)"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("s2: zorder_key evaluates inside whole-stage codegen, one hash aggregate") {
+    val p = plan("s2_zorder_layout")
+    assert(p.contains("zorder_key"), p)
+    val line = p.linesIterator.find(_.contains("zorder_key")).get
+    assert(line.trim.startsWith("*") || line.contains("HashAggregate") ||
+      line.contains("Project"), line)
+    // the audit aggregates map-side before its one exchange
+    assert(p.contains("partial_count"), p)
+  }
+
+  test("q23/e23: interval builds window by their natural keys, no corpus-wide window") {
+    val q23 = plan("q23_scd2")
+    // every window is PARTITION BY o_custkey — no unpartitioned corpus window
+    assert(!q23.contains("Window [") ||
+      q23.linesIterator.filter(_.contains("windowspecdefinition(")).forall(
+        _.contains("o_custkey")), q23)
+    assert(q23.contains("LessThan(o_custkey,300)"), q23)
+    // e23's only unpartitioned window runs on the quarter relation,
+    // AFTER the customer-sized aggregate (bounded by calendar quarters)
+    val e23 = plan("e23_hazard")
+    val aggIdx = e23.indexOf("HashAggregate")
+    val winIdx = e23.indexOf("Window")
+    assert(aggIdx >= 0 && winIdx >= 0 && winIdx < e23.lastIndexOf("HashAggregate"), e23)
+  }
+
   test("nearest_centroid assignment stays inside whole-stage codegen") {
     val p = plan("c1_kmeans")
     assert(p.contains("nearest_centroid"), p)
