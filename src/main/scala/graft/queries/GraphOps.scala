@@ -236,6 +236,39 @@ object GraphOps {
         .orderBy(col("dist"))
     }),
 
+    // --- harmonic centrality from sampled sources — the practical form
+    //     of closeness at scale (exact all-pairs closeness is O(n*m);
+    //     every production system samples sources): per source in a
+    //     20-node sample, 3 BFS relaxation rounds over the capped
+    //     co-purchase graph tracking (src, node, dist) — the same
+    //     join+min-agg rounds as g4 with the source id carried through —
+    //     then centrality = sum of 1e6 div dist over reached nodes,
+    //     exact integer micro-units so ranking cannot drift on float
+    //     reciprocals. State is |sample| x n, the standard
+    //     memory/accuracy lever; rounds shuffle frontier-sized
+    //     relations keyed by (src, node). ---
+    "g8_harmonic" -> ((s, dir) => {
+      val edges = coPurchaseEdges(s, dir, cap = Some(3000L))
+      val bi = edges.union(
+        edges.select(col("d2").as("d1"), col("d1").as("d2")))
+        .localCheckpoint(true)
+      var dist = bi.select(col("d1")).distinct().filter(col("d1") < 20)
+        .select(col("d1").as("src"), col("d1").as("node"), lit(0L).as("dist"))
+        .localCheckpoint(true)
+      for (_ <- 1 to 3) {
+        val relaxed = bi.join(dist, col("d1") === col("node"))
+          .select(col("src"), col("d2").as("node"), (col("dist") + 1L).as("dist"))
+        dist = dist.union(relaxed)
+          .groupBy(col("src"), col("node")).agg(min(col("dist")).as("dist"))
+          .localCheckpoint(false)
+      }
+      dist.filter(col("dist") > 0)
+        .groupBy(col("src"))
+        .agg(count(lit(1)).as("n_reached"),
+          sum(expr("1000000 div dist")).cast("long").as("harmonic_micro"))
+        .orderBy(col("harmonic_micro").desc, col("src"))
+    }),
+
     // --- label propagation (community detection) over the part
     //     co-purchase graph, 3 synchronous rounds. Each round a node
     //     adopts its neighbors' MODE label; the mode is made
@@ -400,6 +433,38 @@ object GraphOps {
         |SELECT node AS p_partkey, CAST(count(*) AS BIGINT) AS n_triangles
         |FROM nodes GROUP BY node
         |ORDER BY n_triangles DESC, p_partkey LIMIT 10""".stripMargin,
+
+    // the same 3 (src,node)-keyed rounds unrolled; MATERIALIZED so the
+    // round chain can't re-expand exponentially under default inlining
+    "g8_harmonic" ->
+      """WITH li AS MATERIALIZED (
+        |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+        |  FROM lineitem WHERE l_partkey < 3000),
+        |e AS MATERIALIZED (SELECT DISTINCT a.p AS d1, b.p AS d2
+        |      FROM li a JOIN li b ON a.o = b.o AND a.p < b.p),
+        |bi AS MATERIALIZED (SELECT d1, d2 FROM e UNION ALL SELECT d2, d1 FROM e),
+        |s0 AS MATERIALIZED (
+        |  SELECT DISTINCT d1 AS src, d1 AS node, CAST(0 AS BIGINT) AS dist
+        |  FROM bi WHERE d1 < 20),
+        |s1 AS MATERIALIZED (
+        |  SELECT src, node, min(dist) AS dist FROM (
+        |    SELECT src, node, dist FROM s0 UNION ALL
+        |    SELECT s0.src, bi.d2, s0.dist + 1 FROM bi JOIN s0 ON bi.d1 = s0.node) t
+        |  GROUP BY src, node),
+        |s2 AS MATERIALIZED (
+        |  SELECT src, node, min(dist) AS dist FROM (
+        |    SELECT src, node, dist FROM s1 UNION ALL
+        |    SELECT s1.src, bi.d2, s1.dist + 1 FROM bi JOIN s1 ON bi.d1 = s1.node) t
+        |  GROUP BY src, node),
+        |s3 AS MATERIALIZED (
+        |  SELECT src, node, min(dist) AS dist FROM (
+        |    SELECT src, node, dist FROM s2 UNION ALL
+        |    SELECT s2.src, bi.d2, s2.dist + 1 FROM bi JOIN s2 ON bi.d1 = s2.node) t
+        |  GROUP BY src, node)
+        |SELECT src, count(*) AS n_reached,
+        |  CAST(sum(1000000 // dist) AS BIGINT) AS harmonic_micro
+        |FROM s3 WHERE dist > 0
+        |GROUP BY src ORDER BY harmonic_micro DESC, src""".stripMargin,
 
     // the same 4 relaxation rounds unrolled as chained CTEs
     "g4_bfs" ->

@@ -61,6 +61,36 @@ object TextOps {
         .orderBy(col("lang"))
     }),
 
+    // --- vocabulary growth curve (Heaps' law audit) — how fast does the
+    //     corpus stop yielding NEW tokens? The tokenizer-budget planner's
+    //     question, answered without any multi-pass prefix rescans: each
+    //     token's FIRST occurrence is one vocab-sized min(doc_id)
+    //     aggregate over the token stream, the growth histogram buckets
+    //     those first-occurrences by 100-doc prefix, and the running
+    //     vocabulary size is a cumulative sum over the bucket relation —
+    //     bounded by corpus_size/100 rows, so the single-partition
+    //     window is a constant-size tail, not a corpus window. ---
+    "t22_heaps" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      // bigram units: the synthetic corpus is a small word bag whose
+      // unigram vocabulary saturates in the first docs; pair types keep
+      // the curve informative while exercising the same dataflow
+      val firstSeen = docs(s, dir)
+        .select(col("doc_id"), split(trim(col("text")), "\\s+").as("ts"))
+        .filter(size(col("ts")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(0, size(ts) - 2), i -> concat(ts[i], ' ', ts[i+1]))")).as("tok"))
+        .groupBy(col("tok")).agg(min(col("doc_id")).as("fd"))
+      val buckets = firstSeen
+        .groupBy(expr("fd div 20").as("bucket"))
+        .agg(count(lit(1)).as("new_tokens"))
+      buckets
+        .withColumn("vocab_size", sum(col("new_tokens")).over(
+          Window.orderBy(col("bucket"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)).cast("long"))
+        .orderBy(col("bucket"))
+    }),
+
     // --- per-document quality score (length / alpha ratio / stopwords) ---
     "t2_quality_score" -> ((s, dir) => {
       val d = docs(s, dir)
@@ -903,6 +933,22 @@ object TextOps {
         |  min(n_tok) AS min_tokens, max(n_tok) AS max_tokens,
         |  round(avg(n_chars * 1.0 / n_tok), 4) AS avg_chars_per_tok
         |FROM t GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // the same first-occurrence aggregate + bucketed cumulative sum
+    "t22_heaps" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ts FROM documents),
+        |toks AS (
+        |  SELECT doc_id, ts[i] || ' ' || ts[i+1] AS tok
+        |  FROM t, LATERAL (SELECT unnest(generate_series(1, len(ts) - 1)) AS i) u
+        |  WHERE len(ts) >= 2),
+        |fs AS (SELECT tok, min(doc_id) AS fd FROM toks GROUP BY tok),
+        |b AS (SELECT fd // 20 AS bucket, count(*) AS new_tokens
+        |      FROM fs GROUP BY 1)
+        |SELECT bucket, new_tokens,
+        |  CAST(sum(new_tokens) OVER (ORDER BY bucket
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS vocab_size
+        |FROM b ORDER BY bucket""".stripMargin,
 
     "t2_quality_score" ->
       """WITH t AS (
