@@ -55,6 +55,22 @@ object Tables {
     })
   }
 
+  /** Fan a scan out to the session's full parallelism WHEN (and only
+    * when) the source under-splits. The synthetic tables are single-
+    * row-group parquet, so the scan stage — and with it every CPU-heavy
+    * per-row kernel attached to it (shingle md5s, regexes, vector
+    * arithmetic) — runs on ONE core unless an exchange intervenes;
+    * measured 3-4x on the text/dedup family at sf0.1. At production
+    * scale a 100 TB table arrives in thousands of splits, the guard
+    * fails, and this is a no-op — the repartition exists to restore
+    * scan-stage parallelism the substrate withholds, not as a standing
+    * plan stage. Catalyst still pushes filters/pruning through the
+    * round-robin exchange to the scan. */
+  def fanout(df: DataFrame): DataFrame = {
+    val cores = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions * 2 < cores) df.repartition(cores) else df
+  }
+
   private val lastDir = new java.util.concurrent.ConcurrentHashMap[SparkSession, String]()
 
   /** Register every table as a temp view (used by SQL-form queries).

@@ -28,6 +28,11 @@ object DedupOps {
 
   private val P = 2147483647L // 2^31 - 1
 
+  // plain load: the family's iterative queries (d8/d12's CC rounds,
+  // d16's banded eval) measured ~18% SLOWER under a blanket
+  // Tables.fanout — their cost is round-structured, not kernel-bound.
+  // Kernel-heavy entries (d14's per-char window digests) fan out at the
+  // kernel site instead.
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents")
 
@@ -157,7 +162,7 @@ object DedupOps {
       // char_window_hashes digests each 40-char window in place (ASCII:
       // zero-copy over the UTF-8 bytes) instead of materializing ~1k
       // window strings per document through an interpreted transform
-      val win = docs(s, dir).filter(length(col("text")) >= L)
+      val win = Tables.fanout(docs(s, dir)).filter(length(col("text")) >= L)
         .select(col("doc_id"),
           explode(expr(s"char_window_hashes(text, $L)")).as("h"))
         // referenced by three branches (per/dup/hit); eager localCheckpoint

@@ -26,6 +26,10 @@ import graft.Tables
   */
 object SimilarityOps {
 
+  // NOT fanned out (cf. Tables.fanout on the documents loaders): the
+  // vector kernels over this table are cheap relative to a stage floor,
+  // and the family's codebook/centroid subqueries would each pay the
+  // extra exchange — measured net -50% on v5/v8/v14 with fanout
   private def emb(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "embeddings")
 

@@ -22,7 +22,7 @@ import graft.Tables
 object TextOps {
 
   private def docs(s: SparkSession, dir: String): DataFrame =
-    Tables.load(s, dir, "documents")
+    Tables.fanout(Tables.load(s, dir, "documents"))
 
   /** #occurrences of word w (space-padded match) via replace-length.
     * Literal (non-regex) `replace`, like the oracle's `replace` — same
@@ -695,12 +695,18 @@ object TextOps {
     //     O(shingles x sources^2) worst case with a tiny constant, and
     //     the output is the S x S matrix. ---
     "t20_source_overlap" -> ((s, dir) => {
-      val srcSh = docs(s, dir).select(col("source"),
+      // ONE corpus-stream shuffle: collect_set dedups (source, h) pairs
+      // map-side inside the same aggregate a separate distinct() would
+      // need its own exchange for, and the per-source vocabulary sizes
+      // fall out of the already-aggregated shingle-type relation
+      val byH = docs(s, dir).select(col("source"),
           explode(expr("word_shingle_hashes(text, 3)")).as("h"))
-        .distinct()
-      val sizes = srcSh.groupBy(col("source")).agg(count(lit(1)).as("n_sh"))
-      val shared = srcSh.groupBy(col("h"))
+        .groupBy(col("h"))
         .agg(sort_array(collect_set(col("source"))).as("ss"))
+        .localCheckpoint(true) // sizes + shared both consume it
+      val sizes = byH.select(explode(col("ss")).as("source"))
+        .groupBy(col("source")).agg(count(lit(1)).as("n_sh"))
+      val shared = byH
         .filter(size(col("ss")) > 1)
         .select(explode(expr(
           "flatten(transform(ss, a -> transform(filter(ss, b -> b != a), " +
