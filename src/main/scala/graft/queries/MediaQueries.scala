@@ -116,6 +116,50 @@ object MediaQueries {
           r.pixels.foldLeft(0L)((a, b) => a + (b & 0xFF))))
         .toDF("media_id", "out_w", "out_h", "res_checksum")
         .orderBy(col("media_id"))
+    }),
+
+    // dHash (difference hash) through the REAL codec: decode, 9x8
+    // nearest-neighbor thumbnail from actual pixels, then the 64-bit
+    // gradient signature bit(y*8+x) = [p(x+1,y) > p(x,y)] — the
+    // perceptual near-dup hash that survives brightness shifts where
+    // m4's mean-threshold aHash doesn't (row-constant offsets cancel in
+    // the horizontal difference). Same narrow map-only plan as m5/m6;
+    // the oracle recomputes every bit from the closed-form gradient at
+    // the sampled coordinates, so all 64 comparator outcomes are
+    // value-checked, not just the popcount. ---
+    "m7_imageio_dhash" -> ((s, dir) => {
+      import s.implicits._
+      val media = Tables.load(s, dir, "documents")
+        .filter(col("doc_id") < 300).select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          MediaOps.MediaRecord(id, "image",
+            MediaOps.syntheticGrayPng(id, 16 + (id % 16).toInt, 12 + (id % 8).toInt))
+        })
+      MediaOps.resizeImagesImageIo(media, 9, 8)
+        .map { r =>
+          // two 32-bit words (v10's packing): bit 63 of one BIGINT would
+          // be the sign bit and DuckDB range-checks 1<<63
+          var lo = 0L
+          var hi = 0L
+          var y = 0
+          while (y < 8) {
+            var x = 0
+            while (x < 8) {
+              val a = r.pixels(y * 9 + x) & 0xFF
+              val b = r.pixels(y * 9 + x + 1) & 0xFF
+              if (b > a) {
+                val bit = y * 8 + x
+                if (bit < 32) lo |= 1L << bit else hi |= 1L << (bit - 32)
+              }
+              x += 1
+            }
+            y += 1
+          }
+          (r.media_id, lo, hi,
+            (java.lang.Long.bitCount(lo) + java.lang.Long.bitCount(hi)).toLong)
+        }
+        .toDF("media_id", "dhash_lo", "dhash_hi", "n_bits")
+        .orderBy(col("media_id"))
     })
   )
 
@@ -217,6 +261,26 @@ object MediaQueries {
         |       (SELECT unnest(generate_series(0, 5)) AS y) j)
         |SELECT media_id, 8 AS out_w, 6 AS out_h,
         |  CAST(sum(p) AS BIGINT) AS res_checksum
-        |FROM px GROUP BY media_id ORDER BY media_id""".stripMargin
+        |FROM px GROUP BY media_id ORDER BY media_id""".stripMargin,
+
+    // every dhash bit recomputed from the gradient at the 9x8
+    // nearest-neighbor sample coordinates
+    "m7_imageio_dhash" ->
+      """WITH img AS (
+        |  SELECT doc_id AS media_id,
+        |    16 + doc_id % 16 AS w, 12 + doc_id % 8 AS h
+        |  FROM documents WHERE doc_id < 300),
+        |bits AS (
+        |  SELECT media_id, j.y * 8 + i.x AS bit,
+        |    CASE WHEN (3 * (((i.x + 1) * w) // 9) + 7 * ((j.y * h) // 8) + media_id) % 256
+        |            > (3 * ((i.x * w) // 9) + 7 * ((j.y * h) // 8) + media_id) % 256
+        |         THEN 1 ELSE 0 END AS b
+        |  FROM img, (SELECT unnest(generate_series(0, 7)) AS x) i,
+        |       (SELECT unnest(generate_series(0, 7)) AS y) j)
+        |SELECT media_id,
+        |  CAST(sum(CASE WHEN bit < 32 THEN b * (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT) AS dhash_lo,
+        |  CAST(sum(CASE WHEN bit >= 32 THEN b * (CAST(1 AS BIGINT) << (bit - 32)) ELSE 0 END) AS BIGINT) AS dhash_hi,
+        |  CAST(sum(b) AS BIGINT) AS n_bits
+        |FROM bits GROUP BY media_id ORDER BY media_id""".stripMargin
   )
 }

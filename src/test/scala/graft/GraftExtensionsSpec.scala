@@ -48,6 +48,9 @@ class GraftExtensionsSpec extends AnyFunSuite {
         "SELECT size(id_pairs(array(CAST(1 AS BIGINT), CAST(2 AS BIGINT), CAST(3 AS BIGINT)))) AS n")
         .collect()(0).getInt(0)
       assert(np == 3)
+      val zk = spark.sql("SELECT zorder_key(CAST(65535 AS BIGINT), CAST(0 AS BIGINT)) AS z")
+        .collect()(0).getLong(0)
+      assert(zk == 0x55555555L, zk.toString)
       // HLL sketch aggregate: 2000 distinct md5-derived hashes estimate
       // within the 64-register error envelope
       val est = spark.sql(
