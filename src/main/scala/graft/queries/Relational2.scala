@@ -449,6 +449,36 @@ object Relational2 {
         .orderBy(col("bucket"))
     }),
 
+    // --- functional-dependency audit — schema-discovery profiling (the
+    //     normalization/data-contract check): does X determine Y? Each
+    //     candidate FD is ONE two-level distinct aggregate (partial by
+    //     (lhs, rhs), then count-distinct per lhs — all map-side
+    //     combinable); a key violates when it maps to >1 distinct rhs.
+    //     The suite mixes one FD that HOLDS (l_orderkey -> o_custkey
+    //     through the FK join — the referential contract) with three
+    //     that fail at different rates, so the gate checks both
+    //     directions of the verdict. Violation rate is exact integer
+    //     ppm. At 100 TB each FD is an independent aggregate over its
+    //     own pruned column pair — no shared scan forces a wide row. ---
+    "a13_fd_audit" -> ((s, dir) => {
+      def audit(name: String, rel: DataFrame, lhs: String, rhs: String): DataFrame =
+        rel.groupBy(col(lhs)).agg(countDistinct(col(rhs)).as("nd"))
+          .agg(count(lit(1)).as("n_keys"),
+            sum(when(col("nd") > 1, 1L).otherwise(0L)).cast("long").as("n_violating"),
+            max(col("nd")).as("max_rhs"))
+          .select(lit(name).as("fd"), col("n_keys"), col("n_violating"),
+            expr("n_violating * 1000000 div n_keys").as("viol_ppm"), col("max_rhs"))
+      val li = t(s, dir, "lineitem")
+      val joined = li.select(col("l_orderkey"))
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      audit("l_orderkey->o_custkey", joined, "l_orderkey", "o_custkey")
+        .unionByName(audit("l_orderkey->l_linestatus", li, "l_orderkey", "l_linestatus"))
+        .unionByName(audit("l_partkey->l_suppkey", li, "l_partkey", "l_suppkey"))
+        .unionByName(audit("o_custkey->o_orderpriority", t(s, dir, "orders"),
+          "o_custkey", "o_orderpriority"))
+        .orderBy(col("fd"))
+    }),
+
     // --- incremental view maintenance — the materialized-aggregate
     //     refresh path: the standing view (shipments before 1998) and
     //     the day's delta (1998 onward) are aggregated SEPARATELY and
@@ -984,6 +1014,38 @@ object Relational2 {
 
     // identical Laplace smoothing and micro-unit quantization; the
     // total row is an exact integer sum of the per-bucket terms
+    // the same four per-FD distinct aggregates, unioned
+    "a13_fd_audit" ->
+      """WITH f1 AS (
+        |  SELECT 'l_orderkey->o_custkey' AS fd, count(*) AS n_keys,
+        |    CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating,
+        |    max(nd) AS max_rhs
+        |  FROM (SELECT l_orderkey, count(DISTINCT o_custkey) AS nd
+        |        FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY 1)),
+        |f2 AS (
+        |  SELECT 'l_orderkey->l_linestatus' AS fd, count(*) AS n_keys,
+        |    CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating,
+        |    max(nd) AS max_rhs
+        |  FROM (SELECT l_orderkey, count(DISTINCT l_linestatus) AS nd
+        |        FROM lineitem GROUP BY 1)),
+        |f3 AS (
+        |  SELECT 'l_partkey->l_suppkey' AS fd, count(*) AS n_keys,
+        |    CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating,
+        |    max(nd) AS max_rhs
+        |  FROM (SELECT l_partkey, count(DISTINCT l_suppkey) AS nd
+        |        FROM lineitem GROUP BY 1)),
+        |f4 AS (
+        |  SELECT 'o_custkey->o_orderpriority' AS fd, count(*) AS n_keys,
+        |    CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating,
+        |    max(nd) AS max_rhs
+        |  FROM (SELECT o_custkey, count(DISTINCT o_orderpriority) AS nd
+        |        FROM orders GROUP BY 1)),
+        |u AS (SELECT * FROM f1 UNION ALL SELECT * FROM f2
+        |      UNION ALL SELECT * FROM f3 UNION ALL SELECT * FROM f4)
+        |SELECT fd, n_keys, n_violating,
+        |  n_violating * 1000000 // n_keys AS viol_ppm, max_rhs
+        |FROM u ORDER BY fd""".stripMargin,
+
     // the same partial-merge algebra; the audit recomputes from the
     // full scan and pins equality per group
     "a12_ivm" ->
