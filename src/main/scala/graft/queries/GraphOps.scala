@@ -236,6 +236,31 @@ object GraphOps {
         .orderBy(col("dist"))
     }),
 
+    // --- two-hop reach (friends-of-friends) — the neighborhood-size
+    //     signal behind graph-feature engineering (how much of the
+    //     graph does a node see in two steps?): one self-equi-join of
+    //     the checkpointed bidirectional edge list on the middle node,
+    //     a distinct over (node, reached), and a count per node. Work
+    //     is sum(degree^2) with the same part-key cap the other graph
+    //     queries use as the skew lever; nothing broadcasts because
+    //     both sides are edge-sized. Top-20 is TakeOrderedAndProject. ---
+    "g9_two_hop" -> ((s, dir) => {
+      val edges = coPurchaseEdges(s, dir, cap = Some(3000L))
+      val bi = edges.union(
+        edges.select(col("d2").as("d1"), col("d1").as("d2")))
+        .localCheckpoint(true)
+      val two = bi.as("x").join(bi.as("y"), col("x.d2") === col("y.d1"))
+        .select(col("x.d1").as("d1"), col("y.d2").as("d2"))
+      val reach = bi.union(two)
+        .filter(col("d1") =!= col("d2")).distinct()
+        .groupBy(col("d1")).agg(count(lit(1)).as("reach2"))
+      val deg = bi.groupBy(col("d1")).agg(count(lit(1)).as("degree"))
+      deg.join(reach, Seq("d1"))
+        .select(col("d1").as("node"), col("degree"), col("reach2"))
+        .orderBy(col("reach2").desc, col("node"))
+        .limit(20)
+    }),
+
     // --- harmonic centrality from sampled sources — the practical form
     //     of closeness at scale (exact all-pairs closeness is O(n*m);
     //     every production system samples sources): per source in a
@@ -433,6 +458,26 @@ object GraphOps {
         |SELECT node AS p_partkey, CAST(count(*) AS BIGINT) AS n_triangles
         |FROM nodes GROUP BY node
         |ORDER BY n_triangles DESC, p_partkey LIMIT 10""".stripMargin,
+
+    // the same middle-node join + distinct reach count
+    "g9_two_hop" ->
+      """WITH li AS MATERIALIZED (
+        |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+        |  FROM lineitem WHERE l_partkey < 3000),
+        |e AS MATERIALIZED (SELECT DISTINCT a.p AS d1, b.p AS d2
+        |      FROM li a JOIN li b ON a.o = b.o AND a.p < b.p),
+        |bi AS MATERIALIZED (SELECT d1, d2 FROM e UNION ALL SELECT d2, d1 FROM e),
+        |two AS (SELECT x.d1, y.d2 FROM bi x JOIN bi y ON x.d2 = y.d1),
+        |reach AS (
+        |  SELECT d1, count(*) AS reach2 FROM (
+        |    SELECT DISTINCT d1, d2 FROM (
+        |      SELECT d1, d2 FROM bi UNION ALL SELECT d1, d2 FROM two) u
+        |    WHERE d1 != d2) v
+        |  GROUP BY d1),
+        |deg AS (SELECT d1, count(*) AS degree FROM bi GROUP BY d1)
+        |SELECT deg.d1 AS node, deg.degree, reach.reach2
+        |FROM deg JOIN reach ON deg.d1 = reach.d1
+        |ORDER BY reach2 DESC, node LIMIT 20""".stripMargin,
 
     // the same 3 (src,node)-keyed rounds unrolled; MATERIALIZED so the
     // round chain can't re-expand exponentially under default inlining

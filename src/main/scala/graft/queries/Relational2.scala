@@ -449,6 +449,28 @@ object Relational2 {
         .orderBy(col("bucket"))
     }),
 
+    // --- seasonal index decomposition — the BI seasonality report
+    //     (which months run hot?): per calendar month across all years,
+    //     order volume and value vs the all-time baseline. The index is
+    //     month_avg / overall_avg in ppm with BOTH averages exact floor
+    //     divisions of integer-cent sums — the division order is pinned
+    //     (avg first, then ratio) so both engines walk identical
+    //     integers; no float mean ever forms. One 12-group hash
+    //     aggregate + a broadcast one-row baseline. ---
+    "a14_seasonality" -> ((s, dir) => {
+      val o = t(s, dir, "orders").select(
+        month(col("o_orderdate")).as("m"),
+        expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").as("cents"))
+      val byM = o.groupBy(col("m"))
+        .agg(count(lit(1)).as("n_orders"), sum(col("cents")).cast("long").as("sum_cents"))
+      val base = byM.agg(
+        expr("sum(sum_cents) div sum(n_orders)").as("avg_all"))
+      byM.crossJoin(broadcast(base))
+        .select(col("m"), col("n_orders"), col("sum_cents"),
+          expr("(sum_cents div n_orders) * 1000000 div avg_all").as("idx_ppm"))
+        .orderBy(col("m"))
+    }),
+
     // --- functional-dependency audit — schema-discovery profiling (the
     //     normalization/data-contract check): does X determine Y? Each
     //     candidate FD is ONE two-level distinct aggregate (partial by
@@ -1014,6 +1036,22 @@ object Relational2 {
 
     // identical Laplace smoothing and micro-unit quantization; the
     // total row is an exact integer sum of the per-bucket terms
+    // identical integer-cents sums; the pinned avg-then-ratio division
+    // order keeps every step exact
+    "a14_seasonality" ->
+      """WITH o AS (
+        |  SELECT month(o_orderdate) AS m,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM orders),
+        |bym AS (SELECT m, count(*) AS n_orders,
+        |          CAST(sum(cents) AS BIGINT) AS sum_cents
+        |        FROM o GROUP BY m),
+        |base AS (SELECT CAST(sum(sum_cents) AS HUGEINT) //
+        |           CAST(sum(n_orders) AS HUGEINT) AS avg_all FROM bym)
+        |SELECT m, n_orders, sum_cents,
+        |  CAST((sum_cents // n_orders) * 1000000 // avg_all AS BIGINT) AS idx_ppm
+        |FROM bym, base ORDER BY m""".stripMargin,
+
     // the same four per-FD distinct aggregates, unioned
     "a13_fd_audit" ->
       """WITH f1 AS (
