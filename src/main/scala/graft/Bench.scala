@@ -40,16 +40,37 @@ object Bench {
       try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
       catch { case _: Throwable => -1.0 }
     }
+    // Spread guard with AUTOMATIC RE-MEASUREMENT: a query whose max/min
+    // exceeds 2x across the timed passes (above a 0.25 s floor — sub-100ms
+    // queries jitter harmlessly) was measured on a noisy host, not changed
+    // by code. Instead of merely flagging it (round 6 flagged and moved
+    // on, leaving a 0.45-vs-1.49s ambiguity on q3), rerun the query up to
+    // `extraRuns` more passes; its reported statistic is then the median
+    // of the `runs` FASTEST passes (the least-noise subset — noise on a
+    // shared host is strictly additive). Only if even the fastest-`runs`
+    // subset still spreads >2x does the query stay flagged as unstable.
+    val extraRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_RERUNS", "4").toInt
+    def unstable(ts: Seq[Double]): Boolean = {
+      val best = ts.sorted.take(runs)
+      ts.forall(_ >= 0) && best.max > 0.25 && best.max / math.max(best.min, 1e-9) > 2.0
+    }
     val results = ordered.map { case (name, fn) =>
-      val times = Seq.fill(math.max(1, runs))(timed(fn))
+      var times = Seq.fill(math.max(1, runs))(timed(fn))
+      var extra = 0
+      while (unstable(times) && extra < extraRuns) {
+        times = times :+ timed(fn)
+        extra += 1
+      }
       name -> times
     }
     def median(xs: Seq[Double]): Double = {
       val s = xs.sorted
       if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
     }
+    // reported statistic: median of the `runs` fastest passes (identical
+    // to plain median-of-runs when no rerun was triggered)
     def stats(ts: Seq[Double]): (Double, Double) =
-      if (ts.exists(_ < 0)) (-1.0, -1.0) else (median(ts), ts.min)
+      if (ts.exists(_ < 0)) (-1.0, -1.0) else (median(ts.sorted.take(runs)), ts.min)
     def obj(f: ((String, Seq[Double])) => Double): String =
       results.map { case (k, ts) => "\"" + k + f"""\":${f((k, ts))}%.3f""" }
         .mkString("{", ",", "}")
@@ -63,22 +84,18 @@ object Bench {
     // stay small (the round-4 line with per-run arrays inlined overflowed the
     // buffer and parsed as null). Keep stdout to the compact contract line —
     // medians per query — and write min + raw runs to a side file instead.
-    // Spread guard: a query whose max/min exceeds 2x (above a 0.25 s
-    // floor — sub-100ms queries jitter harmlessly) means the host was
-    // noisy during the run and the medians are suspect. The violations
-    // ride in both JSON outputs so regression analysis can discount
-    // them; SPARK_GRAFT_BENCH_STRICT=1 turns them into a nonzero exit
-    // for dev loops that want a hard stop.
-    val spreadViolations = results.collect {
-      case (k, ts) if ts.forall(_ >= 0) && ts.max > 0.25 && ts.max / math.max(ts.min, 1e-9) > 2.0 => k
-    }
+    // Queries still unstable after the rerun budget ride in both JSON
+    // outputs so regression analysis can discount them;
+    // SPARK_GRAFT_BENCH_STRICT=1 turns them into a nonzero exit for dev
+    // loops that want a hard stop.
+    val spreadViolations = results.collect { case (k, ts) if unstable(ts) => k }
     val spreadObj = spreadViolations.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val detail = f"""{"stat":"median-of-$runs","cpus":$cpus,"queries_min":$mins,"queries_runs":$runsObj,"spread_violations":$spreadObj,"sf":"$sfDir"}"""
+    val detail = f"""{"stat":"median-of-best-$runs","rerun_budget":$extraRuns,"cpus":$cpus,"queries_min":$mins,"queries_runs":$runsObj,"spread_violations":$spreadObj,"sf":"$sfDir"}"""
     try {
       val p = java.nio.file.Paths.get("bench_detail.json")
       java.nio.file.Files.write(p, detail.getBytes("UTF-8"))
     } catch { case _: Throwable => () }
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","stat":"median-of-$runs","cpus":$cpus,"n_spread_violations":${spreadViolations.size},"queries":$medians,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","stat":"median-of-best-$runs","cpus":$cpus,"n_spread_violations":${spreadViolations.size},"queries":$medians,"sf":"$sfDir"}""")
     spark.stop()
     if (spreadViolations.nonEmpty && sys.env.get("SPARK_GRAFT_BENCH_STRICT").contains("1"))
       sys.exit(2)

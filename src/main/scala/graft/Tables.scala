@@ -24,6 +24,7 @@ object Tables {
   private def purgeStopped(): Unit = {
     dfCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
     lastDir.keySet.removeIf(s => s.sparkContext.isStopped)
+    fanoutCache.keySet.removeIf(df => df.sparkSession.sparkContext.isStopped)
   }
 
   /** Invalidate every cached plan/view registration under `dir` — the
@@ -33,6 +34,9 @@ object Tables {
   def invalidate(dir: String): Unit = {
     dfCache.keySet.removeIf(k => k._2 == dir)
     lastDir.entrySet.removeIf(e => e.getValue == dir)
+    // fanout entries aren't attributable to a dir (keyed by DataFrame
+    // reference) — drop them all; re-probing is cheap and correct
+    fanoutCache.clear()
   }
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
@@ -42,18 +46,24 @@ object Tables {
     // overhead when every query loads its inputs through here. The
     // testdata is read-only, so the cached FileIndex snapshot cannot
     // go stale.
-    dfCache.computeIfAbsent((spark, dir, name), _ => {
-      val df = spark.read.parquet(s"$dir/$name.parquet")
-      // events.ts is TIMESTAMP(NANOS) parquet, which Spark 4 only reads as
-      // long (spark.sql.legacy.parquet.nanosAsLong=true, set in Spark.session).
-      // Truncate ns -> us exactly in integer math (matches DuckDB, which also
-      // truncates ns to its internal microsecond timestamps).
-      df.schema.find(f => f.name == "ts" && f.dataType == LongType) match {
-        case Some(_) => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-        case None    => df
-      }
-    })
+    dfCache.computeIfAbsent((spark, dir, name), _ =>
+      normalizeTs(spark.read.parquet(s"$dir/$name.parquet")))
   }
+
+  /** Normalize a raw-Long `ts` column to TimestampType. A TIMESTAMP(NANOS)
+    * parquet column reaches Spark 4 only as epoch-nanos long
+    * (spark.sql.legacy.parquet.nanosAsLong=true, set in Spark.session);
+    * truncate ns -> us exactly in integer math (matches DuckDB, which also
+    * truncates ns to its internal microsecond timestamps). A file whose
+    * `ts` is already typed (timestamp[us]/[ms]) passes through untouched —
+    * the guard is on the OBSERVED schema, never an assumed one, so both
+    * physical layouts read identically. Shared by the batch loader and the
+    * streaming reader so the two paths can never diverge on units. */
+  def normalizeTs(df: DataFrame): DataFrame =
+    df.schema.find(f => f.name == "ts" && f.dataType == LongType) match {
+      case Some(_) => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case None    => df
+    }
 
   /** Fan a scan out to the session's full parallelism WHEN (and only
     * when) the source under-splits. The synthetic tables are single-
@@ -67,9 +77,20 @@ object Tables {
     * plan stage. Catalyst still pushes filters/pruning through the
     * round-robin exchange to the scan. */
   def fanout(df: DataFrame): DataFrame = {
-    val cores = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions * 2 < cores) df.repartition(cores) else df
+    // Cache the split-count decision per input DataFrame: the
+    // `df.rdd.getNumPartitions` probe forces a physical-plan conversion,
+    // pure overhead when the same (cached) table DataFrame flows through
+    // here on every query build. Keyed by reference — `load` hands out
+    // one instance per (session, dir, name), and DataFrame has no value
+    // equality, so reference identity IS the cache key.
+    fanoutCache.computeIfAbsent(df, df => {
+      val cores = df.sparkSession.sparkContext.defaultParallelism
+      if (df.rdd.getNumPartitions * 2 < cores) df.repartition(cores) else df
+    })
   }
+
+  private val fanoutCache =
+    new java.util.concurrent.ConcurrentHashMap[DataFrame, DataFrame]()
 
   private val lastDir = new java.util.concurrent.ConcurrentHashMap[SparkSession, String]()
 

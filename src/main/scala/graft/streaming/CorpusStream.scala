@@ -19,16 +19,15 @@ import org.apache.spark.sql.types._
   * is why the spec can assert exact equality with the batch gate. */
 object CorpusStream {
 
-  val schema: StructType = StructType(Seq(
-    StructField("doc_id", LongType),
-    StructField("text", StringType),
-    StructField("lang", StringType),
-    StructField("source", StringType),
-    StructField("n_chars", LongType)))
-
-  /** File-source stream over a directory of documents parquet. */
-  def read(spark: SparkSession, dir: String): DataFrame =
-    spark.readStream.schema(schema).parquet(dir)
+  /** File-source stream over a directory of documents parquet. The
+    * required upfront schema is taken from the files themselves (one
+    * footer pass at stream definition time), never assumed — a hardcoded
+    * schema silently reinterprets columns when the writer's physical
+    * types drift (the events-ts lesson). */
+  def read(spark: SparkSession, dir: String): DataFrame = {
+    val native = spark.read.parquet(dir).schema
+    spark.readStream.schema(native).parquet(dir)
+  }
 
   /** The STREAMABLE half of the batch d15 curation funnel: the length
     * band and the integer cross-multiplied alpha-ratio quality gate are

@@ -18,20 +18,28 @@ import org.apache.spark.sql.types._
   */
 object EventStream {
 
-  /** The events schema as written by the driver (ts arrives as epoch
-    * nanos long when sourced from the TIMESTAMP(NANOS) parquet). */
-  val schema: StructType = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
-
-  /** File-source stream over a directory of events parquet. */
-  def read(spark: SparkSession, dir: String): DataFrame =
-    spark.readStream.schema(schema).parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  /** File-source stream over a directory of events parquet, schema-driven
+    * exactly like the batch loader: a streaming file source requires a
+    * schema upfront, so take it from the files themselves (one batch-read
+    * footer pass at stream definition time), then apply the SAME observed-
+    * schema `ts` guard as `Tables.load` via [[graft.Tables.normalizeTs]].
+    * Forcing an assumed Long schema here is how a timestamp[us] file gets
+    * misread as raw microseconds and the event timeline compresses 1000x
+    * (no watermark ever fires) — the schema must come from the data. */
+  def read(spark: SparkSession, dir: String): DataFrame = {
+    val native = spark.read.parquet(dir).schema
+    val df = graft.Tables.normalizeTs(spark.readStream.schema(native).parquet(dir))
+    // Watermarks demand TIMESTAMP (session-tz), but a timestamp[us] parquet
+    // column without tz metadata arrives as TIMESTAMP_NTZ. Re-tag it: the
+    // session runs in UTC (Spark.session), so the NTZ wall clock IS the
+    // epoch instant and the cast changes no value. Batch queries keep the
+    // native NTZ type (their oracle hashes depend on it); only the
+    // streaming path needs the event-time type.
+    df.schema.find(f => f.name == "ts" && f.dataType == TimestampNTZType) match {
+      case Some(_) => df.withColumn("ts", col("ts").cast(TimestampType))
+      case None    => df
+    }
+  }
 
   /** Tumbling 1-hour windowed counts with a 2-hour watermark. */
   def tumblingCounts(events: DataFrame): DataFrame =

@@ -323,8 +323,8 @@ class StreamingSpec extends AnyFunSuite {
 
   test("stateful sessionization emits gap-closed sessions") {
     import spark.implicits._
-    val evs = spark.readStream.schema(EventStream.schema).parquet(eventsDir)
-      .select(col("event_id"), expr("ts div 1000000000").as("sec"), col("user_id"))
+    val evs = EventStream.read(spark, eventsDir)
+      .select(col("event_id"), unix_timestamp(col("ts")).as("sec"), col("user_id"))
       .as[EventStream.Ev]
     val q = EventStream.sessionize(evs)
       .writeStream.format("memory").queryName("sessions")
