@@ -53,8 +53,17 @@ object GraphOps {
   private def coPurchaseEdges(s: SparkSession, dir: String,
       cap: Option[Long]): DataFrame = {
     val base = t(s, dir, "lineitem")
+    // ONE corpus-scale exchange builds the whole graph: repartition by
+    // order id up front, and the (o, p) dedup (clustered-distribution
+    // subset rule: o-partitioning satisfies (o, p) grouping), the wedge
+    // self-join on o (both sides already clustered by o — and the two
+    // identical subplans collapse into one reused shuffle stage), and
+    // the map-side dedup before the final (d1, d2) exchange all run in
+    // place. Round 6's shape paid a (o, p) exchange plus a fresh o
+    // exchange per join side for the same result.
     val li = cap.fold(base)(c => base.filter(col("l_partkey") < c))
       .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .repartition(col("o"))
       .distinct()
     li.as("a").join(li.as("b"),
         col("a.o") === col("b.o") && col("a.p") < col("b.p"))
@@ -317,6 +326,12 @@ object GraphOps {
       var lab = bi.select(col("d1")).distinct()
         .select(col("d1").as("node"), col("d1").as("lbl"))
         .localCheckpoint(true)
+      // no per-round checkpoint: 3 rounds is a bounded, linear lineage
+      // (join + two map-side-combinable aggregates each), and keeping it
+      // ONE plan lets AQE size every exchange and reuse the checkpointed
+      // bi scan across rounds — an RDD boundary per round only added
+      // jobs. (Unbounded-round algorithms — g1/d8 — do need the
+      // per-round checkpoint; 3 fixed rounds do not.)
       for (_ <- 1 to 3) {
         lab = bi.join(lab, col("d1") === col("node"))
           .groupBy(col("d2"), col("lbl")).agg(count(lit(1)).as("cnt"))
@@ -324,7 +339,6 @@ object GraphOps {
           .agg(max(expr("cnt * 1000000 + (999999 - lbl)")).as("sc"))
           .select(col("d2").as("node"),
             expr("CAST(999999 - sc % 1000000 AS BIGINT)").as("lbl"))
-          .localCheckpoint(false)
       }
       lab.groupBy(col("lbl")).agg(count(lit(1)).as("community_size"))
         .select(col("lbl").as("community"), col("community_size"))
@@ -383,8 +397,12 @@ object GraphOps {
     "g7_kcore" -> ((s, dir) => {
       val k = 80
       var e = coPurchaseEdges(s, dir, cap = Some(3000L))
+      // ONE bidirectional relation per round, reused twice: round r's
+      // post-peel `bi` feeds both its own survival audit and round r+1's
+      // degree count (round 6 rebuilt it separately for each — two
+      // unions + scans per round for one relation's worth of data)
+      var bi = e.union(e.select(col("d2").as("d1"), col("d1").as("d2")))
       val rounds = (1 to 4).map { r =>
-        val bi = e.union(e.select(col("d2").as("d1"), col("d1").as("d2")))
         val keep = bi.groupBy(col("d1")).agg(count(lit(1)).as("deg"))
           .filter(col("deg") >= k)
           .select(col("d1").as("node"))
@@ -395,8 +413,8 @@ object GraphOps {
           .join(keep.select(col("node").as("d2")), Seq("d2"), "left_semi")
           .select(col("d1"), col("d2"))
           .localCheckpoint(true)
-        val bi2 = e.union(e.select(col("d2").as("d1"), col("d1").as("d2")))
-        bi2.agg(countDistinct(col("d1")).as("n_nodes"),
+        bi = e.union(e.select(col("d2").as("d1"), col("d1").as("d2")))
+        bi.agg(countDistinct(col("d1")).as("n_nodes"),
             (count(lit(1)) / 2).cast("long").as("n_edges"))
           .select(lit(r).as("round"), col("n_nodes"), col("n_edges"))
       }

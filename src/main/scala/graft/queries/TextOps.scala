@@ -37,6 +37,74 @@ object TextOps {
   private def padded(df: DataFrame) =
     concat(lit(" "), col("text"), lit(" "))
 
+  /** Imperative BPE merge-learning kernel, run as ONE task over the
+    * (sym, freq) vocabulary (see t14/t16 below for why that placement is
+    * the scale-correct one). Semantics are bit-for-bit the oracle CTE's:
+    * symbols are the double-space-separated `sym` string's nonempty
+    * `"  "`-split tokens; a round counts freq-weighted adjacent pairs,
+    * picks the (cnt desc, a asc, b asc) argmax with UTF-8-binary string
+    * order (what both engines' ORDER BY uses — Java compareTo is UTF-16
+    * order and disagrees above U+FFFF), and applies the merge with the
+    * same literal left-to-right non-overlapping replace
+    * `' a  b ' -> ' ab '` (java.lang.String.replace == Spark `replace`
+    * == DuckDB `replace` semantics). Returns the merge table and the
+    * final segmentation.
+    */
+  private[queries] def bpeLearnKernel(syms: Array[String], freqs: Array[Long],
+      rounds: Int): (Array[(Int, String, String, Long)], Array[String]) = {
+    def utf8Less(x: String, y: String): Boolean = {
+      val a = x.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val b = y.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) {
+        val d = (a(i) & 0xff) - (b(i) & 0xff)
+        if (d != 0) return d < 0
+        i += 1
+      }
+      a.length < b.length
+    }
+    val cur = syms.clone()
+    val merges = Array.newBuilder[(Int, String, String, Long)]
+    var k = 1
+    var done = false
+    while (k <= rounds && !done) {
+      val counts = new java.util.HashMap[(String, String), Long]()
+      var i = 0
+      while (i < cur.length) {
+        val parts = cur(i).split("  ").filter(_.nonEmpty)
+        var j = 0
+        while (j < parts.length - 1) {
+          counts.merge((parts(j), parts(j + 1)), freqs(i), _ + _)
+          j += 1
+        }
+        i += 1
+      }
+      var bestPair: (String, String) = null
+      var bestCnt = 0L
+      counts.forEach { (p, c) =>
+        if (bestPair == null || c > bestCnt ||
+            (c == bestCnt && (utf8Less(p._1, bestPair._1) ||
+              (p._1 == bestPair._1 && utf8Less(p._2, bestPair._2)))))
+          { bestPair = p; bestCnt = c }
+      }
+      if (bestPair == null) done = true // no multi-symbol words left
+      else {
+        merges += ((k, bestPair._1, bestPair._2, bestCnt))
+        val pat = " " + bestPair._1 + "  " + bestPair._2 + " "
+        val rep = " " + bestPair._1 + bestPair._2 + " "
+        i = 0
+        while (i < cur.length) { cur(i) = cur(i).replace(pat, rep); i += 1 }
+        k += 1
+      }
+    }
+    (merges.result(), cur)
+  }
+
+  /** Symbol count of a kernel-produced segmentation string. */
+  private[queries] def bpeSymCount(sym: String): Long =
+    sym.split("  ").count(_.nonEmpty).toLong
+
   /** Horner-form rolling hash of the 8-gram at position i, mod 1000003
     * with base 257, reduced at every step so both engines stay in exact
     * BIGINT range. `arr(j)` renders the j-th character code. */
@@ -394,31 +462,43 @@ object TextOps {
     //     -ln(p9/1e9) quantizes to micro-nats per bigram, and the
     //     per-doc mean is an integer division — every cross-engine sum
     //     is BIGINT, ln/exp only ever see identical doubles. Shape:
-    //     the LM tables (c12, c1) shuffle once at vocab size; scoring
-    //     re-joins the bigram stream against them (at 100 TB c1 and
-    //     vocab broadcast, c12 stays an equi-join on w1) and each doc
-    //     collapses to one row before the tiny band rollup. ---
+    //     one (doc, bigram)-grained aggregate feeds both the LM tables
+    //     and the scoring probe (c12 stays an equi-join on (w1, w2); c1
+    //     and the vocab scalar broadcast) and each doc collapses to one
+    //     row before the tiny band rollup. ---
     "t21_perplexity" -> ((s, dir) => {
+      // One corpus consumption for the whole LM side: bigram occurrences
+      // aggregate FIRST into the (doc_id, w1, w2) -> k relation; the LM
+      // tables (c12, c1) and the per-doc scoring probe both derive from
+      // that one exchange (Catalyst's ReuseExchange dedups it), where
+      // round 6's shape recomputed the corpus scan four times (c12,
+      // c1-via-c12, probe, vocab). c1 and the vocab scalar broadcast
+      // (vocab-bounded); scoring applies the per-TYPE surprisal to the
+      // per-doc counts (sum k*s6 == adding s6 per occurrence — integer
+      // math, bit-identical), so no corpus-scale row stream ever reaches
+      // the join.
       val toks = docs(s, dir)
         .select(col("doc_id"), split(trim(col("text")), "\\s+").as("ts"))
-      val big = toks.filter(size(col("ts")) >= 2)
+      val dw = toks.filter(size(col("ts")) >= 2)
         .select(col("doc_id"), explode(expr(
           "transform(sequence(0, size(ts) - 2), i -> struct(ts[i] AS w1, ts[i+1] AS w2))")).as("b"))
         .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
-      val c12 = big.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+        .groupBy(col("doc_id"), col("w1"), col("w2")).agg(count(lit(1)).as("k"))
+      val c12 = dw.groupBy(col("w1"), col("w2")).agg(sum(col("k")).cast("long").as("c12"))
       val c1 = c12.groupBy(col("w1")).agg(sum(col("c12")).cast("long").as("c1"))
       val vocab = toks.select(explode(col("ts")).as("tok"))
         .agg(countDistinct(col("tok")).as("v"))
-      val s6 = big
-        .join(c12, Seq("w1", "w2"))
-        .join(c1, Seq("w1"))
+      val types = c12
+        .join(broadcast(c1), Seq("w1"))
         .crossJoin(broadcast(vocab))
-        .select(col("doc_id"),
+        .select(col("w1"), col("w2"),
           floor((col("c12") + 1) / (col("c1") + col("v")) * 1e9 + 0.5).as("p9"))
-        .select(col("doc_id"),
+        .select(col("w1"), col("w2"),
           floor(-log(col("p9") / 1e9) * 1e6 + 0.5).cast("long").as("s6"))
-      val perDoc = s6.groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("nb"), sum(col("s6")).cast("long").as("ss6"))
+      val perDoc = dw.join(types, Seq("w1", "w2"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("k")).cast("long").as("nb"),
+          sum(col("k") * col("s6")).cast("long").as("ss6"))
         .select(col("nb"), expr("ss6 div nb").as("h6"))
       perDoc.select(col("nb"), exp(col("h6") / 1e6).as("ppl"))
         .groupBy(floor(col("ppl") / 2).cast("long").as("band"))
@@ -517,38 +597,36 @@ object TextOps {
     //     boundary space survives for back-to-back occurrences (both
     //     engines' `replace` has identical semantics — same trick as
     //     wordCount above). Argmax ties break on (count desc, pair) so
-    //     the merge sequence is fully deterministic. ---
+    //     the merge sequence is fully deterministic.
+    //     Execution shape: merge learning is INHERENTLY sequential (each
+    //     round's counts depend on the previous merge) over VOCAB-sized
+    //     state — and t14's vocabulary comes from a bounded 100-doc
+    //     sample, so it is tiny at ANY corpus scale. Running the 5
+    //     rounds as distributed jobs pays 5-15x Spark's per-job floor
+    //     (measured: ~0.3 s/job against a 31-row vocab) for zero
+    //     parallelism; instead the distributed part is exactly the
+    //     corpus-scale pass (sample scan + word count), and the rounds
+    //     run in ONE task via [[bpeLearnKernel]] — the same shape
+    //     production tokenizer trainers use (distributed count, local
+    //     merge loop). One Spark job end-to-end. ---
     "t14_bpe_learn" -> ((s, dir) => {
-      val w = docs(s, dir).filter(col("doc_id") < 100)
+      import s.implicits._
+      // plain load, no fanout: the bounded 100-doc sample makes the scan
+      // stage trivially small at any corpus scale — a round-robin
+      // exchange would only add a stage
+      Tables.load(s, dir, "documents").filter(col("doc_id") < 100)
         .select(explode(split(trim(col("text")), "\\s+")).as("word"))
         .groupBy(col("word")).agg(count(lit(1)).as("freq"))
-      var sym = w.select(
-        concat(lit("  "), regexp_replace(col("word"), "(.)", "$1  ")).as("sym"),
-        col("freq"))
-      var merges: DataFrame = null
-      for (k <- 1 to 5) {
-        val pairs = sym
-          .select(expr("filter(split(sym, '  '), x -> x != '')").as("l"), col("freq"))
-          .select(explode(expr(
-            // sequence(0,-1) descends — guard single-symbol words
-            "CASE WHEN size(l) < 2 THEN array() ELSE " +
-            "transform(sequence(0, size(l) - 2), i -> struct(l[i] AS a, l[i+1] AS b)) END"))
-            .as("p"), col("freq"))
-          .groupBy(col("p.a").as("a"), col("p.b").as("b"))
-          .agg(sum(col("freq")).cast("long").as("cnt"))
-        // deterministic argmax; tiny (1 row) — eager checkpoint because
-        // it is consumed twice (merge application + result union)
-        val top = pairs.orderBy(col("cnt").desc, col("a"), col("b")).limit(1)
-          .select(lit(k).as("rank"), col("a"), col("b"), col("cnt"))
-          .localCheckpoint(true)
-        merges = if (merges == null) top else merges.union(top)
-        sym = sym.crossJoin(broadcast(top))
-          .select(expr(
-            "replace(sym, concat(' ', a, '  ', b, ' '), concat(' ', a, b, ' '))")
-            .as("sym"), col("freq"))
-          .localCheckpoint(false) // leaf per round, one materialization
-      }
-      merges.orderBy(col("rank"))
+        .select(
+          concat(lit("  "), regexp_replace(col("word"), "(.)", "$1  ")).as("sym"),
+          col("freq"))
+        .as[(String, Long)]
+        .coalesce(1)
+        .mapPartitions { it =>
+          val (syms, freqs) = it.toArray.unzip
+          bpeLearnKernel(syms, freqs, 5)._1.iterator
+        }
+        .toDF("rank", "a", "b", "cnt").orderBy(col("rank"))
     }),
 
     // --- BPE APPLICATION: t14 learns the merges; this runs the learned
@@ -560,32 +638,28 @@ object TextOps {
     //     of re-segmenting every occurrence. Corpus touched twice (vocab
     //     build + final join), both map-side-combining aggregates. ---
     "t16_bpe_apply" -> ((s, dir) => {
+      import s.implicits._
       val words = docs(s, dir)
         .select(col("source"), explode(split(trim(col("text")), "\\s+")).as("word"))
       val vocab = words.groupBy(col("word")).agg(count(lit(1)).as("freq"))
-      var sym = vocab.select(col("word"),
-        concat(lit("  "), regexp_replace(col("word"), "(.)", "$1  ")).as("sym"),
-        col("freq"))
-      for (_ <- 1 to 5) {
-        val pairs = sym
-          .select(expr("filter(split(sym, '  '), x -> x != '')").as("l"), col("freq"))
-          .select(explode(expr(
-            "CASE WHEN size(l) < 2 THEN array() ELSE " +
-            "transform(sequence(0, size(l) - 2), i -> struct(l[i] AS a, l[i+1] AS b)) END"))
-            .as("p"), col("freq"))
-          .groupBy(col("p.a").as("a"), col("p.b").as("b"))
-          .agg(sum(col("freq")).cast("long").as("cnt"))
-        val top = pairs.orderBy(col("cnt").desc, col("a"), col("b")).limit(1)
-          .select(col("a"), col("b"))
-          .localCheckpoint(true)
-        sym = sym.crossJoin(broadcast(top))
-          .select(col("word"), expr(
-            "replace(sym, concat(' ', a, '  ', b, ' '), concat(' ', a, b, ' '))")
-            .as("sym"), col("freq"))
-          .localCheckpoint(false)
-      }
-      val toks = sym.select(col("word"),
-        expr("CAST(size(filter(split(sym, '  '), x -> x != '')) AS BIGINT)").as("n_sym"))
+      // the corpus shuffles once into the Zipf-compact vocab; the 5
+      // inherently-sequential merge rounds then run in ONE task via
+      // bpeLearnKernel (see t14 — 5 distributed jobs against vocab-sized
+      // data only pay the per-job floor), which also emits each word's
+      // final segmentation, so learning + application of the tokenizer
+      // to the vocabulary is a single pass
+      val toks = vocab.select(col("word"),
+          concat(lit("  "), regexp_replace(col("word"), "(.)", "$1  ")).as("sym"),
+          col("freq"))
+        .as[(String, String, Long)]
+        .coalesce(1)
+        .mapPartitions { it =>
+          val arr = it.toArray
+          val finalSyms = bpeLearnKernel(arr.map(_._2), arr.map(_._3), 5)._2
+          arr.iterator.zip(finalSyms.iterator)
+            .map { case ((w, _, _), fs) => (w, bpeSymCount(fs)) }
+        }
+        .toDF("word", "n_sym")
       words.join(broadcast(toks), Seq("word"))
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_words"),
@@ -612,13 +686,30 @@ object TextOps {
     //     the doubles are deterministic under any partitioning. ---
     "t17_tfidf_pairs" -> ((s, dir) => {
       val d = docs(s, dir)
-      val tf = d.select(col("doc_id"),
-          explode(split(trim(lower(col("text"))), "\\s+")).as("w"))
-        .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+      // Per-doc term frequencies are ROW-LOCAL: sort the doc's token
+      // array and run-length its runs with pure array expressions — the
+      // round-6 shape shuffled every raw (doc, word) occurrence to a
+      // (doc_id, w) groupBy and then re-shuffled the result by w to meet
+      // the df join; both corpus-scale exchanges are gone (the only ones
+      // left are vocab-grained: the df build and the term-bucket merge).
+      val tfArr =
+        "CASE WHEN size(ws) = 0 THEN array() ELSE " +
+        "zip_with(starts, concat(slice(starts, 2, size(starts)), array(size(ws))), " +
+        "(a, b) -> struct(ws[a] AS w, CAST(b - a AS BIGINT) AS tf)) END"
+      val tf = d
+        .select(col("doc_id"),
+          expr("array_sort(split(trim(lower(text)), '\\\\s+'))").as("ws"))
+        .select(col("doc_id"), col("ws"), expr(
+          "filter(sequence(0, size(ws) - 1), i -> i = 0 OR ws[i] != ws[i-1])").as("starts"))
+        .select(col("doc_id"), explode(expr(tfArr)).as("p"))
+        .select(col("doc_id"), col("p.w").as("w"), col("p.tf").as("tf"))
       val nd = d.groupBy().agg(count(lit(1)).as("n_docs"))
+      // rare-term table: df-capped at 100, so it is vocab-BOUNDED (and
+      // far smaller than the vocab) — broadcast it instead of
+      // repartitioning the corpus-scale tf stream onto w
       val dfq = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
         .filter(col("df") >= 2 && col("df") <= 100)
-      val wtf = tf.join(dfq, Seq("w")).crossJoin(broadcast(nd))
+      val wtf = tf.join(broadcast(dfq), Seq("w")).crossJoin(broadcast(nd))
         .select(col("doc_id"), col("w"), col("tf"),
           expr("(n_docs * 100) div df").as("iw"))
       val norms = wtf.groupBy(col("doc_id"))
@@ -695,28 +786,30 @@ object TextOps {
     //     O(shingles x sources^2) worst case with a tiny constant, and
     //     the output is the S x S matrix. ---
     "t20_source_overlap" -> ((s, dir) => {
-      // ONE corpus-stream shuffle: collect_set dedups (source, h) pairs
-      // map-side inside the same aggregate a separate distinct() would
-      // need its own exchange for, and the per-source vocabulary sizes
-      // fall out of the already-aggregated shingle-type relation
-      val byH = docs(s, dir).select(col("source"),
+      // ONE corpus consumption, ONE job: collect_set dedups (source, h)
+      // pairs map-side inside the shingle-type aggregate, then the pair
+      // explode emits ALL ordered pairs INCLUDING the diagonal (s, s) —
+      // so the per-source vocabulary sizes are the diagonal counts of
+      // the very same S x S aggregate the shared counts come from (no
+      // separate sizes branch, no checkpoint for double consumption).
+      // The diagonal reaches each off-diagonal row via a window over the
+      // <= S^2-row result — S is the source count (5), never
+      // corpus-sized, at any corpus scale.
+      val pairs = docs(s, dir).select(col("source"),
           explode(expr("word_shingle_hashes(text, 3)")).as("h"))
         .groupBy(col("h"))
         .agg(sort_array(collect_set(col("source"))).as("ss"))
-        .localCheckpoint(true) // sizes + shared both consume it
-      val sizes = byH.select(explode(col("ss")).as("source"))
-        .groupBy(col("source")).agg(count(lit(1)).as("n_sh"))
-      val shared = byH
-        .filter(size(col("ss")) > 1)
         .select(explode(expr(
-          "flatten(transform(ss, a -> transform(filter(ss, b -> b != a), " +
+          "flatten(transform(ss, a -> transform(ss, " +
             "b -> struct(a AS s1, b AS s2))))")).as("p"))
         .groupBy(col("p.s1").as("s1"), col("p.s2").as("s2"))
-        .agg(count(lit(1)).as("n_shared"))
-      shared
-        .join(sizes.select(col("source").as("s1"), col("n_sh").as("n1")), Seq("s1"))
-        .select(col("s1"), col("s2"), col("n_shared"),
-          round(col("n_shared") / col("n1"), 6).as("overlap_frac"))
+        .agg(count(lit(1)).as("n"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("s1"))
+      pairs
+        .withColumn("n1", max(when(col("s1") === col("s2"), col("n"))).over(w))
+        .filter(col("s1") =!= col("s2"))
+        .select(col("s1"), col("s2"), col("n").as("n_shared"),
+          round(col("n") / col("n1"), 6).as("overlap_frac"))
         .orderBy(col("s1"), col("s2"))
     })
   )
