@@ -30,11 +30,14 @@ PUBLIC_URL = re.compile(
     r")(?=[/\s\"')\]>.,;:]|$)")
 
 CATEGORIES = {
-    # imports outside the public namespaces this project may use
+    # imports of reverse-domain packages outside the public namespaces
+    # this project may use (local value imports like `spark.implicits._`
+    # and Python stdlib imports are not reverse-domain and don't match)
     "internal-import": re.compile(
         r"^\s*import\s+(?!org\.apache\.|java\.|javax\.|scala\.|graft\.|"
         r"org\.scalatest|org\.scalacheck|org\.slf4j|org\.junit|"
-        r"com\.fasterxml|org\.xerial|com\.github\.luben|org\.lz4|sbt)\S+",
+        r"com\.fasterxml|org\.xerial|com\.github\.luben|org\.lz4)"
+        r"(?:com|org|net|io|ai|dev|cloud|corp|internal)\.\S+",
         re.M),
     # any URL not on the public allowlist
     "internal-url": re.compile(r"https?://\S+"),

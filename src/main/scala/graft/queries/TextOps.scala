@@ -50,7 +50,7 @@ object TextOps {
     * == DuckDB `replace` semantics). Returns the merge table and the
     * final segmentation.
     */
-  private[queries] def bpeLearnKernel(syms: Array[String], freqs: Array[Long],
+  private[graft] def bpeLearnKernel(syms: Array[String], freqs: Array[Long],
       rounds: Int): (Array[(Int, String, String, Long)], Array[String]) = {
     def utf8Less(x: String, y: String): Boolean = {
       val a = x.getBytes(java.nio.charset.StandardCharsets.UTF_8)
@@ -102,7 +102,7 @@ object TextOps {
   }
 
   /** Symbol count of a kernel-produced segmentation string. */
-  private[queries] def bpeSymCount(sym: String): Long =
+  private[graft] def bpeSymCount(sym: String): Long =
     sym.split("  ").count(_.nonEmpty).toLong
 
   /** Horner-form rolling hash of the 8-gram at position i, mod 1000003

@@ -16,11 +16,18 @@ object ExplainAudit {
     val spark = Spark.session(appName = "graft-explain-audit")
     names.foreach { n =>
       println(s"===== $n =====")
-      SparkEntry.queries(n)(spark, sfDir).queryExecution.executedPlan.toString
-        .linesIterator
+      val plan = SparkEntry.queries(n)(spark, sfDir).queryExecution.executedPlan.toString
+      plan.linesIterator
         .map(_.replaceAll("#\\d+L?", "").replaceAll("\\[[^\\]]{60,}\\]", "[..]"))
         .map(l => l.take(120))
         .foreach(println)
+      // Exchange census: the stage-count budget at a glance. Shuffles are
+      // the scale cost; broadcasts and file scans give the reuse picture
+      // (a scan count above the table count means a subplan re-reads).
+      def c(re: String) = re.r.findAllIn(plan).size
+      println(s"--- exchanges: shuffle=${c("(?m)^\\s*[+:][- ]*Exchange ")} " +
+        s"broadcast=${c("BroadcastExchange")} reused=${c("ReusedExchange")} " +
+        s"scans=${c("FileScan|BatchScan")} aqe=${c("AdaptiveSparkPlan")}")
     }
     spark.stop()
   }

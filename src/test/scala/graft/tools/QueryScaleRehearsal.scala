@@ -56,6 +56,36 @@ object QueryScaleRehearsal {
       .select(col("d1"), col("d2"))
   }
 
+  /** The t16 pipeline (BPE learn-and-apply) over an arbitrary documents
+    * frame: distributed word count -> ONE-task merge-learning kernel
+    * over the vocabulary -> broadcast segmentation join. The rehearsal
+    * question: the perturbed K-copy corpus multiplies the VOCABULARY by
+    * K (every token carries a copy suffix) — does the single-task
+    * kernel placement survive a Kx vocabulary, or does it become the
+    * bottleneck the distributed rounds were dropped for? */
+  private def bpeApply(d: DataFrame): DataFrame = {
+    import d.sparkSession.implicits._
+    val words = d
+      .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("word"))
+    val vocab = words.groupBy(col("word")).agg(count(lit(1)).as("freq"))
+    val toks = vocab.select(col("word"),
+        concat(lit("  "), regexp_replace(col("word"), "(.)", "$1  ")).as("sym"),
+        col("freq"))
+      .as[(String, String, Long)]
+      .coalesce(1)
+      .mapPartitions { it =>
+        val arr = it.toArray
+        val finalSyms = graft.queries.TextOps.bpeLearnKernel(
+          arr.map(_._2), arr.map(_._3), 5)._2
+        arr.iterator.zip(finalSyms.iterator).map { case ((w, _, _), fs) =>
+          (w, fs.split("  ").count(_.nonEmpty).toLong)
+        }
+      }
+      .toDF("word", "n_sym")
+    words.join(broadcast(toks), Seq("word"))
+      .groupBy(col("doc_id")).agg(sum(col("n_sym")).as("n_bpe"))
+  }
+
   private def timed(df: DataFrame): (Long, Double) = {
     val t0 = System.nanoTime()
     val n = df.count()
@@ -80,15 +110,53 @@ object QueryScaleRehearsal {
       .localCheckpoint(true)
     val nScaled = scaled.count()
 
-    // warmup (codegen, broadcast machinery), then timed passes
-    lshPairs(base).count()
-    val (pairs1, sec1) = timed(lshPairs(base))
-    val (pairsK, secK) = timed(lshPairs(scaled))
+    val family = if (args.length > 2) args(2) else "lsh"
+    family match {
+      case "bpe" =>
+        // warmup, then timed passes; also report the kernel's input size
+        bpeApply(base).count()
+        val vb = base.select(explode(split(trim(col("text")), "\\s+")).as("w"))
+          .select(countDistinct(col("w"))).collect()(0).getLong(0)
+        val vk = scaled.select(explode(split(trim(col("text")), "\\s+")).as("w"))
+          .select(countDistinct(col("w"))).collect()(0).getLong(0)
+        val (docs1, sec1) = timed(bpeApply(base))
+        val (docsK, secK) = timed(bpeApply(scaled))
+        println(f"""{"rehearsal":"bpe-apply-scaling","k":$k,"base_docs":$docs1,""" +
+          f""""scaled_docs":$docsK,"base_vocab":$vb,"scaled_vocab":$vk,""" +
+          f""""base_sec":$sec1%.2f,"scaled_sec":$secK%.2f,""" +
+          f""""time_ratio":${secK / sec1}%.2f,"per_copy":${secK / sec1 / k}%.3f}""")
+        // kernel-only stress at realistic vocabulary sizes: the corpus
+        // above only has a few hundred word types, so ALSO time the
+        // single-task learn kernel against synthetic Zipf vocabularies
+        // (deterministic LCG words) at 1e5 and 1e6 types — the scale at
+        // which the "one task learns the merges" placement must hold
+        // (beyond ~1e8 types, cap the vocabulary by min-frequency, the
+        // standard trainer move)
+        for (v <- Seq(100000, 1000000)) {
+          var st = 42L
+          def nxt(): Long = { st = st * 6364136223846793005L + 1442695040888963407L; st }
+          val syms = Array.tabulate(v) { _ =>
+            val len = 3 + (math.abs(nxt()) % 8).toInt
+            val w = (0 until len).map(_ => ('a' + math.abs(nxt()) % 26).toChar).mkString
+            "  " + w.map(c => s"$c  ").mkString.stripSuffix(" ")
+          }
+          val freqs = Array.tabulate(v)(i => (v.toLong / (i + 1)).max(1L))
+          val t0 = System.nanoTime()
+          val (merges, _) = graft.queries.TextOps.bpeLearnKernel(syms, freqs, 5)
+          println(f"""{"rehearsal":"bpe-kernel-stress","vocab":$v,""" +
+            f""""merges":${merges.length},"sec":${(System.nanoTime() - t0) / 1e9}%.2f}""")
+        }
+      case _ =>
+        // warmup (codegen, broadcast machinery), then timed passes
+        lshPairs(base).count()
+        val (pairs1, sec1) = timed(lshPairs(base))
+        val (pairsK, secK) = timed(lshPairs(scaled))
 
-    println(f"""{"rehearsal":"lsh-dedup-scaling","k":$k,"base_docs":$nBase,""" +
-      f""""scaled_docs":$nScaled,"base_pairs":$pairs1,"scaled_pairs":$pairsK,""" +
-      f""""base_sec":$sec1%.2f,"scaled_sec":$secK%.2f,""" +
-      f""""time_ratio":${secK / sec1}%.2f,"per_copy":${secK / sec1 / k}%.3f}""")
+        println(f"""{"rehearsal":"lsh-dedup-scaling","k":$k,"base_docs":$nBase,""" +
+          f""""scaled_docs":$nScaled,"base_pairs":$pairs1,"scaled_pairs":$pairsK,""" +
+          f""""base_sec":$sec1%.2f,"scaled_sec":$secK%.2f,""" +
+          f""""time_ratio":${secK / sec1}%.2f,"per_copy":${secK / sec1 / k}%.3f}""")
+    }
     spark.stop()
   }
 }
