@@ -811,6 +811,41 @@ object TextOps {
         .select(col("s1"), col("s2"), col("n").as("n_shared"),
           round(col("n") / col("n1"), 6).as("overlap_frac"))
         .orderBy(col("s1"), col("s2"))
+    }),
+
+    // --- PMI collocation mining: the top bigrams by pointwise mutual
+    //     information over the corpus — the phrase-mining pass tokenizer
+    //     and vocabulary builders run to decide which word pairs deserve
+    //     a fused token ("new york"-style). Determinism: PMI itself is
+    //     ln(c12*N / (c1*c2)), but ln is monotone, so RANKING by PMI ==
+    //     ranking by the integer lift ratio — the score is the exact
+    //     integral lift in parts-per-million, computed in DECIMAL(38,0)
+    //     (DuckDB HUGEINT) so c12*N*1e6 can never overflow, and no
+    //     transcendental ever enters the gate. Min support c12 >= 5
+    //     keeps hapax noise out (the standard collocation cutoff).
+    //     Shape: one corpus-scale aggregate into bigram types; the
+    //     unigram margins derive FROM the type table (vocab-sized
+    //     aggregates, broadcast back); top-20 is a TakeOrdered. ---
+    "t23_pmi_collocations" -> ((s, dir) => {
+      val big = docs(s, dir)
+        .select(split(trim(col("text")), "\\s+").as("ts"))
+        .filter(size(col("ts")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(0, size(ts) - 2), i -> struct(ts[i] AS w1, ts[i+1] AS w2))")).as("b"))
+        .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      val c12 = big.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+      val n = c12.agg(sum(col("c12")).cast("long").as("n"))
+      val c1 = c12.groupBy(col("w1")).agg(sum(col("c12")).cast("long").as("cx"))
+      val c2 = c12.groupBy(col("w2")).agg(sum(col("c12")).cast("long").as("cy"))
+      c12.filter(col("c12") >= 5)
+        .join(broadcast(c1), Seq("w1"))
+        .join(broadcast(c2), Seq("w2"))
+        .crossJoin(broadcast(n))
+        .select(col("w1"), col("w2"), col("c12"),
+          expr("CAST(CAST(c12 AS DECIMAL(38,0)) * n * 1000000 div " +
+            "(CAST(cx AS DECIMAL(38,0)) * cy) AS BIGINT)").as("lift_ppm"))
+        .orderBy(col("lift_ppm").desc, col("w1"), col("w2"))
+        .limit(20)
     })
   )
 
@@ -1032,6 +1067,25 @@ object TextOps {
         |  min(n_tok) AS min_tokens, max(n_tok) AS max_tokens,
         |  round(avg(n_chars * 1.0 / n_tok), 4) AS avg_chars_per_tok
         |FROM t GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "t23_pmi_collocations" ->
+      raw"""WITH tk AS (
+         |  SELECT regexp_split_to_array(trim(text), '\s+') AS ts FROM documents),
+         |b AS (
+         |  SELECT ts[i] AS w1, ts[i+1] AS w2
+         |  FROM tk, LATERAL (SELECT unnest(generate_series(1, len(ts) - 1)) AS i) u
+         |  WHERE len(ts) >= 2),
+         |c12 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM b GROUP BY 1, 2),
+         |n AS (SELECT CAST(sum(c12) AS BIGINT) AS n FROM c12),
+         |c1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS cx FROM c12 GROUP BY 1),
+         |c2 AS (SELECT w2, CAST(sum(c12) AS BIGINT) AS cy FROM c12 GROUP BY 1)
+         |SELECT c12.w1, c12.w2, c12.c12,
+         |  CAST((CAST(c12.c12 AS HUGEINT) * n.n * 1000000)
+         |       // (CAST(c1.cx AS HUGEINT) * c2.cy) AS BIGINT) AS lift_ppm
+         |FROM c12
+         |JOIN c1 USING (w1) JOIN c2 USING (w2) CROSS JOIN n
+         |WHERE c12.c12 >= 5
+         |ORDER BY lift_ppm DESC, c12.w1, c12.w2 LIMIT 20""".stripMargin,
 
     // the same first-occurrence aggregate + bucketed cumulative sum
     "t22_heaps" ->
