@@ -91,8 +91,13 @@ object Bench {
     val spreadViolations = results.collect { case (k, ts) if unstable(ts) => k }
     val spreadObj = spreadViolations.map("\"" + _ + "\"").mkString("[", ",", "]")
     val detail = f"""{"stat":"median-of-best-$runs","rerun_budget":$extraRuns,"cpus":$cpus,"queries_min":$mins,"queries_runs":$runsObj,"spread_violations":$spreadObj,"sf":"$sfDir"}"""
+    // a FILTERED dev run must not clobber the committed full-surface
+    // artifact (a t23-only run once left bench_detail.json with one
+    // query and broke the comparison table) — side-write it instead
+    val detailName = if (sys.env.contains("SPARK_GRAFT_BENCH_FILTER"))
+      "bench_detail_filtered.json" else "bench_detail.json"
     try {
-      val p = java.nio.file.Paths.get("bench_detail.json")
+      val p = java.nio.file.Paths.get(detailName)
       java.nio.file.Files.write(p, detail.getBytes("UTF-8"))
     } catch { case _: Throwable => () }
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","stat":"median-of-best-$runs","cpus":$cpus,"n_spread_violations":${spreadViolations.size},"queries":$medians,"sf":"$sfDir"}""")

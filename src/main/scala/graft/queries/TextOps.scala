@@ -833,7 +833,12 @@ object TextOps {
         .select(explode(expr(
           "transform(sequence(0, size(ts) - 2), i -> struct(ts[i] AS w1, ts[i+1] AS w2))")).as("b"))
         .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      // materialize the TYPE table once: its four consumers (n, both
+      // margins, the probe) are broadcast subtrees, which ReuseExchange
+      // does not dedup — without the checkpoint each re-runs the corpus
+      // aggregate. The checkpoint is bigram-type-sized, never corpus-sized.
       val c12 = big.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+        .localCheckpoint(true)
       val n = c12.agg(sum(col("c12")).cast("long").as("n"))
       val c1 = c12.groupBy(col("w1")).agg(sum(col("c12")).cast("long").as("cx"))
       val c2 = c12.groupBy(col("w2")).agg(sum(col("c12")).cast("long").as("cy"))
