@@ -376,4 +376,45 @@ class PlanShapeSpec extends AnyFunSuite {
     val line = p.linesIterator.find(_.contains("nearest_centroid")).get
     assert(line.trim.startsWith("*") || line.contains("Project"), line)
   }
+
+  // --- round-7 floor-burndown shapes: these exchanges were REMOVED; the
+  // assertions keep them removed ---
+
+  test("t17: per-doc tf is row-local and the rare-term table broadcasts") {
+    val p = plan("t17_tfidf_pairs")
+    // run-length over the sorted token array, not a (doc, word) groupBy
+    assert(p.contains("zip_with"), p)
+    // the r6 corpus-scale shuffle of raw (doc_id, w) occurrences is gone
+    assert(!p.contains("hashpartitioning(doc_id#") ||
+      !p.linesIterator.exists(l => l.contains("hashpartitioning(doc_id#") &&
+        l.contains(", w#")), p)
+    // df-capped vocabulary joins by broadcast, never by reshuffling tf
+    assert(p.contains("BroadcastHashJoin [w#"), p)
+  }
+
+  test("t14/t16: BPE merge rounds run in one task, application joins broadcast") {
+    val p14 = plan("t14_bpe_learn")
+    assert(p14.contains("MapPartitions") && p14.contains("Coalesce 1"), p14)
+    val p16 = plan("t16_bpe_apply")
+    assert(p16.contains("MapPartitions") && p16.contains("Coalesce 1"), p16)
+    assert(p16.contains("BroadcastHashJoin [word#"), p16)
+  }
+
+  test("t21: corpus aggregates once into (doc, bigram) counts; margins broadcast") {
+    val p = plan("t21_perplexity")
+    // the single corpus-scale exchange is the (doc_id, w1, w2) rollup
+    assert("hashpartitioning\\(doc_id#\\d+L?, w1#".r.findFirstIn(p).isDefined, p)
+    // c1 margin and the vocab scalar ride broadcasts, not joins-by-shuffle
+    assert("BroadcastExchange".r.findAllIn(p).size >= 2, p)
+    assert(!p.toLowerCase.contains("cartesianproduct"), p)
+  }
+
+  test("t20: one-pass S x S overlap — no checkpoint, diagonal via window") {
+    val p = plan("t20_source_overlap")
+    // single job: no materialized-RDD scan (the r6 shape checkpointed the
+    // shingle-type relation to consume it twice)
+    assert(!p.contains("Scan ExistingRDD"), p)
+    assert(p.contains("Window"), p)
+    assert(p.contains("hashpartitioning(h#"), p)
+  }
 }
