@@ -354,19 +354,25 @@ object DedupOps {
         .join(cnt.as("c1"), col("d1") === col("c1.doc_id"))
         .join(cnt.as("c2"), col("d2") === col("c2.doc_id"))
         .filter(col("m") / (col("c1.n") + col("c2.n") - col("m")) >= 0.5)
-        .select(col("d1"), col("d2"))
-        .localCheckpoint(true) // consumed by n_truth AND the hit semi-join
+        .select(col("d1"), col("d2"), lit(1L).as("t"), lit(0L).as("c"))
       val bands = minhash(sh.select(col("doc_id"), fp.as("f")))
         .select(col("doc_id"), explode(expr(
           "array(" + (0 to 3).map(b =>
             s"concat('$b,', mh${2 * b}, ',', mh${2 * b + 1})").mkString(",") + ")"))
           .as("s"))
-      val cand = pairCounts(bands).select(col("d1"), col("d2"))
-        .localCheckpoint(true) // consumed by n_cand AND the hit semi-join
-      val hit = cand.join(truth, Seq("d1", "d2"), "left_semi")
-      truth.agg(count(lit(1)).as("n_truth"))
-        .crossJoin(cand.agg(count(lit(1)).as("n_cand")))
-        .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+      val cand = pairCounts(bands)
+        .select(col("d1"), col("d2"), lit(0L).as("t"), lit(1L).as("c"))
+      // precision/recall in ONE pass: tag-union the truth and candidate
+      // pair relations, collapse tags per pair, and the three counts are
+      // sums of one aggregate (hit = both tags set). Round 6 checkpointed
+      // each relation to feed a count plus a semi-join — two extra jobs
+      // and a pair-relation-wide materialization for the same numbers.
+      truth.unionByName(cand)
+        .groupBy(col("d1"), col("d2"))
+        .agg(max(col("t")).as("t"), max(col("c")).as("c"))
+        .agg(sum(col("t")).cast("long").as("n_truth"),
+          sum(col("c")).cast("long").as("n_cand"),
+          sum(col("t") * col("c")).cast("long").as("n_hit"))
         .select(col("n_truth"), col("n_cand"), col("n_hit"),
           round(col("n_hit") / col("n_cand"), 6).as("prec"),
           round(col("n_hit") / col("n_truth"), 6).as("recall"))

@@ -143,9 +143,13 @@ object GraphOps {
     //     TakeOrderedAndProject (ties break on the pair), never a global
     //     sort. ---
     "g2_edge_weights" -> ((s, dir) => {
+      // one corpus-scale exchange (the coPurchaseEdges trick): cluster
+      // by part id up front, the (p, sk) dedup and the pair self-join
+      // both run in place on the reused shuffle stage
       val ps = t(s, dir, "lineitem")
         .filter(col("l_partkey") < 5000)
         .select(col("l_partkey").as("p"), col("l_suppkey").as("sk"))
+        .repartition(col("p"))
         .distinct()
       val w = ps.as("a").join(ps.as("b"),
           col("a.p") === col("b.p") && col("a.sk") < col("b.sk"))
@@ -247,24 +251,40 @@ object GraphOps {
 
     // --- two-hop reach (friends-of-friends) — the neighborhood-size
     //     signal behind graph-feature engineering (how much of the
-    //     graph does a node see in two steps?): one self-equi-join of
-    //     the checkpointed bidirectional edge list on the middle node,
-    //     a distinct over (node, reached), and a count per node. Work
-    //     is sum(degree^2) with the same part-key cap the other graph
-    //     queries use as the skew lever; nothing broadcasts because
-    //     both sides are edge-sized. Top-20 is TakeOrderedAndProject. ---
+    //     graph does a node see in two steps?). Adjacency-merge shape:
+    //     per-node sorted neighbor ARRAYS build once (the degree falls
+    //     out of the same aggregate), the middle-node join ships one
+    //     packed array per edge instead of one row per two-hop PAIR,
+    //     and the per-node dedup is array_distinct/flatten inside the
+    //     final aggregate — the sum(degree^2)-row shuffle + global
+    //     distinct the pair formulation needs never exists. Work is
+    //     still sum(degree^2) array-element merges (inherent to exact
+    //     reach), but it rides in O(edges) array rows; the part-key cap
+    //     stays the skew lever, and a production hub cap (bound
+    //     neighbor-list length) drops in as one filter. ---
     "g9_two_hop" -> ((s, dir) => {
       val edges = coPurchaseEdges(s, dir, cap = Some(3000L))
       val bi = edges.union(
         edges.select(col("d2").as("d1"), col("d1").as("d2")))
         .localCheckpoint(true)
-      val two = bi.as("x").join(bi.as("y"), col("x.d2") === col("y.d1"))
-        .select(col("x.d1").as("d1"), col("y.d2").as("d2"))
-      val reach = bi.union(two)
-        .filter(col("d1") =!= col("d2")).distinct()
-        .groupBy(col("d1")).agg(count(lit(1)).as("reach2"))
-      val deg = bi.groupBy(col("d1")).agg(count(lit(1)).as("degree"))
-      deg.join(reach, Seq("d1"))
+      val adj = bi.groupBy(col("d1"))
+        .agg(sort_array(collect_set(col("d2"))).as("ns"))
+        .select(col("d1"), col("ns"), size(col("ns")).cast("long").as("degree"))
+        .localCheckpoint(true) // consumed as both join sides below
+      // reach = |({direct} ∪ {neighbors-of-neighbors}) \ {self}|: the
+      // direct list is unioned explicitly (a degree-1 chain's neighbor
+      // need not appear in any ns2), then one array_distinct dedups
+      val reach2 = adj
+        .select(col("d1"), col("ns"), explode(col("ns")).as("mid"))
+        .join(adj.select(col("d1").as("mid"), col("ns").as("ns2")), Seq("mid"))
+        .groupBy(col("d1"))
+        .agg(first(col("ns")).as("direct"),
+          flatten(collect_list(col("ns2"))).as("hop2"))
+        .select(col("d1"),
+          (size(array_distinct(expr("array_remove(concat(direct, hop2), d1)"))))
+            .cast("long").as("reach2"))
+      val deg = adj.select(col("d1"), col("degree"))
+      deg.join(reach2, Seq("d1"))
         .select(col("d1").as("node"), col("degree"), col("reach2"))
         .orderBy(col("reach2").desc, col("node"))
         .limit(20)
