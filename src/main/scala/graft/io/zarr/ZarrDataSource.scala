@@ -271,7 +271,8 @@ class ZarrScan(root: String, stack: String, level: Int,
   override def createReaderFactory(): PartitionReaderFactory = aggOps match {
     case Some((groups, ops)) => ZarrAggReaderFactory(groups, ops, base, ext)
     case None => ZarrReaderFactory(root, stack, level, shape, chunk, compressed,
-      meta.dtype.itemSize, base, ext, required.fieldNames)
+      meta.dtype.itemSize, base, ext, required.fieldNames,
+      graft.core.HadoopConf.snapshot())
   }
 }
 
@@ -322,22 +323,24 @@ final case class ZarrReaderFactory(root: String, stack: String, level: Int,
                                    shape: Array[Long], chunk: Array[Int],
                                    compressed: Boolean, itemSize: Int,
                                    base: Array[Long], ext: Array[Long],
-                                   cols: Array[String])
+                                   cols: Array[String], hconf: Array[(String, String)])
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[ZarrInputPartition]
     new ZarrPartitionReader(root, stack, level, shape, chunk, compressed, itemSize,
-      base, ext, cols, p.firstChunk, p.lastChunk)
+      base, ext, cols, p.firstChunk, p.lastChunk, hconf)
   }
 }
 
 class ZarrPartitionReader(root: String, stack: String, level: Int,
                           shape: Array[Long], chunk: Array[Int], compressed: Boolean,
                           itemSize: Int, base: Array[Long], ext: Array[Long],
-                          cols: Array[String], first: Long, last: Long)
+                          cols: Array[String], first: Long, last: Long,
+                          hconf: Array[(String, String)])
     extends PartitionReader[InternalRow] {
 
-  private lazy val fs = new Path(root).getFileSystem(new Configuration())
+  private lazy val fs =
+    new Path(root).getFileSystem(graft.core.HadoopConf.restore(hconf))
   private val needData = cols.contains("data")
   private var cur = first - 1
   private var row: InternalRow = _
@@ -419,15 +422,16 @@ class ZarrWriteBuilder(root: String, clevel: Int, typesize: Int,
 final case class ZarrStreamingWrite(root: String, clevel: Int, typesize: Int)
     extends streamingw.StreamingWrite {
   override def createStreamingWriterFactory(info: PhysicalWriteInfo): streamingw.StreamingDataWriterFactory =
-    ZarrStreamingWriterFactory(root, clevel, typesize)
+    ZarrStreamingWriterFactory(root, clevel, typesize, graft.core.HadoopConf.snapshot())
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
 }
 
-final case class ZarrStreamingWriterFactory(root: String, clevel: Int, typesize: Int)
+final case class ZarrStreamingWriterFactory(root: String, clevel: Int, typesize: Int,
+    hconf: Array[(String, String)])
     extends streamingw.StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] =
-    new ZarrDataWriter(root, clevel, typesize)
+    new ZarrDataWriter(root, clevel, typesize, hconf)
 }
 
 class ZarrBatchWrite(root: String, clevel: Int, typesize: Int, truncate: Boolean,
@@ -439,7 +443,7 @@ class ZarrBatchWrite(root: String, clevel: Int, typesize: Int, truncate: Boolean
       // chunks from a previous, larger extent can't survive the overwrite.
       // Restricted to the stack/level options when present — overwriting
       // stack 'a' must not silently zero stack 'b'.
-      val fs = new Path(root).getFileSystem(new Configuration())
+      val fs = new Path(root).getFileSystem(graft.core.HadoopConf.get)
       val rootPath = new Path(root)
       if (fs.exists(rootPath)) {
         // an unscoped overwrite would truncate EVERY existing stack —
@@ -467,7 +471,7 @@ class ZarrBatchWrite(root: String, clevel: Int, typesize: Int, truncate: Boolean
           fs.delete(child.getPath, true)
       }
     }
-    ZarrWriterFactory(root, clevel, typesize)
+    ZarrWriterFactory(root, clevel, typesize, graft.core.HadoopConf.snapshot())
   }
   // chunk placement is deterministic by coordinates and writes are atomic
   // renames — no commit coordination needed
@@ -475,14 +479,16 @@ class ZarrBatchWrite(root: String, clevel: Int, typesize: Int, truncate: Boolean
   override def abort(messages: Array[WriterCommitMessage]): Unit = ()
 }
 
-final case class ZarrWriterFactory(root: String, clevel: Int, typesize: Int) extends DataWriterFactory {
+final case class ZarrWriterFactory(root: String, clevel: Int, typesize: Int,
+    hconf: Array[(String, String)]) extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new ZarrDataWriter(root, clevel, typesize)
+    new ZarrDataWriter(root, clevel, typesize, hconf)
 }
 
-class ZarrDataWriter(root: String, clevel: Int, defaultTypesize: Int) extends DataWriter[InternalRow] {
+class ZarrDataWriter(root: String, clevel: Int, defaultTypesize: Int,
+    hconf: Array[(String, String)]) extends DataWriter[InternalRow] {
   private lazy val fs = {
-    val f = new Path(root).getFileSystem(new Configuration())
+    val f = new Path(root).getFileSystem(graft.core.HadoopConf.restore(hconf))
     f.setWriteChecksum(false)
     f
   }

@@ -32,7 +32,9 @@ object ZarrIO {
 
   private def fs(path: String): (FileSystem, Path) = {
     val p = new Path(path)
-    val f = p.getFileSystem(new Configuration())
+    // session conf, not a fresh one: spark.hadoop.* overlays (object-store
+    // credentials, custom fs.<scheme>.impl registrations) must apply here
+    val f = p.getFileSystem(graft.core.HadoopConf.get)
     f.setWriteChecksum(false) // no .crc shadow files inside the Zarr store
     (f, p)
   }
@@ -89,8 +91,13 @@ object ZarrIO {
     * chunk file. One row = one file; tasks never contend. */
   def writeChunks(ds: Dataset[ZarrChunk], root: String, clevel: Int = 3,
                   compress: Boolean = true, typesize: Int = 2): Unit = {
+    // Configuration is not serializable: snapshot the session's effective
+    // conf at plan time, rebuild per task (credentials/scheme registrations
+    // must reach executors too)
+    val hconf = graft.core.HadoopConf.snapshot(
+      ds.sparkSession.sparkContext.hadoopConfiguration)
     ds.foreachPartition { (it: Iterator[ZarrChunk]) =>
-      val conf = new Configuration()
+      val conf = graft.core.HadoopConf.restore(hconf)
       var cachedFs: FileSystem = null
       it.foreach { ck =>
         val dir = new Path(s"$root/${ck.stack}/${ck.level}/${ck.t}/${ck.c}/${ck.z}/${ck.y}")

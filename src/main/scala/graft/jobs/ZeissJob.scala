@@ -67,7 +67,7 @@ object ZeissJob {
 
   /** Voxel resolution from acquisition.json: first tile's scale transform,
     * stored [x,y,z] on disk, returned [z,y,x] (`zeiss_job.py:62-87`). */
-  def voxelResolution(acquisitionPath: String, conf: Configuration = new Configuration()): Seq[Double] = {
+  def voxelResolution(acquisitionPath: String, conf: Configuration = graft.core.HadoopConf.get): Seq[Double] = {
     val p = new Path(acquisitionPath)
     val fs = p.getFileSystem(conf)
     val in = fs.open(p)
@@ -86,7 +86,7 @@ object ZeissJob {
 
   /** Discover stacks: the .czi files under `input_source/SPIM`, sorted
     * for deterministic ordering (`zeiss_job.py:42-60`). */
-  def discoverStacks(inputSource: String, conf: Configuration = new Configuration()): Seq[String] = {
+  def discoverStacks(inputSource: String, conf: Configuration = graft.core.HadoopConf.get): Seq[String] = {
     val dir = new Path(s"$inputSource/SPIM")
     val fs = dir.getFileSystem(conf)
     if (!fs.exists(dir)) Seq.empty
@@ -143,7 +143,7 @@ object ZeissJob {
     * driver, so it simply runs once before conversion. Hadoop FS
     * replaces the `aws s3 sync` subprocess. */
   def uploadDerivatives(inputSource: String, outRoot: String,
-                        conf: Configuration = new Configuration()): Boolean = {
+                        conf: Configuration = graft.core.HadoopConf.get): Boolean = {
     val src = new Path(s"$inputSource/derivatives")
     val srcFs = src.getFileSystem(conf)
     if (!srcFs.exists(src)) return false

@@ -264,7 +264,8 @@ class CziScan(path: String, stack: String, chunkZyx: Array[Int],
       CziAggReaderFactory(groups, ops, tSel, cSel, zSel, gridY, gridX)
     case None =>
       CziReaderFactory(path, vol.stack, vol.shape, vol.chunk,
-        idx.origin, idx.entries.toArray, vol.dtype.itemSize, required.fieldNames)
+        idx.origin, idx.entries.toArray, vol.dtype.itemSize, required.fieldNames,
+        graft.core.HadoopConf.snapshot())
   }
 }
 
@@ -321,7 +322,7 @@ final case class CziAggReaderFactory(groups: Seq[String], ops: Seq[(String, Stri
 final case class CziReaderFactory(path: String, stack: String,
     shape: Array[Long], chunk: Array[Int], origin: Array[Int],
     entries: Array[CziFormat.SubBlockEntry], itemSize: Int,
-    cols: Array[String])
+    cols: Array[String], hconf: Array[(String, String)])
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[CziInputPartition]
@@ -356,7 +357,7 @@ class CziPartitionReader(f: CziReaderFactory, tIdx: Int, cIdx: Int, slab: Int)
 
   private val rows: Iterator[InternalRow] =
     if (needData) {
-      val conf = new Configuration()
+      val conf = graft.core.HadoopConf.restore(f.hconf)
       val p = new Path(f.path)
       val fs = p.getFileSystem(conf)
       val in = fs.open(p)

@@ -69,7 +69,7 @@ object CziReader {
 
   /** Parse the file: header segment -> subblock directory -> index.
     * Driver-side; the directory is tiny compared to pixel data. */
-  def index(path: String, conf: Configuration = new Configuration()): CziIndex = {
+  def index(path: String, conf: Configuration = graft.core.HadoopConf.get): CziIndex = {
     val p = new Path(path)
     val fs = p.getFileSystem(conf)
     val in = fs.open(p)

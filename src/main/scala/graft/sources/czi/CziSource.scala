@@ -31,7 +31,7 @@ object CziSource {
     * PLANNING time with the remediation, instead of deep inside an
     * executor task. Files without JPEG-XR pass through untouched (one
     * extra directory parse, KBs). */
-  def resolveInput(path: String, conf: Configuration = new Configuration()): String = {
+  def resolveInput(path: String, conf: Configuration = graft.core.HadoopConf.get): String = {
     val idx = CziReader.index(path)
     if (!idx.entries.exists(_.compression == CziFormat.CompressionJpgXr)) path
     else {
@@ -162,8 +162,9 @@ object CziSource {
     val entries = idx.entries.toArray
     val isz = vol.dtype.itemSize
 
+    val hconf = graft.core.HadoopConf.snapshot(spark.sparkContext.hadoopConfiguration)
     spark.range(nT * nC * zSlabs).mapPartitions { taskIt =>
-      val conf = new Configuration()
+      val conf = graft.core.HadoopConf.restore(hconf)
       val p = new Path(path)
       val fs = p.getFileSystem(conf)
       val in = fs.open(p)

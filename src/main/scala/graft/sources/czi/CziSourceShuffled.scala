@@ -36,8 +36,9 @@ object CziSourceShuffled {
     val isz = vol.dtype.itemSize
 
     // one task per subblock: cut it into per-chunk pieces
+    val hconf = graft.core.HadoopConf.snapshot(spark.sparkContext.hadoopConfiguration)
     val pieces = spark.range(nEntries).mapPartitions { it =>
-      val conf = new Configuration()
+      val conf = graft.core.HadoopConf.restore(hconf)
       val p = new Path(path)
       val fs = p.getFileSystem(conf)
       val in = fs.open(p)
