@@ -264,9 +264,10 @@ object GraphOps {
     //     neighbor-list length) drops in as one filter. ---
     "g9_two_hop" -> ((s, dir) => {
       val edges = coPurchaseEdges(s, dir, cap = Some(3000L))
+      // narrow union view, consumed once by the adjacency aggregate —
+      // nothing to share, nothing to checkpoint
       val bi = edges.union(
         edges.select(col("d2").as("d1"), col("d1").as("d2")))
-        .localCheckpoint(true)
       val adj = bi.groupBy(col("d1"))
         .agg(sort_array(collect_set(col("d2"))).as("ns"))
         .select(col("d1"), col("ns"), size(col("ns")).cast("long").as("degree"))
@@ -303,9 +304,11 @@ object GraphOps {
     //     relations keyed by (src, node). ---
     "g8_harmonic" -> ((s, dir) => {
       val edges = coPurchaseEdges(s, dir, cap = Some(3000L))
+      // bi is a narrow union VIEW over the checkpointed edges — cheap to
+      // recompute per consumer, so materializing a double-size copy of
+      // the edge list bought nothing (one job + memory for a re-scan)
       val bi = edges.union(
         edges.select(col("d2").as("d1"), col("d1").as("d2")))
-        .localCheckpoint(true)
       var dist = bi.select(col("d1")).distinct().filter(col("d1") < 20)
         .select(col("d1").as("src"), col("d1").as("node"), lit(0L).as("dist"))
         .localCheckpoint(true)
@@ -340,9 +343,9 @@ object GraphOps {
     //     and the pack still sits under 2^63 for degrees to ~1e8. ---
     "g5_label_prop" -> ((s, dir) => {
       val edges = coPurchaseEdges(s, dir, cap = Some(3000L))
+      // narrow union view over checkpointed edges — see g8
       val bi = edges.union(
         edges.select(col("d2").as("d1"), col("d1").as("d2")))
-        .localCheckpoint(true)
       var lab = bi.select(col("d1")).distinct()
         .select(col("d1").as("node"), col("d1").as("lbl"))
         .localCheckpoint(true)
