@@ -136,20 +136,36 @@ object GraphOps {
     }),
 
     // --- weighted co-supply edges: top-20 supplier pairs by number of
-    //     shared parts, with nation names. Same bounded-key pair join as
-    //     g1 but keeping multiplicities (groupBy replaces distinct); the
-    //     part-key subset is the d7-style cost cap. Suppliers/nations are
-    //     classic broadcast dims; the top-k is a deterministic
-    //     TakeOrderedAndProject (ties break on the pair), never a global
-    //     sort. ---
+    //     shared parts, with nation names. The part-key subset is the
+    //     d7-style cost cap. Suppliers/nations are classic broadcast
+    //     dims; the top-k is a deterministic TakeOrderedAndProject (ties
+    //     break on the pair), never a global sort.
+    //
+    //     Exact pairwise-intersection counts must touch every
+    //     (part, s1, s2) incidence once — sum(|S_p| choose 2) work is
+    //     the information-theoretic floor and no orientation trick
+    //     shrinks it (degree orientation bounds WEDGE-CLOSURE fan-out,
+    //     g3; here the pairs themselves are the answer; census in
+    //     PERF_NOTES §graph). Three pair-production strategies were
+    //     measured at sf0.1: codegen'd self-join 1.36 s, collect_set +
+    //     native id_pairs generator 1.7 s (8.7M boxed rows lose to the
+    //     join's unsafe-row codegen), broadcast-hash self-join 1.8 s.
+    //     The real defect was none of them: AQE coalesces the ~600 KB
+    //     post-distinct exchange to ONE partition, so the 8.7M-pair
+    //     stage ran single-threaded. The explicit partition count below
+    //     is exempt from AQE coalescing and fans the pair stage out;
+    //     16 (not 32) because fewer, larger partitions give the partial
+    //     count aggregate more in-partition collapse against the ~500k
+    //     possible supplier pairs, shrinking the second exchange —
+    //     measured 0.77 s at 16 vs 0.91/1.13 s at 32/64. Net 1.36 ->
+    //     0.77 s, hash unchanged. At 100 TB the same lever holds: pin
+    //     the pair-stage partition count to cluster cores, not to what
+    //     the (tiny) distinct relation's byte size suggests. ---
     "g2_edge_weights" -> ((s, dir) => {
-      // one corpus-scale exchange (the coPurchaseEdges trick): cluster
-      // by part id up front, the (p, sk) dedup and the pair self-join
-      // both run in place on the reused shuffle stage
       val ps = t(s, dir, "lineitem")
         .filter(col("l_partkey") < 5000)
         .select(col("l_partkey").as("p"), col("l_suppkey").as("sk"))
-        .repartition(col("p"))
+        .repartition(16, col("p"))
         .distinct()
       val w = ps.as("a").join(ps.as("b"),
           col("a.p") === col("b.p") && col("a.sk") < col("b.sk"))
