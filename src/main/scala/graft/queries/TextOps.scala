@@ -430,6 +430,13 @@ object TextOps {
     //     heads), where the d7-style frequency cap or key salting is the
     //     standing lever. ---
     "t11_bigram_lm" -> ((s, dir) => {
+      // t21's per-doc-rollup fuse was EVALUATED here and rejected: t11's
+      // model tables derive from raw occurrences more cheaply (map-side
+      // partial agg compresses corpus -> V^2 types before one tiny
+      // exchange) than via a doc x type rollup, whose exchange is
+      // corpus-grained; the scoring side is already bounded by the
+      // doc_id probe filter. Measured 0.56 s as-is vs 1.33 s rolled-up
+      // at sf0.1.
       val toks = docs(s, dir)
         .select(col("doc_id"), split(trim(col("text")), "\\s+").as("ts"))
       val big = toks.filter(size(col("ts")) >= 2)
@@ -468,22 +475,34 @@ object TextOps {
     //     row before the tiny band rollup. ---
     "t21_perplexity" -> ((s, dir) => {
       // One corpus consumption for the whole LM side: bigram occurrences
-      // aggregate FIRST into the (doc_id, w1, w2) -> k relation; the LM
-      // tables (c12, c1) and the per-doc scoring probe both derive from
-      // that one exchange (Catalyst's ReuseExchange dedups it), where
-      // round 6's shape recomputed the corpus scan four times (c12,
-      // c1-via-c12, probe, vocab). c1 and the vocab scalar broadcast
-      // (vocab-bounded); scoring applies the per-TYPE surprisal to the
-      // per-doc counts (sum k*s6 == adding s6 per occurrence — integer
-      // math, bit-identical), so no corpus-scale row stream ever reaches
-      // the join.
+      // aggregate FIRST into the (doc_id, w1, w2) -> k relation (map-side
+      // partial agg compresses corpus -> doc x type before the only
+      // corpus-scale exchange), then ONE re-clustering of that compact
+      // relation by w1 carries everything downstream: by the subset rule
+      // (HashPartitioning(w1) satisfies ClusteredDistribution over any
+      // key set containing w1) the c12 aggregate, the c1 rollup, AND the
+      // dw-side of the scoring join all run IN PLACE on it — round 7's
+      // shape paid separate model-sized exchanges for c12 and c1 plus a
+      // (w1, w2) exchange for the probe (6 shuffles -> 4). Zipf caveat:
+      // w1-clustering concentrates a head word's types in one partition
+      // (max mass ~ c1(the)/N ~ 7%); vs ~1% for (w1, w2)-clustering —
+      // acceptable 2-3x task skew bought with two fewer exchanges; the
+      // fallback lever is reverting the probe join to (w1, w2) keys.
+      // Scoring applies the per-TYPE surprisal to the per-doc counts
+      // (sum k*s6 == adding s6 per occurrence — integer math,
+      // bit-identical), so no corpus-scale row stream ever reaches the
+      // join.
       val toks = docs(s, dir)
         .select(col("doc_id"), split(trim(col("text")), "\\s+").as("ts"))
       val dw = toks.filter(size(col("ts")) >= 2)
         .select(col("doc_id"), explode(expr(
           "transform(sequence(0, size(ts) - 2), i -> struct(ts[i] AS w1, ts[i+1] AS w2))")).as("b"))
         .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+        // explicit notnull keeps every consumer's copy of this subplan
+        // byte-identical so ReuseExchange fires (see t11)
+        .filter(col("w1").isNotNull && col("w2").isNotNull)
         .groupBy(col("doc_id"), col("w1"), col("w2")).agg(count(lit(1)).as("k"))
+        .repartition(col("w1"))
       val c12 = dw.groupBy(col("w1"), col("w2")).agg(sum(col("k")).cast("long").as("c12"))
       val c1 = c12.groupBy(col("w1")).agg(sum(col("c12")).cast("long").as("c1"))
       val vocab = toks.select(explode(col("ts")).as("tok"))
