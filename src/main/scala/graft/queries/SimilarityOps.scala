@@ -71,6 +71,45 @@ object SimilarityOps {
       .withColumn("rk", row_number().over(wA))
   }
 
+  /** IVF cell-occupancy histogram: (cell, n) over the rk=1 assignment —
+    * the skew monitor for every O(sum cell^2) consumer (v16's kNN self-
+    * join, v2/v3/v6's cell routing). The cell count K is the documented
+    * scale lever (raise K until max-cell pairs fit a task), but the lever
+    * only works if the quantizer SPREADS: a degenerate centroid seed
+    * that swallows the corpus into one cell turns the self-join into
+    * O(n^2) on one task. `IvfSkewSpec` gates max/mean occupancy and the
+    * max cell's share of pair work at sf0.1; the `ivf` family of
+    * `QueryScaleRehearsal` re-measures both at 8x corpus. At production,
+    * run this (one aggregate over the assignment) before the pair scan
+    * and re-seed/raise K when the bound trips. */
+  def cellHistogram(e: DataFrame): DataFrame =
+    rankedCells(e).filter(col("rk") === 1)
+      .groupBy(col("cell")).agg(count(lit(1)).as("n"))
+
+  /** The v16 kNN-graph pair scan over an arbitrary embeddings frame
+    * (vec_id, embedding, label) — exposed for the 8x scale rehearsal;
+    * the gated query is this over `Tables.load(_, _, "embeddings")`. */
+  def knnGraphOf(e: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val assigned = rankedCells(e)
+      .filter(col("rk") === 1)
+      .select(col("cell"), col("vec_id"), col("embedding"), col("nrm"))
+      .localCheckpoint(true)
+    val rhs = assigned.select(col("cell"), col("vec_id").as("nid"),
+      col("embedding").as("ne"), col("nrm").as("nn"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(round(col("cos_raw"), 6).desc, col("nid"))
+    assigned.join(rhs, Seq("cell"))
+      .filter(col("vec_id") =!= col("nid"))
+      .select(col("vec_id"), col("nid"),
+        (dot("embedding", "ne") / (col("nrm") * col("nn"))).as("cos_raw"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("vec_id"), col("rk"), col("nid"),
+        round(col("cos_raw"), 6).as("cos"))
+      .orderBy(col("vec_id"), col("rk"))
+  }
+
   /** 16 random hyperplanes for sign-bit LSH (Charikar '02). Components
     * are md5-derived so the oracle recomputes the identical planes:
     * w(b,i) = int(md5("b_i")[0:8], 16) / 2^31 - 1  in [-1, 1). */
@@ -713,29 +752,12 @@ object SimilarityOps {
     //     nothing broadcasts because both sides are corpus-sized — the
     //     deliberate contrast with v3's broadcast-queries probe. Per-
     //     vector top-3 is a window over cell-bounded groups. ---
-    "v16_knn_graph" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      // eager checkpoint before the self-join: without it the rank
-      // window above the assignment re-executes once per join side
-      // (g3's edge-list precedent)
-      val assigned = rankedCells(emb(s, dir))
-        .filter(col("rk") === 1)
-        .select(col("cell"), col("vec_id"), col("embedding"), col("nrm"))
-        .localCheckpoint(true)
-      val rhs = assigned.select(col("cell"), col("vec_id").as("nid"),
-        col("embedding").as("ne"), col("nrm").as("nn"))
-      val w = Window.partitionBy(col("vec_id"))
-        .orderBy(round(col("cos_raw"), 6).desc, col("nid"))
-      assigned.join(rhs, Seq("cell"))
-        .filter(col("vec_id") =!= col("nid"))
-        .select(col("vec_id"), col("nid"),
-          (dot("embedding", "ne") / (col("nrm") * col("nn"))).as("cos_raw"))
-        .withColumn("rk", row_number().over(w))
-        .filter(col("rk") <= 3)
-        .select(col("vec_id"), col("rk"), col("nid"),
-          round(col("cos_raw"), 6).as("cos"))
-        .orderBy(col("vec_id"), col("rk"))
-    })
+    // (the pair scan itself lives in `knnGraphOf`, shared with the 8x
+    // scale rehearsal; eager checkpoint before the self-join — without
+    // it the rank window above the assignment re-executes once per join
+    // side, g3's edge-list precedent. Cell-occupancy skew is gated by
+    // IvfSkewSpec via `cellHistogram`.)
+    "v16_knn_graph" -> ((s, dir) => knnGraphOf(emb(s, dir)))
   )
 
   /** v15: v1's exact CTEs and v3's IVF CTEs verbatim (renamed apart),

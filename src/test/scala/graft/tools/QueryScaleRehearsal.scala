@@ -112,6 +112,47 @@ object QueryScaleRehearsal {
 
     val family = if (args.length > 2) args(2) else "lsh"
     family match {
+      case "ivf" =>
+        // The v16 kNN-graph pipeline (shared code: SimilarityOps
+        // .knnGraphOf) at 1x and Kx corpus, plus the cell-occupancy
+        // skew the O(sum cell^2) self-join rides on. Copies keep the
+        // cluster structure (each vector nudged by a small per-copy,
+        // per-position offset) so the quantizer stays realistic —
+        // cells grow K-fold and pair work K^2-fold per cell, the
+        // worst case for the rehearsal question "does the cell-keyed
+        // self-join survive corpus growth, and does occupancy stay
+        // spread?"
+        val ebase = Tables.load(spark, sfDir, "embeddings")
+          .select(col("vec_id"), col("embedding"), col("label"))
+          .localCheckpoint(true)
+        val nE = ebase.count()
+        val escaled = ebase
+          .withColumn("cp", explode(expr(s"sequence(0, ${k - 1})")))
+          .select((col("vec_id") * k + col("cp")).as("vec_id"),
+            expr("transform(embedding, (x, i) -> x + CAST(cp AS FLOAT) * 0.001F * CAST(i % 7 AS FLOAT))")
+              .as("embedding"),
+            col("label"))
+          .localCheckpoint(true)
+        val nEk = escaled.count()
+        def skew(e: org.apache.spark.sql.DataFrame): (Long, Double, Double) = {
+          val h = graft.queries.SimilarityOps.cellHistogram(e)
+            .select(col("n")).collect().map(_.getLong(0))
+          val mx = h.max
+          val pairWork = h.map(c => c.toDouble * c).sum
+          (mx, mx.toDouble / (h.sum.toDouble / h.length),
+            mx.toDouble * mx / pairWork)
+        }
+        graft.queries.SimilarityOps.knnGraphOf(ebase).count() // warmup
+        val (g1, s1) = timed(graft.queries.SimilarityOps.knnGraphOf(ebase))
+        val (gk, sk) = timed(graft.queries.SimilarityOps.knnGraphOf(escaled))
+        val (mx1, sk1, sh1) = skew(ebase)
+        val (mxK, skK, shK) = skew(escaled)
+        println(f"""{"rehearsal":"ivf-knn-scaling","k":$k,"base_vecs":$nE,""" +
+          f""""scaled_vecs":$nEk,"base_edges":$g1,"scaled_edges":$gk,""" +
+          f""""base_sec":$s1%.2f,"scaled_sec":$sk%.2f,""" +
+          f""""time_ratio":${sk / s1}%.2f,"per_copy":${sk / s1 / k}%.3f,""" +
+          f""""base_max_cell":$mx1,"base_skew":$sk1%.2f,"base_max_pair_share":$sh1%.3f,""" +
+          f""""scaled_max_cell":$mxK,"scaled_skew":$skK%.2f,"scaled_max_pair_share":$shK%.3f}""")
       case "bpe" =>
         // warmup, then timed passes; also report the kernel's input size
         bpeApply(base).count()
