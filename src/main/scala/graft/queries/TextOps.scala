@@ -667,18 +667,49 @@ object TextOps {
       // data only pay the per-job floor), which also emits each word's
       // final segmentation, so learning + application of the tokenizer
       // to the vocabulary is a single pass
-      val toks = vocab.select(col("word"),
-          concat(lit("  "), regexp_replace(col("word"), "(.)", "$1  ")).as("sym"),
-          col("freq"))
-        .as[(String, String, Long)]
-        .coalesce(1)
-        .mapPartitions { it =>
-          val arr = it.toArray
-          val finalSyms = bpeLearnKernel(arr.map(_._2), arr.map(_._3), 5)._2
-          arr.iterator.zip(finalSyms.iterator)
-            .map { case ((w, _, _), fs) => (w, bpeSymCount(fs)) }
+      val vocabSym = vocab.select(col("word"),
+        concat(lit("  "), regexp_replace(col("word"), "(.)", "$1  ")).as("sym"),
+        col("freq"))
+      // spark.graft.bpe.minFreq is the >=10^8-type lever (the standard
+      // trainer move): learning runs on the Zipf HEAD (freq >= minFreq,
+      // bounding the single kernel task's input), and application
+      // becomes fully DISTRIBUTED — the <=5 learned merges collect to
+      // the driver (same traffic class as a broadcast build) and apply
+      // to every word as the same literal left-to-right replace chain
+      // the kernel uses, so head-word segmentations are bit-identical
+      // to the kernel's (BpeMinFreqSpec proves it on this corpus).
+      // Default 1 = no cap: the full vocabulary goes through the
+      // single-task kernel, round-7 behavior and hash exactly.
+      val minFreq = s.conf.getOption("spark.graft.bpe.minFreq").map(_.toLong).getOrElse(1L)
+      val toks =
+        if (minFreq <= 1L)
+          vocabSym
+            .as[(String, String, Long)]
+            .coalesce(1)
+            .mapPartitions { it =>
+              val arr = it.toArray
+              val finalSyms = bpeLearnKernel(arr.map(_._2), arr.map(_._3), 5)._2
+              arr.iterator.zip(finalSyms.iterator)
+                .map { case ((w, _, _), fs) => (w, bpeSymCount(fs)) }
+            }
+            .toDF("word", "n_sym")
+        else {
+          val merges = vocabSym.filter(col("freq") >= minFreq)
+            .as[(String, String, Long)]
+            .coalesce(1)
+            .mapPartitions { it =>
+              val arr = it.toArray
+              bpeLearnKernel(arr.map(_._2), arr.map(_._3), 5)._1.iterator
+            }
+            .collect()
+          val seg = merges.sortBy(_._1).foldLeft(col("sym")) { case (c, (_, a, b, _)) =>
+            replace(c, lit(s" $a  $b "), lit(s" $a$b "))
+          }
+          vocabSym.select(col("word"), seg.as("fs"))
+            .select(col("word"),
+              expr("size(filter(split(fs, '  '), x -> x != ''))").cast("long")
+                .as("n_sym"))
         }
-        .toDF("word", "n_sym")
       words.join(broadcast(toks), Seq("word"))
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_words"),
