@@ -82,11 +82,24 @@ object Tables {
     // pure overhead when the same (cached) table DataFrame flows through
     // here on every query build. Keyed by reference — `load` hands out
     // one instance per (session, dir, name), and DataFrame has no value
-    // equality, so reference identity IS the cache key.
-    fanoutCache.computeIfAbsent(df, df => {
+    // equality, so reference identity IS the cache key. That canonical-
+    // instance contract is ASSERTED (not just assumed): an arbitrary
+    // per-call DataFrame would grow the cache without bound. The probe
+    // runs OUTSIDE the map's bin lock (get / putIfAbsent, not
+    // computeIfAbsent) — df.rdd is a full physical-plan conversion that
+    // can itself take Spark/Catalyst locks, and holding a CHM bin lock
+    // across it invites lock-order trouble; a rare duplicate probe on a
+    // race is harmless (both compute the same plan).
+    val cached = fanoutCache.get(df)
+    if (cached != null) cached
+    else {
+      require(dfCache.containsValue(df),
+        "fanout expects a canonical Tables.load instance (reference-keyed cache)")
       val cores = df.sparkSession.sparkContext.defaultParallelism
-      if (df.rdd.getNumPartitions * 2 < cores) df.repartition(cores) else df
-    })
+      val out = if (df.rdd.getNumPartitions * 2 < cores) df.repartition(cores) else df
+      val prev = fanoutCache.putIfAbsent(df, out)
+      if (prev != null) prev else out
+    }
   }
 
   private val fanoutCache =

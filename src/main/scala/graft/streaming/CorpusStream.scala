@@ -25,7 +25,13 @@ object CorpusStream {
     * schema silently reinterprets columns when the writer's physical
     * types drift (the events-ts lesson). */
   def read(spark: SparkSession, dir: String): DataFrame = {
-    val native = spark.read.parquet(dir).schema
+    // cold-start fallback when the directory has no footers to infer
+    // from yet (see EventStream.read) — the documented documents layout
+    val native = try spark.read.parquet(dir).schema catch {
+      case _: org.apache.spark.sql.AnalysisException =>
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT")
+    }
     spark.readStream.schema(native).parquet(dir)
   }
 

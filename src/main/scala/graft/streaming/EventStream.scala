@@ -27,7 +27,19 @@ object EventStream {
     * misread as raw microseconds and the event timeline compresses 1000x
     * (no watermark ever fires) — the schema must come from the data. */
   def read(spark: SparkSession, dir: String): DataFrame = {
-    val native = spark.read.parquet(dir).schema
+    // If the directory is empty or absent at stream-definition time (a
+    // file-source stream's legitimate cold start — the reason upstream
+    // Spark makes file streams demand a user schema), inference has no
+    // footers; fall back to the documented testdata layout. The fallback
+    // covers BOTH physical ts encodings normalizeTs handles (typed
+    // timestamp arrives via inference; the nanosAsLong long arrives only
+    // from real footers) — a cold-started stream assumes the typed form.
+    val native = try spark.read.parquet(dir).schema catch {
+      case _: org.apache.spark.sql.AnalysisException =>
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "event_id BIGINT, ts TIMESTAMP_NTZ, user_id BIGINT, " +
+            "event_type STRING, value DOUBLE, props STRING")
+    }
     val df = graft.Tables.normalizeTs(spark.readStream.schema(native).parquet(dir))
     // Watermarks demand TIMESTAMP (session-tz), but a timestamp[us] parquet
     // column without tz metadata arrives as TIMESTAMP_NTZ. Re-tag it: the

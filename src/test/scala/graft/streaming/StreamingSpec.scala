@@ -24,6 +24,28 @@ class StreamingSpec extends AnyFunSuite {
     dir.toString
   }
 
+  test("streams define against an empty directory (cold start) and pick up late-arriving files") {
+    val dir = Files.createTempDirectory("events-cold-start")
+    // definition must not throw despite zero footers to infer from
+    val stream = EventStream.read(spark, dir.toString)
+    assert(stream.isStreaming)
+    assert(stream.schema.fieldNames.contains("ts"))
+    val docs = CorpusStream.read(spark, Files.createTempDirectory("docs-cold-start").toString)
+    assert(docs.isStreaming && docs.schema.fieldNames.contains("doc_id"))
+    // files arriving after definition flow through the cold-started stream
+    Files.copy(Paths.get("/root/testdata/sf0.001/events.parquet"),
+      dir.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val out = Files.createTempDirectory("cold-start-ckpt")
+    val q = stream.groupBy().count()
+      .writeStream.format("memory").queryName("cold_start_cnt")
+      .outputMode("complete")
+      .option("checkpointLocation", out.toString)
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    val n = spark.table("cold_start_cnt").collect()(0).getLong(0)
+    assert(n > 0, s"cold-started stream read $n rows")
+  }
+
   test("stateful aggregation state survives a query restart (checkpoint recovery)") {
     // the 1000-executor reality: queries get stopped (deploys, failures)
     // and must resume from the state store, not recount from zero
