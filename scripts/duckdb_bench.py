@@ -37,13 +37,29 @@ def main(sf_dir, oracle_path, runs=3):
     oracle = json.load(open(oracle_path))
     medians, mins, failed = {}, {}, []
 
+    RERUN_BUDGET = 4  # identical policy to graft.Bench (like-for-like)
+
+    def one_pass(con, sql):
+        t0 = time.perf_counter()
+        con.execute(sql).fetchall()
+        return time.perf_counter() - t0
+
+    def unstable(ts):
+        # graft.Bench's spread guard verbatim: best-`runs` subset still
+        # spreading >2x above a 0.25 s floor means the host was noisy
+        best = sorted(ts)[:runs]
+        return max(best) > 0.25 and max(best) / max(min(best), 1e-9) > 2.0
+
     def timed(con, sql):
         con.execute(sql).fetchall()  # warmup (plans, buffer pool)
-        ts = []
-        for _ in range(runs):
-            t0 = time.perf_counter()
-            con.execute(sql).fetchall()
-            ts.append(time.perf_counter() - t0)
+        ts = [one_pass(con, sql) for _ in range(runs)]
+        # SAME rerun + best-subset selection as graft.Bench: without it
+        # the Spark side (median of the 3 fastest after noise-triggered
+        # reruns) is systematically favored over a plain DuckDB median
+        extra = 0
+        while unstable(ts) and extra < RERUN_BUDGET:
+            ts.append(one_pass(con, sql))
+            extra += 1
         return ts
 
     for name, sql in sorted(oracle.items()):
@@ -55,7 +71,7 @@ def main(sf_dir, oracle_path, runs=3):
                 # reconnect once and retry before declaring failure
                 con = connect(sf_dir)
                 ts = timed(con, sql)
-            medians[name] = round(statistics.median(ts), 3)
+            medians[name] = round(statistics.median(sorted(ts)[:runs]), 3)
             mins[name] = round(min(ts), 3)
             print(f"{name}: median {medians[name]}s min {mins[name]}s", file=sys.stderr)
         except Exception as e:
@@ -64,7 +80,10 @@ def main(sf_dir, oracle_path, runs=3):
             con = connect(sf_dir)
     out = {
         "engine": "duckdb", "version": duckdb.__version__, "sf": sf_dir,
-        "stat": f"median-of-{runs}", "total": round(sum(medians.values()), 3),
+        "stat": f"median-of-best-{runs}", "runs": runs,
+        "rerun_budget": RERUN_BUDGET,
+        "timestamp_utc": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        "total": round(sum(medians.values()), 3),
         "n_queries": len(medians), "failed": failed,
         "queries": medians, "queries_min": mins,
     }

@@ -90,17 +90,33 @@ object Bench {
     // loops that want a hard stop.
     val spreadViolations = results.collect { case (k, ts) if unstable(ts) => k }
     val spreadObj = spreadViolations.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val detail = f"""{"stat":"median-of-best-$runs","rerun_budget":$extraRuns,"cpus":$cpus,"queries_min":$mins,"queries_runs":$runsObj,"spread_violations":$spreadObj,"sf":"$sfDir"}"""
+    // Provenance rides IN the artifacts (VERDICT r7 #2): the commit and
+    // timestamp of the run the numbers came from, so a README table can
+    // only ever be generated from — and audited against — the same run.
+    val commit = try scala.sys.process.Process(Seq("git", "rev-parse", "--short", "HEAD"))
+      .!!.trim catch { case _: Throwable => "unknown" }
+    val stamp = java.time.Instant.now().toString
+    val prov = f""""commit":"$commit","timestamp_utc":"$stamp","runs":$runs"""
+    val detail = f"""{"stat":"median-of-best-$runs",$prov,"rerun_budget":$extraRuns,"cpus":$cpus,"queries_min":$mins,"queries_runs":$runsObj,"spread_violations":$spreadObj,"sf":"$sfDir"}"""
     // a FILTERED dev run must not clobber the committed full-surface
     // artifact (a t23-only run once left bench_detail.json with one
     // query and broke the comparison table) — side-write it instead
-    val detailName = if (sys.env.contains("SPARK_GRAFT_BENCH_FILTER"))
-      "bench_detail_filtered.json" else "bench_detail.json"
+    val filtered = sys.env.contains("SPARK_GRAFT_BENCH_FILTER")
+    val detailName = if (filtered) "bench_detail_filtered.json" else "bench_detail.json"
     try {
       val p = java.nio.file.Paths.get(detailName)
       java.nio.file.Files.write(p, detail.getBytes("UTF-8"))
     } catch { case _: Throwable => () }
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","stat":"median-of-best-$runs","cpus":$cpus,"n_spread_violations":${spreadViolations.size},"queries":$medians,"sf":"$sfDir"}""")
+    val headline = f"""{"metric":"total","value":$total%.3f,"unit":"sec","stat":"median-of-best-$runs",$prov,"cpus":$cpus,"n_spread_violations":${spreadViolations.size},"queries":$medians,"sf":"$sfDir"}"""
+    // the stdout line the driver tail-captures and the committed headline
+    // artifact are the SAME bytes of the SAME run — if the tail capture
+    // ever truncates (the BENCH_r07 defect), bench_headline.json remains
+    // the parseable authority
+    if (!filtered) try {
+      java.nio.file.Files.write(java.nio.file.Paths.get("bench_headline.json"),
+        headline.getBytes("UTF-8"))
+    } catch { case _: Throwable => () }
+    println(headline)
     spark.stop()
     if (spreadViolations.nonEmpty && sys.env.get("SPARK_GRAFT_BENCH_STRICT").contains("1"))
       sys.exit(2)
