@@ -323,6 +323,81 @@ case class CharWindowHashes(child: Expression, width: Int, nibbles: Int)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Single-pass tokenizer statistics for a FIXED literal term list:
+  * `token_term_counts(text, terms)` returns `array<int>` of length
+  * `terms.size + 1` — element 0 equals `size(split(trim(s), "\s+"))`
+  * EXACTLY (trim strips only 0x20, and split with limit -1 keeps the
+  * empty edge fields a leading/trailing `\t\n\x0B\f\r` produces, so the
+  * count is 1 + the number of `\s+` runs in the space-trimmed text, and
+  * blank text yields 1), element `i+1` is the number of tokens
+  * byte-equal to `terms(i)`.
+  *
+  * Why native: the composable alternative is either a full token
+  * explode + filter + aggregate (a corpus-sized generator for a 3-term
+  * query) or one `regexp_count` matcher scan of the text PER TERM plus
+  * another for the token count. This makes exactly one pass over the
+  * UTF-8 bytes, no token array, no regex state machine. Byte-level
+  * scanning is exact: Java's `\s` class is 6 ASCII bytes, and ASCII
+  * bytes never occur inside a UTF-8 multibyte sequence, so byte runs
+  * are precisely the `\s+`-split tokens. CodegenFallback on purpose:
+  * the per-row scan dominates; codegen would only inline the call. */
+case class TokenTermCounts(child: Expression, terms: Seq[String])
+    extends UnaryExpression with CodegenFallback {
+  require(terms.nonEmpty)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"token_term_counts expects a string, got $t")
+  }
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "token_term_counts"
+
+  @transient private lazy val termBytes: Array[Array[Byte]] =
+    terms.map(_.getBytes(java.nio.charset.StandardCharsets.UTF_8)).toArray
+
+  private def isWs(b: Byte): Boolean =
+    b == 0x20 || b == 0x09 || b == 0x0a || b == 0x0b || b == 0x0c || b == 0x0d
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val bytes = v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes
+    val out = new Array[Int](termBytes.length + 1)
+    // space-trim (0x20 ONLY — Spark/DuckDB `trim` semantics); the field
+    // count is then 1 + the number of \s+ runs inside the region,
+    // INCLUDING edge runs of non-space whitespace (each contributes an
+    // empty field under split's limit = -1)
+    val n = bytes.length
+    var a = 0
+    while (a < n && bytes(a) == 0x20) a += 1
+    var b = n
+    while (b > a && bytes(b - 1) == 0x20) b -= 1
+    out(0) = 1
+    var i = a
+    while (i < b) {
+      if (isWs(bytes(i))) {
+        out(0) += 1
+        while (i < b && isWs(bytes(i))) i += 1
+      } else {
+        val start = i
+        while (i < b && !isWs(bytes(i))) i += 1
+        val len = i - start
+        var t = 0
+        while (t < termBytes.length) {
+          val tb = termBytes(t)
+          if (tb.length == len) {
+            var j = 0
+            while (j < len && tb(j) == bytes(start + j)) j += 1
+            if (j == len) out(t + 1) += 1
+          }
+          t += 1
+        }
+      }
+    }
+    ArrayData.toArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Argmin over a broadcast centroid matrix with integer squared
   * distances: `nearest_centroid(qv, cs)` where `qv` is array<bigint>
   * and `cs` is array<struct<cid bigint, cv array<bigint>>>, returning

@@ -32,6 +32,13 @@ package object functions {
   def zorder_key(x: Column, y: Column): Column =
     column(ZorderKey(expression(x), expression(y)))
 
+  /** Tokenizer stats for a literal term list in ONE text pass:
+    * `array(int)` of `[token_count max 1, tf(terms(0)), tf(terms(1)), …]`
+    * (equals `size(split(trim(s), "\s+"))` + one whitespace-delimited
+    * `regexp_count` per term, value-for-value). */
+  def token_term_counts(text: Column, terms: Seq[String]): Column =
+    column(TokenTermCounts(expression(text), terms))
+
   /** All ordered (d1 < d2) id pairs of an id array in one native
     * evaluation (equals the nested transform/filter HOF pipeline
     * element-for-element). */

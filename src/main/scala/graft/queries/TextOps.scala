@@ -291,38 +291,46 @@ object TextOps {
     }),
 
     // --- BM25 ranking (Robertson k1=1.2, b=0.75, +1 idf) of the corpus
-    //     against a fixed 3-term query. Scale shape: term frequencies are
-    //     one explode + hash aggregate keyed by (doc, term); document
-    //     frequencies and avgdl are tiny aggregates that BROADCAST back
-    //     into the per-doc scorer, so the corpus is read once and never
-    //     reshuffled by anything larger than the (doc, term) aggregate. ---
+    //     against a fixed 3-term query. Scale shape: the query terms are
+    //     LITERALS, so per-doc document length AND all three term
+    //     frequencies come from ONE native byte-scan of the text
+    //     (token_term_counts — no token explode, no (doc, term)
+    //     aggregate, no per-term regex pass). Corpus stats (n_docs,
+    //     avgdl) and per-term document frequencies fuse into a single
+    //     1-row aggregate that BROADCASTS back into the scorer, so the
+    //     whole query is two corpus scans and zero corpus-sized
+    //     shuffles. ---
     "t8_bm25" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val terms = Seq("spark", "merge", "vector")
       val k1 = 1.2; val b = 0.75
-      val base = docs(s, dir).select(col("doc_id"),
-        split(trim(col("text")), "\\s+").as("tok"))
-        .select(col("doc_id"), size(col("tok")).as("dl"), col("tok"))
-      val stats = base.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
-      val tf = base
-        .select(col("doc_id"), col("dl"), explode(col("tok")).as("term"))
-        .filter(col("term").isin(terms: _*))
-        .groupBy(col("doc_id"), col("dl"), col("term"))
-        .agg(count(lit(1)).as("tf"))
-      val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-      val scored = tf
-        .join(broadcast(df), Seq("term"))
+      // two-level select on purpose: CollapseProject refuses to inline a
+      // non-cheap alias referenced 4 times, so the kernel runs once per row
+      val proj = docs(s, dir)
+        .select(col("doc_id"),
+          graft.functions.token_term_counts(col("text"), terms).as("c"))
+        .select(col("doc_id"), col("c").getItem(0).as("dl"),
+          col("c").getItem(1).as("tf0"), col("c").getItem(2).as("tf1"),
+          col("c").getItem(3).as("tf2"))
+      val stats = proj.agg(
+        count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"),
+        count_if(col("tf0") > 0).as("df0"),
+        count_if(col("tf1") > 0).as("df1"),
+        count_if(col("tf2") > 0).as("df2"))
+      // per-term parts summed as scaled integers: a 3-double sum is
+      // aggregation-order-dependent at the last ulp, which round(_, 6)
+      // can surface at a boundary; integers commute exactly (tf = 0
+      // contributes exactly 0 via the tf factor in the numerator)
+      def p9(tf: org.apache.spark.sql.Column, df: org.apache.spark.sql.Column) =
+        round((log((col("n_docs") - df + 0.5) / (df + 0.5) + 1.0) *
+          (tf * (k1 + 1)) /
+          (tf + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl")))) * 1e9).cast("long")
+      val scored = proj
+        .filter(col("tf0") > 0 || col("tf1") > 0 || col("tf2") > 0)
         .crossJoin(broadcast(stats))
         .select(col("doc_id"),
-          (log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0) *
-            (col("tf") * (k1 + 1)) /
-            (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl")))).as("part"))
-        // per-term parts summed as scaled integers: a 3-double sum is
-        // aggregation-order-dependent at the last ulp, which round(_, 6)
-        // can surface at a boundary; integers commute exactly
-        .select(col("doc_id"), round(col("part") * 1e9).cast("long").as("p9"))
-        .groupBy(col("doc_id"))
-        .agg(round(sum(col("p9")) / 1e9, 6).as("bm25"))
+          round((p9(col("tf0"), col("df0")) + p9(col("tf1"), col("df1")) +
+            p9(col("tf2"), col("df2"))) / 1e9, 6).as("bm25"))
       // global top-10 via orderBy+limit -> TakeOrderedAndProject (each
       // partition keeps 10 rows, driver merges), NOT an unpartitioned
       // window that would drag every scored doc into one partition;

@@ -247,4 +247,58 @@ class FunctionsSpec extends AnyFunSuite {
       .collect()
     assert(n.length == 3 && n.forall(_.getDouble(0) > 0))
   }
+
+  test("token_term_counts equals the split/explode formulation on the corpus") {
+    import spark.implicits._
+    val terms = Seq("spark", "merge", "vector")
+    val docsDf = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    // reference formulation: the exact pre-round-8 t8 plan fragments —
+    // dl from size(split(trim)), tf from explode + isin + count
+    val ref = docsDf.select(col("doc_id"),
+        split(trim(col("text")), "\\s+").as("tok"))
+      .select(col("doc_id"), size(col("tok")).as("dl"), col("tok"))
+    val refTf = ref.select(col("doc_id"), explode(col("tok")).as("term"))
+      .filter(col("term").isin(terms: _*))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      .groupBy(col("doc_id"))
+      .agg(map_from_arrays(collect_list(col("term")), collect_list(col("tf"))).as("m"))
+    val want = ref.select(col("doc_id"), col("dl"))
+      .join(refTf, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("dl"),
+        coalesce(col("m").getItem("spark"), lit(0L)).as("tf0"),
+        coalesce(col("m").getItem("merge"), lit(0L)).as("tf1"),
+        coalesce(col("m").getItem("vector"), lit(0L)).as("tf2"))
+    val got = docsDf.select(col("doc_id"),
+        token_term_counts(col("text"), terms).as("c"))
+      .select(col("doc_id"), col("c").getItem(0).cast("int").as("dl"),
+        col("c").getItem(1).cast("long").as("tf0"),
+        col("c").getItem(2).cast("long").as("tf1"),
+        col("c").getItem(3).cast("long").as("tf2"))
+    assert(got.count() > 0)
+    assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0)
+  }
+
+  test("token_term_counts edge cases: blank, adjacency, multibyte, exotic whitespace") {
+    import spark.implicits._
+    val cases = Seq(
+      "",                       // blank: dl must clamp to 1 (split yields [""])
+      "   \t\n ",               // whitespace-only: also [""] -> dl 1 after trim
+      "spark",                  // single token, edge-delimited both sides
+      "spark spark\tspark",     // adjacent hits across different \s chars
+      "sparkly spark sparks",   // substrings must NOT count
+      "a spark",           // NBSP is NOT Java \s: it stays glued to the token
+      "café spark café", // multibyte neighbours
+      "xsparkmerge\rvector" // \x0B \f \r are all \s
+    ).toDF("text")
+    val want = cases.select(
+      size(split(trim(col("text")), "\\s+")).as("dl"),
+      expr("size(filter(split(trim(text), '\\\\s+'), t -> t = 'spark'))").as("tf0"),
+      expr("size(filter(split(trim(text), '\\\\s+'), t -> t = 'merge'))").as("tf1"),
+      expr("size(filter(split(trim(text), '\\\\s+'), t -> t = 'vector'))").as("tf2"))
+      .as[(Int, Int, Int, Int)].collect().toSeq
+    val got = cases.select(token_term_counts(col("text"), Seq("spark", "merge", "vector")).as("c"))
+      .select(col("c").getItem(0), col("c").getItem(1), col("c").getItem(2), col("c").getItem(3))
+      .as[(Int, Int, Int, Int)].collect().toSeq
+    assert(got == want)
+  }
 }
