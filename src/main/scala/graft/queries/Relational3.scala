@@ -140,12 +140,15 @@ object Relational3 {
     //     multi-supplier order. The classic form is EXISTS(other
     //     supplier) + NOT EXISTS(other LATE supplier) over two more
     //     lineitem self-scans; here both quantifiers decorrelate into
-    //     ONE per-order aggregate (distinct suppliers, distinct late
-    //     suppliers) — the 100 TB plan scans the F-order join twice
-    //     (stats + probe), never four times, and both passes shuffle on
-    //     the same l_orderkey key so AQE reuses the exchange. The
-    //     oracle runs the textbook correlated form to prove the
-    //     decorrelation is semantics-preserving, not just faster. ---
+    //     ONE per-order aggregate — and because a qualifying order has
+    //     EXACTLY one distinct late supplier (n_late = 1), that
+    //     supplier's identity (max over the late suppliers) and its
+    //     late-line count ride the same aggregate, so the probe pass
+    //     disappears entirely: the 100 TB plan scans the F-order join
+    //     ONCE, shuffles once at order granularity, and the final
+    //     per-supplier rollup + name join run over order-count-sized
+    //     data. The oracle runs the textbook correlated form to prove
+    //     the decorrelation is semantics-preserving, not just faster. ---
     "q21_waiting" -> ((s, dir) => {
       val fOrders = t(s, dir, "orders")
         .filter(col("o_orderstatus") === "F")
@@ -155,16 +158,23 @@ object Relational3 {
         .join(fOrders, col("l_orderkey") === col("o_orderkey"))
         .withColumn("is_late",
           col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"))
-      val perOrder = lines.groupBy(col("l_orderkey").as("ok"))
-        .agg(countDistinct(col("l_suppkey")).as("n_supp"),
-          countDistinct(when(col("is_late"), col("l_suppkey"))).as("n_late"))
+      // two-level instead of countDistinct×2: a double distinct-aggregate
+      // plans an Expand that triples every row through the exchange; the
+      // (order, supplier) rollup ships each pair once with map-side
+      // combine, and the per-order quantifiers become plain counts
+      lines.groupBy(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
+        .agg(sum(when(col("is_late"), 1L).otherwise(0L)).as("late_ln"))
+        .groupBy(col("ok"))
+        .agg(count(lit(1)).as("n_supp"),
+          sum(when(col("late_ln") > 0, 1L).otherwise(0L)).as("n_late"),
+          max(when(col("late_ln") > 0, col("sk"))).as("late_supp"),
+          sum(col("late_ln")).as("late_lines"))
         .filter(col("n_supp") >= 2 && col("n_late") === 1)
-        .select(col("ok"))
-      lines.filter(col("is_late"))
-        .join(perOrder, col("l_orderkey") === col("ok"))
-        .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
-        .groupBy(col("s_suppkey"), col("s_name"))
-        .agg(count(lit(1)).as("numwait"))
+        .groupBy(col("late_supp"))
+        .agg(sum(col("late_lines")).cast("long").as("numwait"))
+        .join(broadcast(t(s, dir, "supplier").select(col("s_suppkey"), col("s_name"))),
+          col("late_supp") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("numwait"))
         .orderBy(col("numwait").desc, col("s_suppkey"))
         .limit(20)
     }),
@@ -238,20 +248,24 @@ object Relational3 {
     //     the DISTINCT (partkey, suppkey) pairs observed in lineitem —
     //     same join/distinct-count shape. "Complaint" suppliers
     //     (negative balance) are excluded by an anti-joined one-column
-    //     relation, and the count is an exact count(DISTINCT suppkey)
-    //     per (brand, type, size) — Spark plans the distinct via a
-    //     two-level aggregate (partial by group+suppkey, then count),
-    //     all map-side combinable. ---
+    //     relation. There is deliberately NO pre-distinct of the
+    //     (partkey, suppkey) pairs: count(DISTINCT suppkey) absorbs
+    //     duplicates inside its own two-level aggregate (partial by
+    //     group+suppkey, then count, all map-side combinable), so a
+    //     separate distinct would only add a full-association exchange
+    //     BEFORE the selective part filter gets to prune ~92% of the
+    //     rows. Both dimension sides broadcast: the fact table flows
+    //     scan -> anti-probe -> hash-probe -> partial agg with its only
+    //     exchange at (brand, type, size, suppkey) granularity. ---
     "q16_supplier_cnt" -> ((s, dir) => {
-      val assoc = t(s, dir, "lineitem")
-        .select(col("l_partkey"), col("l_suppkey")).distinct()
       val badSupp = t(s, dir, "supplier").filter(col("s_acctbal") < 0)
         .select(col("s_suppkey"))
       val parts = t(s, dir, "part")
         .filter(col("p_type") =!= "PROMO" && col("p_size").isin(5, 10, 15, 20))
-      assoc
-        .join(badSupp, col("l_suppkey") === col("s_suppkey"), "left_anti")
-        .join(parts, col("l_partkey") === col("p_partkey"))
+        .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size"))
+      t(s, dir, "lineitem").select(col("l_partkey"), col("l_suppkey"))
+        .join(broadcast(badSupp), col("l_suppkey") === col("s_suppkey"), "left_anti")
+        .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
         .groupBy(col("p_brand"), col("p_type"), col("p_size"))
         .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
         .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
@@ -348,23 +362,25 @@ object Relational3 {
     //     self-join). The ranking metric is EXACT: lift6 = n_ab * N *
     //     1e6 div (n_a * n_b) — an integer, so top-20 cannot drift on
     //     float division; confidence reports as a rounded rational of
-    //     the same exact counts. One shuffle keyed by order, one by
-    //     pair, two broadcast joins of the part-frequency relation. ---
+    //     the same exact counts. The (order, part) dedup never exists as
+    //     its own exchange: the basket build dedups inside collect_set
+    //     (map-side partial sets), and the frequency/total branches are
+    //     single countDistinct rollups — three independent one-exchange
+    //     aggregations of the pruned 2-column scan, no eager
+    //     materialization job, dims broadcast into the pair scorer. ---
     "q20_basket_lift" -> ((s, dir) => {
-      val op = t(s, dir, "lineitem")
+      val base = t(s, dir, "lineitem")
         .filter(col("l_partkey") < 3000)
         .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-        .distinct()
-        .localCheckpoint(true) // consumed by pairs, frequencies, and N
-      val pairs = op.groupBy(col("o"))
-        .agg(sort_array(collect_list(col("p"))).as("ids"))
+      val pairs = base.groupBy(col("o"))
+        .agg(sort_array(collect_set(col("p"))).as("ids"))
         .filter(size(col("ids")) > 1)
         .select(explode(graft.functions.id_pairs(col("ids"))).as("pr"))
         .groupBy(col("pr.d1").as("pa"), col("pr.d2").as("pb"))
         .agg(count(lit(1)).as("n_ab"))
         .filter(col("n_ab") >= 3)
-      val np = op.groupBy(col("p")).agg(count(lit(1)).as("n_p"))
-      val n = op.select(col("o")).distinct().agg(count(lit(1)).as("n_orders"))
+      val np = base.groupBy(col("p")).agg(countDistinct(col("o")).as("n_p"))
+      val n = base.agg(countDistinct(col("o")).as("n_orders"))
       pairs
         .join(np.select(col("p").as("pa"), col("n_p").as("n_a")), Seq("pa"))
         .join(np.select(col("p").as("pb"), col("n_p").as("n_b")), Seq("pb"))
