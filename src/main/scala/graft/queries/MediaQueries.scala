@@ -160,6 +160,54 @@ object MediaQueries {
         }
         .toDF("media_id", "dhash_lo", "dhash_hi", "n_bits")
         .orderBy(col("media_id"))
+    }),
+
+    // --- perceptual near-duplicate DEGREE over m7's 64-bit dHash: which
+    //     images are templates — over-represented to within Hamming
+    //     distance 2 (the LAION-style curation question; m4's aHash
+    //     groups catch only exact signature collisions). Pair generation
+    //     is EXACT banded bucketing, never an image self-join: 64 bits
+    //     split into 3 disjoint bands (21+21+22), and a pair differing
+    //     in <= 2 bits can touch at most 2 bands, so it collides
+    //     unchanged in at least one (pigeonhole — d6's SimHash argument
+    //     applied to the image hash). bit_count confirmation runs on the
+    //     bucket survivors, then the per-image rollup + top-20 is a
+    //     TakeOrderedAndProject. At 100 TB the work is sum(band-bucket
+    //     freq^2) with the d7-style cap as the skew lever (this demo
+    //     corpus is maximally degenerate — monotone gradients put every
+    //     image within 12 bits of every other, so the cap lever, not
+    //     the banding, is what bounds it) and 8 bytes of state per
+    //     image. ---
+    "m8_dhash_neardup" -> ((s, dir) => {
+      val h = queries("m7_imageio_dhash")(s, dir)
+        .select(col("media_id"), col("dhash_lo"), col("dhash_hi"))
+      // recombined 64-bit key only for band extraction (bit 63 rides the
+      // sign — harmless under mask); widths 21+21+22 cover all 64 bits
+      val full = col("dhash_lo").bitwiseOR(shiftleft(col("dhash_hi"), 32))
+      val bandArr = expr("array(" +
+        Seq((0, 21), (21, 21), (42, 22)).zipWithIndex.map { case ((off, w), b) =>
+          s"concat('$b,', shiftright(fullk, $off) & ${(1L << w) - 1})"
+        }.mkString(",") + ")")
+      val cand = h.withColumn("fullk", full)
+        .select(col("media_id"), explode(bandArr).as("s"))
+        .groupBy(col("s")).agg(sort_array(collect_set(col("media_id"))).as("ids"))
+        .filter(size(col("ids")) > 1)
+        .select(explode(graft.functions.id_pairs(col("ids"))).as("p"))
+        .select(col("p.d1").as("d1"), col("p.d2").as("d2")).distinct()
+      val conf = broadcast(cand)
+        .join(h.select(col("media_id").as("d1"), col("dhash_lo").as("l1"),
+          col("dhash_hi").as("h1")), Seq("d1"))
+        .join(h.select(col("media_id").as("d2"), col("dhash_lo").as("l2"),
+          col("dhash_hi").as("h2")), Seq("d2"))
+        .select(col("d1"), col("d2"),
+          expr("CAST(bit_count(l1 ^ l2) + bit_count(h1 ^ h2) AS BIGINT)").as("hamming"))
+        .filter(col("hamming") <= 2)
+      conf.select(col("d1").as("media_id"), col("hamming"))
+        .unionByName(conf.select(col("d2").as("media_id"), col("hamming")))
+        .groupBy(col("media_id"))
+        .agg(count(lit(1)).as("n_neardup"), min(col("hamming")).as("closest"))
+        .orderBy(col("n_neardup").desc, col("media_id"))
+        .limit(20)
     })
   )
 
@@ -281,6 +329,33 @@ object MediaQueries {
         |  CAST(sum(CASE WHEN bit < 32 THEN b * (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT) AS dhash_lo,
         |  CAST(sum(CASE WHEN bit >= 32 THEN b * (CAST(1 AS BIGINT) << (bit - 32)) ELSE 0 END) AS BIGINT) AS dhash_hi,
         |  CAST(sum(b) AS BIGINT) AS n_bits
-        |FROM bits GROUP BY media_id ORDER BY media_id""".stripMargin
+        |FROM bits GROUP BY media_id ORDER BY media_id""".stripMargin,
+
+    // m8: all-pairs Hamming over the m7 bit set (the oracle may brute-
+    // force; the engine's banded bucketing is exact by pigeonhole)
+    "m8_dhash_neardup" ->
+      """WITH img AS (
+        |  SELECT doc_id AS media_id,
+        |    16 + doc_id % 16 AS w, 12 + doc_id % 8 AS h
+        |  FROM documents WHERE doc_id < 300),
+        |bits AS (
+        |  SELECT media_id, j.y * 8 + i.x AS bit,
+        |    CASE WHEN (3 * (((i.x + 1) * w) // 9) + 7 * ((j.y * h) // 8) + media_id) % 256
+        |            > (3 * ((i.x * w) // 9) + 7 * ((j.y * h) // 8) + media_id) % 256
+        |         THEN 1 ELSE 0 END AS b
+        |  FROM img, (SELECT unnest(generate_series(0, 7)) AS x) i,
+        |       (SELECT unnest(generate_series(0, 7)) AS y) j),
+        |pairs AS (
+        |  SELECT b1.media_id AS d1, b2.media_id AS d2,
+        |    CAST(sum(CASE WHEN b1.b <> b2.b THEN 1 ELSE 0 END) AS BIGINT) AS hamming
+        |  FROM bits b1 JOIN bits b2 ON b1.bit = b2.bit AND b1.media_id < b2.media_id
+        |  GROUP BY 1, 2 HAVING hamming <= 2),
+        |ends AS (
+        |  SELECT d1 AS media_id, hamming FROM pairs
+        |  UNION ALL SELECT d2, hamming FROM pairs)
+        |SELECT media_id, count(*) AS n_neardup,
+        |  CAST(min(hamming) AS BIGINT) AS closest
+        |FROM ends GROUP BY media_id
+        |ORDER BY n_neardup DESC, media_id LIMIT 20""".stripMargin
   )
 }

@@ -425,6 +425,42 @@ object Relational3 {
           col("band"), col("doc_id"))
         .filter(col("pos") % 97 === 0)
         .orderBy(col("pos"))
+    }),
+
+    // --- token-budget source mixing — the data-mixing pass every
+    //     pretraining corpus runs (Pile/Dolma-style source weighting):
+    //     given per-source token totals and target weights, allocate a
+    //     global 50% token budget proportionally and cap each source's
+    //     sampling rate at 1.0 (single-round waterfilling; real loaders
+    //     then redistribute the spill over a bounded number of rounds —
+    //     the per-source spill column is that next round's input).
+    //     Weights derive from md5(source) so the oracle recomputes them
+    //     (p11's convention); token counts come from ONE corpus pass of
+    //     the t8 byte-scan kernel. All arithmetic is 64-bit integer
+    //     (rate in parts-per-million), so the plan is two tiny
+    //     exchanges: source rollup + a broadcast 1-row totals join —
+    //     at 100 TB the only corpus-sized work is the token count. ---
+    "p14_mixture_budget" -> ((s, dir) => {
+      import graft.functions.{md5_bits, token_term_counts}
+      val bySrc = t(s, dir, "documents")
+        .select(col("source"),
+          token_term_counts(col("text"), Seq("a")).getItem(0)
+            .cast("long").as("dl"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("src_tokens"))
+        .withColumn("w", md5_bits(col("source"), 4) % 90 + 10)
+      val totals = bySrc.agg(sum(col("src_tokens")).as("tot_tokens"),
+        sum(col("w")).as("tot_w"))
+      bySrc.crossJoin(broadcast(totals))
+        .withColumn("alloc",
+          expr("(tot_tokens div 2) * w div tot_w"))
+        .withColumn("rate_ppm",
+          least(lit(1000000L), expr("alloc * 1000000 div src_tokens")))
+        .withColumn("kept_tokens", expr("src_tokens * rate_ppm div 1000000"))
+        .withColumn("spill", greatest(lit(0L), expr("alloc - kept_tokens")))
+        .select(col("source"), col("n_docs"), col("src_tokens"), col("w"),
+          col("alloc"), col("rate_ppm"), col("kept_tokens"), col("spill"))
+        .orderBy(col("source"))
     })
   )
 
@@ -640,6 +676,29 @@ object Relational3 {
         |SELECT CAST(off.boff + r.rn AS BIGINT) AS pos, r.ep, r.band, r.doc_id
         |FROM r JOIN off ON r.ep = off.ep AND r.band = off.band
         |WHERE (off.boff + r.rn) % 97 = 0
-        |ORDER BY pos""".stripMargin
+        |ORDER BY pos""".stripMargin,
+
+    "p14_mixture_budget" ->
+      """WITH tok AS (
+        |  SELECT source,
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS dl
+        |  FROM documents),
+        |s AS (
+        |  SELECT source, count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS src_tokens,
+        |    ('0x' || substr(md5(source), 1, 4))::BIGINT % 90 + 10 AS w
+        |  FROM tok GROUP BY source),
+        |tot AS (
+        |  SELECT CAST(sum(src_tokens) AS BIGINT) AS tot_tokens,
+        |    CAST(sum(w) AS BIGINT) AS tot_w FROM s),
+        |a AS (
+        |  SELECT s.*, (tot.tot_tokens // 2) * s.w // tot.tot_w AS alloc
+        |  FROM s, tot),
+        |r AS (
+        |  SELECT *, least(1000000, alloc * 1000000 // src_tokens) AS rate_ppm
+        |  FROM a)
+        |SELECT source, n_docs, src_tokens, w, alloc, rate_ppm,
+        |  src_tokens * rate_ppm // 1000000 AS kept_tokens,
+        |  greatest(0, alloc - src_tokens * rate_ppm // 1000000) AS spill
+        |FROM r ORDER BY source""".stripMargin
   )
 }
