@@ -341,6 +341,47 @@ case class CharWindowHashes(child: Expression, width: Int, nibbles: Int)
   * bytes never occur inside a UTF-8 multibyte sequence, so byte runs
   * are precisely the `\s+`-split tokens. CodegenFallback on purpose:
   * the per-row scan dominates; codegen would only inline the call. */
+/** Scalar twin of [[TokenTermCounts]] element 0: the whitespace-token
+  * field count alone, for the five corpus passes that compute
+  * `size(split(trim(text), "\s+"))` and discard the array. Identical
+  * semantics (space-only trim, split limit -1 edge fields, blank → 1)
+  * without materializing a token array per row. */
+case class TokenCount(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"token_count expects a string, got $t")
+  }
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "token_count"
+
+  private def isWs(b: Byte): Boolean =
+    b == 0x20 || b == 0x09 || b == 0x0a || b == 0x0b || b == 0x0c || b == 0x0d
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val bytes = v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes
+    val n = bytes.length
+    var a = 0
+    while (a < n && bytes(a) == 0x20) a += 1
+    var b = n
+    while (b > a && bytes(b - 1) == 0x20) b -= 1
+    var cnt = 1
+    var i = a
+    while (i < b) {
+      if (isWs(bytes(i))) {
+        cnt += 1
+        while (i < b && isWs(bytes(i))) i += 1
+      } else {
+        while (i < b && !isWs(bytes(i))) i += 1
+      }
+    }
+    cnt
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 case class TokenTermCounts(child: Expression, terms: Seq[String])
     extends UnaryExpression with CodegenFallback {
   require(terms.nonEmpty)

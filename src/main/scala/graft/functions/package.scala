@@ -32,6 +32,11 @@ package object functions {
   def zorder_key(x: Column, y: Column): Column =
     column(ZorderKey(expression(x), expression(y)))
 
+  /** Whitespace-token field count without the array: equals
+    * `size(split(trim(s), "\s+"))` value-for-value. */
+  def token_count(text: Column): Column =
+    column(TokenCount(expression(text)))
+
   /** Tokenizer stats for a literal term list in ONE text pass:
     * `array(int)` of `[token_count max 1, tf(terms(0)), tf(terms(1)), …]`
     * (equals `size(split(trim(s), "\s+"))` + one whitespace-delimited

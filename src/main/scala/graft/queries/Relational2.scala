@@ -32,7 +32,7 @@ object Relational2 {
       val bucketSz = 500L
       val toks = t(s, dir, "documents")
         .select(col("doc_id"),
-          size(split(trim(col("text")), "\\s+")).cast("long").as("n_tok"),
+          graft.functions.token_count(col("text")).cast("long").as("n_tok"),
           expr(s"doc_id div $bucketSz").as("bucket"))
       val inBucket = toks.withColumn("local_pre",
         coalesce(sum(col("n_tok")).over(

@@ -441,11 +441,9 @@ object Relational3 {
     //     exchanges: source rollup + a broadcast 1-row totals join —
     //     at 100 TB the only corpus-sized work is the token count. ---
     "p14_mixture_budget" -> ((s, dir) => {
-      import graft.functions.{md5_bits, token_term_counts}
+      import graft.functions.{md5_bits, token_count}
       val bySrc = t(s, dir, "documents")
-        .select(col("source"),
-          token_term_counts(col("text"), Seq("a")).getItem(0)
-            .cast("long").as("dl"))
+        .select(col("source"), token_count(col("text")).cast("long").as("dl"))
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("src_tokens"))
         .withColumn("w", md5_bits(col("source"), 4) % 90 + 10)

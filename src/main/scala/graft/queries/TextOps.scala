@@ -117,7 +117,7 @@ object TextOps {
     "t1_token_stats" -> ((s, dir) => {
       docs(s, dir)
         .select(col("lang"),
-          size(split(trim(col("text")), "\\s+")).as("n_tok"),
+          graft.functions.token_count(col("text")).as("n_tok"),
           col("n_chars"))
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_docs"),
@@ -163,7 +163,7 @@ object TextOps {
     "t2_quality_score" -> ((s, dir) => {
       val d = docs(s, dir)
       val p = padded(d)
-      val nTok = size(split(trim(col("text")), "\\s+"))
+      val nTok = graft.functions.token_count(col("text"))
       val alpha = length(regexp_replace(lower(col("text")), "[^a-z]", ""))
       val stops = wordCount(p, "the") + wordCount(p, "a") + wordCount(p, "of")
       d.select(
@@ -263,7 +263,7 @@ object TextOps {
       import org.apache.spark.sql.expressions.Window
       val d = docs(s, dir)
       val p = padded(d)
-      val nTok = size(split(trim(col("text")), "\\s+"))
+      val nTok = graft.functions.token_count(col("text"))
       val alpha = length(regexp_replace(lower(col("text")), "[^a-z]", ""))
       val stops = wordCount(p, "the") + wordCount(p, "a") + wordCount(p, "of")
       val quality = round(
@@ -381,7 +381,7 @@ object TextOps {
     "t15_classifier" -> ((s, dir) => {
       val d = docs(s, dir)
       val p = padded(d)
-      val nTok = size(split(trim(col("text")), "\\s+")).cast("long")
+      val nTok = graft.functions.token_count(col("text")).cast("long")
       val alpha = length(regexp_replace(lower(col("text")), "[^a-z]", "")).cast("long")
       val stops = (wordCount(p, "the") + wordCount(p, "a") + wordCount(p, "of")).cast("long")
       d.select(col("lang"), col("n_chars"),

@@ -278,6 +278,21 @@ class FunctionsSpec extends AnyFunSuite {
     assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0)
   }
 
+  test("token_count equals size(split(trim)) on the corpus") {
+    import spark.implicits._
+    val bad = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select(token_count(col("text")).as("a"),
+        size(split(trim(col("text")), "\\s+")).as("b"))
+      .filter(col("a") =!= col("b")).count()
+    assert(bad == 0L)
+    // and on the edge shapes (blank, whitespace-only, edge tabs)
+    val edge = Seq("", "   ", " \t\n ", "\tx y\n", "x").toDF("text")
+      .select(token_count(col("text")).as("a"),
+        size(split(trim(col("text")), "\\s+")).as("b"))
+      .as[(Int, Int)].collect()
+    edge.foreach { case (a, b) => assert(a == b, edge.mkString(",")) }
+  }
+
   test("token_term_counts edge cases: blank, adjacency, multibyte, exotic whitespace") {
     import spark.implicits._
     val cases = Seq(
