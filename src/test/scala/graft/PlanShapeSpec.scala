@@ -417,4 +417,52 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("Window"), p)
     assert(p.contains("hashpartitioning(h#"), p)
   }
+
+  // ---- round-8 shapes: the exchange cuts must not silently regress ----
+
+  test("t8: native tokenizer kernel, no token explode, stats broadcast") {
+    val p = plan("t8_bm25")
+    assert(p.contains("token_term_counts"), p)
+    assert(!p.contains("Generate explode"), p) // the r7 shape exploded every token
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+  }
+
+  test("q16: no pre-distinct exchange, dims broadcast, one grouped distinct") {
+    val p = plan("q16_supplier_cnt")
+    // both dimension probes broadcast; the only exchanges belong to the
+    // count(DISTINCT) two-level aggregate
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p)
+    assert(!p.toLowerCase.contains("cartesianproduct"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q21: single corpus pass — no Expand, no probe-side rescan") {
+    val p = plan("q21_waiting")
+    assert(!p.contains("Expand"), p) // countDistinct x2 would plan one
+    // lineitem is scanned once: the decorrelated aggregate feeds the
+    // supplier rollup directly instead of semi-joining a second scan
+    assert("Scan parquet [^\\n]*lineitem".r.findAllIn(p).size == 1, p)
+    assert(p.contains("EqualTo(o_orderstatus,F)"), p)
+  }
+
+  test("q20: basket dedup lives inside collect_set — no eager RDD scan") {
+    val p = plan("q20_basket_lift")
+    assert(!p.contains("Scan ExistingRDD"), p) // the r7 shape checkpointed
+    assert(p.contains("collect_set"), p)
+    assert(!p.toLowerCase.contains("cartesianproduct"), p)
+  }
+
+  test("m8: banded candidates come from bucket equi-joins + top-k") {
+    val p = plan("m8_dhash_neardup")
+    assert(!p.toLowerCase.contains("cartesianproduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("p14: the only corpus-sized work is the token count; totals broadcast") {
+    val p = plan("p14_mixture_budget")
+    assert(p.contains("token_count"), p)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+    assert(!p.contains("Generate explode"), p)
+  }
 }
