@@ -163,6 +163,31 @@ object SimilarityOps {
         .orderBy(col("qid"), col("rk"))
     }),
 
+    // --- cosine RANGE search (radius query): for each query vector, the
+    //     count / mean / max similarity of all corpus vectors within
+    //     cos >= 0.2 — the fixed-threshold dual of top-k (dedup sweeps
+    //     and recall audits ask "everything this similar", not "the k
+    //     nearest"). Same 100 TB shape as v1: queries broadcast, corpus
+    //     scanned once with the codegen'd dot product, and the result is
+    //     a per-query aggregate so nothing ever shuffles at corpus grain.
+    //     The threshold compares the round-6 value (what both engines
+    //     output), so a 1e-7 float tail can't flip membership. ---
+    "v18_range_search" -> ((s, dir) => {
+      val e = withNorm(emb(s, dir))
+        .select(col("vec_id").as("eid"), col("embedding").as("ee"), col("nrm").as("en"))
+      val q = withNorm(emb(s, dir).filter(col("vec_id") < 8))
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("nrm").as("qn"))
+      broadcast(q).join(e, col("qid") =!= col("eid"))
+        .select(col("qid"),
+          round(dot("qe", "ee") / (col("qn") * col("en")), 6).as("cos"))
+        .filter(col("cos") >= 0.2)
+        .groupBy(col("qid"))
+        .agg(count(lit(1)).cast("long").as("n_in_range"),
+          round(avg(col("cos")), 6).as("avg_cos"),
+          round(max(col("cos")), 6).as("max_cos"))
+        .orderBy(col("qid"))
+    }),
+
     // --- IVF coarse quantizer: nearest-centroid assignment counts ---
     "v2_ivf_assign" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
@@ -1000,6 +1025,19 @@ object SimilarityOps {
         |  FROM scored)
         |SELECT qid, eid, cos, rk FROM ranked WHERE rk <= 3
         |ORDER BY qid, rk""".stripMargin,
+
+    "v18_range_search" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 8),
+        |scored AS (
+        |  SELECT q.qid,
+        |    round(list_dot_product(CAST(q.qe AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) /
+        |      (sqrt(list_dot_product(CAST(q.qe AS DOUBLE[]), CAST(q.qe AS DOUBLE[]))) *
+        |       sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))), 6) AS cos
+        |  FROM q, embeddings e WHERE e.vec_id != q.qid)
+        |SELECT qid, CAST(count(*) AS BIGINT) AS n_in_range,
+        |  round(avg(cos), 6) AS avg_cos, round(max(cos), 6) AS max_cos
+        |FROM scored WHERE cos >= 0.2
+        |GROUP BY qid ORDER BY qid""".stripMargin,
 
     "v2_ivf_assign" ->
       """WITH dims AS (

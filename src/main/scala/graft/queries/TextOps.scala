@@ -909,6 +909,39 @@ object TextOps {
             "(CAST(cx AS DECIMAL(38,0)) * cy) AS BIGINT)").as("lift_ppm"))
         .orderBy(col("lift_ppm").desc, col("w1"), col("w2"))
         .limit(20)
+    }),
+
+    // --- Zipf-law fit over the token frequency spectrum: OLS slope and
+    //     intercept of ln(freq) on ln(rank) — the corpus-health check a
+    //     tokenizer-training run does first (natural text slopes ~ -1;
+    //     template/spam corpora flatten or cliff). One corpus-scale hash
+    //     aggregate into the vocabulary, TakeOrderedAndProject caps the
+    //     spectrum at the top-1000 ranks BEFORE any window (the rank
+    //     window then runs over <=1000 rows, never the vocabulary), and
+    //     the fit is one tiny moments aggregate with the closed-form
+    //     normal-equation solution written identically in both engines
+    //     (regr_slope's internal streaming algorithm is not guaranteed to
+    //     match a manual moments formula at the last double bit). ---
+    "t24_zipf_fit" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val freq = docs(s, dir)
+        .select(explode(split(trim(col("text")), "\\s+")).as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      val w = Window.orderBy(col("cnt").desc, col("token"))
+      val xy = freq.orderBy(col("cnt").desc, col("token")).limit(1000)
+        .withColumn("rank", row_number().over(w))
+        .select(log(col("rank").cast("double")).as("x"),
+          log(col("cnt").cast("double")).as("y"))
+      xy.agg(count(lit(1)).cast("long").as("n_ranks"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"))
+        .select(col("n_ranks"),
+          round((col("n_ranks") * col("sxy") - col("sx") * col("sy")) /
+            (col("n_ranks") * col("sxx") - col("sx") * col("sx")), 6).as("slope"),
+          round((col("sy") - (col("n_ranks") * col("sxy") - col("sx") * col("sy")) /
+            (col("n_ranks") * col("sxx") - col("sx") * col("sx")) * col("sx")) /
+            col("n_ranks"), 6).as("intercept"))
     })
   )
 
@@ -1297,6 +1330,21 @@ object TextOps {
         |  FROM freq)
         |SELECT rank, token, cnt, round(cum * 1.0 / total, 6) AS coverage
         |FROM r, tot WHERE rank <= 20 ORDER BY rank""".stripMargin,
+
+    "t24_zipf_fit" ->
+      raw"""WITH tok AS (
+        |  SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token FROM documents),
+        |freq AS (SELECT token, count(*) AS cnt FROM tok GROUP BY token),
+        |r AS (SELECT cnt, row_number() OVER (ORDER BY cnt DESC, token) AS rank FROM freq),
+        |xy AS (SELECT ln(CAST(rank AS DOUBLE)) AS x, ln(CAST(cnt AS DOUBLE)) AS y
+        |       FROM r WHERE rank <= 1000),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS n_ranks, sum(x) AS sx, sum(y) AS sy,
+        |             sum(x * y) AS sxy, sum(x * x) AS sxx FROM xy)
+        |SELECT n_ranks,
+        |  round((n_ranks * sxy - sx * sy) / (n_ranks * sxx - sx * sx), 6) AS slope,
+        |  round((sy - (n_ranks * sxy - sx * sy) / (n_ranks * sxx - sx * sx) * sx)
+        |        / n_ranks, 6) AS intercept
+        |FROM m""".stripMargin,
 
     "t17_tfidf_pairs" ->
       raw"""WITH tok AS (
