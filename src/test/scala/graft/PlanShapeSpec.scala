@@ -459,6 +459,22 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("t24: rank cap is TakeOrderedAndProject, never a vocabulary-wide window") {
+    val p = plan("t24_zipf_fit")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    // the OLS moments collapse in one partial+final aggregate pair, so the
+    // only exchanges are the vocab aggregate's and the 1-row final agg's
+    assert(!p.toLowerCase.contains("cartesianproduct"), p)
+  }
+
+  test("v18: queries broadcast into the range scan, corpus aggregates per query") {
+    val p = plan("v18_range_search")
+    assert(p.contains("vector_dot"), p)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+    // the corpus side must never be the broadcast build
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("p14: the only corpus-sized work is the token count; totals broadcast") {
     val p = plan("p14_mixture_budget")
     assert(p.contains("token_count"), p)
