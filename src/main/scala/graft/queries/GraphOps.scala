@@ -72,6 +72,49 @@ object GraphOps {
       .localCheckpoint(true)
   }
 
+  /** 5-round integer PageRank over an arbitrary (d1 < d2) undirected
+    * edge list (expected eagerly checkpointed by the caller — every
+    * round references it). Returns (node, deg, r). Exposed for the
+    * graph-family scale rehearsal (`QueryScaleRehearsal graph`): the
+    * g-census argues the family's sf0.1 ratios are the per-round
+    * job/stage floor, and the rehearsal proves the floor AMORTIZES —
+    * K x the edges must cost far less than K x the wall, because each
+    * round's constant scheduling cost is paid once regardless of data.
+    * g1 is exactly this loop over the co-supply pair join. */
+  private[graft] def pagerankOf(edges: DataFrame): DataFrame = {
+    val bi = edges.union(
+      edges.select(col("d2").as("d1"), col("d1").as("d2")))
+    // deg doubles as the node table (one row per node by construction,
+    // so no extra distinct); tiny — checkpointed once, reused by all
+    // 5 rounds and the final projection
+    val nd = bi.groupBy(col("d1")).agg(count(lit(1)).as("deg"))
+      .select(col("d1").as("node"), col("deg"))
+      .localCheckpoint(true)
+    // deg rides inside `rank` (n rows), so no separate adjacency-with-
+    // degree table is materialized — each round joins the checkpointed
+    // edge list against the small rank relation (AQE broadcasts it at
+    // this scale; at 1e9 nodes it degrades to a partitioned join).
+    var rank = nd.select(col("node"), col("deg"), lit(Scale).as("r"))
+    for (_ <- 1 to 5) {
+      val contrib = bi
+        .join(rank, col("d1") === col("node"))
+        .select(col("d2").as("dst"), expr("r div deg").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("s"))
+      // LAZY checkpoint per round: the next round (and the final job)
+      // plans from a materialized leaf instead of a logical plan that
+      // nests every prior round — without it the final plan is a
+      // 10+-join tree that Catalyst/AQE re-analyzes stage by stage.
+      // Lazy, not eager, so the chain still materializes in one job
+      // with each round's RDD computed exactly once.
+      rank = nd.join(contrib, col("node") === col("dst"), "left")
+        .select(col("node"), col("deg"), expr(
+          s"${Scale * 15 / 100} + (17 * coalesce(s, CAST(0 AS BIGINT))) div 20")
+          .as("r"))
+        .localCheckpoint(false)
+    }
+    rank
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // --- 5-iteration PageRank over the supplier co-supply graph: two
@@ -99,37 +142,7 @@ object GraphOps {
         // million-pair join+distinct up to 6x per query; measured as
         // the dominant cost of the whole query at sf0.1.
         .localCheckpoint(true)
-      val bi = edges.union(
-        edges.select(col("d2").as("d1"), col("d1").as("d2")))
-      // deg doubles as the node table (one row per node by construction,
-      // so no extra distinct); tiny — checkpointed once, reused by all
-      // 5 rounds and the final projection
-      val nd = bi.groupBy(col("d1")).agg(count(lit(1)).as("deg"))
-        .select(col("d1").as("node"), col("deg"))
-        .localCheckpoint(true)
-      // deg rides inside `rank` (n rows), so no separate adjacency-with-
-      // degree table is materialized — each round joins the checkpointed
-      // edge list against the small rank relation (AQE broadcasts it at
-      // this scale; at 1e9 nodes it degrades to a partitioned join).
-      var rank = nd.select(col("node"), col("deg"), lit(Scale).as("r"))
-      for (_ <- 1 to 5) {
-        val contrib = bi
-          .join(rank, col("d1") === col("node"))
-          .select(col("d2").as("dst"), expr("r div deg").as("c"))
-          .groupBy(col("dst")).agg(sum(col("c")).as("s"))
-        // LAZY checkpoint per round: the next round (and the final job)
-        // plans from a materialized leaf instead of a logical plan that
-        // nests every prior round — without it the final plan is a
-        // 10+-join tree that Catalyst/AQE re-analyzes stage by stage.
-        // Lazy, not eager, so the chain still materializes in one job
-        // with each round's RDD computed exactly once.
-        rank = nd.join(contrib, col("node") === col("dst"), "left")
-          .select(col("node"), col("deg"), expr(
-            s"${Scale * 15 / 100} + (17 * coalesce(s, CAST(0 AS BIGINT))) div 20")
-            .as("r"))
-          .localCheckpoint(false)
-      }
-      rank
+      pagerankOf(edges)
         .select(col("node").as("s_suppkey"), col("deg"), col("r").as("pr"))
         .orderBy(col("pr").desc, col("s_suppkey"))
         .limit(20)

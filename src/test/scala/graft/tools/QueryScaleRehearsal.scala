@@ -187,6 +187,39 @@ object QueryScaleRehearsal {
           println(f"""{"rehearsal":"bpe-kernel-stress","vocab":$v,""" +
             f""""merges":${merges.length},"sec":${(System.nanoTime() - t0) / 1e9}%.2f}""")
         }
+      case "graph" =>
+        // The iterative-graph floor claim, measured instead of argued:
+        // the g-census (PERF_NOTES §graph) shows the family's sf0.1
+        // ratios are per-round scheduling floor (2-9 MB of real traffic
+        // under 1-3 s of wall). If that is true, K x the edges must
+        // cost FAR less than K x the wall — each round's constant
+        // job/stage cost is paid once regardless of data volume. The
+        // K x graph is K disjoint isomorphic copies (node ids offset
+        // into disjoint ranges): per-round join/aggregate work grows
+        // exactly K-fold, rounds stay 5 by construction.
+        val ps = Tables.load(spark, sfDir, "lineitem")
+          .select(col("l_partkey").as("p"), col("l_suppkey").as("sk"))
+          .distinct()
+        val edges1 = ps.as("a").join(ps.as("b"),
+            col("a.p") === col("b.p") && col("a.sk") < col("b.sk"))
+          .select(col("a.sk").as("d1"), col("b.sk").as("d2"))
+          .distinct()
+          .localCheckpoint(true)
+        val off = edges1.agg(max(greatest(col("d1"), col("d2"))))
+          .collect()(0).getLong(0) + 1
+        val edgesK = edges1
+          .withColumn("cp", explode(expr(s"sequence(0, ${k - 1})")))
+          .select((col("d1") + col("cp") * off).as("d1"),
+            (col("d2") + col("cp") * off).as("d2"))
+          .localCheckpoint(true)
+        val (e1, eK) = (edges1.count(), edgesK.count())
+        graft.queries.GraphOps.pagerankOf(edges1).count() // warmup
+        val (n1, s1) = timed(graft.queries.GraphOps.pagerankOf(edges1))
+        val (nK, sK) = timed(graft.queries.GraphOps.pagerankOf(edgesK))
+        println(f"""{"rehearsal":"graph-pagerank-scaling","k":$k,""" +
+          f""""base_edges":$e1,"scaled_edges":$eK,"base_nodes":$n1,""" +
+          f""""scaled_nodes":$nK,"base_sec":$s1%.2f,"scaled_sec":$sK%.2f,""" +
+          f""""time_ratio":${sK / s1}%.2f,"per_copy":${sK / s1 / k}%.3f}""")
       case _ =>
         // warmup (codegen, broadcast machinery), then timed passes
         lshPairs(base).count()
