@@ -429,6 +429,39 @@ object DedupOps {
         .orderBy(col("d1"), col("d2"))
     }),
 
+    // --- cross-modal dedup verification: v4's embedding near-dup
+    //     candidates (cos >= 0.45, the EXACT gated v4 surface via
+    //     SimilarityOps.neardupPairs — vec_id is the document's
+    //     embedding id) re-scored by exact lexical 3-gram Jaccard.
+    //     The SemDeDup-composition question "does semantic similarity
+    //     imply lexical duplication?" answered pair by pair: the
+    //     embedding index PROPOSES, the text DISPOSES. 100 TB shape:
+    //     the candidate relation is pair-work-bounded (v4's blocked
+    //     scan), tiny relative to the corpus, and BROADCASTS into the
+    //     shingle relation — the corpus-sized shingle side shuffles
+    //     only on (doc, h) aggregate keys it already owns, and docs
+    //     with zero shared shingles survive via the left join (the
+    //     interesting rows: semantically close, lexically disjoint). ---
+    "d18_xmodal_verify" -> ((s, dir) => {
+      val cand = graft.queries.SimilarityOps.neardupPairs(s, dir)
+        .localCheckpoint(true) // tiny; three consumers below
+      val sh = shingles(docs(s, dir))
+      val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val m = broadcast(cand.select(col("id1"), col("id2")))
+        .join(sh.as("s1"), col("id1") === col("s1.doc_id"))
+        .join(sh.as("s2"), col("id2") === col("s2.doc_id") && col("s1.h") === col("s2.h"))
+        .groupBy(col("id1"), col("id2")).agg(count(lit(1)).as("m"))
+      cand.join(m, Seq("id1", "id2"), "left")
+        .na.fill(0L, Seq("m"))
+        .join(cnt.select(col("doc_id").as("id1"), col("n").as("n1")), Seq("id1"))
+        .join(cnt.select(col("doc_id").as("id2"), col("n").as("n2")), Seq("id2"))
+        .select(col("id1"), col("id2"), col("cos"),
+          round(col("m") / (col("n1") + col("n2") - col("m")), 6).as("jaccard"),
+          when(round(col("m") / (col("n1") + col("n2") - col("m")), 6) >= 0.5, 1L)
+            .otherwise(0L).as("lexical_dup"))
+        .orderBy(col("id1"), col("id2"))
+    }),
+
     // --- SimHash (60-bit, md5-derived token hashes) for first 100 docs ---
     "d5_simhash" -> ((s, dir) =>
       simhash(docs(s, dir).filter(col("doc_id") < 100)).orderBy(col("doc_id"))),
@@ -795,6 +828,31 @@ object DedupOps {
         |  JOIN pre pb ON pb.doc_id = b.doc_id)
         |SELECT d1, d2, lev, (maxlen - lev) * 1000 // maxlen AS sim_permille
         |FROM pair ORDER BY d1, d2""".stripMargin,
+
+    "d18_xmodal_verify" ->
+      s"""WITH $shingleSql,
+         |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |pairs AS (
+         |  SELECT a.vec_id AS id1, b.vec_id AS id2,
+         |    list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) /
+         |      (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[]))) *
+         |       sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))) AS cos_raw
+         |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id),
+         |cand AS (SELECT id1, id2, round(cos_raw, 6) AS cos FROM pairs
+         |         WHERE round(cos_raw, 6) >= 0.45),
+         |mm AS (SELECT c.id1, c.id2, count(*) AS m FROM cand c
+         |       JOIN sh a ON a.doc_id = c.id1
+         |       JOIN sh b ON b.doc_id = c.id2 AND b.h = a.h
+         |       GROUP BY 1, 2)
+         |SELECT c.id1, c.id2, c.cos,
+         |  round(coalesce(m, 0) * 1.0 / (c1.n + c2.n - coalesce(m, 0)), 6) AS jaccard,
+         |  CAST(CASE WHEN round(coalesce(m, 0) * 1.0 /
+         |    (c1.n + c2.n - coalesce(m, 0)), 6) >= 0.5 THEN 1 ELSE 0 END AS BIGINT)
+         |    AS lexical_dup
+         |FROM cand c LEFT JOIN mm ON c.id1 = mm.id1 AND c.id2 = mm.id2
+         |JOIN cnt c1 ON c.id1 = c1.doc_id
+         |JOIN cnt c2 ON c.id2 = c2.doc_id
+         |ORDER BY c.id1, c.id2""".stripMargin,
 
     "d9_contamination" ->
       s"""WITH $shingleSql,

@@ -110,6 +110,31 @@ object SimilarityOps {
       .orderBy(col("vec_id"), col("rk"))
   }
 
+  /** v4's blocked exact near-dup pair scan: all (id1 < id2) embedding
+    * pairs with round-6 cosine >= 0.45, as (id1, id2, cos) — shared with
+    * d18's cross-modal verification (DedupOps) so the candidate surface
+    * cannot drift from the gated v4 query. */
+  private[graft] def neardupPairs(s: SparkSession, dir: String): DataFrame = {
+    val nBlocks = s.sparkContext.defaultParallelism
+    val e = withNorm(emb(s, dir).select(col("vec_id"), col("embedding")))
+    val left = e.select(col("vec_id").as("id1"), col("embedding").as("e1"),
+        col("nrm").as("n1"),
+        explode(expr(s"sequence(0, ${nBlocks - 1})")).as("blk"))
+    val right = e.select(col("vec_id").as("id2"), col("embedding").as("e2"),
+        col("nrm").as("n2"), pmod(col("vec_id"), lit(nBlocks)).as("blk"))
+    // shuffled HASH join, not sort-merge: every row of a block shares
+    // one join key, and SMJ's duplicate-key group buffering costs ~2x
+    // the whole query here (measured 3.6 s vs 1.6 s at sf0.1, B=32) —
+    // the hash build of n/B rows per partition is the cheap direction
+    val pairs = left.join(right.hint("shuffle_hash"),
+        left("blk") === right("blk") && col("id1") < col("id2"))
+      .select(col("id1"), col("id2"),
+        (graft.functions.vector_dot(col("e1"), col("e2")) /
+          (col("n1") * col("n2"))).as("cos_raw"))
+    pairs.filter(round(col("cos_raw"), 6) >= 0.45)
+      .select(col("id1"), col("id2"), round(col("cos_raw"), 6).as("cos"))
+  }
+
   /** 16 random hyperplanes for sign-bit LSH (Charikar '02). Components
     * are md5-derived so the oracle recomputes the identical planes:
     * w(b,i) = int(md5("b_i")[0:8], 16) / 2^31 - 1  in [-1, 1). */
@@ -265,27 +290,8 @@ object SimilarityOps {
     //     quadratic scoring spreads evenly across B tasks. At 100 TB the
     //     approximate path is v5/v6; this is the shape an exact pass has
     //     to take when it is required at all. ---
-    "v4_embedding_neardup" -> ((s, dir) => {
-      val nBlocks = s.sparkContext.defaultParallelism
-      val e = withNorm(emb(s, dir).select(col("vec_id"), col("embedding")))
-      val left = e.select(col("vec_id").as("id1"), col("embedding").as("e1"),
-          col("nrm").as("n1"),
-          explode(expr(s"sequence(0, ${nBlocks - 1})")).as("blk"))
-      val right = e.select(col("vec_id").as("id2"), col("embedding").as("e2"),
-          col("nrm").as("n2"), pmod(col("vec_id"), lit(nBlocks)).as("blk"))
-      // shuffled HASH join, not sort-merge: every row of a block shares
-      // one join key, and SMJ's duplicate-key group buffering costs ~2x
-      // the whole query here (measured 3.6 s vs 1.6 s at sf0.1, B=32) —
-      // the hash build of n/B rows per partition is the cheap direction
-      val pairs = left.join(right.hint("shuffle_hash"),
-          left("blk") === right("blk") && col("id1") < col("id2"))
-        .select(col("id1"), col("id2"),
-          (graft.functions.vector_dot(col("e1"), col("e2")) /
-            (col("n1") * col("n2"))).as("cos_raw"))
-      pairs.filter(round(col("cos_raw"), 6) >= 0.45)
-        .select(col("id1"), col("id2"), round(col("cos_raw"), 6).as("cos"))
-        .orderBy(col("id1"), col("id2"))
-    }),
+    "v4_embedding_neardup" -> ((s, dir) =>
+      neardupPairs(s, dir).orderBy(col("id1"), col("id2"))),
 
     // --- random-hyperplane (sign-bit) LSH near-dup: 16 plane bits,
     //     4 bands x 4 bits, bucket-join candidates, exact-cosine

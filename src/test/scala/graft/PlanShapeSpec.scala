@@ -467,6 +467,12 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.toLowerCase.contains("cartesianproduct"), p)
   }
 
+  test("d18: candidate pairs broadcast into the shingle join, no cartesian") {
+    val p = plan("d18_xmodal_verify")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.toLowerCase.contains("cartesianproduct"), p)
+  }
+
   test("v18: queries broadcast into the range scan, corpus aggregates per query") {
     val p = plan("v18_range_search")
     assert(p.contains("vector_dot"), p)
