@@ -85,6 +85,41 @@ object EventStream {
         col("user_id"), col("event_type"), col("value"), col("props"))))
       .dropDuplicatesWithinWatermark("fp")
 
+  /** Streaming distribution-drift monitor — the streaming twin of batch
+    * a10's PSI: per finalized event-time hour window, the population
+    * stability index between that window's event-type mix and a fixed
+    * reference distribution (in ppm). ONE watermarked windowed aggregate:
+    * conditional sums over the fixed type alphabet keep the whole monitor
+    * a single stateful operator (a per-(window, type) aggregate feeding a
+    * per-window rollup would chain two stateful aggregates for the same
+    * K counters), and the PSI itself is row-local arithmetic on the
+    * finalized row — a10's exact quantization (Laplace +1 smoothing,
+    * each term floored to integer micro-units before the sum) so the
+    * emitted score is partition- and arrival-order-invariant. At a
+    * 100 TB/day intake this is the first monitor a training-data
+    * pipeline runs on its firehose: state is K counters per open window,
+    * evicted by the watermark. */
+  def typeMixDrift(events: DataFrame, refPpm: Map[String, Long],
+      watermark: String = "2 hours"): DataFrame = {
+    val types = refPpm.keys.toSeq.sorted
+    val k = types.length
+    val aggs = types.zipWithIndex.map { case (t, i) =>
+      sum(when(col("event_type") === t, 1L).otherwise(0L)).as(s"n$i")
+    }
+    val counts = events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn("total", types.indices.map(i => col(s"n$i")).reduce(_ + _))
+    val termMicro = types.zipWithIndex.map { case (t, i) =>
+      val p = (col(s"n$i") + 1).cast("double") / (col("total") + k)
+      val q = lit(refPpm(t).toDouble / 1e6)
+      floor((p - q) * log(p / q) * 1e6 + 0.5).cast("long")
+    }.reduce(_ + _)
+    counts.select(col("window.start").as("bucket"), col("total"),
+      round(termMicro / 1e6, 6).as("psi"))
+  }
+
   /** Bloom-guarded streaming decontamination: drop every event whose
     * `key` is in the static blocklist. Rows the bloom rules out pass
     * straight through MAP-SIDE (a bloom has no false negatives — no join

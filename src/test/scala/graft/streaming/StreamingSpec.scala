@@ -104,6 +104,53 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.sameElements(batch))
   }
 
+  test("streaming type-mix drift (PSI) equals the batch twin per closed window") {
+    val ref = Map("click" -> 200000L, "error" -> 200000L, "purchase" -> 200000L,
+      "signup" -> 200000L, "view" -> 200000L)
+    val q = EventStream.typeMixDrift(EventStream.read(spark, eventsDir), ref)
+      .writeStream.format("memory").queryName("psidrift")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.sql(
+      "SELECT unix_timestamp(bucket) AS b, total, psi FROM psidrift ORDER BY b")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+
+    // batch twin with the identical quantization, over watermark-eligible
+    // windows only (append mode finalizes a window once max ts - 2h
+    // passes its end)
+    val ev = Tables.load(spark, "/root/testdata/sf0.001", "events")
+    val maxSec = ev.agg(max(unix_timestamp(col("ts")))).collect()(0).getLong(0)
+    val types = ref.keys.toSeq.sorted
+    val batch = ev
+      .select((floor(unix_timestamp(col("ts")) / 3600) * 3600).cast("long").as("b"),
+        col("event_type"))
+      .groupBy(col("b"))
+      .agg(types.map(t =>
+        sum(when(col("event_type") === t, 1L).otherwise(0L)).as(t)).head,
+        types.map(t =>
+          sum(when(col("event_type") === t, 1L).otherwise(0L)).as(t)).tail: _*)
+      .filter(col("b") + 3600 <= maxSec - 7200)
+      .orderBy(col("b"))
+      .collect().map { r =>
+        val ns = types.map(t => r.getAs[Long](t))
+        val total = ns.sum
+        val micro = types.zip(ns).map { case (t, n) =>
+          val p = (n + 1).toDouble / (total + types.length)
+          val qq = ref(t).toDouble / 1e6
+          math.floor((p - qq) * math.log(p / qq) * 1e6 + 0.5).toLong
+        }.sum
+        (r.getLong(0), total, micro / 1e6)
+      }
+    assert(batch.nonEmpty)
+    assert(streamed.length == batch.length)
+    // psi is a rounded double of an integer-micro sum — exact compare is safe
+    assert(streamed.sameElements(batch))
+    // sanity: every score is finite and the uniform reference keeps PSI small
+    assert(streamed.forall { case (_, _, psi) => psi >= 0.0 && psi < 1.0 })
+  }
+
   test("watermarked streaming dedup keeps one row per (user, type)") {
     val q = EventStream.dedupByUserType(EventStream.read(spark, eventsDir))
       .writeStream.format("memory").queryName("dedup")
