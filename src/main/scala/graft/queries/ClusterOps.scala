@@ -173,7 +173,6 @@ object ClusterOps {
             Seq("ngx", "ngy"))
           .groupBy(col("gx"), col("gy"))
           .agg(min(col("lbl")).as("lbl"))
-          .localCheckpoint(false)
       }
       dense.join(lab, Seq("gx", "gy"))
         .groupBy(col("lbl"))
