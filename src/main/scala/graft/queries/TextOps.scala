@@ -37,6 +37,23 @@ object TextOps {
   private def padded(df: DataFrame) =
     concat(lit(" "), col("text"), lit(" "))
 
+  /** t15's engineered-integer-feature linear scorer: (lang, n_chars,
+    * logit) per doc, entirely row-local codegen — shared by t15
+    * (inference rollup) and t25 (evaluation) so the model cannot drift
+    * between the filter and its eval. */
+  private def qualityLogit(d: DataFrame): DataFrame = {
+    val p = padded(d)
+    val nTok = graft.functions.token_count(col("text")).cast("long")
+    val alpha = length(regexp_replace(lower(col("text")), "[^a-z]", "")).cast("long")
+    val stops = (wordCount(p, "the") + wordCount(p, "a") + wordCount(p, "of")).cast("long")
+    d.select(col("lang"), col("n_chars"),
+        nTok.as("n_tok"), alpha.as("alpha"), stops.as("stops"))
+      .select(col("lang"), col("n_chars"),
+        (lit(3L) * expr("(stops * 1000) div n_tok") +
+          lit(2L) * expr("(alpha * 1000) div n_chars") -
+          lit(5L) * abs(col("n_tok") - 60) - 1700).as("logit"))
+  }
+
   /** Imperative BPE merge-learning kernel, run as ONE task over the
     * (sym, freq) vocabulary (see t14/t16 below for why that placement is
     * the scale-correct one). Semantics are bit-for-bit the oracle CTE's:
@@ -378,23 +395,38 @@ object TextOps {
     //     weights come off a trained model; the dataflow is identical).
     //     Integer features + integer weights keep the logit exact, so
     //     the keep decision can't drift across engines. ---
-    "t15_classifier" -> ((s, dir) => {
-      val d = docs(s, dir)
-      val p = padded(d)
-      val nTok = graft.functions.token_count(col("text")).cast("long")
-      val alpha = length(regexp_replace(lower(col("text")), "[^a-z]", "")).cast("long")
-      val stops = (wordCount(p, "the") + wordCount(p, "a") + wordCount(p, "of")).cast("long")
-      d.select(col("lang"), col("n_chars"),
-          nTok.as("n_tok"), alpha.as("alpha"), stops.as("stops"))
-        .select(col("lang"),
-          (lit(3L) * expr("(stops * 1000) div n_tok") +
-            lit(2L) * expr("(alpha * 1000) div n_chars") -
-            lit(5L) * abs(col("n_tok") - 60) - 1700).as("logit"))
+    "t15_classifier" -> ((s, dir) =>
+      qualityLogit(docs(s, dir))
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_docs"),
           sum(when(col("logit") >= 0, 1L).otherwise(0L)).cast("long").as("n_keep"),
           round(avg(col("logit")), 4).as("avg_logit"))
-        .orderBy(col("lang"))
+        .orderBy(col("lang"))),
+
+    // --- classifier EVALUATION (the other half of t15: no filter ships
+    //     without precision/recall against a labeled sample): t15's keep
+    //     decision scored against an independent gold rule (the length
+    //     band a human curation pass would approximate), confusion
+    //     matrix + precision/recall/F1 — every metric an exact integer
+    //     ppm (F1's harmonic mean as 2pr div (p+r) over the ppm values),
+    //     so the eval hash cannot drift on a float division. Shape: one
+    //     row-local scoring scan into ONE 4-cell aggregate — the d16/v15
+    //     eval pattern applied to the quality filter. ---
+    "t25_classifier_eval" -> ((s, dir) => {
+      val scored = qualityLogit(docs(s, dir))
+        .select(when(col("logit") >= 0, 1L).otherwise(0L).as("pred"),
+          when(col("n_chars").between(150, 450), 1L).otherwise(0L).as("gold"))
+      scored.agg(count(lit(1)).cast("long").as("n_docs"),
+          sum(col("pred") * col("gold")).cast("long").as("tp"),
+          sum(col("pred") * (lit(1L) - col("gold"))).cast("long").as("fp"),
+          sum((lit(1L) - col("pred")) * col("gold")).cast("long").as("fn"),
+          sum((lit(1L) - col("pred")) * (lit(1L) - col("gold"))).cast("long").as("tn"))
+        .select(col("n_docs"), col("tp"), col("fp"), col("fn"), col("tn"),
+          expr("tp * 1000000 div (tp + fp)").as("precision_ppm"),
+          expr("tp * 1000000 div (tp + fn)").as("recall_ppm"))
+        .select(col("*"),
+          expr("2 * precision_ppm * recall_ppm div (precision_ppm + recall_ppm)")
+            .as("f1_ppm"))
     }),
 
     // --- repetition quality signals (Gopher/MassiveText repetition
@@ -1049,6 +1081,38 @@ object TextOps {
          |  CAST(sum(CASE WHEN logit >= 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
          |  round(avg(logit), 4) AS avg_logit
          |FROM u GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "t25_classifier_eval" ->
+      raw"""WITH t AS (
+         |  SELECT n_chars, ' ' || text || ' ' AS p,
+         |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tok,
+         |    CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS BIGINT) AS alpha
+         |  FROM documents),
+         |u AS (
+         |  SELECT
+         |    CASE WHEN
+         |      3 * (((CAST(floor((length(p)-length(replace(p,' the ','')))/5.0) AS BIGINT)
+         |           + CAST(floor((length(p)-length(replace(p,' a ','')))/3.0) AS BIGINT)
+         |           + CAST(floor((length(p)-length(replace(p,' of ','')))/4.0) AS BIGINT)) * 1000) // n_tok)
+         |      + 2 * ((alpha * 1000) // n_chars)
+         |      - 5 * abs(n_tok - 60) - 1700 >= 0 THEN 1 ELSE 0 END AS pred,
+         |    CASE WHEN n_chars BETWEEN 150 AND 450 THEN 1 ELSE 0 END AS gold
+         |  FROM t),
+         |c AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(pred * gold) AS BIGINT) AS tp,
+         |    CAST(sum(pred * (1 - gold)) AS BIGINT) AS fp,
+         |    CAST(sum((1 - pred) * gold) AS BIGINT) AS fn,
+         |    CAST(sum((1 - pred) * (1 - gold)) AS BIGINT) AS tn
+         |  FROM u),
+         |m AS (
+         |  SELECT n_docs, tp, fp, fn, tn,
+         |    tp * 1000000 // (tp + fp) AS precision_ppm,
+         |    tp * 1000000 // (tp + fn) AS recall_ppm
+         |  FROM c)
+         |SELECT n_docs, tp, fp, fn, tn, precision_ppm, recall_ppm,
+         |  2 * precision_ppm * recall_ppm // (precision_ppm + recall_ppm) AS f1_ppm
+         |FROM m""".stripMargin,
 
     "t10_repetition" ->
       """WITH t AS (
