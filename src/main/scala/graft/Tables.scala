@@ -82,8 +82,8 @@ object Tables {
     // pure overhead when the same (cached) table DataFrame flows through
     // here on every query build. Keyed by reference — `load` hands out
     // one instance per (session, dir, name), and DataFrame has no value
-    // equality, so reference identity IS the cache key. That canonical-
-    // instance contract is ASSERTED (not just assumed): an arbitrary
+    // equality, so reference identity IS the cache key. Only canonical
+    // instances are admitted to the cache (checked below): an arbitrary
     // per-call DataFrame would grow the cache without bound. The probe
     // runs OUTSIDE the map's bin lock (get / putIfAbsent, not
     // computeIfAbsent) — df.rdd is a full physical-plan conversion that
@@ -93,12 +93,18 @@ object Tables {
     val cached = fanoutCache.get(df)
     if (cached != null) cached
     else {
-      require(dfCache.containsValue(df),
-        "fanout expects a canonical Tables.load instance (reference-keyed cache)")
       val cores = df.sparkSession.sparkContext.defaultParallelism
       val out = if (df.rdd.getNumPartitions * 2 < cores) df.repartition(cores) else df
-      val prev = fanoutCache.putIfAbsent(df, out)
-      if (prev != null) prev else out
+      // Only canonical Tables.load instances are CACHED (reference
+      // identity is the key, so an arbitrary per-call frame would grow
+      // the map without bound). A non-canonical frame — e.g. one held
+      // across Tables.invalidate, which evicts the canonical entry —
+      // still computes correctly; it just pays the partition probe on
+      // every call instead of crashing the query build.
+      if (dfCache.containsValue(df)) {
+        val prev = fanoutCache.putIfAbsent(df, out)
+        if (prev != null) prev else out
+      } else out
     }
   }
 

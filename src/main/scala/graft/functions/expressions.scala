@@ -323,24 +323,6 @@ case class CharWindowHashes(child: Expression, width: Int, nibbles: Int)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
-/** Single-pass tokenizer statistics for a FIXED literal term list:
-  * `token_term_counts(text, terms)` returns `array<int>` of length
-  * `terms.size + 1` — element 0 equals `size(split(trim(s), "\s+"))`
-  * EXACTLY (trim strips only 0x20, and split with limit -1 keeps the
-  * empty edge fields a leading/trailing `\t\n\x0B\f\r` produces, so the
-  * count is 1 + the number of `\s+` runs in the space-trimmed text, and
-  * blank text yields 1), element `i+1` is the number of tokens
-  * byte-equal to `terms(i)`.
-  *
-  * Why native: the composable alternative is either a full token
-  * explode + filter + aggregate (a corpus-sized generator for a 3-term
-  * query) or one `regexp_count` matcher scan of the text PER TERM plus
-  * another for the token count. This makes exactly one pass over the
-  * UTF-8 bytes, no token array, no regex state machine. Byte-level
-  * scanning is exact: Java's `\s` class is 6 ASCII bytes, and ASCII
-  * bytes never occur inside a UTF-8 multibyte sequence, so byte runs
-  * are precisely the `\s+`-split tokens. CodegenFallback on purpose:
-  * the per-row scan dominates; codegen would only inline the call. */
 /** Scalar twin of [[TokenTermCounts]] element 0: the whitespace-token
   * field count alone, for the five corpus passes that compute
   * `size(split(trim(text), "\s+"))` and discard the array. Identical
@@ -382,6 +364,24 @@ case class TokenCount(child: Expression)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Single-pass tokenizer statistics for a FIXED literal term list:
+  * `token_term_counts(text, terms)` returns `array<int>` of length
+  * `terms.size + 1` — element 0 equals `size(split(trim(s), "\s+"))`
+  * EXACTLY (trim strips only 0x20, and split with limit -1 keeps the
+  * empty edge fields a leading/trailing `\t\n\x0B\f\r` produces, so the
+  * count is 1 + the number of `\s+` runs in the space-trimmed text, and
+  * blank text yields 1), element `i+1` is the number of tokens
+  * byte-equal to `terms(i)`.
+  *
+  * Why native: the composable alternative is either a full token
+  * explode + filter + aggregate (a corpus-sized generator for a 3-term
+  * query) or one `regexp_count` matcher scan of the text PER TERM plus
+  * another for the token count. This makes exactly one pass over the
+  * UTF-8 bytes, no token array, no regex state machine. Byte-level
+  * scanning is exact: Java's `\s` class is 6 ASCII bytes, and ASCII
+  * bytes never occur inside a UTF-8 multibyte sequence, so byte runs
+  * are precisely the `\s+`-split tokens. CodegenFallback on purpose:
+  * the per-row scan dominates; codegen would only inline the call. */
 case class TokenTermCounts(child: Expression, terms: Seq[String])
     extends UnaryExpression with CodegenFallback {
   require(terms.nonEmpty)

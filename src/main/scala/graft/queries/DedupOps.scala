@@ -451,14 +451,22 @@ object DedupOps {
         .join(sh.as("s1"), col("id1") === col("s1.doc_id"))
         .join(sh.as("s2"), col("id2") === col("s2.doc_id") && col("s1.h") === col("s2.h"))
         .groupBy(col("id1"), col("id2")).agg(count(lit(1)).as("m"))
+      // ALL count/overlap joins are left joins with a 0 fill: a doc
+      // shorter than the shingle width has an EMPTY shingle set (no cnt
+      // row at all, not n=0), and dropping its pairs would silently
+      // remove exactly the semantically-close-lexically-disjoint rows
+      // this audit exists to surface. Jaccard over two empty sets is
+      // defined 0 (union empty -> no lexical evidence of duplication).
+      val denom = col("n1") + col("n2") - col("m")
+      val jac = when(denom === 0, lit(0.0))
+        .otherwise(round(col("m") / denom, 6))
       cand.join(m, Seq("id1", "id2"), "left")
-        .na.fill(0L, Seq("m"))
-        .join(cnt.select(col("doc_id").as("id1"), col("n").as("n1")), Seq("id1"))
-        .join(cnt.select(col("doc_id").as("id2"), col("n").as("n2")), Seq("id2"))
+        .join(cnt.select(col("doc_id").as("id1"), col("n").as("n1")), Seq("id1"), "left")
+        .join(cnt.select(col("doc_id").as("id2"), col("n").as("n2")), Seq("id2"), "left")
+        .na.fill(0L, Seq("m", "n1", "n2"))
         .select(col("id1"), col("id2"), col("cos"),
-          round(col("m") / (col("n1") + col("n2") - col("m")), 6).as("jaccard"),
-          when(round(col("m") / (col("n1") + col("n2") - col("m")), 6) >= 0.5, 1L)
-            .otherwise(0L).as("lexical_dup"))
+          jac.as("jaccard"),
+          when(jac >= 0.5, 1L).otherwise(0L).as("lexical_dup"))
         .orderBy(col("id1"), col("id2"))
     }),
 
@@ -843,16 +851,20 @@ object DedupOps {
          |mm AS (SELECT c.id1, c.id2, count(*) AS m FROM cand c
          |       JOIN sh a ON a.doc_id = c.id1
          |       JOIN sh b ON b.doc_id = c.id2 AND b.h = a.h
-         |       GROUP BY 1, 2)
-         |SELECT c.id1, c.id2, c.cos,
-         |  round(coalesce(m, 0) * 1.0 / (c1.n + c2.n - coalesce(m, 0)), 6) AS jaccard,
-         |  CAST(CASE WHEN round(coalesce(m, 0) * 1.0 /
-         |    (c1.n + c2.n - coalesce(m, 0)), 6) >= 0.5 THEN 1 ELSE 0 END AS BIGINT)
-         |    AS lexical_dup
-         |FROM cand c LEFT JOIN mm ON c.id1 = mm.id1 AND c.id2 = mm.id2
-         |JOIN cnt c1 ON c.id1 = c1.doc_id
-         |JOIN cnt c2 ON c.id2 = c2.doc_id
-         |ORDER BY c.id1, c.id2""".stripMargin,
+         |       GROUP BY 1, 2),
+         |j AS (
+         |  SELECT c.id1, c.id2, c.cos,
+         |    coalesce(m, 0) AS m, coalesce(c1.n, 0) AS n1, coalesce(c2.n, 0) AS n2
+         |  FROM cand c LEFT JOIN mm ON c.id1 = mm.id1 AND c.id2 = mm.id2
+         |  LEFT JOIN cnt c1 ON c.id1 = c1.doc_id
+         |  LEFT JOIN cnt c2 ON c.id2 = c2.doc_id)
+         |SELECT id1, id2, cos,
+         |  CASE WHEN n1 + n2 - m = 0 THEN 0.0
+         |       ELSE round(m * 1.0 / (n1 + n2 - m), 6) END AS jaccard,
+         |  CAST(CASE WHEN (CASE WHEN n1 + n2 - m = 0 THEN 0.0
+         |                  ELSE round(m * 1.0 / (n1 + n2 - m), 6) END) >= 0.5
+         |       THEN 1 ELSE 0 END AS BIGINT) AS lexical_dup
+         |FROM j ORDER BY id1, id2""".stripMargin,
 
     "d9_contamination" ->
       s"""WITH $shingleSql,

@@ -101,19 +101,30 @@ object EventStream {
     * evicted by the watermark. */
   def typeMixDrift(events: DataFrame, refPpm: Map[String, Long],
       watermark: String = "2 hours"): DataFrame = {
+    require(refPpm.nonEmpty && refPpm.values.forall(_ > 0),
+      "every reference proportion must be positive ppm (a zero reference " +
+        "cell makes log(p/q) non-finite)")
     val types = refPpm.keys.toSeq.sorted
-    val k = types.length
+    // the OTHER bucket catches types outside the reference alphabet —
+    // without it, a drift to 90% unseen types leaves every monitored
+    // proportion unchanged and PSI reads ~0 through the worst possible
+    // drift. Its reference mass is whatever ppm the alphabet leaves
+    // unclaimed, floored at 1 ppm so the q side stays positive (an
+    // alphabet summing to 1e6 still drifts hard when OTHER appears).
+    val otherPpm = math.max(1000000L - refPpm.values.sum, 1L)
+    val k = types.length + 1
     val aggs = types.zipWithIndex.map { case (t, i) =>
       sum(when(col("event_type") === t, 1L).otherwise(0L)).as(s"n$i")
-    }
+    } :+ sum(when(col("event_type").isin(types: _*), 0L).otherwise(1L))
+      .as(s"n${types.length}")
     val counts = events
       .withWatermark("ts", watermark)
       .groupBy(window(col("ts"), "1 hour"))
       .agg(aggs.head, aggs.tail: _*)
-      .withColumn("total", types.indices.map(i => col(s"n$i")).reduce(_ + _))
-    val termMicro = types.zipWithIndex.map { case (t, i) =>
+      .withColumn("total", (0 until k).map(i => col(s"n$i")).reduce(_ + _))
+    val termMicro = (types.map(refPpm) :+ otherPpm).zipWithIndex.map { case (ppm, i) =>
       val p = (col(s"n$i") + 1).cast("double") / (col("total") + k)
-      val q = lit(refPpm(t).toDouble / 1e6)
+      val q = lit(ppm.toDouble / 1e6)
       floor((p - q) * log(p / q) * 1e6 + 0.5).cast("long")
     }.reduce(_ + _)
     counts.select(col("window.start").as("bucket"), col("total"),
