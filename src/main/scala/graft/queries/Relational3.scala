@@ -459,6 +459,33 @@ object Relational3 {
         .select(col("source"), col("n_docs"), col("src_tokens"), col("w"),
           col("alloc"), col("rate_ppm"), col("kept_tokens"), col("spill"))
         .orderBy(col("source"))
+    }),
+
+    // --- shard-manifest materialization audit: the final step of a
+    //     training-data build assigns every doc to an output shard
+    //     (md5-hash of the stable id — reproducible, rebalance-free)
+    //     and emits the manifest a downstream loader consumes: per
+    //     shard, doc/char/token totals, the largest doc, and the id
+    //     range. ONE corpus scan into ONE 8-group hash aggregate (the
+    //     token count is the native single-pass kernel) — at 100 TB
+    //     the shard count rises but the plan is unchanged, and the
+    //     manifest row count equals the shard count, never the corpus.
+    //     The hash assignment also IS the balance audit: n_chars per
+    //     shard exposes any skew before a loader hits it. ---
+    "p15_shard_manifest" -> ((s, dir) => {
+      import graft.functions.{md5_bits, token_count}
+      t(s, dir, "documents")
+        .select((md5_bits(col("doc_id").cast("string"), 4) % 8).as("shard"),
+          col("doc_id"), col("n_chars"),
+          token_count(col("text")).cast("long").as("n_tok"))
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).cast("long").as("total_chars"),
+          sum(col("n_tok")).cast("long").as("total_tokens"),
+          max(col("n_chars")).as("max_chars"),
+          min(col("doc_id")).as("min_doc"),
+          max(col("doc_id")).as("max_doc"))
+        .orderBy(col("shard"))
     })
   )
 
@@ -697,6 +724,17 @@ object Relational3 {
         |SELECT source, n_docs, src_tokens, w, alloc, rate_ppm,
         |  src_tokens * rate_ppm // 1000000 AS kept_tokens,
         |  greatest(0, alloc - src_tokens * rate_ppm // 1000000) AS spill
-        |FROM r ORDER BY source""".stripMargin
+        |FROM r ORDER BY source""".stripMargin,
+
+    "p15_shard_manifest" ->
+      raw"""SELECT
+        |  ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 8 AS shard,
+        |  count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |  CAST(sum(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT)
+        |    AS total_tokens,
+        |  max(n_chars) AS max_chars,
+        |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }
