@@ -467,6 +467,16 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.toLowerCase.contains("cartesianproduct"), p)
   }
 
+  test("t25/p15: single-scan single-aggregate shapes — no join, row-local scoring") {
+    val p25 = plan("t25_classifier_eval")
+    assert(!p25.contains("Join"), p25) // scoring is row-local; eval is one aggregate
+    assert("Scan parquet [^\\n]*documents".r.findAllIn(p25).size == 1, p25)
+    val p15 = plan("p15_shard_manifest")
+    assert(!p15.contains("Join"), p15)
+    assert("Scan parquet [^\\n]*documents".r.findAllIn(p15).size == 1, p15)
+    assert(p15.contains("HashAggregate"), p15)
+  }
+
   test("d18: candidate pairs broadcast into the shingle join, no cartesian") {
     val p = plan("d18_xmodal_verify")
     assert(p.contains("BroadcastHashJoin"), p)
