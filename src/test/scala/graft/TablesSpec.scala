@@ -25,4 +25,20 @@ class TablesSpec extends AnyFunSuite {
     Tables.invalidate(dir)
     assert(Tables.load(spark, dir, "region").count() == 3)
   }
+
+  test("fanout on a non-canonical frame computes uncached instead of crashing") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("tables-fan").toString
+    Seq((1L, "x"), (2L, "y")).toDF("r_regionkey", "r_name")
+      .write.mode("overwrite").parquet(s"$dir/region.parquet")
+    val held = Tables.load(spark, dir, "region")
+    // evicting the canonical entry makes `held` non-canonical — the
+    // documented escape hatch a caller may legitimately hold a frame
+    // across; fanout must degrade to an uncached computation, not throw
+    Tables.invalidate(dir)
+    assert(Tables.fanout(held).count() == 2)
+    // and the canonical path still caches: two calls return one instance
+    val canon = Tables.load(spark, dir, "region")
+    assert(Tables.fanout(canon) eq Tables.fanout(canon))
+  }
 }
