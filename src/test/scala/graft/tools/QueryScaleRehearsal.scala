@@ -153,6 +153,26 @@ object QueryScaleRehearsal {
           f""""time_ratio":${sk / s1}%.2f,"per_copy":${sk / s1 / k}%.3f,""" +
           f""""base_max_cell":$mx1,"base_skew":$sk1%.2f,"base_max_pair_share":$sh1%.3f,""" +
           f""""scaled_max_cell":$mxK,"scaled_skew":$skK%.2f,"scaled_max_pair_share":$shK%.3f}""")
+        // The REMEDY arm: the fixed-K run above grows every cell K-fold
+        // (pair work K^2) — the documented failure mode. The standing
+        // lever is "K scales with the corpus, cell occupancy stays
+        // constant": re-seed the quantizer so each copy owns its own
+        // cell space (label -> label*K + cp BEFORE the centroid build —
+        // K x the cells at base occupancy, the production re-train).
+        // Expected: ~K x base wall, i.e. per-copy ~1 — LINEAR.
+        val reseeded = ebase
+          .withColumn("cp", explode(expr(s"sequence(0, ${k - 1})")))
+          .select((col("vec_id") * k + col("cp")).as("vec_id"),
+            expr("transform(embedding, (x, i) -> x + CAST(cp AS FLOAT) * 0.001F * CAST(i % 7 AS FLOAT))")
+              .as("embedding"),
+            (col("label") * k + col("cp")).cast("int").as("label"))
+          .localCheckpoint(true)
+        val (gr, sr) = timed(graft.queries.SimilarityOps.knnGraphOf(reseeded))
+        val (mxR, skR, shR) = skew(reseeded)
+        println(f"""{"rehearsal":"ivf-knn-scaled-K","k":$k,"scaled_vecs":$nEk,""" +
+          f""""scaled_edges":$gr,"scaled_sec":$sr%.2f,""" +
+          f""""time_ratio_vs_base":${sr / s1}%.2f,"per_copy":${sr / s1 / k}%.3f,""" +
+          f""""max_cell":$mxR,"skew":$skR%.2f,"max_pair_share":$shR%.3f}""")
       case "bpe" =>
         // warmup, then timed passes; also report the kernel's input size
         bpeApply(base).count()
