@@ -477,6 +477,13 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p15.contains("HashAggregate"), p15)
   }
 
+  test("d19: prefix candidates broadcast into exact verification, no cartesian") {
+    val p = plan("d19_prefix_join")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.toLowerCase.contains("cartesianproduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("d18: candidate pairs broadcast into the shingle join, no cartesian") {
     val p = plan("d18_xmodal_verify")
     assert(p.contains("BroadcastHashJoin"), p)

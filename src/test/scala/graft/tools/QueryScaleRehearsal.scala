@@ -92,6 +92,55 @@ object QueryScaleRehearsal {
     (n, (System.nanoTime() - t0) / 1e9)
   }
 
+  /** d2's full-bucket exact Jaccard over an arbitrary documents frame
+    * (same operators/constants as the gated query). */
+  private def fullJaccardPairs(d: DataFrame): DataFrame = {
+    val sh = d.select(col("doc_id"),
+        explode(expr("word_shingle_hashes(text, 3)")).as("h"))
+      .distinct()
+    val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val pairs = sh.groupBy(col("h"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(graft.functions.id_pairs(col("ids"))).as("p"))
+      .groupBy(col("p.d1").as("d1"), col("p.d2").as("d2"))
+      .agg(count(lit(1)).as("m"))
+    pairs.join(cnt.as("c1"), col("d1") === col("c1.doc_id"))
+      .join(cnt.as("c2"), col("d2") === col("c2.doc_id"))
+      .filter(col("m") / (col("c1.n") + col("c2.n") - col("m")) >= 0.5)
+      .select(col("d1"), col("d2"))
+  }
+
+  /** d19's prefix-filtered exact Jaccard (identical result set). */
+  private def prefixJaccardPairs(d: DataFrame): DataFrame = {
+    val sh = d.select(col("doc_id"),
+        explode(expr("word_shingle_hashes(text, 3)")).as("h"))
+      .distinct()
+    val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val shH = sh.repartition(col("h"))
+    val dfq = shH.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    val pref = shH.join(dfq, Seq("h"))
+      .groupBy(col("doc_id"))
+      .agg(expr("sort_array(collect_list(struct(df, h)))").as("toks"))
+      .select(col("doc_id"), explode(expr(
+        "slice(toks, 1, size(toks) - CAST(ceil(size(toks) * 0.5D) AS INT) + 1)"))
+        .as("t"))
+      .select(col("doc_id"), col("t.h").as("h"))
+    val cand = pref.groupBy(col("h"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(graft.functions.id_pairs(col("ids"))).as("p"))
+      .select(col("p.d1").as("d1"), col("p.d2").as("d2")).distinct()
+    val m = broadcast(cand)
+      .join(sh.as("s1"), col("d1") === col("s1.doc_id"))
+      .join(sh.as("s2"), col("d2") === col("s2.doc_id") && col("s1.h") === col("s2.h"))
+      .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("m"))
+    m.join(cnt.as("c1"), col("d1") === col("c1.doc_id"))
+      .join(cnt.as("c2"), col("d2") === col("c2.doc_id"))
+      .filter(col("m") / (col("c1.n") + col("c2.n") - col("m")) >= 0.5)
+      .select(col("d1"), col("d2"))
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val k = if (args.length > 1) args(1).toInt else 8
@@ -207,6 +256,34 @@ object QueryScaleRehearsal {
           println(f"""{"rehearsal":"bpe-kernel-stress","vocab":$v,""" +
             f""""merges":${merges.length},"sec":${(System.nanoTime() - t0) / 1e9}%.2f}""")
         }
+      case "prefix" =>
+        // d2 (full bucket join) vs d19 (prefix filtering) — result-
+        // identical exact Jaccard joins whose cost order FLIPS with
+        // shingle skew. Clean regime: the synthetic corpus has no hot
+        // shingles, so d19's extra exchanges (df build/attach, per-doc
+        // prefix sort, candidate verify) are pure overhead. Skewed
+        // regime: half the docs share an injected boilerplate suffix —
+        // d2's hot buckets each explode as (n/2 choose 2) pairs, while
+        // d19 never opens them (a doc's prefix is its RAREST tokens;
+        // boilerplate shingles are by construction the most frequent,
+        // so they cannot enter a prefix unless a doc has nothing else).
+        val boiler = " shared boilerplate footer tokens appear verbatim" +
+          " across half the corpus exactly"
+        val skewed = base.select(col("doc_id"),
+            when(col("doc_id") % 2 === 0, concat(col("text"), lit(boiler)))
+              .otherwise(col("text")).as("text"))
+          .localCheckpoint(true)
+        skewed.count()
+        fullJaccardPairs(base).count() // warmup
+        val (fc, fs) = timed(fullJaccardPairs(base))
+        val (pc, ps) = timed(prefixJaccardPairs(base))
+        val (fcS, fsS) = timed(fullJaccardPairs(skewed))
+        val (pcS, psS) = timed(prefixJaccardPairs(skewed))
+        require(fc == pc && fcS == pcS,
+          s"result mismatch: clean $fc vs $pc, skewed $fcS vs $pcS")
+        println(f"""{"rehearsal":"prefix-vs-bucket-jaccard","docs":$nBase,""" +
+          f""""clean_pairs":$fc,"clean_full_sec":$fs%.2f,"clean_prefix_sec":$ps%.2f,""" +
+          f""""skewed_pairs":$fcS,"skewed_full_sec":$fsS%.2f,"skewed_prefix_sec":$psS%.2f}""")
       case "graph" =>
         // The iterative-graph floor claim, measured instead of argued:
         // the g-census (PERF_NOTES §graph) shows the family's sf0.1
