@@ -103,6 +103,11 @@ object Tables {
       // every call instead of crashing the query build.
       if (dfCache.containsValue(df)) {
         val prev = fanoutCache.putIfAbsent(df, out)
+        // TOCTOU guard: an invalidate() racing between the check above
+        // and the insert would have cleared fanoutCache already — the
+        // insert would then pin the evicted frame (and its stale
+        // FileIndex) until session stop. Re-check and undo.
+        if (!dfCache.containsValue(df)) fanoutCache.remove(df)
         if (prev != null) prev else out
       } else out
     }

@@ -283,7 +283,8 @@ object DedupOps {
     //     are built from the RAREST tokens — bucket fan-out is
     //     anti-correlated with frequency by construction, designing
     //     away the hot-bucket skew d7 caps by fiat. Exact verification
-    //     runs only on the candidate pairs (broadcast: prefix-bounded).
+    //     runs only on the candidate pairs (equi-joins by doc id; see
+    //     the no-broadcast note below).
     //     Output is BYTE-IDENTICAL to d2 under the same oracle SQL —
     //     same answer, cheaper algorithm, and the gate proves the
     //     substitution. ---
@@ -307,7 +308,13 @@ object DedupOps {
           .as("t"))
         .select(col("doc_id"), col("t.h").as("h"))
       val cand = pairCounts(pref, "h").select(col("d1"), col("d2"))
-      val m = broadcast(cand)
+      // NO forced broadcast of the candidates: prefix filtering bounds
+      // which BUCKETS open, not the candidate count — a duplicate-heavy
+      // corpus (the dedup workload) yields at least result-set-many
+      // pairs, and pinning those through the driver is the 8 GB
+      // broadcast wall. Plain equi-joins on doc_id: AQE broadcasts
+      // when the runtime size is actually small, shuffles otherwise.
+      val m = cand
         .join(sh.as("s1"), col("d1") === col("s1.doc_id"))
         .join(sh.as("s2"), col("d2") === col("s2.doc_id") && col("s1.h") === col("s2.h"))
         .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("m"))

@@ -104,6 +104,10 @@ object EventStream {
     require(refPpm.nonEmpty && refPpm.values.forall(_ > 0),
       "every reference proportion must be positive ppm (a zero reference " +
         "cell makes log(p/q) non-finite)")
+    require(refPpm.values.sum <= 1000000L,
+      s"reference proportions sum to ${refPpm.values.sum} ppm > 1e6 — " +
+        "not a distribution (per-mille passed as ppm?); PSI against an " +
+        "over-unity reference is silently wrong")
     val types = refPpm.keys.toSeq.sorted
     // the OTHER bucket catches types outside the reference alphabet —
     // without it, a drift to 90% unseen types leaves every monitored
@@ -125,7 +129,15 @@ object EventStream {
     val termMicro = (types.map(refPpm) :+ otherPpm).zipWithIndex.map { case (ppm, i) =>
       val p = (col(s"n$i") + 1).cast("double") / (col("total") + k)
       val q = lit(ppm.toDouble / 1e6)
-      floor((p - q) * log(p / q) * 1e6 + 0.5).cast("long")
+      val t = floor((p - q) * log(p / q) * 1e6 + 0.5).cast("long")
+      // the OTHER cell contributes only when out-of-alphabet events are
+      // OBSERVED: with n_other = 0 its Laplace pseudo-count alone against
+      // the 1-ppm floor reads ~(1/total)*ln(total*1e6/k) — up to ~1.7
+      // "drift" on a near-empty in-spec window, a false alarm by
+      // construction. Zero observed against (near-)zero expected is
+      // zero evidence of drift; the cell arms exactly when the unseen
+      // type actually appears, which is the event it exists to catch.
+      if (i == types.length) when(col(s"n$i") > 0, t).otherwise(lit(0L)) else t
     }.reduce(_ + _)
     counts.select(col("window.start").as("bucket"), col("total"),
       round(termMicro / 1e6, 6).as("psi"))

@@ -477,11 +477,13 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p15.contains("HashAggregate"), p15)
   }
 
-  test("d19: prefix candidates broadcast into exact verification, no cartesian") {
+  test("d19: prefix verification stays equi-join shaped, no cartesian, no forced broadcast") {
     val p = plan("d19_prefix_join")
-    assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.toLowerCase.contains("cartesianproduct"), p)
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // no plan-time broadcast pin on the candidate relation: its size is
+    // corpus-dependent (dup-heavy corpora → result-set-many pairs), so
+    // AQE must keep the runtime choice
   }
 
   test("d18: candidate pairs broadcast into the shingle join, no cartesian") {

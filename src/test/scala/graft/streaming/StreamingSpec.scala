@@ -136,14 +136,12 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map { r =>
         val ns = types.map(t => r.getAs[Long](t))
         val total = ns.sum // the testdata has no out-of-alphabet types
-        // the OTHER bucket (0 observed, 1 ppm reference — the alphabet
-        // claims the full 1e6) still contributes its Laplace cell
-        val otherPpm = math.max(1000000L - ref.values.sum, 1L)
+        // the OTHER cell (0 observed here) contributes nothing — it
+        // arms only when an out-of-alphabet event is actually observed
         val k = types.length + 1
-        val micro = (types.zip(ns).map { case (t, n) => (ref(t), n) } :+
-          ((otherPpm, 0L))).map { case (ppm, n) =>
+        val micro = types.zip(ns).map { case (t, n) =>
           val p = (n + 1).toDouble / (total + k)
-          val qq = ppm.toDouble / 1e6
+          val qq = ref(t).toDouble / 1e6
           math.floor((p - qq) * math.log(p / qq) * 1e6 + 0.5).toLong
         }.sum
         (r.getLong(0), total, micro / 1e6)
@@ -152,11 +150,28 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.length == batch.length)
     // psi is a rounded double of an integer-micro sum — exact compare is safe
     assert(streamed.sameElements(batch))
-    // sanity: every score is finite and non-negative (the 1-ppm OTHER
-    // reference cell's Laplace term alone contributes up to ~1.5 in a
-    // near-empty window, so no tight upper bound applies)
+    // sanity: scores are finite, non-negative, and small — the stream IS
+    // the uniform reference here and the OTHER cell stays silent
     assert(streamed.forall { case (_, _, psi) =>
-      psi >= 0.0 && !psi.isNaN && !psi.isInfinite && psi < 20.0 })
+      psi >= 0.0 && !psi.isNaN && !psi.isInfinite && psi < 2.0 })
+  }
+
+  test("type-mix drift ARMS on out-of-alphabet types (the OTHER cell)") {
+    // drop 'view' from the alphabet (it carries ~19% of events): every
+    // window that observes a view now routes it to the OTHER cell
+    // against the 1-ppm floor — the monitor must read severe drift
+    val ref = Map("click" -> 250000L, "error" -> 250000L,
+      "purchase" -> 250000L, "signup" -> 250000L)
+    val q = EventStream.typeMixDrift(EventStream.read(spark, eventsDir), ref)
+      .writeStream.format("memory").queryName("psiarm")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable()
+    q.stop()
+    val psis = spark.sql("SELECT psi FROM psiarm").collect().map(_.getDouble(0))
+    assert(psis.nonEmpty)
+    assert(psis.max > 1.0,
+      s"OTHER cell failed to arm: max psi ${psis.max} with 19% unseen traffic")
   }
 
   test("watermarked streaming dedup keeps one row per (user, type)") {

@@ -131,7 +131,7 @@ object QueryScaleRehearsal {
       .filter(size(col("ids")) > 1)
       .select(explode(graft.functions.id_pairs(col("ids"))).as("p"))
       .select(col("p.d1").as("d1"), col("p.d2").as("d2")).distinct()
-    val m = broadcast(cand)
+    val m = cand // no forced broadcast — mirrors d19 (AQE decides)
       .join(sh.as("s1"), col("d1") === col("s1.doc_id"))
       .join(sh.as("s2"), col("d2") === col("s2.doc_id") && col("s1.h") === col("s2.h"))
       .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("m"))
@@ -274,7 +274,11 @@ object QueryScaleRehearsal {
               .otherwise(col("text")).as("text"))
           .localCheckpoint(true)
         skewed.count()
-        fullJaccardPairs(base).count() // warmup
+        // warm up BOTH pipelines: each has operators the other lacks
+        // (id_pairs explode vs df join + struct sort + slice), and a
+        // cold first pass would bill one algorithm for JIT/codegen
+        fullJaccardPairs(base).count()
+        prefixJaccardPairs(base).count()
         val (fc, fs) = timed(fullJaccardPairs(base))
         val (pc, ps) = timed(prefixJaccardPairs(base))
         val (fcS, fsS) = timed(fullJaccardPairs(skewed))
