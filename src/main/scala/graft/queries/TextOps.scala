@@ -37,6 +37,22 @@ object TextOps {
   private def padded(df: DataFrame) =
     concat(lit(" "), col("text"), lit(" "))
 
+  /** t3's marker-word language heuristic as a (lang, pred_lang, n)
+    * confusion matrix — shared by t3 (raw matrix) and t26 (metrics) so
+    * the classifier under evaluation cannot drift from the evaluated. */
+  private def langConfusion(d: DataFrame): DataFrame = {
+    val p = padded(d)
+    val en = wordCount(p, "the") + wordCount(p, "fast") + wordCount(p, "table")
+    val de = wordCount(p, "der") + wordCount(p, "und") + wordCount(p, "die")
+    val es = wordCount(p, "el") + wordCount(p, "la") + wordCount(p, "los")
+    val pred = when(en >= de && en >= es, "en")
+      .when(de >= es, "de")
+      .otherwise("es")
+    d.select(col("lang"), pred.as("pred_lang"))
+      .groupBy(col("lang"), col("pred_lang"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   /** t15's engineered-integer-feature linear scorer: (lang, n_chars,
     * logit) per doc, entirely row-local codegen — shared by t15
     * (inference rollup) and t25 (evaluation) so the model cannot drift
@@ -196,19 +212,48 @@ object TextOps {
     }),
 
     // --- n-gram-marker language ID + confusion matrix vs the label ---
-    "t3_lang_id" -> ((s, dir) => {
-      val d = docs(s, dir)
-      val p = padded(d)
-      val en = wordCount(p, "the") + wordCount(p, "fast") + wordCount(p, "table")
-      val de = wordCount(p, "der") + wordCount(p, "und") + wordCount(p, "die")
-      val es = wordCount(p, "el") + wordCount(p, "la") + wordCount(p, "los")
-      val pred = when(en >= de && en >= es, "en")
-        .when(de >= es, "de")
-        .otherwise("es")
-      d.select(col("lang"), pred.as("pred_lang"))
-        .groupBy(col("lang"), col("pred_lang"))
-        .agg(count(lit(1)).as("n"))
-        .orderBy(col("lang"), col("pred_lang"))
+    "t3_lang_id" -> ((s, dir) =>
+      langConfusion(docs(s, dir)).orderBy(col("lang"), col("pred_lang"))),
+
+    // --- multiclass evaluation of the t3 language-ID heuristic: per
+    //     gold class, precision / recall / F1 in exact integer ppm,
+    //     plus a trailing '~macro' row (micro-accuracy — which equals
+    //     micro-P = micro-R for single-label multiclass — in the
+    //     precision/recall columns, macro-F1 = floor-mean of the class
+    //     F1s in f1_ppm). The heuristic only ever predicts 3 of the 5
+    //     gold languages, so two classes score 0/0 honestly (guarded
+    //     divisions, never NULL/NaN). Shape: the one corpus scan t3
+    //     already pays, then every metric lives on the <=15-cell
+    //     confusion relation — margins, tp diagonal, macro rollup are
+    //     all model-sized aggregates. ---
+    "t26_langid_eval" -> ((s, dir) => {
+      val conf = langConfusion(docs(s, dir)).localCheckpoint(true)
+      val gold = conf.groupBy(col("lang")).agg(sum(col("n")).cast("long").as("gold_n"))
+      val predm = conf.groupBy(col("pred_lang"))
+        .agg(sum(col("n")).cast("long").as("pred_n"))
+      val tp = conf.filter(col("lang") === col("pred_lang"))
+        .select(col("lang"), col("n").cast("long").as("tp"))
+      val perClass = gold
+        .join(tp, Seq("lang"), "left")
+        .join(predm.withColumnRenamed("pred_lang", "lang"), Seq("lang"), "left")
+        .na.fill(0L, Seq("tp", "pred_n"))
+        .select(col("lang"), col("gold_n"), col("pred_n"), col("tp"),
+          when(col("pred_n") > 0, expr("tp * 1000000 div pred_n"))
+            .otherwise(0L).as("precision_ppm"),
+          expr("tp * 1000000 div gold_n").as("recall_ppm"))
+        .withColumn("f1_ppm",
+          when(col("precision_ppm") + col("recall_ppm") > 0,
+            expr("2 * precision_ppm * recall_ppm div (precision_ppm + recall_ppm)"))
+            .otherwise(0L))
+      val macroRow = perClass.agg(
+          lit("~macro").as("lang"),
+          sum(col("gold_n")).cast("long").as("gold_n"),
+          sum(col("pred_n")).cast("long").as("pred_n"),
+          sum(col("tp")).cast("long").as("tp"),
+          expr("sum(tp) * 1000000 div sum(gold_n)").as("precision_ppm"),
+          expr("sum(tp) * 1000000 div sum(gold_n)").as("recall_ppm"),
+          expr("sum(f1_ppm) div count(1)").as("f1_ppm"))
+      perClass.union(macroRow).orderBy(col("lang"))
     }),
 
     // --- document fingerprint: md5 of whitespace-normalized lowercase ---
@@ -1302,6 +1347,56 @@ object TextOps {
         |       WHEN de >= es THEN 'de' ELSE 'es' END AS pred_lang,
         |  count(*) AS n
         |FROM c GROUP BY 1, 2 ORDER BY lang, pred_lang""".stripMargin,
+
+    "t26_langid_eval" ->
+      """WITH t AS (
+        |  SELECT lang, ' ' || text || ' ' AS p FROM documents),
+        |c AS (
+        |  SELECT lang,
+        |    CAST(floor((length(p)-length(replace(p,' the ','')))/5.0) AS BIGINT)
+        |      + CAST(floor((length(p)-length(replace(p,' fast ','')))/6.0) AS BIGINT)
+        |      + CAST(floor((length(p)-length(replace(p,' table ','')))/7.0) AS BIGINT) AS en,
+        |    CAST(floor((length(p)-length(replace(p,' der ','')))/5.0) AS BIGINT)
+        |      + CAST(floor((length(p)-length(replace(p,' und ','')))/5.0) AS BIGINT)
+        |      + CAST(floor((length(p)-length(replace(p,' die ','')))/5.0) AS BIGINT) AS de,
+        |    CAST(floor((length(p)-length(replace(p,' el ','')))/4.0) AS BIGINT)
+        |      + CAST(floor((length(p)-length(replace(p,' la ','')))/4.0) AS BIGINT)
+        |      + CAST(floor((length(p)-length(replace(p,' los ','')))/5.0) AS BIGINT) AS es
+        |  FROM t),
+        |conf AS (
+        |  SELECT lang,
+        |    CASE WHEN en >= de AND en >= es THEN 'en'
+        |         WHEN de >= es THEN 'de' ELSE 'es' END AS pred_lang,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM c GROUP BY 1, 2),
+        |gold AS (SELECT lang, CAST(sum(n) AS BIGINT) AS gold_n FROM conf GROUP BY 1),
+        |pm AS (SELECT pred_lang AS lang, CAST(sum(n) AS BIGINT) AS pred_n
+        |       FROM conf GROUP BY 1),
+        |tp AS (SELECT lang, n AS tp FROM conf WHERE lang = pred_lang),
+        |pc AS (
+        |  SELECT g.lang, g.gold_n,
+        |    coalesce(pm.pred_n, 0) AS pred_n, coalesce(tp.tp, 0) AS tp,
+        |    CASE WHEN coalesce(pm.pred_n, 0) > 0
+        |         THEN coalesce(tp.tp, 0) * 1000000 // pm.pred_n ELSE 0 END
+        |      AS precision_ppm,
+        |    coalesce(tp.tp, 0) * 1000000 // g.gold_n AS recall_ppm
+        |  FROM gold g LEFT JOIN pm ON g.lang = pm.lang
+        |  LEFT JOIN tp ON g.lang = tp.lang),
+        |pcf AS (
+        |  SELECT *,
+        |    CASE WHEN precision_ppm + recall_ppm > 0
+        |         THEN 2 * precision_ppm * recall_ppm // (precision_ppm + recall_ppm)
+        |         ELSE 0 END AS f1_ppm
+        |  FROM pc)
+        |SELECT lang, gold_n, pred_n, tp, precision_ppm, recall_ppm, f1_ppm FROM pcf
+        |UNION ALL
+        |SELECT '~macro', CAST(sum(gold_n) AS BIGINT), CAST(sum(pred_n) AS BIGINT),
+        |  CAST(sum(tp) AS BIGINT),
+        |  CAST(sum(tp) AS BIGINT) * 1000000 // CAST(sum(gold_n) AS BIGINT),
+        |  CAST(sum(tp) AS BIGINT) * 1000000 // CAST(sum(gold_n) AS BIGINT),
+        |  CAST(sum(f1_ppm) AS BIGINT) // count(*)
+        |FROM pcf
+        |ORDER BY lang""".stripMargin,
 
     "t4_fingerprint" ->
       """SELECT doc_id,
