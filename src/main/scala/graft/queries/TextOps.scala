@@ -233,14 +233,20 @@ object TextOps {
         .agg(sum(col("n")).cast("long").as("pred_n"))
       val tp = conf.filter(col("lang") === col("pred_lang"))
         .select(col("lang"), col("n").cast("long").as("tp"))
+      // FULL OUTER over gold ∪ predicted classes: a class the model
+      // predicts but the gold set lacks must still count into pred_n
+      // (else macro micro-precision silently overstates); with this
+      // corpus gold ⊇ pred so the rows are identical, but the shape is
+      // the honest one for any label/marker drift.
       val perClass = gold
+        .join(predm.withColumnRenamed("pred_lang", "lang"), Seq("lang"), "full_outer")
         .join(tp, Seq("lang"), "left")
-        .join(predm.withColumnRenamed("pred_lang", "lang"), Seq("lang"), "left")
-        .na.fill(0L, Seq("tp", "pred_n"))
+        .na.fill(0L, Seq("gold_n", "tp", "pred_n"))
         .select(col("lang"), col("gold_n"), col("pred_n"), col("tp"),
           when(col("pred_n") > 0, expr("tp * 1000000 div pred_n"))
             .otherwise(0L).as("precision_ppm"),
-          expr("tp * 1000000 div gold_n").as("recall_ppm"))
+          when(col("gold_n") > 0, expr("tp * 1000000 div gold_n"))
+            .otherwise(0L).as("recall_ppm"))
         .withColumn("f1_ppm",
           when(col("precision_ppm") + col("recall_ppm") > 0,
             expr("2 * precision_ppm * recall_ppm div (precision_ppm + recall_ppm)"))
@@ -250,7 +256,7 @@ object TextOps {
           sum(col("gold_n")).cast("long").as("gold_n"),
           sum(col("pred_n")).cast("long").as("pred_n"),
           sum(col("tp")).cast("long").as("tp"),
-          expr("sum(tp) * 1000000 div sum(gold_n)").as("precision_ppm"),
+          expr("sum(tp) * 1000000 div sum(pred_n)").as("precision_ppm"),
           expr("sum(tp) * 1000000 div sum(gold_n)").as("recall_ppm"),
           expr("sum(f1_ppm) div count(1)").as("f1_ppm"))
       perClass.union(macroRow).orderBy(col("lang"))
@@ -1374,14 +1380,17 @@ object TextOps {
         |       FROM conf GROUP BY 1),
         |tp AS (SELECT lang, n AS tp FROM conf WHERE lang = pred_lang),
         |pc AS (
-        |  SELECT g.lang, g.gold_n,
+        |  SELECT coalesce(g.lang, pm.lang) AS lang,
+        |    coalesce(g.gold_n, 0) AS gold_n,
         |    coalesce(pm.pred_n, 0) AS pred_n, coalesce(tp.tp, 0) AS tp,
         |    CASE WHEN coalesce(pm.pred_n, 0) > 0
         |         THEN coalesce(tp.tp, 0) * 1000000 // pm.pred_n ELSE 0 END
         |      AS precision_ppm,
-        |    coalesce(tp.tp, 0) * 1000000 // g.gold_n AS recall_ppm
-        |  FROM gold g LEFT JOIN pm ON g.lang = pm.lang
-        |  LEFT JOIN tp ON g.lang = tp.lang),
+        |    CASE WHEN coalesce(g.gold_n, 0) > 0
+        |         THEN coalesce(tp.tp, 0) * 1000000 // g.gold_n ELSE 0 END
+        |      AS recall_ppm
+        |  FROM gold g FULL JOIN pm ON g.lang = pm.lang
+        |  LEFT JOIN tp ON coalesce(g.lang, pm.lang) = tp.lang),
         |pcf AS (
         |  SELECT *,
         |    CASE WHEN precision_ppm + recall_ppm > 0
@@ -1392,7 +1401,7 @@ object TextOps {
         |UNION ALL
         |SELECT '~macro', CAST(sum(gold_n) AS BIGINT), CAST(sum(pred_n) AS BIGINT),
         |  CAST(sum(tp) AS BIGINT),
-        |  CAST(sum(tp) AS BIGINT) * 1000000 // CAST(sum(gold_n) AS BIGINT),
+        |  CAST(sum(tp) AS BIGINT) * 1000000 // CAST(sum(pred_n) AS BIGINT),
         |  CAST(sum(tp) AS BIGINT) * 1000000 // CAST(sum(gold_n) AS BIGINT),
         |  CAST(sum(f1_ppm) AS BIGINT) // count(*)
         |FROM pcf

@@ -477,6 +477,15 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p15.contains("HashAggregate"), p15)
   }
 
+  test("t26: metrics run on the checkpointed confusion relation, never the corpus") {
+    val p = plan("t26_langid_eval")
+    // the one corpus scan happened inside the eager confusion checkpoint
+    // at build time; the metric plan itself must touch NO parquet — all
+    // joins/margins/rollups read the <=15-cell checkpoint leaf
+    assert(!p.contains("Scan parquet"), p)
+    assert(!p.toLowerCase.contains("cartesianproduct"), p)
+  }
+
   test("d19: prefix verification stays equi-join shaped, no cartesian, no forced broadcast") {
     val p = plan("d19_prefix_join")
     assert(!p.toLowerCase.contains("cartesianproduct"), p)
