@@ -59,6 +59,34 @@ object CorpusStream {
   final case class KeyHash(key: String, hl: Long)
   final case class KmvEstimate(key: String, n_tracked: Int, kth: Long, est: Double)
 
+  final case class SourceTokens(source: String, toks: Long)
+  final case class BudgetStatus(source: String, cum_tokens: Long,
+      budget: Long, over_budget: Boolean)
+
+  /** Streaming per-source token-budget monitor — the ingestion-time twin
+    * of batch p14's budget allocation: as the crawl streams in, each
+    * source's CUMULATIVE token count accrues in `mapGroupsWithState`
+    * (state = ONE long per source — bounded by the source alphabet, not
+    * the stream) and every touched source emits its running total plus
+    * the over-budget flag each micro-batch. A production intake wires
+    * the flag to back-pressure/drop; the spec asserts the final
+    * cumulative totals equal the batch rollup exactly (integer sums —
+    * arrival order and partitioning cannot change them). */
+  def budgetMonitor(docs: DataFrame, budgets: Map[String, Long]): Dataset[BudgetStatus] = {
+    import docs.sparkSession.implicits._
+    val perDoc = docs.select(col("source"),
+        graft.functions.token_count(col("text")).cast("long").as("toks"))
+      .as[SourceTokens]
+    perDoc.groupByKey(_.source)
+      .mapGroupsWithState[Long, BudgetStatus](GroupStateTimeout.NoTimeout) {
+        (source: String, rows: Iterator[SourceTokens], state: GroupState[Long]) =>
+          val cum = state.getOption.getOrElse(0L) + rows.map(_.toks).sum
+          state.update(cum)
+          val budget = budgets.getOrElse(source, Long.MaxValue)
+          BudgetStatus(source, cum, budget, cum > budget)
+      }
+  }
+
   /** Tokenize a document stream into md5-hashed (lang, token) pairs —
     * identical hashing to the batch t12 gate. */
   def hashedTokens(docs: DataFrame): Dataset[KeyHash] = {

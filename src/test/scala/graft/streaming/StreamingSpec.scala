@@ -325,6 +325,45 @@ class StreamingSpec extends AnyFunSuite {
       s"streamed ${streamedHashes.length} survivors vs batch ${batch.length}")
   }
 
+  test("streaming token-budget monitor accrues exact per-source totals and flags overruns") {
+    val docsDir = {
+      val dir = Files.createTempDirectory("docs-budget-stream")
+      Files.copy(Paths.get("/root/testdata/sf0.001/documents.parquet"),
+        dir.resolve("documents.parquet"), StandardCopyOption.REPLACE_EXISTING)
+      dir.toString
+    }
+    // batch truth: per-source token totals on the same corpus
+    val batch = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("source"), graft.functions.token_count(col("text")).cast("long").as("t"))
+      .groupBy(col("source")).agg(sum(col("t")).as("total"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(batch.nonEmpty)
+    // budget half the sources below their actual total -> must flag
+    val budgets = batch.toSeq.sortBy(_._1).zipWithIndex.map { case ((s0, tot), i) =>
+      s0 -> (if (i % 2 == 0) tot / 2 else tot * 2)
+    }.toMap
+    val q = CorpusStream.budgetMonitor(CorpusStream.read(spark, docsDir), budgets)
+      .writeStream.format("memory").queryName("budget").outputMode("update")
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable()
+    q.stop()
+    // last update per source = the final cumulative state
+    val streamed = spark.sql(
+      """SELECT source, cum_tokens, over_budget FROM (
+        |  SELECT source, cum_tokens, over_budget, row_number() OVER (
+        |    PARTITION BY source ORDER BY cum_tokens DESC) AS rn FROM budget)
+        |WHERE rn = 1 ORDER BY source""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getBoolean(2)))
+    assert(streamed.length == batch.size)
+    streamed.foreach { case (s0, cum, over) =>
+      assert(cum == batch(s0), s"$s0: streamed $cum vs batch ${batch(s0)}")
+      assert(over == (cum > budgets(s0)), s"$s0: flag $over at $cum vs ${budgets(s0)}")
+    }
+    // the halved-budget sources actually flagged
+    assert(streamed.count(_._3) == budgets.count { case (s0, b) => batch(s0) > b })
+    assert(streamed.exists(_._3) && streamed.exists(!_._3))
+  }
+
   test("streaming KMV sketch converges to the batch t12 estimate exactly") {
     val docsDir = {
       val dir = Files.createTempDirectory("docs-stream")
