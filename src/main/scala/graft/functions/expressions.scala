@@ -590,6 +590,68 @@ case class IdPairs(child: Expression)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Intersection SIZE of two value-sorted distinct BIGINT arrays by
+  * two-pointer merge — the row-local verification kernel of the exact
+  * prefix-filtered set-similarity join (d19/d20) and the array twin of
+  * g9's packed-adjacency merge. Value-equal to
+  * `size(array_intersect(a, b))` on distinct inputs; why native:
+  * `array_intersect` allocates and fills an OpenHashSet PER EVALUATION,
+  * and a join condition + projection can evaluate the intersection
+  * several times per candidate row — the merge walks both arrays once
+  * with zero allocation, in whole-stage codegen. Inputs MUST be sorted
+  * ascending and duplicate-free (both d19 sides are `array_sort`ed
+  * distinct shingle sets); unsorted input degrades to an undercount,
+  * never an error. */
+case class SortedIntersectCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"sorted_intersect_count expects two array<bigint> inputs, got $l / $r")
+    }
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "sorted_intersect_count"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val (nx, ny) = (x.numElements(), y.numElements())
+    var i = 0; var j = 0; var m = 0L
+    while (i < nx && j < ny) {
+      val vx = x.getLong(i); val vy = y.getLong(j)
+      if (vx < vy) i += 1
+      else if (vx > vy) j += 1
+      else { m += 1L; i += 1; j += 1 }
+    }
+    m
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val m = ctx.freshName("m")
+      val vx = ctx.freshName("vx"); val vy = ctx.freshName("vy")
+      s"""
+         |int $i = 0; int $j = 0; long $m = 0L;
+         |int ${i}n = $a.numElements(); int ${j}n = $b.numElements();
+         |while ($i < ${i}n && $j < ${j}n) {
+         |  long $vx = $a.getLong($i); long $vy = $b.getLong($j);
+         |  if ($vx < $vy) $i++;
+         |  else if ($vx > $vy) $j++;
+         |  else { $m++; $i++; $j++; }
+         |}
+         |${ev.value} = $m;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 case class BloscCompress(child: Expression, typesize: Int, clevel: Int)
     extends UnaryExpression with CodegenFallback {
   override def checkInputDataTypes(): TypeCheckResult =

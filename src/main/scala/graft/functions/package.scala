@@ -50,6 +50,12 @@ package object functions {
   def id_pairs(ids: Column): Column =
     column(IdPairs(expression(ids)))
 
+  /** Intersection size of two value-sorted distinct BIGINT arrays by
+    * zero-allocation two-pointer merge (equals
+    * `size(array_intersect(a, b))` on distinct sorted inputs). */
+  def sorted_intersect_count(a: Column, b: Column): Column =
+    column(SortedIntersectCount(expression(a), expression(b)))
+
   /** Bloom membership probe over a serialized bloom filter (Spark's
     * internal BloomFilterMightContain; no false negatives). */
   def might_contain(bloom: Column, value: Column): Column =
@@ -99,6 +105,8 @@ package object functions {
       exprs => NearestCentroid(exprs(0), exprs(1)), "scala_udf")
     reg.createOrReplaceTempFunction("id_pairs",
       exprs => IdPairs(exprs.head), "scala_udf")
+    reg.createOrReplaceTempFunction("sorted_intersect_count",
+      exprs => SortedIntersectCount(exprs(0), exprs(1)), "scala_udf")
     reg.createOrReplaceTempFunction("zorder_key",
       exprs => ZorderKey(exprs(0), exprs(1)), "scala_udf")
     reg.createOrReplaceTempFunction("word_shingle_hashes",

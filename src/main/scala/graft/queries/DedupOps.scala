@@ -46,9 +46,14 @@ object DedupOps {
   // HOF form ran the lambda interpreted per shingle); element-for-element
   // equal, asserted in FunctionsSpec
   private def shingles(d: DataFrame): DataFrame =
+    shinglesRaw(d).distinct()
+
+  /** [[shingles]] before the distinct — consumers whose aggregates dedup
+    * anyway (d19's collect_set / count_distinct) skip the extra
+    * exchange. */
+  private[graft] def shinglesRaw(d: DataFrame): DataFrame =
     d.select(col("doc_id"),
-        explode(expr("word_shingle_hashes(text, 3)")).as("h"))
-      .distinct()
+      explode(expr("word_shingle_hashes(text, 3)")).as("h"))
 
   /** shingle fingerprint: first 8 md5 hex digits as long (0 .. 2^32) —
     * the top 32 of the shingle key's 60 bits. */
@@ -92,6 +97,90 @@ object DedupOps {
       .select(explode(graft.functions.id_pairs(col("ids"))).as("p"))
       .groupBy(col("p.d1").as("d1"), col("p.d2").as("d2"))
       .agg(count(lit(1)).as("m"))
+
+  /** d19/d20's exact prefix-filtered set-similarity join over a
+    * (doc_id, h) DISTINCT shingle relation, threshold 0.5. The per-doc
+    * PACKED token array (sorted by (df, h) — the global prefix order —
+    * then projected to the raw hashes) is built ONCE and eagerly
+    * checkpointed; the prefix relation AND both verification sides read
+    * it, so the corpus-sized shingle relation is scanned exactly once
+    * (round 8 probed it three times: once for sizes, twice in the
+    * m-count join — the family's slowest plan at 8.8x oracle).
+    * Verification is row-local: size(array_intersect(hs1, hs2)) on two
+    * doc-sized arrays (shingles are distinct per doc, so set
+    * intersection IS the match count) — the g9_two_hop packed-array
+    * technique. The checkpoint is doc-many array rows, orders of
+    * magnitude smaller than the shingle relation d2/d16 rightly decline
+    * to checkpoint. */
+  /** d20's deterministic skew injection: even doc_ids gain a shared
+    * verbatim footer (leading space keeps token boundaries intact), so
+    * the footer's word-3-grams become corpus-hottest shingles. */
+  private[queries] val boilerplateFooter =
+    " shared boilerplate footer tokens appear verbatim across half the corpus exactly"
+
+  private def skewedDocs(d: DataFrame): DataFrame =
+    d.select(col("doc_id"),
+      when(col("doc_id") % 2 === 0, concat(col("text"), lit(boilerplateFooter)))
+        .otherwise(col("text")).as("text"))
+
+  private[graft] def prefixJoin(shRaw: DataFrame): DataFrame = {
+    // input is the RAW (pre-distinct) shingle relation: every aggregate
+    // below dedups on its own (count_distinct / collect_set), so the
+    // helper's distinct exchange would be a pure extra shuffle.
+    // cluster by token ONCE: the df aggregate and the df-attach join
+    // both run on this exchange (aggregate output is h-partitioned,
+    // probe side is the same exchange — no second token shuffle)
+    val shH = shRaw.repartition(col("h"))
+    val dfq = shH.groupBy(col("h")).agg(count_distinct(col("doc_id")).as("df"))
+    // two views of the same token set, both doc-sized: pf = the
+    // ALREADY-SLICED prefix in (df, h) global order (feeds candidate
+    // generation), hv = the full set value-sorted (feeds the
+    // two-pointer verification merge). Slicing BEFORE the checkpoint
+    // keeps the materialized rows as small as they can be.
+    val packed = shH.join(dfq, Seq("h"))
+      .groupBy(col("doc_id"))
+      .agg(expr("transform(sort_array(collect_set(struct(df, h))), t -> t.h)")
+        .as("hs"))
+      .select(col("doc_id"),
+        expr("slice(hs, 1, size(hs) - CAST(ceil(size(hs) * 0.5D) AS INT) + 1)")
+          .as("pf"),
+        expr("array_sort(hs)").as("hv"))
+      .localCheckpoint(true) // consumed by prefix + both verify sides
+    val pref = packed.select(col("doc_id"), explode(col("pf")).as("h"))
+    // candidate pairs explode inside each prefix-token bucket and are
+    // verified WITH MULTIPLICITY: a pair sharing k prefix tokens is
+    // checked k times and deduped AFTER the jaccard filter, where only
+    // result-sized rows remain — cheaper than the (d1, d2) pre-dedup
+    // aggregate, which shuffled every bucket-pair occurrence (~3x the
+    // distinct-candidate count on this corpus) just to avoid row-local
+    // re-merges that cost ~50 comparisons each.
+    val cand = pref
+      .groupBy(col("h")).agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(graft.functions.id_pairs(col("ids"))).as("p"))
+      .select(col("p.d1").as("d1"), col("p.d2").as("d2"))
+    // NO forced broadcast of the candidates: prefix filtering bounds
+    // which BUCKETS open, not the candidate count — a duplicate-heavy
+    // corpus (the dedup workload) yields at least result-set-many
+    // pairs, and pinning those through the driver is the 8 GB
+    // broadcast wall. Plain equi-joins on doc_id against the packed
+    // relation: AQE broadcasts when the runtime size is actually
+    // small, shuffles otherwise. The jaccard filter lands in the join
+    // condition, where sorted_intersect_count stays cheap per
+    // evaluation (no per-call hash-set build, unlike array_intersect).
+    cand
+      .join(packed.as("p1"), col("d1") === col("p1.doc_id"))
+      .join(packed.as("p2"), col("d2") === col("p2.doc_id"))
+      .select(col("d1"), col("d2"),
+        graft.functions.sorted_intersect_count(col("p1.hv"), col("p2.hv")).as("m"),
+        size(col("p1.hv")).cast("long").as("n1"),
+        size(col("p2.hv")).cast("long").as("n2"))
+      .withColumn("jac_raw", col("m") / (col("n1") + col("n2") - col("m")))
+      .filter(col("jac_raw") >= 0.5)
+      .select(col("d1"), col("d2"), round(col("jac_raw"), 6).as("jaccard"))
+      .distinct() // collapse the per-shared-prefix-token multiplicity
+      .orderBy(col("d1"), col("d2"))
+  }
 
   /** d6/d17's banded SimHash candidate pairs: 13 bands over bits [0,60)
     * (8 of width 5, 5 of width 4) — a pair differing in <= 12 bits can
@@ -288,43 +377,20 @@ object DedupOps {
     //     Output is BYTE-IDENTICAL to d2 under the same oracle SQL —
     //     same answer, cheaper algorithm, and the gate proves the
     //     substitution. ---
-    "d19_prefix_join" -> ((s, dir) => {
-      // sh re-derives per consumer on purpose: an eager checkpoint of
-      // the corpus-shingle relation measured SLOWER (6.1 vs 4.5 s at
-      // sf0.1 — the materialization job outweighs the re-scans; d2/d16
-      // reach the same verdict)
-      val sh = shingles(docs(s, dir))
-      val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-      // cluster by token ONCE: the df aggregate and the df-attach join
-      // both run on this exchange (aggregate output is h-partitioned,
-      // probe side is the same exchange — no second token shuffle)
-      val shH = sh.repartition(col("h"))
-      val dfq = shH.groupBy(col("h")).agg(count(lit(1)).as("df"))
-      val pref = shH.join(dfq, Seq("h"))
-        .groupBy(col("doc_id"))
-        .agg(expr("sort_array(collect_list(struct(df, h)))").as("toks"))
-        .select(col("doc_id"), explode(expr(
-          "slice(toks, 1, size(toks) - CAST(ceil(size(toks) * 0.5D) AS INT) + 1)"))
-          .as("t"))
-        .select(col("doc_id"), col("t.h").as("h"))
-      val cand = pairCounts(pref, "h").select(col("d1"), col("d2"))
-      // NO forced broadcast of the candidates: prefix filtering bounds
-      // which BUCKETS open, not the candidate count — a duplicate-heavy
-      // corpus (the dedup workload) yields at least result-set-many
-      // pairs, and pinning those through the driver is the 8 GB
-      // broadcast wall. Plain equi-joins on doc_id: AQE broadcasts
-      // when the runtime size is actually small, shuffles otherwise.
-      val m = cand
-        .join(sh.as("s1"), col("d1") === col("s1.doc_id"))
-        .join(sh.as("s2"), col("d2") === col("s2.doc_id") && col("s1.h") === col("s2.h"))
-        .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("m"))
-      m.join(cnt.as("c1"), col("d1") === col("c1.doc_id"))
-        .join(cnt.as("c2"), col("d2") === col("c2.doc_id"))
-        .withColumn("jac_raw", col("m") / (col("c1.n") + col("c2.n") - col("m")))
-        .filter(col("jac_raw") >= 0.5)
-        .select(col("d1"), col("d2"), round(col("jac_raw"), 6).as("jaccard"))
-        .orderBy(col("d1"), col("d2"))
-    }),
+    "d19_prefix_join" -> ((s, dir) => prefixJoin(shinglesRaw(docs(s, dir)))),
+
+    // --- d19's algorithm in the regime it exists FOR: a boilerplate-
+    //     skewed corpus (half the docs share an injected verbatim
+    //     footer — the real-web shape: nav bars, license blocks,
+    //     scraped templates). d2's bucket join explodes each hot
+    //     boilerplate shingle as (n/2 choose 2) pairs; d19 never opens
+    //     those buckets, because a doc's prefix holds its RAREST
+    //     tokens and boilerplate shingles are by construction the most
+    //     frequent. Gated so the scale-critical regime flip (measured
+    //     2.7-6x in REHEARSALS.json) is oracle-checked and
+    //     bench-tracked every round, not just rehearsed. ---
+    "d20_prefix_join_skew" -> ((s, dir) =>
+      prefixJoin(shinglesRaw(skewedDocs(docs(s, dir))))),
 
     // --- the stop-shingle-capped form of d2: shingles appearing in more
     //     than 5 documents are excluded from PAIR GENERATION (their
@@ -680,12 +746,14 @@ object DedupOps {
     })
   )
 
-  private val shingleSql =
-    """sh AS (
+  private def shingleSqlFrom(src: String) =
+    s"""sh AS (
       |  SELECT DISTINCT doc_id,
       |    ('0x' || substr(md5(ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]), 1, 15))::BIGINT AS h
-      |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ts FROM documents) t,
+      |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ts FROM $src) t,
       |       LATERAL (SELECT unnest(generate_series(1, greatest(len(ts) - 2, 0))) AS i) u)""".stripMargin
+
+  private val shingleSql = shingleSqlFrom("documents")
 
   private val jaccardTail =
     """cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
@@ -777,6 +845,22 @@ object DedupOps {
     // pair set by prefix filtering — the gate proves the substitution
     "d19_prefix_join" ->
       s"""WITH $shingleSql,
+         |$jaccardTail
+         |SELECT d1, d2, round(m * 1.0 / (c1.n + c2.n - m), 6) AS jaccard
+         |FROM m JOIN cnt c1 ON d1 = c1.doc_id JOIN cnt c2 ON d2 = c2.doc_id
+         |WHERE m * 1.0 / (c1.n + c2.n - m) >= 0.5
+         |ORDER BY d1, d2""".stripMargin,
+
+    // d2's exact-Jaccard oracle over the deterministically skewed
+    // corpus (even doc_ids + the shared footer) — proves d19's
+    // algorithm stays exact in the hot-shingle regime it is built for
+    "d20_prefix_join_skew" ->
+      s"""WITH sk AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 2 = 0 THEN text || '$boilerplateFooter'
+         |         ELSE text END AS text
+         |  FROM documents),
+         |${shingleSqlFrom("sk")},
          |$jaccardTail
          |SELECT d1, d2, round(m * 1.0 / (c1.n + c2.n - m), 6) AS jaccard
          |FROM m JOIN cnt c1 ON d1 = c1.doc_id JOIN cnt c2 ON d2 = c2.doc_id

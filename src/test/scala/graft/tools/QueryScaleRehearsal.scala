@@ -111,35 +111,12 @@ object QueryScaleRehearsal {
       .select(col("d1"), col("d2"))
   }
 
-  /** d19's prefix-filtered exact Jaccard (identical result set). */
-  private def prefixJaccardPairs(d: DataFrame): DataFrame = {
-    val sh = d.select(col("doc_id"),
-        explode(expr("word_shingle_hashes(text, 3)")).as("h"))
-      .distinct()
-    val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val shH = sh.repartition(col("h"))
-    val dfq = shH.groupBy(col("h")).agg(count(lit(1)).as("df"))
-    val pref = shH.join(dfq, Seq("h"))
-      .groupBy(col("doc_id"))
-      .agg(expr("sort_array(collect_list(struct(df, h)))").as("toks"))
-      .select(col("doc_id"), explode(expr(
-        "slice(toks, 1, size(toks) - CAST(ceil(size(toks) * 0.5D) AS INT) + 1)"))
-        .as("t"))
-      .select(col("doc_id"), col("t.h").as("h"))
-    val cand = pref.groupBy(col("h"))
-      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
-      .filter(size(col("ids")) > 1)
-      .select(explode(graft.functions.id_pairs(col("ids"))).as("p"))
-      .select(col("p.d1").as("d1"), col("p.d2").as("d2")).distinct()
-    val m = cand // no forced broadcast — mirrors d19 (AQE decides)
-      .join(sh.as("s1"), col("d1") === col("s1.doc_id"))
-      .join(sh.as("s2"), col("d2") === col("s2.doc_id") && col("s1.h") === col("s2.h"))
-      .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("m"))
-    m.join(cnt.as("c1"), col("d1") === col("c1.doc_id"))
-      .join(cnt.as("c2"), col("d2") === col("c2.doc_id"))
-      .filter(col("m") / (col("c1.n") + col("c2.n") - col("m")) >= 0.5)
+  /** d19's prefix-filtered exact Jaccard — the REAL gated code path
+    * (packed arrays + two-pointer merge verification), so the rehearsal
+    * measures what ships. */
+  private def prefixJaccardPairs(d: DataFrame): DataFrame =
+    graft.queries.DedupOps.prefixJoin(graft.queries.DedupOps.shinglesRaw(d))
       .select(col("d1"), col("d2"))
-  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
