@@ -32,6 +32,13 @@ object Tables {
     * would otherwise serve stale file listings if data under `dir`
     * changed. */
   def invalidate(dir: String): Unit = {
+    // ORDER IS LOAD-BEARING: fanout()'s TOCTOU guard re-checks dfCache
+    // AFTER its insert, which only catches a racing invalidate if the
+    // dfCache eviction happens BEFORE fanoutCache is cleared. The
+    // second clear below makes the guard order-independent anyway: even
+    // if a racing fanout re-pins an already-evicted frame between the
+    // dfCache eviction and the first clear, the trailing clear drops it.
+    fanoutCache.clear()
     dfCache.keySet.removeIf(k => k._2 == dir)
     lastDir.entrySet.removeIf(e => e.getValue == dir)
     // fanout entries aren't attributable to a dir (keyed by DataFrame

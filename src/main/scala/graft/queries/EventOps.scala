@@ -88,16 +88,25 @@ object EventOps {
     //     arithmetic is identical.) ---
     "e14_cms_topk" -> ((s, dir) => {
       val depth = 4; val width = 256
-      val keyed = ev(s, dir).select(col("user_id"))
-      val hashed = keyed
-        .select(col("user_id"), explode(expr(s"sequence(0, ${depth - 1})")).as("r"))
-        .select(col("user_id"), col("r"),
+      // ONE events-sized aggregate, ever: a user's (r, bucket) cells are
+      // functional on user_id, so the sketch counters are the SUM of
+      // per-user exact counts falling in each cell — the row-identical
+      // replacement for hashing every event occurrence depth times
+      // (round 8 exploded events x4 twice: once for the counters, once
+      // through a distinct for the point queries). Everything after the
+      // first aggregate is user-sized; checkpointed for its two
+      // consumers (cell build + final join).
+      val exact = ev(s, dir).select(col("user_id"))
+        .groupBy(col("user_id")).agg(count(lit(1)).as("exact_n"))
+        .localCheckpoint(true)
+      val ub = exact
+        .select(col("user_id"), col("exact_n"),
+          explode(expr(s"sequence(0, ${depth - 1})")).as("r"))
+        .select(col("user_id"), col("exact_n"), col("r"),
           expr(s"md5_bits(concat(CAST(r AS STRING), ':', CAST(user_id AS STRING)), 8) % $width")
             .as("b"))
-      val cells = hashed.groupBy(col("r"), col("b")).agg(count(lit(1)).as("c"))
-      val exact = keyed.groupBy(col("user_id")).agg(count(lit(1)).as("exact_n"))
-      val est = hashed.select(col("user_id"), col("r"), col("b")).distinct()
-        .join(broadcast(cells), Seq("r", "b"))
+      val cells = ub.groupBy(col("r"), col("b")).agg(sum(col("exact_n")).as("c"))
+      val est = ub.join(broadcast(cells), Seq("r", "b"))
         .groupBy(col("user_id")).agg(min(col("c")).cast("long").as("cms_est"))
       exact.join(est, Seq("user_id"))
         .orderBy(col("cms_est").desc, col("user_id")).limit(20)

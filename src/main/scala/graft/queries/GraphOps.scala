@@ -449,15 +449,19 @@ object GraphOps {
     "g7_kcore" -> ((s, dir) => {
       val k = 80
       var e = coPurchaseEdges(s, dir, cap = Some(3000L))
-      // ONE bidirectional relation per round, reused twice: round r's
-      // post-peel `bi` feeds both its own survival audit and round r+1's
-      // degree count (round 6 rebuilt it separately for each — two
-      // unions + scans per round for one relation's worth of data)
       var bi = e.union(e.select(col("d2").as("d1"), col("d1").as("d2")))
+      // ONE aggregate per bidirectional relation, ever: the per-node
+      // degree count drives the NEXT round's peel AND yields the
+      // CURRENT round's survival audit row-for-free (n_nodes = degree
+      // rows, n_edges = sum(deg)/2) — round 8 additionally ran a
+      // countDistinct + count pass over each round's bi just for the
+      // audit, a second full exchange of the same relation per round.
+      // The node-sized degree frame is eagerly checkpointed because
+      // three consumers read it (audit agg + both semi-join builds).
+      var deg = bi.groupBy(col("d1")).agg(count(lit(1)).as("deg"))
+        .localCheckpoint(true)
       val rounds = (1 to 4).map { r =>
-        val keep = bi.groupBy(col("d1")).agg(count(lit(1)).as("deg"))
-          .filter(col("deg") >= k)
-          .select(col("d1").as("node"))
+        val keep = deg.filter(col("deg") >= k).select(col("d1").as("node"))
         // the USING semi-joins move the join column first (schema becomes
         // (d2, d1)); re-select before the positional union in the next
         // round reads it as (d1, d2)
@@ -466,8 +470,10 @@ object GraphOps {
           .select(col("d1"), col("d2"))
           .localCheckpoint(true)
         bi = e.union(e.select(col("d2").as("d1"), col("d1").as("d2")))
-        bi.agg(countDistinct(col("d1")).as("n_nodes"),
-            (count(lit(1)) / 2).cast("long").as("n_edges"))
+        deg = bi.groupBy(col("d1")).agg(count(lit(1)).as("deg"))
+          .localCheckpoint(true)
+        deg.agg(count(lit(1)).cast("long").as("n_nodes"),
+            (sum(col("deg")) / 2).cast("long").as("n_edges"))
           .select(lit(r).as("round"), col("n_nodes"), col("n_edges"))
       }
       rounds.reduce(_ union _).orderBy(col("round"))

@@ -179,8 +179,12 @@ object MediaQueries {
     //     the banding, is what bounds it) and 8 bytes of state per
     //     image. ---
     "m8_dhash_neardup" -> ((s, dir) => {
+      // eager checkpoint (d18's pattern): h fans out to the band explode
+      // plus BOTH confirmation joins — without it the full ImageIO
+      // decode + resize + dHash pipeline re-runs up to three times
       val h = queries("m7_imageio_dhash")(s, dir)
         .select(col("media_id"), col("dhash_lo"), col("dhash_hi"))
+        .localCheckpoint(true)
       // recombined 64-bit key only for band extraction (bit 63 rides the
       // sign — harmless under mask); widths 21+21+22 cover all 64 bits
       val full = col("dhash_lo").bitwiseOR(shiftleft(col("dhash_hi"), 32))

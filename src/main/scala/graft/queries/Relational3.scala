@@ -372,15 +372,26 @@ object Relational3 {
       val base = t(s, dir, "lineitem")
         .filter(col("l_partkey") < 3000)
         .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-      val pairs = base.groupBy(col("o"))
+      // EVERYTHING derives from the basket relation: one lineitem scan
+      // and one exchange, checkpointed for its three consumers (round 8
+      // planned four independent scans — pair explode, np twice under
+      // different aliases, and the order count — each with its own
+      // distinct-aggregate exchange)
+      val baskets = base.groupBy(col("o"))
         .agg(sort_array(collect_set(col("p"))).as("ids"))
+        .localCheckpoint(true)
+      val pairs = baskets
         .filter(size(col("ids")) > 1)
         .select(explode(graft.functions.id_pairs(col("ids"))).as("pr"))
         .groupBy(col("pr.d1").as("pa"), col("pr.d2").as("pb"))
         .agg(count(lit(1)).as("n_ab"))
         .filter(col("n_ab") >= 3)
-      val np = base.groupBy(col("p")).agg(countDistinct(col("o")).as("n_p"))
-      val n = base.agg(countDistinct(col("o")).as("n_orders"))
+      // ids are per-order SETS, so a plain count after the explode IS
+      // countDistinct(o) per p; checkpointed because it joins twice
+      val np = baskets.select(explode(col("ids")).as("p"))
+        .groupBy(col("p")).agg(count(lit(1)).as("n_p"))
+        .localCheckpoint(true)
+      val n = baskets.agg(count(lit(1)).as("n_orders"))
       pairs
         .join(np.select(col("p").as("pa"), col("n_p").as("n_a")), Seq("pa"))
         .join(np.select(col("p").as("pb"), col("n_p").as("n_b")), Seq("pb"))

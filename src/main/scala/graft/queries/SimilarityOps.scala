@@ -208,7 +208,11 @@ object SimilarityOps {
         .filter(col("cos") >= 0.2)
         .groupBy(col("qid"))
         .agg(count(lit(1)).cast("long").as("n_in_range"),
-          round(avg(col("cos")), 6).as("avg_cos"),
+          // t8/a10's drift guard: the round-6 cos values aggregate as
+          // exact micro-unit longs, so avg_cos cannot flip at a round-6
+          // boundary with partition arrival order
+          round(sum(expr("CAST(round(cos * 1e6) AS BIGINT)")) / count(lit(1)) / 1e6, 6)
+            .as("avg_cos"),
           round(max(col("cos")), 6).as("max_cos"))
         .orderBy(col("qid"))
     }),
@@ -741,13 +745,34 @@ object SimilarityOps {
     //     reuses v1 verbatim (v15's can't-drift rule). ---
     "v17_probe_sweep" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
-      // eager checkpoint: the ranked-cell scan feeds both the corpus
-      // assignment and the query probes (v16 precedent)
-      val rc = rankedCells(emb(s, dir)).localCheckpoint(true)
-      val a = rc.filter(col("rk") === 1)
-        .select(col("cell"), col("vec_id").as("eid"),
-          col("embedding").as("ee"), col("nrm").as("en"))
-      val qp = rc.filter(col("vec_id") < 5 && col("rk") <= 3)
+      val e = emb(s, dir)
+      // ONE codebook broadcast shared by the corpus assignment and the
+      // query probes (same DataFrame instance -> the exchange is reused)
+      val cb = broadcast(centroids(e).withColumn("cn",
+        sqrt(graft.functions.vector_dot(col("centroid"), col("centroid")))))
+      def scoredAgainst(v: DataFrame): DataFrame = v.join(cb)
+        .select(col("vec_id"), col("embedding"), col("nrm"), col("cell"),
+          (dot("embedding", "centroid") / (col("nrm") * col("cn"))).as("cos_raw"))
+      // corpus rk=1 assignment as a MAX-STRUCT AGGREGATE, not a window:
+      // argmax by (round-6 cos desc, cell asc) == max of (cos6, -cell) —
+      // identical rows to rankedCells' rk=1, without sorting all n x K
+      // scored rows behind an exchange (round 8 additionally
+      // checkpointed that ranked scan; the aggregate output is n rows
+      // and feeds exactly one join, so there is nothing left to pin)
+      val a = scoredAgainst(withNorm(e))
+        .groupBy(col("vec_id"))
+        .agg(max(struct(round(col("cos_raw"), 6).as("c"),
+            (-col("cell")).as("negc"), col("cell").as("cell"))).as("top"),
+          first(col("embedding")).as("ee"), first(col("nrm")).as("en"))
+        .select(col("top.cell").as("cell"), col("vec_id").as("eid"),
+          col("ee"), col("en"))
+      // the multi-probe ranking stays a window, over 5 query vectors
+      // x K cells only
+      val wA = Window.partitionBy(col("vec_id"))
+        .orderBy(round(col("cos_raw"), 6).desc, col("cell"))
+      val qp = scoredAgainst(withNorm(e.filter(col("vec_id") < 5)))
+        .withColumn("rk", row_number().over(wA))
+        .filter(col("rk") <= 3)
         .select(col("cell"), col("vec_id").as("qid"),
           col("embedding").as("qe"), col("nrm").as("qn"), col("rk").as("prk"))
       val cand = broadcast(qp).join(a, Seq("cell"))
@@ -1041,7 +1066,8 @@ object SimilarityOps {
         |       sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))), 6) AS cos
         |  FROM q, embeddings e WHERE e.vec_id != q.qid)
         |SELECT qid, CAST(count(*) AS BIGINT) AS n_in_range,
-        |  round(avg(cos), 6) AS avg_cos, round(max(cos), 6) AS max_cos
+        |  round(CAST(sum(CAST(round(cos * 1e6) AS BIGINT)) AS BIGINT) / count(*) / 1e6, 6) AS avg_cos,
+        |  round(max(cos), 6) AS max_cos
         |FROM scored WHERE cos >= 0.2
         |GROUP BY qid ORDER BY qid""".stripMargin,
 

@@ -176,12 +176,16 @@ object TextOps {
       // bigram units: the synthetic corpus is a small word bag whose
       // unigram vocabulary saturates in the first docs; pair types keep
       // the curve informative while exercising the same dataflow
+      // bigram types keyed by their 60-bit md5 prefix (d2's shingle
+      // idiom, n=2): the first-occurrence shuffle moves 8-byte longs
+      // instead of ~40-byte pair strings, and the fused
+      // word_shingle_hashes kernel replaces the split -> transform ->
+      // concat pipeline; the oracle applies the identical hash, so even
+      // a (mirrored) collision cannot diverge the gate
       val firstSeen = docs(s, dir)
-        .select(col("doc_id"), split(trim(col("text")), "\\s+").as("ts"))
-        .filter(size(col("ts")) >= 2)
-        .select(col("doc_id"), explode(expr(
-          "transform(sequence(0, size(ts) - 2), i -> concat(ts[i], ' ', ts[i+1]))")).as("tok"))
-        .groupBy(col("tok")).agg(min(col("doc_id")).as("fd"))
+        .select(col("doc_id"),
+          explode(expr("word_shingle_hashes(text, 2)")).as("h"))
+        .groupBy(col("h")).agg(min(col("doc_id")).as("fd"))
       val buckets = firstSeen
         .groupBy(expr("fd div 20").as("bucket"))
         .agg(count(lit(1)).as("new_tokens"))
@@ -473,11 +477,17 @@ object TextOps {
           sum((lit(1L) - col("pred")) * col("gold")).cast("long").as("fn"),
           sum((lit(1L) - col("pred")) * (lit(1L) - col("gold"))).cast("long").as("tn"))
         .select(col("n_docs"), col("tp"), col("fp"), col("fn"), col("tn"),
-          expr("tp * 1000000 div (tp + fp)").as("precision_ppm"),
-          expr("tp * 1000000 div (tp + fn)").as("recall_ppm"))
+          // guarded like t26: a filter that keeps nothing (tp+fp=0) or
+          // recalls nothing must report an honest 0, not NULL (Spark)
+          // vs a division-by-zero error (DuckDB's //)
+          expr("CASE WHEN tp + fp > 0 THEN tp * 1000000 div (tp + fp) ELSE 0 END")
+            .as("precision_ppm"),
+          expr("CASE WHEN tp + fn > 0 THEN tp * 1000000 div (tp + fn) ELSE 0 END")
+            .as("recall_ppm"))
         .select(col("*"),
-          expr("2 * precision_ppm * recall_ppm div (precision_ppm + recall_ppm)")
-            .as("f1_ppm"))
+          expr("CASE WHEN precision_ppm + recall_ppm > 0 THEN " +
+            "2 * precision_ppm * recall_ppm div (precision_ppm + recall_ppm) " +
+            "ELSE 0 END").as("f1_ppm"))
     }),
 
     // --- repetition quality signals (Gopher/MassiveText repetition
@@ -1158,11 +1168,13 @@ object TextOps {
          |  FROM u),
          |m AS (
          |  SELECT n_docs, tp, fp, fn, tn,
-         |    tp * 1000000 // (tp + fp) AS precision_ppm,
-         |    tp * 1000000 // (tp + fn) AS recall_ppm
+         |    CASE WHEN tp + fp > 0 THEN tp * 1000000 // (tp + fp) ELSE 0 END AS precision_ppm,
+         |    CASE WHEN tp + fn > 0 THEN tp * 1000000 // (tp + fn) ELSE 0 END AS recall_ppm
          |  FROM c)
          |SELECT n_docs, tp, fp, fn, tn, precision_ppm, recall_ppm,
-         |  2 * precision_ppm * recall_ppm // (precision_ppm + recall_ppm) AS f1_ppm
+         |  CASE WHEN precision_ppm + recall_ppm > 0
+         |       THEN 2 * precision_ppm * recall_ppm // (precision_ppm + recall_ppm)
+         |       ELSE 0 END AS f1_ppm
          |FROM m""".stripMargin,
 
     "t10_repetition" ->
@@ -1300,13 +1312,14 @@ object TextOps {
 
     // the same first-occurrence aggregate + bucketed cumulative sum
     "t22_heaps" ->
-      """WITH t AS (
+      raw"""WITH t AS (
         |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ts FROM documents),
         |toks AS (
-        |  SELECT doc_id, ts[i] || ' ' || ts[i+1] AS tok
+        |  SELECT doc_id,
+        |    ('0x' || substr(md5(ts[i] || ' ' || ts[i+1]), 1, 15))::BIGINT AS h
         |  FROM t, LATERAL (SELECT unnest(generate_series(1, len(ts) - 1)) AS i) u
         |  WHERE len(ts) >= 2),
-        |fs AS (SELECT tok, min(doc_id) AS fd FROM toks GROUP BY tok),
+        |fs AS (SELECT h, min(doc_id) AS fd FROM toks GROUP BY h),
         |b AS (SELECT fd // 20 AS bucket, count(*) AS new_tokens
         |      FROM fs GROUP BY 1)
         |SELECT bucket, new_tokens,

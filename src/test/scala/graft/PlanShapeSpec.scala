@@ -445,10 +445,13 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("EqualTo(o_orderstatus,F)"), p)
   }
 
-  test("q20: basket dedup lives inside collect_set — no eager RDD scan") {
+  test("q20: everything derives from ONE checkpointed basket relation") {
     val p = plan("q20_basket_lift")
-    assert(!p.contains("Scan ExistingRDD"), p) // the r7 shape checkpointed
-    assert(p.contains("collect_set"), p)
+    // r8 planned four independent lineitem scans (pairs, np twice, n);
+    // r9 aggregates baskets once and checkpoints — the pair explode,
+    // part frequencies, and order count all read the RDD scan
+    assert(!p.contains("Scan parquet"), p)
+    assert(p.contains("Scan ExistingRDD"), p)
     assert(!p.toLowerCase.contains("cartesianproduct"), p)
   }
 
