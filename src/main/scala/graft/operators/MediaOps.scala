@@ -7,12 +7,14 @@ import org.apache.spark.sql.functions._
   * with typed metadata, decoded/feature-extracted in batched
   * `mapPartitions` passes.
   *
-  * The Spark-side plumbing is real — schema, partition-level batch
-  * iteration, feature struct output — while the codec itself is a
-  * clearly-marked deterministic STUB (`StubCodec`): this container ships
-  * no image/audio libraries, so the stub derives "decoded" properties
-  * from the payload bytes alone. Swapping in a real decoder changes one
-  * function, not the pipeline.
+  * The codec boundary is per KIND: image rows decode through the REAL
+  * JDK codec (`ImageIoCodec`, javax.imageio — ships in every JRE), from
+  * container bytes to pixels. `StubCodec`'s remit is ONLY audio/video —
+  * this container ships no codec for those — deriving deterministic
+  * "decoded" properties from the payload bytes so the plumbing (schema,
+  * partition-level batch iteration, feature struct output) still runs
+  * and gates end-to-end. Swapping in a real audio/video decoder changes
+  * one function, not the pipeline.
   *
   * Scale design: decode runs as one narrow `mapPartitions` over the media
   * Dataset — no shuffle, no driver involvement, memory bounded by one
@@ -30,15 +32,15 @@ object MediaOps {
 
   final case class FrameSample(media_id: Long, frame_idx: Int, frame_off: Long)
 
-  /** STUB codec — deterministic stand-in for image/audio/video decode.
-    * A real implementation would parse the container format here. */
+  /** STUB codec — deterministic stand-in for AUDIO/VIDEO decode only
+    * (image rows always take [[ImageIoCodec]]); a real implementation
+    * would parse the container format here. */
   object StubCodec {
     /** "Decode" dimensions from payload size: fake but deterministic and
       * recomputable by the DuckDB oracle from octet_length. */
     def decode(kind: String, payload: Array[Byte]): (Int, Int, Int) = {
       val n = payload.length
       kind match {
-        case "image" => (64 + (n % 8) * 16, 64 + (n % 5) * 16, 1)
         case "audio" => (1, 1, n / 100 + 1)          // "samples/100" frames
         case _       => (320, 240, n / 50 + 1)        // "video": frame per 50 bytes
       }
@@ -104,10 +106,10 @@ object MediaOps {
     }
   }
 
-  /** [[extractFeatures]] with the REAL codec: width/height from the
-    * decoded image, checksum over decoded luminance (actual pixel
-    * statistics, where the stub could only sum payload bytes). Same
-    * narrow no-shuffle partition pass. */
+  /** Image-only feature extraction with the REAL codec: width/height
+    * from the decoded image, checksum over decoded luminance (actual
+    * pixel statistics). Same narrow no-shuffle partition pass as
+    * [[extractFeaturesReal]], without the per-kind dispatch. */
   def extractFeaturesImageIo(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
@@ -119,9 +121,9 @@ object MediaOps {
     }
   }
 
-  /** [[resizeImages]] with the REAL codec: nearest-neighbor over actual
-    * decoded pixels — the resampling loop and plumbing are shared shape,
-    * only the source-pixel line differs. */
+  /** Nearest-neighbor resize with the REAL codec: decoded pixels in, a
+    * REAL binary thumbnail column out, built row-local inside
+    * mapPartitions (no shuffle, memory bounded by one output image). */
   def resizeImagesImageIo(media: Dataset[MediaRecord], outW: Int, outH: Int): Dataset[ResizedImage] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
@@ -168,6 +170,43 @@ object MediaOps {
     bos.toByteArray
   }
 
+  /** [[asMedia]] with REAL image payloads: every image row carries an
+    * actual PNG container (the deterministic gradient of m5-m7, dims
+    * keyed by media_id), so the image path runs `javax.imageio` from
+    * container bytes up; audio/video rows keep their UTF-8 payloads —
+    * the codec boundary is per KIND, and [[StubCodec]]'s remit is ONLY
+    * the non-image media this container ships no codec for. */
+  def asMediaReal(docs: DataFrame): Dataset[MediaRecord] = {
+    import docs.sparkSession.implicits._
+    asMedia(docs).mapPartitions(_.map { m =>
+      if (m.kind == "image")
+        m.copy(payload = syntheticGrayPng(m.media_id,
+          16 + (m.media_id % 16).toInt, 12 + (m.media_id % 8).toInt))
+      else m
+    })
+  }
+
+  /** Feature extraction with the per-kind codec boundary: image rows
+    * decode through [[ImageIoCodec]] (real width/height, checksum over
+    * decoded luminance, n_bytes = DECODED size w*h — the PNG container
+    * length is a storage artifact of filter/zlib choices, not a decode
+    * property, and no relational oracle can re-derive it); audio/video
+    * rows fall back to [[StubCodec]]. Same narrow no-shuffle pass. */
+  def extractFeaturesReal(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map { m =>
+      if (m.kind == "image") {
+        val (w, h, px) = ImageIoCodec.decodeLuma(m.payload)
+        MediaFeatures(m.media_id, m.kind, (w * h).toLong, w, h, 1,
+          StubCodec.checksum(px))
+      } else {
+        val (w, h, f) = StubCodec.decode(m.kind, m.payload)
+        MediaFeatures(m.media_id, m.kind, m.payload.length.toLong, w, h, f,
+          StubCodec.checksum(m.payload))
+      }
+    })
+  }
+
   /** Wrap the documents table as a media corpus: payload = UTF-8 bytes,
     * kind assigned round-robin — a deterministic fake corpus with real
     * BINARY columns. */
@@ -181,49 +220,7 @@ object MediaOps {
       .as[MediaRecord]
   }
 
-  /** Batched decode + feature extraction: one narrow mapPartitions pass. */
-  def extractFeatures(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
-    import media.sparkSession.implicits._
-    media.mapPartitions { it =>
-      it.map { m =>
-        val (w, h, f) = StubCodec.decode(m.kind, m.payload)
-        MediaFeatures(m.media_id, m.kind, m.payload.length.toLong, w, h, f,
-          StubCodec.checksum(m.payload))
-      }
-    }
-  }
-
   final case class ResizedImage(media_id: Long, out_w: Int, out_h: Int, pixels: Array[Byte])
-
-  /** Nearest-neighbor resize of stub-decoded images to (outW, outH).
-    * The stub's "decoded" source pixel grid is the deterministic function
-    * p(x, y) = (nBytes + 31x + 17y) mod 256 over the decode() dimensions —
-    * recomputable by the oracle — and the resized payload is a REAL
-    * binary column built row-local inside mapPartitions (no shuffle,
-    * memory bounded by one output image). A real decoder swaps in at the
-    * p() line, the resampling loop and plumbing stay. */
-  def resizeImages(media: Dataset[MediaRecord], outW: Int, outH: Int): Dataset[ResizedImage] = {
-    import media.sparkSession.implicits._
-    media.filter(_.kind == "image").mapPartitions { it =>
-      it.map { m =>
-        val (w, h, _) = StubCodec.decode(m.kind, m.payload)
-        val n = m.payload.length
-        val out = new Array[Byte](outW * outH)
-        var j = 0
-        while (j < outH) {
-          val sy = j * h / outH
-          var i = 0
-          while (i < outW) {
-            val sx = i * w / outW
-            out(j * outW + i) = ((n + 31 * sx + 17 * sy) % 256).toByte
-            i += 1
-          }
-          j += 1
-        }
-        ResizedImage(m.media_id, outW, outH, out)
-      }
-    }
-  }
 
   /** Sample every `stride`-th frame of video records — emits frame
     * metadata (index + byte offset), not decoded frames. */

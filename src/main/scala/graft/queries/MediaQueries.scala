@@ -9,20 +9,23 @@ import graft.operators.MediaOps
 /** Multimodal-column queries: the documents table wrapped as a BINARY
   * media corpus, decoded inside `mapPartitions`.
   *
-  * m1-m4 run the STUB codec (real plumbing, payload-derived fake decode;
-  * the oracle recomputes the stub's arithmetic from octet_length).
-  * m5-m6 run the REAL `javax.imageio` codec over deterministic synthetic
-  * gradient PNGs (`MediaOps.syntheticGrayPng`): the PNG container bytes
-  * are produced and decoded by the JDK, and the oracle recomputes the
-  * decoded luminance statistics from the gradient's closed form — a
-  * value-level gate on actual image decode, not on the stub. */
+  * EVERY image row runs the REAL `javax.imageio` codec over actual PNG
+  * container bytes (deterministic synthetic gradients,
+  * `MediaOps.syntheticGrayPng`): m1's features, m3's resize, m4's aHash
+  * and m5-m8 all decode real containers, and each oracle recomputes the
+  * decoded pixel statistics from the gradient's closed form — a
+  * value-level gate on actual image decode. The STUB codec's remit is
+  * ONLY the audio/video rows (m1's non-image kinds, m2's frame
+  * sampling): no audio/video library ships in this container, so those
+  * rows gate the plumbing with payload-derived deterministic decode. */
 object MediaQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // per-kind aggregate over decoded features
+    // per-kind aggregate over decoded features; image rows decode REAL
+    // PNGs through javax.imageio, audio/video rows take the stub
     "m1_media_features" -> ((s, dir) => {
-      val media = MediaOps.asMedia(Tables.load(s, dir, "documents"))
-      MediaOps.extractFeatures(media).toDF()
+      val media = MediaOps.asMediaReal(Tables.load(s, dir, "documents"))
+      MediaOps.extractFeaturesReal(media).toDF()
         .groupBy(col("kind"))
         .agg(count(lit(1)).as("n"),
           sum(col("n_bytes")).cast("long").as("total_bytes"),
@@ -33,13 +36,15 @@ object MediaQueries {
         .orderBy(col("kind"))
     }),
 
-    // nearest-neighbor resize to 16x12: the resized payload is a real
-    // binary column; the gate checks its byte-sum per image
+    // nearest-neighbor resize to 16x12 from REAL decoded pixels; the
+    // resized payload is a real binary column and the gate checks its
+    // byte-sum per image
     "m3_resize" -> ((s, dir) => {
       import s.implicits._
-      val media = MediaOps.asMedia(
+      val media = MediaOps.asMediaReal(
         Tables.load(s, dir, "documents").filter(col("doc_id") < 300))
-      MediaOps.resizeImages(media, 16, 12)
+        .filter(_.kind == "image")
+      MediaOps.resizeImagesImageIo(media, 16, 12)
         .map(r => (r.media_id, r.out_w, r.out_h,
           r.pixels.foldLeft(0L)((a, b) => a + (b & 0xFF))))
         .toDF("media_id", "out_w", "out_h", "res_checksum")
@@ -65,9 +70,10 @@ object MediaQueries {
     // happens — identical signatures collide in one hash aggregate.
     "m4_ahash_dups" -> ((s, dir) => {
       import s.implicits._
-      val media = MediaOps.asMedia(
+      val media = MediaOps.asMediaReal(
         Tables.load(s, dir, "documents").filter(col("doc_id") < 300))
-      val sigs = MediaOps.resizeImages(media, 8, 8)
+        .filter(_.kind == "image")
+      val sigs = MediaOps.resizeImagesImageIo(media, 8, 8)
         .map { r =>
           val px = r.pixels.map(_ & 0xFF)
           val total = px.sum
@@ -216,39 +222,53 @@ object MediaQueries {
   )
 
   val oracles: Map[String, String] = Map(
-    // kind: doc_id % 3 -> 0=image, 1=audio, 2=video; dims per StubCodec
+    // kind: doc_id % 3 -> 0=image, 1=audio, 2=video. Image rows are REAL
+    // decoded PNGs: dims/luminance from the m5-m7 gradient closed form,
+    // n_bytes = decoded size w*h. Audio/video dims per StubCodec.
     "m1_media_features" ->
       """WITH m AS (
         |  SELECT doc_id,
         |    CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
         |    strlen(text) AS n,
+        |    16 + doc_id % 16 AS iw, 12 + doc_id % 8 AS ih,
         |    text
         |  FROM documents),
+        |lum AS (
+        |  SELECT doc_id, CAST(sum((3 * i.x + 7 * j.y + doc_id) % 256) AS BIGINT) AS lsum
+        |  FROM m, (SELECT unnest(generate_series(0, 30)) AS x) i,
+        |       (SELECT unnest(generate_series(0, 18)) AS y) j
+        |  WHERE kind = 'image' AND i.x < iw AND j.y < ih
+        |  GROUP BY doc_id),
         |f AS (
-        |  SELECT kind, n,
-        |    CASE kind WHEN 'image' THEN 64 + (n % 8) * 16
+        |  SELECT kind,
+        |    CASE kind WHEN 'image' THEN iw * ih ELSE n END AS n,
+        |    CASE kind WHEN 'image' THEN iw
         |              WHEN 'audio' THEN 1 ELSE 320 END AS width,
-        |    CASE kind WHEN 'image' THEN 64 + (n % 5) * 16
+        |    CASE kind WHEN 'image' THEN ih
         |              WHEN 'audio' THEN 1 ELSE 240 END AS height,
         |    CASE kind WHEN 'image' THEN 1
         |              WHEN 'audio' THEN n // 100 + 1 ELSE n // 50 + 1 END AS n_frames,
-        |    (SELECT sum(CAST(unicode(c) AS BIGINT)) FROM unnest(string_split_regex(text, '')) AS t(c)
-        |     WHERE c != '') AS checksum
-        |  FROM m)
+        |    CASE kind WHEN 'image' THEN lum.lsum
+        |         ELSE (SELECT sum(CAST(unicode(c) AS BIGINT))
+        |               FROM unnest(string_split_regex(text, '')) AS t(c)
+        |               WHERE c != '') END AS checksum
+        |  FROM m LEFT JOIN lum USING (doc_id))
         |SELECT kind, count(*) AS n, CAST(sum(n) AS BIGINT) AS total_bytes,
         |  CAST(sum(width) AS BIGINT) AS sum_w, CAST(sum(height) AS BIGINT) AS sum_h,
         |  CAST(sum(n_frames) AS BIGINT) AS sum_frames,
         |  CAST(sum(checksum) AS BIGINT) AS sum_checksum
         |FROM f GROUP BY kind ORDER BY kind""".stripMargin,
 
+    // nearest-neighbor sample of the REAL decoded gradient at source
+    // coordinates (x*w//16, y*h//12) — the m6 oracle at 16x12
     "m3_resize" ->
       """WITH img AS (
-        |  SELECT doc_id AS media_id, strlen(text) AS n,
-        |    64 + (strlen(text) % 8) * 16 AS w, 64 + (strlen(text) % 5) * 16 AS h
+        |  SELECT doc_id AS media_id,
+        |    16 + doc_id % 16 AS w, 12 + doc_id % 8 AS h
         |  FROM documents WHERE doc_id < 300 AND doc_id % 3 = 0),
         |px AS (
         |  SELECT media_id,
-        |    (n + 31 * ((i.x * w) // 16) + 17 * ((j.y * h) // 12)) % 256 AS p
+        |    (3 * ((i.x * w) // 16) + 7 * ((j.y * h) // 12) + media_id) % 256 AS p
         |  FROM img,
         |       (SELECT unnest(generate_series(0, 15)) AS x) i,
         |       (SELECT unnest(generate_series(0, 11)) AS y) j)
@@ -264,14 +284,15 @@ object MediaQueries {
         |  CAST(((n_frames - 1) // 10) * 10 * 50 AS BIGINT) AS last_off
         |FROM v ORDER BY media_id""".stripMargin,
 
+    // 8x8 thumbnail of the REAL decoded gradient, mean-thresholded
     "m4_ahash_dups" ->
       """WITH img AS (
-        |  SELECT doc_id AS media_id, strlen(text) AS n,
-        |    64 + (strlen(text) % 8) * 16 AS w, 64 + (strlen(text) % 5) * 16 AS h
+        |  SELECT doc_id AS media_id,
+        |    16 + doc_id % 16 AS w, 12 + doc_id % 8 AS h
         |  FROM documents WHERE doc_id < 300 AND doc_id % 3 = 0),
         |px AS (
         |  SELECT media_id, j.y * 8 + i.x AS idx,
-        |    (n + 31 * ((i.x * w) // 8) + 17 * ((j.y * h) // 8)) % 256 AS p
+        |    (3 * ((i.x * w) // 8) + 7 * ((j.y * h) // 8) + media_id) % 256 AS p
         |  FROM img, (SELECT unnest(generate_series(0, 7)) AS x) i,
         |       (SELECT unnest(generate_series(0, 7)) AS y) j),
         |tot AS (SELECT media_id, CAST(sum(p) AS BIGINT) AS total FROM px GROUP BY media_id),

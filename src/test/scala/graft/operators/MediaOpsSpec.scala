@@ -9,20 +9,27 @@ class MediaOpsSpec extends AnyFunSuite {
   private lazy val spark = Spark.session(master = "local[4]", shufflePartitions = 4,
     appName = "graft-media-test")
 
-  test("binary wrap -> decode stub -> features is deterministic and complete") {
+  test("binary wrap -> per-kind codec -> features is deterministic and complete") {
     val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
-    val media = MediaOps.asMedia(docs)
-    val feats = MediaOps.extractFeatures(media).collect()
+    val media = MediaOps.asMediaReal(docs)
+    val feats = MediaOps.extractFeaturesReal(media).collect()
     assert(feats.length == docs.count())
     feats.foreach { f =>
       assert(Set("image", "audio", "video")(f.kind))
       assert(f.n_bytes > 0)
       f.kind match {
-        case "image" => assert(f.n_frames == 1 && f.width >= 64 && f.height >= 64)
+        case "image" =>
+          // REAL javax.imageio decode of the gradient PNG: dims keyed by
+          // media_id, n_bytes = decoded size
+          val (w, h) = (16 + (f.media_id % 16).toInt, 12 + (f.media_id % 8).toInt)
+          assert(f.n_frames == 1 && f.width == w && f.height == h)
+          assert(f.n_bytes == w.toLong * h)
+          val expected = (for (y <- 0 until h; x <- 0 until w)
+            yield ((3 * x + 7 * y + f.media_id) % 256)).sum
+          assert(f.checksum == expected)
         case "audio" => assert(f.width == 1 && f.height == 1 && f.n_frames >= 1)
         case _       => assert(f.width == 320 && f.height == 240 && f.n_frames >= 1)
       }
-      // checksum equals byte sum of the payload
       assert(f.checksum > 0)
     }
     // kind assignment is by media_id mod 3
