@@ -210,16 +210,44 @@ object ZeissJob {
     }
   }
 
+  /** Settings from environment variables — the reference CLI's THIRD
+    * config source (`zeiss_job.py` `job_entrypoint`: no `--job-settings`
+    * and no `--config-file` falls through to `ZeissJobSettings()`, whose
+    * pydantic-settings base reads `TRANSFORMATION_JOB_<FIELD>` env vars).
+    * String fields ride verbatim; list/numeric fields parse as JSON,
+    * mirroring pydantic-settings' complex-field handling. Implemented by
+    * synthesizing the equivalent settings JSON and reusing
+    * [[parseSettings]], so all three sources share one validation path. */
+  def settingsFromEnv(env: Map[String, String] = sys.env): Settings = {
+    val stringFields = Set("input_source", "output_directory", "s3_location")
+    val fields = Seq("input_source", "output_directory", "s3_location",
+      "chunk_size", "scale_factor", "downsample_levels", "compressor_level",
+      "target_size_mb", "max_concurrent_stacks")
+    val root = M.createObjectNode()
+    fields.foreach { f =>
+      env.get("TRANSFORMATION_JOB_" + f.toUpperCase).foreach { v =>
+        if (stringFields(f)) root.put(f, v)
+        else root.set[JsonNode](f, M.readTree(v))
+      }
+    }
+    require(root.has("input_source") && root.has("output_directory"),
+      "env-var settings require TRANSFORMATION_JOB_INPUT_SOURCE and " +
+        "TRANSFORMATION_JOB_OUTPUT_DIRECTORY")
+    parseSettings(M.writeValueAsString(root))
+  }
+
   def main(args: Array[String]): Unit = {
-    require(args.length >= 1, "usage: ZeissJob '<job-settings-json>' | @<settings-file>")
-    // inline JSON (joined — shells/sbt may split it) or @file, mirroring
-    // the reference's json-vs-config-file CLI (zeiss_job.py:234-242)
-    val json =
-      if (args(0).startsWith("@"))
-        new String(Files.readAllBytes(Paths.get(args(0).drop(1))), "UTF-8")
-      else args.mkString(" ")
+    // three config sources, in the reference's precedence
+    // (zeiss_job.py:234-242): inline JSON (joined — shells/sbt may split
+    // it), @file, or — with no args at all — TRANSFORMATION_JOB_* env vars
+    val settings =
+      if (args.isEmpty) settingsFromEnv()
+      else if (args(0).startsWith("@"))
+        parseSettings(new String(
+          Files.readAllBytes(Paths.get(args(0).drop(1))), "UTF-8"))
+      else parseSettings(args.mkString(" "))
     val spark = graft.Spark.session(appName = "graft-zeiss-job")
-    val resp = run(spark, parseSettings(json))
+    val resp = run(spark, settings)
     println(s"""{"status_code":${resp.statusCode},"message":"${resp.message}"}""")
     spark.stop()
   }

@@ -32,7 +32,7 @@ object CorpusStream {
         org.apache.spark.sql.types.StructType.fromDDL(
           "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT")
     }
-    spark.readStream.schema(native).parquet(dir)
+    spark.readStream.schema(native).parquet(StreamPath.resolve(spark, dir))
   }
 
   /** The STREAMABLE half of the batch d15 curation funnel: the length

@@ -40,7 +40,8 @@ object EventStream {
           "event_id BIGINT, ts TIMESTAMP_NTZ, user_id BIGINT, " +
             "event_type STRING, value DOUBLE, props STRING")
     }
-    val df = graft.Tables.normalizeTs(spark.readStream.schema(native).parquet(dir))
+    val df = graft.Tables.normalizeTs(
+      spark.readStream.schema(native).parquet(StreamPath.resolve(spark, dir)))
     // Watermarks demand TIMESTAMP (session-tz), but a timestamp[us] parquet
     // column without tz metadata arrives as TIMESTAMP_NTZ. Re-tag it: the
     // session runs in UTC (Spark.session), so the NTZ wall clock IS the

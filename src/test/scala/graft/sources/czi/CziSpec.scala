@@ -18,6 +18,34 @@ class CziSpec extends AnyFunSuite {
   private def synth(nz: Int, ny: Int, nx: Int): Array[Array[Array[Int]]] =
     Array.tabulate(nz, ny, nx)((z, y, x) => SyntheticStack.value(z, y, x))
 
+  test("env-var settings source: TRANSFORMATION_JOB_* fields parse like the JSON path") {
+    // the reference CLI's third fallback (zeiss_job.py job_entrypoint:
+    // no --job-settings / --config-file -> pydantic-settings env vars)
+    val env = Map(
+      "TRANSFORMATION_JOB_INPUT_SOURCE" -> "/data/in",
+      "TRANSFORMATION_JOB_OUTPUT_DIRECTORY" -> "/data/out",
+      "TRANSFORMATION_JOB_S3_LOCATION" -> "s3a://bucket/prefix",
+      "TRANSFORMATION_JOB_CHUNK_SIZE" -> "[64, 64, 64]",
+      "TRANSFORMATION_JOB_DOWNSAMPLE_LEVELS" -> "2",
+      "TRANSFORMATION_JOB_TARGET_SIZE_MB" -> "1024",
+      "UNRELATED_VAR" -> "ignored")
+    val s = ZeissJob.settingsFromEnv(env)
+    assert(s.inputSource == "/data/in")
+    assert(s.outputDirectory == "/data/out")
+    assert(s.s3Location.contains("s3a://bucket/prefix"))
+    assert(s.chunkSize.toSeq == Seq(64, 64, 64))
+    assert(s.downsampleLevels == 2)
+    assert(s.targetSizeMb == 1024L)
+    // unset fields keep the JSON path's defaults
+    assert(s.scaleFactor.toSeq == Seq(2, 2, 2))
+    assert(s.compressorLevel == 3)
+    assert(s.maxConcurrentStacks == 4)
+    // missing required fields fail loudly, naming the vars
+    val e = intercept[IllegalArgumentException](
+      ZeissJob.settingsFromEnv(Map("TRANSFORMATION_JOB_INPUT_SOURCE" -> "/x")))
+    assert(e.getMessage.contains("TRANSFORMATION_JOB_OUTPUT_DIRECTORY"))
+  }
+
   test("CZI index parse: shape, pixel type, entries") {
     val dir = Files.createTempDirectory("czi").toString
     val path = s"$dir/t.czi"

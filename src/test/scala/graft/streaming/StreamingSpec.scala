@@ -46,6 +46,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(n > 0, s"cold-started stream read $n rows")
   }
 
+  test("streams define against a NOT-YET-EXISTING directory and start once it appears") {
+    // one step colder than the empty-dir case: the ingest path has not
+    // been created at stream-definition time (a deploy racing its data
+    // producer) — definition must not throw, and the first files to land
+    // after the directory appears must flow through
+    val parent = Files.createTempDirectory("events-unborn")
+    val dir = parent.resolve("not-yet-created")
+    assert(!Files.exists(dir))
+    val stream = EventStream.read(spark, dir.toString)
+    assert(stream.isStreaming && stream.schema.fieldNames.contains("ts"))
+    Files.createDirectories(dir)
+    Files.copy(Paths.get("/root/testdata/sf0.001/events.parquet"),
+      dir.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val ckpt = Files.createTempDirectory("unborn-ckpt")
+    val q = stream.groupBy().count()
+      .writeStream.format("memory").queryName("unborn_cnt")
+      .outputMode("complete")
+      .option("checkpointLocation", ckpt.toString)
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    val n = spark.table("unborn_cnt").collect()(0).getLong(0)
+    assert(n > 0, s"stream over a late-created directory read $n rows")
+  }
+
   test("stateful aggregation state survives a query restart (checkpoint recovery)") {
     // the 1000-executor reality: queries get stopped (deploys, failures)
     // and must resume from the state store, not recount from zero
