@@ -277,6 +277,61 @@ object DedupOps {
         .orderBy(col("doc_id"))
     }),
 
+    // --- EXACT SUBSTRING dedup with GLOBAL-ORDER survivor selection
+    //     (the deduplicate-text-datasets ExactSubstr technique, Lee et
+    //     al. 2022, in window-hash form): every 40-char window
+    //     occurrence keys by its 60-bit hash; a hash occurring >= 2
+    //     times corpus-wide keeps ONLY its globally-first occurrence
+    //     (min (doc_id, pos)) and every other occurrence is a removed
+    //     span. Where d14 reports which docs OVERLAP, d21 pins the
+    //     exact byte spans an ExactSubstr pass would cut: per doc, the
+    //     removed-window count, the chars covered by the UNION of
+    //     removed spans, and an md5 over the sorted span starts — so
+    //     the survivor byte ranges are hash-pinned, not just counted.
+    //     Scale shape: ONE corpus aggregate keyed by the window hash
+    //     (min-struct survivor + occurrence count — no corpus-wide
+    //     window, no doc-doc pairs, work bounded by hash buckets);
+    //     the span-union walk is a lag window over per-doc bounded
+    //     partitions. Equal-length spans sorted by pos make the union
+    //     size sum to min(L, pos - prev_pos) per span. ---
+    "d21_exact_substr" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val L = 40
+      val win = Tables.fanout(docs(s, dir)).filter(length(col("text")) >= L)
+        .select(col("doc_id"),
+          posexplode(expr(s"char_window_hashes(text, $L)")).as(Seq("pos", "h")))
+        // three consumers (occurrence agg, removed join, per-doc totals)
+        .localCheckpoint(true)
+      val occ = win.groupBy(col("h"))
+        .agg(count(lit(1)).as("occ"),
+          min(struct(col("doc_id"), col("pos"))).as("first"))
+        .filter(col("occ") >= 2)
+      val removed = win.join(occ, Seq("h"))
+        .filter(!(col("doc_id") === col("first.doc_id") &&
+          col("pos") === col("first.pos")))
+        .select(col("doc_id"), col("pos"))
+      val wD = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      val spans = removed
+        .withColumn("prev", lag(col("pos"), 1).over(wD))
+        .select(col("doc_id"), col("pos"),
+          when(col("prev").isNull, lit(L.toLong))
+            .otherwise(least(lit(L.toLong), (col("pos") - col("prev")).cast("long")))
+            .as("c"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_removed"),
+          sum(col("c")).cast("long").as("removed_chars"),
+          md5(concat_ws(",", expr(
+            "transform(sort_array(collect_list(pos)), p -> CAST(p AS STRING))")))
+            .as("spans_md5"))
+      val per = win.groupBy(col("doc_id")).agg(count(lit(1)).as("n_windows"))
+      per.join(spans, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_windows"),
+          coalesce(col("n_removed"), lit(0L)).as("n_removed"),
+          coalesce(col("removed_chars"), lit(0L)).as("removed_chars"),
+          coalesce(col("spans_md5"), lit("none")).as("spans_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
     // --- the curation funnel: the four standing filters composed as one
     //     cumulative cascade with per-source survivor accounting — the
     //     shape every corpus-curation run reports (how many docs each
@@ -811,6 +866,41 @@ object DedupOps {
          |  CAST(sum(CASE WHEN c4 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
          |  CAST(sum(CASE WHEN c4 THEN n_chars ELSE 0 END) AS BIGINT) AS chars_kept
          |FROM st GROUP BY source ORDER BY source""".stripMargin,
+
+    // the same window relation with positions; survivor = min packed
+    // (doc_id, pos) key per hash (pos < 2^32 by construction, so the
+    // packed BIGINT order IS the struct's lexicographic order)
+    "d21_exact_substr" ->
+      """WITH w AS (
+        |  SELECT doc_id, i - 1 AS pos,
+        |    ('0x' || substr(md5(substr(text, i, 40)), 1, 15))::BIGINT AS h
+        |  FROM documents, LATERAL (SELECT unnest(generate_series(1, len(text) - 39)) AS i) u
+        |  WHERE len(text) >= 40),
+        |f AS (
+        |  SELECT h, count(*) AS occ,
+        |    min(doc_id * 4294967296 + pos) AS firstk
+        |  FROM w GROUP BY h),
+        |removed AS (
+        |  SELECT w.doc_id, w.pos
+        |  FROM w JOIN f USING (h)
+        |  WHERE f.occ >= 2 AND w.doc_id * 4294967296 + w.pos <> f.firstk),
+        |cov AS (
+        |  SELECT doc_id, pos,
+        |    lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+        |  FROM removed),
+        |agg AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_removed,
+        |    CAST(sum(CASE WHEN prev IS NULL THEN 40
+        |                  ELSE least(40, pos - prev) END) AS BIGINT) AS removed_chars,
+        |    md5(string_agg(CAST(pos AS VARCHAR), ',' ORDER BY pos)) AS spans_md5
+        |  FROM cov GROUP BY doc_id),
+        |per AS (SELECT doc_id, count(*) AS n_windows FROM w GROUP BY doc_id)
+        |SELECT per.doc_id, per.n_windows,
+        |  CAST(COALESCE(agg.n_removed, 0) AS BIGINT) AS n_removed,
+        |  CAST(COALESCE(agg.removed_chars, 0) AS BIGINT) AS removed_chars,
+        |  COALESCE(agg.spans_md5, 'none') AS spans_md5
+        |FROM per LEFT JOIN agg USING (doc_id)
+        |ORDER BY per.doc_id""".stripMargin,
 
     "d14_substring_windows" ->
       """WITH w AS (
