@@ -303,8 +303,12 @@ object DedupOps {
       val win = Tables.fanout(docs(s, dir)).filter(length(col("text")) >= L)
         .select(col("doc_id"),
           posexplode(expr(s"char_window_hashes(text, $L)")).as(Seq("pos", "h")))
-        // three consumers (occurrence agg, removed join, per-doc totals)
-        .localCheckpoint(true)
+        // NO checkpoint despite three consumers: the generated window
+        // relation never crosses a shared exchange (its consumers key
+        // on h, doc_id, and a join probe), so reuse cannot apply — but
+        // re-running the codegen'd scan+explode per consumer measured
+        // FASTER (0.43 vs 0.55 s) than materializing the 28 MB
+        // positioned relation through a checkpoint job
       val occ = win.groupBy(col("h"))
         .agg(count(lit(1)).as("occ"),
           min(struct(col("doc_id"), col("pos"))).as("first"))

@@ -94,11 +94,10 @@ object EventOps {
       // replacement for hashing every event occurrence depth times
       // (round 8 exploded events x4 twice: once for the counters, once
       // through a distinct for the point queries). Everything after the
-      // first aggregate is user-sized; checkpointed for its two
-      // consumers (cell build + final join).
+      // first aggregate is user-sized; its two consumers share the
+      // aggregate's exchange via AQE reuse — no checkpoint needed.
       val exact = ev(s, dir).select(col("user_id"))
         .groupBy(col("user_id")).agg(count(lit(1)).as("exact_n"))
-        .localCheckpoint(true)
       val ub = exact
         .select(col("user_id"), col("exact_n"),
           explode(expr(s"sequence(0, ${depth - 1})")).as("r"))

@@ -456,10 +456,12 @@ object GraphOps {
       // rows, n_edges = sum(deg)/2) — round 8 additionally ran a
       // countDistinct + count pass over each round's bi just for the
       // audit, a second full exchange of the same relation per round.
-      // The node-sized degree frame is eagerly checkpointed because
-      // three consumers read it (audit agg + both semi-join builds).
+      // The degree frame is NOT checkpointed: its three consumers
+      // (audit agg + both semi-join builds) sit on one checkpointed e,
+      // so their aggregate subplans canonicalize identically and AQE
+      // exchange reuse computes it once (A/B: equal-or-faster than an
+      // eager checkpoint, minus the materialization job).
       var deg = bi.groupBy(col("d1")).agg(count(lit(1)).as("deg"))
-        .localCheckpoint(true)
       val rounds = (1 to 4).map { r =>
         val keep = deg.filter(col("deg") >= k).select(col("d1").as("node"))
         // the USING semi-joins move the join column first (schema becomes
@@ -471,7 +473,6 @@ object GraphOps {
           .localCheckpoint(true)
         bi = e.union(e.select(col("d2").as("d1"), col("d1").as("d2")))
         deg = bi.groupBy(col("d1")).agg(count(lit(1)).as("deg"))
-          .localCheckpoint(true)
         deg.agg(count(lit(1)).cast("long").as("n_nodes"),
             (sum(col("deg")) / 2).cast("long").as("n_edges"))
           .select(lit(r).as("round"), col("n_nodes"), col("n_edges"))

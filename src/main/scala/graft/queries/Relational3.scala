@@ -373,13 +373,15 @@ object Relational3 {
         .filter(col("l_partkey") < 3000)
         .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
       // EVERYTHING derives from the basket relation: one lineitem scan
-      // and one exchange, checkpointed for its three consumers (round 8
-      // planned four independent scans — pair explode, np twice under
-      // different aliases, and the order count — each with its own
-      // distinct-aggregate exchange)
+      // and one exchange (round 8 planned four independent scans — pair
+      // explode, np twice under different aliases, and the order count —
+      // each with its own distinct-aggregate exchange). No checkpoints:
+      // the consumers' subplans canonicalize identically below their
+      // alias projections, so AQE exchange reuse serves all of them —
+      // measured as fast as (baskets) or faster than (np) eager
+      // checkpoints in a same-window A/B
       val baskets = base.groupBy(col("o"))
         .agg(sort_array(collect_set(col("p"))).as("ids"))
-        .localCheckpoint(true)
       val pairs = baskets
         .filter(size(col("ids")) > 1)
         .select(explode(graft.functions.id_pairs(col("ids"))).as("pr"))
@@ -390,7 +392,6 @@ object Relational3 {
       // countDistinct(o) per p; checkpointed because it joins twice
       val np = baskets.select(explode(col("ids")).as("p"))
         .groupBy(col("p")).agg(count(lit(1)).as("n_p"))
-        .localCheckpoint(true)
       val n = baskets.agg(count(lit(1)).as("n_orders"))
       pairs
         .join(np.select(col("p").as("pa"), col("n_p").as("n_a")), Seq("pa"))
