@@ -584,6 +584,58 @@ object EventOps {
         .orderBy(col("w"))
     }),
 
+    // --- SKETCH MERGEABILITY, gated: daily 64-register HLL sketches of
+    //     distinct users (t13's hash-exact register algebra over
+    //     md5_bits(user_id)) MERGE into weekly range estimates by
+    //     register-wise max — the property that lets a warehouse store
+    //     one tiny sketch per day/partition and answer any range's
+    //     distinct count WITHOUT rescanning events (and the same
+    //     algebra that makes the aggregate partial/distributed). The
+    //     gate pins est_merged == est_direct (merge of daily sketches
+    //     vs the sketch built straight over the week's events) as a
+    //     boolean the oracle requires TRUE, plus the exact count for
+    //     the error envelope. Scale shape: one events-sized pass into a
+    //     (week, day, register)-grouped max — everything after is
+    //     calendar-bounded (<= 31 x 64 rows). ---
+    "e24_hll_daily_merge" -> ((s, dir) => {
+      val regs = ev(s, dir)
+        .select(to_date(col("ts")).as("d"),
+          expr("md5_bits(CAST(user_id AS STRING), 15)").as("h"))
+        .select(col("d"),
+          expr("CAST((day(d) - 1) div 7 AS INT)").as("week"), col("h"),
+          (col("h") % 64).as("register"),
+          when(expr("h div 64") === 0, lit(55))
+            .otherwise(lit(55) - length(expr("bin(h div 64)"))).as("rho"))
+      // ONE events-sized aggregate: per-day registers (the stored
+      // per-partition sketches). Exchange reuse serves its consumers.
+      val daily = regs.groupBy(col("week"), col("d"), col("register"))
+        .agg(max(col("rho")).as("rho_j"))
+      def estimate(reg: DataFrame, keys: Seq[String]): DataFrame =
+        reg.groupBy(keys.map(col): _*)
+          .agg(count(lit(1)).as("n_registers"),
+            sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(55 - rho_j AS INT))")).as("sd"))
+          .select(keys.map(col) :+
+            ((col("sd") + (lit(64L) - col("n_registers")) *
+              expr("shiftleft(CAST(1 AS BIGINT), 55)")).as("denom")): _*)
+          .withColumn("est", expr(
+            "CAST(floor(1.0462993238608057e20 / denom + 0.5) AS BIGINT)"))
+      // merge = register-wise max across the week's DAILY sketches
+      val merged = estimate(
+        daily.groupBy(col("week"), col("register")).agg(max(col("rho_j")).as("rho_j")),
+        Seq("week")).select(col("week"), col("est").as("est_merged"))
+      // direct = sketch built straight over the week's events
+      val direct = estimate(
+        regs.groupBy(col("week"), col("register")).agg(max(col("rho")).as("rho_j")),
+        Seq("week")).select(col("week"), col("est").as("est_direct"))
+      val exact = regs.groupBy(col("week"))
+        .agg(count_distinct(col("h")).as("n_exact"))
+      merged.join(direct, Seq("week")).join(exact, Seq("week"))
+        .select(col("week"), col("est_merged"), col("est_direct"),
+          (col("est_merged") === col("est_direct")).as("merge_exact"),
+          col("n_exact"))
+        .orderBy(col("week"))
+    }),
+
     "e22_changepoint" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val hourly = ev(s, dir)
@@ -748,6 +800,45 @@ object EventOps {
         |SELECT w, died, n_censored, at_risk,
         |  died * 1000000 // at_risk AS hazard_ppm
         |FROM r ORDER BY w""".stripMargin,
+
+    // the same register algebra over the same hash; the oracle builds
+    // BOTH the merged-from-daily and direct weekly sketches, so the
+    // merge_exact boolean is value-checked TRUE, not assumed
+    "e24_hll_daily_merge" ->
+      """WITH r AS (
+        |  SELECT CAST(ts AS DATE) AS d,
+        |    CAST((day(ts) - 1) // 7 AS INTEGER) AS week,
+        |    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+        |  FROM events),
+        |rr AS (
+        |  SELECT d, week, h, h % 64 AS register,
+        |    CASE WHEN h // 64 = 0 THEN 55
+        |         ELSE 55 - length(bin(h // 64)) END AS rho
+        |  FROM r),
+        |daily AS (SELECT week, d, register, max(rho) AS rho_j
+        |          FROM rr GROUP BY 1, 2, 3),
+        |mreg AS (SELECT week, register, max(rho_j) AS rho_j
+        |         FROM daily GROUP BY 1, 2),
+        |dreg AS (SELECT week, register, max(rho) AS rho_j
+        |         FROM rr GROUP BY 1, 2),
+        |mest AS (
+        |  SELECT week,
+        |    CAST(floor(1.0462993238608057e20 /
+        |      (CAST(sum(CAST(1 AS BIGINT) << CAST(55 - rho_j AS INTEGER)) AS BIGINT)
+        |       + (64 - count(*)) * (CAST(1 AS BIGINT) << 55)) + 0.5) AS BIGINT) AS est_merged
+        |  FROM mreg GROUP BY week),
+        |dest AS (
+        |  SELECT week,
+        |    CAST(floor(1.0462993238608057e20 /
+        |      (CAST(sum(CAST(1 AS BIGINT) << CAST(55 - rho_j AS INTEGER)) AS BIGINT)
+        |       + (64 - count(*)) * (CAST(1 AS BIGINT) << 55)) + 0.5) AS BIGINT) AS est_direct
+        |  FROM dreg GROUP BY week),
+        |ex AS (SELECT week, CAST(count(DISTINCT h) AS BIGINT) AS n_exact
+        |       FROM rr GROUP BY week)
+        |SELECT mest.week, est_merged, est_direct,
+        |  est_merged = est_direct AS merge_exact, n_exact
+        |FROM mest JOIN dest USING (week) JOIN ex USING (week)
+        |ORDER BY mest.week""".stripMargin,
 
     // identical ROWS frames and exact integer-division means
     "e22_changepoint" ->
