@@ -62,6 +62,24 @@ object EventStream {
       .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
       .select(col("window.start").as("bucket"), col("event_type"), col("n"), col("total_value"))
 
+  /** Daily distinct-user HLL sketches over the stream — e24's streaming
+    * twin: per tumbling day window, the 64-register sketch estimate via
+    * the single-pass [[graft.functions.HllSketchAgg]] typed aggregate
+    * (hash-exact, so the streamed estimate EQUALS the batch estimate for
+    * every complete window — asserted in StreamingSpec). State per
+    * window is one 64-register array merged incrementally across
+    * micro-batches: exactly the mergeability contract e24 gates in
+    * batch, exercised here through Structured Streaming's partial-state
+    * path. */
+  def distinctUsersDaily(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .select(col("ts"),
+        expr("md5_bits(CAST(user_id AS STRING), 15)").as("h"))
+      .groupBy(window(col("ts"), "1 day"))
+      .agg(graft.functions.hll_estimate(col("h")).as("est_distinct"))
+      .select(col("window.start").as("day"), col("est_distinct"))
+
   /** Watermarked streaming deduplication on (user_id, event_type) within
     * the watermark horizon — the streaming form of exact dedup (state
     * bounded by the watermark, not the stream length). */

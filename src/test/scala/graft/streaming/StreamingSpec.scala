@@ -128,6 +128,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.sameElements(batch))
   }
 
+  test("streaming daily distinct-user HLL equals the batch sketch per closed window") {
+    // e24's streaming twin: the 64-register sketch is hash-exact, so the
+    // streamed estimate (merged incrementally across micro-batches via
+    // the typed aggregate's partial state) must EQUAL the batch estimate
+    val q = EventStream.distinctUsersDaily(EventStream.read(spark, eventsDir))
+      .writeStream.format("memory").queryName("hll_daily")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.sql(
+      "SELECT unix_timestamp(day) AS d, est_distinct FROM hll_daily ORDER BY d")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+
+    val ev = Tables.load(spark, "/root/testdata/sf0.001", "events")
+    val maxSec = ev.agg(max(unix_timestamp(col("ts")))).collect()(0).getLong(0)
+    val batch = ev
+      .select((floor(unix_timestamp(col("ts")) / 86400) * 86400).cast("long").as("d"),
+        expr("md5_bits(CAST(user_id AS STRING), 15)").as("h"))
+      .groupBy(col("d"))
+      .agg(graft.functions.hll_estimate(col("h")).as("est"))
+      .filter(col("d") + 86400 <= maxSec - 7200) // append emits closed windows only
+      .orderBy(col("d"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+
+    assert(batch.nonEmpty)
+    assert(streamed.length == batch.length)
+    assert(streamed.sameElements(batch))
+  }
+
   test("streaming type-mix drift (PSI) equals the batch twin per closed window") {
     val ref = Map("click" -> 200000L, "error" -> 200000L, "purchase" -> 200000L,
       "signup" -> 200000L, "view" -> 200000L)
