@@ -445,13 +445,15 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("EqualTo(o_orderstatus,F)"), p)
   }
 
-  test("q20: everything derives from ONE checkpointed basket relation") {
+  test("q20: everything derives from ONE basket aggregate (no checkpoint, no re-scan fan-out)") {
     val p = plan("q20_basket_lift")
     // r8 planned four independent lineitem scans (pairs, np twice, n);
-    // r9 aggregates baskets once and checkpoints — the pair explode,
-    // part frequencies, and order count all read the RDD scan
-    assert(!p.contains("Scan parquet"), p)
-    assert(p.contains("Scan ExistingRDD"), p)
+    // r9 derives the pair explode, part frequencies, and order count
+    // from one basket aggregate whose exchange AQE reuses — so the
+    // static plan shows the lineitem scan + basket collect_set, never a
+    // checkpoint RDD, and no cartesian anywhere
+    assert(!p.contains("Scan ExistingRDD"), p)
+    assert(p.contains("collect_set"), p)
     assert(!p.toLowerCase.contains("cartesianproduct"), p)
   }
 
