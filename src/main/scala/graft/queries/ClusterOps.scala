@@ -250,6 +250,42 @@ object ClusterOps {
           round((col("sij") - col("sa") * col("sb") / expr("n * (n - 1) div 2")) /
             ((col("sa") + col("sb")) / 2.0 -
               col("sa") * col("sb") / expr("n * (n - 1) div 2")), 6).as("ari"))
+    }),
+
+    // --- simplified silhouette over c1's clustering — the silhouette
+    //     variant large-scale evaluators actually compute (distances to
+    //     CENTROIDS, not all member pairs: O(nK) instead of the O(n^2)
+    //     that cannot exist at corpus scale): a_i = dist to own
+    //     centroid, b_i = min dist to any OTHER centroid, s_i =
+    //     (b - a) / max(a, b). Determinism discipline: a^2/b^2 are the
+    //     exact integer squared distances both engines already compute,
+    //     the one sqrt/divide runs on identical integers, and s_i is
+    //     scaled to micro-unit LONGS per point before the per-cluster
+    //     mean (v18's rule) so a distributed sum cannot flip a round-6
+    //     digit. Corpus cost: the one assignment scan lloyd() already
+    //     pays plus one row-local pass against the broadcast K x 64
+    //     model (the K-1 "other centroid" mins are HOF arithmetic on
+    //     the broadcast row — interpreted, but K*64 ops/row and zero
+    //     exchanges); the rollup is model-sized. ---
+    "c5_silhouette" -> ((s, dir) => {
+      val (cent, assigned) = lloyd(s, dir)
+      val cmat = cent.agg(expr("array_sort(collect_list(struct(cid, cv)))").as("cs"))
+      val withB = assigned.crossJoin(broadcast(cmat))
+        .select(col("cid"), col("dist").as("a2"),
+          expr("array_min(transform(filter(cs, c -> c.cid != cid), " +
+            "c -> aggregate(sequence(0, 63), CAST(0 AS BIGINT), " +
+            "(acc, k) -> acc + (qv[k] - c.cv[k]) * (qv[k] - c.cv[k]))))").as("b2"))
+      val sPpm = withB.select(col("cid"),
+        when(greatest(col("a2"), col("b2")) > 0,
+          expr("CAST(round((sqrt(CAST(b2 AS DOUBLE)) - sqrt(CAST(a2 AS DOUBLE))) / " +
+            "greatest(sqrt(CAST(a2 AS DOUBLE)), sqrt(CAST(b2 AS DOUBLE))) * 1000000) " +
+            "AS BIGINT)"))
+          .otherwise(0L).as("s_ppm"))
+      sPpm.groupBy(col("cid"))
+        .agg(count(lit(1)).as("n_members"), sum(col("s_ppm")).as("sum_ppm"))
+        .select(col("cid"), col("n_members"),
+          round(col("sum_ppm") / col("n_members") / 1e6, 6).as("mean_silhouette"))
+        .orderBy(col("cid"))
     })
   )
 
@@ -412,6 +448,52 @@ object ClusterOps {
         |SELECT l2.lbl AS cluster, count(*) AS n_cells,
         |  CAST(sum(dense.n_pts) AS BIGINT) AS n_points
         |FROM dense JOIN l2 ON dense.gx = l2.gx AND dense.gy = l2.gy
-        |GROUP BY l2.lbl ORDER BY n_points DESC, cluster""".stripMargin
+        |GROUP BY l2.lbl ORDER BY n_points DESC, cluster""".stripMargin,
+
+    // the same Lloyd preamble as c1; d4 already holds every (vec, cid)
+    // squared distance, so b_i is a min over the non-assigned rows;
+    // s_i scales to micro-unit BIGINTs before the per-cluster mean
+    // (order-invariant, the v18 rule)
+    "c5_silhouette" ->
+      s"""WITH q AS (
+         |  SELECT vec_id,
+         |    list_transform(CAST(embedding AS DOUBLE[]),
+         |      x -> CAST(floor(x * 1000000 + 0.5) AS BIGINT)) AS qv
+         |  FROM embeddings),
+         |seeds AS (
+         |  SELECT vec_id, qv, md5(CAST(vec_id AS VARCHAR)) AS h
+         |  FROM q ORDER BY h, vec_id LIMIT 8),
+         |c0 AS (
+         |  SELECT row_number() OVER (ORDER BY h, vec_id) - 1 AS cid, qv AS cv
+         |  FROM seeds),
+         |${kmIter(1)},
+         |${kmIter(2)},
+         |${kmIter(3)},
+         |d4 AS (
+         |  SELECT q.vec_id, c.cid,
+         |    sum((q.qv[u.i+1] - c.cv[u.i+1]) * (q.qv[u.i+1] - c.cv[u.i+1])) AS dist
+         |  FROM q, c3 c, LATERAL (SELECT unnest(generate_series(0, 63)) AS i) u
+         |  GROUP BY q.vec_id, c.cid),
+         |a4 AS (
+         |  SELECT vec_id, cid, dist FROM (
+         |    SELECT vec_id, cid, dist,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rk
+         |    FROM d4) WHERE rk = 1),
+         |b AS (
+         |  SELECT d4.vec_id, min(d4.dist) AS b2
+         |  FROM d4 JOIN a4 ON d4.vec_id = a4.vec_id AND d4.cid != a4.cid
+         |  GROUP BY d4.vec_id),
+         |sp AS (
+         |  SELECT a4.cid,
+         |    CASE WHEN greatest(a4.dist, b.b2) > 0 THEN
+         |      CAST(round((sqrt(CAST(b.b2 AS DOUBLE)) - sqrt(CAST(a4.dist AS DOUBLE))) /
+         |        greatest(sqrt(CAST(a4.dist AS DOUBLE)), sqrt(CAST(b.b2 AS DOUBLE)))
+         |        * 1000000) AS BIGINT)
+         |    ELSE CAST(0 AS BIGINT) END AS s_ppm
+         |  FROM a4 JOIN b ON a4.vec_id = b.vec_id)
+         |SELECT cid, CAST(count(*) AS BIGINT) AS n_members,
+         |  round(CAST(sum(s_ppm) AS BIGINT) / count(*) / 1000000.0, 6)
+         |    AS mean_silhouette
+         |FROM sp GROUP BY cid ORDER BY cid""".stripMargin
   )
 }

@@ -478,6 +478,57 @@ object GraphOps {
           .select(lit(r).as("round"), col("n_nodes"), col("n_edges"))
       }
       rounds.reduce(_ union _).orderBy(col("round"))
+    }),
+
+    // --- local clustering coefficient — the per-node closure signal
+    //     (what fraction of a node's neighbor pairs are themselves
+    //     linked?) behind community and link-quality features. Reuses
+    //     g3's degree-oriented triangle machinery over the same graph
+    //     (part co-purchase, cap 4000): per-node triangle participation
+    //     T(v) and degree d(v) give lcc = 2*T / (d*(d-1)) — ONE float
+    //     division over exact integers per node, the same IEEE op in
+    //     both engines, so the round-6 value cannot drift with
+    //     partitioning. Scale shape is g3's: degree orientation bounds
+    //     each node's wedge output by O(sqrt m); everything after the
+    //     triangle count is node-sized. The degree frame is NOT
+    //     checkpointed — its three consumers' subplans canonicalize
+    //     identically over the one checkpointed edge list, so AQE
+    //     exchange reuse computes it once (g7's measured pattern). ---
+    "g10_clustering_coeff" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .filter(col("l_partkey") < 4000)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+      val e = li.as("a").join(li.as("b"),
+          col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+        .select(col("a.p").as("p1"), col("b.p").as("p2"))
+        .distinct()
+        .localCheckpoint(true)
+      val deg = e.select(col("p1").as("n")).union(e.select(col("p2").as("n")))
+        .groupBy(col("n")).agg(count(lit(1)).as("dg"))
+      val lower = struct(col("g1.dg"), col("p1")) < struct(col("g2.dg"), col("p2"))
+      val d = e.join(deg.as("g1"), col("p1") === col("g1.n"))
+        .join(deg.as("g2"), col("p2") === col("g2.n"))
+        .select(when(lower, col("p1")).otherwise(col("p2")).as("src"),
+          when(lower, col("p2")).otherwise(col("p1")).as("dst"))
+        .localCheckpoint(true)
+      val tri = d.as("e1").join(d.as("e2"),
+          col("e1.src") === col("e2.src") && col("e1.dst") < col("e2.dst"))
+        .select(col("e1.src").as("ta"), col("e1.dst").as("tb"), col("e2.dst").as("tc"))
+        .join(e, col("tb") === col("p1") && col("tc") === col("p2"))
+        .select(col("ta"), col("tb"), col("tc"))
+      val tcnt = tri.select(col("ta").as("n"))
+        .union(tri.select(col("tb"))).union(tri.select(col("tc")))
+        .groupBy(col("n")).agg(count(lit(1)).as("n_triangles"))
+      deg.filter(col("dg") >= 2)
+        .join(tcnt, Seq("n"), "left")
+        .select(col("n").as("p_partkey"), col("dg").as("degree"),
+          coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
+        .withColumn("lcc",
+          round(col("n_triangles") * lit(2.0d) /
+            (col("degree") * (col("degree") - lit(1.0d))), 6))
+        .orderBy(col("lcc").desc, col("p_partkey"))
+        .limit(20)
     })
   )
 
@@ -535,6 +586,33 @@ object GraphOps {
         |SELECT node AS p_partkey, CAST(count(*) AS BIGINT) AS n_triangles
         |FROM nodes GROUP BY node
         |ORDER BY n_triangles DESC, p_partkey LIMIT 10""".stripMargin,
+
+    // g3's id-oriented triangle enumeration (the participation counts
+    // are orientation-independent) + the degree table; lcc is the same
+    // double division over the same exact integers
+    "g10_clustering_coeff" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+        |            FROM lineitem WHERE l_partkey < 4000),
+        |e AS (SELECT DISTINCT a.p AS p1, b.p AS p2
+        |      FROM li a JOIN li b ON a.o = b.o AND a.p < b.p),
+        |deg AS (SELECT n, CAST(count(*) AS BIGINT) AS degree FROM (
+        |  SELECT p1 AS n FROM e UNION ALL SELECT p2 FROM e) u GROUP BY n),
+        |tri AS (
+        |  SELECT e1.p1 AS ta, e1.p2 AS tb, e2.p2 AS tc
+        |  FROM e e1 JOIN e e2 ON e1.p2 = e2.p1
+        |            JOIN e e3 ON e1.p1 = e3.p1 AND e2.p2 = e3.p2),
+        |nodes AS (SELECT ta AS n FROM tri
+        |          UNION ALL SELECT tb FROM tri
+        |          UNION ALL SELECT tc FROM tri),
+        |tc AS (SELECT n, CAST(count(*) AS BIGINT) AS n_triangles
+        |       FROM nodes GROUP BY n)
+        |SELECT deg.n AS p_partkey, deg.degree,
+        |  COALESCE(tc.n_triangles, 0) AS n_triangles,
+        |  round(COALESCE(tc.n_triangles, 0) * 2.0 /
+        |    (deg.degree * (deg.degree - 1.0)), 6) AS lcc
+        |FROM deg LEFT JOIN tc ON deg.n = tc.n
+        |WHERE deg.degree >= 2
+        |ORDER BY lcc DESC, p_partkey LIMIT 20""".stripMargin,
 
     // the same middle-node join + distinct reach count
     "g9_two_hop" ->
