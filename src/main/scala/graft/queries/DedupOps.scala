@@ -148,8 +148,20 @@ object DedupOps {
       .select(col("doc_id"),
         expr("slice(hs, 1, size(hs) - CAST(ceil(size(hs) * 0.5D) AS INT) + 1)")
           .as("pf"),
-        expr("array_sort(hs)").as("hv"))
-    val pref = packed.select(col("doc_id"), explode(col("pf")).as("h"))
+        expr("array_sort(hs)").as("hv"),
+        size(col("hs")).cast("long").as("n"))
+    // each prefix-token occurrence carries (doc_id | position-in-the-
+    // (df,h)-global-order | set size) packed into ONE long, so the
+    // in-bucket pair explode stays the codegen'd id_pairs kernel and
+    // unpacking is shift arithmetic. Pack bounds: doc_id < 2^21 and
+    // pos, n < 2^21 — ample for the bench corpora; at >2M docs widen
+    // to a struct-array pair explode (same shape, interpreted) or a
+    // DECIMAL pack, the c2 cell-id precedent.
+    val pref = packed
+      .select(col("doc_id"), col("n"), posexplode(col("pf")).as(Seq("pos", "h")))
+      .select(col("h"),
+        (col("doc_id") * lit(1L << 42) + col("pos").cast("long") * lit(1L << 21)
+          + col("n")).as("pk"))
     // candidate pairs explode inside each prefix-token bucket and are
     // verified WITH MULTIPLICITY: a pair sharing k prefix tokens is
     // checked k times and deduped AFTER the jaccard filter, where only
@@ -157,11 +169,33 @@ object DedupOps {
     // aggregate, which shuffled every bucket-pair occurrence (~3x the
     // distinct-candidate count on this corpus) just to avoid row-local
     // re-merges that cost ~50 comparisons each.
+    // PPJoin positional filter, row-local BEFORE any verification join:
+    // both docs' token arrays share one global (df, h) order, so every
+    // shared token of a pair sits at or after this occurrence's
+    // positions in BOTH suffixes — overlap <= 1 + min(n1-pos1-1,
+    // n2-pos2-1). Jaccard >= 0.5 needs overlap >= ceil((n1+n2)/3); an
+    // occurrence failing the bound cannot be the pair's SMALLEST shared
+    // token (whose bound is loosest and TRUE for any qualifying pair),
+    // so dedup-after still sees every real pair while ~70% of the
+    // candidate explosion dies before touching the packed arrays
+    // (measured 431k -> 132k verification rows at sf0.1, ProbeD19;
+    // the probe's verify stage drops 0.97 -> 0.65 s). The size
+    // filter (|sets| within 2x) is subsumed: ub <= min(n1, n2) <
+    // ceil((n1+n2)/3) whenever sizes diverge past 2x.
     val cand = pref
-      .groupBy(col("h")).agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .groupBy(col("h")).agg(sort_array(collect_list(col("pk"))).as("ids"))
       .filter(size(col("ids")) > 1)
       .select(explode(graft.functions.id_pairs(col("ids"))).as("p"))
-      .select(col("p.d1").as("d1"), col("p.d2").as("d2"))
+      .select(expr("shiftright(p.d1, 42)").as("d1"),
+        expr("shiftright(p.d1, 21) & 2097151").as("pos1"),
+        expr("p.d1 & 2097151").as("n1c"),
+        expr("shiftright(p.d2, 42)").as("d2"),
+        expr("shiftright(p.d2, 21) & 2097151").as("pos2"),
+        expr("p.d2 & 2097151").as("n2c"))
+      .filter((lit(1L) + least(col("n1c") - col("pos1") - lit(1L),
+          col("n2c") - col("pos2") - lit(1L)))
+        >= expr("(n1c + n2c + 2) div 3"))
+      .select(col("d1"), col("d2"))
     // NO forced broadcast of the candidates: prefix filtering bounds
     // which BUCKETS open, not the candidate count — a duplicate-heavy
     // corpus (the dedup workload) yields at least result-set-many

@@ -29,16 +29,31 @@ object ProbeD19 {
       val t0ck = System.nanoTime()
       val pk = packed.localCheckpoint(true)
       println(f"[stage] checkpoint: ${(System.nanoTime() - t0ck) / 1e9}%.3f s")
-      val pref = pk.select(col("doc_id"), explode(expr(
-        "slice(hs, 1, size(hs) - CAST(ceil(size(hs) * 0.5D) AS INT) + 1)")).as("h"))
+      val pref = pk
+        .select(col("doc_id"), size(col("hs")).cast("long").as("n"),
+          posexplode(expr(
+            "slice(hs, 1, size(hs) - CAST(ceil(size(hs) * 0.5D) AS INT) + 1)"))
+            .as(Seq("pos", "h")))
+        .select(col("h"),
+          (col("doc_id") * lit(1L << 42) + col("pos").cast("long") * lit(1L << 21)
+            + col("n")).as("pk"))
       t("pref")(pref.count())
-      val cand = pref.groupBy(col("h")).agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      val raw = pref.groupBy(col("h")).agg(sort_array(collect_list(col("pk"))).as("ids"))
         .filter(size(col("ids")) > 1)
         .select(explode(graft.functions.id_pairs(col("ids"))).as("p"))
-        .groupBy(col("p.d1").as("d1"), col("p.d2").as("d2"))
-        .agg(count(lit(1)).as("m"))
+        .select(expr("shiftright(p.d1, 42)").as("d1"),
+          expr("shiftright(p.d1, 21) & 2097151").as("pos1"),
+          expr("p.d1 & 2097151").as("n1c"),
+          expr("shiftright(p.d2, 42)").as("d2"),
+          expr("shiftright(p.d2, 21) & 2097151").as("pos2"),
+          expr("p.d2 & 2097151").as("n2c"))
+      t("pairs w/ multiplicity")(raw.count())
+      val cand = raw
+        .filter((lit(1L) + least(col("n1c") - col("pos1") - lit(1L),
+            col("n2c") - col("pos2") - lit(1L)))
+          >= expr("(n1c + n2c + 2) div 3"))
         .select(col("d1"), col("d2"))
-      t("cand")(cand.count())
+      t("cand (positional-filtered)")(cand.count())
       val out = cand
         .join(pk.as("p1"), col("d1") === col("p1.doc_id"))
         .join(pk.as("p2"), col("d2") === col("p2.doc_id"))
