@@ -520,4 +520,25 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
     assert(!p.contains("Generate explode"), p)
   }
+
+  test("g10: triangle machinery runs on checkpointed leaves, no cartesian") {
+    val p = plan("g10_clustering_coeff")
+    // the wedge + closing joins read the two eager checkpoints (g3's
+    // shape): the final plan must be equi-join only, built from
+    // LogicalRDD leaves — no parquet re-scan, no cartesian
+    assert(!p.toLowerCase.contains("cartesianproduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("Scan parquet"), p)
+  }
+
+  test("c5: corpus never key-shuffles — the model rides one broadcast row") {
+    val p = plan("c5_silhouette")
+    // assignment + silhouette are row-local against the broadcast K x 64
+    // matrix; the only aggregates are model-sized (cid rollup). A
+    // SortMergeJoin or corpus-keyed Exchange would mean the row-local
+    // contract broke.
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+    assert(!p.toLowerCase.contains("cartesianproduct"), p)
+  }
 }
