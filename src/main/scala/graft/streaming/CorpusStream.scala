@@ -98,6 +98,72 @@ object CorpusStream {
       .as[KeyHash]
   }
 
+  final case class DedupHit(doc_id: Long, exact: Boolean, nb: Long,
+      cd: Option[Long], nc: Option[Long])
+  final case class DedupState(exact: Boolean, nb: Long, m: Map[Long, Long],
+      nc: Map[Long, Long])
+  final case class DedupStatus(doc_id: Long, status: String)
+
+  /** Streaming incremental dedup classification — batch d11's streaming
+    * twin: each ARRIVING document is classified `exact_dup` /
+    * `near_dup` / `new` against a STATIC standing corpus, at ingest
+    * time (the accept/reject decision a crawl intake makes per page).
+    *
+    * Dataflow: the corpus compiles ONCE into two static relations — the
+    * distinct content-hash set (broadcast into a row-local left join)
+    * and the per-doc distinct shingle relation with set sizes. Arriving
+    * docs shingle row-locally (`word_shingle_hashes`, the d2/d11
+    * idiom), stream-static LEFT-join their shingles to the corpus
+    * relation, and ONE `mapGroupsWithState` per doc accumulates the
+    * per-corpus-candidate overlap m. The decision is exact integer
+    * arithmetic: jaccard >= 0.5 iff 3m >= nb + nc — no float enters, so
+    * arrival order and partitioning cannot flip a classification, and
+    * the spec asserts bit-equality with the batch d11 statuses.
+    *
+    * State per arriving doc is bounded by its CANDIDATE set (corpus
+    * docs sharing >= 1 shingle — the same bound batch d11's broadcast
+    * join rides); at production scale the corpus shingle relation
+    * stays a shuffled (not broadcast) join side and d7's stop-shingle
+    * cap bounds hot-shingle fan-out, exactly as the batch query
+    * documents. */
+  def incrementalDedup(batch: DataFrame, corpus: DataFrame): Dataset[DedupStatus] = {
+    import batch.sparkSession.implicits._
+    val csh = corpus.select(col("doc_id").as("cd"),
+        explode(expr("array_distinct(word_shingle_hashes(text, 3))")).as("h"))
+    val cn = csh.groupBy(col("cd")).agg(count(lit(1)).as("nc"))
+    val cshn = csh.join(cn, Seq("cd"))
+    val chSet = broadcast(
+      corpus.select(md5(col("text")).as("ch")).distinct().withColumn("e", lit(1)))
+    val hits = batch
+      .select(col("doc_id"), md5(col("text")).as("ch"),
+        expr("array_distinct(word_shingle_hashes(text, 3))").as("hs"))
+      .join(chSet, Seq("ch"), "left")
+      .select(col("doc_id"), (col("e") === 1).as("exact"),
+        size(col("hs")).cast("long").as("nb"),
+        explode_outer(col("hs")).as("h"))
+      .join(cshn, Seq("h"), "left")
+      .select(col("doc_id"), coalesce(col("exact"), lit(false)).as("exact"),
+        col("nb"), col("cd"), col("nc"))
+      .as[DedupHit]
+    hits.groupByKey(_.doc_id)
+      .mapGroupsWithState[DedupState, DedupStatus](GroupStateTimeout.NoTimeout) {
+        (doc: Long, rows: Iterator[DedupHit], state: GroupState[DedupState]) =>
+          var s = state.getOption.getOrElse(
+            DedupState(exact = false, nb = 0L, Map.empty, Map.empty))
+          rows.foreach { r =>
+            s = s.copy(exact = s.exact || r.exact, nb = math.max(s.nb, r.nb))
+            r.cd.foreach { c =>
+              s = s.copy(m = s.m.updated(c, s.m.getOrElse(c, 0L) + 1L),
+                nc = s.nc.updated(c, r.nc.getOrElse(0L)))
+            }
+          }
+          state.update(s)
+          val near = s.m.exists { case (c, m) => 3 * m >= s.nb + s.nc(c) }
+          DedupStatus(doc,
+            if (s.exact) "exact_dup" else if (near) "near_dup" else "new")
+      }
+  }
+
   /** Per-key KMV distinct estimate, updated each micro-batch. State per
     * key: the k smallest distinct hashes (a sorted Vector of <= k longs).
     * Emits the current estimate whenever a batch touches the key; with

@@ -349,6 +349,39 @@ class StreamingSpec extends AnyFunSuite {
       s"streamed ${streamed.length} rows vs batch ${batch.length}")
   }
 
+  test("streaming incremental dedup classifies arrivals exactly like batch d11") {
+    // the d11 split: doc_id % 7 == 3 is the arriving batch, the rest is
+    // the standing corpus
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val corpus = docs.filter(col("doc_id") % 7 =!= 3)
+    val arrivalsDir = Files.createTempDirectory("dedup-arrivals")
+    docs.filter(col("doc_id") % 7 === 3)
+      .write.mode("overwrite").parquet(arrivalsDir.toString)
+    val q = CorpusStream.incrementalDedup(
+        CorpusStream.read(spark, arrivalsDir.toString), corpus)
+      .writeStream.format("memory").queryName("inc_dedup").outputMode("update")
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable()
+    q.stop()
+    // last update per doc = the final classification
+    val streamed = spark.sql(
+      """SELECT doc_id, status FROM (
+        |  SELECT doc_id, status, row_number() OVER (
+        |    PARTITION BY doc_id ORDER BY status) AS rn FROM inc_dedup)
+        |WHERE rn = 1 ORDER BY doc_id""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val batch = graft.SparkEntry.queries("d11_incremental")(
+        spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(batch.nonEmpty && batch.map(_._2).distinct.size > 1,
+      "batch twin produced a single-class corpus — weak test")
+    assert(streamed == batch, {
+      val s = streamed.toMap; val b = batch.toMap
+      val diff = (s.keySet ++ b.keySet).filter(k => s.get(k) != b.get(k)).take(5)
+      s"mismatch on ${diff.map(k => s"$k: ${s.get(k)} vs ${b.get(k)}")}"
+    })
+  }
+
   test("streaming curation stages match the batch funnel's survivor set") {
     val docsDir = {
       val dir = Files.createTempDirectory("docs-curation")
