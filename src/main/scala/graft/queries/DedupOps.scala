@@ -219,6 +219,51 @@ object DedupOps {
       .orderBy(col("d1"), col("d2"))
   }
 
+  /** d21's exact-substring pipeline over an arbitrary documents frame
+    * (exposed for the `substr` scale rehearsal, which feeds synthetic
+    * corpora — the gated query reads the fanned-out table). */
+  private[graft] def exactSubstr(d: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val L = 40
+    val win = d.filter(length(col("text")) >= L)
+      .select(col("doc_id"),
+        posexplode(expr(s"char_window_hashes(text, $L)")).as(Seq("pos", "h")))
+      // NO checkpoint despite three consumers: the generated window
+      // relation never crosses a shared exchange (its consumers key
+      // on h, doc_id, and a join probe), so reuse cannot apply — but
+      // re-running the codegen'd scan+explode per consumer measured
+      // FASTER (0.43 vs 0.55 s) than materializing the 28 MB
+      // positioned relation through a checkpoint job
+    val occ = win.groupBy(col("h"))
+      .agg(count(lit(1)).as("occ"),
+        min(struct(col("doc_id"), col("pos"))).as("first"))
+      .filter(col("occ") >= 2)
+    val removed = win.join(occ, Seq("h"))
+      .filter(!(col("doc_id") === col("first.doc_id") &&
+        col("pos") === col("first.pos")))
+      .select(col("doc_id"), col("pos"))
+    val wD = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val spans = removed
+      .withColumn("prev", lag(col("pos"), 1).over(wD))
+      .select(col("doc_id"), col("pos"),
+        when(col("prev").isNull, lit(L.toLong))
+          .otherwise(least(lit(L.toLong), (col("pos") - col("prev")).cast("long")))
+          .as("c"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_removed"),
+        sum(col("c")).cast("long").as("removed_chars"),
+        md5(concat_ws(",", expr(
+          "transform(sort_array(collect_list(pos)), p -> CAST(p AS STRING))")))
+          .as("spans_md5"))
+    val per = win.groupBy(col("doc_id")).agg(count(lit(1)).as("n_windows"))
+    per.join(spans, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_windows"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"),
+        coalesce(col("removed_chars"), lit(0L)).as("removed_chars"),
+        coalesce(col("spans_md5"), lit("none")).as("spans_md5"))
+      .orderBy(col("doc_id"))
+  }
+
   /** d6/d17's banded SimHash candidate pairs: 13 bands over bits [0,60)
     * (8 of width 5, 5 of width 4) — a pair differing in <= 12 bits can
     * touch at most 12 bands, so it collides exactly in at least one
@@ -331,47 +376,8 @@ object DedupOps {
     //     the span-union walk is a lag window over per-doc bounded
     //     partitions. Equal-length spans sorted by pos make the union
     //     size sum to min(L, pos - prev_pos) per span. ---
-    "d21_exact_substr" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val L = 40
-      val win = Tables.fanout(docs(s, dir)).filter(length(col("text")) >= L)
-        .select(col("doc_id"),
-          posexplode(expr(s"char_window_hashes(text, $L)")).as(Seq("pos", "h")))
-        // NO checkpoint despite three consumers: the generated window
-        // relation never crosses a shared exchange (its consumers key
-        // on h, doc_id, and a join probe), so reuse cannot apply — but
-        // re-running the codegen'd scan+explode per consumer measured
-        // FASTER (0.43 vs 0.55 s) than materializing the 28 MB
-        // positioned relation through a checkpoint job
-      val occ = win.groupBy(col("h"))
-        .agg(count(lit(1)).as("occ"),
-          min(struct(col("doc_id"), col("pos"))).as("first"))
-        .filter(col("occ") >= 2)
-      val removed = win.join(occ, Seq("h"))
-        .filter(!(col("doc_id") === col("first.doc_id") &&
-          col("pos") === col("first.pos")))
-        .select(col("doc_id"), col("pos"))
-      val wD = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-      val spans = removed
-        .withColumn("prev", lag(col("pos"), 1).over(wD))
-        .select(col("doc_id"), col("pos"),
-          when(col("prev").isNull, lit(L.toLong))
-            .otherwise(least(lit(L.toLong), (col("pos") - col("prev")).cast("long")))
-            .as("c"))
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_removed"),
-          sum(col("c")).cast("long").as("removed_chars"),
-          md5(concat_ws(",", expr(
-            "transform(sort_array(collect_list(pos)), p -> CAST(p AS STRING))")))
-            .as("spans_md5"))
-      val per = win.groupBy(col("doc_id")).agg(count(lit(1)).as("n_windows"))
-      per.join(spans, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("n_windows"),
-          coalesce(col("n_removed"), lit(0L)).as("n_removed"),
-          coalesce(col("removed_chars"), lit(0L)).as("removed_chars"),
-          coalesce(col("spans_md5"), lit("none")).as("spans_md5"))
-        .orderBy(col("doc_id"))
-    }),
+    "d21_exact_substr" -> ((s, dir) =>
+      exactSubstr(Tables.fanout(docs(s, dir)))),
 
     // --- the curation funnel: the four standing filters composed as one
     //     cumulative cascade with per-source survivor accounting — the

@@ -265,6 +265,22 @@ object QueryScaleRehearsal {
         println(f"""{"rehearsal":"prefix-vs-bucket-jaccard","docs":$nBase,""" +
           f""""clean_pairs":$fc,"clean_full_sec":$fs%.2f,"clean_prefix_sec":$ps%.2f,""" +
           f""""skewed_pairs":$fcS,"skewed_full_sec":$fsS%.2f,"skewed_prefix_sec":$psS%.2f}""")
+      case "substr" =>
+        // d21's exact-substring dedup at 1x and Kx: the corpus-sized
+        // work is ONE window-hash aggregate (no pairs, no corpus-wide
+        // window), so wall must scale ~linearly with the window count.
+        // Honest composition: the per-copy token suffix lands inside
+        // (nearly) every 40-char window, so cross-copy window hashes
+        // stay disjoint and the duplicated-span density per copy is
+        // unchanged — Kx data of the same shape, not a K^2 hash pileup.
+        graft.queries.DedupOps.exactSubstr(base).count() // warm
+        val (nb1, sb) = timed(graft.queries.DedupOps.exactSubstr(base))
+        val (nsK, ss) = timed(graft.queries.DedupOps.exactSubstr(scaled))
+        println(f"""{"rehearsal":"substr-dedup-scaling","k":$k,""" +
+          f""""base_docs":$nBase,"scaled_docs":$nScaled,""" +
+          f""""base_rows":$nb1,"scaled_rows":$nsK,""" +
+          f""""base_sec":$sb%.2f,"scaled_sec":$ss%.2f,""" +
+          f""""time_ratio":${ss / sb}%.2f,"per_copy":${ss / sb / k}%.3f}""")
       case "graph" =>
         // The iterative-graph floor claim, measured instead of argued:
         // the g-census (PERF_NOTES §graph) shows the family's sf0.1
