@@ -138,7 +138,7 @@ object SimilarityOps {
   /** 16 random hyperplanes for sign-bit LSH (Charikar '02). Components
     * are md5-derived so the oracle recomputes the identical planes:
     * w(b,i) = int(md5("b_i")[0:8], 16) / 2^31 - 1  in [-1, 1). */
-  private lazy val planes: Array[Array[Double]] = Array.tabulate(16, 64) { (b, i) =>
+  private[graft] lazy val planes: Array[Array[Double]] = Array.tabulate(16, 64) { (b, i) =>
     val md = java.security.MessageDigest.getInstance("MD5")
     val hex = md.digest(s"${b}_${i}".getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
     java.lang.Long.parseLong(hex, 16) / 2147483648.0 - 1.0

@@ -382,6 +382,49 @@ class StreamingSpec extends AnyFunSuite {
     })
   }
 
+  test("streaming embedding near-dup at ingest equals the batch twin and is sound") {
+    val e = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val corpus = e.filter(col("vec_id") % 3 =!= 0)
+    val arrivalsDir = Files.createTempDirectory("emb-arrivals")
+    e.filter(col("vec_id") % 3 === 0)
+      .write.mode("overwrite").parquet(arrivalsDir.toString)
+    // data-derived threshold: the 20th-highest cross-split cosine, so the
+    // equality assertion always has real pairs to compare regardless of
+    // the synthetic corpus's similarity floor
+    val brutePairs = e.filter(col("vec_id") % 3 === 0).as("a")
+      .crossJoin(corpus.as("b"))
+      .select(col("a.vec_id").as("v"), col("b.vec_id").as("c"),
+        round(graft.functions.vector_dot(col("a.embedding"), col("b.embedding")) /
+          (sqrt(graft.functions.vector_dot(col("a.embedding"), col("a.embedding"))) *
+           sqrt(graft.functions.vector_dot(col("b.embedding"), col("b.embedding")))), 6)
+          .as("cos"))
+    val th = brutePairs.select(col("cos")).orderBy(col("cos").desc)
+      .limit(20).collect().map(_.getDouble(0)).min
+    val q = EmbeddingStream.neardupAgainst(
+        EmbeddingStream.read(spark, arrivalsDir.toString), corpus, th)
+      .writeStream.format("memory").queryName("emb_neardup").outputMode("append")
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.sql(
+        "SELECT vec_id, corpus_id, cos FROM emb_neardup ORDER BY vec_id, corpus_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    // batch twin: the identical operator over batch frames
+    val batch = EmbeddingStream.neardupAgainst(
+        e.filter(col("vec_id") % 3 === 0), corpus, th)
+      .orderBy(col("vec_id"), col("corpus_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(batch.nonEmpty, "no near-dup pairs at this threshold — weak test")
+    assert(streamed == batch, s"stream ${streamed.length} vs batch ${batch.length}")
+    // soundness: every emitted pair really clears the exact threshold
+    // (brute-force cosine, no LSH in the check path)
+    val brute = brutePairs.filter(col("cos") >= th)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    streamed.foreach { p =>
+      assert(brute.contains(p), s"emitted pair $p fails the brute-force threshold")
+    }
+  }
+
   test("streaming curation stages match the batch funnel's survivor set") {
     val docsDir = {
       val dir = Files.createTempDirectory("docs-curation")
