@@ -52,7 +52,10 @@ object EmbeddingStream {
     * bucket-bounded (never arrival x corpus), the v5 scale contract at
     * ingest. Emits one row per (arriving vec, corpus near-dup) with
     * the cosine; dedup across the 4 bands rides `dropDuplicates` on
-    * the pair key (streaming state = one row per emitted pair). */
+    * the pair key (streaming state = one row per emitted pair; in
+    * production bound it with `withWatermark` +
+    * `dropDuplicatesWithinWatermark` once vectors carry an ingest
+    * timestamp — the CorpusStream.curationSurvivors note). */
   def neardupAgainst(arrivals: DataFrame, corpus: DataFrame,
       threshold: Double = 0.45): DataFrame = {
     val cb = banded(corpus, "vec_id")
