@@ -55,4 +55,29 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == Map(5L -> 5L, 6L -> 5L))
   }
+  test("random graphs label identically to a direct union-find") {
+    // randomized equivalence: 3 seeded Erdos-Renyi-ish graphs, labels
+    // must equal a single-threaded union-find's min-id-per-component
+    for (seed <- Seq(7L, 8L, 9L)) {
+      val rnd = new scala.util.Random(seed)
+      val n = 120
+      val m = 90 + rnd.nextInt(80) // sparse: many components, some big
+      val pairs = Seq.fill(m)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      val (labels, rounds) = ConnectedComponents.label(edges(pairs))
+      val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // union-find with path compression
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = { if (parent(x) != x) parent(x) = find(parent(x)); parent(x) }
+      pairs.foreach { case (a, b) => parent(find(a.toInt)) = find(b.toInt) }
+      val touched = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+      val byRoot = touched.groupBy(v => find(v.toInt))
+      val want = byRoot.values.flatMap { vs =>
+        val lbl = vs.min; vs.map(_ -> lbl)
+      }.toMap
+      assert(got == want, s"seed=$seed: ${(got.toSet diff want.toSet).take(5)}")
+      assert(rounds <= 10, s"seed=$seed took $rounds rounds for n=$n")
+    }
+  }
+
 }
