@@ -265,6 +265,44 @@ object QueryScaleRehearsal {
         println(f"""{"rehearsal":"prefix-vs-bucket-jaccard","docs":$nBase,""" +
           f""""clean_pairs":$fc,"clean_full_sec":$fs%.2f,"clean_prefix_sec":$ps%.2f,""" +
           f""""skewed_pairs":$fcS,"skewed_full_sec":$fsS%.2f,"skewed_prefix_sec":$psS%.2f}""")
+      case "stream" =>
+        // Ingest-path throughput at 1x and Kx: the streaming incremental
+        // dedup classifier (CorpusStream.incrementalDedup) drains a
+        // file-source backlog of arriving docs against a fixed standing
+        // corpus. Arriving work is row-local signing + a bucket-bounded
+        // stream-static join, so drain wall must scale ~linearly with
+        // the arrival count — the property that lets a 1000-executor
+        // intake keep up with a crawl. Same honest composition as the
+        // batch families: per-copy token suffixes keep cross-copy
+        // shingles disjoint.
+        // both sides scale together (Kx corpus, Kx arrivals): per-copy
+        // match density is identical and cross-copy shingles disjoint,
+        // so a linear drain proves the whole ingest path — row-local
+        // signing + bucket-bounded join + per-doc state — carries Kx
+        // data for ~Kx wall
+        def drain(docsK: DataFrame, tag: String): (Long, Double) = {
+          val corpus = docsK.filter(col("doc_id") % 7 =!= 3).localCheckpoint(true)
+          corpus.count()
+          val dir = java.nio.file.Files.createTempDirectory(s"stream-rehearsal-$tag")
+          docsK.filter(col("doc_id") % 7 === 3)
+            .write.mode("overwrite").parquet(dir.toString)
+          val t0 = System.nanoTime()
+          val q = graft.streaming.CorpusStream.incrementalDedup(
+              graft.streaming.CorpusStream.read(spark, dir.toString), corpus)
+            .writeStream.format("memory").queryName(s"rehearsal_$tag")
+            .outputMode("update")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+          q.processAllAvailable(); q.stop()
+          val n = spark.table(s"rehearsal_$tag").count()
+          (n, (System.nanoTime() - t0) / 1e9)
+        }
+        drain(base, "warm") // warm codegen + file-source machinery
+        val (n1, s1) = drain(base, "base")
+        val (nK, sK) = drain(scaled, "scaled")
+        println(f"""{"rehearsal":"stream-ingest-dedup-scaling","k":$k,""" +
+          f""""base_arrivals":$n1,"scaled_arrivals":$nK,""" +
+          f""""base_sec":$s1%.2f,"scaled_sec":$sK%.2f,""" +
+          f""""time_ratio":${sK / s1}%.2f,"per_copy":${sK / s1 / k}%.3f}""")
       case "substr" =>
         // d21's exact-substring dedup at 1x and Kx: the corpus-sized
         // work is ONE window-hash aggregate (no pairs, no corpus-wide
