@@ -72,6 +72,52 @@ object GraphOps {
       .localCheckpoint(true)
   }
 
+  /** Per-node triangle participation over a canonical (p1 < p2) edge
+    * list (expected eagerly checkpointed by the caller — the
+    * orientation join and the closing join both read it). Edges are
+    * DEGREE-ORIENTED (each points from its lower-(degree, id)
+    * endpoint), bounding every node's out-degree by O(sqrt m) — the
+    * classical bound that keeps wedge output near m^1.5 instead of
+    * sum(deg^2) on skewed graphs. Returns (n, dg, n_triangles) for
+    * EVERY node (zero-participation nodes carry 0) — shared by g3,
+    * g10, and the `triangles` scale rehearsal so the machinery cannot
+    * drift between them. */
+  private[graft] def triangleCounts(e: DataFrame): DataFrame = {
+    val deg = e.select(col("p1").as("n")).union(e.select(col("p2").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("dg"))
+    val lower = struct(col("g1.dg"), col("p1")) < struct(col("g2.dg"), col("p2"))
+    val d = e.join(deg.as("g1"), col("p1") === col("g1.n"))
+      .join(deg.as("g2"), col("p2") === col("g2.n"))
+      .select(when(lower, col("p1")).otherwise(col("p2")).as("src"),
+        when(lower, col("p2")).otherwise(col("p1")).as("dst"))
+      .localCheckpoint(true)
+    val tri = d.as("e1").join(d.as("e2"),
+        col("e1.src") === col("e2.src") && col("e1.dst") < col("e2.dst"))
+      .select(col("e1.src").as("ta"), col("e1.dst").as("tb"), col("e2.dst").as("tc"))
+      .join(e, col("tb") === col("p1") && col("tc") === col("p2"))
+      .select(col("ta"), col("tb"), col("tc"))
+    val tcnt = tri.select(col("ta").as("n"))
+      .union(tri.select(col("tb"))).union(tri.select(col("tc")))
+      .groupBy(col("n")).agg(count(lit(1)).as("n_triangles"))
+    deg.join(tcnt, Seq("n"), "left")
+      .select(col("n"), col("dg"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
+  }
+
+  /** g3/g10's shared graph: canonical part co-purchase edges under the
+    * cap, eagerly checkpointed. */
+  private def coPurchaseEdgesP(s: SparkSession, dir: String, cap: Long): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .filter(col("l_partkey") < cap)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .distinct()
+    li.as("a").join(li.as("b"),
+        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .select(col("a.p").as("p1"), col("b.p").as("p2"))
+      .distinct()
+      .localCheckpoint(true)
+  }
+
   /** 5-round integer PageRank over an arbitrary (d1 < d2) undirected
     * edge list (expected eagerly checkpointed by the caller — every
     * round references it). Returns (node, deg, r). Exposed for the
@@ -208,41 +254,14 @@ object GraphOps {
     //     canonical edge list via one equi-join; per-node counts are
     //     orientation-independent, so the oracle can use the simpler
     //     id-orientation and still match exactly. ---
-    "g3_triangles" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem")
-        .filter(col("l_partkey") < 4000)
-        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-        .distinct()
-      // canonical undirected edges (p1 < p2); eager checkpoint — the
-      // orientation join and the closing join both read it
-      val e = li.as("a").join(li.as("b"),
-          col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-        .select(col("a.p").as("p1"), col("b.p").as("p2"))
-        .distinct()
-        .localCheckpoint(true)
-      val deg = e.select(col("p1").as("n")).union(e.select(col("p2").as("n")))
-        .groupBy(col("n")).agg(count(lit(1)).as("dg"))
-      val lower = struct(col("g1.dg"), col("p1")) < struct(col("g2.dg"), col("p2"))
-      val d = e.join(deg.as("g1"), col("p1") === col("g1.n"))
-        .join(deg.as("g2"), col("p2") === col("g2.n"))
-        .select(when(lower, col("p1")).otherwise(col("p2")).as("src"),
-          when(lower, col("p2")).otherwise(col("p1")).as("dst"))
-        .localCheckpoint(true)
-      // wedges at the low-order endpoint; (b, c) is already canonical
-      // (b < c), so the closing test is one equi-join against e
-      val tri = d.as("e1").join(d.as("e2"),
-          col("e1.src") === col("e2.src") && col("e1.dst") < col("e2.dst"))
-        .select(col("e1.src").as("ta"), col("e1.dst").as("tb"), col("e2.dst").as("tc"))
-        .join(e, col("tb") === col("p1") && col("tc") === col("p2"))
-        .select(col("ta"), col("tb"), col("tc"))
-      tri.select(col("ta").as("node"))
-        .union(tri.select(col("tb")))
-        .union(tri.select(col("tc")))
-        .groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))
-        .select(col("node").as("p_partkey"), col("n_triangles"))
+    "g3_triangles" -> ((s, dir) =>
+      // participants only (n_triangles > 0), as the tri-node union the
+      // original formulation counted — zero rows must not pad the top-10
+      triangleCounts(coPurchaseEdgesP(s, dir, cap = 4000))
+        .filter(col("n_triangles") > 0)
+        .select(col("n").as("p_partkey"), col("n_triangles"))
         .orderBy(col("n_triangles").desc, col("p_partkey"))
-        .limit(10)
-    }),
+        .limit(10)),
 
     // --- multi-source BFS over the part co-purchase graph (parts linked
     //     when some order contains both — SPARSER than g1's co-supply
@@ -494,42 +513,16 @@ object GraphOps {
     //     checkpointed — its three consumers' subplans canonicalize
     //     identically over the one checkpointed edge list, so AQE
     //     exchange reuse computes it once (g7's measured pattern). ---
-    "g10_clustering_coeff" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem")
-        .filter(col("l_partkey") < 4000)
-        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-        .distinct()
-      val e = li.as("a").join(li.as("b"),
-          col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-        .select(col("a.p").as("p1"), col("b.p").as("p2"))
-        .distinct()
-        .localCheckpoint(true)
-      val deg = e.select(col("p1").as("n")).union(e.select(col("p2").as("n")))
-        .groupBy(col("n")).agg(count(lit(1)).as("dg"))
-      val lower = struct(col("g1.dg"), col("p1")) < struct(col("g2.dg"), col("p2"))
-      val d = e.join(deg.as("g1"), col("p1") === col("g1.n"))
-        .join(deg.as("g2"), col("p2") === col("g2.n"))
-        .select(when(lower, col("p1")).otherwise(col("p2")).as("src"),
-          when(lower, col("p2")).otherwise(col("p1")).as("dst"))
-        .localCheckpoint(true)
-      val tri = d.as("e1").join(d.as("e2"),
-          col("e1.src") === col("e2.src") && col("e1.dst") < col("e2.dst"))
-        .select(col("e1.src").as("ta"), col("e1.dst").as("tb"), col("e2.dst").as("tc"))
-        .join(e, col("tb") === col("p1") && col("tc") === col("p2"))
-        .select(col("ta"), col("tb"), col("tc"))
-      val tcnt = tri.select(col("ta").as("n"))
-        .union(tri.select(col("tb"))).union(tri.select(col("tc")))
-        .groupBy(col("n")).agg(count(lit(1)).as("n_triangles"))
-      deg.filter(col("dg") >= 2)
-        .join(tcnt, Seq("n"), "left")
+    "g10_clustering_coeff" -> ((s, dir) =>
+      triangleCounts(coPurchaseEdgesP(s, dir, cap = 4000))
+        .filter(col("dg") >= 2)
         .select(col("n").as("p_partkey"), col("dg").as("degree"),
-          coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
+          col("n_triangles"))
         .withColumn("lcc",
           round(col("n_triangles") * lit(2.0d) /
             (col("degree") * (col("degree") - lit(1.0d))), 6))
         .orderBy(col("lcc").desc, col("p_partkey"))
-        .limit(20)
-    })
+        .limit(20))
   )
 
   // oracle: the same 5 iterations unrolled as chained CTEs (r0..r5),

@@ -352,6 +352,21 @@ object QueryScaleRehearsal {
           f""""base_edges":$e1,"scaled_edges":$eK,"base_nodes":$n1,""" +
           f""""scaled_nodes":$nK,"base_sec":$s1%.2f,"scaled_sec":$sK%.2f,""" +
           f""""time_ratio":${sK / s1}%.2f,"per_copy":${sK / s1 / k}%.3f}""")
+        // triangle counting (the g3/g10 machinery) on the SAME disjoint
+        // copies, renamed to its (p1, p2) contract: degree orientation
+        // must hold the wedge join near m^1.5 — K disjoint copies give
+        // exactly K x the wedges, so wall ~ K x amortized by the floor
+        val te1 = edges1.select(col("d1").as("p1"), col("d2").as("p2"))
+          .localCheckpoint(true)
+        val teK = edgesK.select(col("d1").as("p1"), col("d2").as("p2"))
+          .localCheckpoint(true)
+        graft.queries.GraphOps.triangleCounts(te1).count() // warmup
+        val (tn1, ts1) = timed(graft.queries.GraphOps.triangleCounts(te1))
+        val (tnK, tsK) = timed(graft.queries.GraphOps.triangleCounts(teK))
+        println(f"""{"rehearsal":"graph-triangles-scaling","k":$k,""" +
+          f""""base_edges":$e1,"scaled_edges":$eK,"base_nodes":$tn1,""" +
+          f""""scaled_nodes":$tnK,"base_sec":$ts1%.2f,"scaled_sec":$tsK%.2f,""" +
+          f""""time_ratio":${tsK / ts1}%.2f,"per_copy":${tsK / ts1 / k}%.3f}""")
       case _ =>
         // warmup (codegen, broadcast machinery), then timed passes
         lshPairs(base).count()
