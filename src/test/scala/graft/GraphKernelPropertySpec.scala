@@ -95,6 +95,89 @@ class GraphKernelPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("g1 integer PageRank equals a direct floor-division simulation") {
+    import spark.implicits._
+    val Scale = 1000000000000L
+    for (seed <- Seq(51L, 52L)) {
+      val edges = randomGraph(seed)
+      // g1's graph is supplier co-supply: one part per edge, its two
+      // suppliers = the edge endpoints
+      val dir = java.nio.file.Files.createTempDirectory("g1-prop").toString
+      edges.zipWithIndex
+        .flatMap { case ((a, b), i) => Seq((i.toLong, i.toLong, a), (i.toLong, i.toLong, b)) }
+        .toDF("l_orderkey", "l_partkey", "l_suppkey")
+        .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+      val got = SparkEntry.queries("g1_pagerank")(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      val nbr = adj(edges)
+      val deg = nbr.view.mapValues(_.size.toLong).toMap
+      var r: Map[Long, Long] = nbr.keys.map(_ -> Scale).toMap
+      for (_ <- 1 to 5) {
+        val contrib = nbr.keys.toSeq.flatMap { v =>
+          val c = r(v) / deg(v) // positive longs: div == floor division
+          nbr(v).map(_ -> c)
+        }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+        r = nbr.keys.map(v =>
+          v -> (Scale * 15 / 100 + 17 * contrib.getOrElse(v, 0L) / 20)).toMap
+      }
+      val want = r.toSeq.map { case (v, pr) => (v, deg(v), pr) }
+        .sortBy { case (v, _, pr) => (-pr, v) }.take(20)
+      assert(got == want, s"seed=$seed: got=${got.take(3)} want=${want.take(3)}")
+    }
+  }
+
+  test("g7 k-core peel rounds equal a direct peel simulation") {
+    val k = 80
+    for (seed <- Seq(61L, 62L)) {
+      val rnd = new scala.util.Random(seed)
+      // a 90-clique (degree 89 >= 80 survives every peel) + sparse noise
+      val clique = for (a <- 0 until 90; b <- a + 1 until 90)
+        yield (a.toLong, b.toLong)
+      val noise = Seq.fill(300)((rnd.nextInt(290).toLong, rnd.nextInt(290).toLong))
+        .filter { case (a, b) => a != b }
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      val edges = (clique ++ noise).distinct
+      val dir = asLineitemDir(edges)
+      val got = SparkEntry.queries("g7_kcore")(spark, dir)
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+      var e = edges
+      val want = (1 to 4).map { round =>
+        val deg = (e ++ e.map(p => (p._2, p._1))).groupBy(_._1).view
+          .mapValues(_.size).toMap
+        val keep = deg.filter(_._2 >= k).keySet
+        e = e.filter { case (a, b) => keep(a) && keep(b) }
+        val degAfter = (e ++ e.map(p => (p._2, p._1))).groupBy(_._1)
+        (round, degAfter.size.toLong, e.size.toLong)
+      }
+      assert(got == want, s"seed=$seed: got=$got want=$want")
+      assert(want.last._3 > 0, s"seed=$seed core died — weak test")
+    }
+  }
+
+  test("g8 sampled harmonic centrality equals a direct 3-round BFS") {
+    for (seed <- Seq(71L, 72L)) {
+      val edges = randomGraph(seed)
+      val dir = asLineitemDir(edges)
+      val got = SparkEntry.queries("g8_harmonic")(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      val nbr = adj(edges)
+      val sources = nbr.keys.filter(_ < 20).toSeq
+      val want = sources.map { src =>
+        var dist = Map(src -> 0L)
+        for (_ <- 1 to 3) {
+          val relaxed = dist.toSeq.flatMap { case (v, d) =>
+            nbr(v).map(_ -> (d + 1)) }
+          dist = (dist.toSeq ++ relaxed).groupBy(_._1).view
+            .mapValues(_.map(_._2).min).toMap
+        }
+        val reached = dist.filter(_._2 > 0)
+        (src, reached.size.toLong, reached.values.map(1000000L / _).sum)
+      }.sortBy { case (s, _, h) => (-h, s) }
+      assert(got == want, s"seed=$seed: got=${got.take(3)} want=${want.take(3)}")
+      assert(want.exists(_._2 > 1), s"seed=$seed degenerate reach")
+    }
+  }
+
   test("g9 two-hop reach equals a direct neighborhood expansion") {
     for (seed <- Seq(41L, 42L, 43L)) {
       val edges = randomGraph(seed)
