@@ -56,12 +56,16 @@ object MediaOps {
   }
 
   /** REAL image codec over JDK `javax.imageio` — PNG/BMP/GIF readers ship
-    * in every JRE, no external libraries. This is the spec-gated proof
-    * that the multimodal plumbing carries a real decoder end-to-end
-    * (decode → features → resize through the same `mapPartitions`
-    * shapes), while the oracle-gated m1-m3 queries keep [[StubCodec]]:
-    * the DuckDB oracle can only recompute features it can derive from
-    * the payload's text, not from a binary image container. */
+    * in every JRE, no external libraries. The codec boundary is per KIND,
+    * not per query: EVERY image row — m1's features, m3's resize, m4's
+    * aHash, and the m5-m8 gates — decodes real PNG container bytes
+    * through this codec (`MediaQueries` routes them via
+    * `extractFeaturesReal` / `resizeImagesImageIo`). The oracles stay
+    * value-level because the payloads are deterministic synthetic
+    * gradients (`syntheticGrayPng`) whose decoded pixel statistics have
+    * a closed form DuckDB can recompute. [[StubCodec]] serves ONLY the
+    * audio/video rows (m1's non-image kinds, m2's frame sampling),
+    * whose oracle features are payload-length-derived. */
   object ImageIoCodec {
     /** Decode to 8-bit luminance (ITU-R 601 integer weights); loud
       * failure on undecodable payloads — a corrupt image in a 100 TB

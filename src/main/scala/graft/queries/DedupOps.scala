@@ -154,14 +154,25 @@ object DedupOps {
     // (df,h)-global-order | set size) packed into ONE long, so the
     // in-bucket pair explode stays the codegen'd id_pairs kernel and
     // unpacking is shift arithmetic. Pack bounds: doc_id < 2^21 and
-    // pos, n < 2^21 — ample for the bench corpora; at >2M docs widen
-    // to a struct-array pair explode (same shape, interpreted) or a
-    // DECIMAL pack, the c2 cell-id precedent.
+    // pos, n < 2^21 (pos < n, so guarding doc_id and n covers all
+    // three) — ample for the bench corpora and GUARDED at runtime:
+    // an out-of-range corpus raises instead of silently corrupting
+    // candidate pairs. At >2M docs widen to a struct-array pair
+    // explode (same shape, interpreted) or a DECIMAL pack, the c2
+    // cell-id precedent. The guard is two codegen'd comparisons per
+    // occurrence — noise next to the explode it feeds.
+    val packMax = lit((1L << 21) - 1L)
     val pref = packed
       .select(col("doc_id"), col("n"), posexplode(col("pf")).as(Seq("pos", "h")))
       .select(col("h"),
-        (col("doc_id") * lit(1L << 42) + col("pos").cast("long") * lit(1L << 21)
-          + col("n")).as("pk"))
+        when(col("doc_id") > packMax || col("n") > packMax,
+          expr("raise_error(concat('prefix-join pack overflow: doc_id and set " +
+            "size must be < 2^21 for the packed-long kernel; got doc_id=', " +
+            "doc_id, ', n=', n, '. Widen to the struct-array explode for " +
+            "corpora beyond 2M docs.'))").cast("long"))
+          .otherwise(col("doc_id") * lit(1L << 42)
+            + col("pos").cast("long") * lit(1L << 21) + col("n"))
+          .as("pk"))
     // candidate pairs explode inside each prefix-token bucket and are
     // verified WITH MULTIPLICITY: a pair sharing k prefix tokens is
     // checked k times and deduped AFTER the jaccard filter, where only

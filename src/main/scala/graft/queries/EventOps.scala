@@ -602,7 +602,11 @@ object EventOps {
         .select(to_date(col("ts")).as("d"),
           expr("md5_bits(CAST(user_id AS STRING), 15)").as("h"))
         .select(col("d"),
-          expr("CAST((day(d) - 1) div 7 AS INT)").as("week"), col("h"),
+          // ABSOLUTE week (epoch-day div 7), not month-relative: a
+          // month-relative key would merge "week 0" of different months
+          // into one group the moment the events table spans months
+          expr("CAST(datediff(d, DATE'1970-01-01') div 7 AS INT)").as("week"),
+          col("h"),
           (col("h") % 64).as("register"),
           when(expr("h div 64") === 0, lit(55))
             .otherwise(lit(55) - length(expr("bin(h div 64)"))).as("rho"))
@@ -807,7 +811,7 @@ object EventOps {
     "e24_hll_daily_merge" ->
       """WITH r AS (
         |  SELECT CAST(ts AS DATE) AS d,
-        |    CAST((day(ts) - 1) // 7 AS INTEGER) AS week,
+        |    CAST((CAST(ts AS DATE) - DATE '1970-01-01') // 7 AS INTEGER) AS week,
         |    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
         |  FROM events),
         |rr AS (

@@ -389,7 +389,9 @@ object Relational3 {
         .agg(count(lit(1)).as("n_ab"))
         .filter(col("n_ab") >= 3)
       // ids are per-order SETS, so a plain count after the explode IS
-      // countDistinct(o) per p; checkpointed because it joins twice
+      // countDistinct(o) per p; NOT checkpointed — it joins twice, but
+      // both probe subplans canonicalize identically so AQE exchange
+      // reuse serves them (PlanShapeSpec pins this shape)
       val np = baskets.select(explode(col("ids")).as("p"))
         .groupBy(col("p")).agg(count(lit(1)).as("n_p"))
       val n = baskets.agg(count(lit(1)).as("n_orders"))

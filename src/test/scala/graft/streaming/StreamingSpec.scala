@@ -357,19 +357,28 @@ class StreamingSpec extends AnyFunSuite {
     val arrivalsDir = Files.createTempDirectory("dedup-arrivals")
     docs.filter(col("doc_id") % 7 === 3)
       .write.mode("overwrite").parquet(arrivalsDir.toString)
+    // capture batchId via foreachBatch so "last update per doc" is keyed
+    // by REAL recency (the micro-batch id), not an ordering coincidence
+    // over status labels
+    val updates = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[(Long, Long, String)]())
     val q = CorpusStream.incrementalDedup(
         CorpusStream.read(spark, arrivalsDir.toString), corpus)
-      .writeStream.format("memory").queryName("inc_dedup").outputMode("update")
+      .writeStream.outputMode("update")
+      .foreachBatch {
+        (ds: org.apache.spark.sql.Dataset[CorpusStream.DedupStatus],
+         batchId: Long) =>
+          ds.collect().foreach(r => updates.add((batchId, r.doc_id, r.status)))
+          ()
+      }
       .trigger(Trigger.AvailableNow()).start()
     q.processAllAvailable()
     q.stop()
     // last update per doc = the final classification
-    val streamed = spark.sql(
-      """SELECT doc_id, status FROM (
-        |  SELECT doc_id, status, row_number() OVER (
-        |    PARTITION BY doc_id ORDER BY status) AS rn FROM inc_dedup)
-        |WHERE rn = 1 ORDER BY doc_id""".stripMargin)
-      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    import scala.jdk.CollectionConverters._
+    val streamed = updates.asScala.toSeq.groupBy(_._2)
+      .map { case (id, rows) => (id, rows.maxBy(_._1)._3) }
+      .toSeq.sortBy(_._1)
     val batch = graft.SparkEntry.queries("d11_incremental")(
         spark, "/root/testdata/sf0.001")
       .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
