@@ -15,6 +15,16 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = Spark.session(master = s"local[$cpus]",
       shufflePartitions = cpus.toInt, appName = "graft-bench")
+    // The bench's stdout/stderr tail is a PARSED channel downstream: the
+    // contract line must not drown in log noise. The only WARN this
+    // surface emits repeatedly is WindowExec's "No Partition Defined" —
+    // every unpartitioned window here is audited-bounded (t8/t9/t24 run
+    // AFTER a TakeOrderedAndProject limit, ClusterOps windows sit on
+    // <= 8 seed rows, e23's quarter relation is calendar-bounded), so in
+    // this runner the warning is pure noise: drop that logger to ERROR.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window",
+      org.apache.logging.log4j.Level.ERROR)
     // Steady-state methodology: one untimed warmup pass at the bench SF
     // (codegen class generation, parquet footers/dictionaries, cache
     // population), then the timed passes.
@@ -123,8 +133,23 @@ object Bench {
     // must not claim it as this run's artifact
     val headlineName = if (filtered) detailName else "bench_headline.json"
     val contract = f"""{"metric":"total","value":$total%.3f,"unit":"sec","stat":"median-of-best-$runs",$prov,"cpus":$cpus,"n_queries":${results.size},"n_spread_violations":${spreadViolations.size},"spread_violations":$spreadObj,"queries_artifact":"$headlineName","detail_artifact":"$detailName","sf":"$sfDir"}"""
-    println(contract)
+    // PRIMARY channel: a sentinel file the capture layer can read whole,
+    // immune to tail-buffer truncation and log interleaving (four rounds
+    // of "parsed": null came from the stdout channel alone). Filtered dev
+    // runs side-write so they can't clobber the committed full-surface
+    // contract.
+    val contractName =
+      if (filtered) "bench_contract_filtered.json" else "bench_contract.json"
+    try java.nio.file.Files.write(java.nio.file.Paths.get(contractName),
+      contract.getBytes("UTF-8"))
+    catch { case _: Throwable => () }
+    // BACKUP channel: stdout — printed LAST, after the session is fully
+    // stopped at ERROR level, so no executor/BlockManager shutdown chatter
+    // can land in the captured tail after (or interleaved with) the line.
+    spark.sparkContext.setLogLevel("ERROR")
     spark.stop()
+    println(contract)
+    System.out.flush()
     if (spreadViolations.nonEmpty && sys.env.get("SPARK_GRAFT_BENCH_STRICT").contains("1"))
       sys.exit(2)
   }
