@@ -82,15 +82,16 @@ object GraphOps {
     * EVERY node (zero-participation nodes carry 0) — shared by g3,
     * g10, and the `triangles` scale rehearsal so the machinery cannot
     * drift between them. */
-  private[graft] def triangleCounts(e: DataFrame): DataFrame = {
+  private[graft] def triangleCounts(e: DataFrame,
+      ckptOriented: Boolean = true): DataFrame = {
     val deg = e.select(col("p1").as("n")).union(e.select(col("p2").as("n")))
       .groupBy(col("n")).agg(count(lit(1)).as("dg"))
     val lower = struct(col("g1.dg"), col("p1")) < struct(col("g2.dg"), col("p2"))
-    val d = e.join(deg.as("g1"), col("p1") === col("g1.n"))
+    val d0 = e.join(deg.as("g1"), col("p1") === col("g1.n"))
       .join(deg.as("g2"), col("p2") === col("g2.n"))
       .select(when(lower, col("p1")).otherwise(col("p2")).as("src"),
         when(lower, col("p2")).otherwise(col("p1")).as("dst"))
-      .localCheckpoint(true)
+    val d = if (ckptOriented) d0.localCheckpoint(true) else d0
     val tri = d.as("e1").join(d.as("e2"),
         col("e1.src") === col("e2.src") && col("e1.dst") < col("e2.dst"))
       .select(col("e1.src").as("ta"), col("e1.dst").as("tb"), col("e2.dst").as("tc"))
@@ -106,16 +107,17 @@ object GraphOps {
 
   /** g3/g10's shared graph: canonical part co-purchase edges under the
     * cap, eagerly checkpointed. */
-  private def coPurchaseEdgesP(s: SparkSession, dir: String, cap: Long): DataFrame = {
+  private[graft] def coPurchaseEdgesP(s: SparkSession, dir: String, cap: Long,
+      ckpt: Boolean = true): DataFrame = {
     val li = t(s, dir, "lineitem")
       .filter(col("l_partkey") < cap)
       .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
       .distinct()
-    li.as("a").join(li.as("b"),
+    val e = li.as("a").join(li.as("b"),
         col("a.o") === col("b.o") && col("a.p") < col("b.p"))
       .select(col("a.p").as("p1"), col("b.p").as("p2"))
       .distinct()
-      .localCheckpoint(true)
+    if (ckpt) e.localCheckpoint(true) else e
   }
 
   /** 5-round integer PageRank over an arbitrary (d1 < d2) undirected
