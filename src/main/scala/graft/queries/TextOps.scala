@@ -578,21 +578,35 @@ object TextOps {
       // One corpus consumption for the whole LM side: bigram occurrences
       // aggregate FIRST into the (doc_id, w1, w2) -> k relation (map-side
       // partial agg compresses corpus -> doc x type before the only
-      // corpus-scale exchange), then ONE re-clustering of that compact
-      // relation by w1 carries everything downstream: by the subset rule
-      // (HashPartitioning(w1) satisfies ClusteredDistribution over any
-      // key set containing w1) the c12 aggregate, the c1 rollup, AND the
-      // dw-side of the scoring join all run IN PLACE on it — round 7's
-      // shape paid separate model-sized exchanges for c12 and c1 plus a
-      // (w1, w2) exchange for the probe (6 shuffles -> 4). Zipf caveat:
-      // w1-clustering concentrates a head word's types in one partition
-      // (max mass ~ c1(the)/N ~ 7%); vs ~1% for (w1, w2)-clustering —
-      // acceptable 2-3x task skew bought with two fewer exchanges; the
-      // fallback lever is reverting the probe join to (w1, w2) keys.
-      // Scoring applies the per-TYPE surprisal to the per-doc counts
-      // (sum k*s6 == adding s6 per occurrence — integer math,
-      // bit-identical), so no corpus-scale row stream ever reaches the
-      // join.
+      // corpus-scale exchange), and that ONE exchange serves both
+      // consumers via AQE reuse (verified in the executed plan,
+      // `graft.tools.FinalPlan`): the c12/c1 model build and the scoring
+      // probe. Round 9 additionally re-clustered dw by w1 so the model
+      // aggregates ran in place — but the probe join never needed that
+      // partitioning (the model side broadcasts, and a broadcast join
+      // imposes NO distribution on its probe side), so the w1 exchange
+      // moved a doc x type-grained relation to save only MODEL-sized
+      // exchanges: c12's partial agg compresses doc x type -> type
+      // map-side before its (w1, w2) exchange, and c1 is type-grained.
+      // Dropping it cut one of the two corpus-class shuffles (measured
+      // ~1.22 -> ~0.9 s steady-state at sf0.1). The broadcast is the
+      // MODEL (type relation, the bounded side at corpus scale; V^2
+      // worst-case is Zipf-truncated in practice — if the model outgrows
+      // broadcast, the lever is a plain shuffle join on (w1, w2), not a
+      // dw re-cluster). Scoring applies the per-TYPE surprisal to the
+      // per-doc counts (sum k*s6 == adding s6 per occurrence — integer
+      // math, bit-identical), so no corpus-scale row stream ever reaches
+      // the join; the per-doc rollup's partial agg compresses to <=
+      // n_docs x partitions rows before its exchange.
+      // The vocabulary deliberately takes its OWN corpus pass instead of
+      // riding g's reused exchange: a single-token explode +
+      // partial-distinct costs ~0.15 s and overlaps g's scan on free
+      // cores, while deriving it from g (pinning the aggregate into the
+      // consumer so ReuseExchange fires — measured via FinalPlan) put a
+      // ~0.6 s re-aggregation on the types-broadcast critical path and
+      // benched ~0.35 s SLOWER end-to-end. Fewer scans is not fewer
+      // seconds when the extra scan is the cheap one and the reuse
+      // serializes the dataflow.
       val toks = docs(s, dir)
         .select(col("doc_id"), split(trim(col("text")), "\\s+").as("ts"))
       val dw = toks.filter(size(col("ts")) >= 2)
@@ -603,7 +617,6 @@ object TextOps {
         // byte-identical so ReuseExchange fires (see t11)
         .filter(col("w1").isNotNull && col("w2").isNotNull)
         .groupBy(col("doc_id"), col("w1"), col("w2")).agg(count(lit(1)).as("k"))
-        .repartition(col("w1"))
       val c12 = dw.groupBy(col("w1"), col("w2")).agg(sum(col("k")).cast("long").as("c12"))
       val c1 = c12.groupBy(col("w1")).agg(sum(col("c12")).cast("long").as("c1"))
       val vocab = toks.select(explode(col("ts")).as("tok"))
@@ -615,7 +628,7 @@ object TextOps {
           floor((col("c12") + 1) / (col("c1") + col("v")) * 1e9 + 0.5).as("p9"))
         .select(col("w1"), col("w2"),
           floor(-log(col("p9") / 1e9) * 1e6 + 0.5).cast("long").as("s6"))
-      val perDoc = dw.join(types, Seq("w1", "w2"))
+      val perDoc = dw.join(broadcast(types), Seq("w1", "w2"))
         .groupBy(col("doc_id"))
         .agg(sum(col("k")).cast("long").as("nb"),
           sum(col("k") * col("s6")).cast("long").as("ss6"))
