@@ -86,15 +86,67 @@ object SimilarityOps {
     rankedCells(e).filter(col("rk") === 1)
       .groupBy(col("cell")).agg(count(lit(1)).as("n"))
 
-  /** The v16 kNN-graph pair scan over an arbitrary embeddings frame
-    * (vec_id, embedding, label) — exposed for the 8x scale rehearsal;
-    * the gated query is this over `Tables.load(_, _, "embeddings")`. */
+  /** v16's target cell occupancy: K = ceil(n / this). Constant occupancy
+    * is the scale contract — the cell self-join's pair work stays LINEAR
+    * in the corpus (n x occupancy), instead of the fixed-K quadratic
+    * blow-up the round-9 rehearsal measured at 31.7x wall for 8x data. */
+  private[graft] val KnnCellTarget = 64
+
+  /** The v16 kNN-graph pair scan with K DERIVED FROM CORPUS SIZE: the
+    * quantizer is K = ceil(n / 64) exemplar vectors chosen by md5 rank
+    * over vec_id (v11's SemDeDup idiom — deterministic, oracle-
+    * mirrorable, and re-seeding for a grown corpus is just re-running
+    * the selection; no training loop). n comes from one count(*) —
+    * answered from parquet footers at any scale, so the two-pass shape
+    * costs metadata, not a data scan. Assignment is v17's max-struct
+    * argmax (no n x K rank window); the self-join stays cell-keyed,
+    * O(n x occupancy) by the K formula. Exemplar scoring is n x K dot
+    * products = O(n^2 / 64) — fine to ~10^7 vectors per partition-
+    * parallel pass; beyond that the documented lever is a hierarchical
+    * (two-level) quantizer, not a bigger K target. */
   def knnGraphOf(e: DataFrame): DataFrame = {
+    val n = e.count()
+    knnGraphOfK(e, math.max(1, math.ceil(n.toDouble / KnnCellTarget).toInt))
+  }
+
+  /** md5-rank exemplar codebook: the K vectors with the smallest
+    * md5(vec_id) hex, as (cell = exemplar vec_id, ce, cn). Bounded
+    * TakeOrderedAndProject, broadcast by the caller. */
+  private[graft] def exemplarCodebook(e: DataFrame, k: Int): DataFrame =
+    withNorm(e.select(col("vec_id"), col("embedding")))
+      .withColumn("m", md5(col("vec_id").cast("string")))
+      .orderBy(col("m")).limit(k)
+      .select(col("vec_id").as("cell"), col("embedding").as("ce"),
+        col("nrm").as("cn"))
+
+  /** v16's assignment under an explicit K (exposed so the scale
+    * rehearsal can pin the fixed-K failure mode against the gated
+    * auto-K plan): argmax cosine over the broadcast exemplar codebook,
+    * tiebreak (round-6 cos desc, cell asc) — identical to a rank
+    * window's rk=1 without sorting n x K rows. */
+  private[graft] def knnAssignedK(e: DataFrame, k: Int): DataFrame =
+    withNorm(e).join(broadcast(exemplarCodebook(e, k)))
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        (dot("embedding", "ce") / (col("nrm") * col("cn"))).as("cos_raw"),
+        col("cell"))
+      .groupBy(col("vec_id"))
+      .agg(max(struct(round(col("cos_raw"), 6).as("c"),
+          (-col("cell")).as("negc"), col("cell").as("cell"))).as("top"),
+        first(col("embedding")).as("embedding"), first(col("nrm")).as("nrm"))
+      .select(col("top.cell").as("cell"), col("vec_id"), col("embedding"),
+        col("nrm"))
+
+  /** Cell-occupancy histogram of v16's exemplar quantizer at a given K
+    * (the skew monitor for its O(sum cell^2) self-join, `IvfSkewSpec`). */
+  def knnCellHistogram(e: DataFrame, k: Int): DataFrame =
+    knnAssignedK(e, k).groupBy(col("cell")).agg(count(lit(1)).as("n"))
+
+  private[graft] def knnGraphOfK(e: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val assigned = rankedCells(e)
-      .filter(col("rk") === 1)
-      .select(col("cell"), col("vec_id"), col("embedding"), col("nrm"))
-      .localCheckpoint(true)
+    // eager checkpoint before the self-join — without it the argmax
+    // aggregate (and the exemplar scoring under it) re-executes once per
+    // join side, g3's edge-list precedent
+    val assigned = knnAssignedK(e, k).localCheckpoint(true)
     val rhs = assigned.select(col("cell"), col("vec_id").as("nid"),
       col("embedding").as("ne"), col("nrm").as("nn"))
     val w = Window.partitionBy(col("vec_id"))
@@ -802,17 +854,21 @@ object SimilarityOps {
     //     clustering, kNN-classifier labeling, and graph-based diversity
     //     sampling. Exact all-pairs is O(n^2); restricting neighbors to
     //     each vector's own IVF cell makes the pair scan a SELF-EQUI-JOIN
-    //     ON THE CELL ID — shuffle-hash, O(sum cell^2) = O(n^2/K), with
-    //     the cell count K the standing scale lever (raise K until a
-    //     cell's pairs fit a task). Both sides shuffle once by cell;
-    //     nothing broadcasts because both sides are corpus-sized — the
+    //     ON THE CELL ID — shuffle-hash over cell-bounded groups. The
+    //     cell count is NOT fixed: K = ceil(n/64) md5-rank exemplars
+    //     (knnGraphOf), so occupancy is ~constant and pair work is
+    //     O(n x 64) BY CONSTRUCTION — the round-9 rehearsal measured the
+    //     fixed-K alternative at 31.7x wall for 8x data; the round-10
+    //     rehearsal runs the gated auto-K plan itself at 2.06x (contrast
+    //     arm with frozen K: 6.0x). Both pair-scan sides shuffle once by
+    //     cell; only the K-row exemplar codebook broadcasts — the
     //     deliberate contrast with v3's broadcast-queries probe. Per-
     //     vector top-3 is a window over cell-bounded groups. ---
-    // (the pair scan itself lives in `knnGraphOf`, shared with the 8x
-    // scale rehearsal; eager checkpoint before the self-join — without
-    // it the rank window above the assignment re-executes once per join
-    // side, g3's edge-list precedent. Cell-occupancy skew is gated by
-    // IvfSkewSpec via `cellHistogram`.)
+    // (the pair scan lives in `knnGraphOf`, shared with the rehearsal;
+    // eager checkpoint before the self-join — without it the argmax
+    // assignment re-executes once per join side, g3's edge-list
+    // precedent. Exemplar-cell occupancy skew is gated by IvfSkewSpec
+    // via `knnCellHistogram`.)
     "v16_knn_graph" -> ((s, dir) => knnGraphOf(emb(s, dir)))
   )
 
@@ -943,18 +999,17 @@ object SimilarityOps {
     // v3's assignment CTEs, with the probe generalized from the 5-query
     // slice to the whole corpus (self-join on the cell)
     "v16_knn_graph" ->
-      """WITH dims AS (
-        |  SELECT label, i AS pos, avg(CAST(embedding[i + 1] AS DOUBLE)) AS cv
-        |  FROM embeddings, LATERAL (SELECT unnest(generate_series(0, 63)) AS i) u
-        |  GROUP BY label, i),
-        |cent AS (
-        |  SELECT label AS cell, list(cv ORDER BY pos) AS centroid FROM dims GROUP BY label),
+      """WITH ex AS (
+        |  SELECT vec_id AS cell, CAST(embedding AS DOUBLE[]) AS ce
+        |  FROM embeddings
+        |  ORDER BY md5(CAST(vec_id AS VARCHAR))
+        |  LIMIT (SELECT CAST(ceil(count(*) / 64.0) AS BIGINT) FROM embeddings)),
         |scored AS (
-        |  SELECT e.vec_id, e.embedding, c.cell,
-        |    list_dot_product(CAST(e.embedding AS DOUBLE[]), c.centroid) /
+        |  SELECT e.vec_id, e.embedding, x.cell,
+        |    list_dot_product(CAST(e.embedding AS DOUBLE[]), x.ce) /
         |      (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) *
-        |       sqrt(list_dot_product(c.centroid, c.centroid))) AS cos_raw
-        |  FROM embeddings e, cent c),
+        |       sqrt(list_dot_product(x.ce, x.ce))) AS cos_raw
+        |  FROM embeddings e, ex x),
         |assigned AS (
         |  SELECT vec_id, embedding, cell FROM (
         |    SELECT vec_id, embedding, cell,

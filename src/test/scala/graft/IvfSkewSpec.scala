@@ -37,4 +37,30 @@ class IvfSkewSpec extends AnyFunSuite {
     assert(maxShare <= 0.5,
       s"one cell owns ${maxShare * 100}%% of pair work (max=${h.max}, n=$n)")
   }
+
+  test("v16 exemplar quantizer occupancy is spread at its derived K (sf0.1)") {
+    // v16 no longer rides the label quantizer: K = ceil(n/64) md5-rank
+    // exemplars. md5 order is arbitrary, so spread is an empirical claim
+    // that needs its own gate — a degenerate Voronoi cell would turn the
+    // kNN self-join quadratic regardless of the K formula.
+    val e = Tables.load(spark, "/root/testdata/sf0.1", "embeddings")
+    val n0 = e.count()
+    val k = math.max(1, math.ceil(
+      n0.toDouble / graft.queries.SimilarityOps.KnnCellTarget).toInt)
+    val h = graft.queries.SimilarityOps.knnCellHistogram(e, k)
+      .select(org.apache.spark.sql.functions.col("n"))
+      .collect().map(_.getLong(0))
+    assert(h.length > 1, s"exemplar quantizer collapsed to ${h.length} cell(s)")
+    val n = h.sum
+    assert(n == n0, s"assignment lost rows: $n vs $n0")
+    // Voronoi occupancy over random exemplars is unevener than the
+    // near-uniform label clusters; 8x mean is the re-seed alarm here
+    val mean = n.toDouble / h.length
+    val skew = h.max / mean
+    assert(skew <= 8.0, s"max cell ${h.max} vs mean $mean (skew $skew)")
+    val pairWork = h.map(c => c.toDouble * c).sum
+    val maxShare = h.max.toDouble * h.max / pairWork
+    assert(maxShare <= 0.5,
+      s"one cell owns ${maxShare * 100}%% of pair work (max=${h.max}, n=$n)")
+  }
 }

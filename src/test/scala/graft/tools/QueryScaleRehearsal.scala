@@ -140,14 +140,13 @@ object QueryScaleRehearsal {
     family match {
       case "ivf" =>
         // The v16 kNN-graph pipeline (shared code: SimilarityOps
-        // .knnGraphOf) at 1x and Kx corpus, plus the cell-occupancy
-        // skew the O(sum cell^2) self-join rides on. Copies keep the
-        // cluster structure (each vector nudged by a small per-copy,
-        // per-position offset) so the quantizer stays realistic —
-        // cells grow K-fold and pair work K^2-fold per cell, the
-        // worst case for the rehearsal question "does the cell-keyed
-        // self-join survive corpus growth, and does occupancy stay
-        // spread?"
+        // .knnGraphOf) at 1x and Kx corpus. Since round 10 the GATED
+        // query derives K from corpus size (ceil(n/64) md5-rank
+        // exemplars), so the primary arm simply runs the gated plan at
+        // both scales — the K formula is exercised by the rehearsal
+        // itself, not a side-channel re-seed. Copies nudge each vector
+        // by a small per-copy, per-position offset so the embedding
+        // space stays clustered-realistic.
         val ebase = Tables.load(spark, sfDir, "embeddings")
           .select(col("vec_id"), col("embedding"), col("label"))
           .localCheckpoint(true)
@@ -160,8 +159,10 @@ object QueryScaleRehearsal {
             col("label"))
           .localCheckpoint(true)
         val nEk = escaled.count()
-        def skew(e: org.apache.spark.sql.DataFrame): (Long, Double, Double) = {
-          val h = graft.queries.SimilarityOps.cellHistogram(e)
+        def kOf(n: Long): Int = math.max(1, math.ceil(
+          n.toDouble / graft.queries.SimilarityOps.KnnCellTarget).toInt)
+        def skew(e: org.apache.spark.sql.DataFrame, kk: Int): (Long, Double, Double) = {
+          val h = graft.queries.SimilarityOps.knnCellHistogram(e, kk)
             .select(col("n")).collect().map(_.getLong(0))
           val mx = h.max
           val pairWork = h.map(c => c.toDouble * c).sum
@@ -171,34 +172,25 @@ object QueryScaleRehearsal {
         graft.queries.SimilarityOps.knnGraphOf(ebase).count() // warmup
         val (g1, s1) = timed(graft.queries.SimilarityOps.knnGraphOf(ebase))
         val (gk, sk) = timed(graft.queries.SimilarityOps.knnGraphOf(escaled))
-        val (mx1, sk1, sh1) = skew(ebase)
-        val (mxK, skK, shK) = skew(escaled)
-        println(f"""{"rehearsal":"ivf-knn-scaling","k":$k,"base_vecs":$nE,""" +
+        val (mx1, sk1, sh1) = skew(ebase, kOf(nE))
+        val (mxK, skK, shK) = skew(escaled, kOf(nEk))
+        println(f"""{"rehearsal":"ivf-knn-gated-autoK","k":$k,"base_vecs":$nE,""" +
+          f""""base_cells":${kOf(nE)},"scaled_cells":${kOf(nEk)},""" +
           f""""scaled_vecs":$nEk,"base_edges":$g1,"scaled_edges":$gk,""" +
           f""""base_sec":$s1%.2f,"scaled_sec":$sk%.2f,""" +
           f""""time_ratio":${sk / s1}%.2f,"per_copy":${sk / s1 / k}%.3f,""" +
           f""""base_max_cell":$mx1,"base_skew":$sk1%.2f,"base_max_pair_share":$sh1%.3f,""" +
           f""""scaled_max_cell":$mxK,"scaled_skew":$skK%.2f,"scaled_max_pair_share":$shK%.3f}""")
-        // The REMEDY arm: the fixed-K run above grows every cell K-fold
-        // (pair work K^2) — the documented failure mode. The standing
-        // lever is "K scales with the corpus, cell occupancy stays
-        // constant": re-seed the quantizer so each copy owns its own
-        // cell space (label -> label*K + cp BEFORE the centroid build —
-        // K x the cells at base occupancy, the production re-train).
-        // Expected: ~K x base wall, i.e. per-copy ~1 — LINEAR.
-        val reseeded = ebase
-          .withColumn("cp", explode(expr(s"sequence(0, ${k - 1})")))
-          .select((col("vec_id") * k + col("cp")).as("vec_id"),
-            expr("transform(embedding, (x, i) -> x + CAST(cp AS FLOAT) * 0.001F * CAST(i % 7 AS FLOAT))")
-              .as("embedding"),
-            (col("label") * k + col("cp")).cast("int").as("label"))
-          .localCheckpoint(true)
-        val (gr, sr) = timed(graft.queries.SimilarityOps.knnGraphOf(reseeded))
-        val (mxR, skR, shR) = skew(reseeded)
-        println(f"""{"rehearsal":"ivf-knn-scaled-K","k":$k,"scaled_vecs":$nEk,""" +
-          f""""scaled_edges":$gr,"scaled_sec":$sr%.2f,""" +
-          f""""time_ratio_vs_base":${sr / s1}%.2f,"per_copy":${sr / s1 / k}%.3f,""" +
-          f""""max_cell":$mxR,"skew":$skR%.2f,"max_pair_share":$shR%.3f}""")
+        // CONTRAST arm — the fixed-K failure mode the formula exists to
+        // prevent: run the Kx corpus with the BASE corpus's cell count,
+        // so every cell grows K-fold and pair work K^2-fold.
+        val (gf, sf) = timed(
+          graft.queries.SimilarityOps.knnGraphOfK(escaled, kOf(nE)))
+        val (mxF, skF, shF) = skew(escaled, kOf(nE))
+        println(f"""{"rehearsal":"ivf-knn-fixed-K-contrast","k":$k,"cells":${kOf(nE)},""" +
+          f""""scaled_vecs":$nEk,"scaled_edges":$gf,"scaled_sec":$sf%.2f,""" +
+          f""""time_ratio_vs_base":${sf / s1}%.2f,"per_copy":${sf / s1 / k}%.3f,""" +
+          f""""max_cell":$mxF,"skew":$skF%.2f,"max_pair_share":$shF%.3f}""")
       case "bpe" =>
         // warmup, then timed passes; also report the kernel's input size
         bpeApply(base).count()
