@@ -119,6 +119,32 @@ object ZarrIO {
     }
   }
 
+  /** Crash-recovery sweep: delete orphaned `.tmp-*` files under `root`.
+    * The tmp+atomic-rename protocol guarantees a VISIBLE chunk file is
+    * always complete (rename is the commit point) and re-runs converge
+    * (rename onto an existing chunk fails and the loser deletes its tmp),
+    * but an attempt that dies MID-WRITE leaves its uniquely-named tmp
+    * behind. Readers never see them (chunk names are bare coordinates;
+    * tmps are dot-files), so this sweep is hygiene, not correctness —
+    * run it before or after a re-run of a crashed job. Driver-side
+    * recursive listing: one RPC stream per store, no data reads.
+    * Returns the number of tmp files removed. */
+  def cleanupTmp(root: String, conf: Configuration): Long = {
+    val p = new Path(root)
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p)) return 0L
+    var n = 0L
+    val it = fs.listFiles(p, true)
+    while (it.hasNext) {
+      val st = it.next()
+      if (st.isFile && st.getPath.getName.startsWith(".tmp-")) {
+        fs.delete(st.getPath, false)
+        n += 1
+      }
+    }
+    n
+  }
+
   /** Write one level end-to-end (metadata assumed written separately).
     * The shuffle stride follows the volume's dtype — a u8 or f32 store
     * byte-shuffled at stride 2 compresses worse and diverges from the
