@@ -1,0 +1,77 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{Spark, Tables}
+
+/** sf1 rehearsal of the top-5 expensive queries (VERDICT r9 ask #8):
+  * d19/d2/d16/g1/c3 at 10x the bench SF, BOTH engines in one window.
+  * The 2x perf gate is measured at sf0.1 where the job floor dominates;
+  * this rehearsal shows the data-bound rows scale as censused.
+  *
+  * Data: a 10x scale-up of sf0.1 written once to `outDir` as parquet
+  * (the QueryScaleRehearsal disjoint-copy idiom — doc tokens suffixed
+  * per copy so shingles are disjoint, lineitem part/supp keys remapped
+  * into disjoint ranges so the co-supply graph is 10 disjoint copies,
+  * embeddings nudged per copy so the space stays clustered). The DuckDB
+  * arm runs the SAME oracle SQL over the SAME parquet via
+  * `scripts/sf1_duckdb.py`.
+  *
+  * usage: Test/runMain graft.tools.Sf1Rehearsal [sfDir] [outDir] [k]
+  */
+object Sf1Rehearsal {
+  val Queries = Seq("d19_prefix_join", "d2_ngram_jaccard", "d16_lsh_eval",
+    "g1_pagerank", "c3_cluster_metrics")
+
+  def generate(spark: SparkSession, sfDir: String, outDir: String, k: Int): Unit = {
+    val done = new java.io.File(s"$outDir/_DONE")
+    if (done.exists()) { println(s"[sf1] reusing $outDir"); return }
+    new java.io.File(outDir).mkdirs()
+    val docs = Tables.load(spark, sfDir, "documents")
+      .withColumn("cp", explode(expr(s"sequence(0, ${k - 1})")))
+      .select((col("doc_id") * k + col("cp")).as("doc_id"),
+        expr("regexp_replace(text, '(\\\\S+)', concat('$1#', CAST(cp AS STRING)))")
+          .as("text"),
+        col("lang"), col("source"))
+    docs.write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+    val li = Tables.load(spark, sfDir, "lineitem")
+      .select(col("l_partkey"), col("l_suppkey"))
+      .withColumn("cp", explode(expr(s"sequence(0, ${k - 1})")))
+      .select((col("l_partkey") * k + col("cp")).as("l_partkey"),
+        (col("l_suppkey") * k + col("cp")).as("l_suppkey"))
+    li.write.mode("overwrite").parquet(s"$outDir/lineitem.parquet")
+    val e = Tables.load(spark, sfDir, "embeddings")
+      .withColumn("cp", explode(expr(s"sequence(0, ${k - 1})")))
+      .select((col("vec_id") * k + col("cp")).as("vec_id"),
+        expr("transform(embedding, (x, i) -> x + CAST(cp AS FLOAT) * 0.001F * CAST(i % 7 AS FLOAT))")
+          .as("embedding"),
+        col("label"))
+    e.write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+    done.createNewFile()
+    println(s"[sf1] generated $outDir (k=$k)")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val outDir = if (args.length > 1) args(1) else "/tmp/graft-sf1"
+    val k = if (args.length > 2) args(2).toInt else 10
+    val runs = if (args.length > 3) args(3).toInt else 3
+    val spark = Spark.session(appName = "graft-sf1")
+    generate(spark, sfDir, outDir, k)
+    def timed(f: => Long): (Long, Double) = {
+      val t0 = System.nanoTime()
+      val n = f
+      (n, (System.nanoTime() - t0) / 1e9)
+    }
+    Queries.foreach { name =>
+      val fn = graft.SparkEntry.queries(name)
+      val (nw, tw) = timed(fn(spark, outDir).count()) // warmup (codegen, footers)
+      val ts = (1 to runs).map(_ => timed(fn(spark, outDir).count())._2)
+      println(f"""{"sf1":"$name","engine":"spark","rows":$nw,"warm_sec":$tw%.2f,""" +
+        f""""runs":[${ts.map(t => f"$t%.2f").mkString(",")}],""" +
+        f""""median":${ts.sorted.apply(ts.size / 2)}%.2f,"min":${ts.min}%.2f}""")
+    }
+    spark.stop()
+  }
+}
