@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// sbt's logger decorates forked-process stdout with "[info] " — which is
+// what defeated the driver's bench-contract parser five rounds running
+// (BENCH_r06..r10 "parsed": null): the contract line was valid JSON but
+// arrived as `[info] {...}`. StdoutOutput passes the forked JVM's stdout
+// through unprefixed so the line starts with '{'. Scoped to `run` (runMain
+// delegates to run's runner/forkOptions); `sbt test` output keeps its
+// framing for scripts/test_summary.py.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -142,7 +142,13 @@ object Bench {
       if (filtered) "bench_contract_filtered.json" else "bench_contract.json"
     try java.nio.file.Files.write(java.nio.file.Paths.get(contractName),
       contract.getBytes("UTF-8"))
-    catch { case _: Throwable => () }
+    catch { case e: Throwable =>
+      // the stdout line below is the only remaining channel if this write
+      // fails — say so loudly instead of failing both channels silently
+      System.err.println(s"[bench] WARNING: could not write $contractName " +
+        s"(${e.getClass.getSimpleName}: ${e.getMessage}); " +
+        "stdout contract line is the only channel for this run")
+    }
     // BACKUP channel: stdout — printed LAST, after the session is fully
     // stopped at ERROR level, so no executor/BlockManager shutdown chatter
     // can land in the captured tail after (or interleaved with) the line.

@@ -128,16 +128,27 @@ object ZarrIO {
     * tmps are dot-files), so this sweep is hygiene, not correctness —
     * run it before or after a re-run of a crashed job. Driver-side
     * recursive listing: one RPC stream per store, no data reads.
+    *
+    * CONCURRENCY HAZARD: the sweep cannot distinguish an orphan from a
+    * tmp a LIVE writer created moments ago — deleting one between its
+    * write and rename fails that single write attempt (the attempt's
+    * rename finds no source; a task retry re-converges, so the store is
+    * never corrupted, but the job sees a spurious failure). Never run
+    * the sweep concurrently with a write job against the same root; when
+    * the caller can't rule that out, pass `minAgeMs` (e.g. 10 minutes)
+    * so only tmps older than any plausible in-flight write are swept.
     * Returns the number of tmp files removed. */
-  def cleanupTmp(root: String, conf: Configuration): Long = {
+  def cleanupTmp(root: String, conf: Configuration, minAgeMs: Long = 0L): Long = {
     val p = new Path(root)
     val fs = p.getFileSystem(conf)
     if (!fs.exists(p)) return 0L
     var n = 0L
+    val cutoff = System.currentTimeMillis() - math.max(0L, minAgeMs)
     val it = fs.listFiles(p, true)
     while (it.hasNext) {
       val st = it.next()
-      if (st.isFile && st.getPath.getName.startsWith(".tmp-")) {
+      if (st.isFile && st.getPath.getName.startsWith(".tmp-") &&
+          st.getModificationTime <= cutoff) {
         fs.delete(st.getPath, false)
         n += 1
       }

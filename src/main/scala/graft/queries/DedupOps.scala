@@ -155,9 +155,13 @@ object DedupOps {
     // in-bucket pair explode stays the codegen'd id_pairs kernel and
     // unpacking is shift arithmetic. Pack bounds: doc_id < 2^21 and
     // pos, n < 2^21 (pos < n, so guarding doc_id and n covers all
-    // three) — ample for the bench corpora and GUARDED at runtime:
-    // an out-of-range corpus raises instead of silently corrupting
-    // candidate pairs. At >2M docs widen to a struct-array pair
+    // three) — ample for the bench corpora and GUARDED at runtime
+    // on BOTH ends: a doc_id above the bound OR below zero (negative
+    // ids would pack into the long silently and alias another doc's
+    // bits) raises instead of silently corrupting candidate pairs.
+    // n = size(collect_set(...)) is structurally >= 1, but the guard
+    // covers n < 0 too — it costs one more codegen'd comparison and
+    // keeps the packed domain closed. At >2M docs widen to a struct-array pair
     // explode (same shape, interpreted) or a DECIMAL pack, the c2
     // cell-id precedent. The guard is two codegen'd comparisons per
     // occurrence — noise next to the explode it feeds.
@@ -165,11 +169,13 @@ object DedupOps {
     val pref = packed
       .select(col("doc_id"), col("n"), posexplode(col("pf")).as(Seq("pos", "h")))
       .select(col("h"),
-        when(col("doc_id") > packMax || col("n") > packMax,
+        when(col("doc_id") > packMax || col("doc_id") < 0 ||
+             col("n") > packMax || col("n") < 0,
           expr("raise_error(concat('prefix-join pack overflow: doc_id and set " +
-            "size must be < 2^21 for the packed-long kernel; got doc_id=', " +
+            "size must be in [0, 2^21) for the packed-long kernel; got doc_id=', " +
             "doc_id, ', n=', n, '. Widen to the struct-array explode for " +
-            "corpora beyond 2M docs.'))").cast("long"))
+            "corpora beyond 2M docs; negative doc_ids are out of domain.'))")
+            .cast("long"))
           .otherwise(col("doc_id") * lit(1L << 42)
             + col("pos").cast("long") * lit(1L << 21) + col("n"))
           .as("pk"))

@@ -64,14 +64,23 @@ object Sf1Rehearsal {
       val n = f
       (n, (System.nanoTime() - t0) / 1e9)
     }
-    Queries.foreach { name =>
+    val rowCounts = Queries.map { name =>
       val fn = graft.SparkEntry.queries(name)
       val (nw, tw) = timed(fn(spark, outDir).count()) // warmup (codegen, footers)
       val ts = (1 to runs).map(_ => timed(fn(spark, outDir).count())._2)
       println(f"""{"sf1":"$name","engine":"spark","rows":$nw,"warm_sec":$tw%.2f,""" +
         f""""runs":[${ts.map(t => f"$t%.2f").mkString(",")}],""" +
         f""""median":${ts.sorted.apply(ts.size / 2)}%.2f,"min":${ts.min}%.2f}""")
+      name -> nw
     }
+    // Row counts as a side file so the DuckDB arm (scripts/sf1_duckdb.py)
+    // can ASSERT cross-engine row equality instead of leaving it to
+    // eyeballing two stdout streams (ADVICE r10).
+    val rowsJson = rowCounts
+      .map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$outDir/spark_rows.json"),
+      rowsJson.getBytes("UTF-8"))
     spark.stop()
   }
 }
