@@ -23,6 +23,16 @@ object Spark {
       // Generated classes are tiny; 10k entries is still a bounded cache.
       .config("spark.sql.codegen.cache.maxEntries", "10000")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // Broadcast ceiling (ADVICE r10, t21): several queries broadcast a
+      // MODEL relation whose size is data-derived (t21/t11's bigram-type
+      // LM, IVF codebooks, bloom filters). All are bounded by design at
+      // the bench SFs, but a pathological corpus (V^2 bigram types) could
+      // outgrow the driver long before Spark's default 8 GiB hard stop —
+      // an OOM with no actionable message. 2 GiB turns that into a LOUD
+      // SparkException naming this conf at a size the 8 GiB default
+      // driver heap still survives; the per-query remediation (the
+      // documented shuffle-join lever) lives at each broadcast site.
+      .config("spark.sql.maxBroadcastTableSize", "2g")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       // events.parquet carries TIMESTAMP(NANOS); Spark 4 only reads those

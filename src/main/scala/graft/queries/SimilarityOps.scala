@@ -271,7 +271,6 @@ object SimilarityOps {
 
     // --- IVF coarse quantizer: nearest-centroid assignment counts ---
     "v2_ivf_assign" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
       val e = emb(s, dir)
       // cell centroids: mean per (label, dim) — posexplode + hash agg
       val cent = centroids(e)
@@ -282,9 +281,21 @@ object SimilarityOps {
             sqrt(graft.functions.vector_dot(col("centroid"), col("centroid"))))))
         .select(col("vec_id"), col("label"), col("cell"),
           (dot("embedding", "centroid") / (col("nrm") * col("cn"))).as("cos_raw"))
-      val w = Window.partitionBy(col("vec_id")).orderBy(round(col("cos_raw"), 6).desc, col("cell"))
-      scored.withColumn("rk", row_number().over(w))
-        .filter(col("rk") === 1)
+      // nearest cell = max-struct ARGMAX by (round-6 cos desc, cell asc)
+      // — v17's idiom, identical rows to the previous rk=1 window: the
+      // broadcast join emits each vector's K cell rows contiguously, so
+      // the partial aggregate collapses n x K -> n map-side and the
+      // exchange moves one row per vector instead of sorting n x K rows
+      // under a per-vector window. Round-11 A/B (PERF_NOTES): TIES the
+      // window shape at 10x data and costs ~0.09 s of extra-stage floor
+      // at sf0.1 — kept anyway because the floor is what shrinks at real
+      // scale while the window's per-vector sort + K x shuffle traffic
+      // is what grows (hashes unchanged, gate-verified).
+      scored
+        .groupBy(col("vec_id"), col("label"))
+        .agg(max(struct(round(col("cos_raw"), 6).as("c6"),
+          (-col("cell")).as("negCell"))).as("m"))
+        .select(col("label"), (-col("m.negCell")).cast("int").as("cell"))
         .groupBy(col("label"), col("cell"))
         .agg(count(lit(1)).as("n"))
         .orderBy(col("label"), col("cell"))

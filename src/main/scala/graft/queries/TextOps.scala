@@ -593,7 +593,16 @@ object TextOps {
       // MODEL (type relation, the bounded side at corpus scale; V^2
       // worst-case is Zipf-truncated in practice — if the model outgrows
       // broadcast, the lever is a plain shuffle join on (w1, w2), not a
-      // dw re-cluster). Scoring applies the per-TYPE surprisal to the
+      // dw re-cluster). The risk is ENFORCED, not just documented
+      // (ADVICE r10): Spark.session pins spark.sql.maxBroadcastTableSize
+      // to 2 GiB, so an outgrown model raises a SparkException naming
+      // the conf instead of OOMing the driver; the AQE-adaptive variant
+      // (no hint, runtime-stat conversion) was measured and rejected —
+      // it must shuffle-write the doc x type probe side before the
+      // runtime stats exist (same-window 10-pass pair: ~0.93 s forced
+      // vs ~1.02 s adaptive at sf0.1) to buy a fallback this cap
+      // already provides loudly.
+      // Scoring applies the per-TYPE surprisal to the
       // per-doc counts (sum k*s6 == adding s6 per occurrence — integer
       // math, bit-identical), so no corpus-scale row stream ever reaches
       // the join; the per-doc rollup's partial agg compresses to <=

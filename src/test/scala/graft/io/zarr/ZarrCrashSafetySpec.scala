@@ -95,7 +95,14 @@ class ZarrCrashSafetySpec extends AnyFunSuite {
     }
 
     // 4. recovery: sweep orphans, re-run the WHOLE job (the production
-    //    retry — no bookkeeping of what committed)
+    //    retry — no bookkeeping of what committed).
+    //    Age threshold first: with minAgeMs = 1h every tmp here is
+    //    "too fresh" (possibly a live writer's) and must survive — the
+    //    guard a caller uses when it can't rule out a concurrent job.
+    val sweptNone = ZarrIO.cleanupTmp(dir,
+      spark.sparkContext.hadoopConfiguration, minAgeMs = 3600000L)
+    assert(sweptNone == 0L, "age-gated sweep deleted a fresh tmp")
+    assert(tmps(dir).nonEmpty)
     val swept = ZarrIO.cleanupTmp(dir, spark.sparkContext.hadoopConfiguration)
     assert(swept >= 1, "planted tmp was not swept")
     assert(tmps(dir).isEmpty)
