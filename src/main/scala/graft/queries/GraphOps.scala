@@ -288,8 +288,22 @@ object GraphOps {
       var dist = li.select(col("p")).distinct().filter(col("p") < 3)
         .select(col("p").as("node"), lit(0L).as("dist"))
         .localCheckpoint(true)
+      // Each round BROADCASTS the node-grained dist relation into the
+      // relaxation join: the checkpointed-RDD leaf carries no stats, so
+      // the unhinted plan sort-merge-joined — re-exchanging (and
+      // re-sorting) the million-row edge list EVERY round for a probe
+      // against a few-thousand-row visited set (round-11 pair: ~1.9 ->
+      // ~1.1 s tail at sf0.1). With the hint each round is one edge-list
+      // scan + a map-side-combined node-grain aggregate — the c1
+      // discipline (model broadcasts, corpus never shuffles). The
+      // broadcast side is bounded by the 4-hop ball of the sources; if
+      // that outgrows the session's 2 GiB broadcast ceiling the failure
+      // is loud and the lever is dropping the hint back to the shuffle
+      // join. The per-round checkpoint stays: dist has TWO consumers
+      // per round (union + join), the g7 fan-out that defeats exchange
+      // canonicalization.
       for (_ <- 1 to 4) {
-        val relaxed = bi.join(dist, col("d1") === col("node"))
+        val relaxed = bi.join(broadcast(dist), col("d1") === col("node"))
           .select(col("d2").as("node"), (col("dist") + 1L).as("dist"))
         dist = dist.union(relaxed)
           .groupBy(col("node")).agg(min(col("dist")).as("dist"))
@@ -362,8 +376,13 @@ object GraphOps {
       var dist = bi.select(col("d1")).distinct().filter(col("d1") < 20)
         .select(col("d1").as("src"), col("d1").as("node"), lit(0L).as("dist"))
         .localCheckpoint(true)
+      // g4's round shape: broadcast the (src, node)-grained dist into
+      // the relaxation join (bounded by 20 sources x the 3-hop ball) so
+      // the edge list never re-exchanges per round; checkpoint stays for
+      // the union+join double consumption. Same loud 2 GiB ceiling and
+      // shuffle-join lever as g4.
       for (_ <- 1 to 3) {
-        val relaxed = bi.join(dist, col("d1") === col("node"))
+        val relaxed = bi.join(broadcast(dist), col("d1") === col("node"))
           .select(col("src"), col("d2").as("node"), (col("dist") + 1L).as("dist"))
         dist = dist.union(relaxed)
           .groupBy(col("src"), col("node")).agg(min(col("dist")).as("dist"))
