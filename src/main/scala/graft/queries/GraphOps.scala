@@ -50,8 +50,16 @@ object GraphOps {
     * checkpointed), shared by g4/g5/g6 so the graph definition cannot
     * drift between them. `cap` bounds the part-id range (the d7-style
     * density lever); None takes the whole graph. */
+  /** `dedupPairs = false` skips the final (d1, d2) distinct — ONLY for
+    * consumers whose aggregate is idempotent under duplicate edges (g4's
+    * min-dist): it removes the pair relation's exchange + hash dedup, the
+    * single largest shuffle in those queries. Vote/moment consumers
+    * (g5, g6) MUST keep the dedup. In this corpus two parts rarely share
+    * more than one order so the raw stream is ~the distinct size; at high
+    * co-occurrence multiplicity the lever reverses — re-enable dedup so
+    * the checkpoint and every round's scan stay distinct-sized. */
   private def coPurchaseEdges(s: SparkSession, dir: String,
-      cap: Option[Long]): DataFrame = {
+      cap: Option[Long], dedupPairs: Boolean = true): DataFrame = {
     val base = t(s, dir, "lineitem")
     // ONE corpus-scale exchange builds the whole graph: repartition by
     // order id up front, and the (o, p) dedup (clustered-distribution
@@ -65,11 +73,10 @@ object GraphOps {
       .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
       .repartition(col("o"))
       .distinct()
-    li.as("a").join(li.as("b"),
+    val pairs = li.as("a").join(li.as("b"),
         col("a.o") === col("b.o") && col("a.p") < col("b.p"))
       .select(col("a.p").as("d1"), col("b.p").as("d2"))
-      .distinct()
-      .localCheckpoint(true)
+    (if (dedupPairs) pairs.distinct() else pairs).localCheckpoint(true)
   }
 
   /** Per-node triangle participation over a canonical (p1 < p2) edge
@@ -280,7 +287,10 @@ object GraphOps {
       val li = t(s, dir, "lineitem")
         .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
         .distinct()
-      val edges = coPurchaseEdges(s, dir, cap = None)
+      // dedupPairs = false: min-dist is idempotent under duplicate
+      // edges, so the pair distinct's exchange (the query's largest
+      // shuffle) buys nothing here — see coPurchaseEdges scaladoc
+      val edges = coPurchaseEdges(s, dir, cap = None, dedupPairs = false)
       val bi = edges.union(
         edges.select(col("d2").as("d1"), col("d1").as("d2")))
       // sources come from li (all parts in lineitem), not from edges:
