@@ -151,8 +151,18 @@ object GraphOps {
     // this scale; at 1e9 nodes it degrades to a partitioned join).
     var rank = nd.select(col("node"), col("deg"), lit(Scale).as("r"))
     for (_ <- 1 to 5) {
+      // BROADCAST the node-grained rank relation (round 11, the g4/g8
+      // fix): rank is a stats-less checkpointed leaf after round 1, so
+      // the unhinted join planned SMJ and AQE's broadcast conversion
+      // could only fire AFTER the edge side's shuffle-write — 5 rounds
+      // of exchanging the full bidirectional edge list to probe a
+      // node-sized table. With the hint each round is one edge-list
+      // scan + a map-side-combined dst aggregate. At 1e9 nodes the
+      // rank relation outgrows the session's loud 2 GiB broadcast
+      // ceiling and the lever is dropping the hint back to the
+      // partitioned join.
       val contrib = bi
-        .join(rank, col("d1") === col("node"))
+        .join(broadcast(rank), col("d1") === col("node"))
         .select(col("d2").as("dst"), expr("r div deg").as("c"))
         .groupBy(col("dst")).agg(sum(col("c")).as("s"))
       // LAZY checkpoint per round: the next round (and the final job)
@@ -187,6 +197,9 @@ object GraphOps {
       val ps = t(s, dir, "lineitem")
         .select(col("l_partkey").as("p"), col("l_suppkey").as("sk"))
         .distinct()
+      // (round 11: a d19-style packed-long dedup of the raw pair stream
+      // was A/B'd and dropped — ~3.75 vs ~3.8 s, within noise: the pair
+      // JOIN generation dominates this stage, not the distinct's hash)
       val edges = ps.as("a").join(ps.as("b"),
           col("a.p") === col("b.p") && col("a.sk") < col("b.sk"))
         .select(col("a.sk").as("d1"), col("b.sk").as("d2"))
