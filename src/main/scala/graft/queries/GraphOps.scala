@@ -536,8 +536,15 @@ object GraphOps {
           .localCheckpoint(true)
         bi = e.union(e.select(col("d2").as("d1"), col("d1").as("d2")))
         deg = bi.groupBy(col("d1")).agg(count(lit(1)).as("deg"))
+        // coalesce: a round that peels the graph EMPTY has sum(deg) =
+        // NULL, but "no surviving edges" is 0, which is what the oracle's
+        // count(*)//2 yields — found by the round-11 full sf0.1
+        // cross-check (the sf0.01 gate never empties this graph).
+        // `div 2` instead of `/2`+cast: sum(deg) is even by construction
+        // (each edge counted from both ends), and integer division stays
+        // exact past the 2^53 double envelope at real edge counts.
         deg.agg(count(lit(1)).cast("long").as("n_nodes"),
-            (sum(col("deg")) / 2).cast("long").as("n_edges"))
+            expr("coalesce(sum(deg), CAST(0 AS BIGINT)) div 2").as("n_edges"))
           .select(lit(r).as("round"), col("n_nodes"), col("n_edges"))
       }
       rounds.reduce(_ union _).orderBy(col("round"))

@@ -154,6 +154,26 @@ class GraphKernelPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("g7 peel that EMPTIES the graph reports 0 nodes / 0 edges, never null") {
+    // the complement of the surviving-core test above (which asserts the
+    // core lives): a sparse graph where round 1 peels EVERYTHING. The
+    // round-11 full sf0.1 cross-check caught the gate query emitting
+    // NULL n_edges here (sum over an empty degree relation) where the
+    // oracle's count(*)//2 says 0 — this pins the fixed contract.
+    for (seed <- Seq(63L, 64L)) {
+      val edges = randomGraph(seed) // max degree ~8, far below k = 80
+      val dir = asLineitemDir(edges)
+      val rows = SparkEntry.queries("g7_kcore")(spark, dir).collect()
+      assert(rows.length == 4)
+      rows.foreach { r =>
+        assert(!r.isNullAt(1) && !r.isNullAt(2),
+          s"round ${r.getInt(0)}: null in empty-peel audit row")
+        assert(r.getLong(1) == 0L && r.getLong(2) == 0L,
+          s"round ${r.getInt(0)}: expected (0, 0) after the graph emptied")
+      }
+    }
+  }
+
   test("g8 sampled harmonic centrality equals a direct 3-round BFS") {
     for (seed <- Seq(71L, 72L)) {
       val edges = randomGraph(seed)
