@@ -43,7 +43,16 @@ object ZeissJob {
 
   final case class JobResponse(statusCode: Int, message: String)
 
+  // CLI-friendly lenience (round 11): `sbt "runMain ... {\"k\":\"v\"}"`
+  // never reaches the JVM intact — sbt's command tokenizer strips the
+  // escaped double quotes, so the documented inline form had been
+  // un-runnable from an sbt shell. Single quotes DO survive both bash
+  // and sbt, so the parser accepts {'k':'v'} (and unquoted field names)
+  // in addition to strict JSON; @file and the env fallback stay the
+  // robust paths for production settings.
   private val M = new ObjectMapper()
+  M.configure(com.fasterxml.jackson.core.JsonParser.Feature.ALLOW_SINGLE_QUOTES, true)
+  M.configure(com.fasterxml.jackson.core.JsonParser.Feature.ALLOW_UNQUOTED_FIELD_NAMES, true)
 
   /** Parse settings from JSON (the `--job-settings` CLI contract,
     * `zeiss_job.py:230-245`). */

@@ -48,6 +48,32 @@ class CziSpec extends AnyFunSuite {
     assert(e.getMessage.contains("TRANSFORMATION_JOB_OUTPUT_DIRECTORY"))
   }
 
+  test("inline settings parse strict JSON and the sbt-surviving single-quote form") {
+    // `sbt "runMain ... {\"k\":\"v\"}"` never reaches the JVM intact —
+    // sbt's command tokenizer strips escaped double quotes (found by
+    // running the README recipe end-to-end in round 11). Single quotes
+    // survive both bash and sbt, so the parser accepts them too.
+    val strict = ZeissJob.parseSettings(
+      """{"input_source":"/a","output_directory":"/b","chunk_size":[32,32,32]}""")
+    val single = ZeissJob.parseSettings(
+      "{'input_source':'/a','output_directory':'/b','chunk_size':[32,32,32]}")
+    // field-wise (Settings carries Array fields, whose == is by reference)
+    assert(strict.inputSource == single.inputSource &&
+      strict.outputDirectory == single.outputDirectory &&
+      strict.chunkSize.toSeq == single.chunkSize.toSeq &&
+      strict.scaleFactor.toSeq == single.scaleFactor.toSeq &&
+      strict.downsampleLevels == single.downsampleLevels &&
+      strict.compressorLevel == single.compressorLevel &&
+      strict.targetSizeMb == single.targetSizeMb &&
+      strict.maxConcurrentStacks == single.maxConcurrentStacks &&
+      strict.s3Location == single.s3Location)
+    assert(single.inputSource == "/a" && single.outputDirectory == "/b")
+    assert(single.chunkSize.toSeq == Seq(32, 32, 32))
+    // unquoted field names (another common shell-mangling survivor)
+    val unq = ZeissJob.parseSettings("{input_source:'/a',output_directory:'/b'}")
+    assert(unq.inputSource == "/a" && unq.outputDirectory == "/b")
+  }
+
   test("CZI index parse: shape, pixel type, entries") {
     val dir = Files.createTempDirectory("czi").toString
     val path = s"$dir/t.czi"
