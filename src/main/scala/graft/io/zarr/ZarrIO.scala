@@ -137,7 +137,17 @@ object ZarrIO {
     * the sweep concurrently with a write job against the same root; when
     * the caller can't rule that out, pass `minAgeMs` (e.g. 10 minutes)
     * so only tmps older than any plausible in-flight write are swept.
-    * Returns the number of tmp files removed. */
+    *
+    * CLOCK-SKEW ASSUMPTION: the age gate compares the DRIVER's
+    * `System.currentTimeMillis()` against STORE modification times. On an
+    * object store whose clock runs ahead of the driver, a fresh tmp's
+    * mtime sits in the driver's future and the effective safety margin
+    * shrinks by the skew (a behind-store clock only makes the sweep more
+    * conservative). Size `minAgeMs` to dwarf plausible skew — the
+    * 10-minute example above covers the single-digit-second skew of any
+    * NTP-disciplined fleet with orders of magnitude to spare; do not pass
+    * sub-minute values against a remote store. Returns the number of tmp
+    * files removed. */
   def cleanupTmp(root: String, conf: Configuration, minAgeMs: Long = 0L): Long = {
     val p = new Path(root)
     val fs = p.getFileSystem(conf)

@@ -43,21 +43,33 @@ object ZeissJob {
 
   final case class JobResponse(statusCode: Int, message: String)
 
-  // CLI-friendly lenience (round 11): `sbt "runMain ... {\"k\":\"v\"}"`
+  // Strict JSON mapper — the default for every settings source except the
+  // inline CLI arg. @file and the env fallback keep the reference's strict
+  // pydantic-style contract (a malformed production settings file fails
+  // loudly instead of being silently "repaired").
+  private val M = new ObjectMapper()
+
+  // Inline-CLI-only lenience (round 11): `sbt "runMain ... {\"k\":\"v\"}"`
   // never reaches the JVM intact — sbt's command tokenizer strips the
   // escaped double quotes, so the documented inline form had been
   // un-runnable from an sbt shell. Single quotes DO survive both bash
-  // and sbt, so the parser accepts {'k':'v'} (and unquoted field names)
-  // in addition to strict JSON; @file and the env fallback stay the
-  // robust paths for production settings.
-  private val M = new ObjectMapper()
-  M.configure(com.fasterxml.jackson.core.JsonParser.Feature.ALLOW_SINGLE_QUOTES, true)
-  M.configure(com.fasterxml.jackson.core.JsonParser.Feature.ALLOW_UNQUOTED_FIELD_NAMES, true)
+  // and sbt, so the INLINE parser accepts {'k':'v'} (and unquoted field
+  // names) in addition to strict JSON. Scoped to a second mapper so the
+  // lenience cannot leak into @file/env parsing (round-11 ADVICE).
+  private val MInline = new ObjectMapper()
+  MInline.configure(com.fasterxml.jackson.core.JsonParser.Feature.ALLOW_SINGLE_QUOTES, true)
+  MInline.configure(com.fasterxml.jackson.core.JsonParser.Feature.ALLOW_UNQUOTED_FIELD_NAMES, true)
 
-  /** Parse settings from JSON (the `--job-settings` CLI contract,
-    * `zeiss_job.py:230-245`). */
-  def parseSettings(json: String): Settings = {
-    val n = M.readTree(json)
+  /** Parse settings from strict JSON (the `--job-settings` CLI contract,
+    * `zeiss_job.py:230-245`) — used by the @file and env paths. */
+  def parseSettings(json: String): Settings = parseWith(M, json)
+
+  /** Inline-CLI variant: additionally accepts single-quoted strings and
+    * unquoted field names (shell/sbt-tokenizer survivors). */
+  def parseSettingsInline(json: String): Settings = parseWith(MInline, json)
+
+  private def parseWith(mapper: ObjectMapper, json: String): Settings = {
+    val n = mapper.readTree(json)
     def arr3(node: JsonNode, default: Array[Int]): Array[Int] =
       if (node == null) default
       else { val it = node.elements(); Array(it.next().asInt, it.next().asInt, it.next().asInt) }
@@ -254,7 +266,7 @@ object ZeissJob {
       else if (args(0).startsWith("@"))
         parseSettings(new String(
           Files.readAllBytes(Paths.get(args(0).drop(1))), "UTF-8"))
-      else parseSettings(args.mkString(" "))
+      else parseSettingsInline(args.mkString(" "))
     val spark = graft.Spark.session(appName = "graft-zeiss-job")
     val resp = run(spark, settings)
     println(s"""{"status_code":${resp.statusCode},"message":"${resp.message}"}""")

@@ -46,18 +46,21 @@ object GraphOps {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
-  /** Canonical part co-purchase edge list (d1 < d2, distinct, eagerly
+  /** Canonical part co-purchase edge list (d1 < d2, eagerly
     * checkpointed), shared by g4/g5/g6 so the graph definition cannot
     * drift between them. `cap` bounds the part-id range (the d7-style
-    * density lever); None takes the whole graph. */
-  /** `dedupPairs = false` skips the final (d1, d2) distinct — ONLY for
-    * consumers whose aggregate is idempotent under duplicate edges (g4's
-    * min-dist): it removes the pair relation's exchange + hash dedup, the
-    * single largest shuffle in those queries. Vote/moment consumers
-    * (g5, g6) MUST keep the dedup. In this corpus two parts rarely share
-    * more than one order so the raw stream is ~the distinct size; at high
-    * co-occurrence multiplicity the lever reverses — re-enable dedup so
-    * the checkpoint and every round's scan stay distinct-sized. */
+    * density lever); None takes the whole graph.
+    *
+    * The edge list is distinct ONLY when `dedupPairs = true` (the
+    * default). `dedupPairs = false` skips the final (d1, d2) distinct —
+    * ONLY for consumers whose aggregate is idempotent under duplicate
+    * edges (g4's min-dist): it removes the pair relation's exchange +
+    * hash dedup, the single largest shuffle in those queries. Vote/
+    * moment consumers (g5, g6) MUST keep the dedup. In this corpus two
+    * parts rarely share more than one order so the raw stream is ~the
+    * distinct size; at high co-occurrence multiplicity the lever
+    * reverses — re-enable dedup so the checkpoint and every round's
+    * scan stay distinct-sized. */
   private def coPurchaseEdges(s: SparkSession, dir: String,
       cap: Option[Long], dedupPairs: Boolean = true): DataFrame = {
     val base = t(s, dir, "lineitem")

@@ -55,7 +55,7 @@ class CziSpec extends AnyFunSuite {
     // survive both bash and sbt, so the parser accepts them too.
     val strict = ZeissJob.parseSettings(
       """{"input_source":"/a","output_directory":"/b","chunk_size":[32,32,32]}""")
-    val single = ZeissJob.parseSettings(
+    val single = ZeissJob.parseSettingsInline(
       "{'input_source':'/a','output_directory':'/b','chunk_size':[32,32,32]}")
     // field-wise (Settings carries Array fields, whose == is by reference)
     assert(strict.inputSource == single.inputSource &&
@@ -70,8 +70,13 @@ class CziSpec extends AnyFunSuite {
     assert(single.inputSource == "/a" && single.outputDirectory == "/b")
     assert(single.chunkSize.toSeq == Seq(32, 32, 32))
     // unquoted field names (another common shell-mangling survivor)
-    val unq = ZeissJob.parseSettings("{input_source:'/a',output_directory:'/b'}")
+    val unq = ZeissJob.parseSettingsInline("{input_source:'/a',output_directory:'/b'}")
     assert(unq.inputSource == "/a" && unq.outputDirectory == "/b")
+    // the lenience is scoped to the inline path: the strict parser (the
+    // @file/env contract) must REJECT the single-quote form (r11 ADVICE)
+    intercept[com.fasterxml.jackson.core.JsonProcessingException] {
+      ZeissJob.parseSettings("{'input_source':'/a','output_directory':'/b'}")
+    }
   }
 
   test("CZI index parse: shape, pixel type, entries") {
