@@ -1,0 +1,390 @@
+package graft.io.s3
+
+import java.io.{ByteArrayOutputStream, FileNotFoundException, IOException, InputStream, OutputStream}
+import java.net.{HttpURLConnection, URI, URL, URLEncoder}
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs._
+import org.apache.hadoop.fs.permission.FsPermission
+import org.apache.hadoop.util.Progressable
+
+/** A minimal Hadoop [[FileSystem]] speaking the public Amazon S3 REST
+  * dialect (path-style addressing, `list-type=2` pagination, server-side
+  * `x-amz-copy-source` copy) over plain `java.net` — scheme `s3r://`.
+  *
+  * Why this exists: the engine's object-store contract (SURVEY §2 K6;
+  * the reference shells out to `aws s3 sync`, `utils.py:142-205`) had
+  * only ever been proven against a local-disk mock scheme, because the
+  * build sandbox ships no `hadoop-aws` jar and no network egress. This
+  * class removes both excuses: it is self-contained (zero new
+  * dependencies) and is exercised end-to-end in `S3RestFsSpec` against a
+  * live in-sandbox S3-protocol server (moto), covering every operation
+  * the Zarr sink + DSv2 re-scan issue: `create`/`open`/`rename`/
+  * `delete`/`listStatus`/`getFileStatus`/`mkdirs`, with real HTTP on
+  * every call.
+  *
+  * Configuration (session Hadoop conf, i.e. `spark.hadoop.*`):
+  *   - `fs.s3r.impl` = this class (registration);
+  *   - `fs.s3r.endpoint` = `http://host:port` of the S3-compatible
+  *     endpoint (required);
+  *   - `fs.s3r.access.key` = access-key id embedded in a static V4-shaped
+  *     `Authorization` header (default `graft`). The header is
+  *     syntactically SigV4 but carries no real signature: this targets
+  *     S3-COMPATIBLE endpoints that do not verify signatures (moto, test
+  *     MinIO). Real AWS needs the full SigV4 canonical-request HMAC chain
+  *     — out of scope here and called out in README Known limits.
+  *   - `fs.s3r.list.max.keys` = page size for `list-type=2` (default
+  *     1000; tests lower it to force continuation-token pagination).
+  *
+  * Semantics vs HDFS (same contract `s3a` documents):
+  *   - a single-object PUT is atomic and complete-on-visibility — readers
+  *     never observe a partial object, which is the property the Zarr
+  *     chunk protocol actually relies on;
+  *   - `rename` is COPY + DELETE, NOT atomic, and the fail-if-destination-
+  *     exists check is a separate HEAD (TOCTOU window): under true
+  *     concurrent commit of the same chunk the winner is the LAST writer,
+  *     not the first as on HDFS. Both writers wrote identical bytes in
+  *     the Zarr sink's retry protocol, so the store stays correct either
+  *     way (`ZarrIO.writeChunks`);
+  *   - directories are virtual: `mkdirs` writes a zero-byte `key/` marker
+  *     (s3a convention), list results merge markers + common prefixes;
+  *   - `append`/`truncate` are unsupported (as on all S3 stores).
+  *
+  * Scale notes (100 TB honesty): uploads buffer one object in memory and
+  * issue a single PUT — correct for Zarr chunks (bounded by chunk-grid
+  * geometry, single-digit MB) but the documented lever for >5 GB objects
+  * is S3 multipart upload, not implemented here; recursive delete issues
+  * one DELETE per key where production would batch 1000 per `POST
+  * ?delete`. Listing paginates properly, so a million-chunk store walks
+  * in `O(n / maxKeys)` round trips with no driver memory blowup.
+  */
+class S3RestFileSystem extends FileSystem {
+
+  private var fsUri: URI = _
+  private var bucket: String = _
+  private var endpoint: String = _
+  private var authHeader: String = _
+  private var listMaxKeys: Int = 1000
+  private var workDir: Path = _
+
+  override def getScheme: String = "s3r"
+
+  override def initialize(name: URI, conf: Configuration): Unit = {
+    super.initialize(name, conf)
+    setConf(conf)
+    fsUri = URI.create(s"${name.getScheme}://${name.getAuthority}")
+    bucket = name.getAuthority
+    require(bucket != null && bucket.nonEmpty, "s3r URI needs a bucket authority: s3r://bucket/key")
+    endpoint = conf.getTrimmed("fs.s3r.endpoint")
+    require(endpoint != null && endpoint.nonEmpty,
+      "fs.s3r.endpoint is required (e.g. http://127.0.0.1:5000) — set it in the " +
+      "session Hadoop conf (spark.hadoop.fs.s3r.endpoint)")
+    endpoint = endpoint.stripSuffix("/")
+    val ak = conf.getTrimmed("fs.s3r.access.key", "graft")
+    // V4-shaped static header: compatible endpoints parse the key id out of
+    // Credential= and skip signature verification (see class doc)
+    authHeader = s"AWS4-HMAC-SHA256 Credential=$ak/20260101/us-east-1/s3/aws4_request, " +
+      "SignedHeaders=host, Signature=0000"
+    listMaxKeys = math.max(1, conf.getInt("fs.s3r.list.max.keys", 1000))
+    workDir = new Path(fsUri.toString + "/")
+  }
+
+  override def getUri: URI = fsUri
+  override def getWorkingDirectory: Path = workDir
+  override def setWorkingDirectory(dir: Path): Unit = workDir = makeQualified(dir)
+
+  // ---- key <-> path ----------------------------------------------------
+
+  /** Object key for a path: qualified, bucket-relative, no leading '/'. */
+  private def keyOf(f: Path): String = {
+    val p = makeQualified(f)
+    p.toUri.getPath.stripPrefix("/")
+  }
+
+  private def pathOf(key: String): Path =
+    new Path(fsUri.toString + "/" + key)
+
+  /** Percent-encode a key, preserving '/' separators (S3 URL rules). */
+  private def encodeKey(key: String): String =
+    key.split("/", -1).map(s => URLEncoder.encode(s, "UTF-8").replace("+", "%20")).mkString("/")
+
+  // ---- HTTP ------------------------------------------------------------
+
+  private final case class HttpResp(code: Int, body: Array[Byte],
+                                    contentLength: Long, lastModified: Long)
+
+  private def connect(method: String, pathAndQuery: String,
+                      headers: Seq[(String, String)]): HttpURLConnection = {
+    val c = new URL(s"$endpoint/$pathAndQuery").openConnection().asInstanceOf[HttpURLConnection]
+    c.setRequestMethod(method)
+    c.setConnectTimeout(10000)
+    c.setReadTimeout(60000)
+    c.setRequestProperty("Authorization", authHeader)
+    headers.foreach { case (k, v) => c.setRequestProperty(k, v) }
+    c
+  }
+
+  private def readAll(in: InputStream): Array[Byte] = {
+    if (in == null) return Array.emptyByteArray
+    val bos = new ByteArrayOutputStream()
+    val buf = new Array[Byte](65536)
+    var n = in.read(buf)
+    while (n >= 0) { bos.write(buf, 0, n); n = in.read(buf) }
+    in.close()
+    bos.toByteArray
+  }
+
+  private def http(method: String, pathAndQuery: String,
+                   body: Array[Byte] = null,
+                   headers: Seq[(String, String)] = Nil): HttpResp = {
+    val c = connect(method, pathAndQuery, headers)
+    try {
+      if (body != null) {
+        // explicit octet-stream: form-encoded defaults make WSGI servers
+        // swallow the body into request.form and store a 0-byte object
+        c.setRequestProperty("Content-Type", "application/octet-stream")
+        c.setDoOutput(true)
+        c.setFixedLengthStreamingMode(body.length.toLong)
+        val os = c.getOutputStream
+        try os.write(body) finally os.close()
+      }
+      val code = c.getResponseCode
+      val bytes = readAll(if (code >= 400) c.getErrorStream else c.getInputStream)
+      HttpResp(code, bytes, c.getContentLengthLong, c.getLastModified)
+    } finally c.disconnect()
+  }
+
+  private def fail(op: String, what: String, r: HttpResp): Nothing =
+    throw new IOException(
+      s"s3r $op $what -> HTTP ${r.code}: ${new String(r.body.take(300), "UTF-8")}")
+
+  // ---- status / list ---------------------------------------------------
+
+  private def fileStatus(key: String, len: Long, mtime: Long, isDir: Boolean): FileStatus =
+    new FileStatus(len, isDir, 1, 32L * 1024 * 1024, mtime,
+      makeQualified(pathOf(if (isDir) key.stripSuffix("/") else key)))
+
+  override def getFileStatus(f: Path): FileStatus = {
+    val key = keyOf(f)
+    if (key.isEmpty) return fileStatus("", 0, 0, isDir = true) // bucket root
+    val h = http("HEAD", s"$bucket/${encodeKey(key)}")
+    if (h.code == 200)
+      return fileStatus(key, math.max(0L, h.contentLength), h.lastModified, isDir = false)
+    // a directory: marker object `key/`, or any object under the prefix
+    val m = http("HEAD", s"$bucket/${encodeKey(key)}/")
+    if (m.code == 200) return fileStatus(key, 0, m.lastModified, isDir = true)
+    val (entries, _, _) = listPage(key + "/", delimiter = None, maxKeys = 1, token = None)
+    if (entries.nonEmpty) return fileStatus(key, 0, 0, isDir = true)
+    throw new FileNotFoundException(s"s3r://$bucket/$key")
+  }
+
+  /** One `list-type=2` page: (contents (key, size, mtime), commonPrefixes,
+    * nextContinuationToken). */
+  private def listPage(prefix: String, delimiter: Option[String], maxKeys: Int,
+                       token: Option[String]): (Seq[(String, Long, Long)], Seq[String], Option[String]) = {
+    def q(s: String) = URLEncoder.encode(s, "UTF-8")
+    val query = new StringBuilder(s"$bucket?list-type=2&max-keys=$maxKeys&prefix=${q(prefix)}")
+    delimiter.foreach(d => query ++= s"&delimiter=${q(d)}")
+    token.foreach(t => query ++= s"&continuation-token=${q(t)}")
+    val r = http("GET", query.toString)
+    if (r.code != 200) fail("LIST", s"prefix=$prefix", r)
+    val xml = scala.xml.XML.loadString(new String(r.body, "UTF-8"))
+    val contents = (xml \ "Contents").map { c =>
+      val mtime =
+        try java.time.OffsetDateTime.parse((c \ "LastModified").text).toInstant.toEpochMilli
+        catch { case _: Throwable => 0L }
+      ((c \ "Key").text, (c \ "Size").text.toLong, mtime)
+    }
+    val prefixes = (xml \ "CommonPrefixes" \ "Prefix").map(_.text)
+    val next =
+      if ((xml \ "IsTruncated").text == "true") Some((xml \ "NextContinuationToken").text).filter(_.nonEmpty)
+      else None
+    (contents, prefixes, next)
+  }
+
+  /** All pages under a prefix (no delimiter): every object key below it. */
+  private def listAll(prefix: String): Seq[(String, Long, Long)] = {
+    val out = Seq.newBuilder[(String, Long, Long)]
+    var token: Option[String] = None
+    var more = true
+    while (more) {
+      val (c, _, next) = listPage(prefix, None, listMaxKeys, token)
+      out ++= c
+      token = next
+      more = next.isDefined
+    }
+    out.result()
+  }
+
+  override def listStatus(f: Path): Array[FileStatus] = {
+    val st = getFileStatus(f) // throws FileNotFoundException per contract
+    if (!st.isDirectory) return Array(st)
+    val key = keyOf(f)
+    val prefix = if (key.isEmpty) "" else key + "/"
+    val files = Seq.newBuilder[FileStatus]
+    val dirs = scala.collection.mutable.LinkedHashSet.empty[String]
+    var token: Option[String] = None
+    var more = true
+    while (more) {
+      val (contents, prefixes, next) = listPage(prefix, Some("/"), listMaxKeys, token)
+      contents.foreach { case (k, size, mtime) =>
+        if (k != prefix && !k.endsWith("/")) files += fileStatus(k, size, mtime, isDir = false)
+        else if (k != prefix) dirs += k // zero-byte `sub/` marker with no children
+      }
+      prefixes.foreach(dirs += _)
+      token = next
+      more = next.isDefined
+    }
+    (files.result() ++ dirs.toSeq.map(d => fileStatus(d, 0, 0, isDir = true))).toArray
+  }
+
+  // ---- read ------------------------------------------------------------
+
+  override def open(f: Path, bufferSize: Int): FSDataInputStream = {
+    val st = getFileStatus(f)
+    if (st.isDirectory) throw new FileNotFoundException(s"is a directory: $f")
+    new FSDataInputStream(new S3rInputStream(keyOf(f), st.getLen,
+      math.max(bufferSize, 1 << 20)))
+  }
+
+  /** Seekable ranged-GET stream: fetches a bounded window per miss, so a
+    * whole-object read costs O(len/window) requests and a small seeked
+    * read (DSv2 footer probes) fetches only its window. */
+  private final class S3rInputStream(key: String, len: Long, window: Int)
+      extends FSInputStream {
+    private var pos = 0L
+    private var buf: Array[Byte] = Array.emptyByteArray
+    private var bufStart = 0L
+
+    private def fill(at: Long): Unit = {
+      val end = math.min(len, at + window) - 1
+      val r = http("GET", s"$bucket/${encodeKey(key)}",
+        headers = Seq("Range" -> s"bytes=$at-$end"))
+      if (r.code != 200 && r.code != 206) fail("GET", s"$key [$at-$end]", r)
+      buf = r.body
+      bufStart = at
+    }
+
+    override def read(): Int = {
+      if (pos >= len) return -1
+      if (pos < bufStart || pos >= bufStart + buf.length) fill(pos)
+      val b = buf((pos - bufStart).toInt) & 0xFF
+      pos += 1
+      b
+    }
+
+    override def read(b: Array[Byte], off: Int, l: Int): Int = {
+      if (pos >= len) return -1
+      if (pos < bufStart || pos >= bufStart + buf.length) fill(pos)
+      val avail = (bufStart + buf.length - pos).toInt
+      val n = math.min(avail, l)
+      System.arraycopy(buf, (pos - bufStart).toInt, b, off, n)
+      pos += n
+      n
+    }
+
+    override def seek(p: Long): Unit = {
+      if (p < 0 || p > len) throw new IOException(s"seek $p out of [0,$len]")
+      pos = p
+    }
+    override def getPos: Long = pos
+    override def seekToNewSource(targetPos: Long): Boolean = false
+    override def close(): Unit = { buf = Array.emptyByteArray }
+  }
+
+  // ---- write -----------------------------------------------------------
+
+  override def create(f: Path, permission: FsPermission, overwrite: Boolean,
+                      bufferSize: Int, replication: Short, blockSize: Long,
+                      progress: Progressable): FSDataOutputStream = {
+    val key = keyOf(f)
+    require(key.nonEmpty, "cannot create the bucket root")
+    if (!overwrite && exists(f))
+      throw new FileAlreadyExistsException(s"s3r://$bucket/$key already exists")
+    val target = s"$bucket/${encodeKey(key)}"
+    val buffer = new ByteArrayOutputStream(math.max(bufferSize, 65536))
+    val sink: OutputStream = new OutputStream {
+      override def write(b: Int): Unit = buffer.write(b)
+      override def write(b: Array[Byte], off: Int, l: Int): Unit = buffer.write(b, off, l)
+      override def close(): Unit = {
+        val r = http("PUT", target, body = buffer.toByteArray)
+        if (r.code != 200) fail("PUT", key, r)
+      }
+    }
+    new FSDataOutputStream(sink, statistics)
+  }
+
+  override def append(f: Path, bufferSize: Int, progress: Progressable): FSDataOutputStream =
+    throw new UnsupportedOperationException("s3r does not support append")
+
+  // ---- rename / delete / mkdirs ---------------------------------------
+
+  private def copyObject(srcKey: String, dstKey: String): Unit = {
+    val r = http("PUT", s"$bucket/${encodeKey(dstKey)}",
+      headers = Seq("x-amz-copy-source" -> s"/$bucket/${encodeKey(srcKey)}"))
+    if (r.code != 200) fail("COPY", s"$srcKey -> $dstKey", r)
+  }
+
+  private def deleteObject(key: String): Unit = {
+    val r = http("DELETE", s"$bucket/${encodeKey(key)}")
+    if (r.code != 204 && r.code != 200 && r.code != 404) fail("DELETE", key, r)
+  }
+
+  override def rename(src: Path, dst: Path): Boolean = {
+    val srcStatus =
+      try getFileStatus(src)
+      catch { case _: FileNotFoundException => return false }
+    var dstKey = keyOf(dst)
+    try {
+      val d = getFileStatus(dst)
+      if (d.isDirectory) {
+        // HDFS contract: rename into an existing directory
+        dstKey = (if (dstKey.isEmpty) "" else dstKey + "/") + src.getName
+        if (exists(pathOf(dstKey))) return false
+      } else return false // destination file exists: refuse, like HDFS
+    } catch { case _: FileNotFoundException => () }
+    val srcKey = keyOf(src)
+    if (srcKey == dstKey) return true
+    if (!srcStatus.isDirectory) {
+      copyObject(srcKey, dstKey)
+      deleteObject(srcKey)
+    } else {
+      listAll(srcKey + "/").foreach { case (k, _, _) =>
+        copyObject(k, dstKey + "/" + k.stripPrefix(srcKey + "/"))
+        deleteObject(k)
+      }
+      deleteObject(srcKey + "/") // the marker, if any
+    }
+    true
+  }
+
+  override def delete(f: Path, recursive: Boolean): Boolean = {
+    val st =
+      try getFileStatus(f)
+      catch { case _: FileNotFoundException => return false }
+    val key = keyOf(f)
+    if (!st.isDirectory) { deleteObject(key); return true }
+    val children = listAll(key + "/")
+    if (children.nonEmpty && !recursive)
+      throw new IOException(s"directory s3r://$bucket/$key is not empty")
+    children.foreach { case (k, _, _) => deleteObject(k) }
+    deleteObject(key + "/")
+    true
+  }
+
+  override def mkdirs(f: Path, permission: FsPermission): Boolean = {
+    val key = keyOf(f)
+    if (key.isEmpty) return true
+    try {
+      val st = getFileStatus(f)
+      if (!st.isDirectory)
+        throw new FileAlreadyExistsException(s"file exists at s3r://$bucket/$key")
+      true
+    } catch {
+      case _: FileNotFoundException =>
+        val r = http("PUT", s"$bucket/${encodeKey(key)}/", body = Array.emptyByteArray)
+        if (r.code != 200) fail("PUT", s"$key/ (mkdir marker)", r)
+        true
+    }
+  }
+}
