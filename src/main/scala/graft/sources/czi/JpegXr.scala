@@ -13,7 +13,9 @@ import java.nio.{ByteBuffer, ByteOrder}
   * material that is only normative in the T.832 text itself, which is not
   * available in this offline build environment. Reconstructing those
   * tables from memory would produce a codec that *claims* to be JPEG-XR
-  * without being verifiable against one, so this module deliberately
+  * without being verifiable against one (the stage-by-stage analysis,
+  * the exact missing normative material, and the unblock plan are in
+  * `docs/JPEGXR_FEASIBILITY.md`), so this module deliberately
   * stops at the layer it can implement faithfully:
   *
   *   - the JPEG-XR file container (TIFF-style little-endian IFD,
