@@ -13,11 +13,19 @@ import json, sys, time, os
 import duckdb
 
 QUERIES = ["d19_prefix_join", "d2_ngram_jaccard", "d16_lsh_eval",
-           "g1_pagerank", "c3_cluster_metrics"]
+           "g1_pagerank", "c3_cluster_metrics", "g7_kcore", "g8_harmonic"]
 TABLES = ["documents", "lineitem", "embeddings"]
 
+# Queries whose part-id density cap is corpus-proportional: the Spark arm
+# scales it via -Dgraft.graph.capScale=k (see GraphOps.capScale), so the
+# oracle SQL gets the same literal rewrite — without it the id remap
+# p -> p*k + copy would shrink the capped subgraph k-fold on both arms
+# and the rehearsal would measure nothing.
+CAP_SCALED = {"g7_kcore", "g8_harmonic"}
+CAP_BASE = 3000
 
-def main(sf1_dir, oracle_path, runs=3):
+
+def main(sf1_dir, oracle_path, runs=3, k=10):
     oracle = json.load(open(oracle_path))
     expected = {}
     rows_path = os.path.join(sf1_dir, "spark_rows.json")
@@ -29,8 +37,19 @@ def main(sf1_dir, oracle_path, runs=3):
         src = f"'{p}/*.parquet'" if os.path.isdir(p) else f"'{p}'"
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet({src})")
     mismatches = []
+    import glob
+    import pandas as pd
+
+    def norm(df):
+        df = df.reindex(sorted(df.columns), axis=1)
+        return df.sort_values(by=list(df.columns)).reset_index(drop=True)
+
     for name in QUERIES:
         sql = oracle[name]
+        if name in CAP_SCALED:
+            want = f"l_partkey < {CAP_BASE}"
+            assert want in sql, f"{name}: expected cap literal '{want}' in oracle SQL"
+            sql = sql.replace(want, f"l_partkey < {CAP_BASE * k}")
         ts = []
         rows = None
         for _ in range(runs):
@@ -46,6 +65,20 @@ def main(sf1_dir, oracle_path, runs=3):
             rec["rows_match"] = (expected[name] == rows)
             if not rec["rows_match"]:
                 mismatches.append(name)
+        # full VALUE compare against the Spark arm's untimed result dump
+        # (dev_check idiom): sorted columns, sorted rows, str-compare
+        spark_files = sorted(glob.glob(
+            os.path.join(sf1_dir, "results", name, "*.parquet")))
+        if spark_files:
+            got = norm(pd.concat([pd.read_parquet(f) for f in spark_files]))
+            want = norm(con.execute(sql).df())
+            ok = (list(got.columns) == list(want.columns)
+                  and len(got) == len(want)
+                  and got.astype(str).values.tolist()
+                      == want.astype(str).values.tolist())
+            rec["values_match"] = ok
+            if not ok:
+                mismatches.append(name + " (values)")
         print(json.dumps(rec))
     if mismatches:
         print(f"ROW MISMATCH vs spark arm: {mismatches}", file=sys.stderr)
@@ -55,4 +88,5 @@ def main(sf1_dir, oracle_path, runs=3):
 
 if __name__ == "__main__":
     sys.exit(main(sys.argv[1], sys.argv[2],
-                  int(sys.argv[3]) if len(sys.argv) > 3 else 3) or 0)
+                  int(sys.argv[3]) if len(sys.argv) > 3 else 3,
+                  int(sys.argv[4]) if len(sys.argv) > 4 else 10) or 0)

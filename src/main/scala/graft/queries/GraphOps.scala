@@ -61,6 +61,17 @@ object GraphOps {
     * distinct size; at high co-occurrence multiplicity the lever
     * reverses — re-enable dedup so the checkpoint and every round's
     * scan stay distinct-sized. */
+  /** Rehearsal-only multiplier for the part-id density cap. The cap is a
+    * CORPUS-PROPORTIONAL lever: a 10x disjoint-copy scale-up of the data
+    * (Sf1Rehearsal remaps part ids p -> p*k + copy) needs a 10x cap for
+    * the graph to be k disjoint copies of the base graph — with the cap
+    * fixed, the remap would instead SHRINK the selected subgraph k-fold
+    * and the rehearsal would measure nothing. The correctness gate and
+    * the bench never set this property (default 1, semantics identical);
+    * only `graft.tools.Sf1Rehearsal` sets it, to its copy factor. */
+  private[graft] def capScale: Long =
+    sys.props.getOrElse("graft.graph.capScale", "1").toLong
+
   private def coPurchaseEdges(s: SparkSession, dir: String,
       cap: Option[Long], dedupPairs: Boolean = true): DataFrame = {
     val base = t(s, dir, "lineitem")
@@ -72,7 +83,7 @@ object GraphOps {
     // the map-side dedup before the final (d1, d2) exchange all run in
     // place. Round 6's shape paid a (o, p) exchange plus a fresh o
     // exchange per join side for the same result.
-    val li = cap.fold(base)(c => base.filter(col("l_partkey") < c))
+    val li = cap.fold(base)(c => base.filter(col("l_partkey") < c * capScale))
       .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
       .repartition(col("o"))
       .distinct()

@@ -21,8 +21,17 @@ import graft.{Spark, Tables}
   * usage: Test/runMain graft.tools.Sf1Rehearsal [sfDir] [outDir] [k]
   */
 object Sf1Rehearsal {
+  /** r11 set (top-5 expensive) + r12 extension: two more FIXED-ROUND
+    * graph queries (g7 peel rounds, g8 broadcast relaxation) so the
+    * g-family floor-amortization claim rests on measurements beyond
+    * g1's (VERDICT r11 ask #2). Their part-id density cap scales with
+    * the copy factor via `graft.graph.capScale` (see GraphOps.capScale:
+    * without it the id remap would shrink the capped subgraph k-fold);
+    * g8's 20 BFS sources stay constant by construction (ids < 20 exist
+    * once per remap window), which is the claim under test — rounds
+    * scan k x the edges while the broadcast side stays bounded. */
   val Queries = Seq("d19_prefix_join", "d2_ngram_jaccard", "d16_lsh_eval",
-    "g1_pagerank", "c3_cluster_metrics")
+    "g1_pagerank", "c3_cluster_metrics", "g7_kcore", "g8_harmonic")
 
   def generate(spark: SparkSession, sfDir: String, outDir: String, k: Int): Unit = {
     val done = new java.io.File(s"$outDir/_DONE")
@@ -36,9 +45,10 @@ object Sf1Rehearsal {
         col("lang"), col("source"))
     docs.write.mode("overwrite").parquet(s"$outDir/documents.parquet")
     val li = Tables.load(spark, sfDir, "lineitem")
-      .select(col("l_partkey"), col("l_suppkey"))
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"))
       .withColumn("cp", explode(expr(s"sequence(0, ${k - 1})")))
-      .select((col("l_partkey") * k + col("cp")).as("l_partkey"),
+      .select((col("l_orderkey") * k + col("cp")).as("l_orderkey"),
+        (col("l_partkey") * k + col("cp")).as("l_partkey"),
         (col("l_suppkey") * k + col("cp")).as("l_suppkey"))
     li.write.mode("overwrite").parquet(s"$outDir/lineitem.parquet")
     val e = Tables.load(spark, sfDir, "embeddings")
@@ -58,6 +68,8 @@ object Sf1Rehearsal {
     val k = if (args.length > 2) args(2).toInt else 10
     val runs = if (args.length > 3) args(3).toInt else 3
     val spark = Spark.session(appName = "graft-sf1")
+    // density caps scale with the corpus (see Queries doc + GraphOps.capScale)
+    sys.props("graft.graph.capScale") = k.toString
     generate(spark, sfDir, outDir, k)
     def timed(f: => Long): (Long, Double) = {
       val t0 = System.nanoTime()
@@ -71,6 +83,12 @@ object Sf1Rehearsal {
       println(f"""{"sf1":"$name","engine":"spark","rows":$nw,"warm_sec":$tw%.2f,""" +
         f""""runs":[${ts.map(t => f"$t%.2f").mkString(",")}],""" +
         f""""median":${ts.sorted.apply(ts.size / 2)}%.2f,"min":${ts.min}%.2f}""")
+      // untimed VALUE dump: the DuckDB arm compares full result values
+      // (dev_check idiom), not just row counts — closing the hole where
+      // a mis-scaled density cap could row-count-match on cap-insensitive
+      // outputs (g7's audit rows) while computing a different graph
+      fn(spark, outDir).coalesce(1).write.mode("overwrite")
+        .parquet(s"$outDir/results/$name")
       name -> nw
     }
     // Row counts as a side file so the DuckDB arm (scripts/sf1_duckdb.py)
