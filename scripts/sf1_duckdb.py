@@ -13,7 +13,8 @@ import json, sys, time, os
 import duckdb
 
 QUERIES = ["d19_prefix_join", "d2_ngram_jaccard", "d16_lsh_eval",
-           "g1_pagerank", "c3_cluster_metrics", "g7_kcore", "g8_harmonic"]
+           "g1_pagerank", "c3_cluster_metrics", "g7_kcore", "g8_harmonic",
+           "g4_bfs", "g5_label_prop"]
 TABLES = ["documents", "lineitem", "embeddings"]
 
 # Queries whose part-id density cap is corpus-proportional: the Spark arm
@@ -21,7 +22,7 @@ TABLES = ["documents", "lineitem", "embeddings"]
 # oracle SQL gets the same literal rewrite — without it the id remap
 # p -> p*k + copy would shrink the capped subgraph k-fold on both arms
 # and the rehearsal would measure nothing.
-CAP_SCALED = {"g7_kcore", "g8_harmonic"}
+CAP_SCALED = {"g7_kcore", "g8_harmonic", "g5_label_prop"}
 CAP_BASE = 3000
 
 

@@ -21,17 +21,20 @@ import graft.{Spark, Tables}
   * usage: Test/runMain graft.tools.Sf1Rehearsal [sfDir] [outDir] [k]
   */
 object Sf1Rehearsal {
-  /** r11 set (top-5 expensive) + r12 extension: two more FIXED-ROUND
-    * graph queries (g7 peel rounds, g8 broadcast relaxation) so the
-    * g-family floor-amortization claim rests on measurements beyond
-    * g1's (VERDICT r11 ask #2). Their part-id density cap scales with
+  /** r11 set (top-5 expensive) + r12 extension: EVERY fixed-round graph
+    * family member (g1 pagerank, g4 bfs, g5 label prop, g7 peel, g8
+    * harmonic relaxation) so the g-family floor-amortization claim
+    * rests on measurements across the whole family, not g1 alone
+    * (VERDICT r11 ask #2). The g5/g7/g8 part-id density cap scales with
     * the copy factor via `graft.graph.capScale` (see GraphOps.capScale:
     * without it the id remap would shrink the capped subgraph k-fold);
-    * g8's 20 BFS sources stay constant by construction (ids < 20 exist
-    * once per remap window), which is the claim under test — rounds
-    * scan k x the edges while the broadcast side stays bounded. */
+    * g4 is capless and scales naturally. g8's 20 BFS sources (and g4's
+    * 3 seeds) stay constant by construction (ids < 20 exist once per
+    * remap window), which is the claim under test — rounds scan k x the
+    * edges while the broadcast side stays bounded. */
   val Queries = Seq("d19_prefix_join", "d2_ngram_jaccard", "d16_lsh_eval",
-    "g1_pagerank", "c3_cluster_metrics", "g7_kcore", "g8_harmonic")
+    "g1_pagerank", "c3_cluster_metrics", "g7_kcore", "g8_harmonic",
+    "g4_bfs", "g5_label_prop")
 
   def generate(spark: SparkSession, sfDir: String, outDir: String, k: Int): Unit = {
     val done = new java.io.File(s"$outDir/_DONE")
