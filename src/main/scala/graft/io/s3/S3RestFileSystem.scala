@@ -35,6 +35,9 @@ import org.apache.hadoop.util.Progressable
   *     — out of scope here and called out in README Known limits.
   *   - `fs.s3r.list.max.keys` = page size for `list-type=2` (default
   *     1000; tests lower it to force continuation-token pagination).
+  *   - `fs.s3r.multipart.part.size` = upload part size in bytes (default
+  *     64 MB, floor-clamped to the protocol's 5 MiB part minimum).
+  *     Objects at or under one part upload as a single atomic PUT.
   *
   * Semantics vs HDFS (same contract `s3a` documents):
   *   - a single-object PUT is atomic and complete-on-visibility — readers
@@ -50,13 +53,18 @@ import org.apache.hadoop.util.Progressable
   *     (s3a convention), list results merge markers + common prefixes;
   *   - `append`/`truncate` are unsupported (as on all S3 stores).
   *
-  * Scale notes (100 TB honesty): uploads buffer one object in memory and
-  * issue a single PUT — correct for Zarr chunks (bounded by chunk-grid
-  * geometry, single-digit MB) but the documented lever for >5 GB objects
-  * is S3 multipart upload, not implemented here; recursive delete issues
-  * one DELETE per key where production would batch 1000 per `POST
-  * ?delete`. Listing paginates properly, so a million-chunk store walks
-  * in `O(n / maxKeys)` round trips with no driver memory blowup.
+  * Scale notes (100 TB honesty): uploads buffer at most ONE PART in
+  * memory — objects up to `fs.s3r.multipart.part.size` (default 64 MB)
+  * go as a single atomic PUT (the Zarr chunk fast path), larger ones
+  * switch to S3 multipart upload (initiate / per-part PUT / complete
+  * with the ETag manifest, abort on failure), so writer memory is
+  * bounded regardless of object size and the >5 GB single-PUT protocol
+  * limit never applies. AWS floors part size at 5 MB (except the last
+  * part) — keep the conf at or above that against real endpoints; tests
+  * lower it to force the multipart path on small data. Recursive delete
+  * issues one DELETE per key where production would batch 1000 per
+  * `POST ?delete`. Listing paginates properly, so a million-chunk store
+  * walks in `O(n / maxKeys)` round trips with no driver memory blowup.
   */
 class S3RestFileSystem extends FileSystem {
 
@@ -65,6 +73,7 @@ class S3RestFileSystem extends FileSystem {
   private var endpoint: String = _
   private var authHeader: String = _
   private var listMaxKeys: Int = 1000
+  private var partSize: Int = 64 * 1024 * 1024
   private var workDir: Path = _
 
   override def getScheme: String = "s3r"
@@ -86,6 +95,10 @@ class S3RestFileSystem extends FileSystem {
     authHeader = s"AWS4-HMAC-SHA256 Credential=$ak/20260101/us-east-1/s3/aws4_request, " +
       "SignedHeaders=host, Signature=0000"
     listMaxKeys = math.max(1, conf.getInt("fs.s3r.list.max.keys", 1000))
+    // floor = the S3 protocol's own 5 MiB non-final-part minimum (both
+    // AWS and moto reject smaller parts with EntityTooSmall at complete)
+    partSize = math.max(5 * 1024 * 1024,
+      conf.getInt("fs.s3r.multipart.part.size", 64 * 1024 * 1024))
     workDir = new Path(fsUri.toString + "/")
   }
 
@@ -111,7 +124,8 @@ class S3RestFileSystem extends FileSystem {
   // ---- HTTP ------------------------------------------------------------
 
   private final case class HttpResp(code: Int, body: Array[Byte],
-                                    contentLength: Long, lastModified: Long)
+                                    contentLength: Long, lastModified: Long,
+                                    etag: String)
 
   private def connect(method: String, pathAndQuery: String,
                       headers: Seq[(String, String)]): HttpURLConnection = {
@@ -150,7 +164,8 @@ class S3RestFileSystem extends FileSystem {
       }
       val code = c.getResponseCode
       val bytes = readAll(if (code >= 400) c.getErrorStream else c.getInputStream)
-      HttpResp(code, bytes, c.getContentLengthLong, c.getLastModified)
+      HttpResp(code, bytes, c.getContentLengthLong, c.getLastModified,
+        Option(c.getHeaderField("ETag")).getOrElse(""))
     } finally c.disconnect()
   }
 
@@ -301,17 +316,74 @@ class S3RestFileSystem extends FileSystem {
     require(key.nonEmpty, "cannot create the bucket root")
     if (!overwrite && exists(f))
       throw new FileAlreadyExistsException(s"s3r://$bucket/$key already exists")
-    val target = s"$bucket/${encodeKey(key)}"
-    val buffer = new ByteArrayOutputStream(math.max(bufferSize, 65536))
-    val sink: OutputStream = new OutputStream {
-      override def write(b: Int): Unit = buffer.write(b)
-      override def write(b: Array[Byte], off: Int, l: Int): Unit = buffer.write(b, off, l)
-      override def close(): Unit = {
-        val r = http("PUT", target, body = buffer.toByteArray)
-        if (r.code != 200) fail("PUT", key, r)
+    new FSDataOutputStream(new S3rOutputStream(key), statistics)
+  }
+
+  /** Part-buffered upload sink: at most one part in memory. Objects that
+    * fit in one part close as a single atomic PUT (the Zarr chunk fast
+    * path); the first overflow initiates a multipart upload, each full
+    * part ships immediately, and close() completes with the ETag
+    * manifest (aborting the upload on any part/complete failure so no
+    * half-assembled object is ever left billed-but-invisible). */
+  private final class S3rOutputStream(key: String) extends OutputStream {
+    private val target = s"$bucket/${encodeKey(key)}"
+    private val buffer = new ByteArrayOutputStream(math.min(partSize, 1 << 20))
+    private var uploadId: String = null
+    private val etags = Seq.newBuilder[String]
+    private var nParts = 0
+    private var closed = false
+
+    override def write(b: Int): Unit = { buffer.write(b); spill() }
+    override def write(b: Array[Byte], off: Int, l: Int): Unit = {
+      // chunked copy-in so the buffer never exceeds one part even for
+      // writes larger than partSize
+      var o = off
+      var left = l
+      while (left > 0) {
+        val n = math.min(left, partSize - buffer.size())
+        buffer.write(b, o, n)
+        o += n; left -= n
+        spill()
       }
     }
-    new FSDataOutputStream(sink, statistics)
+
+    private def spill(): Unit = if (buffer.size() >= partSize) shipPart()
+
+    private def shipPart(): Unit = {
+      if (uploadId == null) {
+        val r = http("POST", s"$target?uploads", body = Array.emptyByteArray)
+        if (r.code != 200) fail("MPU-INITIATE", key, r)
+        uploadId = (scala.xml.XML.loadString(new String(r.body, "UTF-8")) \ "UploadId").text
+        require(uploadId.nonEmpty, s"s3r MPU initiate returned no UploadId for $key")
+      }
+      nParts += 1
+      val r = http("PUT", s"$target?partNumber=$nParts&uploadId=$uploadId",
+        body = buffer.toByteArray)
+      if (r.code != 200) { abort(); fail("MPU-PART", s"$key part $nParts", r) }
+      etags += r.etag
+      buffer.reset()
+    }
+
+    private def abort(): Unit =
+      if (uploadId != null) http("DELETE", s"$target?uploadId=$uploadId")
+
+    override def close(): Unit = {
+      if (closed) return
+      closed = true
+      if (uploadId == null) {
+        // never overflowed: one atomic PUT (complete-on-visibility)
+        val r = http("PUT", target, body = buffer.toByteArray)
+        if (r.code != 200) fail("PUT", key, r)
+      } else {
+        if (buffer.size() > 0) shipPart()
+        val manifest = etags.result().zipWithIndex.map { case (e, i) =>
+          s"<Part><PartNumber>${i + 1}</PartNumber><ETag>$e</ETag></Part>"
+        }.mkString("<CompleteMultipartUpload>", "", "</CompleteMultipartUpload>")
+        val r = http("POST", s"$target?uploadId=$uploadId",
+          body = manifest.getBytes("UTF-8"))
+        if (r.code != 200) { abort(); fail("MPU-COMPLETE", key, r) }
+      }
+    }
   }
 
   override def append(f: Path, bufferSize: Int, progress: Progressable): FSDataOutputStream =

@@ -126,6 +126,42 @@ class S3RestFsSpec extends AnyFunSuite with BeforeAndAfterAll {
     fs.close()
   }
 
+  test("multipart upload: bounded-memory writes assemble byte-exact objects") {
+    assume(motoUp, "moto S3 server unavailable in this environment")
+    val c = s3Conf
+    // the FS clamps to the protocol's 5 MiB part minimum (moto enforces
+    // EntityTooSmall just like AWS), so the smallest forcible part is 5 MiB
+    c.setInt("fs.s3r.multipart.part.size", 5 * 1024 * 1024)
+    val fs = FileSystem.newInstance(java.net.URI.create(s"s3r://$bucket/"), c)
+    val base = new Path(s"s3r://$bucket/mpu")
+
+    // 11.5 MiB -> 2 full 5 MiB parts + a 1.5 MiB final part
+    val big = Array.tabulate[Byte](11776 * 1024)(i => ((i * 131) ^ (i >> 9)).toByte)
+    val o = fs.create(new Path(base, "big.bin"), true)
+    o.write(big, 0, 7 * 1024 * 1024)        // multi-part-sized single write
+    o.write(big, 7 * 1024 * 1024, big.length - 7 * 1024 * 1024)
+    o.close()
+    assert(fs.getFileStatus(new Path(base, "big.bin")).getLen == big.length)
+    val in = fs.open(new Path(base, "big.bin"), 65536)
+    val back = new Array[Byte](big.length); in.readFully(0, back); in.close()
+    assert(java.util.Arrays.equals(back, big), "multipart read-back byte-exact")
+
+    // exact part-multiple: no short final part
+    val exact = Array.tabulate[Byte](10 * 1024 * 1024)(i => (i % 251).toByte)
+    val o2 = fs.create(new Path(base, "exact.bin"), true); o2.write(exact); o2.close()
+    val in2 = fs.open(new Path(base, "exact.bin"), 65536)
+    val back2 = new Array[Byte](exact.length); in2.readFully(0, back2); in2.close()
+    assert(java.util.Arrays.equals(back2, exact), "exact-multiple read-back")
+
+    // under one part: still the single-PUT fast path (same visible result)
+    val small = "single put".getBytes("UTF-8")
+    val o3 = fs.create(new Path(base, "small.bin"), true); o3.write(small); o3.close()
+    assert(fs.getFileStatus(new Path(base, "small.bin")).getLen == small.length)
+
+    assert(fs.delete(base, true))
+    fs.close()
+  }
+
   test("list pagination walks continuation tokens (page size 3)") {
     assume(motoUp, "moto S3 server unavailable in this environment")
     val c = s3Conf
