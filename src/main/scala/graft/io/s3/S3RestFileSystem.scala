@@ -27,12 +27,30 @@ import org.apache.hadoop.util.Progressable
   *   - `fs.s3r.impl` = this class (registration);
   *   - `fs.s3r.endpoint` = `http://host:port` of the S3-compatible
   *     endpoint (required);
-  *   - `fs.s3r.access.key` = access-key id embedded in a static V4-shaped
-  *     `Authorization` header (default `graft`). The header is
-  *     syntactically SigV4 but carries no real signature: this targets
-  *     S3-COMPATIBLE endpoints that do not verify signatures (moto, test
-  *     MinIO). Real AWS needs the full SigV4 canonical-request HMAC chain
-  *     — out of scope here and called out in README Known limits.
+  *   - `fs.s3r.access.key` = access-key id (default `graft`);
+  *   - `fs.s3r.secret.key` = when set, EVERY request is signed with the
+  *     real AWS Signature Version 4 algorithm (canonical request,
+  *     SHA-256 payload hash, AWS4/date/region/service HMAC chain) —
+  *     verified in S3RestFsSpec against an endpoint that independently
+  *     recomputes and ENFORCES signatures (moto under
+  *     INITIAL_NO_AUTH_ACTION_COUNT: a wrong secret fails with
+  *     SignatureDoesNotMatch exactly as on AWS). When unset, a V4-shaped
+  *     static header is sent instead — the unsigned dev mode for
+  *     endpoints that don't verify;
+  *   - `fs.s3r.region` = SigV4 credential-scope region (default
+  *     `us-east-1`);
+  *   - `fs.s3r.sigv4.wsgi.compat` (default false) = keep the characters
+  *     `/` and `:` RAW in query-string values (both on the wire and in
+  *     the signed canonical form). AWS's normative canonicalization
+  *     percent-encodes everything outside the unreserved set, but
+  *     WSGI-fronted S3 clones (moto server mode behind Werkzeug)
+  *     normalize `%2F`/`%3A`/`%7E` back to their raw forms BEFORE
+  *     recomputing the signature, so the strict form cannot verify
+  *     there (measured: werkzeug keeps `%2B`/`%3D`/`%26`/`%20` encoded
+  *     and decodes exactly `/ : ~`; `~` is already unreserved). Leave
+  *     false against real AWS; set true only for WSGI endpoints. Both
+  *     forms are legal on the wire — the flag only selects which
+  *     canonicalization the OTHER side will reproduce;
   *   - `fs.s3r.list.max.keys` = page size for `list-type=2` (default
   *     1000; tests lower it to force continuation-token pagination).
   *   - `fs.s3r.multipart.part.size` = upload part size in bytes (default
@@ -72,8 +90,12 @@ class S3RestFileSystem extends FileSystem {
   private var bucket: String = _
   private var endpoint: String = _
   private var authHeader: String = _
+  private var accessKey: String = _
+  private var secretKey: String = _ // null => static-header (unsigned) mode
+  private var region: String = "us-east-1"
   private var listMaxKeys: Int = 1000
   private var partSize: Int = 64 * 1024 * 1024
+  private var wsgiCompat: Boolean = false
   private var workDir: Path = _
 
   override def getScheme: String = "s3r"
@@ -89,10 +111,15 @@ class S3RestFileSystem extends FileSystem {
       "fs.s3r.endpoint is required (e.g. http://127.0.0.1:5000) — set it in the " +
       "session Hadoop conf (spark.hadoop.fs.s3r.endpoint)")
     endpoint = endpoint.stripSuffix("/")
-    val ak = conf.getTrimmed("fs.s3r.access.key", "graft")
+    accessKey = conf.getTrimmed("fs.s3r.access.key", "graft")
+    secretKey = Option(conf.getTrimmed("fs.s3r.secret.key", "")).filter(_.nonEmpty).orNull
+    region = conf.getTrimmed("fs.s3r.region", "us-east-1")
+    wsgiCompat = conf.getBoolean("fs.s3r.sigv4.wsgi.compat", false)
     // V4-shaped static header: compatible endpoints parse the key id out of
-    // Credential= and skip signature verification (see class doc)
-    authHeader = s"AWS4-HMAC-SHA256 Credential=$ak/20260101/us-east-1/s3/aws4_request, " +
+    // Credential= and skip signature verification (see class doc); only
+    // used when no secret key is configured — with one, every request is
+    // really SigV4-signed (authHeaders)
+    authHeader = s"AWS4-HMAC-SHA256 Credential=$accessKey/20260101/us-east-1/s3/aws4_request, " +
       "SignedHeaders=host, Signature=0000"
     listMaxKeys = math.max(1, conf.getInt("fs.s3r.list.max.keys", 1000))
     // floor = the S3 protocol's own 5 MiB non-final-part minimum (both
@@ -121,21 +148,75 @@ class S3RestFileSystem extends FileSystem {
   private def encodeKey(key: String): String =
     key.split("/", -1).map(s => URLEncoder.encode(s, "UTF-8").replace("+", "%20")).mkString("/")
 
-  // ---- HTTP ------------------------------------------------------------
+  // ---- HTTP + AWS Signature Version 4 -----------------------------------
 
   private final case class HttpResp(code: Int, body: Array[Byte],
                                     contentLength: Long, lastModified: Long,
                                     etag: String)
 
-  private def connect(method: String, pathAndQuery: String,
-                      headers: Seq[(String, String)]): HttpURLConnection = {
-    val c = new URL(s"$endpoint/$pathAndQuery").openConnection().asInstanceOf[HttpURLConnection]
-    c.setRequestMethod(method)
-    c.setConnectTimeout(10000)
-    c.setReadTimeout(60000)
-    c.setRequestProperty("Authorization", authHeader)
-    headers.foreach { case (k, v) => c.setRequestProperty(k, v) }
-    c
+  /** Strict RFC 3986 percent-encoding (SigV4 canonical form): everything
+    * but unreserved characters, uppercase hex, space as %20 never '+'. */
+  private def rfc3986(s: String): String = {
+    val sb = new StringBuilder
+    s.getBytes("UTF-8").foreach { b =>
+      val ch = (b & 0xFF).toChar
+      if ((ch >= 'A' && ch <= 'Z') || (ch >= 'a' && ch <= 'z') ||
+          (ch >= '0' && ch <= '9') || ch == '-' || ch == '.' || ch == '_' || ch == '~')
+        sb.append(ch)
+      else sb.append(f"%%${b & 0xFF}%02X")
+    }
+    sb.toString
+  }
+
+  private def sha256Hex(b: Array[Byte]): String =
+    java.security.MessageDigest.getInstance("SHA-256").digest(b)
+      .map(x => f"${x & 0xFF}%02x").mkString
+
+  private def hmac(key: Array[Byte], data: String): Array[Byte] = {
+    val m = javax.crypto.Mac.getInstance("HmacSHA256")
+    m.init(new javax.crypto.spec.SecretKeySpec(key, "HmacSHA256"))
+    m.doFinal(data.getBytes("UTF-8"))
+  }
+
+  /** Authentication headers for one request. With `fs.s3r.secret.key`
+    * set, this is the REAL SigV4 algorithm — canonical request over the
+    * exact URI/query/headers sent, SHA-256 payload hash, and the
+    * AWS4/date/region/service HMAC key chain — verified in S3RestFsSpec
+    * against an endpoint that independently recomputes and enforces the
+    * signature (moto under INITIAL_NO_AUTH_ACTION_COUNT, which rejects a
+    * wrong secret with SignatureDoesNotMatch exactly like AWS). Without
+    * a secret, a V4-shaped static header is sent for endpoints that
+    * don't verify (the unsigned dev mode). */
+  private def authHeaders(method: String, canonicalUri: String, canonicalQuery: String,
+                          body: Array[Byte],
+                          extraHeaders: Seq[(String, String)]): Seq[(String, String)] = {
+    if (secretKey == null) return Seq("Authorization" -> authHeader)
+    val payloadHash = sha256Hex(if (body == null) Array.emptyByteArray else body)
+    val now = java.time.Instant.now().atOffset(java.time.ZoneOffset.UTC)
+    val amzDate = now.format(java.time.format.DateTimeFormatter.ofPattern("yyyyMMdd'T'HHmmss'Z'"))
+    val dateStamp = amzDate.take(8)
+    val host = URI.create(endpoint).getAuthority
+    // sign host + the x-amz-* headers (SigV4 requires every x-amz-*
+    // request header to be signed; Range etc. may stay unsigned)
+    val toSign = (Seq("host" -> host, "x-amz-content-sha256" -> payloadHash,
+        "x-amz-date" -> amzDate) ++
+        extraHeaders.filter(_._1.toLowerCase.startsWith("x-amz-"))
+          .map { case (k, v) => (k.toLowerCase, v.trim) })
+      .sortBy(_._1)
+    val canonicalHeaders = toSign.map { case (k, v) => s"$k:$v\n" }.mkString
+    val signedHeaders = toSign.map(_._1).mkString(";")
+    val canonicalRequest = Seq(method, canonicalUri, canonicalQuery,
+      canonicalHeaders, signedHeaders, payloadHash).mkString("\n")
+    val scope = s"$dateStamp/$region/s3/aws4_request"
+    val stringToSign = Seq("AWS4-HMAC-SHA256", amzDate, scope,
+      sha256Hex(canonicalRequest.getBytes("UTF-8"))).mkString("\n")
+    val kSigning = hmac(hmac(hmac(hmac(("AWS4" + secretKey).getBytes("UTF-8"),
+      dateStamp), region), "s3"), "aws4_request")
+    val signature = hmac(kSigning, stringToSign).map(x => f"${x & 0xFF}%02x").mkString
+    Seq("x-amz-date" -> amzDate,
+        "x-amz-content-sha256" -> payloadHash,
+        "Authorization" -> (s"AWS4-HMAC-SHA256 Credential=$accessKey/$scope, " +
+          s"SignedHeaders=$signedHeaders, Signature=$signature"))
   }
 
   private def readAll(in: InputStream): Array[Byte] = {
@@ -148,10 +229,30 @@ class S3RestFileSystem extends FileSystem {
     bos.toByteArray
   }
 
-  private def http(method: String, pathAndQuery: String,
+  /** One S3 REST call. `encPath` is the already-percent-encoded
+    * `bucket/key` path; `params` are RAW (unencoded) query pairs — they
+    * are strict-encoded and sorted ONCE here, so the query string that
+    * is signed is byte-identical to the one sent. */
+  private def http(method: String, encPath: String,
+                   params: Seq[(String, String)] = Nil,
                    body: Array[Byte] = null,
                    headers: Seq[(String, String)] = Nil): HttpResp = {
-    val c = connect(method, pathAndQuery, headers)
+    // query values: strict RFC 3986 canonical by default (what AWS
+    // reproduces server-side); wsgi-compat keeps '/' and ':' raw (what a
+    // Werkzeug-normalizing endpoint reproduces) — see the class doc
+    def encV(v: String): String =
+      if (!wsgiCompat) rfc3986(v)
+      else rfc3986(v).replace("%2F", "/").replace("%3A", ":")
+    val canonicalQuery = params.map { case (k, v) => (rfc3986(k), encV(v)) }
+      .sorted.map { case (k, v) => s"$k=$v" }.mkString("&")
+    val url = s"$endpoint/$encPath" + (if (canonicalQuery.isEmpty) "" else s"?$canonicalQuery")
+    val c = new URL(url).openConnection().asInstanceOf[HttpURLConnection]
+    c.setRequestMethod(method)
+    c.setConnectTimeout(10000)
+    c.setReadTimeout(60000)
+    headers.foreach { case (k, v) => c.setRequestProperty(k, v) }
+    authHeaders(method, "/" + encPath, canonicalQuery, body, headers)
+      .foreach { case (k, v) => c.setRequestProperty(k, v) }
     try {
       if (body != null) {
         // explicit octet-stream: form-encoded defaults make WSGI servers
@@ -197,11 +298,11 @@ class S3RestFileSystem extends FileSystem {
     * nextContinuationToken). */
   private def listPage(prefix: String, delimiter: Option[String], maxKeys: Int,
                        token: Option[String]): (Seq[(String, Long, Long)], Seq[String], Option[String]) = {
-    def q(s: String) = URLEncoder.encode(s, "UTF-8")
-    val query = new StringBuilder(s"$bucket?list-type=2&max-keys=$maxKeys&prefix=${q(prefix)}")
-    delimiter.foreach(d => query ++= s"&delimiter=${q(d)}")
-    token.foreach(t => query ++= s"&continuation-token=${q(t)}")
-    val r = http("GET", query.toString)
+    val params = Seq("list-type" -> "2", "max-keys" -> maxKeys.toString,
+        "prefix" -> prefix) ++
+      delimiter.map("delimiter" -> _) ++
+      token.map("continuation-token" -> _)
+    val r = http("GET", bucket, params)
     if (r.code != 200) fail("LIST", s"prefix=$prefix", r)
     val xml = scala.xml.XML.loadString(new String(r.body, "UTF-8"))
     val contents = (xml \ "Contents").map { c =>
@@ -351,13 +452,14 @@ class S3RestFileSystem extends FileSystem {
 
     private def shipPart(): Unit = {
       if (uploadId == null) {
-        val r = http("POST", s"$target?uploads", body = Array.emptyByteArray)
+        val r = http("POST", target, Seq("uploads" -> ""), body = Array.emptyByteArray)
         if (r.code != 200) fail("MPU-INITIATE", key, r)
         uploadId = (scala.xml.XML.loadString(new String(r.body, "UTF-8")) \ "UploadId").text
         require(uploadId.nonEmpty, s"s3r MPU initiate returned no UploadId for $key")
       }
       nParts += 1
-      val r = http("PUT", s"$target?partNumber=$nParts&uploadId=$uploadId",
+      val r = http("PUT", target,
+        Seq("partNumber" -> nParts.toString, "uploadId" -> uploadId),
         body = buffer.toByteArray)
       if (r.code != 200) { abort(); fail("MPU-PART", s"$key part $nParts", r) }
       etags += r.etag
@@ -365,7 +467,7 @@ class S3RestFileSystem extends FileSystem {
     }
 
     private def abort(): Unit =
-      if (uploadId != null) http("DELETE", s"$target?uploadId=$uploadId")
+      if (uploadId != null) http("DELETE", target, Seq("uploadId" -> uploadId))
 
     override def close(): Unit = {
       if (closed) return
@@ -379,7 +481,7 @@ class S3RestFileSystem extends FileSystem {
         val manifest = etags.result().zipWithIndex.map { case (e, i) =>
           s"<Part><PartNumber>${i + 1}</PartNumber><ETag>$e</ETag></Part>"
         }.mkString("<CompleteMultipartUpload>", "", "</CompleteMultipartUpload>")
-        val r = http("POST", s"$target?uploadId=$uploadId",
+        val r = http("POST", target, Seq("uploadId" -> uploadId),
           body = manifest.getBytes("UTF-8"))
         if (r.code != 200) { abort(); fail("MPU-COMPLETE", key, r) }
       }
