@@ -197,6 +197,50 @@ class S3RestFsSpec extends AnyFunSuite with BeforeAndAfterAll {
         SyntheticStack.value(8 + z, y, x), s"voxel ($z,$y,$x)")
   }
 
+  test("whole ZeissJob with s3_location: discovery, derivatives upload, and stacks land in the bucket") {
+    assume(motoUp, "moto S3 server unavailable in this environment")
+    spark.sparkContext
+    // the reference's input contract: SPIM/*.czi + acquisition.json +
+    // derivatives/ to sync (zeiss_job.py:187-205); s3_location overrides
+    // output_directory exactly like the reference's aws-s3-sync path
+    val in = Files.createTempDirectory("zeiss-s3-in")
+    Files.createDirectories(in.resolve("SPIM"))
+    Files.createDirectories(in.resolve("derivatives"))
+    Files.write(in.resolve("derivatives/processing.json"), "{\"k\":1}".getBytes("UTF-8"))
+    Files.write(in.resolve("acquisition.json"),
+      """{"tiles":[{"coordinate_transformations":[
+        |{"type":"scale","scale":["0.5","0.5","1.0"]},
+        |{"type":"translation","translation":[0,0,0]}]}]}""".stripMargin.getBytes("UTF-8"))
+    val vals = Array.tabulate(8, 16, 16)((z, y, x) => SyntheticStack.value(z, y, x))
+    graft.sources.czi.SyntheticCzi.write(in.resolve("SPIM/tile(0).czi").toString, vals)
+
+    val out = s"s3r://$bucket/job-run"
+    val resp = graft.jobs.ZeissJob.run(spark, graft.jobs.ZeissJob.Settings(
+      inputSource = in.toString, outputDirectory = "/nonexistent-must-not-be-used",
+      s3Location = Some(out), chunkSize = Array(8, 8, 8), downsampleLevels = 2))
+    assert(resp.statusCode == 200, resp.message)
+
+    val fs = FileSystem.newInstance(java.net.URI.create(s"s3r://$bucket/"), s3Conf)
+    // derivatives synced (partition-0 upload in the reference)
+    assert(fs.exists(new Path(s"$out/derivatives/processing.json")))
+    // the converted stack: NGFF metadata + both levels, voxel scale from
+    // acquisition.json ([z,y,x] = [1.0, 0.5, 0.5])
+    assert(fs.exists(new Path(s"$out/.zgroup")))
+    assert(fs.exists(new Path(s"$out/tile(0)/.zattrs")))
+    assert(fs.exists(new Path(s"$out/tile(0)/0/.zarray")) &&
+           fs.exists(new Path(s"$out/tile(0)/1/.zarray")))
+    val attrs = {
+      val st = fs.open(new Path(s"$out/tile(0)/.zattrs"), 4096)
+      val txt = scala.io.Source.fromInputStream(st).mkString; st.close(); txt
+    }
+    assert(attrs.contains("0.5") && attrs.contains("multiscales"))
+    fs.close()
+
+    val back = spark.read.format(classOf[ZarrDataSource].getName)
+      .option("path", out).option("stack", "tile(0)").option("level", "0").load()
+    assert(back.count() == 4) // 1x2x2 chunk grid of 8^3 chunks over 8x16x16
+  }
+
   test("full CZI stack conversion lands a multiscale Zarr in the object store") {
     assume(motoUp, "moto S3 server unavailable in this environment")
     spark.sparkContext
