@@ -25,8 +25,8 @@ import org.apache.hadoop.util.Progressable
   *
   * Configuration (session Hadoop conf, i.e. `spark.hadoop.*`):
   *   - `fs.s3r.impl` = this class (registration);
-  *   - `fs.s3r.endpoint` = `http://host:port` of the S3-compatible
-  *     endpoint (required);
+  *   - `fs.s3r.endpoint` = base URL of the S3-compatible endpoint,
+  *     scheme + host + port (required; e.g. `http://127.0.0.1:5000`);
   *   - `fs.s3r.access.key` = access-key id (default `graft`);
   *   - `fs.s3r.secret.key` = when set, EVERY request is signed with the
   *     real AWS Signature Version 4 algorithm (canonical request,
