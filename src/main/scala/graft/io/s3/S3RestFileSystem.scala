@@ -154,29 +154,7 @@ class S3RestFileSystem extends FileSystem {
                                     contentLength: Long, lastModified: Long,
                                     etag: String)
 
-  /** Strict RFC 3986 percent-encoding (SigV4 canonical form): everything
-    * but unreserved characters, uppercase hex, space as %20 never '+'. */
-  private def rfc3986(s: String): String = {
-    val sb = new StringBuilder
-    s.getBytes("UTF-8").foreach { b =>
-      val ch = (b & 0xFF).toChar
-      if ((ch >= 'A' && ch <= 'Z') || (ch >= 'a' && ch <= 'z') ||
-          (ch >= '0' && ch <= '9') || ch == '-' || ch == '.' || ch == '_' || ch == '~')
-        sb.append(ch)
-      else sb.append(f"%%${b & 0xFF}%02X")
-    }
-    sb.toString
-  }
-
-  private def sha256Hex(b: Array[Byte]): String =
-    java.security.MessageDigest.getInstance("SHA-256").digest(b)
-      .map(x => f"${x & 0xFF}%02x").mkString
-
-  private def hmac(key: Array[Byte], data: String): Array[Byte] = {
-    val m = javax.crypto.Mac.getInstance("HmacSHA256")
-    m.init(new javax.crypto.spec.SecretKeySpec(key, "HmacSHA256"))
-    m.doFinal(data.getBytes("UTF-8"))
-  }
+  private def rfc3986(s: String): String = S3RestFileSystem.rfc3986(s)
 
   /** Authentication headers for one request. With `fs.s3r.secret.key`
     * set, this is the REAL SigV4 algorithm — canonical request over the
@@ -191,32 +169,11 @@ class S3RestFileSystem extends FileSystem {
                           body: Array[Byte],
                           extraHeaders: Seq[(String, String)]): Seq[(String, String)] = {
     if (secretKey == null) return Seq("Authorization" -> authHeader)
-    val payloadHash = sha256Hex(if (body == null) Array.emptyByteArray else body)
     val now = java.time.Instant.now().atOffset(java.time.ZoneOffset.UTC)
     val amzDate = now.format(java.time.format.DateTimeFormatter.ofPattern("yyyyMMdd'T'HHmmss'Z'"))
-    val dateStamp = amzDate.take(8)
-    val host = URI.create(endpoint).getAuthority
-    // sign host + the x-amz-* headers (SigV4 requires every x-amz-*
-    // request header to be signed; Range etc. may stay unsigned)
-    val toSign = (Seq("host" -> host, "x-amz-content-sha256" -> payloadHash,
-        "x-amz-date" -> amzDate) ++
-        extraHeaders.filter(_._1.toLowerCase.startsWith("x-amz-"))
-          .map { case (k, v) => (k.toLowerCase, v.trim) })
-      .sortBy(_._1)
-    val canonicalHeaders = toSign.map { case (k, v) => s"$k:$v\n" }.mkString
-    val signedHeaders = toSign.map(_._1).mkString(";")
-    val canonicalRequest = Seq(method, canonicalUri, canonicalQuery,
-      canonicalHeaders, signedHeaders, payloadHash).mkString("\n")
-    val scope = s"$dateStamp/$region/s3/aws4_request"
-    val stringToSign = Seq("AWS4-HMAC-SHA256", amzDate, scope,
-      sha256Hex(canonicalRequest.getBytes("UTF-8"))).mkString("\n")
-    val kSigning = hmac(hmac(hmac(hmac(("AWS4" + secretKey).getBytes("UTF-8"),
-      dateStamp), region), "s3"), "aws4_request")
-    val signature = hmac(kSigning, stringToSign).map(x => f"${x & 0xFF}%02x").mkString
-    Seq("x-amz-date" -> amzDate,
-        "x-amz-content-sha256" -> payloadHash,
-        "Authorization" -> (s"AWS4-HMAC-SHA256 Credential=$accessKey/$scope, " +
-          s"SignedHeaders=$signedHeaders, Signature=$signature"))
+    S3RestFileSystem.signV4(method, canonicalUri, canonicalQuery, body,
+      extraHeaders, amzDate, URI.create(endpoint).getAuthority,
+      accessKey, secretKey, region)
   }
 
   private def readAll(in: InputStream): Array[Byte] = {
@@ -237,14 +194,7 @@ class S3RestFileSystem extends FileSystem {
                    params: Seq[(String, String)] = Nil,
                    body: Array[Byte] = null,
                    headers: Seq[(String, String)] = Nil): HttpResp = {
-    // query values: strict RFC 3986 canonical by default (what AWS
-    // reproduces server-side); wsgi-compat keeps '/' and ':' raw (what a
-    // Werkzeug-normalizing endpoint reproduces) — see the class doc
-    def encV(v: String): String =
-      if (!wsgiCompat) rfc3986(v)
-      else rfc3986(v).replace("%2F", "/").replace("%3A", ":")
-    val canonicalQuery = params.map { case (k, v) => (rfc3986(k), encV(v)) }
-      .sorted.map { case (k, v) => s"$k=$v" }.mkString("&")
+    val canonicalQuery = S3RestFileSystem.canonicalQuery(params, wsgiCompat)
     val url = s"$endpoint/$encPath" + (if (canonicalQuery.isEmpty) "" else s"?$canonicalQuery")
     val c = new URL(url).openConnection().asInstanceOf[HttpURLConnection]
     c.setRequestMethod(method)
@@ -560,5 +510,84 @@ class S3RestFileSystem extends FileSystem {
         if (r.code != 200) fail("PUT", s"$key/ (mkdir marker)", r)
         true
     }
+  }
+}
+
+/** The pure SigV4 core, factored out of the instance so it can be
+  * differential-tested: `S3SigV4VectorsSpec` signs generated request
+  * shapes with this function AND with botocore's own `SigV4Auth` (the
+  * implementation AWS ships in every SDK and moto verifies with) and
+  * asserts byte-identical `Authorization` headers — the STRICT
+  * canonical form, independent of any WSGI front-end normalization. */
+object S3RestFileSystem {
+
+  /** Strict RFC 3986 percent-encoding (SigV4 canonical form): everything
+    * but unreserved characters, uppercase hex, space as %20 never '+'. */
+  private[s3] def rfc3986(s: String): String = {
+    val sb = new StringBuilder
+    s.getBytes("UTF-8").foreach { b =>
+      val ch = (b & 0xFF).toChar
+      if ((ch >= 'A' && ch <= 'Z') || (ch >= 'a' && ch <= 'z') ||
+          (ch >= '0' && ch <= '9') || ch == '-' || ch == '.' || ch == '_' || ch == '~')
+        sb.append(ch)
+      else sb.append(f"%%${b & 0xFF}%02X")
+    }
+    sb.toString
+  }
+
+  /** Canonical (and wire) query string from RAW param pairs: strict RFC
+    * 3986 canonical by default (what AWS reproduces server-side);
+    * wsgi-compat keeps '/' and ':' raw in values (what a
+    * Werkzeug-normalizing endpoint reproduces) — see the class doc. */
+  private[s3] def canonicalQuery(params: Seq[(String, String)],
+                                 wsgiCompat: Boolean): String = {
+    def encV(v: String): String =
+      if (!wsgiCompat) rfc3986(v)
+      else rfc3986(v).replace("%2F", "/").replace("%3A", ":")
+    params.map { case (k, v) => (rfc3986(k), encV(v)) }
+      .sorted.map { case (k, v) => s"$k=$v" }.mkString("&")
+  }
+
+  private[s3] def sha256Hex(b: Array[Byte]): String =
+    java.security.MessageDigest.getInstance("SHA-256").digest(b)
+      .map(x => f"${x & 0xFF}%02x").mkString
+
+  private[s3] def hmac(key: Array[Byte], data: String): Array[Byte] = {
+    val m = javax.crypto.Mac.getInstance("HmacSHA256")
+    m.init(new javax.crypto.spec.SecretKeySpec(key, "HmacSHA256"))
+    m.doFinal(data.getBytes("UTF-8"))
+  }
+
+  /** Sign one request: returns the headers to attach (x-amz-date,
+    * x-amz-content-sha256, Authorization). Pure — everything that varies
+    * per call site or per clock tick is a parameter. */
+  private[s3] def signV4(method: String, canonicalUri: String, canonicalQuery: String,
+                         body: Array[Byte], extraHeaders: Seq[(String, String)],
+                         amzDate: String, host: String,
+                         accessKey: String, secretKey: String,
+                         region: String): Seq[(String, String)] = {
+    val payloadHash = sha256Hex(if (body == null) Array.emptyByteArray else body)
+    val dateStamp = amzDate.take(8)
+    // sign host + the x-amz-* headers (SigV4 requires every x-amz-*
+    // request header to be signed; Range etc. may stay unsigned)
+    val toSign = (Seq("host" -> host, "x-amz-content-sha256" -> payloadHash,
+        "x-amz-date" -> amzDate) ++
+        extraHeaders.filter(_._1.toLowerCase.startsWith("x-amz-"))
+          .map { case (k, v) => (k.toLowerCase, v.trim) })
+      .sortBy(_._1)
+    val canonicalHeaders = toSign.map { case (k, v) => s"$k:$v\n" }.mkString
+    val signedHeaders = toSign.map(_._1).mkString(";")
+    val canonicalRequest = Seq(method, canonicalUri, canonicalQuery,
+      canonicalHeaders, signedHeaders, payloadHash).mkString("\n")
+    val scope = s"$dateStamp/$region/s3/aws4_request"
+    val stringToSign = Seq("AWS4-HMAC-SHA256", amzDate, scope,
+      sha256Hex(canonicalRequest.getBytes("UTF-8"))).mkString("\n")
+    val kSigning = hmac(hmac(hmac(hmac(("AWS4" + secretKey).getBytes("UTF-8"),
+      dateStamp), region), "s3"), "aws4_request")
+    val signature = hmac(kSigning, stringToSign).map(x => f"${x & 0xFF}%02x").mkString
+    Seq("x-amz-date" -> amzDate,
+        "x-amz-content-sha256" -> payloadHash,
+        "Authorization" -> (s"AWS4-HMAC-SHA256 Credential=$accessKey/$scope, " +
+          s"SignedHeaders=$signedHeaders, Signature=$signature"))
   }
 }
