@@ -39,6 +39,9 @@ class S3SigV4Spec extends AnyFunSuite with BeforeAndAfterAll {
   private var motoUp = false
   private var accessKey: String = _
   private var secretKey: String = _
+  private var stsKey: String = _
+  private var stsSecret: String = _
+  private var stsToken: String = _
 
   /** Raw call with a V4-SHAPED static header whose scope names `service`
     * — moto routes requests by that scope; only usable inside the
@@ -74,9 +77,10 @@ class S3SigV4Spec extends AnyFunSuite with BeforeAndAfterAll {
     if (probe != 0) return
     val pb = new ProcessBuilder("python3", "-m", "moto.server",
       "-H", "127.0.0.1", "-p", port.toString)
-    // 4 unauthenticated bootstrap actions: CreateUser, PutUserPolicy,
-    // CreateAccessKey, CreateBucket — everything after is enforced-signed
-    pb.environment().put("INITIAL_NO_AUTH_ACTION_COUNT", "4")
+    // 7 unauthenticated bootstrap actions: CreateUser, PutUserPolicy,
+    // CreateAccessKey, CreateRole, PutRolePolicy, AssumeRole,
+    // CreateBucket — everything after is enforced-signed
+    pb.environment().put("INITIAL_NO_AUTH_ACTION_COUNT", "7")
     pb.redirectErrorStream(true)
     pb.redirectOutput(new java.io.File("/tmp/moto-sigv4-spec.log"))
     moto = pb.start()
@@ -100,6 +104,28 @@ class S3SigV4Spec extends AnyFunSuite with BeforeAndAfterAll {
     accessKey = (doc \\ "AccessKeyId").text
     secretKey = (doc \\ "SecretAccessKey").text
     assert(accessKey.nonEmpty && secretKey.nonEmpty, "bootstrap keys parse")
+    // STS temporary-credential triple: a role assumable by anyone with
+    // s3:* rights, minted by moto's own STS — the token is moto's, not
+    // ours, so the token-signing test cannot be self-consistent
+    rawCall("POST", "/", "iam", Map(
+      "Action" -> "CreateRole", "RoleName" -> "graft-role",
+      "AssumeRolePolicyDocument" -> """{"Version":"2012-10-17","Statement":[{"Effect":"Allow","Principal":{"AWS":"*"},"Action":"sts:AssumeRole"}]}""",
+      "Version" -> "2010-05-08"))
+    rawCall("POST", "/", "iam", Map(
+      "Action" -> "PutRolePolicy", "RoleName" -> "graft-role",
+      "PolicyName" -> "s3all",
+      "PolicyDocument" -> """{"Version":"2012-10-17","Statement":[{"Effect":"Allow","Action":"s3:*","Resource":"*"}]}""",
+      "Version" -> "2010-05-08"))
+    val (stsCode, stsXml) = rawCall("POST", "/", "sts", Map(
+      "Action" -> "AssumeRole",
+      "RoleArn" -> "arn:aws:iam::123456789012:role/graft-role",
+      "RoleSessionName" -> "graft-session", "Version" -> "2011-06-15"))
+    assert(stsCode == 200, s"AssumeRole bootstrap: HTTP $stsCode: ${stsXml.take(200)}")
+    val stsDoc = scala.xml.XML.loadString(stsXml)
+    stsKey = (stsDoc \\ "AccessKeyId").text
+    stsSecret = (stsDoc \\ "SecretAccessKey").text
+    stsToken = (stsDoc \\ "SessionToken").text
+    assert(stsKey.nonEmpty && stsSecret.nonEmpty && stsToken.nonEmpty, "sts triple parses")
     assert(rawCall("PUT", s"/$bucket", "s3", Map.empty)._1 == 200, "bucket create")
   }
 
@@ -157,6 +183,35 @@ class S3SigV4Spec extends AnyFunSuite with BeforeAndAfterAll {
 
     // recursive DELETE
     assert(fs.delete(base, true))
+    fs.close()
+  }
+
+  test("STS temporary credentials (session token) sign end-to-end") {
+    assume(motoUp, "moto S3 server unavailable in this environment")
+    val c = signedConf(stsSecret)
+    c.set("fs.s3r.access.key", stsKey)
+    c.set("fs.s3r.session.token", stsToken)
+    val fs = FileSystem.newInstance(java.net.URI.create(s"s3r://$bucket/"), c)
+    val p = new Path(s"s3r://$bucket/sts/tmp.bin")
+    val o = fs.create(p, true); o.write("temp-cred-bytes".getBytes("UTF-8")); o.close()
+    assert(fs.getFileStatus(p).getLen == 15)
+    assert(fs.listStatus(new Path(s"s3r://$bucket/sts")).length == 1)
+    assert(fs.delete(new Path(s"s3r://$bucket/sts"), true))
+    fs.close()
+  }
+
+  test("temporary credentials with a WRONG token are rejected") {
+    assume(motoUp, "moto S3 server unavailable in this environment")
+    val c = signedConf(stsSecret)
+    c.set("fs.s3r.access.key", stsKey)
+    c.set("fs.s3r.session.token", stsToken.reverse)
+    val fs = FileSystem.newInstance(java.net.URI.create(s"s3r://$bucket/"), c)
+    val e = intercept[java.io.IOException] {
+      val o = fs.create(new Path(s"s3r://$bucket/sts/forged.bin"), true)
+      o.write(1); o.close()
+    }
+    assert(e.getMessage.contains("403") || e.getMessage.contains("400"),
+      s"expected an auth rejection, got: ${e.getMessage.take(200)}")
     fs.close()
   }
 
