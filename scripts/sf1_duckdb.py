@@ -18,12 +18,14 @@ QUERIES = ["d19_prefix_join", "d2_ngram_jaccard", "d16_lsh_eval",
 TABLES = ["documents", "lineitem", "embeddings"]
 
 # Queries whose part-id density cap is corpus-proportional: the Spark arm
-# scales it via -Dgraft.graph.capScale=k (see GraphOps.capScale), so the
-# oracle SQL gets the same literal rewrite — without it the id remap
-# p -> p*k + copy would shrink the capped subgraph k-fold on both arms
-# and the rehearsal would measure nothing.
-CAP_SCALED = {"g7_kcore", "g8_harmonic", "g5_label_prop"}
-CAP_BASE = 3000
+# scales it via -Dgraft.graph.capScale=k (see GraphOps.capScale — BOTH
+# edge builders honor it), so the oracle SQL gets the same literal
+# rewrite — without it the id remap p -> p*k + copy would shrink the
+# capped subgraph k-fold on both arms and the rehearsal would measure
+# nothing. Map value = that query's cap base literal (coPurchaseEdges
+# family = 3000, coPurchaseEdgesP family g3/g10 = 4000).
+CAP_SCALED = {"g7_kcore": 3000, "g8_harmonic": 3000, "g5_label_prop": 3000,
+              "g3_triangles": 4000, "g10_clustering_coeff": 4000}
 
 
 def main(sf1_dir, oracle_path, runs=3, k=10):
@@ -48,9 +50,17 @@ def main(sf1_dir, oracle_path, runs=3, k=10):
     for name in QUERIES:
         sql = oracle[name]
         if name in CAP_SCALED:
-            want = f"l_partkey < {CAP_BASE}"
+            base = CAP_SCALED[name]
+            want = f"l_partkey < {base}"
             assert want in sql, f"{name}: expected cap literal '{want}' in oracle SQL"
-            sql = sql.replace(want, f"l_partkey < {CAP_BASE * k}")
+            sql = sql.replace(want, f"l_partkey < {base * k}")
+        else:
+            # classify-or-fail: a rehearsal query with an UNREGISTERED cap
+            # literal would silently run the k-fold-shrunk subgraph — the
+            # exact trap CAP_SCALED exists to prevent
+            assert "l_partkey <" not in sql, (
+                f"{name}: oracle SQL has a part-id cap literal but the query "
+                f"is not registered in CAP_SCALED — add it with its base")
         ts = []
         rows = None
         for _ in range(runs):
@@ -70,6 +80,11 @@ def main(sf1_dir, oracle_path, runs=3, k=10):
         # (dev_check idiom): sorted columns, sorted rows, str-compare
         spark_files = sorted(glob.glob(
             os.path.join(sf1_dir, "results", name, "*.parquet")))
+        if not spark_files and os.path.isdir(os.path.join(sf1_dir, "results")):
+            # the Spark arm dumps every query it timed — a missing dump
+            # means mismatched arms (stale dir, failed dump); silently
+            # skipping would let the "values verified" claim go vacuous
+            mismatches.append(name + " (missing spark value dump)")
         if spark_files:
             got = norm(pd.concat([pd.read_parquet(f) for f in spark_files]))
             want = norm(con.execute(sql).df())

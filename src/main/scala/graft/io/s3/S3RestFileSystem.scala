@@ -185,9 +185,17 @@ class S3RestFileSystem extends FileSystem {
       else extraHeaders :+ ("x-amz-security-token" -> sessionToken)
     val extra = if (sessionToken == null) Nil
       else Seq("x-amz-security-token" -> sessionToken)
+    // sign the Host header EXACTLY as HttpURLConnection will send it: Java
+    // elides a protocol-default port (:80 for http, :443 for https), so an
+    // endpoint configured with an explicit default port must be signed
+    // without it or every signature mismatches
+    val u = URI.create(endpoint)
+    val host =
+      if ((u.getScheme == "http" && u.getPort == 80) ||
+          (u.getScheme == "https" && u.getPort == 443)) u.getHost
+      else u.getAuthority
     extra ++ S3RestFileSystem.signV4(method, canonicalUri, canonicalQuery, body,
-      withToken, amzDate, URI.create(endpoint).getAuthority,
-      accessKey, secretKey, region)
+      withToken, amzDate, host, accessKey, secretKey, region)
   }
 
   private def readAll(in: InputStream): Array[Byte] = {
@@ -244,15 +252,28 @@ class S3RestFileSystem extends FileSystem {
     new FileStatus(len, isDir, 1, 32L * 1024 * 1024, mtime,
       makeQualified(pathOf(if (isDir) key.stripSuffix("/") else key)))
 
+  /** HEAD: 200 -> Some(resp), 404 -> None (definitively absent), anything
+    * else -> IOException. Mapping a 403/503/301 to "absent" would be
+    * catastrophic downstream: ZarrIO's commit protocol treats a false
+    * rename as "another attempt already committed" and DELETES the tmp —
+    * a throttling blip must surface as an error, never as not-found. */
+  private def headOrAbsent(encPath: String, what: String): Option[HttpResp] = {
+    val h = http("HEAD", encPath)
+    if (h.code == 200) Some(h)
+    else if (h.code == 404) None
+    else fail("HEAD", what, h)
+  }
+
   override def getFileStatus(f: Path): FileStatus = {
     val key = keyOf(f)
     if (key.isEmpty) return fileStatus("", 0, 0, isDir = true) // bucket root
-    val h = http("HEAD", s"$bucket/${encodeKey(key)}")
-    if (h.code == 200)
+    headOrAbsent(s"$bucket/${encodeKey(key)}", key).foreach { h =>
       return fileStatus(key, math.max(0L, h.contentLength), h.lastModified, isDir = false)
+    }
     // a directory: marker object `key/`, or any object under the prefix
-    val m = http("HEAD", s"$bucket/${encodeKey(key)}/")
-    if (m.code == 200) return fileStatus(key, 0, m.lastModified, isDir = true)
+    headOrAbsent(s"$bucket/${encodeKey(key)}/", key + "/").foreach { m =>
+      return fileStatus(key, 0, m.lastModified, isDir = true)
+    }
     val (entries, _, _) = listPage(key + "/", delimiter = None, maxKeys = 1, token = None)
     if (entries.nonEmpty) return fileStatus(key, 0, 0, isDir = true)
     throw new FileNotFoundException(s"s3r://$bucket/$key")
@@ -340,7 +361,13 @@ class S3RestFileSystem extends FileSystem {
       val end = math.min(len, at + window) - 1
       val r = http("GET", s"$bucket/${encodeKey(key)}",
         headers = Seq("Range" -> s"bytes=$at-$end"))
-      if (r.code != 200 && r.code != 206) fail("GET", s"$key [$at-$end]", r)
+      // 206 = ranged slice starting at `at`. A 200 means the endpoint
+      // IGNORED the Range header and sent the whole object — only
+      // equivalent when at == 0; treating a full-object body as a slice
+      // at a nonzero offset would return bytes from the wrong position
+      // as if they were correct (silent corruption, not an error).
+      if (r.code != 206 && !(r.code == 200 && at == 0L))
+        fail("GET", s"$key [$at-$end] (endpoint ignored Range?)", r)
       buf = r.body
       bufStart = at
     }
@@ -430,8 +457,15 @@ class S3RestFileSystem extends FileSystem {
       buffer.reset()
     }
 
-    private def abort(): Unit =
+    /** Abort the upload AND poison the stream: a part failure already
+      * propagated the real exception from write(), and the caller's
+      * `finally out.close()` must become a no-op — shipping the buffered
+      * tail / completing against the aborted uploadId would throw
+      * NoSuchUpload from the finally block and MASK the real failure. */
+    private def abort(): Unit = {
+      closed = true
       if (uploadId != null) http("DELETE", target, Seq("uploadId" -> uploadId))
+    }
 
     override def close(): Unit = {
       if (closed) return
@@ -448,6 +482,17 @@ class S3RestFileSystem extends FileSystem {
         val r = http("POST", target, Seq("uploadId" -> uploadId),
           body = manifest.getBytes("UTF-8"))
         if (r.code != 200) { abort(); fail("MPU-COMPLETE", key, r) }
+        // CompleteMultipartUpload is the one S3 call documented to return
+        // 200 OK with an <Error> body (e.g. InternalError) — treating the
+        // status line as success there would report a committed object
+        // that never materializes. Success bodies vary by implementation
+        // (AWS: ...Result, moto: ...Response), so detect the ERROR shape.
+        val bodyText = new String(r.body, "UTF-8")
+        if (bodyText.contains("<Error")) {
+          abort()
+          throw new IOException(
+            s"s3r MPU-COMPLETE $key -> HTTP 200 with an error body: ${bodyText.take(300)}")
+        }
       }
     }
   }
@@ -503,9 +548,13 @@ class S3RestFileSystem extends FileSystem {
     val key = keyOf(f)
     if (!st.isDirectory) { deleteObject(key); return true }
     val children = listAll(key + "/")
-    if (children.nonEmpty && !recursive)
+    // the directory's own mkdirs marker (`key/`) matches its own prefix —
+    // it is not a child; counting it would make non-recursive delete of
+    // an EMPTY directory throw, violating the HDFS contract
+    val real = children.filterNot(_._1 == key + "/")
+    if (real.nonEmpty && !recursive)
       throw new IOException(s"directory s3r://$bucket/$key is not empty")
-    children.foreach { case (k, _, _) => deleteObject(k) }
+    real.foreach { case (k, _, _) => deleteObject(k) }
     deleteObject(key + "/")
     true
   }

@@ -127,11 +127,14 @@ object GraphOps {
   }
 
   /** g3/g10's shared graph: canonical part co-purchase edges under the
-    * cap, eagerly checkpointed. */
+    * cap, eagerly checkpointed. The cap scales with [[capScale]] exactly
+    * like [[coPurchaseEdges]]'s — both edge builders must honor the
+    * rehearsal lever or an sf1 extension of g3/g10 would silently hit
+    * the k-fold-shrink trap the lever exists to prevent. */
   private[graft] def coPurchaseEdgesP(s: SparkSession, dir: String, cap: Long,
       ckpt: Boolean = true): DataFrame = {
     val li = t(s, dir, "lineitem")
-      .filter(col("l_partkey") < cap)
+      .filter(col("l_partkey") < cap * capScale)
       .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
       .distinct()
     val e = li.as("a").join(li.as("b"),

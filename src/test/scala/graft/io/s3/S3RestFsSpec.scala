@@ -120,6 +120,14 @@ class S3RestFsSpec extends AnyFunSuite with BeforeAndAfterAll {
       (s.getPath.getName, s.isDirectory)).toMap
     assert(names("file1.bin") == false && names("commit") == false && names("sub") == true)
 
+    // HDFS contract: non-recursive delete of an EMPTY directory succeeds
+    // (the dir's own mkdirs marker is not a child), and of a non-empty
+    // one refuses
+    assert(fs.mkdirs(new Path(base, "emptydir")))
+    assert(fs.delete(new Path(base, "emptydir"), false))
+    assert(!fs.exists(new Path(base, "emptydir")))
+    intercept[java.io.IOException] { fs.delete(new Path(base, "a"), false) }
+
     // recursive delete sweeps objects and markers
     assert(fs.delete(base, true))
     intercept[java.io.FileNotFoundException] { fs.getFileStatus(p1) }

@@ -36,9 +36,21 @@ object Sf1Rehearsal {
     "g1_pagerank", "c3_cluster_metrics", "g7_kcore", "g8_harmonic",
     "g4_bfs", "g5_label_prop")
 
+  /** Generator-schema stamp, written into the reuse marker: a reused dir
+    * from an OLDER generator (r11's lineitem lacked l_orderkey) would
+    * fail the graph queries with an AnalysisException only after the
+    * expensive d-queries already ran — a stamp mismatch regenerates
+    * instead. Bump when the generated schema changes. */
+  private val GenStamp = s"v2:lineitem(l_orderkey,l_partkey,l_suppkey)"
+
   def generate(spark: SparkSession, sfDir: String, outDir: String, k: Int): Unit = {
     val done = new java.io.File(s"$outDir/_DONE")
-    if (done.exists()) { println(s"[sf1] reusing $outDir"); return }
+    if (done.exists()) {
+      val stamp = new String(
+        java.nio.file.Files.readAllBytes(done.toPath), "UTF-8").trim
+      if (stamp == s"$GenStamp k=$k") { println(s"[sf1] reusing $outDir"); return }
+      println(s"[sf1] stale data at $outDir (stamp '$stamp' != '$GenStamp k=$k') — regenerating")
+    }
     new java.io.File(outDir).mkdirs()
     val docs = Tables.load(spark, sfDir, "documents")
       .withColumn("cp", explode(expr(s"sequence(0, ${k - 1})")))
@@ -61,7 +73,7 @@ object Sf1Rehearsal {
           .as("embedding"),
         col("label"))
     e.write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
-    done.createNewFile()
+    java.nio.file.Files.write(done.toPath, s"$GenStamp k=$k".getBytes("UTF-8"))
     println(s"[sf1] generated $outDir (k=$k)")
   }
 
