@@ -205,6 +205,39 @@ class S3RestFsSpec extends AnyFunSuite with BeforeAndAfterAll {
         SyntheticStack.value(8 + z, y, x), s"voxel ($z,$y,$x)")
   }
 
+  test("streaming zarr ingest: micro-batches commit chunks into the object store") {
+    assume(motoUp, "moto S3 server unavailable in this environment")
+    spark.sparkContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.core.ZarrChunk
+    import spark.implicits._
+    // the production shape: data to the object store (tmp+rename commit
+    // over HTTP), the streaming COMMIT LOG on a filesystem with atomic
+    // rename (checkpoint logs, unlike chunk files, rely on it)
+    val dir = s"s3r://$bucket/zarr-streamed"
+    val ckpt = Files.createTempDirectory("zarr-s3-ckpt").toString
+    val vol = Volume("sst", 0, Array(1L, 1L, 16L, 8L, 8L), Array(1, 1, 8, 8, 8))
+    ZarrIO.writeMetadata(dir, vol, nLevels = 1)
+    val all = SyntheticStack.generate(spark, vol).collect()
+    val mem = MemoryStream[ZarrChunk](spark)
+    for (chunk <- all) {
+      val q = mem.toDS().writeStream.format("zarr")
+        .option("path", dir).option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      mem.addData(chunk)
+      q.processAllAvailable(); q.stop()
+    }
+    val back = ZarrIO.readChunks(spark, dir, "sst", 0).collect()
+    assert(back.map(_.numVoxels).sum == 16 * 8 * 8)
+    back.foreach { ck =>
+      val px = ck.pixels
+      for (z <- 0 until 8; y <- 0 until 8; x <- 0 until 8)
+        assert(px(z * 64 + y * 8 + x) ==
+          SyntheticStack.value(ck.z * 8 + z, y, x), s"chunk z=${ck.z} voxel ($z,$y,$x)")
+    }
+  }
+
   test("whole ZeissJob with s3_location: discovery, derivatives upload, and stacks land in the bucket") {
     assume(motoUp, "moto S3 server unavailable in this environment")
     spark.sparkContext
