@@ -80,10 +80,11 @@ def main(sf1_dir, oracle_path, runs=3, k=10):
         # (dev_check idiom): sorted columns, sorted rows, str-compare
         spark_files = sorted(glob.glob(
             os.path.join(sf1_dir, "results", name, "*.parquet")))
-        if not spark_files and os.path.isdir(os.path.join(sf1_dir, "results")):
+        if not spark_files:
             # the Spark arm dumps every query it timed — a missing dump
-            # means mismatched arms (stale dir, failed dump); silently
-            # skipping would let the "values verified" claim go vacuous
+            # (including results/ absent entirely, e.g. a pre-dump
+            # rehearsal dir) means mismatched arms; silently skipping
+            # would let the "values verified" claim go vacuous
             mismatches.append(name + " (missing spark value dump)")
         if spark_files:
             got = norm(pd.concat([pd.read_parquet(f) for f in spark_files]))

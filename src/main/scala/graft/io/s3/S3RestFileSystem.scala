@@ -1,7 +1,7 @@
 package graft.io.s3
 
 import java.io.{ByteArrayOutputStream, FileNotFoundException, IOException, InputStream, OutputStream}
-import java.net.{HttpURLConnection, URI, URL, URLEncoder}
+import java.net.{HttpURLConnection, URI, URL}
 
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs._
@@ -61,6 +61,10 @@ import org.apache.hadoop.util.Progressable
   *   - `fs.s3r.multipart.part.size` = upload part size in bytes (default
   *     64 MB, floor-clamped to the protocol's 5 MiB part minimum).
   *     Objects at or under one part upload as a single atomic PUT.
+  *   - `fs.s3r.retry.limit` = extra attempts for transient failures
+  *     (429/5xx/transport resets; default 4) and
+  *     `fs.s3r.retry.interval.ms` = backoff base (default 100 ms,
+  *     exponential, ±50% jitter) — see the retry-policy note on `http`.
   *
   * Semantics vs HDFS (same contract `s3a` documents):
   *   - a single-object PUT is atomic and complete-on-visibility — readers
@@ -82,7 +86,11 @@ import org.apache.hadoop.util.Progressable
   * switch to S3 multipart upload (initiate / per-part PUT / complete
   * with the ETag manifest, abort on failure), so writer memory is
   * bounded regardless of object size and the >5 GB single-PUT protocol
-  * limit never applies. AWS floors part size at 5 MB (except the last
+  * limit is sidestepped — up to a point: S3 caps a multipart upload at
+  * 10,000 parts, so the 64 MB default part size tops out at ~625 GB per
+  * object; objects beyond that need `fs.s3r.multipart.part.size` raised
+  * proportionally (the protocol allows parts to 5 GB, i.e. ~48 TB/object
+  * at the ceiling). AWS floors part size at 5 MB (except the last
   * part) — keep the conf at or above that against real endpoints; tests
   * lower it to force the multipart path on small data. Recursive delete
   * issues one DELETE per key where production would batch 1000 per
@@ -102,6 +110,8 @@ class S3RestFileSystem extends FileSystem {
   private var listMaxKeys: Int = 1000
   private var partSize: Int = 64 * 1024 * 1024
   private var wsgiCompat: Boolean = false
+  private var retryLimit: Int = 4
+  private var retryBaseMs: Long = 100
   private var workDir: Path = _
 
   override def getScheme: String = "s3r"
@@ -133,6 +143,8 @@ class S3RestFileSystem extends FileSystem {
     // AWS and moto reject smaller parts with EntityTooSmall at complete)
     partSize = math.max(5 * 1024 * 1024,
       conf.getInt("fs.s3r.multipart.part.size", 64 * 1024 * 1024))
+    retryLimit = math.max(0, conf.getInt("fs.s3r.retry.limit", 4))
+    retryBaseMs = math.max(1L, conf.getLong("fs.s3r.retry.interval.ms", 100L))
     workDir = new Path(fsUri.toString + "/")
   }
 
@@ -152,8 +164,7 @@ class S3RestFileSystem extends FileSystem {
     new Path(fsUri.toString + "/" + key)
 
   /** Percent-encode a key, preserving '/' separators (S3 URL rules). */
-  private def encodeKey(key: String): String =
-    key.split("/", -1).map(s => URLEncoder.encode(s, "UTF-8").replace("+", "%20")).mkString("/")
+  private def encodeKey(key: String): String = S3RestFileSystem.encodeKey(key)
 
   // ---- HTTP + AWS Signature Version 4 -----------------------------------
 
@@ -208,14 +219,61 @@ class S3RestFileSystem extends FileSystem {
     bos.toByteArray
   }
 
-  /** One S3 REST call. `encPath` is the already-percent-encoded
-    * `bucket/key` path; `params` are RAW (unencoded) query pairs — they
-    * are strict-encoded and sorted ONCE here, so the query string that
-    * is signed is byte-identical to the one sent. */
+  /** One S3 REST call with bounded exponential retry. `encPath` is the
+    * already-percent-encoded `bucket/key` path; `params` are RAW
+    * (unencoded) query pairs — they are strict-encoded and sorted ONCE
+    * per attempt, so the query string that is signed is byte-identical
+    * to the one sent.
+    *
+    * Retry policy (the s3a/AWS-SDK class of behavior real S3 demands —
+    * it throttles with 503 SlowDown and sheds with 500/502/504):
+    * transient transport failures (connect/reset IOException) and
+    * retryable statuses (429/500/502/503/504) back off exponentially
+    * from `fs.s3r.retry.interval.ms` (default 100 ms, doubling, ±50%
+    * jitter) for up to `fs.s3r.retry.limit` (default 4) extra attempts,
+    * then surface the last failure. Every request the FS issues is a
+    * full in-memory replay (bodies are byte arrays), and each retry is
+    * RE-SIGNED with a fresh x-amz-date, so a backoff that crosses a
+    * signature-validity boundary still verifies. GET/PUT/DELETE/HEAD
+    * are idempotent; multipart part PUTs re-upload the same partNumber
+    * (last write wins, by protocol); a retried MPU initiate whose first
+    * response was lost can orphan an upload id — bounded, invisible to
+    * readers, and reclaimed by standard lifecycle abort rules. 4xx
+    * (other than 429) never retries: NoSuchKey/AccessDenied are answers,
+    * not weather. Fault-injected end-to-end in S3RetrySpec: a 503
+    * SlowDown burst mid-Zarr-commit completes without caller-visible
+    * error. */
   private def http(method: String, encPath: String,
                    params: Seq[(String, String)] = Nil,
                    body: Array[Byte] = null,
                    headers: Seq[(String, String)] = Nil): HttpResp = {
+    var attempt = 0
+    while (true) {
+      val outcome: Either[IOException, HttpResp] =
+        try Right(httpOnce(method, encPath, params, body, headers))
+        catch { case e: IOException => Left(e) }
+      val retryable = outcome match {
+        case Right(r) => r.code == 429 || r.code == 500 || r.code == 502 ||
+          r.code == 503 || r.code == 504
+        case Left(_) => true
+      }
+      if (!retryable || attempt >= retryLimit) {
+        return outcome.fold(throw _, identity)
+      }
+      // exponential backoff with ±50% jitter so a fleet of executors
+      // throttled together does not re-synchronize on the retry clock
+      val base = retryBaseMs << math.min(attempt, 20)
+      val jitter = (base * (java.util.concurrent.ThreadLocalRandom.current().nextDouble() - 0.5)).toLong
+      Thread.sleep(math.max(1L, base + jitter))
+      attempt += 1
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  private def httpOnce(method: String, encPath: String,
+                       params: Seq[(String, String)],
+                       body: Array[Byte],
+                       headers: Seq[(String, String)]): HttpResp = {
     val canonicalQuery = S3RestFileSystem.canonicalQuery(params, wsgiCompat)
     val url = s"$endpoint/$encPath" + (if (canonicalQuery.isEmpty) "" else s"?$canonicalQuery")
     val c = new URL(url).openConnection().asInstanceOf[HttpURLConnection]
@@ -368,6 +426,21 @@ class S3RestFileSystem extends FileSystem {
       // as if they were correct (silent corruption, not an error).
       if (r.code != 206 && !(r.code == 200 && at == 0L))
         fail("GET", s"$key [$at-$end] (endpoint ignored Range?)", r)
+      // a 200 at offset 0 buffers the WHOLE object (the endpoint ignored
+      // the Range header) — acceptable for small objects, but an
+      // unbounded allocation for large ones: cap it instead of OOMing
+      if (r.code == 200 && len > S3RestFileSystem.MaxFullObjectBuffer)
+        throw new IOException(
+          s"s3r GET $key: endpoint ignored the Range header (HTTP 200) and the " +
+          s"object is $len bytes — refusing to buffer more than " +
+          s"${S3RestFileSystem.MaxFullObjectBuffer} bytes in one response; " +
+          "use a Range-capable endpoint for large objects")
+      // an empty body with bytes still owed would make read() return 0
+      // forever (readFully spins, never errors) — fail loudly instead
+      if (r.body.isEmpty && at < len)
+        throw new IOException(
+          s"s3r GET $key [$at-$end] -> HTTP ${r.code} with an EMPTY body " +
+          s"(expected up to ${end - at + 1} bytes of $len)")
       buf = r.body
       bufStart = at
     }
@@ -517,6 +590,9 @@ class S3RestFileSystem extends FileSystem {
     val srcStatus =
       try getFileStatus(src)
       catch { case _: FileNotFoundException => return false }
+    // the bucket root is not a renamable object (keyOf("") + "/" would
+    // list the prefix "/" and silently match nothing) — refuse, like s3a
+    if (keyOf(src).isEmpty) return false
     var dstKey = keyOf(dst)
     try {
       val d = getFileStatus(dst)
@@ -547,15 +623,19 @@ class S3RestFileSystem extends FileSystem {
       catch { case _: FileNotFoundException => return false }
     val key = keyOf(f)
     if (!st.isDirectory) { deleteObject(key); return true }
-    val children = listAll(key + "/")
+    // the bucket root's child prefix is "" (key + "/" would be the
+    // never-matching prefix "/", turning root deletion into a silent
+    // no-op that still returns true) — mirror listStatus's special case
+    val prefix = if (key.isEmpty) "" else key + "/"
+    val children = listAll(prefix)
     // the directory's own mkdirs marker (`key/`) matches its own prefix —
     // it is not a child; counting it would make non-recursive delete of
     // an EMPTY directory throw, violating the HDFS contract
-    val real = children.filterNot(_._1 == key + "/")
+    val real = children.filterNot(_._1 == prefix)
     if (real.nonEmpty && !recursive)
       throw new IOException(s"directory s3r://$bucket/$key is not empty")
     real.foreach { case (k, _, _) => deleteObject(k) }
-    deleteObject(key + "/")
+    if (key.nonEmpty) deleteObject(key + "/")
     true
   }
 
@@ -583,6 +663,22 @@ class S3RestFileSystem extends FileSystem {
   * asserts byte-identical `Authorization` headers — the STRICT
   * canonical form, independent of any WSGI front-end normalization. */
 object S3RestFileSystem {
+
+  /** Largest whole-object response accepted from an endpoint that
+    * ignores Range headers (HTTP 200 for a ranged GET at offset 0).
+    * Beyond this, buffering the full object is an OOM risk and the
+    * stream fails loudly instead. */
+  private[s3] val MaxFullObjectBuffer: Long = 256L * 1024 * 1024
+
+  /** Object-key encoding: strict RFC 3986 per path segment, '/'
+    * separators preserved. The SAME bytes go on the wire and into the
+    * signed canonical URI, and — unlike form encoding (URLEncoder) —
+    * they also match what a server that decodes-then-re-canonicalizes
+    * (Werkzeug front-ends, AWS's own strict path re-encoding) will
+    * reproduce: '~' stays raw (unreserved), '*' and '(' are encoded.
+    * Differential-covered in S3SigV4VectorsSpec with a hostile-key case. */
+  private[s3] def encodeKey(key: String): String =
+    key.split("/", -1).map(rfc3986).mkString("/")
 
   /** Strict RFC 3986 percent-encoding (SigV4 canonical form): everything
     * but unreserved characters, uppercase hex, space as %20 never '+'. */

@@ -50,7 +50,13 @@ class S3SigV4VectorsSpec extends AnyFunSuite {
     Case("HEAD", "127.0.0.1:9000", "/bkt/k%C3%A9y%20with%20space", Nil,
       Array.emptyByteArray, Nil, "us-east-1"),
     Case("DELETE", "127.0.0.1:9000", "/bkt/old", Nil, Array.emptyByteArray,
-      Nil, "ap-southeast-2"))
+      Nil, "ap-southeast-2"),
+    // encodeKey-generated URI (not pre-encoded by hand): '*' and '('
+    // must be %-encoded, '~' must stay raw — form encoding (URLEncoder)
+    // gets BOTH wrong, which the pre-encoded cases above never catch
+    Case("PUT", "127.0.0.1:9000",
+      "/bkt/" + S3RestFileSystem.encodeKey("weird */~(key)/tile(0) v*~2.bin"),
+      Nil, "hostile-key-bytes".getBytes("UTF-8"), Nil, "us-east-1"))
 
   test("strict canonical signatures are byte-identical to botocore's") {
     val probe =
@@ -91,6 +97,10 @@ class S3SigV4VectorsSpec extends AnyFunSuite {
 
   test("the strict encoder itself: RFC 3986, uppercase hex, %20 not '+'") {
     assert(S3RestFileSystem.rfc3986("a b/c:~d_e.f-0") == "a%20b%2Fc%3A~d_e.f-0")
+    // key encoding: segment-wise strict RFC 3986 with '/' preserved;
+    // exactly the characters form-encoding diverges on: '*' raw-vs-%2A,
+    // '~' %7E-vs-raw
+    assert(S3RestFileSystem.encodeKey("a b/t*~(0)/c") == "a%20b/t%2A~%280%29/c")
     assert(S3RestFileSystem.rfc3986("+=&?") == "%2B%3D%26%3F")
     assert(S3RestFileSystem.rfc3986("ключ") == "%D0%BA%D0%BB%D1%8E%D1%87")
     // builder sorts by encoded key, keeps empty values as 'k='
