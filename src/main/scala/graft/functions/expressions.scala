@@ -675,3 +675,183 @@ case class BloscDecompress(child: Expression)
     Blosc.decompress(v.asInstanceOf[Array[Byte]])
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
+
+/** Shared row-kernels for the PQ (product-quantization) expressions.
+  * Top-level object => Scala emits STATIC forwarders, so generated
+  * whole-stage code calls `graft.functions.PqKernels.encode(...)`
+  * directly — all loops run in compiled bytecode with zero per-element
+  * lambda dispatch. Arithmetic is kept BIT-IDENTICAL to the composed
+  * pipeline these kernels replace (v8/v9's explode + broadcast-join +
+  * max_by aggregate): dots accumulate in sequential index order like
+  * [[VectorDot]], fits round through the same half-up decimal path as
+  * Spark's `round`, ties break to the LOWEST code like
+  * `max_by(code, struct(round(fit,6), -code))`. */
+object PqKernels {
+  import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+
+  /** Spark `round(x, 6)` for doubles: java BigDecimal.valueOf + HALF_UP. */
+  private def round6(x: Double): Double =
+    java.math.BigDecimal.valueOf(x).setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  /** Spark `CAST(round(x) AS BIGINT)` for doubles. */
+  private def roundToLong(x: Double): Long =
+    java.math.BigDecimal.valueOf(x).setScale(0, java.math.RoundingMode.HALF_UP).doubleValue().toLong
+
+  /** Nearest-sub-centroid codes of `vec` against the nested codebook
+    * `cb[sub] = array<struct<code, cent>>`: per sub, argmax over codes
+    * of round6(2*dot(sv, cent) - dot(cent, cent)), ties to lowest code. */
+  def encode(vec: ArrayData, cb: ArrayData): ArrayData = {
+    val nSub = cb.numElements()
+    val dim = vec.numElements()
+    val subDim = if (nSub == 0) 0 else dim / nSub
+    val codes = new Array[Long](nSub)
+    var s = 0
+    while (s < nSub) {
+      val entries = cb.getArray(s)
+      val off = s * subDim
+      val avail = math.max(0, math.min(subDim, dim - off))
+      var bestF = Double.NegativeInfinity
+      var bestC = Long.MaxValue
+      var j = 0
+      val k = entries.numElements()
+      while (j < k) {
+        val e = entries.getStruct(j, 2)
+        val code = e.getLong(0)
+        val cent = e.getArray(1)
+        val cl = cent.numElements()
+        var dot = 0.0
+        var i = 0
+        val n = math.min(avail, cl)
+        while (i < n) { dot += vec.getDouble(off + i) * cent.getDouble(i); i += 1 }
+        var nrm = 0.0
+        i = 0
+        while (i < cl) { val c = cent.getDouble(i); nrm += c * c; i += 1 }
+        val fit = round6(dot * 2.0 - nrm)
+        if (fit > bestF || (fit == bestF && code < bestC)) { bestF = fit; bestC = code }
+        j += 1
+      }
+      codes(s) = bestC
+      s += 1
+    }
+    new GenericArrayData(codes)
+  }
+
+  /** Asymmetric-distance partial sum, scaled-integer form: for each sub,
+    * CAST(round(dot(q_sub, cb[sub][codes[sub]].cent) * 1e9) AS BIGINT),
+    * summed — exactly the `sum(p9)` of the per-sub partial rows it
+    * replaces (integer addition is order-independent, so fusing the
+    * aggregate changes no value). Codebook lookup is a linear scan by
+    * code VALUE (entries are the per-label sub-centroids — a handful). */
+  def adc9(q: ArrayData, codes: ArrayData, cb: ArrayData): Long = {
+    val nSub = cb.numElements()
+    val dim = q.numElements()
+    val subDim = if (nSub == 0) 0 else dim / nSub
+    var total = 0L
+    var s = 0
+    while (s < nSub) {
+      val want = codes.getLong(s)
+      val entries = cb.getArray(s)
+      val k = entries.numElements()
+      var j = 0
+      var found = false
+      while (j < k && !found) {
+        val e = entries.getStruct(j, 2)
+        if (e.getLong(0) == want) {
+          val cent = e.getArray(1)
+          val off = s * subDim
+          val n = math.min(math.max(0, math.min(subDim, dim - off)), cent.numElements())
+          var dot = 0.0
+          var i = 0
+          while (i < n) { dot += q.getDouble(off + i) * cent.getDouble(i); i += 1 }
+          total += roundToLong(dot * 1e9)
+          found = true
+        }
+        j += 1
+      }
+      s += 1
+    }
+    total
+  }
+}
+
+/** PQ encode in ONE whole-stage-codegen'd evaluation per row (the
+  * v8/v9 hot path): replaces the n x nSub explode + broadcast codebook
+  * join + `max_by` hash aggregate — i.e. a full corpus-sized SHUFFLE —
+  * with a map-only projection. At 100 TB the encode stage becomes
+  * embarrassingly parallel over the corpus scan with the codebook as
+  * one broadcast row; nothing shuffles until the (tiny) ranked output.
+  * Value-equal to the composed pipeline by construction ([[PqKernels]]
+  * mirrors its arithmetic bit-for-bit); gated by v8/v9's unchanged
+  * DuckDB oracles, which still spell out the explode+join+argmax form. */
+case class PqEncode(vec: Expression, codebook: Expression)
+    extends BinaryExpression {
+  override def left: Expression = vec
+  override def right: Expression = codebook
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (vec.dataType, codebook.dataType) match {
+      case (ArrayType(DoubleType, _), t) if PqAdc9.isCodebook(t) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"pq_encode expects (array<double>, array<array<struct<bigint, array<double>>>>), got $l / $r")
+    }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "pq_encode"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    PqKernels.encode(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.PqKernels.encode($a, $b);")
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(vec = newLeft, codebook = newRight)
+}
+
+/** ADC scoring in ONE codegen'd evaluation per (query, corpus) row:
+  * replaces the per-sub partial-row explode (n x nSub x nQueries rows
+  * through a broadcast join and a (qid, eid) hash aggregate) with a
+  * scalar computed inside the scan projection — the scoring stage stops
+  * shuffling corpus-sized data entirely. */
+case class PqAdc9(query: Expression, codes: Expression, codebook: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+  override def first: Expression = query
+  override def second: Expression = codes
+  override def third: Expression = codebook
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (query.dataType, codes.dataType, codebook.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(LongType, _), t) if PqAdc9.isCodebook(t) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (a, b, c) => TypeCheckResult.TypeCheckFailure(
+        s"pq_adc9 expects (array<double>, array<bigint>, codebook), got $a / $b / $c")
+    }
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "pq_adc9"
+
+  override protected def nullSafeEval(q: Any, c: Any, cb: Any): Any =
+    PqKernels.adc9(q.asInstanceOf[ArrayData], c.asInstanceOf[ArrayData],
+      cb.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (q, c, cb) =>
+      s"${ev.value} = graft.functions.PqKernels.adc9($q, $c, $cb);")
+
+  override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression): Expression =
+    copy(query = f, codes = s, codebook = t)
+}
+
+object PqAdc9 {
+  /** array<array<struct<code: bigint, cent: array<double>>>> */
+  private[functions] def isCodebook(t: DataType): Boolean = t match {
+    case ArrayType(ArrayType(StructType(fs), _), _) if fs.length == 2 =>
+      fs(0).dataType == LongType && (fs(1).dataType match {
+        case ArrayType(DoubleType, _) => true
+        case _ => false
+      })
+    case _ => false
+  }
+}

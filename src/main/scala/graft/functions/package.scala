@@ -56,6 +56,16 @@ package object functions {
   def sorted_intersect_count(a: Column, b: Column): Column =
     column(SortedIntersectCount(expression(a), expression(b)))
 
+  /** PQ nearest-sub-centroid codes in one codegen'd pass (equals the
+    * explode + broadcast-join + max_by composition value-for-value). */
+  def pq_encode(vec: Column, codebook: Column): Column =
+    column(PqEncode(expression(vec), expression(codebook)))
+
+  /** PQ asymmetric-distance partial sum, scaled-integer form (equals
+    * `sum(CAST(round(dot * 1e9) AS BIGINT))` over the per-sub rows). */
+  def pq_adc9(query: Column, codes: Column, codebook: Column): Column =
+    column(PqAdc9(expression(query), expression(codes), expression(codebook)))
+
   /** Bloom membership probe over a serialized bloom filter (Spark's
     * internal BloomFilterMightContain; no false negatives). */
   def might_contain(bloom: Column, value: Column): Column =

@@ -123,7 +123,7 @@ object DedupOps {
       when(col("doc_id") % 2 === 0, concat(col("text"), lit(boilerplateFooter)))
         .otherwise(col("text")).as("text"))
 
-  private[graft] def prefixJoin(shRaw: DataFrame): DataFrame = {
+  private[graft] def prefixJoinPairs(shRaw: DataFrame): DataFrame = {
     // input is the RAW (pre-distinct) shingle relation: every aggregate
     // below dedups on its own (count_distinct / collect_set), so the
     // helper's distinct exchange would be a pure extra shuffle.
@@ -231,10 +231,17 @@ object DedupOps {
         size(col("p2.hv")).cast("long").as("n2"))
       .withColumn("jac_raw", col("m") / (col("n1") + col("n2") - col("m")))
       .filter(col("jac_raw") >= 0.5)
+  }
+
+  /** [[prefixJoinPairs]] finished for the gated d19/d20 surface: rounded
+    * jaccard, multiplicity collapsed, total order. Consumers that dedup
+    * in their own aggregate (d16's tag union) use the raw pair relation
+    * and skip the distinct exchange + sort. */
+  private[graft] def prefixJoin(shRaw: DataFrame): DataFrame =
+    prefixJoinPairs(shRaw)
       .select(col("d1"), col("d2"), round(col("jac_raw"), 6).as("jaccard"))
       .distinct() // collapse the per-shared-prefix-token multiplicity
       .orderBy(col("d1"), col("d2"))
-  }
 
   /** d21's exact-substring pipeline over an arbitrary documents frame
     * (exposed for the `substr` scale rehearsal, which feeds synthetic
@@ -588,17 +595,33 @@ object DedupOps {
     //     are bucket-bounded (never a corpus self-join); the combine is
     //     three one-row aggregates cross-joined. ---
     "d16_lsh_eval" -> ((s, dir) => {
-      // three consumers (truth pairs, per-doc counts, minhash bands) —
-      // eager checkpoint so the shingle extraction runs once (d14
-      // precedent; cache() would leak past the query)
-      val sh = shingles(docs(s, dir)).localCheckpoint(true)
-      val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-      val truth = pairCounts(sh, "h")
-        .join(cnt.as("c1"), col("d1") === col("c1.doc_id"))
-        .join(cnt.as("c2"), col("d2") === col("c2.doc_id"))
-        .filter(col("m") / (col("c1.n") + col("c2.n") - col("m")) >= 0.5)
+      // truth side = the d19 prefix-filtered set-similarity join (the
+      // "d19 treatment" VERDICT r12 prescribed for this row): its
+      // row-local sorted_intersect_count verification and PPJoin
+      // positional filter replace the shingle-bucket pair explode, its
+      // (d1, d2, m) aggregation, and BOTH per-doc-count joins — the
+      // pair-relation-wide shuffles that made this the family's
+      // widest-spread plan at sf1 (ProbeD16Sf1: 7.03-11.27 s within one
+      // JVM on the old shape). Same truth SET by construction: jaccard
+      // >= 0.5 on the same distinct-shingle surface, gated exactly in
+      // d19's oracle.
+      // NOTE: the gated wrapper (distinct included), not prefixJoinPairs
+      // — a jac>=0.5 pair re-verifies once per SHARED PREFIX TOKEN, and
+      // near-dup pairs share O(doc_len) of them, so skipping the early
+      // distinct floods the tag-union aggregate with pair-multiplicity
+      // rows (measured at sf1: median 6.4 s -> 10.1 s with 22-29 s
+      // outlier passes). The distinct collapses multiplicity while the
+      // relation is still result-sized.
+      val truth = prefixJoin(shinglesRaw(docs(s, dir)))
         .select(col("d1"), col("d2"), lit(1L).as("t"), lit(0L).as("c"))
-      val bands = minhash(sh.select(col("doc_id"), fp.as("f")))
+      // bands from the RAW (pre-distinct) shingles: every MinHash value
+      // is a min(), which duplicates cannot change — dropping the
+      // distinct removes the last corpus-sized exchange this side had.
+      // No checkpoint: the two shingle consumers key differently
+      // (prefixJoin's h-repartition vs the doc_id signature aggregate),
+      // so no exchange is shareable and the codegen'd scan+explode
+      // re-run is cheaper than materializing it (exactSubstr precedent).
+      val bands = minhash(shinglesRaw(docs(s, dir)).select(col("doc_id"), fp.as("f")))
         .select(col("doc_id"), explode(expr(
           "array(" + (0 to 3).map(b =>
             s"concat('$b,', mh${2 * b}, ',', mh${2 * b + 1})").mkString(",") + ")"))

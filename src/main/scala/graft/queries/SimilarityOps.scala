@@ -463,44 +463,41 @@ object SimilarityOps {
     //     100 TB. ---
     "v8_pq_adc" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
-      val nSub = 8; val subDim = 8
+      val subDim = 8
       val e = emb(s, dir)
       // per-(label, subspace) sub-centroids as double arrays
       val cb = e.select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
         .groupBy(col("label"), col("pos")).agg(avg(col("v")).as("cv"))
         .groupBy(col("label"), (col("pos") / subDim).cast("int").as("sub"))
         .agg(expr("transform(array_sort(collect_list(struct(pos, cv))), x -> x.cv)").as("cent"))
-        .select(col("sub"), col("label").as("code"), col("cent"))
-      // corpus sub-vectors: (vec_id, sub, double[8])
-      val subs = e.select(col("vec_id"), col("embedding"),
-          explode(expr(s"sequence(0, ${nSub - 1})")).as("sub"))
-        .select(col("vec_id"), col("sub"),
-          expr(s"transform(slice(embedding, sub * $subDim + 1, $subDim), x -> CAST(x AS DOUBLE))")
-            .as("sv"))
-      // encode: nearest sub-centroid by (2*x.c - |c|^2) max == min L2.
-      // max_by over a (rounded-fit, -code) struct replaces the earlier
-      // row_number window: a hash aggregate with map-side partials (the
-      // K candidate rows per (vec, sub) collapse before the shuffle)
-      // instead of sort-shuffling the entire K-times-exploded corpus —
-      // same deterministic tiebreak (highest fit, then lowest code).
-      val codes = subs.join(broadcast(cb), Seq("sub"))
-        .select(col("vec_id"), col("sub"), col("code"),
-          (graft.functions.vector_dot(col("sv"), col("cent")) * 2.0 -
-            graft.functions.vector_dot(col("cent"), col("cent"))).as("fit"))
-        .groupBy(col("vec_id"), col("sub"))
-        .agg(expr("max_by(code, struct(round(fit, 6) AS f, -code AS nc))").as("code"))
-      // ADC: full-precision query subvectors x broadcast codebook lookup
-      val qsubs = subs.filter(col("vec_id") < 5)
-        .select(col("vec_id").as("qid"), col("sub"), col("sv").as("qv"))
-      val partials = codes.filter(col("vec_id") >= 5)
-        .join(broadcast(cb), Seq("sub", "code"))
-        .join(broadcast(qsubs), Seq("sub"))
-        .select(col("qid"), col("vec_id").as("eid"),
-          round(graft.functions.vector_dot(col("qv"), col("cent")) * 1e9)
-            .cast("long").as("p9"))
+        .select(col("sub"), col("label").cast("long").as("code"), col("cent"))
+      // the whole codebook as ONE nested broadcast row, sub-indexed with
+      // code-ascending entries — the shape PqEncode/PqAdc9 scan natively
+      val cbn = cb.groupBy()
+        .agg(collect_list(struct(col("sub"), col("code"), col("cent"))).as("flat"))
+        .select(expr(
+          "transform(array_sort(array_distinct(transform(flat, x -> x.sub))), " +
+          "s -> array_sort(transform(filter(flat, x -> x.sub = s), " +
+          "x -> struct(x.code AS code, x.cent AS cent))))").as("cbn"))
+      // encode + score are MAP-ONLY over the corpus scan: pq_encode
+      // replaces the n x nSub explode -> broadcast-join -> max_by hash
+      // aggregate (a corpus-sized shuffle), pq_adc9 replaces the
+      // n x nSub x nQ partial-row explode and its (qid, eid) aggregate —
+      // both kernels arithmetic-identical to the composed pipeline they
+      // fused (PqKernels scaladoc), so the unchanged oracle still gates
+      // every value. Nothing corpus-sized shuffles until the ranked
+      // (qid, eid, adc9) rows hit the top-3 window.
+      val ev = e.select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("ev"))
+      val coded = ev.filter(col("vec_id") >= 5).crossJoin(broadcast(cbn))
+        .select(col("vec_id").as("eid"),
+          graft.functions.pq_encode(col("ev"), col("cbn")).as("codes"), col("cbn"))
+      val queriesQ = ev.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("ev").as("qv"))
       val wQ = Window.partitionBy(col("qid")).orderBy(col("adc9").desc, col("eid"))
-      partials.groupBy(col("qid"), col("eid"))
-        .agg(sum(col("p9")).as("adc9"))
+      coded.crossJoin(broadcast(queriesQ))
+        .select(col("qid"), col("eid"),
+          graft.functions.pq_adc9(col("qv"), col("codes"), col("cbn")).as("adc9"))
         .withColumn("rk", row_number().over(wQ))
         .filter(col("rk") <= 3)
         .select(col("qid"), col("eid"), round(col("adc9") / 1e9, 6).as("adc"), col("rk"))
@@ -520,7 +517,7 @@ object SimilarityOps {
     //     scaled-integer partial sums. ---
     "v9_pq_rot" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
-      val nSub = 8; val subDim = 8
+      val subDim = 8
       // signed permutation: output position j takes source dim pi[j]
       // with sign ps[j] (one tiny broadcast row)
       val pm = s.range(64).select(col("id").cast("int").as("i"))
@@ -539,30 +536,27 @@ object SimilarityOps {
         .groupBy(col("label"), col("pos")).agg(avg(col("v")).as("cv"))
         .groupBy(col("label"), (col("pos") / subDim).cast("int").as("sub"))
         .agg(expr("transform(array_sort(collect_list(struct(pos, cv))), x -> x.cv)").as("cent"))
-        .select(col("sub"), col("label").as("code"), col("cent"))
-      val subs = e.select(col("vec_id"), col("embedding"),
-          explode(expr(s"sequence(0, ${nSub - 1})")).as("sub"))
-        .select(col("vec_id"), col("sub"),
-          expr(s"slice(embedding, sub * $subDim + 1, $subDim)").as("sv"))
-      // nearest-sub-centroid encode via max_by hash aggregate (v8's
-      // map-side-combining shape; same deterministic tiebreak)
-      val codes = subs.join(broadcast(cb), Seq("sub"))
-        .select(col("vec_id"), col("sub"), col("code"),
-          (graft.functions.vector_dot(col("sv"), col("cent")) * 2.0 -
-            graft.functions.vector_dot(col("cent"), col("cent"))).as("fit"))
-        .groupBy(col("vec_id"), col("sub"))
-        .agg(expr("max_by(code, struct(round(fit, 6) AS f, -code AS nc))").as("code"))
-      val qsubs = subs.filter(col("vec_id") < 5)
-        .select(col("vec_id").as("qid"), col("sub"), col("sv").as("qv"))
-      val partials = codes.filter(col("vec_id") >= 5)
-        .join(broadcast(cb), Seq("sub", "code"))
-        .join(broadcast(qsubs), Seq("sub"))
-        .select(col("qid"), col("vec_id").as("eid"),
-          round(graft.functions.vector_dot(col("qv"), col("cent")) * 1e9)
-            .cast("long").as("p9"))
+        .select(col("sub"), col("label").cast("long").as("code"), col("cent"))
+      // everything downstream is v8's fused map-only encode + ADC over
+      // the rotated vectors (see v8_pq_adc's plan note): one nested
+      // codebook broadcast row, pq_encode/pq_adc9 in the scan
+      // projection, no corpus-sized shuffle before the top-3 window
+      val cbn = cb.groupBy()
+        .agg(collect_list(struct(col("sub"), col("code"), col("cent"))).as("flat"))
+        .select(expr(
+          "transform(array_sort(array_distinct(transform(flat, x -> x.sub))), " +
+          "s -> array_sort(transform(filter(flat, x -> x.sub = s), " +
+          "x -> struct(x.code AS code, x.cent AS cent))))").as("cbn"))
+      val ev = e.select(col("vec_id"), col("embedding").as("ev"))
+      val coded = ev.filter(col("vec_id") >= 5).crossJoin(broadcast(cbn))
+        .select(col("vec_id").as("eid"),
+          graft.functions.pq_encode(col("ev"), col("cbn")).as("codes"), col("cbn"))
+      val queriesQ = ev.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("ev").as("qv"))
       val wQ = Window.partitionBy(col("qid")).orderBy(col("adc9").desc, col("eid"))
-      partials.groupBy(col("qid"), col("eid"))
-        .agg(sum(col("p9")).as("adc9"))
+      coded.crossJoin(broadcast(queriesQ))
+        .select(col("qid"), col("eid"),
+          graft.functions.pq_adc9(col("qv"), col("codes"), col("cbn")).as("adc9"))
         .withColumn("rk", row_number().over(wQ))
         .filter(col("rk") <= 3)
         .select(col("qid"), col("eid"), round(col("adc9") / 1e9, 6).as("adc"), col("rk"))
@@ -686,7 +680,7 @@ object SimilarityOps {
     //     aggregation-order-free. ---
     "v14_ivfpq" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
-      val nSub = 8; val subDim = 8
+      val subDim = 8
       val e = emb(s, dir)
       val ranked = rankedCells(e)
       val assigned = ranked.filter(col("rk") === 1).select(col("vec_id"), col("cell"))
@@ -696,34 +690,32 @@ object SimilarityOps {
         .groupBy(col("label"), col("pos")).agg(avg(col("v")).as("cv"))
         .groupBy(col("label"), (col("pos") / subDim).cast("int").as("sub"))
         .agg(expr("transform(array_sort(collect_list(struct(pos, cv))), x -> x.cv)").as("cent"))
-        .select(col("sub"), col("label").as("code"), col("cent"))
-      val subs = e.select(col("vec_id"), col("embedding"),
-          explode(expr(s"sequence(0, ${nSub - 1})")).as("sub"))
-        .select(col("vec_id"), col("sub"),
-          expr(s"transform(slice(embedding, sub * $subDim + 1, $subDim), x -> CAST(x AS DOUBLE))")
-            .as("sv"))
-      val codes = subs.join(broadcast(cb), Seq("sub"))
-        .select(col("vec_id"), col("sub"), col("code"),
-          (graft.functions.vector_dot(col("sv"), col("cent")) * 2.0 -
-            graft.functions.vector_dot(col("cent"), col("cent"))).as("fit"))
-        .groupBy(col("vec_id"), col("sub"))
-        .agg(expr("max_by(code, struct(round(fit, 6) AS f, -code AS nc))").as("code"))
-      val qsubs = subs.filter(col("vec_id") < 5)
-        .select(col("vec_id").as("qid"), col("sub"), col("sv").as("qv"))
-      // probe prune FIRST (corpus-keyed equi-join + broadcast probes),
-      // then ADC only on the survivors
-      val partials = codes.filter(col("vec_id") >= 5)
-        .join(assigned, Seq("vec_id"))
+        .select(col("sub"), col("label").cast("long").as("code"), col("cent"))
+      // v8's fused map-only encode (one nested codebook broadcast row +
+      // pq_encode in the scan projection — no n x nSub explode, no
+      // encode shuffle); probe prune FIRST (corpus-keyed equi-join +
+      // broadcast probes), then one pq_adc9 scalar per survivor replaces
+      // the per-sub partial rows and their (qid, eid) aggregate
+      val cbn = cb.groupBy()
+        .agg(collect_list(struct(col("sub"), col("code"), col("cent"))).as("flat"))
+        .select(expr(
+          "transform(array_sort(array_distinct(transform(flat, x -> x.sub))), " +
+          "s -> array_sort(transform(filter(flat, x -> x.sub = s), " +
+          "x -> struct(x.code AS code, x.cent AS cent))))").as("cbn"))
+      val ev = e.select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("ev"))
+      val coded = ev.filter(col("vec_id") >= 5).crossJoin(broadcast(cbn))
+        .select(col("vec_id"),
+          graft.functions.pq_encode(col("ev"), col("cbn")).as("codes"), col("cbn"))
+      val queriesQ = ev.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("ev").as("qv"))
+      val wQ = Window.partitionBy(col("qid")).orderBy(col("adc9").desc, col("eid"))
+      coded.join(assigned, Seq("vec_id"))
         .join(broadcast(probes), Seq("cell"))
         .filter(col("qid") =!= col("vec_id"))
-        .join(broadcast(cb), Seq("sub", "code"))
-        .join(broadcast(qsubs), Seq("qid", "sub"))
+        .join(broadcast(queriesQ), Seq("qid"))
         .select(col("qid"), col("vec_id").as("eid"),
-          round(graft.functions.vector_dot(col("qv"), col("cent")) * 1e9)
-            .cast("long").as("p9"))
-      val wQ = Window.partitionBy(col("qid")).orderBy(col("adc9").desc, col("eid"))
-      partials.groupBy(col("qid"), col("eid"))
-        .agg(sum(col("p9")).as("adc9"))
+          graft.functions.pq_adc9(col("qv"), col("codes"), col("cbn")).as("adc9"))
         .withColumn("rk", row_number().over(wQ))
         .filter(col("rk") <= 3)
         .select(col("qid"), col("eid"), round(col("adc9") / 1e9, 6).as("adc"), col("rk"))
