@@ -844,7 +844,10 @@ object SimilarityOps {
       val exact = queries("v1_cosine_topk")(s, dir)
         .select(col("qid"), col("eid"))
         .localCheckpoint(true) // consumed by the hit join AND the count
-      val hits = ap.join(exact, Seq("qid", "eid"), "left_semi")
+      // the checkpoint leaf is stats-less, so without the hint this
+      // 15-row side plans as a full SortMergeJoin (sort + exchange on
+      // both sides) — the checkpoint-leaf-broadcast idiom from g1/g4
+      val hits = ap.join(broadcast(exact), Seq("qid", "eid"), "left_semi")
         .groupBy(col("p")).agg(count(lit(1)).as("n_hit"))
       hits.crossJoin(broadcast(exact.agg(count(lit(1)).as("n_exact"))))
         .select(col("p"), col("n_exact"), col("n_hit"),
@@ -1269,6 +1272,12 @@ object SimilarityOps {
         |SELECT qid, eid, round(adc9 / 1e9, 6) AS adc, rk
         |FROM ranked WHERE rk <= 3 ORDER BY qid, rk""".stripMargin,
 
+    // partials carries a redundant `q.vec_id < 5` single-table filter
+    // (implied by q.vec_id = p.qid since probes are qid < 5): without
+    // it, DuckDB's sf1 join order starts from `q.sub = enc.sub` — 8
+    // distinct values, an n^2/8-per-sub blowup measured at >230 GB of
+    // spill at 10x data (the Spark plan broadcast-joins the 5 probes
+    // first, so only the oracle needed the hint). Values unchanged.
     "v14_ivfpq" ->
       """WITH dims AS (
         |  SELECT label, i AS pos, avg(CAST(embedding[i + 1] AS DOUBLE)) AS cv
@@ -1311,6 +1320,7 @@ object SimilarityOps {
         |       JOIN probes p ON a.cell = p.cell AND p.qid != enc.vec_id
         |       JOIN cb ON enc.sub = cb.sub AND enc.code = cb.code
         |       JOIN subs q ON q.sub = enc.sub AND q.vec_id = p.qid
+        |                  AND q.vec_id < 5
         |  WHERE enc.vec_id >= 5),
         |adc AS (SELECT qid, eid, CAST(sum(p9) AS BIGINT) AS adc9
         |        FROM partials GROUP BY qid, eid),

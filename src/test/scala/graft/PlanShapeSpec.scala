@@ -200,10 +200,13 @@ class PlanShapeSpec extends AnyFunSuite {
     // p10: only source-count rows ever cross-join (single-row broadcasts)
     val p10 = plan("p10_temperature_mix")
     assert(!p10.toLowerCase.contains("cartesianproduct"), p10)
-    // v8: the PQ encode is a max_by hash aggregate with map-side partials
-    // (the only remaining window is the final per-query top-3 ranking)
+    // v8 (round 13): encode and ADC are the FUSED map-only kernels in
+    // the scan projection — pq_encode/pq_adc9 present, and the old
+    // explode + broadcast-join + max_by encode must NOT resurface (it
+    // shuffled the corpus n x nSub ways)
     val v8 = plan("v8_pq_adc")
-    assert(v8.contains("max_by"), v8)
+    assert(v8.contains("pq_encode") && v8.contains("pq_adc9"), v8)
+    assert(!v8.contains("max_by"), v8)
     // exactly one Window operator (the top-3 ranking; WindowGroupLimit
     // rows are its pushed-down limit, not extra windows)
     assert(v8.linesIterator.count(_.contains("Window [")) == 1, v8)

@@ -316,4 +316,69 @@ class FunctionsSpec extends AnyFunSuite {
       .as[(Int, Int, Int, Int)].collect().toSeq
     assert(got == want)
   }
+
+  test("pq_encode / pq_adc9 equal the composed explode+join+max_by pipeline") {
+    // the fused kernels replaced this composition in v8/v9/v14; the
+    // bit-identical claim (PqKernels scaladoc) is asserted here on real
+    // embeddings: same codes per (vec, sub), same scaled-integer ADC
+    // partial sums per (query, corpus) pair, value-exact
+    val subDim = 8
+    val e = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val cb = e.select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col("label"), col("pos")).agg(avg(col("v")).as("cv"))
+      .groupBy(col("label"), (col("pos") / subDim).cast("int").as("sub"))
+      .agg(expr("transform(array_sort(collect_list(struct(pos, cv))), x -> x.cv)").as("cent"))
+      .select(col("sub"), col("label").cast("long").as("code"), col("cent"))
+    val cbn = cb.groupBy()
+      .agg(collect_list(struct(col("sub"), col("code"), col("cent"))).as("flat"))
+      .select(expr(
+        "transform(array_sort(array_distinct(transform(flat, x -> x.sub))), " +
+        "s -> array_sort(transform(filter(flat, x -> x.sub = s), " +
+        "x -> struct(x.code AS code, x.cent AS cent))))").as("cbn"))
+    // composed reference: explode sub-vectors, broadcast-join the flat
+    // codebook, round-6 fit, max_by argmax with ties to the lowest code
+    val subs = e.select(col("vec_id"), col("embedding"),
+        explode(expr("sequence(0, 7)")).as("sub"))
+      .select(col("vec_id"), col("sub"),
+        expr(s"transform(slice(embedding, sub * $subDim + 1, $subDim), x -> CAST(x AS DOUBLE))")
+          .as("sv"))
+    val refCodes = subs.join(broadcast(cb), Seq("sub"))
+      .select(col("vec_id"), col("sub"), col("code"),
+        (vector_dot(col("sv"), col("cent")) * 2.0 -
+          vector_dot(col("cent"), col("cent"))).as("fit"))
+      .groupBy(col("vec_id"), col("sub"))
+      .agg(expr("max_by(code, struct(round(fit, 6) AS f, -code AS nc))").as("code"))
+      .groupBy(col("vec_id"))
+      .agg(expr("transform(array_sort(collect_list(struct(sub, code))), x -> x.code)")
+        .as("ref_codes"))
+    val fused = e.select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("ev"))
+      .crossJoin(broadcast(cbn))
+      .select(col("vec_id"), col("ev"), col("cbn"),
+        pq_encode(col("ev"), col("cbn")).as("codes"))
+    val codeMismatch = fused.join(refCodes, Seq("vec_id"))
+      .filter(col("codes") =!= col("ref_codes")).count()
+    assert(codeMismatch == 0L, s"$codeMismatch vecs encode differently from the composed pipeline")
+
+    // composed ADC: per-sub partials CAST(round(dot * 1e9) AS BIGINT), summed
+    val qsubs = subs.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("sub"), col("sv").as("qv"))
+    val refAdc = fused.filter(col("vec_id") >= 5)
+      .select(col("vec_id").as("eid"), explode(expr("sequence(0, 7)")).as("sub"), col("codes"))
+      .select(col("eid"), col("sub"), expr("codes[sub]").as("code"))
+      .join(broadcast(cb), Seq("sub", "code"))
+      .join(broadcast(qsubs), Seq("sub"))
+      .select(col("qid"), col("eid"),
+        round(vector_dot(col("qv"), col("cent")) * 1e9).cast("long").as("p9"))
+      .groupBy(col("qid"), col("eid")).agg(sum(col("p9")).as("ref_adc9"))
+    val fusedAdc = fused.filter(col("vec_id") >= 5)
+      .select(col("vec_id").as("eid"), col("codes"), col("cbn"))
+      .crossJoin(broadcast(fused.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("ev").as("qv"))))
+      .select(col("qid"), col("eid"), pq_adc9(col("qv"), col("codes"), col("cbn")).as("adc9"))
+    val adcMismatch = fusedAdc.join(refAdc, Seq("qid", "eid"), "full_outer")
+      .filter(col("adc9").isNull || col("ref_adc9").isNull || col("adc9") =!= col("ref_adc9"))
+      .count()
+    assert(adcMismatch == 0L, s"$adcMismatch (qid, eid) pairs score differently from the composed ADC")
+  }
 }

@@ -32,9 +32,15 @@ object Sf1Rehearsal {
     * 3 seeds) stay constant by construction (ids < 20 exist once per
     * remap window), which is the claim under test — rounds scan k x the
     * edges while the broadcast side stays bounded. */
+  /** r13 extension: the fused-PQ family (v8/v9/v14) — round 13 replaced
+    * their explode + broadcast-join + max_by encode with the
+    * PqEncode/PqAdc9 map-only kernels, so the 10x value-exact pair now
+    * gates the kernels at scale too (and measures whether the
+    * no-corpus-shuffle claim holds: corpus 2k -> 20k vectors, queries
+    * still 5 by construction of the vec_id remap). */
   val Queries = Seq("d19_prefix_join", "d2_ngram_jaccard", "d16_lsh_eval",
     "g1_pagerank", "c3_cluster_metrics", "g7_kcore", "g8_harmonic",
-    "g4_bfs", "g5_label_prop")
+    "g4_bfs", "g5_label_prop", "v8_pq_adc", "v9_pq_rot", "v14_ivfpq")
 
   /** Generator-schema stamp, written into the reuse marker: a reused dir
     * from an OLDER generator (r11's lineitem lacked l_orderkey) would
