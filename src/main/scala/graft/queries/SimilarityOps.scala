@@ -47,6 +47,29 @@ object SimilarityOps {
   private def withNorm(df: DataFrame): DataFrame =
     df.withColumn("nrm", sqrt(graft.functions.vector_dot(col("embedding"), col("embedding"))))
 
+  /** Collect the (tiny: nSub x nLabels x subDim doubles, ~7 KB) nested
+    * PQ codebook and embed it as a LITERAL in the fused kernels. Why
+    * not a broadcast-joined column: a joined codebook column rides
+    * EVERY corpus row through the encode projection and the scoring
+    * join — ~7 KB of UnsafeRow copy per row, measured as the dominant
+    * v8 cost at sf1 (JobCensus: 5.4 s wall vs a 1.4 s floor with ZERO
+    * shuffle bytes — all row-copy compute). A literal is referenced
+    * from generated code with no per-row materialization. The head()
+    * is a one-row aggregate collect — the same driver traffic the
+    * broadcast already paid (buildBloom precedent). */
+  private def codebookLiteral(cbn: DataFrame): Column = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types._
+    val raw = cbn.head()
+      .getAs[scala.collection.Seq[scala.collection.Seq[org.apache.spark.sql.Row]]](0)
+    val ext = raw.map(_.map(r => org.apache.spark.sql.Row(r.getLong(0), r.getSeq[Double](1))))
+    val dt = ArrayType(ArrayType(StructType(Seq(
+      StructField("code", LongType, nullable = false),
+      StructField("cent", ArrayType(DoubleType, containsNull = false), nullable = false))),
+      containsNull = false), containsNull = false)
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(Literal.create(ext, dt))
+  }
+
   /** IVF coarse quantizer: per-label mean centroids as (cell, centroid) —
     * shared by v2/v3/v6 so the quantizer cannot silently diverge. */
   private def centroids(e: DataFrame): DataFrame =
@@ -487,17 +510,18 @@ object SimilarityOps {
       // fused (PqKernels scaladoc), so the unchanged oracle still gates
       // every value. Nothing corpus-sized shuffles until the ranked
       // (qid, eid, adc9) rows hit the top-3 window.
+      val cbL = codebookLiteral(cbn)
       val ev = e.select(col("vec_id"),
         expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("ev"))
-      val coded = ev.filter(col("vec_id") >= 5).crossJoin(broadcast(cbn))
+      val coded = ev.filter(col("vec_id") >= 5)
         .select(col("vec_id").as("eid"),
-          graft.functions.pq_encode(col("ev"), col("cbn")).as("codes"), col("cbn"))
+          graft.functions.pq_encode(col("ev"), cbL).as("codes"))
       val queriesQ = ev.filter(col("vec_id") < 5)
         .select(col("vec_id").as("qid"), col("ev").as("qv"))
       val wQ = Window.partitionBy(col("qid")).orderBy(col("adc9").desc, col("eid"))
       coded.crossJoin(broadcast(queriesQ))
         .select(col("qid"), col("eid"),
-          graft.functions.pq_adc9(col("qv"), col("codes"), col("cbn")).as("adc9"))
+          graft.functions.pq_adc9(col("qv"), col("codes"), cbL).as("adc9"))
         .withColumn("rk", row_number().over(wQ))
         .filter(col("rk") <= 3)
         .select(col("qid"), col("eid"), round(col("adc9") / 1e9, 6).as("adc"), col("rk"))
@@ -547,16 +571,17 @@ object SimilarityOps {
           "transform(array_sort(array_distinct(transform(flat, x -> x.sub))), " +
           "s -> array_sort(transform(filter(flat, x -> x.sub = s), " +
           "x -> struct(x.code AS code, x.cent AS cent))))").as("cbn"))
+      val cbL = codebookLiteral(cbn)
       val ev = e.select(col("vec_id"), col("embedding").as("ev"))
-      val coded = ev.filter(col("vec_id") >= 5).crossJoin(broadcast(cbn))
+      val coded = ev.filter(col("vec_id") >= 5)
         .select(col("vec_id").as("eid"),
-          graft.functions.pq_encode(col("ev"), col("cbn")).as("codes"), col("cbn"))
+          graft.functions.pq_encode(col("ev"), cbL).as("codes"))
       val queriesQ = ev.filter(col("vec_id") < 5)
         .select(col("vec_id").as("qid"), col("ev").as("qv"))
       val wQ = Window.partitionBy(col("qid")).orderBy(col("adc9").desc, col("eid"))
       coded.crossJoin(broadcast(queriesQ))
         .select(col("qid"), col("eid"),
-          graft.functions.pq_adc9(col("qv"), col("codes"), col("cbn")).as("adc9"))
+          graft.functions.pq_adc9(col("qv"), col("codes"), cbL).as("adc9"))
         .withColumn("rk", row_number().over(wQ))
         .filter(col("rk") <= 3)
         .select(col("qid"), col("eid"), round(col("adc9") / 1e9, 6).as("adc"), col("rk"))
@@ -702,11 +727,12 @@ object SimilarityOps {
           "transform(array_sort(array_distinct(transform(flat, x -> x.sub))), " +
           "s -> array_sort(transform(filter(flat, x -> x.sub = s), " +
           "x -> struct(x.code AS code, x.cent AS cent))))").as("cbn"))
+      val cbL = codebookLiteral(cbn)
       val ev = e.select(col("vec_id"),
         expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("ev"))
-      val coded = ev.filter(col("vec_id") >= 5).crossJoin(broadcast(cbn))
+      val coded = ev.filter(col("vec_id") >= 5)
         .select(col("vec_id"),
-          graft.functions.pq_encode(col("ev"), col("cbn")).as("codes"), col("cbn"))
+          graft.functions.pq_encode(col("ev"), cbL).as("codes"))
       val queriesQ = ev.filter(col("vec_id") < 5)
         .select(col("vec_id").as("qid"), col("ev").as("qv"))
       val wQ = Window.partitionBy(col("qid")).orderBy(col("adc9").desc, col("eid"))
@@ -715,7 +741,7 @@ object SimilarityOps {
         .filter(col("qid") =!= col("vec_id"))
         .join(broadcast(queriesQ), Seq("qid"))
         .select(col("qid"), col("vec_id").as("eid"),
-          graft.functions.pq_adc9(col("qv"), col("codes"), col("cbn")).as("adc9"))
+          graft.functions.pq_adc9(col("qv"), col("codes"), cbL).as("adc9"))
         .withColumn("rk", row_number().over(wQ))
         .filter(col("rk") <= 3)
         .select(col("qid"), col("eid"), round(col("adc9") / 1e9, 6).as("adc"), col("rk"))
