@@ -36,7 +36,11 @@ CATEGORIES = {
     "internal-import": re.compile(
         r"^\s*import\s+(?!org\.apache\.|java\.|javax\.|scala\.|graft\.|"
         r"org\.scalatest|org\.scalacheck|org\.slf4j|org\.junit|"
-        r"com\.fasterxml|org\.xerial|com\.github\.luben|org\.lz4)"
+        r"com\.fasterxml|org\.xerial|com\.github\.luben|org\.lz4|"
+        # the JDK's own bundled HTTP server (public module jdk.httpserver,
+        # used by S3RetrySpec's fault-injecting reverse proxy) — part of
+        # every JDK distribution, not a third-party/internal namespace
+        r"com\.sun\.net\.httpserver)"
         r"(?:com|org|net|io|ai|dev|cloud|corp|internal)\.\S+",
         re.M),
     # any URL not on the public allowlist
