@@ -73,6 +73,8 @@ class S3RetrySpec extends AnyFunSuite with BeforeAndAfterAll {
   private def arm(n: Int, stride: Int, methods: String*): Unit = {
     faultMethods = methods.toSet
     faultStride = math.max(1, stride)
+    stripRange = false
+    emptyBodyGets = false
     matched.set(0)
     injected.set(0)
     forwarded.set(0)
@@ -88,9 +90,23 @@ class S3RetrySpec extends AnyFunSuite with BeforeAndAfterAll {
     bos.toByteArray
   }
 
+  /** Degraded-endpoint modes (beyond 503 bursts): strip Range request
+    * headers (a Range-IGNORING endpoint: moto then answers 200 with the
+    * whole object), or answer GETs with 206-and-NO-body (the
+    * readFully-spin shape the input stream must refuse). */
+  @volatile private var stripRange = false
+  @volatile private var emptyBodyGets = false
+
   private def handle(ex: HttpExchange): Unit = {
     val method = ex.getRequestMethod
     val body = readAll(ex.getRequestBody)
+    if (emptyBodyGets && method == "GET" &&
+        ex.getRequestHeaders.containsKey("Range")) {
+      injected.incrementAndGet()
+      ex.sendResponseHeaders(206, -1) // a 206 owing bytes, with none
+      ex.close()
+      return
+    }
     if (faultMethods.contains(method) &&
         matched.getAndIncrement() % faultStride == 0 &&
         faults.getAndUpdate(n => math.max(0, n - 1)) > 0) {
@@ -115,9 +131,11 @@ class S3RetrySpec extends AnyFunSuite with BeforeAndAfterAll {
     hs.forEach { (k, vs) =>
       val lk = k.toLowerCase
       // hop-by-hop and auto-managed headers stay per-leg; everything the
-      // S3 protocol reads (auth shape, ranges, copy-source) forwards
+      // S3 protocol reads (auth shape, ranges, copy-source) forwards —
+      // unless stripRange simulates a Range-ignoring endpoint (request
+      // headers are immutable on the exchange, so the strip happens here)
       if (lk != "host" && lk != "content-length" && lk != "connection" &&
-          lk != "transfer-encoding")
+          lk != "transfer-encoding" && !(stripRange && lk == "range"))
         vs.forEach(v => c.addRequestProperty(k, v))
     }
     if (body.nonEmpty || method == "PUT" || method == "POST") {
@@ -256,6 +274,73 @@ class S3RetrySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(injected.get() == 3, "1 attempt + 2 retries, then give up")
     arm(0, 1)
     fs.delete(new Path(s"s3r://$bucket/retry"), true)
+    fs.close()
+  }
+
+  test("bucket-root delete sweeps children; root rename refuses (no silent '/' prefix no-op)") {
+    assume(motoUp, "moto S3 server unavailable in this environment")
+    arm(0, 1)
+    val fs = FileSystem.newInstance(java.net.URI.create(s"s3r://$bucket/"), s3Conf())
+    for (k <- Seq("rootswp/a.bin", "rootswp/sub/b.bin", "c.bin")) {
+      val o = fs.create(new Path(s"s3r://$bucket/$k"), true); o.write(1); o.close()
+    }
+    val root = new Path(s"s3r://$bucket/")
+    // non-recursive delete of a NON-empty root must refuse, like any dir
+    intercept[IOException] { fs.delete(root, false) }
+    // rename of the bucket root is not a thing — refuse, like s3a
+    assert(!fs.rename(root, new Path(s"s3r://$bucket/elsewhere")))
+    // recursive root delete: before the fix this listed the prefix "/"
+    // (matching nothing) and returned true having deleted NOTHING
+    assert(fs.delete(root, true))
+    assert(fs.listStatus(root).isEmpty, "root delete must actually sweep the bucket")
+    fs.close()
+  }
+
+  test("a Range-ignoring endpoint: 200-at-0 reads work, 200-at-offset fails loudly") {
+    assume(motoUp, "moto S3 server unavailable in this environment")
+    arm(0, 1)
+    val fs = FileSystem.newInstance(java.net.URI.create(s"s3r://$bucket/"), s3Conf())
+    val p = new Path(s"s3r://$bucket/norange/f.bin")
+    val data = Array.tabulate[Byte](200000)(i => (i * 17 % 251).toByte)
+    val o = fs.create(p, true); o.write(data); o.close()
+    stripRange = true
+    try {
+      // sequential read from 0: the whole-object 200 is equivalent to the
+      // requested slice (small object, under the buffer cap) — must work
+      val in = fs.open(p, 4096)
+      val head = new Array[Byte](10); in.readFully(0, head)
+      assert(head.toSeq == data.take(10).toSeq)
+      in.close()
+      // a seeked read: the endpoint returns the whole object for a
+      // mid-object Range — treating it as the slice would return bytes
+      // from the wrong position; the stream must FAIL, never corrupt
+      val in2 = fs.open(p, 4096)
+      in2.seek(100000)
+      val e = intercept[IOException] { in2.read() }
+      assert(e.getMessage.contains("ignored Range"), e.getMessage)
+      in2.close()
+    } finally stripRange = false
+    fs.delete(new Path(s"s3r://$bucket/norange"), true)
+    fs.close()
+  }
+
+  test("a 206 with an empty body fails loudly instead of spinning readFully forever") {
+    assume(motoUp, "moto S3 server unavailable in this environment")
+    arm(0, 1)
+    val fs = FileSystem.newInstance(java.net.URI.create(s"s3r://$bucket/"), s3Conf(retries = 0))
+    val p = new Path(s"s3r://$bucket/emptybody/f.bin")
+    val o = fs.create(p, true); o.write(Array.fill[Byte](1000)(7)); o.close()
+    emptyBodyGets = true
+    try {
+      val in = fs.open(p, 4096)
+      val e = intercept[IOException] {
+        val buf = new Array[Byte](100); in.readFully(0, buf)
+      }
+      assert(e.getMessage.toUpperCase.contains("EMPTY"), e.getMessage)
+      in.close()
+    } finally emptyBodyGets = false
+    assert(injected.get() > 0, "the degraded-GET mode actually served the read")
+    fs.delete(new Path(s"s3r://$bucket/emptybody"), true)
     fs.close()
   }
 
