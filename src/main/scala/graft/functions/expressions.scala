@@ -689,21 +689,44 @@ case class BloscDecompress(child: Expression)
 object PqKernels {
   import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 
-  /** Spark `round(x, 6)` for doubles: java BigDecimal.valueOf + HALF_UP. */
+  /** Spark `round(x, 6)` for doubles: java BigDecimal.valueOf + HALF_UP.
+    * NaN/Infinity pass through unchanged, exactly as Spark's Round
+    * short-circuits them (BigDecimal.valueOf would throw instead —
+    * turning a NaN embedding into a task crash the composed pipeline
+    * never had). */
   private def round6(x: Double): Double =
-    java.math.BigDecimal.valueOf(x).setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    if (x.isNaN || x.isInfinite) x
+    else java.math.BigDecimal.valueOf(x).setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
 
-  /** Spark `CAST(round(x) AS BIGINT)` for doubles. */
+  /** Spark `CAST(round(x) AS BIGINT)` for doubles; NaN/Infinity follow
+    * Spark's double->long cast (NaN -> 0, +/-Inf -> Long.Max/Min). */
   private def roundToLong(x: Double): Long =
-    java.math.BigDecimal.valueOf(x).setScale(0, java.math.RoundingMode.HALF_UP).doubleValue().toLong
+    if (x.isNaN || x.isInfinite) x.toLong
+    else java.math.BigDecimal.valueOf(x).setScale(0, java.math.RoundingMode.HALF_UP).doubleValue().toLong
 
   /** Nearest-sub-centroid codes of `vec` against the nested codebook
     * `cb[sub] = array<struct<code, cent>>`: per sub, argmax over codes
     * of round6(2*dot(sv, cent) - dot(cent, cent)), ties to lowest code. */
+  /** Sub-vector width: the CODEBOOK's centroid width (every cent is
+    * built subDim-wide), NOT dim/nSub — the composed pipeline slices
+    * fixed subDim windows, so a vector whose length is not an exact
+    * multiple (last slice short) must still use the trained width;
+    * deriving it from the vector would silently shift every offset. */
+  private def subDimOf(cb: ArrayData): Int = {
+    val nSub = cb.numElements()
+    var s = 0
+    while (s < nSub) {
+      val entries = cb.getArray(s)
+      if (entries.numElements() > 0) return entries.getStruct(0, 2).getArray(1).numElements()
+      s += 1
+    }
+    0
+  }
+
   def encode(vec: ArrayData, cb: ArrayData): ArrayData = {
     val nSub = cb.numElements()
     val dim = vec.numElements()
-    val subDim = if (nSub == 0) 0 else dim / nSub
+    val subDim = subDimOf(cb)
     val codes = new Array[Long](nSub)
     var s = 0
     while (s < nSub) {
@@ -745,7 +768,7 @@ object PqKernels {
   def adc9(q: ArrayData, codes: ArrayData, cb: ArrayData): Long = {
     val nSub = cb.numElements()
     val dim = q.numElements()
-    val subDim = if (nSub == 0) 0 else dim / nSub
+    val subDim = subDimOf(cb)
     var total = 0L
     var s = 0
     while (s < nSub) {

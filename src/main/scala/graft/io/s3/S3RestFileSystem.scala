@@ -251,7 +251,12 @@ class S3RestFileSystem extends FileSystem {
     while (true) {
       val outcome: Either[IOException, HttpResp] =
         try Right(httpOnce(method, encPath, params, body, headers))
-        catch { case e: IOException => Left(e) }
+        catch {
+          // deterministic refusals (e.g. the response-size cap) are not
+          // weather — surface immediately instead of burning the backoff
+          case e: S3RestFileSystem.NonRetryableIOException => throw e
+          case e: IOException => Left(e)
+        }
       val retryable = outcome match {
         case Right(r) => r.code == 429 || r.code == 500 || r.code == 502 ||
           r.code == 503 || r.code == 504
@@ -294,8 +299,19 @@ class S3RestFileSystem extends FileSystem {
         try os.write(body) finally os.close()
       }
       val code = c.getResponseCode
+      // enforce the buffering cap BEFORE reading the body: the only
+      // legitimate large response is a ranged GET slice (<= the read
+      // window); a bigger advertised body is a Range-ignoring endpoint
+      // shipping a whole object, and reading it first would be the OOM
+      // the cap exists to prevent
+      val advertised = c.getContentLengthLong
+      if (code < 400 && advertised > S3RestFileSystem.MaxFullObjectBuffer)
+        throw new S3RestFileSystem.NonRetryableIOException(
+          s"s3r $method $encPath: response advertises $advertised bytes — " +
+          s"refusing to buffer more than ${S3RestFileSystem.MaxFullObjectBuffer} " +
+          "in one response (Range-ignoring endpoint shipping a whole object?)")
       val bytes = readAll(if (code >= 400) c.getErrorStream else c.getInputStream)
-      HttpResp(code, bytes, c.getContentLengthLong, c.getLastModified,
+      HttpResp(code, bytes, advertised, c.getLastModified,
         Option(c.getHeaderField("ETag")).getOrElse(""))
     } finally c.disconnect()
   }
@@ -552,19 +568,33 @@ class S3RestFileSystem extends FileSystem {
         val manifest = etags.result().zipWithIndex.map { case (e, i) =>
           s"<Part><PartNumber>${i + 1}</PartNumber><ETag>$e</ETag></Part>"
         }.mkString("<CompleteMultipartUpload>", "", "</CompleteMultipartUpload>")
-        val r = http("POST", target, Seq("uploadId" -> uploadId),
-          body = manifest.getBytes("UTF-8"))
-        if (r.code != 200) { abort(); fail("MPU-COMPLETE", key, r) }
         // CompleteMultipartUpload is the one S3 call documented to return
-        // 200 OK with an <Error> body (e.g. InternalError) — treating the
-        // status line as success there would report a committed object
-        // that never materializes. Success bodies vary by implementation
-        // (AWS: ...Result, moto: ...Response), so detect the ERROR shape.
-        val bodyText = new String(r.body, "UTF-8")
-        if (bodyText.contains("<Error")) {
-          abort()
-          throw new IOException(
-            s"s3r MPU-COMPLETE $key -> HTTP 200 with an error body: ${bodyText.take(300)}")
+        // 200 OK with an <Error> body (e.g. InternalError, a transient
+        // AWS documents as retryable) — the status-code retry in http()
+        // cannot see it, so the body-level retry lives here: re-POST the
+        // same manifest (idempotent — same uploadId + same parts) with
+        // the same bounded backoff, and only ABORT (which irrevocably
+        // deletes the parts) once retries are exhausted. Success bodies
+        // vary by implementation (AWS: ...Result, moto: ...Response), so
+        // the trigger is the ERROR shape, not a success match.
+        var attempt = 0
+        var done = false
+        while (!done) {
+          val r = http("POST", target, Seq("uploadId" -> uploadId),
+            body = manifest.getBytes("UTF-8"))
+          if (r.code != 200) { abort(); fail("MPU-COMPLETE", key, r) }
+          val bodyText = new String(r.body, "UTF-8")
+          if (!bodyText.contains("<Error")) done = true
+          else if (attempt >= retryLimit) {
+            abort()
+            throw new IOException(
+              s"s3r MPU-COMPLETE $key -> HTTP 200 with an error body after " +
+              s"${attempt + 1} attempts: ${bodyText.take(300)}")
+          } else {
+            val base = retryBaseMs << math.min(attempt, 20)
+            Thread.sleep(math.max(1L, base))
+            attempt += 1
+          }
         }
       }
     }
@@ -667,8 +697,14 @@ object S3RestFileSystem {
   /** Largest whole-object response accepted from an endpoint that
     * ignores Range headers (HTTP 200 for a ranged GET at offset 0).
     * Beyond this, buffering the full object is an OOM risk and the
-    * stream fails loudly instead. */
+    * stream fails loudly instead — enforced from the advertised
+    * Content-Length BEFORE the body is read (httpOnce), so the refusal
+    * actually prevents the allocation rather than reporting it. */
   private[s3] val MaxFullObjectBuffer: Long = 256L * 1024 * 1024
+
+  /** An IOException the retry loop must NOT retry: a deterministic
+    * refusal, not transport weather. */
+  private[s3] final class NonRetryableIOException(msg: String) extends IOException(msg)
 
   /** Object-key encoding: strict RFC 3986 per path segment, '/'
     * separators preserved. The SAME bytes go on the wire and into the

@@ -57,9 +57,19 @@ object SimilarityOps {
     * from generated code with no per-row materialization. The head()
     * is a one-row aggregate collect — the same driver traffic the
     * broadcast already paid (buildBloom precedent). */
-  private def codebookLiteral(cbn: DataFrame): Column = {
+  private def codebookLiteral(cb: DataFrame): Column = {
     import org.apache.spark.sql.catalyst.expressions.Literal
     import org.apache.spark.sql.types._
+    // nest the flat (sub, code, cent) codebook into ONE row — array
+    // indexed by sub of code-ascending entries, the shape
+    // PqEncode/PqAdc9 scan natively (single aggregate, done here so the
+    // three PQ queries cannot drift apart on the nesting scheme)
+    val cbn = cb.groupBy()
+      .agg(collect_list(struct(col("sub"), col("code"), col("cent"))).as("flat"))
+      .select(expr(
+        "transform(array_sort(array_distinct(transform(flat, x -> x.sub))), " +
+        "s -> array_sort(transform(filter(flat, x -> x.sub = s), " +
+        "x -> struct(x.code AS code, x.cent AS cent))))").as("cbn"))
     val raw = cbn.head()
       .getAs[scala.collection.Seq[scala.collection.Seq[org.apache.spark.sql.Row]]](0)
     val ext = raw.map(_.map(r => org.apache.spark.sql.Row(r.getLong(0), r.getSeq[Double](1))))
@@ -494,14 +504,6 @@ object SimilarityOps {
         .groupBy(col("label"), (col("pos") / subDim).cast("int").as("sub"))
         .agg(expr("transform(array_sort(collect_list(struct(pos, cv))), x -> x.cv)").as("cent"))
         .select(col("sub"), col("label").cast("long").as("code"), col("cent"))
-      // the whole codebook as ONE nested broadcast row, sub-indexed with
-      // code-ascending entries — the shape PqEncode/PqAdc9 scan natively
-      val cbn = cb.groupBy()
-        .agg(collect_list(struct(col("sub"), col("code"), col("cent"))).as("flat"))
-        .select(expr(
-          "transform(array_sort(array_distinct(transform(flat, x -> x.sub))), " +
-          "s -> array_sort(transform(filter(flat, x -> x.sub = s), " +
-          "x -> struct(x.code AS code, x.cent AS cent))))").as("cbn"))
       // encode + score are MAP-ONLY over the corpus scan: pq_encode
       // replaces the n x nSub explode -> broadcast-join -> max_by hash
       // aggregate (a corpus-sized shuffle), pq_adc9 replaces the
@@ -510,7 +512,7 @@ object SimilarityOps {
       // fused (PqKernels scaladoc), so the unchanged oracle still gates
       // every value. Nothing corpus-sized shuffles until the ranked
       // (qid, eid, adc9) rows hit the top-3 window.
-      val cbL = codebookLiteral(cbn)
+      val cbL = codebookLiteral(cb)
       val ev = e.select(col("vec_id"),
         expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("ev"))
       val coded = ev.filter(col("vec_id") >= 5)
@@ -562,16 +564,10 @@ object SimilarityOps {
         .agg(expr("transform(array_sort(collect_list(struct(pos, cv))), x -> x.cv)").as("cent"))
         .select(col("sub"), col("label").cast("long").as("code"), col("cent"))
       // everything downstream is v8's fused map-only encode + ADC over
-      // the rotated vectors (see v8_pq_adc's plan note): one nested
-      // codebook broadcast row, pq_encode/pq_adc9 in the scan
-      // projection, no corpus-sized shuffle before the top-3 window
-      val cbn = cb.groupBy()
-        .agg(collect_list(struct(col("sub"), col("code"), col("cent"))).as("flat"))
-        .select(expr(
-          "transform(array_sort(array_distinct(transform(flat, x -> x.sub))), " +
-          "s -> array_sort(transform(filter(flat, x -> x.sub = s), " +
-          "x -> struct(x.code AS code, x.cent AS cent))))").as("cbn"))
-      val cbL = codebookLiteral(cbn)
+      // the rotated vectors (see v8_pq_adc's plan note): the codebook
+      // collected once into a codegen literal, pq_encode/pq_adc9 in the
+      // scan projection, no corpus-sized shuffle before the top-3 window
+      val cbL = codebookLiteral(cb)
       val ev = e.select(col("vec_id"), col("embedding").as("ev"))
       val coded = ev.filter(col("vec_id") >= 5)
         .select(col("vec_id").as("eid"),
@@ -721,13 +717,7 @@ object SimilarityOps {
       // encode shuffle); probe prune FIRST (corpus-keyed equi-join +
       // broadcast probes), then one pq_adc9 scalar per survivor replaces
       // the per-sub partial rows and their (qid, eid) aggregate
-      val cbn = cb.groupBy()
-        .agg(collect_list(struct(col("sub"), col("code"), col("cent"))).as("flat"))
-        .select(expr(
-          "transform(array_sort(array_distinct(transform(flat, x -> x.sub))), " +
-          "s -> array_sort(transform(filter(flat, x -> x.sub = s), " +
-          "x -> struct(x.code AS code, x.cent AS cent))))").as("cbn"))
-      val cbL = codebookLiteral(cbn)
+      val cbL = codebookLiteral(cb)
       val ev = e.select(col("vec_id"),
         expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("ev"))
       val coded = ev.filter(col("vec_id") >= 5)

@@ -67,19 +67,27 @@ class S3RetrySpec extends AnyFunSuite with BeforeAndAfterAll {
   /** Arm `n` faults for requests with the given methods. `stride` = 1
     * faults every matching request until the budget drains (a
     * CONSECUTIVE burst — the retried request is faulted again);
-    * `stride` = 2 faults every other matching request, so each faulted
-    * request's first retry goes through (a burst SPREAD across the
-    * protocol sequence, the realistic SlowDown shape). */
+    * `stride` = 2 faults each DISTINCT (method, path) at most once, so
+    * every faulted request's retry goes through (a burst SPREAD across
+    * the protocol sequence, the realistic SlowDown shape). The
+    * per-path memo — not alternating parity — keeps the guarantee
+    * under concurrent executors: with a global parity counter, an
+    * unlucky interleaving could assign one request's attempt AND its
+    * retries all-even slots and exhaust the retry limit (flake). */
   private def arm(n: Int, stride: Int, methods: String*): Unit = {
     faultMethods = methods.toSet
     faultStride = math.max(1, stride)
     stripRange = false
     emptyBodyGets = false
+    faultedPaths.clear()
     matched.set(0)
     injected.set(0)
     forwarded.set(0)
     faults.set(n)
   }
+
+  private val faultedPaths =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
   private def readAll(in: java.io.InputStream): Array[Byte] = {
     if (in == null) return Array.emptyByteArray
@@ -107,9 +115,11 @@ class S3RetrySpec extends AnyFunSuite with BeforeAndAfterAll {
       ex.close()
       return
     }
-    if (faultMethods.contains(method) &&
-        matched.getAndIncrement() % faultStride == 0 &&
-        faults.getAndUpdate(n => math.max(0, n - 1)) > 0) {
+    val faultSlot = faultMethods.contains(method) && {
+      if (faultStride == 1) { matched.getAndIncrement(); true }
+      else faultedPaths.add(method + " " + ex.getRequestURI.getRawPath)
+    }
+    if (faultSlot && faults.getAndUpdate(n => math.max(0, n - 1)) > 0) {
       injected.incrementAndGet()
       val err = ("<?xml version=\"1.0\"?><Error><Code>SlowDown</Code>" +
         "<Message>Please reduce your request rate.</Message></Error>").getBytes("UTF-8")
