@@ -381,4 +381,34 @@ class FunctionsSpec extends AnyFunSuite {
       .count()
     assert(adcMismatch == 0L, s"$adcMismatch (qid, eid) pairs score differently from the composed ADC")
   }
+
+  test("pq kernels: NaN embeddings survive and non-multiple dims slice like the composed form") {
+    import spark.implicits._
+    // codebook: 2 subs x 2 codes of width 4, one row each via the same
+    // nested shape the queries build
+    val cbn = Seq((
+      Seq(Seq((0L, Seq(1.0, 0.0, 0.0, 0.0)), (1L, Seq(0.0, 1.0, 0.0, 0.0))),
+          Seq((0L, Seq(0.0, 0.0, 1.0, 0.0)), (1L, Seq(0.0, 0.0, 0.0, 1.0))))
+    )).toDF("cbn")
+    // a NaN component must not crash the kernel (Spark's round passes
+    // NaN through; BigDecimal.valueOf would throw) — encode still picks
+    // a code for every sub deterministically
+    val nanVec = Seq(Tuple1(Seq(Double.NaN, 1.0, 0.5, 0.25, 0.9, 0.1, 0.2, 0.3))).toDF("v")
+    val enc = nanVec.crossJoin(cbn)
+      .select(pq_encode(col("v"), col("cbn")).as("codes"))
+      .collect()(0).getSeq[Long](0)
+    assert(enc.length == 2, s"one code per sub: $enc")
+    // a 6-dim vector against the width-4 codebook: sub widths come from
+    // the CODEBOOK (fixed 4-wide windows at offsets 0 and 4, the last
+    // slice short) — not dim/nSub = 3, which would shift every offset
+    val shortVec = Seq(Tuple1(Seq(0.0, 1.0, 0.0, 0.0, 1.0, 0.0))).toDF("v")
+    val enc2 = shortVec.crossJoin(cbn)
+      .select(pq_encode(col("v"), col("cbn")).as("codes"))
+      .collect()(0).getSeq[Long](0)
+    // sub 0 sees (0,1,0,0) -> code 1 exactly; sub 1 sees (1,0) padded
+    // short -> fits are 2*1-1=1 (code 0: cent (0,0,1,0) dot (1,0)=0 ->
+    // fit -1) vs code 1: cent (0,0,0,1) dot (1,0)=0 -> fit -1: tie ->
+    // lowest code 0
+    assert(enc2 == Seq(1L, 0L), s"codebook-width slicing: $enc2")
+  }
 }
