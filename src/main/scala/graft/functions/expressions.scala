@@ -704,9 +704,27 @@ object PqKernels {
     if (x.isNaN || x.isInfinite) x.toLong
     else java.math.BigDecimal.valueOf(x).setScale(0, java.math.RoundingMode.HALF_UP).doubleValue().toLong
 
+  /** Spark's nan-safe double ordering (`Utils.nanSafeCompareDoubles`):
+    * NaN ranks GREATEST and equal to itself, otherwise plain `<`/`>`.
+    * The argmax below must use THIS ordering, not bare `>`/`==` — a
+    * NaN fit fails every primitive comparison, so the naive form never
+    * selects NaN candidates, while the composed `max_by(code,
+    * struct(fit, -code))` it replaces ranks NaN fits above everything
+    * (and an all-NaN sub ties down to the lowest code). With it, a
+    * degenerate/NaN embedding encodes to the same codes as the
+    * composed pipeline instead of a sentinel absent from the codebook. */
+  private def nanSafeCompare(a: Double, b: Double): Int =
+    if (a.isNaN && b.isNaN) 0
+    else if (a.isNaN) 1
+    else if (b.isNaN) -1
+    else if (a > b) 1
+    else if (a < b) -1
+    else 0
+
   /** Nearest-sub-centroid codes of `vec` against the nested codebook
     * `cb[sub] = array<struct<code, cent>>`: per sub, argmax over codes
-    * of round6(2*dot(sv, cent) - dot(cent, cent)), ties to lowest code. */
+    * of round6(2*dot(sv, cent) - dot(cent, cent)), ties to lowest code,
+    * fits ordered nan-safe like Spark's struct max ([[nanSafeCompare]]). */
   /** Sub-vector width: the CODEBOOK's centroid width (every cent is
     * built subDim-wide), NOT dim/nSub — the composed pipeline slices
     * fixed subDim windows, so a vector whose length is not an exact
@@ -750,7 +768,8 @@ object PqKernels {
         i = 0
         while (i < cl) { val c = cent.getDouble(i); nrm += c * c; i += 1 }
         val fit = round6(dot * 2.0 - nrm)
-        if (fit > bestF || (fit == bestF && code < bestC)) { bestF = fit; bestC = code }
+        val c = nanSafeCompare(fit, bestF)
+        if (c > 0 || (c == 0 && code < bestC)) { bestF = fit; bestC = code }
         j += 1
       }
       codes(s) = bestC

@@ -213,8 +213,25 @@ class S3RestFileSystem extends FileSystem {
     if (in == null) return Array.emptyByteArray
     val bos = new ByteArrayOutputStream()
     val buf = new Array[Byte](65536)
+    var total = 0L
     var n = in.read(buf)
-    while (n >= 0) { bos.write(buf, 0, n); n = in.read(buf) }
+    while (n >= 0) {
+      total += n
+      // a chunked response advertises Content-Length -1, so httpOnce's
+      // pre-read advertised-size refusal never fires for it — enforce the
+      // same cap WHILE streaming, aborting before the buffer grows past
+      // it, so a Range-ignoring endpoint on chunked transfer encoding
+      // cannot OOM the reader either
+      if (total > S3RestFileSystem.MaxFullObjectBuffer) {
+        in.close()
+        throw new S3RestFileSystem.NonRetryableIOException(
+          s"s3r response exceeded ${S3RestFileSystem.MaxFullObjectBuffer} bytes " +
+          "while streaming — refusing to buffer further (Range-ignoring " +
+          "endpoint shipping a whole object over chunked encoding?)")
+      }
+      bos.write(buf, 0, n)
+      n = in.read(buf)
+    }
     in.close()
     bos.toByteArray
   }
@@ -243,6 +260,16 @@ class S3RestFileSystem extends FileSystem {
     * not weather. Fault-injected end-to-end in S3RetrySpec: a 503
     * SlowDown burst mid-Zarr-commit completes without caller-visible
     * error. */
+  /** Exponential backoff with ±50% jitter so a fleet of executors
+    * throttled together does not re-synchronize on the retry clock.
+    * Shared by the transport retry in [[http]] and the MPU-COMPLETE
+    * body-level retry (one backoff discipline, one attempt budget). */
+  private def backoff(attempt: Int): Unit = {
+    val base = retryBaseMs << math.min(attempt, 20)
+    val jitter = (base * (java.util.concurrent.ThreadLocalRandom.current().nextDouble() - 0.5)).toLong
+    Thread.sleep(math.max(1L, base + jitter))
+  }
+
   private def http(method: String, encPath: String,
                    params: Seq[(String, String)] = Nil,
                    body: Array[Byte] = null,
@@ -258,18 +285,13 @@ class S3RestFileSystem extends FileSystem {
           case e: IOException => Left(e)
         }
       val retryable = outcome match {
-        case Right(r) => r.code == 429 || r.code == 500 || r.code == 502 ||
-          r.code == 503 || r.code == 504
+        case Right(r) => S3RestFileSystem.retryableStatus(r.code)
         case Left(_) => true
       }
       if (!retryable || attempt >= retryLimit) {
         return outcome.fold(throw _, identity)
       }
-      // exponential backoff with ±50% jitter so a fleet of executors
-      // throttled together does not re-synchronize on the retry clock
-      val base = retryBaseMs << math.min(attempt, 20)
-      val jitter = (base * (java.util.concurrent.ThreadLocalRandom.current().nextDouble() - 0.5)).toLong
-      Thread.sleep(math.max(1L, base + jitter))
+      backoff(attempt)
       attempt += 1
     }
     throw new IllegalStateException("unreachable")
@@ -299,11 +321,11 @@ class S3RestFileSystem extends FileSystem {
         try os.write(body) finally os.close()
       }
       val code = c.getResponseCode
-      // enforce the buffering cap BEFORE reading the body: the only
-      // legitimate large response is a ranged GET slice (<= the read
-      // window); a bigger advertised body is a Range-ignoring endpoint
-      // shipping a whole object, and reading it first would be the OOM
-      // the cap exists to prevent
+      // refuse an over-cap ADVERTISED body before reading a byte: the
+      // only legitimate large response is a ranged GET slice (<= the
+      // read window); a bigger advertised body is a Range-ignoring
+      // endpoint shipping a whole object. Chunked responses advertise
+      // -1 and are caught by readAll's streaming byte count instead.
       val advertised = c.getContentLengthLong
       if (code < 400 && advertised > S3RestFileSystem.MaxFullObjectBuffer)
         throw new S3RestFileSystem.NonRetryableIOException(
@@ -570,29 +592,47 @@ class S3RestFileSystem extends FileSystem {
         }.mkString("<CompleteMultipartUpload>", "", "</CompleteMultipartUpload>")
         // CompleteMultipartUpload is the one S3 call documented to return
         // 200 OK with an <Error> body (e.g. InternalError, a transient
-        // AWS documents as retryable) — the status-code retry in http()
-        // cannot see it, so the body-level retry lives here: re-POST the
-        // same manifest (idempotent — same uploadId + same parts) with
-        // the same bounded backoff, and only ABORT (which irrevocably
-        // deletes the parts) once retries are exhausted. Success bodies
-        // vary by implementation (AWS: ...Result, moto: ...Response), so
-        // the trigger is the ERROR shape, not a success match.
+        // AWS documents as retryable) — a status-code retry cannot see
+        // it. The POST therefore goes through httpOnce (single attempt)
+        // and ONE loop here owns the whole retry budget across BOTH
+        // failure shapes (retryable status/transport AND 200-with-error-
+        // body): re-POST the same manifest (idempotent — same uploadId +
+        // same parts) with the shared jittered backoff, at most
+        // retryLimit extra attempts TOTAL (routing through http() would
+        // multiply to (retryLimit+1)^2 attempts with stacked backoffs),
+        // and only ABORT (which irrevocably deletes the parts) once the
+        // budget is exhausted or the failure is a non-retryable answer.
+        // Success bodies vary by implementation (AWS: ...Result, moto:
+        // ...Response), so the trigger is the ERROR shape, not a success
+        // match.
         var attempt = 0
         var done = false
         while (!done) {
-          val r = http("POST", target, Seq("uploadId" -> uploadId),
-            body = manifest.getBytes("UTF-8"))
-          if (r.code != 200) { abort(); fail("MPU-COMPLETE", key, r) }
-          val bodyText = new String(r.body, "UTF-8")
-          if (!bodyText.contains("<Error")) done = true
-          else if (attempt >= retryLimit) {
-            abort()
-            throw new IOException(
-              s"s3r MPU-COMPLETE $key -> HTTP 200 with an error body after " +
-              s"${attempt + 1} attempts: ${bodyText.take(300)}")
-          } else {
-            val base = retryBaseMs << math.min(attempt, 20)
-            Thread.sleep(math.max(1L, base))
+          val postBody = manifest.getBytes("UTF-8")
+          val outcome: Either[IOException, HttpResp] =
+            try Right(httpOnce("POST", target, Seq("uploadId" -> uploadId), postBody, Nil))
+            catch {
+              case e: S3RestFileSystem.NonRetryableIOException => abort(); throw e
+              case e: IOException => Left(e)
+            }
+          val failure: Option[String] = outcome match {
+            case Right(r) if r.code == 200 =>
+              val bodyText = new String(r.body, "UTF-8")
+              if (bodyText.contains("<Error"))
+                Some(s"HTTP 200 with an error body: ${bodyText.take(300)}")
+              else { done = true; None }
+            case Right(r) if S3RestFileSystem.retryableStatus(r.code) =>
+              Some(s"HTTP ${r.code}: ${new String(r.body.take(300), "UTF-8")}")
+            case Right(r) => abort(); fail("MPU-COMPLETE", key, r)
+            case Left(e) => Some(s"transport failure: ${e.getMessage}")
+          }
+          failure.foreach { why =>
+            if (attempt >= retryLimit) {
+              abort()
+              throw new IOException(
+                s"s3r MPU-COMPLETE $key failed after ${attempt + 1} attempts — $why")
+            }
+            backoff(attempt)
             attempt += 1
           }
         }
@@ -698,9 +738,17 @@ object S3RestFileSystem {
     * ignores Range headers (HTTP 200 for a ranged GET at offset 0).
     * Beyond this, buffering the full object is an OOM risk and the
     * stream fails loudly instead — enforced from the advertised
-    * Content-Length BEFORE the body is read (httpOnce), so the refusal
-    * actually prevents the allocation rather than reporting it. */
+    * Content-Length BEFORE the body is read (httpOnce) when one is
+    * advertised, and by a streaming byte count inside readAll otherwise
+    * (chunked transfer encoding advertises -1), so the refusal prevents
+    * the allocation in both response shapes. */
   private[s3] val MaxFullObjectBuffer: Long = 256L * 1024 * 1024
+
+  /** The s3a/AWS-SDK retryable-status set: throttles (429/503) and
+    * transient shedding (500/502/504). 4xx other than 429 are answers,
+    * not weather. */
+  private[s3] def retryableStatus(code: Int): Boolean =
+    code == 429 || code == 500 || code == 502 || code == 503 || code == 504
 
   /** An IOException the retry loop must NOT retry: a deterministic
     * refusal, not transport weather. */

@@ -391,13 +391,30 @@ class FunctionsSpec extends AnyFunSuite {
           Seq((0L, Seq(0.0, 0.0, 1.0, 0.0)), (1L, Seq(0.0, 0.0, 0.0, 1.0))))
     )).toDF("cbn")
     // a NaN component must not crash the kernel (Spark's round passes
-    // NaN through; BigDecimal.valueOf would throw) — encode still picks
-    // a code for every sub deterministically
+    // NaN through; BigDecimal.valueOf would throw) AND must encode to
+    // the SAME codes as the composed max_by pipeline, whose struct
+    // ordering ranks NaN fits greatest and breaks NaN-ties to the
+    // lowest code. Sub 0's slice carries the NaN, so every code's dot
+    // is NaN (NaN*0 = NaN) -> all-NaN fits -> lowest code 0; sub 1 is
+    // clean arithmetic -> code 1 (fit -0.4 beats -0.6).
     val nanVec = Seq(Tuple1(Seq(Double.NaN, 1.0, 0.5, 0.25, 0.9, 0.1, 0.2, 0.3))).toDF("v")
     val enc = nanVec.crossJoin(cbn)
       .select(pq_encode(col("v"), col("cbn")).as("codes"))
       .collect()(0).getSeq[Long](0)
-    assert(enc.length == 2, s"one code per sub: $enc")
+    assert(enc == Seq(0L, 1L), s"NaN sub must argmax like max_by(struct): $enc")
+    // the composed pipeline itself, over the same NaN vector and
+    // codebook — the equality the scaladoc claims, asserted not assumed
+    val composed = nanVec.crossJoin(cbn)
+      .select(explode(expr("sequence(0, 1)")).as("sub"), col("v"), col("cbn"))
+      .select(col("sub"), expr("slice(v, sub * 4 + 1, 4)").as("sv"),
+        explode(expr("cbn[sub]")).as("e"))
+      .select(col("sub"), col("e._1").as("code"),
+        (vector_dot(col("sv"), col("e._2")) * 2.0 -
+          vector_dot(col("e._2"), col("e._2"))).as("fit"))
+      .groupBy(col("sub"))
+      .agg(expr("max_by(code, struct(round(fit, 6) AS f, -code AS nc))").as("code"))
+      .orderBy(col("sub")).collect().map(_.getLong(1)).toSeq
+    assert(enc == composed, s"kernel $enc != composed $composed on NaN fits")
     // a 6-dim vector against the width-4 codebook: sub widths come from
     // the CODEBOOK (fixed 4-wide windows at offsets 0 and 4, the last
     // slice short) — not dim/nSub = 3, which would shift every offset

@@ -45,8 +45,18 @@ import graft.sources.SyntheticStack
   */
 class S3RetrySpec extends AnyFunSuite with BeforeAndAfterAll {
 
-  private val motoPort = 19107
-  private val proxyPort = 19108
+  /** Ephemeral ports, not fixed ones: parallel suites (or a second CI
+    * job on the same host) racing for a hardcoded 19107/19108 flake with
+    * BindException. Moto needs a concrete port on its command line, so
+    * reserve one by binding port 0 and releasing it (the standard
+    * pick-a-free-port idiom; the close->launch window is the usual
+    * accepted race); the proxy binds port 0 directly and reports back. */
+  private def freePort(): Int = {
+    val s = new java.net.ServerSocket(0)
+    try s.getLocalPort finally s.close()
+  }
+  private val motoPort = freePort()
+  private var proxyPort: Int = -1
   private val motoEndpoint = s"http://127.0.0.1:$motoPort"
   private val bucket = "graft-retry"
 
@@ -77,6 +87,7 @@ class S3RetrySpec extends AnyFunSuite with BeforeAndAfterAll {
   private def arm(n: Int, stride: Int, methods: String*): Unit = {
     faultMethods = methods.toSet
     faultStride = math.max(1, stride)
+    faultQuery = null
     stripRange = false
     emptyBodyGets = false
     faultedPaths.clear()
@@ -85,6 +96,19 @@ class S3RetrySpec extends AnyFunSuite with BeforeAndAfterAll {
     forwarded.set(0)
     faults.set(n)
   }
+
+  /** arm() narrowed to requests whose query string contains `query` —
+    * targets ONE protocol step (e.g. the MPU complete POST, query
+    * `uploadId`, vs the initiate POST, query `uploads`) where a
+    * method-only predicate would fault both. */
+  private def armQuery(n: Int, query: String, methods: String*): Unit = {
+    arm(n, 1, methods: _*)
+    faultQuery = query
+  }
+
+  /** When set, only requests whose raw query contains this substring
+    * are fault-eligible. */
+  @volatile private var faultQuery: String = null
 
   private val faultedPaths =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
@@ -115,7 +139,11 @@ class S3RetrySpec extends AnyFunSuite with BeforeAndAfterAll {
       ex.close()
       return
     }
-    val faultSlot = faultMethods.contains(method) && {
+    val faultSlot = faultMethods.contains(method) &&
+      (faultQuery == null || {
+        val q = ex.getRequestURI.getRawQuery
+        q != null && q.contains(faultQuery)
+      }) && {
       if (faultStride == 1) { matched.getAndIncrement(); true }
       else faultedPaths.add(method + " " + ex.getRequestURI.getRawPath)
     }
@@ -206,7 +234,8 @@ class S3RetrySpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     if (!motoUp) return
     assert(httpCode("PUT", s"$motoEndpoint/$bucket") == 200, "bucket create")
-    proxy = HttpServer.create(new InetSocketAddress("127.0.0.1", proxyPort), 0)
+    proxy = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    proxyPort = proxy.getAddress.getPort
     proxy.createContext("/", (ex: HttpExchange) =>
       try handle(ex)
       catch { case _: Throwable => try ex.close() catch { case _: Throwable => () } })
@@ -287,6 +316,30 @@ class S3RetrySpec extends AnyFunSuite with BeforeAndAfterAll {
     fs.close()
   }
 
+  test("MPU complete retries a 503 burst under its own single budget (POST goes via httpOnce)") {
+    assume(motoUp, "moto S3 server unavailable in this environment")
+    // The complete POST no longer rides http()'s transport retry (that
+    // stacked (limit+1)^2 attempts with double backoff); the body-level
+    // loop owns the WHOLE budget. Regression guard: a 503 burst on the
+    // complete step (query `uploadId`, distinct from initiate's
+    // `uploads`) must still be absorbed — if the single-budget rewrite
+    // had dropped status retries for this step, the upload would fail.
+    armQuery(2, "uploadId=", "POST")
+    val c = s3Conf()
+    c.setInt("fs.s3r.multipart.part.size", 5 * 1024 * 1024)
+    val fs = FileSystem.newInstance(java.net.URI.create(s"s3r://$bucket/"), c)
+    val p = new Path(s"s3r://$bucket/retry/mpu-complete.bin")
+    val data = Array.tabulate[Byte](6 * 1024 * 1024)(i => (i * 131 % 251).toByte)
+    val o = fs.create(p, true); o.write(data); o.close()
+    assert(injected.get() == 2, s"both armed complete-POST faults consumed: ${injected.get()}")
+    val in = fs.open(p, 65536)
+    val back = new Array[Byte](data.length); in.readFully(0, back); in.close()
+    assert(java.util.Arrays.equals(back, data), "MPU object byte-exact after retried complete")
+    arm(0, 1)
+    fs.delete(new Path(s"s3r://$bucket/retry"), true)
+    fs.close()
+  }
+
   test("bucket-root delete sweeps children; root rename refuses (no silent '/' prefix no-op)") {
     assume(motoUp, "moto S3 server unavailable in this environment")
     arm(0, 1)
@@ -361,10 +414,14 @@ class S3RetrySpec extends AnyFunSuite with BeforeAndAfterAll {
     intercept[FileNotFoundException] {
       fs.getFileStatus(new Path(s"s3r://$bucket/retry/never-written"))
     }
-    // exactly HEAD key (404) + HEAD key/ (404) + one LIST probe — a
-    // retried 404 would inflate this by the retry limit
-    assert(forwarded.get() == 3,
-      s"expected 3 un-retried probes, proxy saw ${forwarded.get()}")
+    // getFileStatus probes at most HEAD key (404) + HEAD key/ (404) +
+    // one LIST — the NO-INFLATION property under test is an upper
+    // bound: a retried 404 would multiply the probe count by the retry
+    // limit (3 -> 15 at limit 4). An exact ==3 would also break on any
+    // benign future change to the probe sequence, which is not what
+    // this test guards.
+    assert(forwarded.get() >= 1 && forwarded.get() <= 3,
+      s"expected <=3 un-retried probes (no 404 retry inflation), proxy saw ${forwarded.get()}")
     fs.close()
   }
 }
