@@ -24,7 +24,7 @@ object CorpusStream {
     * footer pass at stream definition time), never assumed — a hardcoded
     * schema silently reinterprets columns when the writer's physical
     * types drift (the events-ts lesson). */
-  def read(spark: SparkSession, dir: String): DataFrame = {
+  def read(spark: SparkSession, dir: String, maxFilesPerTrigger: Int = 0): DataFrame = {
     // cold-start fallback when the directory has no footers to infer
     // from yet (see EventStream.read) — the documented documents layout
     val native = try spark.read.parquet(dir).schema catch {
@@ -32,7 +32,10 @@ object CorpusStream {
         org.apache.spark.sql.types.StructType.fromDDL(
           "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT")
     }
-    spark.readStream.schema(native).parquet(StreamPath.resolve(spark, dir))
+    val reader0 = spark.readStream.schema(native)
+    val reader = if (maxFilesPerTrigger > 0)
+      reader0.option("maxFilesPerTrigger", maxFilesPerTrigger) else reader0
+    reader.parquet(StreamPath.resolve(spark, dir))
   }
 
   /** The STREAMABLE half of the batch d15 curation funnel: the length

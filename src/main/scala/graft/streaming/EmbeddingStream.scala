@@ -14,13 +14,16 @@ object EmbeddingStream {
   /** File-source stream over a directory of embeddings parquet; schema
     * from the files' own footers (cold-start fallback to the documented
     * layout, the EventStream/CorpusStream idiom). */
-  def read(spark: SparkSession, dir: String): DataFrame = {
+  def read(spark: SparkSession, dir: String, maxFilesPerTrigger: Int = 0): DataFrame = {
     val native = try spark.read.parquet(dir).schema catch {
       case _: org.apache.spark.sql.AnalysisException =>
         org.apache.spark.sql.types.StructType.fromDDL(
           "vec_id BIGINT, embedding ARRAY<FLOAT>, label STRING")
     }
-    spark.readStream.schema(native).parquet(StreamPath.resolve(spark, dir))
+    val reader0 = spark.readStream.schema(native)
+    val reader = if (maxFilesPerTrigger > 0)
+      reader0.option("maxFilesPerTrigger", maxFilesPerTrigger) else reader0
+    reader.parquet(StreamPath.resolve(spark, dir))
   }
 
   private def dot(a: Column, b: Column): Column =

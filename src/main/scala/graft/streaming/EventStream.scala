@@ -26,7 +26,7 @@ object EventStream {
     * Forcing an assumed Long schema here is how a timestamp[us] file gets
     * misread as raw microseconds and the event timeline compresses 1000x
     * (no watermark ever fires) — the schema must come from the data. */
-  def read(spark: SparkSession, dir: String): DataFrame = {
+  def read(spark: SparkSession, dir: String, maxFilesPerTrigger: Int = 0): DataFrame = {
     // If the directory is empty or absent at stream-definition time (a
     // file-source stream's legitimate cold start — the reason upstream
     // Spark makes file streams demand a user schema), inference has no
@@ -40,8 +40,16 @@ object EventStream {
           "event_id BIGINT, ts TIMESTAMP_NTZ, user_id BIGINT, " +
             "event_type STRING, value DOUBLE, props STRING")
     }
+    // maxFilesPerTrigger > 0 bounds each micro-batch to that many files
+    // (oldest first), so a bounded replay becomes a genuine multi-batch
+    // stream — watermarks advance BETWEEN batches instead of jumping to
+    // the end in one batch. StreamGate uses it to measure per-window
+    // finalize latency; production ingest uses it as back-pressure.
+    val reader0 = spark.readStream.schema(native)
+    val reader = if (maxFilesPerTrigger > 0)
+      reader0.option("maxFilesPerTrigger", maxFilesPerTrigger) else reader0
     val df = graft.Tables.normalizeTs(
-      spark.readStream.schema(native).parquet(StreamPath.resolve(spark, dir)))
+      reader.parquet(StreamPath.resolve(spark, dir)))
     // Watermarks demand TIMESTAMP (session-tz), but a timestamp[us] parquet
     // column without tz metadata arrives as TIMESTAMP_NTZ. Re-tag it: the
     // session runs in UTC (Spark.session), so the NTZ wall clock IS the
