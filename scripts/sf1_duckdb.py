@@ -14,7 +14,8 @@ import duckdb
 
 QUERIES = ["d19_prefix_join", "d2_ngram_jaccard", "d16_lsh_eval",
            "g1_pagerank", "c3_cluster_metrics", "g7_kcore", "g8_harmonic",
-           "g4_bfs", "g5_label_prop", "v8_pq_adc", "v9_pq_rot", "v14_ivfpq"]
+           "g4_bfs", "g5_label_prop", "v8_pq_adc", "v9_pq_rot", "v14_ivfpq",
+           "d8_dup_clusters", "d12_cluster_keepers"]
 TABLES = ["documents", "lineitem", "embeddings"]
 
 # Queries whose part-id density cap is corpus-proportional: the Spark arm
@@ -28,7 +29,8 @@ CAP_SCALED = {"g7_kcore": 3000, "g8_harmonic": 3000, "g5_label_prop": 3000,
               "g3_triangles": 4000, "g10_clustering_coeff": 4000}
 
 
-def main(sf1_dir, oracle_path, runs=3, k=10):
+def main(sf1_dir, oracle_path, runs=3, k=10, only=None):
+    queries = [q for q in QUERIES if only is None or q in only]
     oracle = json.load(open(oracle_path))
     expected = {}
     rows_path = os.path.join(sf1_dir, "spark_rows.json")
@@ -47,7 +49,7 @@ def main(sf1_dir, oracle_path, runs=3, k=10):
         df = df.reindex(sorted(df.columns), axis=1)
         return df.sort_values(by=list(df.columns)).reset_index(drop=True)
 
-    for name in QUERIES:
+    for name in queries:
         sql = oracle[name]
         if name in CAP_SCALED:
             base = CAP_SCALED[name]
@@ -106,4 +108,5 @@ def main(sf1_dir, oracle_path, runs=3, k=10):
 if __name__ == "__main__":
     sys.exit(main(sys.argv[1], sys.argv[2],
                   int(sys.argv[3]) if len(sys.argv) > 3 else 3,
-                  int(sys.argv[4]) if len(sys.argv) > 4 else 10) or 0)
+                  int(sys.argv[4]) if len(sys.argv) > 4 else 10,
+                  set(sys.argv[5].split(",")) if len(sys.argv) > 5 else None) or 0)

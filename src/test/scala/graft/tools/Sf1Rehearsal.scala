@@ -38,16 +38,21 @@ object Sf1Rehearsal {
     * gates the kernels at scale too (and measures whether the
     * no-corpus-shuffle claim holds: corpus 2k -> 20k vectors, queries
     * still 5 by construction of the vec_id remap). */
+  /** r14 extension: the iterative connected-components family (d8 dup
+    * clusters, d12 cluster keepers) — the one fixed-round family whose
+    * sf1 amortization was still argued by analogy (VERDICT r13 ask #2:
+    * the last >=1.6 s sf0.1 rows never measured at 10x). */
   val Queries = Seq("d19_prefix_join", "d2_ngram_jaccard", "d16_lsh_eval",
     "g1_pagerank", "c3_cluster_metrics", "g7_kcore", "g8_harmonic",
-    "g4_bfs", "g5_label_prop", "v8_pq_adc", "v9_pq_rot", "v14_ivfpq")
+    "g4_bfs", "g5_label_prop", "v8_pq_adc", "v9_pq_rot", "v14_ivfpq",
+    "d8_dup_clusters", "d12_cluster_keepers")
 
   /** Generator-schema stamp, written into the reuse marker: a reused dir
     * from an OLDER generator (r11's lineitem lacked l_orderkey) would
     * fail the graph queries with an AnalysisException only after the
     * expensive d-queries already ran — a stamp mismatch regenerates
     * instead. Bump when the generated schema changes. */
-  private val GenStamp = s"v2:lineitem(l_orderkey,l_partkey,l_suppkey)"
+  private val GenStamp = s"v3:lineitem(l_orderkey,l_partkey,l_suppkey);documents+n_chars"
 
   def generate(spark: SparkSession, sfDir: String, outDir: String, k: Int): Unit = {
     val done = new java.io.File(s"$outDir/_DONE")
@@ -64,6 +69,10 @@ object Sf1Rehearsal {
         expr("regexp_replace(text, '(\\\\S+)', concat('$1#', CAST(cp AS STRING)))")
           .as("text"),
         col("lang"), col("source"))
+      // n_chars tracks the TRANSFORMED text (the base tables hold
+      // n_chars == length(text) exactly — asserted before this was
+      // added); d12's keeper selection reads it
+      .withColumn("n_chars", length(col("text")).cast("long"))
     docs.write.mode("overwrite").parquet(s"$outDir/documents.parquet")
     val li = Tables.load(spark, sfDir, "lineitem")
       .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"))
@@ -88,6 +97,13 @@ object Sf1Rehearsal {
     val outDir = if (args.length > 1) args(1) else "/tmp/graft-sf1"
     val k = if (args.length > 2) args(2).toInt else 10
     val runs = if (args.length > 3) args(3).toInt else 3
+    // optional comma-list query filter (args(4)): run a SUBSET in its own
+    // window — used to extend SF1.json with new rows without re-running
+    // the whole surface (the Spark/DuckDB pair for each row must still
+    // share one window, which this preserves: both arms filter alike)
+    val only: Set[String] =
+      if (args.length > 4) args(4).split(",").toSet else Queries.toSet
+    val selected = Queries.filter(only)
     val spark = Spark.session(appName = "graft-sf1")
     // density caps scale with the corpus (see Queries doc + GraphOps.capScale)
     sys.props("graft.graph.capScale") = k.toString
@@ -97,7 +113,7 @@ object Sf1Rehearsal {
       val n = f
       (n, (System.nanoTime() - t0) / 1e9)
     }
-    val rowCounts = Queries.map { name =>
+    val rowCounts = selected.map { name =>
       val fn = graft.SparkEntry.queries(name)
       val (nw, tw) = timed(fn(spark, outDir).count()) // warmup (codegen, footers)
       val ts = (1 to runs).map(_ => timed(fn(spark, outDir).count())._2)
