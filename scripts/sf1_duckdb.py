@@ -15,7 +15,8 @@ import duckdb
 QUERIES = ["d19_prefix_join", "d2_ngram_jaccard", "d16_lsh_eval",
            "g1_pagerank", "c3_cluster_metrics", "g7_kcore", "g8_harmonic",
            "g4_bfs", "g5_label_prop", "v8_pq_adc", "v9_pq_rot", "v14_ivfpq",
-           "d8_dup_clusters", "d12_cluster_keepers"]
+           "d8_dup_clusters", "d12_cluster_keepers",
+           "t17_tfidf_pairs", "t20_source_overlap", "t23_pmi_collocations"]
 TABLES = ["documents", "lineitem", "embeddings"]
 
 # Queries whose part-id density cap is corpus-proportional: the Spark arm

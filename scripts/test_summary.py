@@ -38,6 +38,12 @@ def main(round_no=None):
     summary = {
         "round": round_no,
         "commit": commit,
+        # VERDICT r12 ask #8: the stamp runs at the last CODE commit; any
+        # later commit at round end is the evidence stamp itself, so HEAD
+        # may sit one ahead of `commit` — that is the convention, not a
+        # stale artifact.
+        "commit_note": "stamped at last code commit; a later HEAD is the "
+                       "round's evidence stamp",
         "timestamp_utc": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
         "sbt_exit_code": proc.returncode,
         "wall_sec": round(time.time() - t0, 1),

@@ -437,19 +437,22 @@ object GraphOps {
 
     // --- label propagation (community detection) over the part
     //     co-purchase graph, 3 synchronous rounds. Each round a node
-    //     adopts its neighbors' MODE label; the mode is made
-    //     deterministic (and cross-engine exact) by packing the vote
-    //     into one BIGINT — max(cnt * 1e6 + (999999 - lbl)) — so "most
-    //     votes, ties to smallest label" is a plain integer max: no
-    //     engine-specific mode()/arg_max tie behavior in play, and the
-    //     aggregation is partitioning-order invariant like g1's ranks.
-    //     Scale shape: per round one equi-join of the checkpointed
-    //     bidirectional edge list against the n-row label relation and
-    //     two hash aggregates ((node,lbl) vote counts, then per-node
-    //     max) — all map-side combinable, frontier never exceeds n.
-    //     Pack bounds: cnt <= max degree, lbl < 1e6 here (part keys);
-    //     at 1e9 nodes widen the label stride to 1e10 (cnt * 1e10 + ...)
-    //     and the pack still sits under 2^63 for degrees to ~1e8. ---
+    //     adopts its neighbors' MODE label — "most votes, ties to the
+    //     smallest label", which is exactly Spark 4's deterministic
+    //     `mode(lbl, true)` aggregate (most frequent; ties return the
+    //     LOWEST value), so a round is ONE map-side-combinable
+    //     aggregate. The n-row label relation is broadcast-hinted into
+    //     the edge join (bounded: one row per node; same loud 2 GiB
+    //     ceiling as g4's frontier), so per round the plan is a
+    //     map-side join + ONE shuffle — the r13 form paid THREE
+    //     exchanges per round (shuffle join + (node,lbl) vote counts +
+    //     per-node pack-max), and the sf1 JobCensus put g5's wall at
+    //     ~75% exchange floor (18 jobs/18 stages ≈ 2.9 s of 3.77 s).
+    //     Measured at 10x: 2.80 -> 2.11 s, values exact vs the packed
+    //     cnt*1e6+(999999-lbl) oracle form, which the oracle SQL still
+    //     spells out (ProbeGRounds A/B, three windows consistent).
+    //     Scale shape: frontier never exceeds n; aggregation is
+    //     partitioning-order invariant (vote counts are exact ints). ---
     "g5_label_prop" -> ((s, dir) => {
       val edges = coPurchaseEdges(s, dir, cap = Some(3000L))
       // narrow union view over checkpointed edges — see g8
@@ -459,18 +462,15 @@ object GraphOps {
         .select(col("d1").as("node"), col("d1").as("lbl"))
         .localCheckpoint(true)
       // no per-round checkpoint: 3 rounds is a bounded, linear lineage
-      // (join + two map-side-combinable aggregates each), and keeping it
-      // ONE plan lets AQE size every exchange and reuse the checkpointed
-      // bi scan across rounds — an RDD boundary per round only added
-      // jobs. (Unbounded-round algorithms — g1/d8 — do need the
-      // per-round checkpoint; 3 fixed rounds do not.)
+      // and keeping it ONE plan lets AQE size every exchange and reuse
+      // the checkpointed bi scan across rounds — an RDD boundary per
+      // round only added jobs. (Unbounded-round algorithms — g1/d8 —
+      // do need the per-round checkpoint; 3 fixed rounds do not.)
       for (_ <- 1 to 3) {
-        lab = bi.join(lab, col("d1") === col("node"))
-          .groupBy(col("d2"), col("lbl")).agg(count(lit(1)).as("cnt"))
+        lab = bi.join(broadcast(lab), col("d1") === col("node"))
           .groupBy(col("d2"))
-          .agg(max(expr("cnt * 1000000 + (999999 - lbl)")).as("sc"))
-          .select(col("d2").as("node"),
-            expr("CAST(999999 - sc % 1000000 AS BIGINT)").as("lbl"))
+          .agg(expr("mode(lbl, true)").as("lbl"))
+          .select(col("d2").as("node"), col("lbl"))
       }
       lab.groupBy(col("lbl")).agg(count(lit(1)).as("community_size"))
         .select(col("lbl").as("community"), col("community_size"))

@@ -301,6 +301,95 @@ class S3RetrySpec extends AnyFunSuite with BeforeAndAfterAll {
         SyntheticStack.value(8 + z, y, x), s"voxel ($z,$y,$x)")
   }
 
+  test("streaming zarr epoch commit survives a 503 burst; epoch replay neither duplicates nor tears") {
+    assume(motoUp, "moto S3 server unavailable in this environment")
+    // The sink's scaladoc CLAIMS epoch replays are idempotent (chunk
+    // placement deterministic, tmp + atomic rename, losers delete their
+    // tmp). This adversarially tests the claim over live moto with a 503
+    // burst spread across the epoch's whole write surface — the PUT of
+    // each tmp, the COPY+DELETE rename, the tmp cleanup — then REPLAYS
+    // the same rows as a fresh epoch under a second burst and asserts
+    // the store is neither duplicated (chunk-file census) nor torn
+    // (voxel-exact read-back), with zero .tmp- residue.
+    val spark = Spark.session(master = "local[4]", shufflePartitions = 4,
+      appName = "graft-s3retry-test")
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.core.{Volume, ZarrChunk}
+    import graft.io.zarr.ZarrIO
+    import graft.sources.SyntheticStack
+    import spark.implicits._
+    val hc = spark.sparkContext.hadoopConfiguration
+    hc.set("fs.s3r.impl", classOf[S3RestFileSystem].getName)
+    hc.set("fs.s3r.endpoint", s"http://127.0.0.1:$proxyPort")
+    hc.setInt("fs.s3r.retry.limit", 4)
+    hc.setLong("fs.s3r.retry.interval.ms", 5L)
+    val dir = s"s3r://$bucket/zarr-stream-throttled"
+    val vol = Volume("sst", 0, Array(1L, 1L, 16L, 8L, 8L), Array(1, 1, 8, 8, 8))
+    ZarrIO.writeMetadata(dir, vol, nLevels = 1)
+    val all = SyntheticStack.generate(spark, vol).collect()
+    assert(all.length == 2)
+
+    def runEpoch(rows: Seq[ZarrChunk]): Unit = {
+      val ckpt = java.nio.file.Files.createTempDirectory("zarr-epoch-ckpt").toString
+      val mem = MemoryStream[ZarrChunk](spark)
+      mem.addData(rows: _*)
+      val q = mem.toDS().writeStream.format("zarr")
+        .option("path", dir).option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.processAllAvailable(); q.stop()
+    }
+    def levelFiles(): Seq[String] = {
+      // chunks nest as <stack>/<level>/<t>/<c>/<z>/<y>/<x> — walk the
+      // whole level subtree and census every FILE in it
+      val fs = FileSystem.newInstance(java.net.URI.create(s"s3r://$bucket/"), s3Conf())
+      try {
+        val it = fs.listFiles(new Path(s"$dir/sst/0"), true)
+        val names = scala.collection.mutable.ArrayBuffer.empty[String]
+        while (it.hasNext) names += it.next().getPath.getName
+        names.toSeq.sorted
+      } finally fs.close()
+    }
+    def assertStore(tag: String): Unit = {
+      val files = levelFiles()
+      // exactly the 2 chunk files (plus the level's .zarray metadata) —
+      // a replayed epoch that duplicated a chunk, or a torn rename that
+      // left BOTH tmp and dst, shows up here
+      assert(files.count(!_.startsWith(".")) == 2,
+        s"$tag: expected exactly 2 chunk files, got $files")
+      assert(!files.exists(_.startsWith(".tmp-")), s"$tag: tmp residue in $files")
+      val back = ZarrIO.readChunks(spark, dir, "sst", 0).collect()
+      assert(back.length == 2, s"$tag: ${back.length} chunks read back")
+      back.foreach { ck =>
+        val px = ck.pixels
+        for (z <- 0 until 8; y <- 0 until 8; x <- 0 until 8)
+          assert(px(z * 64 + y * 8 + x) == SyntheticStack.value(ck.z * 8 + z, y, x),
+            s"$tag: voxel mismatch in chunk z=${ck.z}")
+      }
+    }
+
+    // epoch 1 under a burst spread over PUT/DELETE (stride 2: each
+    // faulted request's retry goes through — the realistic SlowDown shape)
+    arm(8, 2, "PUT", "DELETE")
+    runEpoch(all.toSeq)
+    assert(injected.get() > 0, "the burst actually fired during the epoch")
+    assertStore("after epoch 1")
+
+    // REPLAY: a fresh stream (new checkpoint — Spark believes the epoch
+    // was never committed) re-delivers the SAME rows under a new burst;
+    // every rename must lose against the existing chunks, losers delete
+    // their tmps, and the store must come out byte-identical
+    arm(8, 2, "PUT", "DELETE")
+    runEpoch(all.toSeq)
+    assert(injected.get() > 0, "the replay burst actually fired")
+    assertStore("after replayed epoch")
+
+    arm(0, 1)
+    val fs = FileSystem.newInstance(java.net.URI.create(s"s3r://$bucket/"), s3Conf())
+    fs.delete(new Path(s"s3r://$bucket/zarr-stream-throttled"), true)
+    fs.close()
+  }
+
   test("exhausted retries surface the last 503 as IOException, never a silent skip") {
     assume(motoUp, "moto S3 server unavailable in this environment")
     arm(100, 1, "PUT")

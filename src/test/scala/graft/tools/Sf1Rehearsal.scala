@@ -42,17 +42,30 @@ object Sf1Rehearsal {
     * clusters, d12 cluster keepers) — the one fixed-round family whose
     * sf1 amortization was still argued by analogy (VERDICT r13 ask #2:
     * the last >=1.6 s sf0.1 rows never measured at 10x). */
+  /** r14 extension #2: the un-audited text weak rows (VERDICT r13 ask
+    * #4) — t17 (the round's only regression), t20, t23 get the t21
+    * treatment: a 10x pair in one window. */
   val Queries = Seq("d19_prefix_join", "d2_ngram_jaccard", "d16_lsh_eval",
     "g1_pagerank", "c3_cluster_metrics", "g7_kcore", "g8_harmonic",
     "g4_bfs", "g5_label_prop", "v8_pq_adc", "v9_pq_rot", "v14_ivfpq",
-    "d8_dup_clusters", "d12_cluster_keepers")
+    "d8_dup_clusters", "d12_cluster_keepers",
+    "t17_tfidf_pairs", "t20_source_overlap", "t23_pmi_collocations")
 
   /** Generator-schema stamp, written into the reuse marker: a reused dir
     * from an OLDER generator (r11's lineitem lacked l_orderkey) would
     * fail the graph queries with an AnalysisException only after the
     * expensive d-queries already ran — a stamp mismatch regenerates
     * instead. Bump when the generated schema changes. */
-  private val GenStamp = s"v3:lineitem(l_orderkey,l_partkey,l_suppkey);documents+n_chars"
+  /** v4: MULTI-FILE table layout. The v3 generator emitted each scaled
+    * table as ONE parquet file (lineitem: 59 MB, 6M rows, one row
+    * group), which under the default 128 MB maxPartitionBytes made
+    * every Spark scan a SINGLE TASK — the sf1 edge-build probe measured
+    * 0.85 s of g7's 1.17 s wall inside that serial scan+exchange. A
+    * 10x-scale rehearsal laid out as one file measures a handicap no
+    * real table has (100 TB arrives as thousands of files); write
+    * lineitem as 32 files and the smaller tables as 8. */
+  private val GenStamp =
+    s"v4:multi-file layout;lineitem(l_orderkey,l_partkey,l_suppkey);documents+n_chars"
 
   def generate(spark: SparkSession, sfDir: String, outDir: String, k: Int): Unit = {
     val done = new java.io.File(s"$outDir/_DONE")
@@ -73,21 +86,21 @@ object Sf1Rehearsal {
       // n_chars == length(text) exactly — asserted before this was
       // added); d12's keeper selection reads it
       .withColumn("n_chars", length(col("text")).cast("long"))
-    docs.write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+    docs.repartition(8).write.mode("overwrite").parquet(s"$outDir/documents.parquet")
     val li = Tables.load(spark, sfDir, "lineitem")
       .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"))
       .withColumn("cp", explode(expr(s"sequence(0, ${k - 1})")))
       .select((col("l_orderkey") * k + col("cp")).as("l_orderkey"),
         (col("l_partkey") * k + col("cp")).as("l_partkey"),
         (col("l_suppkey") * k + col("cp")).as("l_suppkey"))
-    li.write.mode("overwrite").parquet(s"$outDir/lineitem.parquet")
+    li.repartition(32).write.mode("overwrite").parquet(s"$outDir/lineitem.parquet")
     val e = Tables.load(spark, sfDir, "embeddings")
       .withColumn("cp", explode(expr(s"sequence(0, ${k - 1})")))
       .select((col("vec_id") * k + col("cp")).as("vec_id"),
         expr("transform(embedding, (x, i) -> x + CAST(cp AS FLOAT) * 0.001F * CAST(i % 7 AS FLOAT))")
           .as("embedding"),
         col("label"))
-    e.write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+    e.repartition(8).write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
     java.nio.file.Files.write(done.toPath, s"$GenStamp k=$k".getBytes("UTF-8"))
     println(s"[sf1] generated $outDir (k=$k)")
   }
