@@ -31,6 +31,11 @@ CAP_SCALED = {"g7_kcore": 3000, "g8_harmonic": 3000, "g5_label_prop": 3000,
 
 
 def main(sf1_dir, oracle_path, runs=3, k=10, only=None):
+    if only is not None:
+        unknown = set(only) - set(QUERIES)
+        assert not unknown, (
+            f"unknown rehearsal queries: {sorted(unknown)} — a typo here "
+            f"would run NOTHING and exit 0 (known: {QUERIES})")
     queries = [q for q in QUERIES if only is None or q in only]
     oracle = json.load(open(oracle_path))
     expected = {}

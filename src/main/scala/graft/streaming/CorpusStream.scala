@@ -32,10 +32,7 @@ object CorpusStream {
         org.apache.spark.sql.types.StructType.fromDDL(
           "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT")
     }
-    val reader0 = spark.readStream.schema(native)
-    val reader = if (maxFilesPerTrigger > 0)
-      reader0.option("maxFilesPerTrigger", maxFilesPerTrigger) else reader0
-    reader.parquet(StreamPath.resolve(spark, dir))
+    StreamPath.parquetStream(spark, dir, native, maxFilesPerTrigger)
   }
 
   /** The STREAMABLE half of the batch d15 curation funnel: the length

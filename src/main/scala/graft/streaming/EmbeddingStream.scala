@@ -20,10 +20,7 @@ object EmbeddingStream {
         org.apache.spark.sql.types.StructType.fromDDL(
           "vec_id BIGINT, embedding ARRAY<FLOAT>, label STRING")
     }
-    val reader0 = spark.readStream.schema(native)
-    val reader = if (maxFilesPerTrigger > 0)
-      reader0.option("maxFilesPerTrigger", maxFilesPerTrigger) else reader0
-    reader.parquet(StreamPath.resolve(spark, dir))
+    StreamPath.parquetStream(spark, dir, native, maxFilesPerTrigger)
   }
 
   private def dot(a: Column, b: Column): Column =

@@ -40,16 +40,13 @@ object EventStream {
           "event_id BIGINT, ts TIMESTAMP_NTZ, user_id BIGINT, " +
             "event_type STRING, value DOUBLE, props STRING")
     }
-    // maxFilesPerTrigger > 0 bounds each micro-batch to that many files
-    // (oldest first), so a bounded replay becomes a genuine multi-batch
-    // stream — watermarks advance BETWEEN batches instead of jumping to
-    // the end in one batch. StreamGate uses it to measure per-window
-    // finalize latency; production ingest uses it as back-pressure.
-    val reader0 = spark.readStream.schema(native)
-    val reader = if (maxFilesPerTrigger > 0)
-      reader0.option("maxFilesPerTrigger", maxFilesPerTrigger) else reader0
+    // maxFilesPerTrigger threading lives in StreamPath.parquetStream
+    // (shared by all three corpus readers): > 0 bounds each micro-batch,
+    // making a bounded replay a genuine multi-batch stream — StreamGate
+    // uses it to measure per-window finalize latency; production ingest
+    // uses it as back-pressure.
     val df = graft.Tables.normalizeTs(
-      reader.parquet(StreamPath.resolve(spark, dir)))
+      StreamPath.parquetStream(spark, dir, native, maxFilesPerTrigger))
     // Watermarks demand TIMESTAMP (session-tz), but a timestamp[us] parquet
     // column without tz metadata arrives as TIMESTAMP_NTZ. Re-tag it: the
     // session runs in UTC (Spark.session), so the NTZ wall clock IS the

@@ -22,4 +22,20 @@ private[streaming] object StreamPath {
     } catch { case _: Throwable => false }
     if (exists) dir else s"$dir/*"
   }
+
+  /** The shared file-stream reader the three corpus readers build on:
+    * schema pinned, optional per-trigger file cap (maxFilesPerTrigger >
+    * 0 bounds each micro-batch, oldest files first — StreamGate's
+    * multi-batch replay and a production ingest's back-pressure), path
+    * resolved through the cold-start glob rule above. One definition so
+    * the next source option cannot be added to one reader and silently
+    * diverge the families' replay behavior. */
+  def parquetStream(spark: SparkSession, dir: String,
+      schema: org.apache.spark.sql.types.StructType,
+      maxFilesPerTrigger: Int): org.apache.spark.sql.DataFrame = {
+    val reader0 = spark.readStream.schema(schema)
+    val reader = if (maxFilesPerTrigger > 0)
+      reader0.option("maxFilesPerTrigger", maxFilesPerTrigger) else reader0
+    reader.parquet(resolve(spark, dir))
+  }
 }

@@ -101,15 +101,22 @@ object StreamGate {
     * time column this makes the watermark advance monotonically across
     * micro-batches with no late data between chunks. */
   private def chunkBy(df: DataFrame, orderCol: String, n: Int, tag: String): String = {
-    val dir = Files.createTempDirectory(s"gate-$tag")
+    // all gate temp data lives under one Scratch root: deleted by the
+    // JVM shutdown hook, so a gate run leaves no copies of the corpus
+    // behind in /tmp
+    val root = java.nio.file.Paths.get(graft.Scratch.dir("stream-gate"))
+    val dir = Files.createTempDirectory(root, s"$tag-")
     val w = df.withColumn("__c", ntile(n).over(Window.orderBy(col(orderCol))))
     for (i <- 1 to n) {
-      val tmp = Files.createTempDirectory(s"gate-$tag-$i")
+      val tmp = Files.createTempDirectory(root, s"$tag-$i-")
       w.filter(col("__c") === i).drop("__c")
         .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-      val part = Files.list(tmp).iterator.asScala
-        .find(_.getFileName.toString.endsWith(".parquet"))
-        .getOrElse(sys.error(s"no part file in $tmp"))
+      val listing = Files.list(tmp)
+      val part =
+        try listing.iterator.asScala
+          .find(_.getFileName.toString.endsWith(".parquet"))
+          .getOrElse(sys.error(s"no part file in $tmp"))
+        finally listing.close()
       val dst = dir.resolve(f"chunk-$i%02d.parquet")
       Files.copy(part, dst)
       dst.toFile.setLastModified(1600000000000L + i * 60000L)
@@ -437,10 +444,15 @@ object StreamGate {
           CorpusStream.hashedTokens(
             CorpusStream.read(spark, docsDir, maxFilesPerTrigger = 1)), k = 16).toDF(),
         "g_kmv", "update")
+      // "final sketch state" pick must be deterministic: n_tracked
+      // saturates at k, so post-saturation rows TIE on it — kth (the
+      // k-th smallest hash) is monotonically non-increasing across
+      // batches, so (n_tracked DESC, kth ASC) names the final row
+      // uniquely
       val streamed = spark.sql(
         """SELECT key, est FROM (
           |  SELECT key, est, row_number() OVER (
-          |    PARTITION BY key ORDER BY n_tracked DESC) AS rn FROM g_kmv)
+          |    PARTITION BY key ORDER BY n_tracked DESC, kth ASC) AS rn FROM g_kmv)
           |WHERE rn = 1 ORDER BY key""".stripMargin)
         .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
       val batch = graft.SparkEntry.queries("t12_kmv_distinct")(spark, sfDir)

@@ -8,22 +8,27 @@ import graft.Spark
 /** A/B probe for the g5/g7/g8 sf1 plateau (VERDICT r13 ask #3): the
   * JobCensus floor model says their wall time is dominated by exchange
   * count (g5: 18 jobs/18 stages ≈ 2.9 s of 3.77 s at sf1), so the
-  * candidate rewrites cut EXCHANGES PER ROUND, not shuffle bytes:
+  * candidate rewrites cut EXCHANGES PER ROUND, not shuffle bytes.
+  * Every variant's VALUES are asserted equal to the current gate query
+  * before its timing is trusted.
   *
-  *   - g5_mode: label-prop round as ONE map-side-combinable aggregate —
-  *     broadcast the n-row label relation into the edge join (map-side)
-  *     and take `mode(lbl, true)` per node (Spark 4's deterministic mode:
-  *     most frequent, ties to LOWEST value — exactly the packed
-  *     cnt*1e6+(999999-lbl) max semantics). 1 shuffle/round vs 3.
-  *   - g7_fused: peel rounds in one adaptive plan (no per-round eager
-  *     checkpoint) — each round's edge relation has two consumers (audit
-  *     agg + next round), which AQE exchange reuse may serve without the
-  *     materialization job.
-  *   - g8_fused: relaxation rounds in one adaptive plan (no per-round
-  *     lazy checkpoint), broadcast hint kept.
+  * r14 measured outcomes (three windows, /tmp/graft-sf1 at k=10):
+  *   - mode-round g5 (broadcast label relation + ONE `mode(lbl, true)`
+  *     aggregate): 2.80 -> 2.11 s — ADOPTED as the gate query, so the
+  *     probe no longer carries it as a variant (it would A/B the gate
+  *     against itself); `g5ModeAgg` here composes it with the REJECTED
+  *     aggregate-form edge build.
+  *   - g7_fused (no per-round checkpoint): 9.47 s vs 1.66 s — REJECTED,
+  *     recompute explosion through 4 nested semi-join rounds.
+  *   - g7_bcast (broadcast-hinted peel semi-joins): no win (1.30 vs
+  *     1.17 s) — AQE already picks broadcast; REJECTED.
+  *   - g8_fused (no per-round lazy checkpoint): mixed/noise (1.47 vs
+  *     1.62, then 1.44 vs 1.39) — NOT adopted.
+  *   - edgesAgg (collect_set + id_pairs edge build): 1.53 vs 1.02 s —
+  *     REJECTED, object-agg buffers lose to the exchange+SMJ form (the
+  *     collect-list-vs-window lesson).
   *
-  * Each variant's VALUES are asserted equal to the current gate query
-  * before its timing is trusted. Usage:
+  * Usage:
   *   SPARK_GRAFT_EXTRA_JAVA_OPTS=-Dgraft.graph.capScale=10 \
   *     sbt "Test/runMain graft.tools.ProbeGRounds /tmp/graft-sf1 3"
   */
@@ -113,24 +118,6 @@ object ProbeGRounds {
       .agg(count(lit(1)).as("n_reached"),
         sum(expr("1000000 div dist")).cast("long").as("harmonic_micro"))
       .orderBy(col("harmonic_micro").desc, col("src"))
-  }
-
-  private def g5Mode(s: SparkSession, dir: String): DataFrame = {
-    val e = edges(s, dir)
-    val bi = e.union(e.select(col("d2").as("d1"), col("d1").as("d2")))
-    var lab = bi.select(col("d1")).distinct()
-      .select(col("d1").as("node"), col("d1").as("lbl"))
-      .localCheckpoint(true)
-    for (_ <- 1 to 3) {
-      lab = bi.join(broadcast(lab), col("d1") === col("node"))
-        .groupBy(col("d2"))
-        .agg(expr("mode(lbl, true)").as("lbl"))
-        .select(col("d2").as("node"), col("lbl"))
-    }
-    lab.groupBy(col("lbl")).agg(count(lit(1)).as("community_size"))
-      .select(col("lbl").as("community"), col("community_size"))
-      .orderBy(col("community_size").desc, col("community"))
-      .limit(20)
   }
 
   private def g7Fused(s: SparkSession, dir: String): DataFrame = {
@@ -228,10 +215,16 @@ object ProbeGRounds {
       }
     }
 
+    // EVERY defined variant is runnable — the list is the measured-
+    // rejection record (r14 outcomes in the scaladoc): nothing compiles
+    // here without being exercised by an invocation.
     val variants: Seq[(String, String, (SparkSession, String) => DataFrame)] = Seq(
       ("g5_label_prop", "g5_mode_agg", g5ModeAgg),
       ("g7_kcore", "g7_agg", g7Agg),
-      ("g8_harmonic", "g8_agg", g8Agg))
+      ("g8_harmonic", "g8_agg", g8Agg),
+      ("g7_kcore", "g7_fused", g7Fused),
+      ("g7_kcore", "g7_bcast", g7Bcast),
+      ("g8_harmonic", "g8_fused", g8Fused))
 
     variants.foreach { case (base, name, fn) =>
       val cur = graft.SparkEntry.queries(base)

@@ -75,6 +75,19 @@ object Sf1Rehearsal {
       if (stamp == s"$GenStamp k=$k") { println(s"[sf1] reusing $outDir"); return }
       println(s"[sf1] stale data at $outDir (stamp '$stamp' != '$GenStamp k=$k') — regenerating")
     }
+    // regeneration invalidates every prior value dump and row count:
+    // results/<name> parquet written against the OLD data (or old code)
+    // would let a later DuckDB arm "value-match" stale outputs
+    for (residue <- Seq("results", "spark_rows.json")) {
+      val p = java.nio.file.Paths.get(outDir, residue)
+      if (java.nio.file.Files.exists(p)) {
+        import scala.jdk.CollectionConverters._
+        val walk = java.nio.file.Files.walk(p)
+        try walk.sorted(java.util.Comparator.reverseOrder())
+          .iterator.asScala.foreach(java.nio.file.Files.deleteIfExists(_))
+        finally walk.close()
+      }
+    }
     new java.io.File(outDir).mkdirs()
     val docs = Tables.load(spark, sfDir, "documents")
       .withColumn("cp", explode(expr(s"sequence(0, ${k - 1})")))
@@ -116,6 +129,11 @@ object Sf1Rehearsal {
     // share one window, which this preserves: both arms filter alike)
     val only: Set[String] =
       if (args.length > 4) args(4).split(",").toSet else Queries.toSet
+    // classify-or-fail: a typo'd name would silently run NOTHING, exit 0,
+    // and clobber spark_rows.json — the vacuous-success trap
+    val unknown = only -- Queries.toSet
+    require(unknown.isEmpty,
+      s"unknown rehearsal queries: ${unknown.mkString(", ")} (known: ${Queries.mkString(", ")})")
     val selected = Queries.filter(only)
     val spark = Spark.session(appName = "graft-sf1")
     // density caps scale with the corpus (see Queries doc + GraphOps.capScale)
@@ -143,12 +161,21 @@ object Sf1Rehearsal {
     }
     // Row counts as a side file so the DuckDB arm (scripts/sf1_duckdb.py)
     // can ASSERT cross-engine row equality instead of leaving it to
-    // eyeballing two stdout streams (ADVICE r10).
-    val rowsJson = rowCounts
+    // eyeballing two stdout streams (ADVICE r10). A SUBSET run MERGES
+    // into the existing map instead of clobbering the other queries'
+    // counts (regeneration wipes the file, so merged entries can never
+    // be from different data).
+    val rowsPath = java.nio.file.Paths.get(s"$outDir/spark_rows.json")
+    val prior: Map[String, Long] =
+      if (java.nio.file.Files.exists(rowsPath)) {
+        val txt = new String(java.nio.file.Files.readAllBytes(rowsPath), "UTF-8")
+        "\"([^\"]+)\"\\s*:\\s*(\\d+)".r.findAllMatchIn(txt)
+          .map(m => m.group(1) -> m.group(2).toLong).toMap
+      } else Map.empty
+    val merged = prior ++ rowCounts.toMap
+    val rowsJson = merged.toSeq.sortBy(_._1)
       .map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
-    java.nio.file.Files.write(
-      java.nio.file.Paths.get(s"$outDir/spark_rows.json"),
-      rowsJson.getBytes("UTF-8"))
+    java.nio.file.Files.write(rowsPath, rowsJson.getBytes("UTF-8"))
     spark.stop()
   }
 }
