@@ -466,8 +466,19 @@ object GraphOps {
       // the checkpointed bi scan across rounds — an RDD boundary per
       // round only added jobs. (Unbounded-round algorithms — g1/d8 —
       // do need the per-round checkpoint; 3 fixed rounds do not.)
+      //
+      // Size guard on the broadcast hint: the label relation is one
+      // (node, lbl) row per node, so at ~16 B/row the 2 GiB broadcast
+      // ceiling is ~10^8 nodes. Counting the eagerly-checkpointed lab
+      // is a cheap cached-block scan; past the guard we drop the hint
+      // and let the round run as a shuffle join — slower per round but
+      // unbounded (the r13 packed-aggregate form's property, kept as
+      // the degrade path instead of the default).
+      val nNodes = lab.count()
+      val labelFitsBroadcast = nNodes < 50000000L
       for (_ <- 1 to 3) {
-        lab = bi.join(broadcast(lab), col("d1") === col("node"))
+        val labSide = if (labelFitsBroadcast) broadcast(lab) else lab
+        lab = bi.join(labSide, col("d1") === col("node"))
           .groupBy(col("d2"))
           .agg(expr("mode(lbl, true)").as("lbl"))
           .select(col("d2").as("node"), col("lbl"))

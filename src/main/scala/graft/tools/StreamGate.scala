@@ -119,7 +119,10 @@ object StreamGate {
         finally listing.close()
       val dst = dir.resolve(f"chunk-$i%02d.parquet")
       Files.copy(part, dst)
-      dst.toFile.setLastModified(1600000000000L + i * 60000L)
+      // replay order is mtime order: a silently-failed stamp would fall
+      // back to listing order and void the monotone-watermark premise.
+      require(dst.toFile.setLastModified(1600000000000L + i * 60000L),
+        s"setLastModified failed for $dst — chunk replay order would be undefined")
     }
     dir.toString
   }

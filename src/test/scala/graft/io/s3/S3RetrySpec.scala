@@ -48,16 +48,18 @@ class S3RetrySpec extends AnyFunSuite with BeforeAndAfterAll {
   /** Ephemeral ports, not fixed ones: parallel suites (or a second CI
     * job on the same host) racing for a hardcoded 19107/19108 flake with
     * BindException. Moto needs a concrete port on its command line, so
-    * reserve one by binding port 0 and releasing it (the standard
-    * pick-a-free-port idiom; the close->launch window is the usual
-    * accepted race); the proxy binds port 0 directly and reports back. */
+    * reserve one by binding port 0 and releasing it; the close->launch
+    * window is still a TOCTOU race (ADVICE r14), so beforeAll RETRIES
+    * the whole reserve+launch on a fresh port when the moto process
+    * dies before answering (the bind-failure signature) instead of
+    * trusting a single reservation. The proxy binds port 0 directly. */
   private def freePort(): Int = {
     val s = new java.net.ServerSocket(0)
     try s.getLocalPort finally s.close()
   }
-  private val motoPort = freePort()
+  private var motoPort: Int = -1
   private var proxyPort: Int = -1
-  private val motoEndpoint = s"http://127.0.0.1:$motoPort"
+  private def motoEndpoint = s"http://127.0.0.1:$motoPort"
   private val bucket = "graft-retry"
 
   private var moto: Process = _
@@ -73,6 +75,10 @@ class S3RetrySpec extends AnyFunSuite with BeforeAndAfterAll {
   private val matched = new AtomicInteger(0)
   private val injected = new AtomicInteger(0)
   private val forwarded = new AtomicInteger(0)
+  /** Ordered "METHOD path[?query]" of every FORWARDED request since the
+    * last arm() — lets sequence-sensitive tests assert the exact probe
+    * protocol, not just a count bound (ADVICE r14). */
+  private val trace = new java.util.concurrent.ConcurrentLinkedQueue[String]()
 
   /** Arm `n` faults for requests with the given methods. `stride` = 1
     * faults every matching request until the budget drains (a
@@ -94,6 +100,7 @@ class S3RetrySpec extends AnyFunSuite with BeforeAndAfterAll {
     matched.set(0)
     injected.set(0)
     forwarded.set(0)
+    trace.clear()
     faults.set(n)
   }
 
@@ -158,6 +165,8 @@ class S3RetrySpec extends AnyFunSuite with BeforeAndAfterAll {
       return
     }
     forwarded.incrementAndGet()
+    trace.add(method + " " + ex.getRequestURI.getRawPath +
+      (if (ex.getRequestURI.getRawQuery == null) "" else "?" + ex.getRequestURI.getRawQuery))
     val uri = ex.getRequestURI
     val url = motoEndpoint + uri.getRawPath +
       (if (uri.getRawQuery == null) "" else "?" + uri.getRawQuery)
@@ -222,15 +231,23 @@ class S3RetrySpec extends AnyFunSuite with BeforeAndAfterAll {
       try new ProcessBuilder("python3", "-c", "import moto.server").start().waitFor()
       catch { case _: Throwable => 1 }
     if (probe != 0) return
-    moto = new ProcessBuilder("python3", "-m", "moto.server",
-        "-H", "127.0.0.1", "-p", motoPort.toString)
-      .redirectErrorStream(true)
-      .redirectOutput(new java.io.File("/tmp/moto-retry-spec.log"))
-      .start()
-    val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
-    while (!motoUp && System.nanoTime() < deadline) {
-      motoUp = try { httpCode("GET", s"$motoEndpoint/"); true }
-               catch { case _: Throwable => Thread.sleep(250); false }
+    var attempt = 0
+    while (!motoUp && attempt < 3) {
+      attempt += 1
+      motoPort = freePort()
+      moto = new ProcessBuilder("python3", "-m", "moto.server",
+          "-H", "127.0.0.1", "-p", motoPort.toString)
+        .redirectErrorStream(true)
+        .redirectOutput(new java.io.File(s"/tmp/moto-retry-spec-$attempt.log"))
+        .start()
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (!motoUp && System.nanoTime() < deadline && moto.isAlive) {
+        motoUp = try { httpCode("GET", s"$motoEndpoint/"); true }
+                 catch { case _: Throwable => Thread.sleep(250); false }
+      }
+      // a dead process before first answer = lost the port race (or a
+      // moto crash); reap it and go again on a fresh reservation
+      if (!motoUp) { moto.destroy(); moto.waitFor() }
     }
     if (!motoUp) return
     assert(httpCode("PUT", s"$motoEndpoint/$bucket") == 200, "bucket create")
@@ -503,14 +520,20 @@ class S3RetrySpec extends AnyFunSuite with BeforeAndAfterAll {
     intercept[FileNotFoundException] {
       fs.getFileStatus(new Path(s"s3r://$bucket/retry/never-written"))
     }
-    // getFileStatus probes at most HEAD key (404) + HEAD key/ (404) +
-    // one LIST — the NO-INFLATION property under test is an upper
-    // bound: a retried 404 would multiply the probe count by the retry
-    // limit (3 -> 15 at limit 4). An exact ==3 would also break on any
-    // benign future change to the probe sequence, which is not what
-    // this test guards.
-    assert(forwarded.get() >= 1 && forwarded.get() <= 3,
-      s"expected <=3 un-retried probes (no 404 retry inflation), proxy saw ${forwarded.get()}")
+    // getFileStatus probes exactly HEAD key (404) -> HEAD key/ (404) ->
+    // one LIST page under key/ — assert the EXACT forwarded sequence
+    // (ADVICE r14): a retried 404 would repeat an entry (inflation),
+    // and a dropped probe (e.g. skipping the HEAD key/ or LIST step)
+    // would shorten it — both now fail loudly instead of slipping
+    // through a count bound.
+    val seq = trace.toArray(Array.empty[String]).toList
+    val expected = List(
+      s"HEAD /$bucket/retry/never-written",
+      s"HEAD /$bucket/retry/never-written/")
+    assert(seq.length == 3 && seq.take(2) == expected &&
+      seq(2).startsWith(s"GET /$bucket?") &&
+      seq(2).contains("list-type=2") && seq(2).contains("never-written"),
+      s"expected the exact 3-probe sequence HEAD key -> HEAD key/ -> LIST, proxy saw: $seq")
     fs.close()
   }
 }

@@ -164,18 +164,48 @@ object Sf1Rehearsal {
     // eyeballing two stdout streams (ADVICE r10). A SUBSET run MERGES
     // into the existing map instead of clobbering the other queries'
     // counts (regeneration wipes the file, so merged entries can never
-    // be from different data).
+    // be from different DATA). Mixed-CODE staleness (ADVICE r14): each
+    // entry is stamped with the git commit it was produced at
+    // (spark_rows_commits.json); a prior entry survives the merge only
+    // if src/main/scala is byte-identical between its commit and the
+    // current (clean) tree — otherwise it is dropped, so the DuckDB arm
+    // can never assert equality against rows from superseded query code.
+    def sh(cmd: String*): (Int, String) = {
+      val p = new ProcessBuilder(cmd: _*).redirectErrorStream(true).start()
+      val out = scala.io.Source.fromInputStream(p.getInputStream).mkString.trim
+      (p.waitFor(), out)
+    }
+    val (dirtyRc, dirtyOut) = sh("git", "status", "--porcelain", "--", "src/main/scala")
+    val mainDirty = dirtyRc != 0 || dirtyOut.nonEmpty
+    val headCommit = sh("git", "rev-parse", "HEAD")._2.take(12)
+    val stamp = if (mainDirty) s"$headCommit-dirty" else headCommit
+    def mainUnchangedSince(c: String): Boolean =
+      !mainDirty && !c.endsWith("-dirty") &&
+        sh("git", "diff", "--quiet", c, headCommit, "--", "src/main/scala")._1 == 0
     val rowsPath = java.nio.file.Paths.get(s"$outDir/spark_rows.json")
-    val prior: Map[String, Long] =
-      if (java.nio.file.Files.exists(rowsPath)) {
-        val txt = new String(java.nio.file.Files.readAllBytes(rowsPath), "UTF-8")
-        "\"([^\"]+)\"\\s*:\\s*(\\d+)".r.findAllMatchIn(txt)
-          .map(m => m.group(1) -> m.group(2).toLong).toMap
+    val commitsPath = java.nio.file.Paths.get(s"$outDir/spark_rows_commits.json")
+    def readJsonMap(p: java.nio.file.Path): Map[String, String] =
+      if (java.nio.file.Files.exists(p)) {
+        val txt = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+        "\"([^\"]+)\"\\s*:\\s*\"?([^\",}]+)\"?".r.findAllMatchIn(txt)
+          .map(m => m.group(1) -> m.group(2)).toMap
       } else Map.empty
+    val priorCommits = readJsonMap(commitsPath)
+    val prior: Map[String, Long] = readJsonMap(rowsPath)
+      .collect { case (k, v) if v.forall(_.isDigit) => k -> v.toLong }
+      // legacy unstamped entries and entries from diverged code are dropped
+      .filter { case (k, _) =>
+        priorCommits.get(k).exists(c => c == stamp || mainUnchangedSince(c)) }
     val merged = prior ++ rowCounts.toMap
+    val mergedCommits =
+      priorCommits.filter(kv => prior.contains(kv._1)) ++
+        rowCounts.map { case (k, _) => k -> stamp }
     val rowsJson = merged.toSeq.sortBy(_._1)
       .map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
     java.nio.file.Files.write(rowsPath, rowsJson.getBytes("UTF-8"))
+    val commitsJson = mergedCommits.toSeq.sortBy(_._1)
+      .map { case (k, v) => s""""$k":"$v"""" }.mkString("{", ",", "}")
+    java.nio.file.Files.write(commitsPath, commitsJson.getBytes("UTF-8"))
     spark.stop()
   }
 }
