@@ -406,6 +406,48 @@ object ArrayOps {
         .toDF("bucket", "bn")
         .groupBy(col("bucket")).agg(sum(col("bn")).cast("long").as("n_voxels"))
         .orderBy(col("bucket"))
+    }),
+
+    // --- JPEG-XR sidecar remediation under the gate (r14 verdict ask
+    //     #6): a codec-4 CZI — the one subblock codec whose entropy
+    //     decode is proven-blocked offline (docs/JPEGXR_FEASIBILITY.md)
+    //     — ships next to its `<base>.transcoded.czi` sidecar (the
+    //     czicompress-style lossless re-encode; reference decodes
+    //     codec 4 inline via imagecodecs, utils.py:231-281). The query
+    //     reads the ORIGINAL path through format("czi"):
+    //     CziSource.resolveInput must redirect to the sidecar at
+    //     planning time (shape/dtype cross-checked), and the per-chunk
+    //     voxel sums must equal the same global value formula z4 pins —
+    //     a wrong redirect, a stale-sidecar mismatch, or any placement
+    //     slip in the transcoded subblocks changes the sums. ---
+    "z16_jxr_sidecar" -> ((s, _) => {
+      import s.implicits._
+      val dir = graft.Scratch.dir("czi-jxr-q")
+      val path = s"$dir/q16.czi"
+      def tiles(comp: Int) = for (z <- 0 until 24) yield
+        graft.sources.czi.SyntheticCzi.Tile(
+          dims = Seq(("X", 0, 40), ("Y", 0, 40), ("Z", z, 1), ("C", 0, 1)),
+          pixels = Array.tabulate(1600)(i => SyntheticStack.value(z, i / 40, i % 40)),
+          compression = comp)
+      graft.sources.czi.SyntheticCzi.writeTiles(path,
+        tiles(graft.sources.czi.CziFormat.CompressionJpgXr))
+      graft.sources.czi.SyntheticCzi.writeTiles(s"$dir/q16.transcoded.czi",
+        tiles(graft.sources.czi.CziFormat.CompressionZstd0))
+      s.read.format("czi")
+        .option("path", path) // codec-4 original; connector resolves the sidecar
+        .option("chunk_z", "8").option("chunk_y", "16").option("chunk_x", "16")
+        .load()
+        .select(col("z"), col("y"), col("x"), col("data"))
+        .as[(Int, Int, Int, Array[Byte])]
+        .map { case (z, y, x, data) =>
+          val px = graft.core.PixelCodec.toInts(data)
+          var sum = 0L
+          var i = 0
+          while (i < px.length) { sum += px(i); i += 1 }
+          (z.toLong, y.toLong, x.toLong, sum, px.length.toLong)
+        }
+        .toDF("cz", "cy", "cx", "sum_v", "n_voxels")
+        .orderBy(col("cz"), col("cy"), col("cx"))
     })
   )
 
@@ -572,6 +614,19 @@ object ArrayOps {
         |ORDER BY cz, cy, cx""".stripMargin,
 
     "z4_czi_scan" ->
+      """WITH l0 AS (
+        |  SELECT range // 1600 AS z, (range // 40) % 40 AS y, range % 40 AS x,
+        |         (31 * (range // 1600) + 17 * ((range // 40) % 40) + 13 * (range % 40)) % 65536 AS v
+        |  FROM range(38400)
+        |)
+        |SELECT z // 8 AS cz, y // 16 AS cy, x // 16 AS cx,
+        |       CAST(sum(v) AS BIGINT) AS sum_v, count(*) AS n_voxels
+        |FROM l0 GROUP BY 1, 2, 3
+        |ORDER BY cz, cy, cx""".stripMargin,
+
+    // same 24x40x40 global value grid as z4: the codec-4 original must
+    // be answered voxel-exact from its transcoded sidecar
+    "z16_jxr_sidecar" ->
       """WITH l0 AS (
         |  SELECT range // 1600 AS z, (range // 40) % 40 AS y, range % 40 AS x,
         |         (31 * (range // 1600) + 17 * ((range // 40) % 40) + 13 * (range % 40)) % 65536 AS v
