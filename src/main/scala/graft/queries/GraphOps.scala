@@ -126,6 +126,34 @@ object GraphOps {
         coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
   }
 
+  /** Materialized-view sharing for the g3/g10 triangle relation (r14
+    * verdict ask #2a): both queries project from the SAME per-node
+    * (n, dg, n_triangles) relation over the same cap-4000 graph, so the
+    * first query to need it computes [[triangleCounts]] once and writes
+    * the NODE-SIZED result as a parquet artifact in per-JVM scratch
+    * (the z-queries' idempotent-writer precedent); the other query is
+    * then a scan + projection — 17+19 jobs collapse to one build plus
+    * two cheap scans. On a cluster the artifact lives on the shared FS;
+    * it is one row per node, orders of magnitude smaller than the edge
+    * list, so materialization cost is dominated by the compute it
+    * de-duplicates. Keyed by (sfDir, cap, capScale) — the rehearsal's
+    * density lever changes the graph, so it must miss this cache. */
+  private val triLocks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private[graft] def triangleCountsShared(s: SparkSession, dir: String,
+      cap: Long): DataFrame = {
+    val tag = "tri-" + java.lang.Integer.toHexString(dir.hashCode) +
+      s"-$cap-$capScale"
+    val out = graft.Scratch.dir(tag) + "/tri.parquet"
+    val lock = triLocks.computeIfAbsent(tag, _ => new Object)
+    lock.synchronized {
+      if (!new java.io.File(out, "_SUCCESS").exists()) {
+        triangleCounts(coPurchaseEdgesP(s, dir, cap))
+          .write.mode("overwrite").parquet(out)
+      }
+    }
+    s.read.parquet(out)
+  }
+
   /** g3/g10's shared graph: canonical part co-purchase edges under the
     * cap, eagerly checkpointed. The cap scales with [[capScale]] exactly
     * like [[coPurchaseEdges]]'s — both edge builders must honor the
@@ -296,7 +324,7 @@ object GraphOps {
     "g3_triangles" -> ((s, dir) =>
       // participants only (n_triangles > 0), as the tri-node union the
       // original formulation counted — zero rows must not pad the top-10
-      triangleCounts(coPurchaseEdgesP(s, dir, cap = 4000))
+      triangleCountsShared(s, dir, cap = 4000)
         .filter(col("n_triangles") > 0)
         .select(col("n").as("p_partkey"), col("n_triangles"))
         .orderBy(col("n_triangles").desc, col("p_partkey"))
@@ -593,7 +621,7 @@ object GraphOps {
     //     identically over the one checkpointed edge list, so AQE
     //     exchange reuse computes it once (g7's measured pattern). ---
     "g10_clustering_coeff" -> ((s, dir) =>
-      triangleCounts(coPurchaseEdgesP(s, dir, cap = 4000))
+      triangleCountsShared(s, dir, cap = 4000)
         .filter(col("dg") >= 2)
         .select(col("n").as("p_partkey"), col("dg").as("degree"),
           col("n_triangles"))
