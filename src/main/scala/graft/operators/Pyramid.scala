@@ -341,4 +341,98 @@ object Pyramid {
     }
     out.result()
   }
+
+  /** FUSED all-levels pyramid: ONE map pass emits every level's pieces
+    * chunk-locally, ONE shuffle (keyed by (level, out-chunk)) assembles
+    * them — collapsing `levels`'s n-1 shuffles + n-1 persists (12
+    * stages for z1's 4-level pyramid) into map + single exchange.
+    *
+    * Validity: level-(k+1) windows must never cross level-k piece
+    * boundaries. Pieces from one input chunk have size chunk/f^k, and
+    * windows start at multiples of f, so the fused recursion equals the
+    * assemble-then-downsample sequence iff chunk % f^(nLevels-1) == 0
+    * on every spatial axis (true for the reference's 128^3 / x2 config
+    * and z1's 32^3 / 4 levels; PyramidFusedSpec pins byte-equality vs
+    * [[levels]] including ceil-edge chunks). Unaligned configs fall
+    * back to [[levels]] — correctness never depends on the fast path.
+    *
+    * Scale: the exchange carries sum over k of 1/f^3k of the input
+    * (~14.5% for f=2) in one stage — at 100 TB that is one 14.5 TB
+    * shuffle instead of three 12.5/1.6/0.2 TB stages with a persist
+    * barrier between each; map output is grid-uniform, no skew. */
+  def levelsFusedAll(spark: SparkSession, level0: Dataset[ZarrChunk], vol: Volume,
+                     nLevels: Int, factorZyx: Array[Int] = Array(2, 2, 2)):
+      (Seq[Volume], Dataset[ZarrChunk]) = {
+    import spark.implicits._
+    val nHalvings = nLevels - 1
+    val aligned = (2 to 4).forall { i =>
+      val fPow = math.pow(factorZyx(i - 2).toDouble, nHalvings.toDouble).toLong
+      fPow > 0 && vol.chunk(i) % fPow == 0
+    }
+    if (!aligned) {
+      val seq = levels(spark, level0, vol, nLevels, factorZyx)
+      return (seq.map(_._1), seq.map(_._2).reduce(_ union _))
+    }
+    val vols = Iterator.iterate(vol)(_.downsampled(factorZyx))
+      .drop(1).take(nHalvings).toSeq
+    val outChunks = vols.map(_.chunk).toArray
+    val outShapes = vols.map(_.shape).toArray
+    val stacks = vols.map(_.stack).toArray
+    val lvlIds = vols.map(_.level).toArray
+    val chunk = vol.chunk
+    val dtype = vol.dtype
+    val itemSize = dtype.itemSize
+    val (fz, fy, fx) = (factorZyx(0), factorZyx(1), factorZyx(2))
+
+    // map: recursive chunk-local halvings; piece k's voxel origin is the
+    // chunk origin divided by f^k (exact by the alignment requirement)
+    val pieces = level0.flatMap { ck =>
+      var data = ck.data
+      var shape = ck.shape
+      var (dz, dy, dx) = (fz.toLong, fy.toLong, fx.toLong)
+      (1 to nHalvings).map { lvl =>
+        val (b, ps) = downsampleBytes(data, shape, factorZyx, dtype)
+        data = b; shape = ps
+        val vz = ck.z.toLong * chunk(2) / dz
+        val vy = ck.y.toLong * chunk(3) / dy
+        val vx = ck.x.toLong * chunk(4) / dx
+        dz *= fz; dy *= fy; dx *= fx
+        (lvl, ck.t, ck.c, vz, vy, vx, ps, b)
+      }
+    }
+
+    // single exchange: assemble every level's chunks in one aggregate
+    val out = pieces
+      .groupByKey { case (lvl, t, c, vz, vy, vx, _, _) =>
+        val oc = outChunks(lvl - 1)
+        (lvl, t, c, vz / oc(2), vy / oc(3), vx / oc(4))
+      }
+      .mapGroups { (key: (Int, Int, Int, Long, Long, Long),
+                    it: Iterator[(Int, Int, Int, Long, Long, Long, Array[Int], Array[Byte])]) =>
+        val (lvl, t, c, gz, gy, gx) = key
+        val oc = outChunks(lvl - 1)
+        val coords = Array(t.toLong, c.toLong, gz, gy, gx)
+        val cs = ChunkGrid.clampedChunkShape(coords, outShapes(lvl - 1), oc)
+        val buf = new Array[Byte](cs.product * itemSize)
+        it.foreach { case (_, _, _, vz, vy, vx, ps, bytes) =>
+          val offZ = (vz - gz * oc(2)).toInt
+          val offY = (vy - gy * oc(3)).toInt
+          val offX = (vx - gx * oc(4)).toInt
+          var z = 0
+          while (z < ps(2)) {
+            var y = 0
+            while (y < ps(3)) {
+              System.arraycopy(
+                bytes, (z * ps(3) * ps(4) + y * ps(4)) * itemSize,
+                buf, ((offZ + z) * cs(3) * cs(4) + (offY + y) * cs(4) + offX) * itemSize,
+                ps(4) * itemSize)
+              y += 1
+            }
+            z += 1
+          }
+        }
+        ZarrChunk(stacks(lvl - 1), lvlIds(lvl - 1), t, c, gz.toInt, gy.toInt, gx.toInt, cs, buf)
+      }
+    (vols, out)
+  }
 }

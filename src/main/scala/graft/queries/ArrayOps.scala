@@ -48,12 +48,24 @@ object ArrayOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "z1_pyramid_mean" -> ((s, _) => {
+      import s.implicits._
       val l0 = SyntheticStack.generate(s, pyramidVol)
-      val lvls = Pyramid.levels(s, l0, pyramidVol, nLevels = 4)
-      val dfs = lvls.zipWithIndex.map { case ((v, ds), i) =>
-        voxels(s, ds, v.chunk(2), i + 1)
-      }
-      dfs.reduce(_ unionAll _).orderBy(col("level"), col("z"), col("y"), col("x"))
+      // fused all-levels pyramid (r14 verdict ask #2b): one map pass +
+      // one exchange instead of 3 sequential shuffle+persist stages —
+      // values byte-identical to Pyramid.levels (PyramidFusedSpec)
+      val (_, all) = Pyramid.levelsFusedAll(s, l0, pyramidVol, nLevels = 4)
+      val chunkZyx = pyramidVol.chunk(2) // chunk shape constant across levels
+      all.flatMap { ck =>
+        val px = ck.pixels
+        val (sz, sy, sx) = (ck.shape(2), ck.shape(3), ck.shape(4))
+        for {
+          z <- 0 until sz
+          y <- 0 until sy
+          x <- 0 until sx
+        } yield (ck.level, ck.z.toLong * chunkZyx + z, ck.y.toLong * chunkZyx + y,
+          ck.x.toLong * chunkZyx + x, px(z * sy * sx + y * sx + x).toLong)
+      }.toDF("level", "z", "y", "x", "v")
+        .orderBy(col("level"), col("z"), col("y"), col("x"))
     }),
 
     "z2_zarr_roundtrip" -> ((s, _) => {
