@@ -127,13 +127,51 @@ object StreamGate {
     dir.toString
   }
 
+  /** Disjoint-copy scale-up of the gate's four input tables into a
+    * scratch dir (the Sf1Rehearsal transforms): user/doc/vec/cust ids
+    * remap to id*k+copy so per-key state (sessions, dedup, sketches)
+    * scales with the corpus; event timestamps stay fixed so watermark
+    * geometry is identical and per-window volume grows k-fold. Both the
+    * stream chunks AND the batch twins read the SAME scaled tables, so
+    * the equivalence claim is unchanged — only the scale moves. */
+  private def scaleDir(spark: SparkSession, sfDir: String, k: Int): String = {
+    val out = graft.Scratch.dir(s"stream-gate-sf$k")
+    val done = new java.io.File(out, "_DONE")
+    if (done.exists()) return out
+    val cp = explode(expr(s"sequence(0, ${k - 1})"))
+    Tables.load(spark, sfDir, "events").withColumn("cp", cp)
+      .select((col("event_id") * k + col("cp")).as("event_id"), col("ts"),
+        (col("user_id") * k + col("cp")).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+      .repartition(16).write.mode("overwrite").parquet(s"$out/events.parquet")
+    Tables.load(spark, sfDir, "documents").withColumn("cp", cp)
+      .select((col("doc_id") * k + col("cp")).as("doc_id"),
+        expr("regexp_replace(text, '(\\\\S+)', concat('$1#', CAST(cp AS STRING)))").as("text"),
+        col("lang"), col("source"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .repartition(8).write.mode("overwrite").parquet(s"$out/documents.parquet")
+    Tables.load(spark, sfDir, "embeddings").withColumn("cp", cp)
+      .select((col("vec_id") * k + col("cp")).as("vec_id"),
+        expr("transform(embedding, (x, i) -> x + CAST(cp AS FLOAT) * 0.001F * CAST(i % 7 AS FLOAT))")
+          .as("embedding"), col("label"))
+      .repartition(8).write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+    Tables.load(spark, sfDir, "customer").withColumn("cp", cp)
+      .select((col("c_custkey") * k + col("cp")).as("c_custkey"), col("c_name"),
+        col("c_nationkey"), col("c_acctbal"), col("c_mktsegment"))
+      .repartition(8).write.mode("overwrite").parquet(s"$out/customer.parquet")
+    java.nio.file.Files.write(done.toPath, s"k=$k".getBytes("UTF-8"))
+    out
+  }
+
   def main(args: Array[String]): Unit = {
-    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val baseDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val outPath = if (args.length > 1) args(1) else "STREAM_SUMMARY.json"
+    val scaleK = if (args.length > 2) args(2).toInt else 1
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = Spark.session(master = s"local[$cpus]",
       shufflePartitions = cpus.toInt, appName = "graft-stream-gate")
     import spark.implicits._
+    val sfDir = if (scaleK > 1) scaleDir(spark, baseDir, scaleK) else baseDir
 
     val ev = Tables.load(spark, sfDir, "events")
     val evCount = ev.count()
@@ -545,7 +583,8 @@ object StreamGate {
         f""""emit_latency_ms":${f.emitMs}%.1f,"latency_kind":"${f.latencyKind}","note":"${esc(f.note)}"}"""
     }.mkString("{", ",", "}")
     val json =
-      f"""{"sf_dir":"$sfDir","commit":"$commit","timestamp_utc":"${java.time.Instant.now()}",""" +
+      f"""{"sf_dir":"$sfDir","base_dir":"$baseDir","scale_k":$scaleK,""" +
+      f""""commit":"$commit","timestamp_utc":"${java.time.Instant.now()}",""" +
       f""""chunks_per_stream":$Chunks,"max_files_per_trigger":1,""" +
       f""""n_families":${fams.size},"n_equal":${fams.count(_.equal)},"all_equal":$allEqual,""" +
       f""""latency_note":"emit_latency_ms: median wall time from the finalizing data being available to rows visible in the memory sink; watermark-finalized families span two micro-batches by construction (the watermark used by batch N comes from data ingested in batch N-1)",""" +
