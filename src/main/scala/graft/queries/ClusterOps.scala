@@ -112,6 +112,22 @@ object ClusterOps {
     (cent, assign(cent))
   }
 
+  /** [[lloyd]] materialized once per corpus (the [[Materialized]]
+    * pattern): c1/c3/c4/c5 each consumed the full 3-iteration pipeline
+    * — 4 corpus assignment scans apiece — to read a model the first
+    * fit already determined. The artifacts are the K-row centroid
+    * table and the per-vector assignment (one row per embedding, far
+    * smaller than the float corpus it derives from); every consumer
+    * is a scan + model-sized aggregate thereafter. */
+  private def lloydShared(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val out = Materialized.rels(s, s"lloyd-${Materialized.dirTag(dir)}",
+      Seq("cent", "assigned")) {
+      val (cent, assigned) = lloyd(s, dir)
+      Seq(cent, assigned)
+    }
+    (out(0), out(1))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // --- k-means (K=8, 3 Lloyd iterations) over the embedding corpus:
@@ -120,7 +136,7 @@ object ClusterOps {
     //     Integer-exact end to end (see object doc) so the distributed
     //     run hash-matches DuckDB's unrolled-CTE oracle. ---
     "c1_kmeans" -> ((s, dir) => {
-      val (cent, assigned) = lloyd(s, dir)
+      val (cent, assigned) = lloydShared(s, dir)
       val fin = assigned
         .groupBy(col("cid"))
         .agg(count(lit(1)).as("n_members"), sum(col("dist")).as("inertia"))
@@ -193,7 +209,7 @@ object ClusterOps {
     //     broadcast). Corpus cost: the one assignment scan lloyd()
     //     already produces; everything else is model-sized. ---
     "c3_cluster_metrics" -> ((s, dir) => {
-      val (cent, assigned) = lloyd(s, dir)
+      val (cent, assigned) = lloydShared(s, dir)
       val scat = assigned.groupBy(col("cid"))
         .agg(count(lit(1)).as("n_members"),
           sum(col("dist")).cast("long").as("sum_d2"))
@@ -231,7 +247,7 @@ object ClusterOps {
     //     then driver-trivial sums. At ~1e10 rows the C(x,2) products
     //     approach 2^63 — widen to DECIMAL(38,0), same plan. ---
     "c4_ari" -> ((s, dir) => {
-      val (_, assigned) = lloyd(s, dir)
+      val (_, assigned) = lloydShared(s, dir)
       val lab = Tables.load(s, dir, "embeddings")
         .select(col("vec_id"), col("label"))
       val cont = assigned.select(col("vec_id"), col("cid"))
@@ -268,7 +284,7 @@ object ClusterOps {
     //     the broadcast row — interpreted, but K*64 ops/row and zero
     //     exchanges); the rollup is model-sized. ---
     "c5_silhouette" -> ((s, dir) => {
-      val (cent, assigned) = lloyd(s, dir)
+      val (cent, assigned) = lloydShared(s, dir)
       val cmat = cent.agg(expr("array_sort(collect_list(struct(cid, cv)))").as("cs"))
       val withB = assigned.crossJoin(broadcast(cmat))
         .select(col("cid"), col("dist").as("a2"),

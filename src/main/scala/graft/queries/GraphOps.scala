@@ -138,21 +138,11 @@ object GraphOps {
     * list, so materialization cost is dominated by the compute it
     * de-duplicates. Keyed by (sfDir, cap, capScale) — the rehearsal's
     * density lever changes the graph, so it must miss this cache. */
-  private val triLocks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
   private[graft] def triangleCountsShared(s: SparkSession, dir: String,
-      cap: Long): DataFrame = {
-    val tag = "tri-" + java.lang.Integer.toHexString(dir.hashCode) +
-      s"-$cap-$capScale"
-    val out = graft.Scratch.dir(tag) + "/tri.parquet"
-    val lock = triLocks.computeIfAbsent(tag, _ => new Object)
-    lock.synchronized {
-      if (!new java.io.File(out, "_SUCCESS").exists()) {
-        triangleCounts(coPurchaseEdgesP(s, dir, cap))
-          .write.mode("overwrite").parquet(out)
-      }
+      cap: Long): DataFrame =
+    Materialized.rel(s, s"tri-${Materialized.dirTag(dir)}-$cap-$capScale") {
+      triangleCounts(coPurchaseEdgesP(s, dir, cap))
     }
-    s.read.parquet(out)
-  }
 
   /** g3/g10's shared graph: canonical part co-purchase edges under the
     * cap, eagerly checkpointed. The cap scales with [[capScale]] exactly
