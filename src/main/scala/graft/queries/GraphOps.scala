@@ -93,6 +93,18 @@ object GraphOps {
     (if (dedupPairs) pairs.distinct() else pairs).localCheckpoint(true)
   }
 
+  /** The cap-3000 co-purchase edge list g5/g6/g7/g8/g9 all iterate
+    * over, materialized once per (dir, capScale) via [[Materialized]]:
+    * each of the five paid the pair-join + distinct + checkpoint build
+    * before its own algorithm even started. Their rounds now read a
+    * stats-bearing parquet leaf (better for broadcast planning than the
+    * stats-less checkpoint leaf — the r11 g4/g8 lesson) and the build
+    * is paid once per corpus. */
+  private def coPurchaseEdges3000(s: SparkSession, dir: String): DataFrame =
+    Materialized.rel(s, s"copurch-${Materialized.dirTag(dir)}-3000-$capScale") {
+      coPurchaseEdges(s, dir, cap = Some(3000L))
+    }
+
   /** Per-node triangle participation over a canonical (p1 < p2) edge
     * list (expected eagerly checkpointed by the caller — the
     * orientation join and the closing join both read it). Edges are
@@ -385,7 +397,7 @@ object GraphOps {
     //     stays the skew lever, and a production hub cap (bound
     //     neighbor-list length) drops in as one filter. ---
     "g9_two_hop" -> ((s, dir) => {
-      val edges = coPurchaseEdges(s, dir, cap = Some(3000L))
+      val edges = coPurchaseEdges3000(s, dir)
       // narrow union view, consumed once by the adjacency aggregate —
       // nothing to share, nothing to checkpoint
       val bi = edges.union(
@@ -425,7 +437,7 @@ object GraphOps {
     //     memory/accuracy lever; rounds shuffle frontier-sized
     //     relations keyed by (src, node). ---
     "g8_harmonic" -> ((s, dir) => {
-      val edges = coPurchaseEdges(s, dir, cap = Some(3000L))
+      val edges = coPurchaseEdges3000(s, dir)
       // bi is a narrow union VIEW over the checkpointed edges — cheap to
       // recompute per consumer, so materializing a double-size copy of
       // the edge list bought nothing (one job + memory for a re-scan)
@@ -472,7 +484,7 @@ object GraphOps {
     //     Scale shape: frontier never exceeds n; aggregation is
     //     partitioning-order invariant (vote counts are exact ints). ---
     "g5_label_prop" -> ((s, dir) => {
-      val edges = coPurchaseEdges(s, dir, cap = Some(3000L))
+      val edges = coPurchaseEdges3000(s, dir)
       // narrow union view over checkpointed edges — see g8
       val bi = edges.union(
         edges.select(col("d2").as("d1"), col("d1").as("d2")))
@@ -521,7 +533,7 @@ object GraphOps {
     //     moments approach 2^63: widen to DECIMAL(38,0) there, same
     //     plan. ---
     "g6_assortativity" -> ((s, dir) => {
-      val edges = coPurchaseEdges(s, dir, cap = Some(3000L))
+      val edges = coPurchaseEdges3000(s, dir)
       val bi = edges.union(
         edges.select(col("d2").as("d1"), col("d1").as("d2")))
       val deg = bi.groupBy(col("d1")).agg(count(lit(1)).as("dg"))
@@ -557,7 +569,7 @@ object GraphOps {
     //     viable at web-graph scale. ---
     "g7_kcore" -> ((s, dir) => {
       val k = 80
-      var e = coPurchaseEdges(s, dir, cap = Some(3000L))
+      var e = coPurchaseEdges3000(s, dir)
       var bi = e.union(e.select(col("d2").as("d1"), col("d1").as("d2")))
       // ONE aggregate per bidirectional relation, ever: the per-node
       // degree count drives the NEXT round's peel AND yields the
