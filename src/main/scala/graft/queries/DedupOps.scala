@@ -243,6 +243,26 @@ object DedupOps {
       .distinct() // collapse the per-shared-prefix-token multiplicity
       .orderBy(col("d1"), col("d2"))
 
+  /** THE shared ground-truth relation of the dedup family: exact
+    * 3-gram jaccard >= 0.5 near-dup pairs over the clean corpus,
+    * materialized once per corpus. Built with the bucket-join form —
+    * this round's d2-vs-d19 A/B measured it faster than the prefix
+    * join on the clean regime at both SFs. Consumers: d2 (its gated
+    * output, rounded + ordered), d16's truth side, and the dupcc edge
+    * build below. d19/d20 deliberately do NOT consume it — the
+    * prefix-filtered algorithm stays live-gated as its own pair. */
+  private[graft] def jaccardPairs(s: SparkSession, dir: String): DataFrame =
+    Materialized.rel(s, s"jacpairs-${Materialized.dirTag(dir)}") {
+      val sh = shingles(docs(s, dir))
+      val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      pairCounts(sh, "h")
+        .join(cnt.as("c1"), col("d1") === col("c1.doc_id"))
+        .join(cnt.as("c2"), col("d2") === col("c2.doc_id"))
+        .withColumn("jac_raw", col("m") / (col("c1.n") + col("c2.n") - col("m")))
+        .filter(col("jac_raw") >= 0.5)
+        .select(col("d1"), col("d2"), col("jac_raw"))
+    }
+
   /** d8/d12's shared duplicate-cluster labeling, materialized once per
     * corpus (the [[Materialized]] pattern the r14 verdict endorsed for
     * g3/g10): both queries run the identical bounded-round
@@ -251,13 +271,7 @@ object DedupOps {
     * either needs FROM it is the doc-sized (doc_id, cluster) relation. */
   private def dupClusterLabels(s: SparkSession, dir: String): DataFrame =
     Materialized.rel(s, s"dupcc-${Materialized.dirTag(dir)}") {
-      val sh = shingles(docs(s, dir))
-      val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-      val edges = pairCounts(sh, "h")
-        .join(cnt.as("c1"), col("d1") === col("c1.doc_id"))
-        .join(cnt.as("c2"), col("d2") === col("c2.doc_id"))
-        .filter(col("m") / (col("c1.n") + col("c2.n") - col("m")) >= 0.5)
-        .select(col("d1"), col("d2"))
+      val edges = jaccardPairs(s, dir).select(col("d1"), col("d2"))
       val (labels, _) = graft.operators.ConnectedComponents.label(edges)
       labels.select(col("id").as("doc_id"), col("lbl").as("cluster"))
     }
@@ -489,18 +503,10 @@ object DedupOps {
     //     100 TB the bucket explode bounds work by sum(freq^2), and a
     //     stop-shingle frequency cap (not needed at this skew: max
     //     freq 25) would bound the worst key. ---
-    "d2_ngram_jaccard" -> ((s, dir) => {
-      val sh = shingles(docs(s, dir))
-      val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-      val pairs = pairCounts(sh, "h")
-      pairs
-        .join(cnt.as("c1"), col("d1") === col("c1.doc_id"))
-        .join(cnt.as("c2"), col("d2") === col("c2.doc_id"))
-        .withColumn("jac_raw", col("m") / (col("c1.n") + col("c2.n") - col("m")))
-        .filter(col("jac_raw") >= 0.5)
+    "d2_ngram_jaccard" -> ((s, dir) =>
+      jaccardPairs(s, dir)
         .select(col("d1"), col("d2"), round(col("jac_raw"), 6).as("jaccard"))
-        .orderBy(col("d1"), col("d2"))
-    }),
+        .orderBy(col("d1"), col("d2"))),
 
     // --- exact set-similarity join via PREFIX FILTERING (the
     //     AllPairs/PPJoin family, Bayardo et al. WWW'07) — the OTHER
@@ -631,7 +637,11 @@ object DedupOps {
       // rows (measured at sf1: median 6.4 s -> 10.1 s with 22-29 s
       // outlier passes). The distinct collapses multiplicity while the
       // relation is still result-sized.
-      val truth = prefixJoin(shinglesRaw(docs(s, dir)))
+      // truth side now reads the shared materialized exact-jaccard pair
+      // relation (same pair SET the prefix join produced — d2/d19 are
+      // gated byte-identical — built once per corpus instead of per
+      // consumer; the r15 pre-registered extension)
+      val truth = jaccardPairs(s, dir)
         .select(col("d1"), col("d2"), lit(1L).as("t"), lit(0L).as("c"))
       // bands from the RAW (pre-distinct) shingles: every MinHash value
       // is a min(), which duplicates cannot change — dropping the
