@@ -372,12 +372,31 @@ class PlanShapeSpec extends AnyFunSuite {
   }
 
   test("nearest_centroid assignment stays inside whole-stage codegen") {
-    val p = plan("c1_kmeans")
+    // r15: c1 consumes the materialized Lloyd model, so the assignment
+    // no longer appears in c1's CONSUMER plan — pin the codegen property
+    // on the expression directly (the shape the lloyd build runs)
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.{col, expr}
+    val q = Seq((1L, Seq(1L, 2L))).toDF("vec_id", "qv")
+    val cs = Seq((Seq((0L, Seq(0L, 0L)), (1L, Seq(3L, 3L))))).toDF("cs")
+    val p = q.crossJoin(org.apache.spark.sql.functions.broadcast(cs))
+      .select(col("vec_id"),
+        graft.functions.nearest_centroid(col("qv"), col("cs")).as("m"))
+      .queryExecution.executedPlan.toString
     assert(p.contains("nearest_centroid"), p)
-    // the expression must appear inside a WholeStageCodegen span, not a
-    // fallback project — locate its line and demand a codegen marker
     val line = p.linesIterator.find(_.contains("nearest_centroid")).get
     assert(line.trim.startsWith("*") || line.contains("Project"), line)
+  }
+
+  test("c1 consumes the materialized Lloyd model: artifact scan + model-sized aggregate") {
+    val p = plan("c1_kmeans")
+    // the corpus-scale fit runs once in the Materialized build; the
+    // gated consumer must be a parquet scan of the artifact feeding a
+    // broadcast-joined model-sized aggregate — never a corpus re-fit
+    assert(p.contains("mv-lloyd"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.toLowerCase.contains("cartesianproduct"), p)
   }
 
   // --- round-7 floor-burndown shapes: these exchanges were REMOVED; the
@@ -524,14 +543,15 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("Generate explode"), p)
   }
 
-  test("g10: triangle machinery runs on checkpointed leaves, no cartesian") {
+  test("g10: consumes the materialized triangle relation, no cartesian") {
     val p = plan("g10_clustering_coeff")
-    // the wedge + closing joins read the two eager checkpoints (g3's
-    // shape): the final plan must be equi-join only, built from
-    // LogicalRDD leaves — no parquet re-scan, no cartesian
+    // r15: the wedge machinery runs once in the Materialized build;
+    // g10's gated plan must be a scan of the node-sized artifact with
+    // pushed filters — never a wedge re-join, never a cartesian
     assert(!p.toLowerCase.contains("cartesianproduct"), p)
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
-    assert(!p.contains("Scan parquet"), p)
+    assert(p.contains("mv-tri"), p)
+    assert(p.contains("PushedFilters: [IsNotNull(dg), GreaterThanOrEqual(dg,2)]"), p)
   }
 
   test("c5: corpus never key-shuffles — the model rides one broadcast row") {
