@@ -24,6 +24,22 @@ object TextOps {
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.fanout(Tables.load(s, dir, "documents"))
 
+  /** The corpus bigram TYPE table (w1, w2, c12), materialized once per
+    * corpus ([[Materialized]], r15): t11's c12/c1 model and t23's
+    * margins both derive from it. t21 is deliberately not a consumer —
+    * its one corpus exchange is the doc x type scoring relation, which
+    * AQE already reuses for its model side. */
+  private def bigramTypes(s: SparkSession, dir: String): DataFrame =
+    Materialized.rel(s, s"bigrams-${Materialized.dirTag(dir)}") {
+      docs(s, dir)
+        .select(split(trim(col("text")), "\\s+").as("ts"))
+        .filter(size(col("ts")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(0, size(ts) - 2), i -> struct(ts[i] AS w1, ts[i+1] AS w2))")).as("b"))
+        .groupBy(col("b.w1").as("w1"), col("b.w2").as("w2"))
+        .agg(count(lit(1)).as("c12"))
+    }
+
   /** #occurrences of word w (space-padded match) via replace-length.
     * Literal (non-regex) `replace`, like the oracle's `replace` — same
     * non-overlapping left-to-right semantics, and an order of magnitude
@@ -544,7 +560,10 @@ object TextOps {
         .select(col("doc_id"), explode(expr(
           "transform(sequence(0, size(ts) - 2), i -> struct(ts[i] AS w1, ts[i+1] AS w2))")).as("b"))
         .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
-      val c12 = big.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+      // model tables from the shared materialized type table (r15); the
+      // probe side below stays a live corpus explode (doc_id < 100
+      // pushes to the scan)
+      val c12 = bigramTypes(s, dir)
       val c1 = c12.groupBy(col("w1")).agg(sum(col("c12")).cast("long").as("c1"))
       val vocab = toks.select(explode(col("ts")).as("tok"))
         .agg(countDistinct(col("tok")).as("v"))
@@ -1000,18 +1019,11 @@ object TextOps {
     //     unigram margins derive FROM the type table (vocab-sized
     //     aggregates, broadcast back); top-20 is a TakeOrdered. ---
     "t23_pmi_collocations" -> ((s, dir) => {
-      val big = docs(s, dir)
-        .select(split(trim(col("text")), "\\s+").as("ts"))
-        .filter(size(col("ts")) >= 2)
-        .select(explode(expr(
-          "transform(sequence(0, size(ts) - 2), i -> struct(ts[i] AS w1, ts[i+1] AS w2))")).as("b"))
-        .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
-      // materialize the TYPE table once: its four consumers (n, both
-      // margins, the probe) are broadcast subtrees, which ReuseExchange
-      // does not dedup — without the checkpoint each re-runs the corpus
-      // aggregate. The checkpoint is bigram-type-sized, never corpus-sized.
-      val c12 = big.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
-        .localCheckpoint(true)
+      // the TYPE table is the shared materialized bigram relation (r15);
+      // its four consumers (n, both margins, the probe) read the parquet
+      // artifact — the per-query localCheckpoint it replaces existed for
+      // exactly this multi-consumer reuse
+      val c12 = bigramTypes(s, dir)
       val n = c12.agg(sum(col("c12")).cast("long").as("n"))
       val c1 = c12.groupBy(col("w1")).agg(sum(col("c12")).cast("long").as("cx"))
       val c2 = c12.groupBy(col("w2")).agg(sum(col("c12")).cast("long").as("cy"))
