@@ -1,0 +1,98 @@
+package graft.queries
+
+import java.util.concurrent.atomic.AtomicInteger
+import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.Spark
+
+/** The shared materialized-relation layer is load-bearing for eight
+  * query families (tri counts, co-purchase edges, jacpairs, dup-CC
+  * labels, Lloyd model, IVF assignment, LSH candidates, bigram types)
+  * — its contract gets direct tests, not just integration coverage:
+  * build-once per (JVM, tag), tag isolation, multi-relation
+  * completeness, concurrent first-touch serialization, and a partial
+  * (no _SUCCESS) artifact triggering a rebuild instead of a bad read. */
+class MaterializedSpec extends AnyFunSuite {
+
+  private lazy val spark = Spark.session(master = "local[4]", shufflePartitions = 4,
+    appName = "graft-materialized-test")
+
+  test("build runs once per tag; every consumer reads the artifact") {
+    val builds = new AtomicInteger(0)
+    def consume(): Long = Materialized.rel(spark, "mspec-once") {
+      builds.incrementAndGet()
+      spark.range(100).toDF("id")
+    }.count()
+    assert((1 to 5).map(_ => consume()).forall(_ == 100L))
+    assert(builds.get() == 1, "the build closure must run exactly once per JVM")
+  }
+
+  test("different tags are isolated") {
+    val a = Materialized.rel(spark, "mspec-iso-a") { spark.range(3).toDF("id") }
+    val b = Materialized.rel(spark, "mspec-iso-b") { spark.range(7).toDF("id") }
+    assert(a.count() == 3 && b.count() == 7)
+    // dirTag separates same-basename dirs with different paths
+    assert(Materialized.dirTag("/x/sf0.1") != Materialized.dirTag("/y/sf0.1"))
+  }
+
+  test("rels: all named relations materialize from one build") {
+    val builds = new AtomicInteger(0)
+    def consume() = Materialized.rels(spark, "mspec-multi", Seq("small", "big")) {
+      builds.incrementAndGet()
+      Seq(spark.range(2).toDF("id"), spark.range(20).toDF("id"))
+    }
+    val first = consume()
+    assert(first(0).count() == 2 && first(1).count() == 20)
+    val again = consume()
+    assert(again(0).count() == 2 && again(1).count() == 20)
+    assert(builds.get() == 1)
+    // a build returning the wrong arity fails loudly, never writes less
+    val e = intercept[IllegalArgumentException] {
+      Materialized.rels(spark, "mspec-arity", Seq("x", "y")) {
+        Seq(spark.range(1).toDF("id"))
+      }
+    }
+    assert(e.getMessage.contains("returned 1"), e.getMessage)
+  }
+
+  test("concurrent first touch: one build, everyone reads complete data") {
+    val builds = new AtomicInteger(0)
+    val start = new CountDownLatch(1)
+    val pool = Executors.newFixedThreadPool(8)
+    val counts = (1 to 8).map { _ =>
+      pool.submit(new java.util.concurrent.Callable[Long] {
+        override def call(): Long = {
+          start.await()
+          Materialized.rel(spark, "mspec-race") {
+            builds.incrementAndGet()
+            Thread.sleep(100) // widen the race window
+            spark.range(50).toDF("id")
+          }.count()
+        }
+      })
+    }
+    start.countDown()
+    val got = counts.map(_.get(120, TimeUnit.SECONDS))
+    pool.shutdown()
+    assert(got.forall(_ == 50L), got.toString)
+    assert(builds.get() == 1, s"racing consumers must share one build, saw ${builds.get()}")
+  }
+
+  test("a partial artifact (no _SUCCESS) is rebuilt, not trusted") {
+    val builds = new AtomicInteger(0)
+    def consume(): Long = Materialized.rel(spark, "mspec-partial") {
+      builds.incrementAndGet()
+      spark.range(9).toDF("id")
+    }.count()
+    assert(consume() == 9 && builds.get() == 1)
+    // simulate a crashed writer: data present, commit marker gone
+    val dir = graft.Scratch.dir("mv-mspec-partial")
+    val marker = new java.io.File(s"$dir/rel.parquet", "_SUCCESS")
+    assert(marker.exists())
+    assert(marker.delete())
+    assert(consume() == 9)
+    assert(builds.get() == 2, "a missing _SUCCESS must trigger a rebuild")
+  }
+}
