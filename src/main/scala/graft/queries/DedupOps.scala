@@ -747,8 +747,11 @@ object DedupOps {
     //     with zero shared shingles survive via the left join (the
     //     interesting rows: semantically close, lexically disjoint). ---
     "d18_xmodal_verify" -> ((s, dir) => {
+      // the shared Materialized pair artifact (r15): a tiny stats-carrying
+      // parquet scan, so the three consumers below re-read it for free and
+      // the former localCheckpoint (and its stats-less-leaf broadcast
+      // caveat) is gone
       val cand = graft.queries.SimilarityOps.neardupPairs(s, dir)
-        .localCheckpoint(true) // tiny; three consumers below
       val sh = shingles(docs(s, dir))
       val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
       val m = broadcast(cand.select(col("id1"), col("id2")))

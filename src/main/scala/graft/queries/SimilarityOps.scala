@@ -212,7 +212,18 @@ object SimilarityOps {
     * pairs with round-6 cosine >= 0.45, as (id1, id2, cos) — shared with
     * d18's cross-modal verification (DedupOps) so the candidate surface
     * cannot drift from the gated v4 query. */
-  private[graft] def neardupPairs(s: SparkSession, dir: String): DataFrame = {
+  /** The blocked exact near-dup pair relation (cos >= 0.45 survivors),
+    * shared by v4 (its whole result) and d18 (its candidate generator) —
+    * a Materialized artifact (r15): the build is the O(n^2/B) blocked
+    * scoring scan, the output is pair-work-bounded and tiny relative to
+    * the corpus, so both consumers read a stats-carrying parquet scan
+    * instead of re-running the quadratic pass. */
+  private[graft] def neardupPairs(s: SparkSession, dir: String): DataFrame =
+    Materialized.rel(s, s"neardup-${Materialized.dirTag(dir)}") {
+      neardupPairsBuild(s, dir)
+    }
+
+  private def neardupPairsBuild(s: SparkSession, dir: String): DataFrame = {
     val nBlocks = s.sparkContext.defaultParallelism
     val e = withNorm(emb(s, dir).select(col("vec_id"), col("embedding")))
     val left = e.select(col("vec_id").as("id1"), col("embedding").as("e1"),
