@@ -29,16 +29,34 @@ object TextOps {
     * margins both derive from it. t21 is deliberately not a consumer —
     * its one corpus exchange is the doc x type scoring relation, which
     * AQE already reuses for its model side. */
-  private def bigramTypes(s: SparkSession, dir: String): DataFrame =
-    Materialized.rel(s, s"bigrams-${Materialized.dirTag(dir)}") {
-      docs(s, dir)
+  /** The corpus bigram model artifacts (r15): the (w1, w2, c12) type
+    * table shared by t11/t21/t23, and the 1-row distinct-token vocab
+    * scalar shared by t11/t21 — both from one materialized build family,
+    * so neither query pays a separate full-corpus pass for the model
+    * side. The vocab build deliberately has NO size >= 2 filter: the
+    * smoothing denominator counts every distinct token, including
+    * single-token docs' (matching the live aggregates it replaces). */
+  private def bigramRels(s: SparkSession, dir: String): Seq[DataFrame] =
+    Materialized.rels(s, s"bigrams-${Materialized.dirTag(dir)}",
+      Seq("c12", "vocab")) {
+      val toks = docs(s, dir)
         .select(split(trim(col("text")), "\\s+").as("ts"))
+      val c12 = toks
         .filter(size(col("ts")) >= 2)
         .select(explode(expr(
           "transform(sequence(0, size(ts) - 2), i -> struct(ts[i] AS w1, ts[i+1] AS w2))")).as("b"))
         .groupBy(col("b.w1").as("w1"), col("b.w2").as("w2"))
         .agg(count(lit(1)).as("c12"))
+      val vocab = toks.select(explode(col("ts")).as("tok"))
+        .agg(countDistinct(col("tok")).as("v"))
+      Seq(c12, vocab)
     }
+
+  private def bigramTypes(s: SparkSession, dir: String): DataFrame =
+    bigramRels(s, dir).head
+
+  private def bigramVocab(s: SparkSession, dir: String): DataFrame =
+    bigramRels(s, dir)(1)
 
   /** #occurrences of word w (space-padded match) via replace-length.
     * Literal (non-regex) `replace`, like the oracle's `replace` — same
@@ -560,13 +578,13 @@ object TextOps {
         .select(col("doc_id"), explode(expr(
           "transform(sequence(0, size(ts) - 2), i -> struct(ts[i] AS w1, ts[i+1] AS w2))")).as("b"))
         .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
-      // model tables from the shared materialized type table (r15); the
-      // probe side below stays a live corpus explode (doc_id < 100
-      // pushes to the scan)
+      // model tables AND the vocab scalar from the shared materialized
+      // bigram artifacts (r15): with vocab no longer a live corpus
+      // aggregate, the only corpus consumer left is the probe side,
+      // whose doc_id < 100 filter pushes to the scan
       val c12 = bigramTypes(s, dir)
       val c1 = c12.groupBy(col("w1")).agg(sum(col("c12")).cast("long").as("c1"))
-      val vocab = toks.select(explode(col("ts")).as("tok"))
-        .agg(countDistinct(col("tok")).as("v"))
+      val vocab = bigramVocab(s, dir)
       val scored = big.filter(col("doc_id") < 100)
         .join(c12, Seq("w1", "w2"))
         .join(c1, Seq("w1"))
@@ -594,61 +612,49 @@ object TextOps {
     //     and the vocab scalar broadcast) and each doc collapses to one
     //     row before the tiny band rollup. ---
     "t21_perplexity" -> ((s, dir) => {
-      // One corpus consumption for the whole LM side: bigram occurrences
-      // aggregate FIRST into the (doc_id, w1, w2) -> k relation (map-side
-      // partial agg compresses corpus -> doc x type before the only
-      // corpus-scale exchange), and that ONE exchange serves both
-      // consumers via AQE reuse (verified in the executed plan,
-      // `graft.tools.FinalPlan`): the c12/c1 model build and the scoring
-      // probe. Round 9 additionally re-clustered dw by w1 so the model
-      // aggregates ran in place — but the probe join never needed that
-      // partitioning (the model side broadcasts, and a broadcast join
-      // imposes NO distribution on its probe side), so the w1 exchange
-      // moved a doc x type-grained relation to save only MODEL-sized
-      // exchanges: c12's partial agg compresses doc x type -> type
-      // map-side before its (w1, w2) exchange, and c1 is type-grained.
-      // Dropping it cut one of the two corpus-class shuffles (measured
-      // ~1.22 -> ~0.9 s steady-state at sf0.1). The broadcast is the
-      // MODEL (type relation, the bounded side at corpus scale; V^2
-      // worst-case is Zipf-truncated in practice — if the model outgrows
-      // broadcast, the lever is a plain shuffle join on (w1, w2), not a
-      // dw re-cluster). The risk is ENFORCED, not just documented
-      // (ADVICE r10): Spark.session pins spark.sql.maxBroadcastTableSize
-      // to 2 GiB, so an outgrown model raises a SparkException naming
-      // the conf instead of OOMing the driver; the AQE-adaptive variant
-      // (no hint, runtime-stat conversion) was measured and rejected —
-      // it must shuffle-write the doc x type probe side before the
-      // runtime stats exist (same-window 10-pass pair: ~0.93 s forced
-      // vs ~1.02 s adaptive at sf0.1) to buy a fallback this cap
-      // already provides loudly.
+      // ONE live corpus consumption: the (doc_id, w1, w2) -> k scoring
+      // relation (map-side partial agg compresses corpus -> doc x type
+      // before the only corpus-scale exchange). The MODEL side — c12,
+      // c1, and the vocab scalar — reads the shared materialized bigram
+      // artifacts (r15): earlier rounds hung the model off dw's exchange
+      // via AQE reuse (free vs a rebuild, so a c12 artifact alone saved
+      // nothing — the original r15 bigram pre-registration's call), but
+      // the vocab scalar still cost its OWN full corpus pass; once vocab
+      // rides the artifact family, the model side leaves the live plan
+      // entirely and dw's exchange serves exactly its one probe
+      // consumer. The broadcast is the MODEL (type relation, the bounded
+      // side at corpus scale; V^2 worst-case is Zipf-truncated in
+      // practice — if the model outgrows broadcast, the lever is a plain
+      // shuffle join on (w1, w2), not a dw re-cluster). The risk is
+      // ENFORCED, not just documented (ADVICE r10): Spark.session pins
+      // spark.sql.maxBroadcastTableSize to 2 GiB, so an outgrown model
+      // raises a SparkException naming the conf instead of OOMing the
+      // driver; the AQE-adaptive variant (no hint, runtime-stat
+      // conversion) was measured and rejected — it must shuffle-write
+      // the doc x type probe side before the runtime stats exist
+      // (same-window 10-pass pair: ~0.93 s forced vs ~1.02 s adaptive at
+      // sf0.1) to buy a fallback this cap already provides loudly.
       // Scoring applies the per-TYPE surprisal to the
       // per-doc counts (sum k*s6 == adding s6 per occurrence — integer
       // math, bit-identical), so no corpus-scale row stream ever reaches
       // the join; the per-doc rollup's partial agg compresses to <=
       // n_docs x partitions rows before its exchange.
-      // The vocabulary deliberately takes its OWN corpus pass instead of
-      // riding g's reused exchange: a single-token explode +
-      // partial-distinct costs ~0.15 s and overlaps g's scan on free
-      // cores, while deriving it from g (pinning the aggregate into the
-      // consumer so ReuseExchange fires — measured via FinalPlan) put a
-      // ~0.6 s re-aggregation on the types-broadcast critical path and
-      // benched ~0.35 s SLOWER end-to-end. Fewer scans is not fewer
-      // seconds when the extra scan is the cheap one and the reuse
-      // serializes the dataflow.
+      // (The pre-artifact shape deliberately gave the vocabulary its OWN
+      // corpus pass rather than deriving it from dw's reused exchange —
+      // the derivation put a ~0.6 s re-aggregation on the types-broadcast
+      // critical path and benched ~0.35 s SLOWER. The artifact supersedes
+      // that trade: now NEITHER arm re-reads the corpus for the model.)
       val toks = docs(s, dir)
         .select(col("doc_id"), split(trim(col("text")), "\\s+").as("ts"))
       val dw = toks.filter(size(col("ts")) >= 2)
         .select(col("doc_id"), explode(expr(
           "transform(sequence(0, size(ts) - 2), i -> struct(ts[i] AS w1, ts[i+1] AS w2))")).as("b"))
         .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
-        // explicit notnull keeps every consumer's copy of this subplan
-        // byte-identical so ReuseExchange fires (see t11)
         .filter(col("w1").isNotNull && col("w2").isNotNull)
         .groupBy(col("doc_id"), col("w1"), col("w2")).agg(count(lit(1)).as("k"))
-      val c12 = dw.groupBy(col("w1"), col("w2")).agg(sum(col("k")).cast("long").as("c12"))
+      val c12 = bigramTypes(s, dir)
       val c1 = c12.groupBy(col("w1")).agg(sum(col("c12")).cast("long").as("c1"))
-      val vocab = toks.select(explode(col("ts")).as("tok"))
-        .agg(countDistinct(col("tok")).as("v"))
+      val vocab = bigramVocab(s, dir)
       val types = c12
         .join(broadcast(c1), Seq("w1"))
         .crossJoin(broadcast(vocab))
