@@ -80,6 +80,30 @@ class MaterializedSpec extends AnyFunSuite {
     assert(builds.get() == 1, s"racing consumers must share one build, saw ${builds.get()}")
   }
 
+  test("persistent scratch root: artifacts land under it, survive, and are reused without a rebuild") {
+    val root = java.nio.file.Files.createTempDirectory("mspec-root").toString
+    sys.props("graft.scratch.root") = root
+    try {
+      val builds = new AtomicInteger(0)
+      def consume(): Long = Materialized.rel(spark, "mspec-persist") {
+        builds.incrementAndGet()
+        spark.range(11).toDF("id")
+      }.count()
+      assert(consume() == 11 && builds.get() == 1)
+      // the artifact is where a cluster deployment expects it
+      val dir = graft.Scratch.dir("mv-mspec-persist")
+      assert(dir.startsWith(root), s"$dir not under $root")
+      assert(new java.io.File(s"$dir/rel.parquet", "_SUCCESS").exists())
+      // Materialized keeps NO in-JVM built-ness memo — every call gates
+      // on the _SUCCESS files — so this repeat call exercises exactly
+      // the code path a SECOND driver JVM takes against the same root:
+      // artifact present and complete => zero builds
+      assert(consume() == 11 && builds.get() == 1, "warm reuse must not rebuild")
+    } finally sys.props.remove("graft.scratch.root")
+    // dirs created after the prop is cleared are temp-rooted again
+    assert(!graft.Scratch.dir("mspec-back-to-temp").startsWith(root))
+  }
+
   test("a partial artifact (no _SUCCESS) is rebuilt, not trusted") {
     val builds = new AtomicInteger(0)
     def consume(): Long = Materialized.rel(spark, "mspec-partial") {
