@@ -60,6 +60,29 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("d18: candidates come from the shared pair artifact and broadcast; no nested loop") {
+    val p = plan("d18_xmodal_verify")
+    // the rewire is structural: the candidate side is a parquet scan of
+    // the materialized near-dup relation (graft-mv-neardup-*), not a
+    // recomputation of v4's blocked quadratic pass
+    assert(p.contains("graft-mv-neardup-"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.toLowerCase.contains("cartesianproduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("t21: the LM model side reads the bigram artifacts and broadcasts; dw is the only corpus consumer") {
+    val p = plan("t21_perplexity")
+    assert(p.contains("graft-mv-bigrams-"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.toLowerCase.contains("cartesianproduct"), p)
+    // exactly ONE scan of the documents table survives (the dw scoring
+    // relation); model + vocab come from the artifacts
+    val docScans = p.linesIterator.count(l =>
+      l.contains("FileScan parquet") && l.contains("documents"))
+    assert(docScans == 1, s"expected 1 documents scan, saw $docScans:\n$p")
+  }
+
   test("d9: benchmark shingles broadcast into a semi-join, corpus scanned once") {
     val p = plan("d9_contamination")
     assert(p.contains("LeftSemi"), p)
