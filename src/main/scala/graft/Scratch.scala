@@ -14,19 +14,24 @@ import java.util.Comparator
   * (hermetic — tests, bench, and verify can never see a stale artifact).
   * Setting `SPARK_GRAFT_SCRATCH_ROOT` (env) or `graft.scratch.root`
   * (system property, which wins) points scratch at a PERSISTENT
-  * location — on a cluster, a locally-mounted shared filesystem
-  * (NFS/Lustre-class; [[graft.queries.Materialized]] probes completeness
-  * with local-file `_SUCCESS` checks, so an HDFS/S3 URI is not a valid
-  * root) — so materialized relations survive across driver JVMs instead
-  * of rebuilding per session: the contract Materialized's scaladoc
-  * promises. Persistent
+  * location so materialized relations survive across driver JVMs
+  * instead of rebuilding per session. The root may be a plain local
+  * path OR any scheme-qualified Hadoop-FS URI resolvable through the
+  * active session's Hadoop configuration (hdfs://, s3a://, a custom
+  * `fs.<scheme>.impl`, …): [[graft.queries.Materialized]] probes and
+  * commits exclusively through the Hadoop FileSystem API. The z*
+  * synthetic-store queries and the StreamGate harness stage their
+  * fixtures with java.nio and therefore require the DEFAULT temp root
+  * or a plain local root — they are test/gate surfaces, not the
+  * cluster-cache path. Persistent
   * dirs are NOT deleted on shutdown; the root is an operator-managed
-  * cache keyed by corpus path+hash (see [[graft.queries.Materialized.dirTag]]),
-  * so distinct corpora never alias, but a corpus mutated IN PLACE under
-  * the same path requires clearing the root (standard materialized-view
-  * staleness semantics). Concurrent writers across JVMs are idempotent
-  * same-plan writers racing to identical bytes; the `_SUCCESS` marker
-  * still gates readers on a complete write.
+  * cache keyed by corpus path+hash+content-fingerprint (see
+  * [[graft.queries.Materialized.dirTag]]), so distinct corpora never
+  * alias AND a corpus regenerated in place under the same path gets a
+  * fresh key (stale artifacts are simply never read again; prune the
+  * root like any cache). Concurrent writers across JVMs commit via
+  * staging + atomic rename; a committed `_SUCCESS` artifact is never
+  * overwritten.
   */
 object Scratch {
   private val dirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
@@ -53,6 +58,18 @@ object Scratch {
     * lifetime of the JVM (temp root) or of the persistent root. */
   def dir(tag: String): String =
     dirs.computeIfAbsent(tag, t => persistentRoot match {
+      case Some(root) if root.contains("://") =>
+        // scheme-qualified root: resolve through the ACTIVE session's
+        // Hadoop conf (where fs.<scheme>.impl registrations and object-
+        // store credentials live — a fresh Configuration would drop the
+        // spark.hadoop.* overlays, the MockSchemeFsSpec bug class)
+        val conf = org.apache.spark.sql.SparkSession.getActiveSession
+          .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+          .map(_.sparkContext.hadoopConfiguration)
+          .getOrElse(new org.apache.hadoop.conf.Configuration())
+        val p = new org.apache.hadoop.fs.Path(root, s"graft-$t")
+        p.getFileSystem(conf).mkdirs(p)
+        p.toString
       case Some(root) =>
         val p = Paths.get(root, s"graft-$t")
         Files.createDirectories(p)
@@ -62,6 +79,28 @@ object Scratch {
         tempDirs.add(p)
         p
     })
+
+  /** Test support: run `f` with the persistent root pinned to `root`,
+    * serialized process-wide so parallel suites can't first-touch a tag
+    * inside another test's root window, and with every dir created
+    * DURING the window evicted from the per-tag cache afterwards (so a
+    * later touch of the same tag re-resolves under the then-current
+    * mode instead of staying pinned to a finished test's root — the
+    * r15 ADVICE hazard). */
+  private[graft] def withRoot[T](root: String)(f: => T): T = synchronized {
+    import scala.jdk.CollectionConverters._
+    val before = dirs.keySet().asScala.toSet
+    val prev = sys.props.get("graft.scratch.root")
+    sys.props("graft.scratch.root") = root
+    try f
+    finally {
+      prev match {
+        case Some(p) => sys.props("graft.scratch.root") = p
+        case None => sys.props.remove("graft.scratch.root")
+      }
+      dirs.keySet().asScala.toSet.diff(before).foreach(dirs.remove)
+    }
+  }
 
   private def deleteRecursively(p: Path): Unit =
     if (Files.exists(p)) {

@@ -120,7 +120,7 @@ object ClusterOps {
     * smaller than the float corpus it derives from); every consumer
     * is a scan + model-sized aggregate thereafter. */
   private def lloydShared(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
-    val out = Materialized.rels(s, s"lloyd-${Materialized.dirTag(dir)}",
+    val out = Materialized.rels(s, s"lloyd-${Materialized.dirTag(s, dir)}",
       Seq("cent", "assigned")) {
       val (cent, assigned) = lloyd(s, dir)
       Seq(cent, assigned)

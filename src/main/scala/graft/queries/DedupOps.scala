@@ -252,7 +252,7 @@ object DedupOps {
     * build below. d19/d20 deliberately do NOT consume it — the
     * prefix-filtered algorithm stays live-gated as its own pair. */
   private[graft] def jaccardPairs(s: SparkSession, dir: String): DataFrame =
-    Materialized.rel(s, s"jacpairs-${Materialized.dirTag(dir)}") {
+    Materialized.rel(s, s"jacpairs-${Materialized.dirTag(s, dir)}") {
       val sh = shingles(docs(s, dir))
       val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
       pairCounts(sh, "h")
@@ -269,7 +269,7 @@ object DedupOps {
     * inputs agree), and this is exactly the candidate surface an LSH
     * index persists. Built from the raw shingles (no distinct exchange). */
   private def lshCandidates(s: SparkSession, dir: String): DataFrame =
-    Materialized.rel(s, s"lshcand-${Materialized.dirTag(dir)}") {
+    Materialized.rel(s, s"lshcand-${Materialized.dirTag(s, dir)}") {
       val bands = minhash(shinglesRaw(docs(s, dir)).select(col("doc_id"), fp.as("f")))
         .select(col("doc_id"), explode(expr(
           "array(" + (0 to 3).map(b =>
@@ -282,7 +282,7 @@ object DedupOps {
     * signature relation and its banded candidate pairs, materialized
     * together (one build, two artifacts). */
   private def simhash200(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
-    val out = Materialized.rels(s, s"simhash200-${Materialized.dirTag(dir)}",
+    val out = Materialized.rels(s, s"simhash200-${Materialized.dirTag(s, dir)}",
       Seq("sig", "cand")) {
       val sh = simhash(docs(s, dir).filter(col("doc_id") < 200))
         .localCheckpoint(true) // candidate build reads it twice
@@ -298,7 +298,7 @@ object DedupOps {
     * the family's two most expensive plans at sf0.1 — and everything
     * either needs FROM it is the doc-sized (doc_id, cluster) relation. */
   private def dupClusterLabels(s: SparkSession, dir: String): DataFrame =
-    Materialized.rel(s, s"dupcc-${Materialized.dirTag(dir)}") {
+    Materialized.rel(s, s"dupcc-${Materialized.dirTag(s, dir)}") {
       val edges = jaccardPairs(s, dir).select(col("d1"), col("d2"))
       val (labels, _) = graft.operators.ConnectedComponents.label(edges)
       labels.select(col("id").as("doc_id"), col("lbl").as("cluster"))

@@ -101,7 +101,7 @@ object GraphOps {
     * stats-less checkpoint leaf — the r11 g4/g8 lesson) and the build
     * is paid once per corpus. */
   private def coPurchaseEdges3000(s: SparkSession, dir: String): DataFrame =
-    Materialized.rel(s, s"copurch-${Materialized.dirTag(dir)}-3000-$capScale") {
+    Materialized.rel(s, s"copurch-${Materialized.dirTag(s, dir)}-3000-$capScale") {
       coPurchaseEdges(s, dir, cap = Some(3000L))
     }
 
@@ -152,7 +152,7 @@ object GraphOps {
     * density lever changes the graph, so it must miss this cache. */
   private[graft] def triangleCountsShared(s: SparkSession, dir: String,
       cap: Long): DataFrame =
-    Materialized.rel(s, s"tri-${Materialized.dirTag(dir)}-$cap-$capScale") {
+    Materialized.rel(s, s"tri-${Materialized.dirTag(s, dir)}-$cap-$capScale") {
       triangleCounts(coPurchaseEdgesP(s, dir, cap))
     }
 
@@ -248,7 +248,7 @@ object GraphOps {
       // and read a stats-bearing parquet leaf instead of the eager
       // checkpoint this build previously re-ran per invocation.
       val edges = Materialized.rel(s,
-          s"cosupply-${Materialized.dirTag(dir)}-$capScale") {
+          s"cosupply-${Materialized.dirTag(s, dir)}-$capScale") {
         val ps = t(s, dir, "lineitem")
           .select(col("l_partkey").as("p"), col("l_suppkey").as("sk"))
           .distinct()
@@ -357,7 +357,7 @@ object GraphOps {
       // the bi union) re-reference the edge stream; the artifact build
       // replaces the per-query checkpoint build (r15 pre-registered).
       val edges = Materialized.rel(s,
-          s"copurch-full-raw-${Materialized.dirTag(dir)}-$capScale") {
+          s"copurch-full-raw-${Materialized.dirTag(s, dir)}-$capScale") {
         coPurchaseEdges(s, dir, cap = None, dedupPairs = false)
       }
       val bi = edges.union(

@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Shared materialized derived relations (the pattern the r14 verdict
@@ -10,44 +11,122 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * [[graft.Scratch]]; every consumer thereafter is a scan + projection.
   *
   * Semantics are materialized-view semantics: the artifact is keyed by
-  * the input dir (plus any density levers), so different corpora —
-  * including the rehearsal's scaled copies — can never alias. On a
-  * cluster the artifact lives on the shared FS; every relation shared
-  * through this helper is orders of magnitude smaller than the corpus
-  * it derives from (node-sized, doc-sized, or model-sized), so the
-  * materialization cost is dominated by the compute it de-duplicates.
+  * the input dir's PATH **and a cheap content fingerprint** (file
+  * count + total bytes + max mtime, via [[dirTag]]), so different
+  * corpora — including the rehearsal's scaled copies AND a corpus
+  * regenerated in place at the same path — can never alias a stale
+  * artifact. On a cluster the artifact lives on the shared FS (any
+  * Hadoop scheme resolvable through the session conf — probes and
+  * commits go through the Hadoop FileSystem API, not java.io); every
+  * relation shared through this helper is orders of magnitude smaller
+  * than the corpus it derives from (node-sized, doc-sized, or
+  * model-sized), so the materialization cost is dominated by the
+  * compute it de-duplicates. Cold-build costs are observable: every
+  * build is recorded in [[buildLog]] (tag, relations, seconds) and
+  * dumped per-round by `graft.tools.ArtifactCensus` → `ARTIFACTS.json`.
   *
-  * Writers are idempotent per the Scratch contract; a per-tag lock
-  * serializes the existence-check + write against parallel suites in
-  * one JVM, and the _SUCCESS marker gates readers on a COMPLETE write.
+  * Cross-JVM safety under a shared persistent root is by
+  * staging + rename, not by lock: each writer writes to a unique
+  * staging dir and renames it into place only if the target is absent;
+  * a completed artifact (`_SUCCESS` present) is NEVER deleted or
+  * overwritten, so a reader that passed the `_SUCCESS` gate can never
+  * lose files mid-scan, and a racing writer that finds the target
+  * already committed discards its own staging output. The in-JVM
+  * per-tag lock additionally serializes same-process first touch so
+  * parallel suites share one build.
   */
 private[graft] object Materialized {
 
   private val locks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
-  /** Sanitized per-dir key component (path + hash: readable and
-    * collision-safe for scratch lifetimes). */
-  def dirTag(dir: String): String =
+  /** One cold build that actually ran in this JVM: enough to locate the
+    * artifact afterwards and attribute its cost (ARTIFACTS.json rows and
+    * bytes are derived from the committed parquet at census time, so the
+    * hot path never pays an extra count job). */
+  final case class BuildRecord(tag: String, dir: String, names: Seq[String], buildSec: Double)
+  private val buildRecords = new java.util.concurrent.ConcurrentLinkedQueue[BuildRecord]()
+  def buildLog: Seq[BuildRecord] = {
+    import scala.jdk.CollectionConverters._
+    buildRecords.iterator().asScala.toSeq
+  }
+
+  /** Cheap content fingerprint of an input dir: recursive file count,
+    * total byte length, and max mtime, through the SESSION's Hadoop FS
+    * (so non-default schemes resolve). One listing per call — trivial
+    * next to any query over the same dir — and deliberately uncached so
+    * an in-place mutation is visible to the very next consumer. */
+  def fingerprint(s: SparkSession, dir: String): String = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return "absent"
+    var n = 0L; var bytes = 0L; var mtime = 0L
+    val it = fs.listFiles(p, true)
+    while (it.hasNext) {
+      val st = it.next()
+      n += 1; bytes += st.getLen
+      if (st.getModificationTime > mtime) mtime = st.getModificationTime
+    }
+    // order-independent (listing order varies by FS), collision-safe for
+    // a scratch cache: any of the three moving => a different artifact key
+    java.lang.Long.toHexString(n * 0x9e3779b97f4a7c15L ^
+      java.lang.Long.rotateLeft(bytes, 21) ^ java.lang.Long.rotateLeft(mtime, 42))
+  }
+
+  /** Sanitized per-dir key component: readable path suffix + path hash
+    * (distinct paths never alias) + content fingerprint (the SAME path
+    * with regenerated content never serves a stale artifact — the
+    * materialized-view freshness contract under a persistent
+    * [[graft.Scratch]] root). */
+  def dirTag(s: SparkSession, dir: String): String =
     dir.replaceAll("[^A-Za-z0-9]+", "_").takeRight(32) + "-" +
-      java.lang.Integer.toHexString(dir.hashCode)
+      java.lang.Integer.toHexString(dir.hashCode) + "-" + fingerprint(s, dir)
 
   /** n named relations built together under one tag: `build` runs at
-    * most once per JVM; all callers read the parquet artifacts. */
+    * most once per (JVM, tag) and at most once per persistent root
+    * across JVMs (barring a lost race, where both compute and one
+    * commits); all callers read the committed parquet artifacts. */
   def rels(s: SparkSession, tag: String, names: Seq[String])
           (build: => Seq[DataFrame]): Seq[DataFrame] = {
     val dir = graft.Scratch.dir(s"mv-$tag")
+    val fs = new Path(dir).getFileSystem(s.sparkContext.hadoopConfiguration)
+    def target(n: String) = new Path(dir, s"$n.parquet")
+    def complete(n: String) = fs.exists(new Path(target(n), "_SUCCESS"))
     val lock = locks.computeIfAbsent(tag, _ => new Object)
     lock.synchronized {
-      if (!names.forall(n => new java.io.File(s"$dir/$n.parquet", "_SUCCESS").exists())) {
+      if (!names.forall(complete)) {
+        val t0 = System.nanoTime()
         val dfs = build
         require(dfs.length == names.length,
           s"materialized build for $tag returned ${dfs.length} relations, expected ${names.length}")
         names.zip(dfs).foreach { case (n, df) =>
-          df.write.mode("overwrite").parquet(s"$dir/$n.parquet")
+          if (!complete(n)) {
+            // Commit protocol (cross-JVM safe on one shared root): write to
+            // a writer-unique staging dir, then rename into place. Rename
+            // onto an existing dir fails on every Hadoop FS, so the loser
+            // of a cross-JVM race keeps the winner's bytes intact and
+            // discards its own. A leftover target WITHOUT _SUCCESS is a
+            // crashed writer's garbage — safe to clear, since the marker
+            // is written last and readers gate on it.
+            val staging = new Path(dir, s".staging-$n-${java.util.UUID.randomUUID()}")
+            df.write.mode("overwrite").parquet(staging.toString)
+            if (fs.exists(target(n)) && !complete(n)) fs.delete(target(n), true)
+            // rename only into an ABSENT target (Hadoop rename onto an
+            // existing dir nests src inside it instead of failing)
+            if (!fs.exists(target(n))) fs.rename(staging, target(n))
+            require(complete(n),
+              s"commit of ${target(n)} failed: no complete artifact in place after rename")
+            // lost-race residue: our staging dir (rename skipped), or a
+            // dot-dir our rename nested inside the winner's target (both
+            // invisible to parquet readers, but don't leak disk)
+            if (fs.exists(staging)) fs.delete(staging, true)
+            val nested = new Path(target(n), staging.getName)
+            if (fs.exists(nested)) fs.delete(nested, true)
+          }
         }
+        buildRecords.add(BuildRecord(tag, dir, names, (System.nanoTime() - t0) / 1e9))
       }
     }
-    names.map(n => s.read.parquet(s"$dir/$n.parquet"))
+    names.map(n => s.read.parquet(target(n).toString))
   }
 
   def rel(s: SparkSession, tag: String)(build: => DataFrame): DataFrame =

@@ -112,7 +112,7 @@ object SimilarityOps {
     * is a scan + equi-join back to the vector columns it needs. rk <= 3
     * covers the widest probe any consumer sweeps (v17's curve). */
   private def ivfAssign(s: SparkSession, dir: String): DataFrame =
-    Materialized.rel(s, s"ivfassign-${Materialized.dirTag(dir)}") {
+    Materialized.rel(s, s"ivfassign-${Materialized.dirTag(s, dir)}") {
       rankedCells(emb(s, dir)).filter(col("rk") <= 3)
         .select(col("vec_id"), col("cell"), col("rk"))
     }
@@ -219,7 +219,7 @@ object SimilarityOps {
     * the corpus, so both consumers read a stats-carrying parquet scan
     * instead of re-running the quadratic pass. */
   private[graft] def neardupPairs(s: SparkSession, dir: String): DataFrame =
-    Materialized.rel(s, s"neardup-${Materialized.dirTag(dir)}") {
+    Materialized.rel(s, s"neardup-${Materialized.dirTag(s, dir)}") {
       neardupPairsBuild(s, dir)
     }
 

@@ -37,7 +37,7 @@ object TextOps {
     * smoothing denominator counts every distinct token, including
     * single-token docs' (matching the live aggregates it replaces). */
   private def bigramRels(s: SparkSession, dir: String): Seq[DataFrame] =
-    Materialized.rels(s, s"bigrams-${Materialized.dirTag(dir)}",
+    Materialized.rels(s, s"bigrams-${Materialized.dirTag(s, dir)}",
       Seq("c12", "vocab")) {
       val toks = docs(s, dir)
         .select(split(trim(col("text")), "\\s+").as("ts"))

@@ -135,9 +135,21 @@ object StreamGate {
     * stream chunks AND the batch twins read the SAME scaled tables, so
     * the equivalence claim is unchanged — only the scale moves. */
   private def scaleDir(spark: SparkSession, sfDir: String, k: Int): String = {
-    val out = graft.Scratch.dir(s"stream-gate-sf$k")
+    // corpus-keyed like every Materialized artifact (path + content
+    // fingerprint + k): two base dirs in one JVM — or a persistent root
+    // across corpora — can never alias a scaled copy (ADVICE r15)
+    val out = graft.Scratch.dir(
+      s"stream-gate-sf$k-${graft.queries.Materialized.dirTag(spark, sfDir)}")
+    val payload = s"base=$sfDir k=$k"
     val done = new java.io.File(out, "_DONE")
-    if (done.exists()) return out
+    if (done.exists()) {
+      // belt-and-braces on the tag: a marker whose recorded inputs
+      // disagree with this request is a corrupted/foreign cache entry
+      val got = new String(java.nio.file.Files.readAllBytes(done.toPath), "UTF-8")
+      require(got == payload,
+        s"stale stream-gate scale cache at $out: marker '$got' != requested '$payload'")
+      return out
+    }
     val cp = explode(expr(s"sequence(0, ${k - 1})"))
     Tables.load(spark, sfDir, "events").withColumn("cp", cp)
       .select((col("event_id") * k + col("cp")).as("event_id"), col("ts"),
@@ -159,7 +171,7 @@ object StreamGate {
       .select((col("c_custkey") * k + col("cp")).as("c_custkey"), col("c_name"),
         col("c_nationkey"), col("c_acctbal"), col("c_mktsegment"))
       .repartition(8).write.mode("overwrite").parquet(s"$out/customer.parquet")
-    java.nio.file.Files.write(done.toPath, s"k=$k".getBytes("UTF-8"))
+    java.nio.file.Files.write(done.toPath, payload.getBytes("UTF-8"))
     out
   }
 

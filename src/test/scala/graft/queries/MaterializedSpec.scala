@@ -1,5 +1,6 @@
 package graft.queries
 
+import java.nio.file.Files
 import java.util.concurrent.atomic.AtomicInteger
 import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
 
@@ -12,8 +13,10 @@ import graft.Spark
   * labels, Lloyd model, IVF assignment, LSH candidates, bigram types)
   * — its contract gets direct tests, not just integration coverage:
   * build-once per (JVM, tag), tag isolation, multi-relation
-  * completeness, concurrent first-touch serialization, and a partial
-  * (no _SUCCESS) artifact triggering a rebuild instead of a bad read. */
+  * completeness, concurrent first-touch serialization, a partial
+  * (no _SUCCESS) artifact triggering a rebuild instead of a bad read,
+  * content-fingerprint freshness under a persistent root, commit-
+  * without-overwrite, and a scheme-qualified Hadoop-FS root. */
 class MaterializedSpec extends AnyFunSuite {
 
   private lazy val spark = Spark.session(master = "local[4]", shufflePartitions = 4,
@@ -27,6 +30,9 @@ class MaterializedSpec extends AnyFunSuite {
     }.count()
     assert((1 to 5).map(_ => consume()).forall(_ == 100L))
     assert(builds.get() == 1, "the build closure must run exactly once per JVM")
+    // the cold build is observable for the artifact census
+    val rec = Materialized.buildLog.filter(_.tag == "mspec-once")
+    assert(rec.length == 1 && rec.head.buildSec > 0 && rec.head.names == Seq("rel"))
   }
 
   test("different tags are isolated") {
@@ -34,7 +40,7 @@ class MaterializedSpec extends AnyFunSuite {
     val b = Materialized.rel(spark, "mspec-iso-b") { spark.range(7).toDF("id") }
     assert(a.count() == 3 && b.count() == 7)
     // dirTag separates same-basename dirs with different paths
-    assert(Materialized.dirTag("/x/sf0.1") != Materialized.dirTag("/y/sf0.1"))
+    assert(Materialized.dirTag(spark, "/x/sf0.1") != Materialized.dirTag(spark, "/y/sf0.1"))
   }
 
   test("rels: all named relations materialize from one build") {
@@ -81,9 +87,8 @@ class MaterializedSpec extends AnyFunSuite {
   }
 
   test("persistent scratch root: artifacts land under it, survive, and are reused without a rebuild") {
-    val root = java.nio.file.Files.createTempDirectory("mspec-root").toString
-    sys.props("graft.scratch.root") = root
-    try {
+    val root = Files.createTempDirectory("mspec-root").toString
+    graft.Scratch.withRoot(root) {
       val builds = new AtomicInteger(0)
       def consume(): Long = Materialized.rel(spark, "mspec-persist") {
         builds.incrementAndGet()
@@ -99,9 +104,51 @@ class MaterializedSpec extends AnyFunSuite {
       // the code path a SECOND driver JVM takes against the same root:
       // artifact present and complete => zero builds
       assert(consume() == 11 && builds.get() == 1, "warm reuse must not rebuild")
-    } finally sys.props.remove("graft.scratch.root")
-    // dirs created after the prop is cleared are temp-rooted again
+    }
+    // dirs created inside the window are evicted with it: the same tag
+    // re-resolves under the current (temp) mode — the r15 ADVICE hazard
+    assert(!graft.Scratch.dir("mv-mspec-persist").startsWith(root))
     assert(!graft.Scratch.dir("mspec-back-to-temp").startsWith(root))
+  }
+
+  test("in-place corpus mutation under a persistent root rebuilds: the content fingerprint keys the artifact") {
+    val root = Files.createTempDirectory("mspec-fproot").toString
+    val corpus = Files.createTempDirectory("mspec-corpus")
+    Files.write(corpus.resolve("t.parquet"), Array.fill[Byte](64)(1))
+    graft.Scratch.withRoot(root) {
+      val builds = new AtomicInteger(0)
+      def consume(): Long = Materialized.rel(spark,
+          s"mspec-fp-${Materialized.dirTag(spark, corpus.toString)}") {
+        builds.incrementAndGet()
+        spark.range(5).toDF("id")
+      }.count()
+      assert(consume() == 5 && builds.get() == 1)
+      assert(consume() == 5 && builds.get() == 1, "unchanged corpus: warm reuse")
+      // regenerate the corpus IN PLACE at the same path (size changes)
+      Files.write(corpus.resolve("t.parquet"), Array.fill[Byte](128)(2))
+      assert(consume() == 5 && builds.get() == 2,
+        "a mutated corpus must get a fresh artifact key, never a stale artifact")
+    }
+  }
+
+  test("persistent root on a non-default Hadoop scheme: build, commit, and warm reuse through mock://") {
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.mock.impl", classOf[graft.io.MockSchemeFs].getName)
+    val local = Files.createTempDirectory("mspec-mockroot").toString
+    graft.Scratch.withRoot("mock://" + local) {
+      val builds = new AtomicInteger(0)
+      def consume(): Long = Materialized.rel(spark, "mspec-mock") {
+        builds.incrementAndGet()
+        spark.range(13).toDF("id")
+      }.count()
+      assert(consume() == 13 && builds.get() == 1)
+      val dir = graft.Scratch.dir("mv-mspec-mock")
+      assert(dir.startsWith("mock:/"), dir) // hadoop Path normalizes "//" to "/"
+      // probe + commit went through the Hadoop FS API: the artifact is
+      // complete under the scheme and warm reuse needs no rebuild
+      assert(new java.io.File(s"$local/graft-mv-mspec-mock/rel.parquet/_SUCCESS").exists())
+      assert(consume() == 13 && builds.get() == 1, "warm reuse through the scheme")
+    }
   }
 
   test("a partial artifact (no _SUCCESS) is rebuilt, not trusted") {
@@ -118,5 +165,30 @@ class MaterializedSpec extends AnyFunSuite {
     assert(marker.delete())
     assert(consume() == 9)
     assert(builds.get() == 2, "a missing _SUCCESS must trigger a rebuild")
+  }
+
+  test("per-name commit: a committed relation is never rewritten when a sibling rebuilds") {
+    val builds = new AtomicInteger(0)
+    def consume() = Materialized.rels(spark, "mspec-keep", Seq("a", "b")) {
+      builds.incrementAndGet()
+      Seq(spark.range(3).toDF("id"), spark.range(4).toDF("id"))
+    }
+    consume()
+    assert(builds.get() == 1)
+    val dir = graft.Scratch.dir("mv-mspec-keep")
+    // sentinel inside the COMPLETE artifact 'a' (dot-prefixed: invisible
+    // to parquet readers) — any overwrite/rename of 'a' would destroy it
+    val sentinel = new java.io.File(s"$dir/a.parquet/.sentinel")
+    assert(sentinel.createNewFile())
+    // crash 'b': remove its marker so the tag reads incomplete
+    assert(new java.io.File(s"$dir/b.parquet/_SUCCESS").delete())
+    val again = consume()
+    assert(builds.get() == 2)
+    assert(again(0).count() == 3 && again(1).count() == 4)
+    assert(sentinel.exists(),
+      "a committed artifact must survive a sibling's rebuild untouched")
+    // no staging residue leaks after commit
+    val leftovers = new java.io.File(dir).listFiles().filter(_.getName.startsWith(".staging"))
+    assert(leftovers.isEmpty, leftovers.mkString(","))
   }
 }
