@@ -31,30 +31,37 @@ object ArrayOps {
   /** 48^3 volume in 16^3 chunks: 27 chunks, exercises grid + codec. */
   private val rtVol = Volume("rt", 0, Array(1L, 1L, 48L, 48L, 48L), Array(1, 1, 16, 16, 16))
 
+  /** Global (level, z, y, x, v) voxel rows from a pyramid's chunk
+    * stream. Per-AXIS chunk extents (constant across levels —
+    * guaranteed by Volume.downsampled — but NOT necessarily cubic): the
+    * global voxel offset along each axis is chunk index x that axis's
+    * extent; using one axis's extent for all three would silently
+    * mis-place voxels under a non-cubic chunk config (ADVICE r15).
+    * Pinned against a non-cubic volume in PyramidFusedSpec. */
+  private[graft] def voxelize(s: SparkSession,
+      all: org.apache.spark.sql.Dataset[ZarrChunk], vol: Volume): DataFrame = {
+    import s.implicits._
+    val (cz, cy, cx) = (vol.chunk(2), vol.chunk(3), vol.chunk(4))
+    all.flatMap { ck =>
+      val px = ck.pixels
+      val (sz, sy, sx) = (ck.shape(2), ck.shape(3), ck.shape(4))
+      for {
+        z <- 0 until sz
+        y <- 0 until sy
+        x <- 0 until sx
+      } yield (ck.level, ck.z.toLong * cz + z, ck.y.toLong * cy + y,
+        ck.x.toLong * cx + x, px(z * sy * sx + y * sx + x).toLong)
+    }.toDF("level", "z", "y", "x", "v")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "z1_pyramid_mean" -> ((s, _) => {
-      import s.implicits._
       val l0 = SyntheticStack.generate(s, pyramidVol)
       // fused all-levels pyramid (r14 verdict ask #2b): one map pass +
       // one exchange instead of 3 sequential shuffle+persist stages —
       // values byte-identical to Pyramid.levels (PyramidFusedSpec)
       val (_, all) = Pyramid.levelsFusedAll(s, l0, pyramidVol, nLevels = 4)
-      // per-AXIS chunk extents (constant across levels — guaranteed by
-      // Volume.downsampled — but NOT necessarily cubic): the global
-      // voxel offset along each axis is chunk index x that axis's
-      // extent; using one axis's extent for all three would silently
-      // mis-place voxels under a non-cubic chunk config (ADVICE r15)
-      val (cz, cy, cx) = (pyramidVol.chunk(2), pyramidVol.chunk(3), pyramidVol.chunk(4))
-      all.flatMap { ck =>
-        val px = ck.pixels
-        val (sz, sy, sx) = (ck.shape(2), ck.shape(3), ck.shape(4))
-        for {
-          z <- 0 until sz
-          y <- 0 until sy
-          x <- 0 until sx
-        } yield (ck.level, ck.z.toLong * cz + z, ck.y.toLong * cy + y,
-          ck.x.toLong * cx + x, px(z * sy * sx + y * sx + x).toLong)
-      }.toDF("level", "z", "y", "x", "v")
+      voxelize(s, all, pyramidVol)
         .orderBy(col("level"), col("z"), col("y"), col("x"))
     }),
 

@@ -380,13 +380,18 @@ object GraphOps {
       // is loud and the lever is dropping the hint back to the shuffle
       // join. The per-round checkpoint stays: dist has TWO consumers
       // per round (union + join), the g7 fan-out that defeats exchange
-      // canonicalization.
+      // canonicalization. EAGER, not lazy (r16 ProbeG4, 3 windows:
+      // fused 1.56-2.02 s REJECTED, lazy 1.22-1.64 s, eager
+      // 1.09-1.29 s): materializing each round's node-grained relation
+      // as its own job beats deferring the whole chain to the final
+      // action — per-query, not a rule: the SAME A/B kept g8 lazy
+      // (0.72 vs 0.87 s) and read flat on g1.
       for (_ <- 1 to 4) {
         val relaxed = bi.join(broadcast(dist), col("d1") === col("node"))
           .select(col("d2").as("node"), (col("dist") + 1L).as("dist"))
         dist = dist.union(relaxed)
           .groupBy(col("node")).agg(min(col("dist")).as("dist"))
-          .localCheckpoint(false)
+          .localCheckpoint(true)
       }
       dist.groupBy(col("dist")).agg(count(lit(1)).as("n_nodes"))
         .orderBy(col("dist"))

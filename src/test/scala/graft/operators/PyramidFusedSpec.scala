@@ -44,6 +44,29 @@ class PyramidFusedSpec extends AnyFunSuite {
     assertEqualLevels(Volume("fe", 0, Array(1L, 1L, 52L, 52L, 52L), Array(1, 1, 32, 32, 32)), 4)
   }
 
+  test("non-cubic chunks: fused == sequential AND voxelize places every level-1 voxel correctly") {
+    // 32x64x16 volume in 16x32x8 chunks (distinct extent per axis): a
+    // cubic-chunk assumption anywhere in the coordinate math would
+    // mis-place voxels along at least two axes (ADVICE r15, z1)
+    val vol = Volume("fnc", 0, Array(1L, 1L, 32L, 64L, 16L), Array(1, 1, 16, 32, 8))
+    assertEqualLevels(vol, 3)
+    val (_, all) = Pyramid.levelsFusedAll(
+      spark, SyntheticStack.generate(spark, vol), vol, 3)
+    // level 1 = floor-mean over each 2x2x2 window of the synthetic
+    // voxel function (the z1 oracle's semantics); checking the GLOBAL
+    // coordinates end-to-end catches any cross-axis extent mixup
+    val vox = graft.queries.ArrayOps.voxelize(spark, all, vol)
+      .filter(org.apache.spark.sql.functions.col("level") === 1).collect()
+    assert(vox.length == 16 * 32 * 8, s"level-1 voxel count ${vox.length}")
+    vox.foreach { r =>
+      val (z, y, x) = (r.getLong(1).toInt, r.getLong(2).toInt, r.getLong(3).toInt)
+      val want = (for (dz <- 0 to 1; dy <- 0 to 1; dx <- 0 to 1)
+        yield SyntheticStack.value(2 * z + dz, 2 * y + dy, 2 * x + dx).toLong).sum / 8
+      assert(r.getLong(4) == want,
+        s"voxel ($z,$y,$x) mis-placed under non-cubic chunks: got ${r.getLong(4)}, want $want")
+    }
+  }
+
   test("unaligned chunk (12^3, nLevels 4) falls back to the sequential path") {
     // 12 % 2^3 != 0: the fused recursion would be wrong here, so the
     // dispatcher must route through Pyramid.levels — equality is the proof

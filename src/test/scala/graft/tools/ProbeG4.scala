@@ -31,8 +31,32 @@ import graft.queries.Materialized
   *
   * Usage: sbt "Test/runMain graft.tools.ProbeG4 [sfDir] [runs]"
   *
-  * MEASURED (this round, sf0.1, local[32], 5 runs — see PERF_NOTES):
-  * the per-round checkpoint is LOAD-BEARING; fused explodes like g7.
+  * MEASURED (r16, sf0.1, local[32], three windows, values equal):
+  *
+  *   - g4: gate(lazy) 1.22 / 1.64 / 1.64 s, fused 1.56 / 1.87 / 2.02 s,
+  *     eager 1.16 / 1.09 / 1.29 s — the checkpoint IS load-bearing
+  *     (fused rejected, the g7 lesson holds) and the EAGER seal beats
+  *     lazy in every window -> ADOPTED in the gate query.
+  *   - g1: gate(lazy) 2.28 s vs eager 2.11 s — inside host noise, the
+  *     existing census (ProbeG1Ctx: constant 27-job floor) stands; NOT
+  *     adopted.
+  *   - g8: gate(lazy) 0.72 s vs eager 0.87 s — eager LOSES (3 rounds of
+  *     (src,node)-grained state materialize cheaper inside the final
+  *     action); lazy kept.
+  *
+  * The seal choice is per-query measurement, not doctrine: eager pays
+  * one job per round to give the next round a stats-less-but-present
+  * leaf NOW; lazy defers the whole chain to the first action. Which
+  * wins depends on how much the chain's stages overlap inside one job.
+  *
+  * HONESTY CHECK at the bench-harness level (filtered Bench, g4 only,
+  * 5 passes x 2 alternating windows): eager pooled mean 1.83 s vs lazy
+  * 1.84 s — a wash inside this host's noise band; the probe's
+  * back-to-back in-JVM comparison is the cleaner instrument and is what
+  * the adoption rests on. Either way the durable census result stands:
+  * the per-round checkpoint is load-bearing (fused loses every window)
+  * and g4's residual is the 4-round broadcast+agg+checkpoint job floor,
+  * the same class as g1/g8 (JobCensus).
   */
 object ProbeG4 {
 
@@ -79,20 +103,79 @@ object ProbeG4 {
   private def g4Eager(s: SparkSession, dir: String): DataFrame =
     rounds(s, dir, _.localCheckpoint(true))
 
+  // --- the same eager-vs-lazy SEAL question for the other two lazy-
+  //     sealed round loops (g1's 5 PageRank rounds, g8's 3 multi-source
+  //     relaxations). Each variant reads the SAME Materialized edge
+  //     artifact as its gate query and differs ONLY in the seal. -------
+
+  private def capScale: Long = sys.props.getOrElse("graft.graph.capScale", "1").toLong
+
+  private def g1Eager(s: SparkSession, dir: String): DataFrame = {
+    val edges = Materialized.rel(s,
+        s"cosupply-${Materialized.dirTag(s, dir)}-$capScale") {
+      val ps = graft.Tables.load(s, dir, "lineitem")
+        .select(col("l_partkey").as("p"), col("l_suppkey").as("sk"))
+        .distinct()
+      ps.as("a").join(ps.as("b"),
+          col("a.p") === col("b.p") && col("a.sk") < col("b.sk"))
+        .select(col("a.sk").as("d1"), col("b.sk").as("d2"))
+        .distinct()
+    }
+    val Scale = 1000000000000L
+    val bi = edges.union(edges.select(col("d2").as("d1"), col("d1").as("d2")))
+    val nd = bi.groupBy(col("d1")).agg(count(lit(1)).as("deg"))
+      .select(col("d1").as("node"), col("deg"))
+      .localCheckpoint(true)
+    var rank = nd.select(col("node"), col("deg"), lit(Scale).as("r"))
+    for (_ <- 1 to 5) {
+      val contrib = bi.join(broadcast(rank), col("d1") === col("node"))
+        .select(col("d2").as("dst"), expr("r div deg").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("s"))
+      rank = nd.join(contrib, col("node") === col("dst"), "left")
+        .select(col("node"), col("deg"), expr(
+          s"${Scale * 15 / 100} + (17 * coalesce(s, CAST(0 AS BIGINT))) div 20")
+          .as("r"))
+        .localCheckpoint(true)
+    }
+    rank.select(col("node").as("s_suppkey"), col("deg"), col("r").as("pr"))
+      .orderBy(col("pr").desc, col("s_suppkey"))
+      .limit(20)
+  }
+
+  private def g8Eager(s: SparkSession, dir: String): DataFrame = {
+    val edges = Materialized.rel(s,
+        s"copurch-${Materialized.dirTag(s, dir)}-3000-$capScale") {
+      val li = graft.Tables.load(s, dir, "lineitem")
+        .filter(col("l_partkey") < 3000L * capScale)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .repartition(col("o")).distinct()
+      li.as("a").join(li.as("b"),
+          col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+        .select(col("a.p").as("d1"), col("b.p").as("d2"))
+        .distinct()
+    }
+    val bi = edges.union(edges.select(col("d2").as("d1"), col("d1").as("d2")))
+    var dist = bi.select(col("d1")).distinct().filter(col("d1") < 20)
+      .select(col("d1").as("src"), col("d1").as("node"), lit(0L).as("dist"))
+      .localCheckpoint(true)
+    for (_ <- 1 to 3) {
+      val relaxed = bi.join(broadcast(dist), col("d1") === col("node"))
+        .select(col("src"), col("d2").as("node"), (col("dist") + 1L).as("dist"))
+      dist = dist.union(relaxed)
+        .groupBy(col("src"), col("node")).agg(min(col("dist")).as("dist"))
+        .localCheckpoint(true)
+    }
+    dist.filter(col("dist") > 0)
+      .groupBy(col("src"))
+      .agg(count(lit(1)).as("n_reached"),
+        sum(expr("1000000 div dist")).cast("long").as("harmonic_micro"))
+      .orderBy(col("harmonic_micro").desc, col("src"))
+  }
+
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val runs = if (args.length > 1) args(1).toInt else 5
     val spark = Spark.session(appName = "graft-probe-g4")
-
-    val gate = graft.SparkEntry.queries("g4_bfs")
-    val variants: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
-      ("g4_fused", g4Fused), ("g4_eager", g4Eager))
-
-    val a = gate(spark, dir).collect().map(_.toString).sorted.toSeq
-    variants.foreach { case (name, fn) =>
-      val b = fn(spark, dir).collect().map(_.toString).sorted.toSeq
-      require(a == b, s"$name != g4_bfs:\n gate=${a.take(3)}\n variant=${b.take(3)}")
-    }
 
     def time(f: (SparkSession, String) => DataFrame): Seq[Double] = {
       f(spark, dir).count() // warm
@@ -103,10 +186,24 @@ object ProbeG4 {
       }
     }
     def med(x: Seq[Double]) = x.sorted.apply(x.size / 2)
-    (("g4_gate", gate) +: variants).foreach { case (name, fn) =>
-      val ts = time(fn)
-      println(f"[probe] $name%-10s med=${med(ts)}%.2fs " +
-        ts.map(t => f"$t%.2f").mkString("[", ",", "]") + "  values_equal=true")
+
+    val families: Seq[(String, Seq[(String, (SparkSession, String) => DataFrame)])] = Seq(
+      ("g4_bfs", Seq(("g4_fused", g4Fused), ("g4_eager", g4Eager))),
+      ("g1_pagerank", Seq(("g1_eager", g1Eager))),
+      ("g8_harmonic", Seq(("g8_eager", g8Eager))))
+
+    families.foreach { case (base, variants) =>
+      val gate = graft.SparkEntry.queries(base)
+      val a = gate(spark, dir).collect().map(_.toString).sorted.toSeq
+      variants.foreach { case (name, fn) =>
+        val b = fn(spark, dir).collect().map(_.toString).sorted.toSeq
+        require(a == b, s"$name != $base:\n gate=${a.take(3)}\n variant=${b.take(3)}")
+      }
+      ((s"${base.split("_")(0)}_gate", gate) +: variants).foreach { case (name, fn) =>
+        val ts = time(fn)
+        println(f"[probe] $name%-10s med=${med(ts)}%.2fs " +
+          ts.map(t => f"$t%.2f").mkString("[", ",", "]") + "  values_equal=true")
+      }
     }
     spark.stop()
   }
