@@ -49,6 +49,12 @@ import graft.queries.Materialized
   * leaf NOW; lazy defers the whole chain to the first action. Which
   * wins depends on how much the chain's stages overlap inside one job.
   *
+  * SCALE CHECK at 10x (/tmp/graft-sf1, capScale=10, the
+  * collect-list-vs-window "A/B at scale first" rule): fused still
+  * loses (3.40 s vs 2.33-2.64), eager and lazy read within noise of
+  * each other (2.33/2.64 eager-as-gate/eager-arm vs 2.49 lazy) — the
+  * sf0.1 adoption is scale-safe, not scale-backed.
+  *
   * HONESTY CHECK at the bench-harness level (filtered Bench, g4 only,
   * 5 passes x 2 alternating windows): eager pooled mean 1.83 s vs lazy
   * 1.84 s — a wash inside this host's noise band; the probe's
@@ -102,6 +108,11 @@ object ProbeG4 {
 
   private def g4Eager(s: SparkSession, dir: String): DataFrame =
     rounds(s, dir, _.localCheckpoint(true))
+
+  // the pre-r16 gate shape, kept as an explicit arm so the A/B stays
+  // runnable after the gate itself adopted the eager seal
+  private def g4Lazy(s: SparkSession, dir: String): DataFrame =
+    rounds(s, dir, _.localCheckpoint(false))
 
   // --- the same eager-vs-lazy SEAL question for the other two lazy-
   //     sealed round loops (g1's 5 PageRank rounds, g8's 3 multi-source
@@ -188,7 +199,7 @@ object ProbeG4 {
     def med(x: Seq[Double]) = x.sorted.apply(x.size / 2)
 
     val families: Seq[(String, Seq[(String, (SparkSession, String) => DataFrame)])] = Seq(
-      ("g4_bfs", Seq(("g4_fused", g4Fused), ("g4_eager", g4Eager))),
+      ("g4_bfs", Seq(("g4_fused", g4Fused), ("g4_eager", g4Eager), ("g4_lazy", g4Lazy))),
       ("g1_pagerank", Seq(("g1_eager", g1Eager))),
       ("g8_harmonic", Seq(("g8_eager", g8Eager))))
 
