@@ -55,8 +55,16 @@ object Scratch {
 
   /** The scratch dir for `tag` (created on first use). Writers into it
     * must be idempotent — the same tag returns the same path for the
-    * lifetime of the JVM (temp root) or of the persistent root. */
-  def dir(tag: String): String =
+    * lifetime of the JVM (temp root) or of the persistent root.
+    * Creation is serialized on the same monitor as [[withRoot]], so a
+    * parallel suite's first touch can never land inside another test's
+    * root window (reads of an existing tag stay lock-free). */
+  def dir(tag: String): String = {
+    val hit = dirs.get(tag)
+    if (hit != null) hit else synchronized { dirCreate(tag) }
+  }
+
+  private def dirCreate(tag: String): String =
     dirs.computeIfAbsent(tag, t => persistentRoot match {
       case Some(root) if root.contains("://") =>
         // scheme-qualified root: resolve through the ACTIVE session's
