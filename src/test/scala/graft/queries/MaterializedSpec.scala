@@ -151,6 +151,27 @@ class MaterializedSpec extends AnyFunSuite {
     }
   }
 
+  test("fingerprint: stable on an unchanged dir; moves on grow, add, and touch; 'absent' on a missing dir") {
+    val dir = Files.createTempDirectory("mspec-fpr")
+    Files.write(dir.resolve("a.bin"), Array.fill[Byte](32)(1))
+    val f0 = Materialized.fingerprint(spark, dir.toString)
+    assert(f0 == Materialized.fingerprint(spark, dir.toString), "repeat call must be stable")
+    // byte-length change
+    Files.write(dir.resolve("a.bin"), Array.fill[Byte](33)(1))
+    val f1 = Materialized.fingerprint(spark, dir.toString)
+    assert(f1 != f0, "growing a file must move the fingerprint")
+    // file-count change
+    Files.write(dir.resolve("b.bin"), Array.fill[Byte](1)(2))
+    val f2 = Materialized.fingerprint(spark, dir.toString)
+    assert(f2 != f1, "adding a file must move the fingerprint")
+    // mtime-only change (same count, same bytes)
+    assert(dir.resolve("a.bin").toFile.setLastModified(
+      dir.resolve("a.bin").toFile.lastModified() + 60000L))
+    val f3 = Materialized.fingerprint(spark, dir.toString)
+    assert(f3 != f2, "a newer mtime must move the fingerprint")
+    assert(Materialized.fingerprint(spark, dir.toString + "-nope") == "absent")
+  }
+
   test("a partial artifact (no _SUCCESS) is rebuilt, not trusted") {
     val builds = new AtomicInteger(0)
     def consume(): Long = Materialized.rel(spark, "mspec-partial") {
