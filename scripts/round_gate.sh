@@ -22,14 +22,19 @@ python3 scripts/leakcheck.py "$ROUND" || fail=1
 echo "== full test suite =="
 python3 scripts/test_summary.py "$ROUND" || fail=1
 
+# the census prices COLD builds and the bench-honesty rule forbids a
+# persistent root for any headline: both steps run with the root UNSET
+# regardless of the caller's environment (ADVICE r16; ArtifactCensus
+# additionally refuses a persistent root itself, belt and braces)
 echo "== materialized artifact census ($SFDIR) =="
-SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-32}" sbt -batch \
+env -u SPARK_GRAFT_SCRATCH_ROOT SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-32}" sbt -batch \
   "runMain graft.tools.ArtifactCensus $SFDIR ARTIFACTS.json" >/dev/null 2>&1 \
   && python3 -c "import json;d=json.load(open('ARTIFACTS.json'));print(f\"{d['n_artifacts']} artifacts, cold build {d['total_build_sec']}s\")" \
   || fail=1
 
 echo "== spark bench ($SFDIR) =="
-SPARK_GRAFT_SF_DIR="$SFDIR" SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-32}" \
+env -u SPARK_GRAFT_SCRATCH_ROOT \
+  SPARK_GRAFT_SF_DIR="$SFDIR" SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-32}" \
   sbt -batch "runMain graft.Bench" 2>/dev/null | grep '"metric"' || fail=1
 
 if [ "${REFRESH_DUCKDB:-0}" = "1" ]; then

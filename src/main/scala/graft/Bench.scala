@@ -5,6 +5,9 @@ package graft
   */
 object Bench {
   def main(args: Array[String]): Unit = {
+    // the contract line is machine-parsed: pin number formatting to
+    // Locale.ROOT so a comma-decimal host locale can't break the JSON
+    java.util.Locale.setDefault(java.util.Locale.ROOT)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     // Benchmarks are only comparable at a pinned parallelism: default the

@@ -100,9 +100,39 @@ object GraphOps {
     * stats-bearing parquet leaf (better for broadcast planning than the
     * stats-less checkpoint leaf — the r11 g4/g8 lesson) and the build
     * is paid once per corpus. */
-  private def coPurchaseEdges3000(s: SparkSession, dir: String): DataFrame =
+  private[graft] def coPurchaseEdges3000(s: SparkSession, dir: String): DataFrame =
     Materialized.rel(s, s"copurch-${Materialized.dirTag(s, dir)}-3000-$capScale") {
       coPurchaseEdges(s, dir, cap = Some(3000L))
+    }
+
+  /** The FULL (capless, non-deduped) co-purchase edge artifact g4_bfs
+    * iterates over — min-dist is idempotent under duplicate edges, so
+    * the pair distinct's exchange (the build's largest shuffle) buys
+    * nothing (see coPurchaseEdges scaladoc). private[graft] so probe
+    * harnesses (ProbeG4) reuse THIS builder under THIS tag instead of
+    * duplicating the plan — a drifted inline copy committing a
+    * divergent artifact under the production tag was the ADVICE r16
+    * hazard. */
+  private[graft] def coPurchFullRawEdges(s: SparkSession, dir: String): DataFrame =
+    Materialized.rel(s, s"copurch-full-raw-${Materialized.dirTag(s, dir)}-$capScale") {
+      coPurchaseEdges(s, dir, cap = None, dedupPairs = false)
+    }
+
+  /** The deduped co-supply (supplier—supplier via shared part) edge
+    * artifact g1_pagerank iterates over. private[graft] for the same
+    * probe-reuse reason as [[coPurchFullRawEdges]]. */
+  private[graft] def coSupplyEdges(s: SparkSession, dir: String): DataFrame =
+    Materialized.rel(s, s"cosupply-${Materialized.dirTag(s, dir)}-$capScale") {
+      val ps = t(s, dir, "lineitem")
+        .select(col("l_partkey").as("p"), col("l_suppkey").as("sk"))
+        .distinct()
+      // (round 11: a d19-style packed-long dedup of the raw pair stream
+      // was A/B'd and dropped — ~3.75 vs ~3.8 s, within noise: the pair
+      // JOIN generation dominates this stage, not the distinct's hash)
+      ps.as("a").join(ps.as("b"),
+          col("a.p") === col("b.p") && col("a.sk") < col("b.sk"))
+        .select(col("a.sk").as("d1"), col("b.sk").as("d2"))
+        .distinct()
     }
 
   /** Per-node triangle participation over a canonical (p1 < p2) edge
@@ -247,19 +277,7 @@ object GraphOps {
       // (the g4 precedent); the five integer-PageRank rounds stay live
       // and read a stats-bearing parquet leaf instead of the eager
       // checkpoint this build previously re-ran per invocation.
-      val edges = Materialized.rel(s,
-          s"cosupply-${Materialized.dirTag(s, dir)}-$capScale") {
-        val ps = t(s, dir, "lineitem")
-          .select(col("l_partkey").as("p"), col("l_suppkey").as("sk"))
-          .distinct()
-        // (round 11: a d19-style packed-long dedup of the raw pair stream
-        // was A/B'd and dropped — ~3.75 vs ~3.8 s, within noise: the pair
-        // JOIN generation dominates this stage, not the distinct's hash)
-        ps.as("a").join(ps.as("b"),
-            col("a.p") === col("b.p") && col("a.sk") < col("b.sk"))
-          .select(col("a.sk").as("d1"), col("b.sk").as("d2"))
-          .distinct()
-      }
+      val edges = coSupplyEdges(s, dir)
       pagerankOf(edges)
         .select(col("node").as("s_suppkey"), col("deg"), col("r").as("pr"))
         .orderBy(col("pr").desc, col("s_suppkey"))
@@ -356,10 +374,7 @@ object GraphOps {
       // Materialized per (dir, capScale): the 4 relaxation rounds (and
       // the bi union) re-reference the edge stream; the artifact build
       // replaces the per-query checkpoint build (r15 pre-registered).
-      val edges = Materialized.rel(s,
-          s"copurch-full-raw-${Materialized.dirTag(s, dir)}-$capScale") {
-        coPurchaseEdges(s, dir, cap = None, dedupPairs = false)
-      }
+      val edges = coPurchFullRawEdges(s, dir)
       val bi = edges.union(
         edges.select(col("d2").as("d1"), col("d1").as("d2")))
       // sources come from li (all parts in lineitem), not from edges:

@@ -50,26 +50,59 @@ private[graft] object Materialized {
     buildRecords.iterator().asScala.toSeq
   }
 
-  /** Cheap content fingerprint of an input dir: recursive file count,
-    * total byte length, and max mtime, through the SESSION's Hadoop FS
-    * (so non-default schemes resolve). One listing per call — trivial
-    * next to any query over the same dir — and deliberately uncached so
-    * an in-place mutation is visible to the very next consumer. */
+  /** Cheap content fingerprint of an input dir, through the SESSION's
+    * Hadoop FS (so non-default schemes resolve). Folds EVERY file's
+    * (path, length, mtime) into an order-independent hash — not just the
+    * aggregate count/bytes/max-mtime, whose granularity let a same-shape
+    * regeneration alias (ADVICE r16) — plus a first/last-4 KiB content
+    * sample of the newest file, so an in-place same-length rewrite
+    * inside one mtime tick still moves the key when its bytes moved
+    * (pinned in MaterializedSpec's alias test). One listing + one file
+    * open per call — trivial next to any query over the same dir — and
+    * deliberately uncached so an in-place mutation is visible to the
+    * very next consumer. Residual accepted edges (the cost of anything
+    * cheaper than full content hashing): a same-length same-mtime
+    * rewrite of a NON-newest file whose head/tail bytes are unchanged;
+    * and two dirTag calls straddling an in-place mutation inside one
+    * composed plan build key inconsistent artifacts — inherent to
+    * scanning a dir under concurrent mutation, which plain reads share. */
   def fingerprint(s: SparkSession, dir: String): String = {
     val p = new Path(dir)
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) return "absent"
-    var n = 0L; var bytes = 0L; var mtime = 0L
+    var h = 0L
+    var newest: org.apache.hadoop.fs.LocatedFileStatus = null
     val it = fs.listFiles(p, true)
     while (it.hasNext) {
       val st = it.next()
-      n += 1; bytes += st.getLen
-      if (st.getModificationTime > mtime) mtime = st.getModificationTime
+      // per-file mix, XOR-accumulated: order-independent (listing order
+      // varies by FS) and sensitive to any single file's rename/resize/
+      // retouch — the per-file fold ADVICE r16 asked for
+      val ph = scala.util.hashing.MurmurHash3
+        .stringHash(st.getPath.toUri.getPath).toLong
+      h ^= (ph * 0x9e3779b97f4a7c15L) ^
+        java.lang.Long.rotateLeft(st.getLen * 0xc2b2ae3d27d4eb4fL, 17) ^
+        java.lang.Long.rotateLeft(st.getModificationTime, 41)
+      if (newest == null || st.getModificationTime > newest.getModificationTime ||
+          (st.getModificationTime == newest.getModificationTime &&
+            st.getPath.toString > newest.getPath.toString))
+        newest = st
     }
-    // order-independent (listing order varies by FS), collision-safe for
-    // a scratch cache: any of the three moving => a different artifact key
-    java.lang.Long.toHexString(n * 0x9e3779b97f4a7c15L ^
-      java.lang.Long.rotateLeft(bytes, 21) ^ java.lang.Long.rotateLeft(mtime, 42))
+    if (newest != null && newest.getLen > 0) {
+      val in = fs.open(newest.getPath)
+      try {
+        val headN = math.min(4096L, newest.getLen).toInt
+        val buf = new Array[Byte](headN)
+        in.readFully(0L, buf)
+        h = h * 0x9e3779b97f4a7c15L ^ scala.util.hashing.MurmurHash3.bytesHash(buf).toLong
+        if (newest.getLen > 4096L) {
+          in.readFully(newest.getLen - 4096L, buf)
+          h ^= java.lang.Long.rotateLeft(
+            scala.util.hashing.MurmurHash3.bytesHash(buf).toLong, 29)
+        }
+      } finally in.close()
+    }
+    java.lang.Long.toHexString(h)
   }
 
   /** Sanitized per-dir key component: readable path suffix + path hash
@@ -109,18 +142,40 @@ private[graft] object Materialized {
             // is written last and readers gate on it.
             val staging = new Path(dir, s".staging-$n-${java.util.UUID.randomUUID()}")
             df.write.mode("overwrite").parquet(staging.toString)
-            if (fs.exists(target(n)) && !complete(n)) fs.delete(target(n), true)
+            // Crashed-writer garbage (target present, no _SUCCESS) is
+            // cleared by RENAME-ASIDE, never by a delete (ADVICE r16
+            // TOCTOU): a racing JVM can commit between our probe and our
+            // clear, and a delete would destroy its fresh `_SUCCESS`
+            // artifact. Rename the suspect to a dot-prefixed trash dir,
+            // RE-PROBE it for _SUCCESS after the rename, and restore it
+            // if it turned out committed — committed bytes are never
+            // destroyed; the residual exposure is a two-metadata-op
+            // absent window for a reader racing that exact interleaving,
+            // closed again by the restore (or by the racer's equivalent
+            // commit, in which case our trash copy is dropped).
+            if (fs.exists(target(n)) && !complete(n)) {
+              val trash = new Path(dir, s".trash-$n-${java.util.UUID.randomUUID()}")
+              if (fs.rename(target(n), trash) &&
+                  fs.exists(new Path(trash, "_SUCCESS"))) {
+                if (fs.exists(target(n)) || !fs.rename(trash, target(n)))
+                  fs.delete(trash, true) // a racer re-committed equivalent bytes
+              } else if (fs.exists(trash)) fs.delete(trash, true)
+            }
             // rename only into an ABSENT target (Hadoop rename onto an
             // existing dir nests src inside it instead of failing)
             if (!fs.exists(target(n))) fs.rename(staging, target(n))
             require(complete(n),
               s"commit of ${target(n)} failed: no complete artifact in place after rename")
             // lost-race residue: our staging dir (rename skipped), or a
-            // dot-dir our rename nested inside the winner's target (both
-            // invisible to parquet readers, but don't leak disk)
+            // dot-DIR a raced rename nested inside the winner's target
+            // (both invisible to parquet readers, but don't leak disk).
+            // Only directories: dot-FILES inside a committed artifact
+            // (.crc siblings, markers) are not ours to touch.
             if (fs.exists(staging)) fs.delete(staging, true)
-            val nested = new Path(target(n), staging.getName)
-            if (fs.exists(nested)) fs.delete(nested, true)
+            fs.listStatus(target(n)).foreach { st =>
+              if (st.isDirectory && st.getPath.getName.startsWith("."))
+                fs.delete(st.getPath, true)
+            }
           }
         }
         buildRecords.add(BuildRecord(tag, dir, names, (System.nanoTime() - t0) / 1e9))

@@ -27,6 +27,20 @@ import graft.queries.Materialized
   */
 object ArtifactCensus {
   def main(args: Array[String]): Unit = {
+    // the f-interpolator formats with the default locale: under a
+    // comma-decimal locale "%.3f" would emit invalid JSON (ADVICE r16)
+    java.util.Locale.setDefault(java.util.Locale.ROOT)
+    // HERMETIC BY CONTRACT: the census prices COLD builds against a
+    // fresh per-JVM temp root. A persistent root inherited from the
+    // environment would run the census warm (0 artifacts, 0 s) AND
+    // write gate artifacts into the operator-managed cache (ADVICE
+    // r16) — override it here; the empty property disables both the
+    // property and env-var root (see graft.Scratch.persistentRoot).
+    if (sys.props.get("graft.scratch.root").exists(_.nonEmpty) ||
+        sys.env.get("SPARK_GRAFT_SCRATCH_ROOT").exists(_.nonEmpty)) {
+      System.err.println("census: ignoring persistent scratch root (cold-build census is hermetic by contract)")
+      sys.props("graft.scratch.root") = ""
+    }
     val sfDir = args.headOption.getOrElse(
       sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     val outPath = if (args.length > 1) args(1) else "ARTIFACTS.json"

@@ -176,6 +176,9 @@ object StreamGate {
   }
 
   def main(args: Array[String]): Unit = {
+    // the f-interpolator formats with the default locale: under a
+    // comma-decimal locale "%.3f" would emit invalid JSON (ADVICE r16)
+    java.util.Locale.setDefault(java.util.Locale.ROOT)
     val baseDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val outPath = if (args.length > 1) args(1) else "STREAM_SUMMARY.json"
     val scaleK = if (args.length > 2) args(2).toInt else 1

@@ -172,6 +172,63 @@ class MaterializedSpec extends AnyFunSuite {
     assert(Materialized.fingerprint(spark, dir.toString + "-nope") == "absent")
   }
 
+  test("fingerprint alias edge (ADVICE r16): a same-length same-mtime in-place rewrite still rebuilds") {
+    // the r16 fingerprint (count+bytes+max-mtime) provably aliased this:
+    // rewrite a file with the SAME byte length and restore the old mtime
+    // within one listing granularity tick. The r17 content sample of the
+    // newest file's head/tail bytes must move the key anyway.
+    val root = Files.createTempDirectory("mspec-aliasroot").toString
+    val corpus = Files.createTempDirectory("mspec-aliascorpus")
+    val f = corpus.resolve("t.parquet")
+    Files.write(f, Array.fill[Byte](256)(1))
+    val mtime = f.toFile.lastModified()
+    graft.Scratch.withRoot(root) {
+      val builds = new AtomicInteger(0)
+      def consume(): Long = Materialized.rel(spark,
+          s"mspec-alias-${Materialized.dirTag(spark, corpus.toString)}") {
+        builds.incrementAndGet()
+        spark.range(6).toDF("id")
+      }.count()
+      assert(consume() == 6 && builds.get() == 1)
+      // in-place regeneration: same length, same mtime, different bytes
+      Files.write(f, Array.fill[Byte](256)(2))
+      assert(f.toFile.setLastModified(mtime))
+      assert(f.toFile.lastModified() == mtime && Files.size(f) == 256)
+      assert(consume() == 6 && builds.get() == 2,
+        "a same-shape rewrite must not serve a stale artifact (content sample)")
+    }
+  }
+
+  test("fingerprint: per-file fold separates same-aggregate layouts; sample reads head and tail") {
+    // two dirs with identical file count, total bytes, and max mtime but
+    // different per-file split — the aggregate-only r16 key merged these
+    val d1 = Files.createTempDirectory("mspec-fpa")
+    val d2 = Files.createTempDirectory("mspec-fpb")
+    Files.write(d1.resolve("a.bin"), Array.fill[Byte](10)(1))
+    Files.write(d1.resolve("b.bin"), Array.fill[Byte](30)(1))
+    Files.write(d2.resolve("a.bin"), Array.fill[Byte](30)(1))
+    Files.write(d2.resolve("b.bin"), Array.fill[Byte](10)(1))
+    val m = 1700000000000L
+    for (d <- Seq(d1, d2); n <- Seq("a.bin", "b.bin"))
+      assert(d.resolve(n).toFile.setLastModified(m))
+    assert(Materialized.fingerprint(spark, d1.toString)
+      != Materialized.fingerprint(spark, d2.toString),
+      "per-file (path, len) fold must separate same-aggregate layouts")
+    // tail sensitivity on a >4 KiB newest file: flip one byte past the
+    // head window, keep length + mtime
+    val big = Files.createTempDirectory("mspec-fpt")
+    val bf = big.resolve("x.bin")
+    val bytes = Array.fill[Byte](10000)(3)
+    Files.write(bf, bytes)
+    assert(bf.toFile.setLastModified(m))
+    val f0 = Materialized.fingerprint(spark, big.toString)
+    bytes(9000) = 4
+    Files.write(bf, bytes)
+    assert(bf.toFile.setLastModified(m))
+    assert(Materialized.fingerprint(spark, big.toString) != f0,
+      "a tail-byte rewrite must move the fingerprint")
+  }
+
   test("a partial artifact (no _SUCCESS) is rebuilt, not trusted") {
     val builds = new AtomicInteger(0)
     def consume(): Long = Materialized.rel(spark, "mspec-partial") {

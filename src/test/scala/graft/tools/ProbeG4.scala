@@ -4,7 +4,6 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Spark
-import graft.queries.Materialized
 
 /** A/B probe for g4_bfs (VERDICT r15 ask #3): at 1.33 s / 2.0x it is
   * the last >=1 s bench row without a dedicated census. The gate query
@@ -66,19 +65,11 @@ import graft.queries.Materialized
   */
 object ProbeG4 {
 
-  private def edges(s: SparkSession, dir: String): DataFrame = {
-    val capScale = sys.props.getOrElse("graft.graph.capScale", "1").toLong
-    // same tag as GraphOps.g4_bfs => reuses the gate's artifact
-    Materialized.rel(s,
-        s"copurch-full-raw-${Materialized.dirTag(s, dir)}-$capScale") {
-      val li = graft.Tables.load(s, dir, "lineitem")
-        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-        .repartition(col("o")).distinct()
-      li.as("a").join(li.as("b"),
-          col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-        .select(col("a.p").as("d1"), col("b.p").as("d2"))
-    }
-  }
+  // the GATE's builder under the GATE's tag (private[graft]): the probe
+  // can never commit a drifted inline copy of the plan into a
+  // gate-visible Materialized key (ADVICE r16)
+  private def edges(s: SparkSession, dir: String): DataFrame =
+    graft.queries.GraphOps.coPurchFullRawEdges(s, dir)
 
   private def seed(s: SparkSession, dir: String): DataFrame =
     graft.Tables.load(s, dir, "lineitem")
@@ -119,19 +110,9 @@ object ProbeG4 {
   //     relaxations). Each variant reads the SAME Materialized edge
   //     artifact as its gate query and differs ONLY in the seal. -------
 
-  private def capScale: Long = sys.props.getOrElse("graft.graph.capScale", "1").toLong
 
   private def g1Eager(s: SparkSession, dir: String): DataFrame = {
-    val edges = Materialized.rel(s,
-        s"cosupply-${Materialized.dirTag(s, dir)}-$capScale") {
-      val ps = graft.Tables.load(s, dir, "lineitem")
-        .select(col("l_partkey").as("p"), col("l_suppkey").as("sk"))
-        .distinct()
-      ps.as("a").join(ps.as("b"),
-          col("a.p") === col("b.p") && col("a.sk") < col("b.sk"))
-        .select(col("a.sk").as("d1"), col("b.sk").as("d2"))
-        .distinct()
-    }
+    val edges = graft.queries.GraphOps.coSupplyEdges(s, dir)
     val Scale = 1000000000000L
     val bi = edges.union(edges.select(col("d2").as("d1"), col("d1").as("d2")))
     val nd = bi.groupBy(col("d1")).agg(count(lit(1)).as("deg"))
@@ -154,17 +135,7 @@ object ProbeG4 {
   }
 
   private def g8Eager(s: SparkSession, dir: String): DataFrame = {
-    val edges = Materialized.rel(s,
-        s"copurch-${Materialized.dirTag(s, dir)}-3000-$capScale") {
-      val li = graft.Tables.load(s, dir, "lineitem")
-        .filter(col("l_partkey") < 3000L * capScale)
-        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-        .repartition(col("o")).distinct()
-      li.as("a").join(li.as("b"),
-          col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-        .select(col("a.p").as("d1"), col("b.p").as("d2"))
-        .distinct()
-    }
+    val edges = graft.queries.GraphOps.coPurchaseEdges3000(s, dir)
     val bi = edges.union(edges.select(col("d2").as("d1"), col("d1").as("d2")))
     var dist = bi.select(col("d1")).distinct().filter(col("d1") < 20)
       .select(col("d1").as("src"), col("d1").as("node"), lit(0L).as("dist"))
