@@ -19,11 +19,11 @@ import java.util.Comparator
   * path OR any scheme-qualified Hadoop-FS URI resolvable through the
   * active session's Hadoop configuration (hdfs://, s3a://, a custom
   * `fs.<scheme>.impl`, …): [[graft.queries.Materialized]] probes and
-  * commits exclusively through the Hadoop FileSystem API. The z*
-  * synthetic-store queries and the StreamGate harness stage their
-  * fixtures with java.nio and therefore require the DEFAULT temp root
-  * or a plain local root — they are test/gate surfaces, not the
-  * cluster-cache path. Persistent
+  * commits exclusively through the Hadoop FileSystem API, and so do the
+  * z* synthetic-store fixtures (SyntheticCzi whole-file writes, ZarrIO)
+  * and the StreamGate chunk staging — the ENTIRE gate surface runs
+  * under a scheme-qualified root (MockSchemeFsSpec drives a z-query and
+  * a stream family end-to-end on `mock://`). Persistent
   * dirs are NOT deleted on shutdown; the root is an operator-managed
   * cache keyed by corpus path+hash+content-fingerprint (see
   * [[graft.queries.Materialized.dirTag]]), so distinct corpora never
@@ -87,6 +87,15 @@ object Scratch {
         tempDirs.add(p)
         p
     })
+
+  /** Test support: drop cached tag→dir pins so the next touch of each
+    * tag re-resolves under the THEN-current root. Needed by specs that
+    * enter [[withRoot]] after the same tags were already touched under
+    * the default temp root (the pin is per-JVM by design). Temp dirs
+    * stay registered for shutdown deletion. */
+  private[graft] def evict(tags: String*): Unit = synchronized {
+    tags.foreach(dirs.remove)
+  }
 
   /** Test support: run `f` with the persistent root pinned to `root`,
     * serialized process-wide so parallel suites can't first-touch a tag

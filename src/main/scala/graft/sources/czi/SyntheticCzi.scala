@@ -11,6 +11,36 @@ import com.github.luben.zstd.Zstd
   * [[CziReader]]. */
 object SyntheticCzi {
 
+  /** The session's Hadoop conf (where `fs.<scheme>.impl` registrations
+    * live — the MockSchemeFsSpec bug class), falling back to a default
+    * conf only when no session exists (schemeless unit-test paths). */
+  private def hadoopConf: org.apache.hadoop.conf.Configuration =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+      .map(_.sparkContext.hadoopConfiguration)
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
+
+  /** Scheme-qualified fixture paths (a `mock://` or object-store scratch
+    * root) are written through the Hadoop FS API: the file is built in
+    * memory, the header's directory position patched in the buffer, and
+    * the bytes shipped in ONE create — Hadoop filesystems have no
+    * random-access write, so the local writers' seek-and-patch is not
+    * portable. Gate fixtures are MBs; the GB-scale rehearsal fixture
+    * stays on the streaming local path below. */
+  private def writeWholeFile(path: String, bytes: Array[Byte]): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(hadoopConf)
+    val out = fs.create(p, true)
+    try out.write(bytes) finally out.close()
+  }
+
+  private def patchHeaderBytes(arr: Array[Byte], dirPos: Long): Unit = {
+    val b = ByteBuffer.wrap(arr).order(ByteOrder.LITTLE_ENDIAN)
+    // payload offset 0: Major..Res2 (16) + GUIDs (32) + FilePart (4) = 52
+    b.position(32); b.putInt(1); b.putInt(0)
+    b.position(32 + 52); b.putLong(dirPos)
+  }
+
   private def segHeader(id: String, alloc: Long, used: Long): Array[Byte] = {
     val b = ByteBuffer.allocate(32).order(ByteOrder.LITTLE_ENDIAN)
     val idb = id.getBytes("US-ASCII")
@@ -84,10 +114,36 @@ object SyntheticCzi {
     * (plus interleaved pyramid subblocks) can be synthesized.
     * `tiles` is consumed streaming (pass an Iterator for volumes larger
     * than memory — only the current tile's pixels are ever resident). */
+  /** Scheme-qualified => must go through the Hadoop FS API. NOTE: a
+    * Hadoop Path normalizes "scheme://host-less" URIs to a SINGLE slash
+    * ("mock:/tmp/..."), so detection parses the URI instead of string-
+    * matching "://". Schemeless local paths keep java.io (random-access
+    * header patch, streaming-friendly for the GB rehearsal fixture). */
+  private def schemeQualified(path: String): Boolean =
+    new org.apache.hadoop.fs.Path(path).toUri.getScheme != null
+
   def writeTiles(path: String, tiles: IterableOnce[Tile],
-                 pixelType: Int = CziFormat.PixelGray16): Unit = {
+                 pixelType: Int = CziFormat.PixelGray16): Unit =
+    if (schemeQualified(path)) {
+      val buf = new java.io.ByteArrayOutputStream()
+      val dirPos = streamTiles(new DataOutputStream(buf), tiles, pixelType)
+      val arr = buf.toByteArray
+      patchHeaderBytes(arr, dirPos)
+      writeWholeFile(path, arr)
+    } else {
+      // local path: STREAM (the GB-scale rehearsal fixture passes an
+      // Iterator precisely so only one tile is ever resident) and patch
+      // the header in place afterwards
+      val out = new DataOutputStream(new FileOutputStream(path))
+      val dirPos = try streamTiles(out, tiles, pixelType) finally out.close()
+      patchHeader(path, dirPos)
+    }
+
+  /** Emits the segment stream for [[writeTiles]]; returns the directory
+    * segment's position (the value the file header must carry). */
+  private def streamTiles(out: DataOutputStream, tiles: IterableOnce[Tile],
+                          pixelType: Int): Long = {
     val isz = CziFormat.bytesPerPixel(pixelType)
-    val out = new DataOutputStream(new FileOutputStream(path))
     var pos = 0L
     def emit(bytes: Array[Byte]): Unit = { out.write(bytes); pos += bytes.length }
     def pad(n: Long): Unit = { out.write(new Array[Byte](n.toInt)); pos += n }
@@ -143,8 +199,7 @@ object SyntheticCzi {
     pad(124)
     blobs.foreach(emit)
     pad(align32(dirUsed) - dirUsed)
-    out.close()
-    patchHeader(path, dirPos)
+    dirPos
   }
 
   private def patchHeader(path: String, dirPos: Long): Unit = {
@@ -189,13 +244,28 @@ object SyntheticCzi {
     * frame per subblock). */
   def writeTC(path: String, frames: Array[Array[Array[Array[Array[Int]]]]],
               pixelType: Int = CziFormat.PixelGray16,
-              extraDims: (Int, Int, Int) => Seq[(String, Int, Int)] = (_, _, _) => Nil): Unit = {
+              extraDims: (Int, Int, Int) => Seq[(String, Int, Int)] = (_, _, _) => Nil): Unit =
+    if (schemeQualified(path)) {
+      val buf = new java.io.ByteArrayOutputStream()
+      val dirPos = streamTC(new DataOutputStream(buf), frames, pixelType, extraDims)
+      val arr = buf.toByteArray
+      patchHeaderBytes(arr, dirPos)
+      writeWholeFile(path, arr)
+    } else {
+      val out = new DataOutputStream(new FileOutputStream(path))
+      val dirPos = try streamTC(out, frames, pixelType, extraDims) finally out.close()
+      patchHeader(path, dirPos)
+    }
+
+  private def streamTC(out: DataOutputStream,
+                       frames: Array[Array[Array[Array[Array[Int]]]]],
+                       pixelType: Int,
+                       extraDims: (Int, Int, Int) => Seq[(String, Int, Int)]): Long = {
     val nt = frames.length
     val nc = frames(0).length
     val data = frames(0)(0)
     val (nz, ny, nx) = (data.length, data(0).length, data(0)(0).length)
     val isz = CziFormat.bytesPerPixel(pixelType)
-    val out = new DataOutputStream(new FileOutputStream(path))
     var pos = 0L
     def emit(bytes: Array[Byte]): Unit = { out.write(bytes); pos += bytes.length }
     def pad(n: Long): Unit = { out.write(new Array[Byte](n.toInt)); pos += n }
@@ -277,7 +347,6 @@ object SyntheticCzi {
     pad(124)
     entryBlobs.foreach(emit)
     pad(align32(dirUsed) - dirUsed)
-    out.close()
-    patchHeader(path, dirPos)
+    dirPos
   }
 }

@@ -100,29 +100,36 @@ object StreamGate {
     * stream source (oldest-first) replays them in that order — for a
     * time column this makes the watermark advance monotonically across
     * micro-batches with no late data between chunks. */
-  private def chunkBy(df: DataFrame, orderCol: String, n: Int, tag: String): String = {
+  private[graft] def chunkBy(df: DataFrame, orderCol: String, n: Int, tag: String): String = {
     // all gate temp data lives under one Scratch root: deleted by the
     // JVM shutdown hook, so a gate run leaves no copies of the corpus
-    // behind in /tmp
-    val root = java.nio.file.Paths.get(graft.Scratch.dir("stream-gate"))
-    val dir = Files.createTempDirectory(root, s"$tag-")
+    // behind in /tmp. Staging goes through the Hadoop FS API (not
+    // java.nio), so the gate runs end-to-end under a scheme-qualified
+    // scratch root — MockSchemeFsSpec drives one family on mock://.
+    val spark = df.sparkSession
+    val root = new org.apache.hadoop.fs.Path(graft.Scratch.dir("stream-gate"))
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dir = new org.apache.hadoop.fs.Path(root,
+      s"$tag-${java.util.UUID.randomUUID().toString.take(8)}")
+    require(fs.mkdirs(dir), s"mkdirs failed for $dir")
     val w = df.withColumn("__c", ntile(n).over(Window.orderBy(col(orderCol))))
     for (i <- 1 to n) {
-      val tmp = Files.createTempDirectory(root, s"$tag-$i-")
+      val tmp = new org.apache.hadoop.fs.Path(root,
+        s"$tag-$i-${java.util.UUID.randomUUID().toString.take(8)}")
       w.filter(col("__c") === i).drop("__c")
         .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-      val listing = Files.list(tmp)
-      val part =
-        try listing.iterator.asScala
-          .find(_.getFileName.toString.endsWith(".parquet"))
-          .getOrElse(sys.error(s"no part file in $tmp"))
-        finally listing.close()
-      val dst = dir.resolve(f"chunk-$i%02d.parquet")
-      Files.copy(part, dst)
+      val part = fs.listStatus(tmp)
+        .map(_.getPath)
+        .find(_.getName.endsWith(".parquet"))
+        .getOrElse(sys.error(s"no part file in $tmp"))
+      val dst = new org.apache.hadoop.fs.Path(dir, f"chunk-$i%02d.parquet")
+      require(fs.rename(part, dst), s"rename $part -> $dst failed")
+      fs.delete(tmp, true)
       // replay order is mtime order: a silently-failed stamp would fall
       // back to listing order and void the monotone-watermark premise.
-      require(dst.toFile.setLastModified(1600000000000L + i * 60000L),
-        s"setLastModified failed for $dst — chunk replay order would be undefined")
+      fs.setTimes(dst, 1600000000000L + i * 60000L, -1)
+      require(fs.getFileStatus(dst).getModificationTime == 1600000000000L + i * 60000L,
+        s"setTimes not honored for $dst — chunk replay order would be undefined")
     }
     dir.toString
   }
@@ -141,11 +148,15 @@ object StreamGate {
     val out = graft.Scratch.dir(
       s"stream-gate-sf$k-${graft.queries.Materialized.dirTag(spark, sfDir)}")
     val payload = s"base=$sfDir k=$k"
-    val done = new java.io.File(out, "_DONE")
-    if (done.exists()) {
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val done = new org.apache.hadoop.fs.Path(out, "_DONE")
+    if (fs.exists(done)) {
       // belt-and-braces on the tag: a marker whose recorded inputs
       // disagree with this request is a corrupted/foreign cache entry
-      val got = new String(java.nio.file.Files.readAllBytes(done.toPath), "UTF-8")
+      val in = fs.open(done)
+      val got = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+                finally in.close()
       require(got == payload,
         s"stale stream-gate scale cache at $out: marker '$got' != requested '$payload'")
       return out
@@ -171,7 +182,8 @@ object StreamGate {
       .select((col("c_custkey") * k + col("cp")).as("c_custkey"), col("c_name"),
         col("c_nationkey"), col("c_acctbal"), col("c_mktsegment"))
       .repartition(8).write.mode("overwrite").parquet(s"$out/customer.parquet")
-    java.nio.file.Files.write(done.toPath, payload.getBytes("UTF-8"))
+    val o = fs.create(done, true)
+    try o.write(payload.getBytes("UTF-8")) finally o.close()
     out
   }
 

@@ -86,4 +86,61 @@ class MockSchemeFsSpec extends AnyFunSuite {
     for (z <- 0 until 4; y <- 0 until 8; x <- 0 until 8)
       assert(px(z * 64 + y * 8 + x) == SyntheticStack.value(z, y, x), s"($z,$y,$x)")
   }
+
+  // --- the WHOLE gate surface under a scheme-qualified scratch root
+  //     (VERDICT r16 ask #4): the z* fixture queries and the StreamGate
+  //     staging previously required a LOCAL root (java.nio); both now
+  //     stage through the Hadoop FS API, proven end-to-end here. -------
+
+  test("z-queries run end-to-end with the scratch root on mock:// (Zarr store + CZI fixture)") {
+    spark.sparkContext // force session init: mock:// resolves via ITS conf
+    // reference results from the default (hermetic local temp) root
+    def run(name: String) = graft.SparkEntry.queries(name)(spark, "")
+      .collect().map(_.toString).sorted.toSeq
+    val wantZ2 = run("z2_zarr_roundtrip")
+    val wantZ6 = run("z6_multichannel")
+    val local = Files.createTempDirectory("gate-mockroot").toString
+    graft.Scratch.withRoot("mock://" + local) {
+      // the reference runs above pinned these tags to the temp root —
+      // drop the pins so the in-window touch re-resolves under mock://
+      graft.Scratch.evict("zarr-q", "czi-mc-q")
+      // z2: ZarrIO metadata + chunk writes + read-back; z6: SyntheticCzi
+      // whole-file Hadoop write + CziSource scan — all through mock://
+      assert(graft.Scratch.dir("zarr-q").startsWith("mock:/"))
+      assert(run("z2_zarr_roundtrip") == wantZ2)
+      assert(run("z6_multichannel") == wantZ6)
+    }
+  }
+
+  test("stream family runs end-to-end with the scratch root on mock:// (chunked replay + windowed agg)") {
+    import org.apache.spark.sql.streaming.Trigger
+    spark.sparkContext
+    val local = Files.createTempDirectory("stream-mockroot").toString
+    graft.Scratch.withRoot("mock://" + local) {
+      val ev = graft.Tables.load(spark, "/root/testdata/sf0.001", "events")
+      // the gate's own staging helper: ntile re-chunk + mtime stamping,
+      // now through the Hadoop FS API on the mock scheme
+      val dir = graft.tools.StreamGate.chunkBy(ev, "ts", 3, "mockev")
+      assert(dir.startsWith("mock:/"), dir)
+      val streamed = graft.streaming.EventStream.tumblingCounts(
+        graft.streaming.EventStream.read(spark, dir, maxFilesPerTrigger = 1))
+      val q = streamed.writeStream.format("memory").queryName("mock_tumbling")
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.processAllAvailable()
+      q.stop()
+      val got = spark.sql(
+        "SELECT unix_timestamp(bucket) AS b, event_type, n FROM mock_tumbling ORDER BY b, event_type")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+      val maxSec = ev.agg(max(unix_timestamp(col("ts")))).collect()(0).getLong(0)
+      val want = ev
+        .select((floor(unix_timestamp(col("ts")) / 3600) * 3600).cast("long").as("b"),
+          col("event_type"))
+        .groupBy(col("b"), col("event_type")).agg(count(lit(1)).as("n"))
+        .filter(col("b") + 3600 <= maxSec - 7200)
+        .orderBy(col("b"), col("event_type"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+      assert(want.nonEmpty, "fixture must close at least one window")
+      assert(got == want, s"streamed ${got.take(3)} != batch ${want.take(3)}")
+    }
+  }
 }

@@ -19,7 +19,11 @@ import graft.{Spark, SparkEntry}
 object JobCensus {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val names = if (args.length > 1) args.drop(1).toSeq
+    // "ALL" censuses the whole gate surface — the ranking input for the
+    // sf1 scale-correctness query selection (shuffle bytes = data-bound)
+    val names = if (args.length > 1 && args(1) == "ALL")
+        SparkEntry.queries.keys.toSeq.sorted
+      else if (args.length > 1) args.drop(1).toSeq
       else Seq("g2_edge_weights", "g3_triangles", "g4_bfs", "g5_label_prop",
         "g6_assortativity", "g7_kcore", "g8_harmonic", "g9_two_hop")
     val spark = Spark.session(appName = "graft-job-census")
