@@ -1,0 +1,93 @@
+#!/usr/bin/env python3
+"""DuckDB arm of the sf1 VALUE-EQUALITY gate (VERDICT r16 ask #3).
+
+graft.tools.Sf1Correctness (Spark arm) dumps, for the ~30 most
+data-bound queries (ranked by full-surface JobCensus shuffle bytes at
+sf0.1), each result to <sf1Dir>/sc_results/<name>/ plus the gate's
+oracle SQL VERBATIM (sc_oracle.json) and row counts (sc_rows.json).
+This script replays every oracle in DuckDB over the SAME 10x parquet
+and compares FULL VALUES (sorted columns, sorted rows, str-compare —
+the dev_check idiom), then writes CORRECTNESS_SF1.json.
+
+Carve-outs (a query whose DUCKDB oracle is infeasible at this scale,
+e.g. a quadratic spill blowup) are declared in CARVE_OUTS with the
+reason; they are recorded as "carved_out" in the artifact, never
+silently skipped.
+
+Usage: python3 scripts/sf1_correctness.py <sf1Dir> [outJson]
+Driver-side tooling only (duckdb/pandas are not library deps).
+"""
+import glob
+import json
+import os
+import sys
+import time
+
+import duckdb
+import pandas as pd
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+# name -> reason; empty today — populate ONLY with evidence (e.g. the
+# v14-style DuckDB quadratic spill documented in SF1.json)
+CARVE_OUTS = {}
+
+
+def norm(df):
+    df = df.reindex(sorted(df.columns), axis=1)
+    return df.sort_values(by=list(df.columns)).reset_index(drop=True)
+
+
+def main(sf1_dir, out_json="CORRECTNESS_SF1.json"):
+    oracle = json.load(open(os.path.join(sf1_dir, "sc_oracle.json")))
+    spark_rows = json.load(open(os.path.join(sf1_dir, "sc_rows.json")))
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(sf1_dir, f"{t}.parquet")
+        src = f"'{p}/*.parquet'" if os.path.isdir(p) else f"'{p}'"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet({src})")
+    results, n_pass = {}, 0
+    for name, sql in oracle.items():
+        if name in CARVE_OUTS:
+            results[name] = {"carved_out": CARVE_OUTS[name]}
+            continue
+        t0 = time.time()
+        want = norm(con.execute(sql).df())
+        dd_sec = round(time.time() - t0, 2)
+        files = sorted(glob.glob(os.path.join(sf1_dir, "sc_results", name, "*.parquet")))
+        if not files:
+            results[name] = {"error": "missing spark value dump"}
+            continue
+        got = norm(pd.concat([pd.read_parquet(f) for f in files]))
+        cols_ok = list(got.columns) == list(want.columns)
+        rows_ok = len(got) == len(want) == spark_rows.get(name, -1)
+        values_ok = (cols_ok and len(got) == len(want)
+                     and got.astype(str).values.tolist()
+                         == want.astype(str).values.tolist())
+        ok = cols_ok and rows_ok and values_ok
+        n_pass += ok
+        results[name] = {"rows": len(want), "duckdb_sec": dd_sec,
+                         "cols_match": cols_ok, "rows_match": rows_ok,
+                         "values_match": values_ok, "pass": bool(ok)}
+        print(f"{'PASS' if ok else 'FAIL'} {name} ({len(want)} rows, duckdb {dd_sec}s)")
+    artifact = {
+        "contract": ("top-30 data-bound queries (full-surface JobCensus shuffle-byte "
+                     "ranking at sf0.1) value-equal vs DuckDB on the 10x corpus; oracle "
+                     "SQL verbatim from the committed gate, no cap rescaling"),
+        "sf1_dir": sf1_dir,
+        "n_queries": len(oracle),
+        "n_pass": n_pass,
+        "n_carved_out": len([r for r in results.values() if "carved_out" in r]),
+        "all_pass": n_pass + len([r for r in results.values() if "carved_out" in r])
+                    == len(oracle),
+        "queries": results,
+    }
+    with open(out_json, "w") as f:
+        json.dump(artifact, f, indent=2)
+    print(f"== {n_pass} pass / {len(oracle) - n_pass} other == -> {out_json}")
+    return 0 if artifact["all_pass"] else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2] if len(sys.argv) > 2 else "CORRECTNESS_SF1.json"))

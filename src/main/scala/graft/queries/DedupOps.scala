@@ -323,7 +323,12 @@ object DedupOps {
       .agg(count(lit(1)).as("occ"),
         min(struct(col("doc_id"), col("pos"))).as("first"))
       .filter(col("occ") >= 2)
-    val removed = win.join(occ, Seq("h"))
+    // shuffle-hash, never broadcast (r17 sf1 gate, the d14 lesson): the
+    // occ set is CORPUS-PROPORTIONAL (every window hash repeated >= 2
+    // times) and the Generate-blind estimate would send it under the
+    // broadcast threshold — the occ aggregate is already h-partitioned,
+    // so only the probe side pays the exchange the broadcast was hiding
+    val removed = win.join(occ.hint("shuffle_hash"), Seq("h"))
       .filter(!(col("doc_id") === col("first.doc_id") &&
         col("pos") === col("first.pos")))
       .select(col("doc_id"), col("pos"))
@@ -341,7 +346,10 @@ object DedupOps {
           "transform(sort_array(collect_list(pos)), p -> CAST(p AS STRING))")))
           .as("spans_md5"))
     val per = win.groupBy(col("doc_id")).agg(count(lit(1)).as("n_windows"))
-    per.join(spans, Seq("doc_id"), "left")
+    // doc-grained relation: same never-broadcast discipline (both sides
+    // land doc_id-partitioned from their aggregates, so this is
+    // exchange-free and sort-free)
+    per.join(spans.hint("shuffle_hash"), Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_windows"),
         coalesce(col("n_removed"), lit(0L)).as("n_removed"),
         coalesce(col("removed_chars"), lit(0L)).as("removed_chars"),
@@ -417,7 +425,8 @@ object DedupOps {
       val L = 40
       // char_window_hashes digests each 40-char window in place (ASCII:
       // zero-copy over the UTF-8 bytes) instead of materializing ~1k
-      // window strings per document through an interpreted transform
+      // window strings per document through an interpreted transform.
+      //
       val win = Tables.fanout(docs(s, dir)).filter(length(col("text")) >= L)
         .select(col("doc_id"),
           explode(expr(s"char_window_hashes(text, $L)")).as("h"))
@@ -427,16 +436,31 @@ object DedupOps {
         // executor storage past the query (no unpersist hook in a pure
         // DataFrame-returning API)
         .localCheckpoint(true)
-      val dup = win.select(col("doc_id"), col("h")).distinct()
+      // ONE h-grained exchange feeds the dup set AND the join probe (the
+      // two winH consumers canonicalize to the same exchange, so AQE
+      // reuses one shuffle): the distinct runs in place (subset rule:
+      // h-partitioning satisfies (doc_id, h) grouping), the doc-freq
+      // aggregate runs in place, and the dup join-back is exchange-free
+      // on both sides. The r16 shape instead BROADCAST the dup set —
+      // the r17 sf1 gate's first catch: the dup set is CORPUS-
+      // PROPORTIONAL (exactly the cross-doc-repeated window hashes) and
+      // the planner's fan-out-blind Generate estimate sent it under the
+      // broadcast threshold; at 10x it hit the 2 GiB ceiling loudly, at
+      // 100 TB it always would. Corpus-derived relations never broadcast.
+      val winH = win.repartition(col("h"))
+      val dup = winH.select(col("doc_id"), col("h")).distinct()
         .groupBy(col("h")).agg(count(lit(1)).as("df"))
         .filter(col("df") >= 2).select(col("h"))
       val per = win.groupBy(col("doc_id")).agg(count(lit(1)).as("n_windows"))
-      val hit = win.join(dup, Seq("h"))
+      // shuffle-hash, never broadcast: both sides are h-partitioned
+      // already, so the hint only skips the sort a merge join would add
+      val hit = winH.join(dup.hint("shuffle_hash"), Seq("h"))
         .groupBy(col("doc_id")).agg(count(lit(1)).as("n_dup"))
       // LEFT join (d13 precedent): clean documents report n_dup = 0
       // rather than vanishing — corpus-level statistics over this output
-      // must see every doc that has windows at all
-      per.join(hit, Seq("doc_id"), "left")
+      // must see every doc that has windows at all. Doc-grained relation:
+      // shuffle-hash for the same never-broadcast reason (1e9 docs).
+      per.join(hit.hint("shuffle_hash"), Seq("doc_id"), "left")
         .select(col("doc_id"), col("n_windows"),
           coalesce(col("n_dup"), lit(0L)).as("n_dup"))
         .select(col("doc_id"), col("n_windows"), col("n_dup"),

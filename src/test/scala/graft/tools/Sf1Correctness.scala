@@ -1,0 +1,77 @@
+package graft.tools
+
+import graft.Spark
+
+/** sf1 VALUE-EQUALITY gate over the most data-bound queries (VERDICT
+  * r16 ask #3): the 195-query hash gate runs at sf0.01 and sf0.1;
+  * scale-dependent wrongness ABOVE that was only sampled by the
+  * 17-query perf rehearsal. This tool runs the top-30 queries by total
+  * shuffle bytes (full-surface JobCensus at sf0.1, r17 — the ranking
+  * the ask prescribes: shuffle volume = the work that grows with data)
+  * against the 10x disjoint-copy corpus, dumps each result to parquet,
+  * and ships the oracle SQL for `scripts/sf1_correctness.py` to replay
+  * in DuckDB over the SAME parquet and compare FULL VALUES.
+  *
+  * Unlike the perf rehearsal, NO cap rescaling and NO
+  * `graft.graph.capScale`: both arms run the query EXACTLY as the
+  * sf0.01/sf0.1 gates state it, over the same scaled tables — literal
+  * id caps then select a k-fold smaller subgraph, which is irrelevant
+  * for (and orthogonal to) value equality. That keeps the oracle SQL
+  * byte-identical to the committed gate's, so this surface can never
+  * drift from the correctness contract.
+  *
+  * usage: Test/runMain graft.tools.Sf1Correctness [sfDir] [outDir] [k] [only,csv]
+  * Spark arm output: <outDir>/sc_results/<name>/ + sc_oracle.json +
+  * sc_rows.json; the python arm writes CORRECTNESS_SF1.json.
+  */
+object Sf1Correctness {
+  /** Top 30 by (shuffle write + read) MB in the r17 full-surface
+    * JobCensus at sf0.1 — from 60 MB (d14) down to 4 MB (e21); below
+    * that the surface is job-floor-bound, not data-bound. z* queries
+    * are corpus-independent fixtures and excluded by construction. */
+  val Queries = Seq(
+    "d14_substring_windows", "d21_exact_substr", "d20_prefix_join_skew",
+    "approx_stats", "d19_prefix_join", "g2_edge_weights", "a3_percentile",
+    "a13_fd_audit", "a9_profile", "d15_curation_funnel", "d13_boilerplate",
+    "d7_jaccard_capped", "d11_incremental", "a7_percentiles",
+    "d18_xmodal_verify", "t21_perplexity", "v5_rhp_lsh", "g9_two_hop",
+    "t20_source_overlap", "q21_waiting", "distinct_agg", "d9_contamination",
+    "t13_hll_shingles", "e15_sliding_distinct", "w5_range_frame", "g4_bfs",
+    "q20_basket_lift", "e6_hopping_window", "v16_knn_graph", "e21_periodicity")
+
+  def main(args: Array[String]): Unit = {
+    java.util.Locale.setDefault(java.util.Locale.ROOT)
+    val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val outDir = if (args.length > 1) args(1) else "/tmp/graft-sf1"
+    val k = if (args.length > 2) args(2).toInt else 10
+    val only: Set[String] =
+      if (args.length > 3) args(3).split(",").toSet else Queries.toSet
+    val unknown = only -- Queries.toSet
+    require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(", ")}")
+    val selected = Queries.filter(only)
+    val spark = Spark.session(appName = "graft-sf1-correctness")
+    Sf1Rehearsal.generate(spark, sfDir, outDir, k)
+
+    val rows = selected.map { name =>
+      val t0 = System.nanoTime()
+      val df = graft.SparkEntry.queries(name)(spark, outDir)
+      df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/sc_results/$name")
+      val n = spark.read.parquet(s"$outDir/sc_results/$name").count()
+      println(f"""{"sf1_correctness":"$name","rows":$n,"sec":${(System.nanoTime() - t0) / 1e9}%.2f}""")
+      name -> n
+    }
+    def writeJson(path: String, body: String): Unit =
+      java.nio.file.Files.write(java.nio.file.Paths.get(path), body.getBytes("UTF-8"))
+    writeJson(s"$outDir/sc_rows.json",
+      rows.map { case (n, c) => s""""$n":$c""" }.mkString("{", ",", "}"))
+    // oracle SQL verbatim from the committed gate (no rewriting)
+    val oracle = selected.map { n =>
+      val sql = graft.SparkEntry.oracleSql(n)
+        .replace("\\", "\\\\").replace("\"", "\\\"").replace("\n", "\\n")
+      s""""$n":"$sql""""
+    }.mkString("{", ",\n", "}")
+    writeJson(s"$outDir/sc_oracle.json", oracle)
+    println(s"[sf1-correctness] ${rows.length} queries dumped under $outDir")
+    spark.stop()
+  }
+}
