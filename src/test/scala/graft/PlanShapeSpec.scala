@@ -188,6 +188,19 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(plan("g2_edge_weights").contains("TakeOrderedAndProject"))
   }
 
+  test("d14/d21: the duplicated-window join-backs NEVER broadcast (corpus-proportional build sides)") {
+    // r17 sf1-gate catch: the planner's fan-out-blind Generate estimate
+    // sent the dup/occ sets (corpus-proportional by definition) under
+    // the broadcast threshold; at 10x the build hit the 2 GiB ceiling.
+    // The fix pins shuffle joins — this test pins the fix.
+    for (q <- Seq("d14_substring_windows", "d21_exact_substr")) {
+      val p = plan(q)
+      assert(!p.contains("BroadcastExchange"),
+        s"$q must not broadcast any relation (all join sides are corpus- or doc-proportional): $p")
+      assert(p.contains("ShuffledHashJoin"), s"$q: expected shuffle-hash join-backs: $p")
+    }
+  }
+
   test("c1: kmeans assignment is a single-row broadcast, update shuffles model-sized keys") {
     val p = plan("c1_kmeans")
     // the centroid matrix rides in one broadcast row: the only join shapes
