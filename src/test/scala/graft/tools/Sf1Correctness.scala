@@ -25,11 +25,12 @@ import graft.Spark
   * sc_rows.json; the python arm writes CORRECTNESS_SF1.json.
   */
 object Sf1Correctness {
-  /** Top 30 by (shuffle write + read) MB in the r17 full-surface
-    * JobCensus at sf0.1 — from 60 MB (d14) down to 4 MB (e21); below
-    * that the surface is job-floor-bound, not data-bound. z* queries
-    * are corpus-independent fixtures and excluded by construction. */
-  val Queries = Seq(
+  /** Tier 1: top 30 by (shuffle write + read) MB in the r17
+    * full-surface JobCensus at sf0.1 — from 60 MB (d14) down to 4 MB
+    * (e21); below that the surface is job-floor-bound, not data-bound.
+    * z* queries are corpus-independent fixtures and excluded by
+    * construction. */
+  val Tier1 = Seq(
     "d14_substring_windows", "d21_exact_substr", "d20_prefix_join_skew",
     "approx_stats", "d19_prefix_join", "g2_edge_weights", "a3_percentile",
     "a13_fd_audit", "a9_profile", "d15_curation_funnel", "d13_boilerplate",
@@ -38,6 +39,24 @@ object Sf1Correctness {
     "t20_source_overlap", "q21_waiting", "distinct_agg", "d9_contamination",
     "t13_hll_shingles", "e15_sliding_distinct", "w5_range_frame", "g4_bfs",
     "q20_basket_lift", "e6_hopping_window", "v16_knn_graph", "e21_periodicity")
+
+  /** Tier 2: census ranks 31-60 (3.8 MB down to sub-MB), minus the
+    * rows the 17-query perf rehearsal already value-checks at 10x
+    * (g1/g5/g8/t17 run there with their caps rescaled) — these are the
+    * next most data-bound AND sweep the t-family model builders, the
+    * e-family sessionization/window paths, and the p-family samplers
+    * whose semantics are corpus-shape-sensitive. */
+  val Tier2 = Seq(
+    "e2_sessionize", "e18_event_paths", "e12_transitions", "w1_window_rank",
+    "t8_bm25", "t16_bpe_apply", "v11_semdedup", "t2_quality_score",
+    "q18_large_orders", "t6_corpus_filter", "t5_bpe_tokens",
+    "t25_classifier_eval", "t22_heaps", "t1_token_stats", "t18_pii_redact",
+    "t15_classifier", "t12_kmv_distinct", "t9_vocab", "t3_lang_id",
+    "t26_langid_eval", "t24_zipf_fit", "q16_supplier_cnt", "e11_attribution",
+    "q3_join_topk", "p5_source_cap", "w6_ntile_cume", "m8_dhash_neardup",
+    "p13_curriculum", "e19_gini", "t10_repetition")
+
+  val Queries: Seq[String] = Tier1 ++ Tier2
 
   def main(args: Array[String]): Unit = {
     java.util.Locale.setDefault(java.util.Locale.ROOT)
