@@ -141,7 +141,12 @@ object DedupOps {
     // all of them from one aggregate stage — measured 0.2 s (d19) /
     // 0.6 s (d20) FASTER than an eager checkpoint, whose
     // materialization job + RDD re-scans cost more than they saved.
-    val packed = shH.join(dfq, Seq("h"))
+    // shuffle-hash, never broadcast (the d14 lesson, r17 audit): dfq is
+    // token-type-sized — CORPUS-PROPORTIONAL — and the fan-out-blind
+    // Generate estimate sends it under the broadcast threshold at plan
+    // time; both sides already sit on the h exchange, so the hinted
+    // join is exchange-free and the hint only picks the join algorithm
+    val packed = shH.join(dfq.hint("shuffle_hash"), Seq("h"))
       .groupBy(col("doc_id"))
       .agg(expr("transform(sort_array(collect_set(struct(df, h))), t -> t.h)")
         .as("hs"))
@@ -222,9 +227,15 @@ object DedupOps {
     // small, shuffles otherwise. The jaccard filter lands in the join
     // condition, where sorted_intersect_count stays cheap per
     // evaluation (no per-call hash-set build, unlike array_intersect).
-    cand
-      .join(packed.as("p1"), col("d1") === col("p1.doc_id"))
-      .join(packed.as("p2"), col("d2") === col("p2.doc_id"))
+    // shuffle-hash with the CANDIDATE side hinted as build: the static
+    // planner otherwise BROADCASTS packed — the per-doc token-array
+    // relation, i.e. the whole corpus content — on the same blind
+    // estimate (observed in the final adaptive plan at 10x, r17 audit).
+    // packed lands doc_id-partitioned from its aggregate, so only the
+    // (result-sized) candidate relation pays the exchanges.
+    cand.hint("shuffle_hash")
+      .join(packed.as("p1").hint("shuffle_hash"), col("d1") === col("p1.doc_id"))
+      .join(packed.as("p2").hint("shuffle_hash"), col("d2") === col("p2.doc_id"))
       .select(col("d1"), col("d2"),
         graft.functions.sorted_intersect_count(col("p1.hv"), col("p2.hv")).as("m"),
         size(col("p1.hv")).cast("long").as("n1"),
@@ -393,14 +404,19 @@ object DedupOps {
       val bp = sh.groupBy(col("h")).agg(count(lit(1)).as("dfreq"))
         .filter(col("dfreq") >= 3).select(col("h"))
       val nSh = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-      val nBp = sh.join(bp, Seq("h"))
+      // shuffle-hash, never broadcast (r17 audit, the d14 lesson): the
+      // boilerplate set is CORPUS-PROPORTIONAL (every shingle with
+      // df >= 3) and the doc-grained aggregates are doc-proportional —
+      // the fan-out-blind Generate estimate sends all of them under the
+      // broadcast threshold at plan time
+      val nBp = sh.join(bp.hint("shuffle_hash"), Seq("h"))
         .groupBy(col("doc_id")).agg(count(lit(1)).as("n_bp"))
-      val flagged = nSh.join(nBp, Seq("doc_id"), "left")
+      val flagged = nSh.join(nBp.hint("shuffle_hash"), Seq("doc_id"), "left")
         .select(col("doc_id"), col("n_sh"),
           coalesce(col("n_bp"), lit(0L)).as("n_bp"))
         .withColumn("flag", (lit(2) * col("n_bp") >= col("n_sh")).cast("int"))
       d.select(col("doc_id"), col("source"), col("n_chars"))
-        .join(flagged, Seq("doc_id"), "left")
+        .join(flagged.hint("shuffle_hash"), Seq("doc_id"), "left")
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"),
           sum(coalesce(col("flag"), lit(0))).cast("long").as("n_flagged"),
@@ -508,15 +524,17 @@ object DedupOps {
       val bp = sh.groupBy(col("h")).agg(count(lit(1)).as("dfreq"))
         .filter(col("dfreq") >= 3).select(col("h"))
       val nSh = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-      val nBp = sh.join(bp, Seq("h"))
+      // shuffle-hash, never broadcast (r17 audit): bp is corpus-
+      // proportional, nSh/nBp doc-proportional — same class as d13
+      val nBp = sh.join(bp.hint("shuffle_hash"), Seq("h"))
         .groupBy(col("doc_id")).agg(count(lit(1)).as("n_bp"))
       val wD = Window.partitionBy(col("hash")).orderBy(col("doc_id"))
       val alpha = length(regexp_replace(lower(col("text")), "[^a-z]", ""))
       val staged = d
         .withColumn("hash", md5(col("text")))
         .withColumn("rn", row_number().over(wD))
-        .join(nSh, Seq("doc_id"), "left")
-        .join(nBp, Seq("doc_id"), "left")
+        .join(nSh.hint("shuffle_hash"), Seq("doc_id"), "left")
+        .join(nBp.hint("shuffle_hash"), Seq("doc_id"), "left")
         .select(col("source"), col("n_chars"),
           (col("n_chars") >= 100 && col("n_chars") <= 20000).as("f1"),
           (lit(10) * alpha >= lit(6) * col("n_chars")).as("f2"),
@@ -613,9 +631,12 @@ object DedupOps {
         .groupBy(col("p.d1").as("d1"), col("p.d2").as("d2"))
         .agg(count(lit(1)).as("m"))
       val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      // shuffle-hash, never broadcast (r17 audit): cnt is DOC-
+      // proportional; only the (result-sized) pair relation pays the
+      // exchanges — cnt lands doc-partitioned from its aggregate
       pairs
-        .join(cnt.as("c1"), col("d1") === col("c1.doc_id"))
-        .join(cnt.as("c2"), col("d2") === col("c2.doc_id"))
+        .join(cnt.as("c1").hint("shuffle_hash"), col("d1") === col("c1.doc_id"))
+        .join(cnt.as("c2").hint("shuffle_hash"), col("d2") === col("c2.doc_id"))
         .withColumn("jac_raw", col("m") / (col("c1.n") + col("c2.n") - col("m")))
         .filter(col("jac_raw") >= 0.5)
         .select(col("d1"), col("d2"), round(col("jac_raw"), 6).as("jaccard_capped"))
@@ -791,9 +812,14 @@ object DedupOps {
       val denom = col("n1") + col("n2") - col("m")
       val jac = when(denom === 0, lit(0.0))
         .otherwise(round(col("m") / denom, 6))
+      // the shingle-count attaches go shuffle-hash (r17 audit): cnt is
+      // DOC-proportional and the candidate side is the small one — the
+      // planner would otherwise broadcast cnt off the Generate estimate
       cand.join(m, Seq("id1", "id2"), "left")
-        .join(cnt.select(col("doc_id").as("id1"), col("n").as("n1")), Seq("id1"), "left")
-        .join(cnt.select(col("doc_id").as("id2"), col("n").as("n2")), Seq("id2"), "left")
+        .join(cnt.select(col("doc_id").as("id1"), col("n").as("n1"))
+          .hint("shuffle_hash"), Seq("id1"), "left")
+        .join(cnt.select(col("doc_id").as("id2"), col("n").as("n2"))
+          .hint("shuffle_hash"), Seq("id2"), "left")
         .na.fill(0L, Seq("m", "n1", "n2"))
         .select(col("id1"), col("id2"), col("cos"),
           jac.as("jaccard"),
@@ -897,9 +923,14 @@ object DedupOps {
         .join(csh.select(col("h"), col("doc_id").as("cd")), Seq("h"))
         .groupBy(col("bd"), col("cd")).agg(count(lit(1)).as("m"))
       val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      // doc-proportional count attaches: shuffle-hash (r17 audit); the
+      // EXPLICIT bsh broadcasts above are the incremental contract's
+      // batch-sized side and stay
       val near = pairs
-        .join(cnt.select(col("doc_id").as("bd"), col("n").as("nb")), Seq("bd"))
-        .join(cnt.select(col("doc_id").as("cd"), col("n").as("nc")), Seq("cd"))
+        .join(cnt.select(col("doc_id").as("bd"), col("n").as("nb"))
+          .hint("shuffle_hash"), Seq("bd"))
+        .join(cnt.select(col("doc_id").as("cd"), col("n").as("nc"))
+          .hint("shuffle_hash"), Seq("cd"))
         .filter(col("m") / (col("nb") + col("nc") - col("m")) >= 0.5)
         .select(col("bd").as("doc_id")).distinct()
       d.filter(isBatch).select(col("doc_id"))

@@ -368,12 +368,16 @@ object EventOps {
         .select(col("user_id"), col("e").as("pe"),
           explode(array((col("e") / W).cast("long"),
             (col("e") / W).cast("long") - 1)).as("b"))
-      val converted = views.join(buys,
+      // shuffle-hash, never broadcast (r17 audit): both funnel arms are
+      // EVENT-proportional (type-filtered corpus subsets) — the
+      // Generate-blind estimate would broadcast the purchase arm
+      val converted = views.join(buys.hint("shuffle_hash"),
           Seq("user_id", "b"), "inner")
         .filter(col("pe") > col("e") && col("pe") <= col("e") + W)
         .select(col("user_id"), col("e")).distinct()
       views.select(col("user_id"), col("e"))
-        .join(converted.withColumn("c", lit(1L)), Seq("user_id", "e"), "left")
+        .join(converted.withColumn("c", lit(1L)).hint("shuffle_hash"),
+          Seq("user_id", "e"), "left")
         .groupBy((col("e") / 86400L).cast("long").as("day"))
         .agg(count(lit(1)).as("n_views"),
           sum(coalesce(col("c"), lit(0L))).cast("long").as("n_converted"))

@@ -81,10 +81,23 @@ object Sf1Correctness {
     }
     def writeJson(path: String, body: String): Unit =
       java.nio.file.Files.write(java.nio.file.Paths.get(path), body.getBytes("UTF-8"))
+    // a SUBSET run merges into the existing row map instead of
+    // clobbering the other queries' counts (the Sf1Rehearsal rule —
+    // regeneration wipes the dir, so merged entries are same-data)
+    val rowsPath = java.nio.file.Paths.get(s"$outDir/sc_rows.json")
+    val prior: Map[String, Long] =
+      if (java.nio.file.Files.exists(rowsPath)) {
+        val txt = new String(java.nio.file.Files.readAllBytes(rowsPath), "UTF-8")
+        "\"([^\"]+)\"\\s*:\\s*(\\d+)".r.findAllMatchIn(txt)
+          .map(m => m.group(1) -> m.group(2).toLong).toMap
+      } else Map.empty
+    val merged = (prior ++ rows.toMap).toSeq.sortBy(_._1)
     writeJson(s"$outDir/sc_rows.json",
-      rows.map { case (n, c) => s""""$n":$c""" }.mkString("{", ",", "}"))
-    // oracle SQL verbatim from the committed gate (no rewriting)
-    val oracle = selected.map { n =>
+      merged.map { case (n, c) => s""""$n":$c""" }.mkString("{", ",", "}"))
+    // oracle SQL verbatim from the committed gate (no rewriting) — for
+    // EVERY gate query, so a subset re-dump never shrinks the surface
+    // the python arm replays
+    val oracle = Queries.map { n =>
       val sql = graft.SparkEntry.oracleSql(n)
         .replace("\\", "\\\\").replace("\"", "\\\"").replace("\n", "\\n")
       s""""$n":"$sql""""
