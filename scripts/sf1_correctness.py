@@ -40,8 +40,8 @@ def norm(df):
 
 
 def main(sf1_dir, out_json="CORRECTNESS_SF1.json"):
-    oracle = json.load(open(os.path.join(sf1_dir, "sc_oracle.json")))
-    spark_rows = json.load(open(os.path.join(sf1_dir, "sc_rows.json")))
+    oracle = json.load(open(os.path.join(sf1_dir + "-harness", "sc_oracle.json")))
+    spark_rows = json.load(open(os.path.join(sf1_dir + "-harness", "sc_rows.json")))
     con = duckdb.connect()
     for t in TABLES:
         p = os.path.join(sf1_dir, f"{t}.parquet")
@@ -55,7 +55,7 @@ def main(sf1_dir, out_json="CORRECTNESS_SF1.json"):
         t0 = time.time()
         want = norm(con.execute(sql).df())
         dd_sec = round(time.time() - t0, 2)
-        files = sorted(glob.glob(os.path.join(sf1_dir, "sc_results", name, "*.parquet")))
+        files = sorted(glob.glob(os.path.join(sf1_dir + "-harness", "sc_results", name, "*.parquet")))
         if not files:
             results[name] = {"error": "missing spark value dump"}
             continue

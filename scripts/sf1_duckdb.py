@@ -39,7 +39,7 @@ def main(sf1_dir, oracle_path, runs=3, k=10, only=None):
     queries = [q for q in QUERIES if only is None or q in only]
     oracle = json.load(open(oracle_path))
     expected = {}
-    rows_path = os.path.join(sf1_dir, "spark_rows.json")
+    rows_path = os.path.join(sf1_dir + "-harness", "spark_rows.json")
     if os.path.exists(rows_path):
         expected = json.load(open(rows_path))
     con = duckdb.connect()
@@ -87,7 +87,7 @@ def main(sf1_dir, oracle_path, runs=3, k=10, only=None):
         # full VALUE compare against the Spark arm's untimed result dump
         # (dev_check idiom): sorted columns, sorted rows, str-compare
         spark_files = sorted(glob.glob(
-            os.path.join(sf1_dir, "results", name, "*.parquet")))
+            os.path.join(sf1_dir + "-harness", "results", name, "*.parquet")))
         if not spark_files:
             # the Spark arm dumps every query it timed — a missing dump
             # (including results/ absent entirely, e.g. a pre-dump

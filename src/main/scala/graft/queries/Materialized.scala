@@ -71,22 +71,33 @@ private[graft] object Materialized {
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) return "absent"
     var h = 0L
-    var newest: org.apache.hadoop.fs.LocatedFileStatus = null
-    val it = fs.listFiles(p, true)
-    while (it.hasNext) {
-      val st = it.next()
-      // per-file mix, XOR-accumulated: order-independent (listing order
-      // varies by FS) and sensitive to any single file's rename/resize/
-      // retouch — the per-file fold ADVICE r16 asked for
-      val ph = scala.util.hashing.MurmurHash3
-        .stringHash(st.getPath.toUri.getPath).toLong
-      h ^= (ph * 0x9e3779b97f4a7c15L) ^
-        java.lang.Long.rotateLeft(st.getLen * 0xc2b2ae3d27d4eb4fL, 17) ^
-        java.lang.Long.rotateLeft(st.getModificationTime, 41)
-      if (newest == null || st.getModificationTime > newest.getModificationTime ||
-          (st.getModificationTime == newest.getModificationTime &&
-            st.getPath.toString > newest.getPath.toString))
-        newest = st
+    var newest: org.apache.hadoop.fs.FileStatus = null
+    // manual recursive listStatus, NOT listFiles(recursive): listFiles
+    // returns LocatedFileStatus, which resolves per-file BLOCK LOCATIONS
+    // — measured ~1.5 ms/file of pure overhead on the local FS (an
+    // 0.8 s tax per dirTag call on a 545-file dir, r17 probe); plain
+    // FileStatus carries exactly the three fields the fold needs
+    val stack = new java.util.ArrayDeque[Path]()
+    stack.push(p)
+    while (!stack.isEmpty) {
+      val d = stack.pop()
+      fs.listStatus(d).foreach { st =>
+        if (st.isDirectory) stack.push(st.getPath)
+        else {
+          // per-file mix, XOR-accumulated: order-independent (listing
+          // order varies by FS) and sensitive to any single file's
+          // rename/resize/retouch — the per-file fold ADVICE r16 asked for
+          val ph = scala.util.hashing.MurmurHash3
+            .stringHash(st.getPath.toUri.getPath).toLong
+          h ^= (ph * 0x9e3779b97f4a7c15L) ^
+            java.lang.Long.rotateLeft(st.getLen * 0xc2b2ae3d27d4eb4fL, 17) ^
+            java.lang.Long.rotateLeft(st.getModificationTime, 41)
+          if (newest == null || st.getModificationTime > newest.getModificationTime ||
+              (st.getModificationTime == newest.getModificationTime &&
+                st.getPath.toString > newest.getPath.toString))
+            newest = st
+        }
+      }
     }
     if (newest != null && newest.getLen > 0) {
       val in = fs.open(newest.getPath)

@@ -74,17 +74,19 @@ object Sf1Correctness {
     val rows = selected.map { name =>
       val t0 = System.nanoTime()
       val df = graft.SparkEntry.queries(name)(spark, outDir)
-      df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/sc_results/$name")
-      val n = spark.read.parquet(s"$outDir/sc_results/$name").count()
+      df.coalesce(1).write.mode("overwrite").parquet(s"$outDir-harness/sc_results/$name")
+      val n = spark.read.parquet(s"$outDir-harness/sc_results/$name").count()
       println(f"""{"sf1_correctness":"$name","rows":$n,"sec":${(System.nanoTime() - t0) / 1e9}%.2f}""")
       name -> n
     }
-    def writeJson(path: String, body: String): Unit =
+    def writeJson(path: String, body: String): Unit = {
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(path).getParent)
       java.nio.file.Files.write(java.nio.file.Paths.get(path), body.getBytes("UTF-8"))
+    }
     // a SUBSET run merges into the existing row map instead of
     // clobbering the other queries' counts (the Sf1Rehearsal rule —
     // regeneration wipes the dir, so merged entries are same-data)
-    val rowsPath = java.nio.file.Paths.get(s"$outDir/sc_rows.json")
+    val rowsPath = java.nio.file.Paths.get(s"$outDir-harness/sc_rows.json")
     val prior: Map[String, Long] =
       if (java.nio.file.Files.exists(rowsPath)) {
         val txt = new String(java.nio.file.Files.readAllBytes(rowsPath), "UTF-8")
@@ -92,7 +94,7 @@ object Sf1Correctness {
           .map(m => m.group(1) -> m.group(2).toLong).toMap
       } else Map.empty
     val merged = (prior ++ rows.toMap).toSeq.sortBy(_._1)
-    writeJson(s"$outDir/sc_rows.json",
+    writeJson(s"$outDir-harness/sc_rows.json",
       merged.map { case (n, c) => s""""$n":$c""" }.mkString("{", ",", "}"))
     // oracle SQL verbatim from the committed gate (no rewriting) — for
     // EVERY gate query, so a subset re-dump never shrinks the surface
@@ -102,7 +104,7 @@ object Sf1Correctness {
         .replace("\\", "\\\\").replace("\"", "\\\"").replace("\n", "\\n")
       s""""$n":"$sql""""
     }.mkString("{", ",\n", "}")
-    writeJson(s"$outDir/sc_oracle.json", oracle)
+    writeJson(s"$outDir-harness/sc_oracle.json", oracle)
     println(s"[sf1-correctness] ${rows.length} queries dumped under $outDir")
     spark.stop()
   }

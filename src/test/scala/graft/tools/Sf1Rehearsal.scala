@@ -87,8 +87,13 @@ object Sf1Rehearsal {
     // regeneration invalidates every prior value dump and row count:
     // results/<name> parquet written against the OLD data (or old code)
     // would let a later DuckDB arm "value-match" stale outputs
+    // harness outputs live in the SIBLING <outDir>-harness dir: value
+    // dumps inside the corpus dir polluted its content fingerprint —
+    // every dump re-keyed every later query's Materialized artifacts
+    // AND grew the per-dirTag listing (r17: 0.8 s/pass tax at 545
+    // files) — the corpus dir must hold ONLY the corpus
     for (residue <- Seq("results", "spark_rows.json")) {
-      val p = java.nio.file.Paths.get(outDir, residue)
+      val p = java.nio.file.Paths.get(s"$outDir-harness", residue)
       if (java.nio.file.Files.exists(p)) {
         import scala.jdk.CollectionConverters._
         val walk = java.nio.file.Files.walk(p)
@@ -180,7 +185,7 @@ object Sf1Rehearsal {
       // a mis-scaled density cap could row-count-match on cap-insensitive
       // outputs (g7's audit rows) while computing a different graph
       fn(spark, outDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/results/$name")
+        .parquet(s"$outDir-harness/results/$name")
       name -> nw
     }
     // Row counts as a side file so the DuckDB arm (scripts/sf1_duckdb.py)
@@ -206,8 +211,8 @@ object Sf1Rehearsal {
     def mainUnchangedSince(c: String): Boolean =
       !mainDirty && !c.endsWith("-dirty") &&
         sh("git", "diff", "--quiet", c, headCommit, "--", "src/main/scala")._1 == 0
-    val rowsPath = java.nio.file.Paths.get(s"$outDir/spark_rows.json")
-    val commitsPath = java.nio.file.Paths.get(s"$outDir/spark_rows_commits.json")
+    val rowsPath = java.nio.file.Paths.get(s"$outDir-harness/spark_rows.json")
+    val commitsPath = java.nio.file.Paths.get(s"$outDir-harness/spark_rows_commits.json")
     def readJsonMap(p: java.nio.file.Path): Map[String, String] =
       if (java.nio.file.Files.exists(p)) {
         val txt = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
@@ -226,6 +231,7 @@ object Sf1Rehearsal {
         rowCounts.map { case (k, _) => k -> stamp }
     val rowsJson = merged.toSeq.sortBy(_._1)
       .map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+    java.nio.file.Files.createDirectories(rowsPath.getParent)
     java.nio.file.Files.write(rowsPath, rowsJson.getBytes("UTF-8"))
     val commitsJson = mergedCommits.toSeq.sortBy(_._1)
       .map { case (k, v) => s""""$k":"$v"""" }.mkString("{", ",", "}")
