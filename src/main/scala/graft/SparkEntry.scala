@@ -30,9 +30,16 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     queries("q1_agg")(spark, "/root/testdata/sf0.001")
 
-  /** One entry per implemented operator from SURVEY.md §2. */
+  /** One entry per implemented operator from SURVEY.md §2. Each build
+    * runs inside a [[graft.queries.Materialized.fingerprintScope]]: all
+    * dirTag calls within ONE query build see one consistent corpus
+    * fingerprint, so a composed plan can never key a mixed stale/fresh
+    * artifact set across an in-place corpus mutation (VERDICT r17 #4). */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    packs.map(_._1).reduce(_ ++ _)
+    packs.map(_._1).reduce(_ ++ _).map { case (k, f) =>
+      k -> ((s: SparkSession, dir: String) =>
+        graft.queries.Materialized.fingerprintScope(f(s, dir)))
+    }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

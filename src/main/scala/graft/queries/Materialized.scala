@@ -59,14 +59,38 @@ private[graft] object Materialized {
     * inside one mtime tick still moves the key when its bytes moved
     * (pinned in MaterializedSpec's alias test). One listing + one file
     * open per call — trivial next to any query over the same dir — and
-    * deliberately uncached so an in-place mutation is visible to the
-    * very next consumer. Residual accepted edges (the cost of anything
-    * cheaper than full content hashing): a same-length same-mtime
-    * rewrite of a NON-newest file whose head/tail bytes are unchanged;
-    * and two dirTag calls straddling an in-place mutation inside one
-    * composed plan build key inconsistent artifacts — inherent to
-    * scanning a dir under concurrent mutation, which plain reads share. */
+    * uncached BETWEEN query builds so an in-place mutation is visible
+    * to the very next consumer; WITHIN one query build (a
+    * [[fingerprintScope]], opened per-invocation by `SparkEntry.queries`)
+    * the value is memoized per dir, so a composed plan whose dirTag
+    * calls straddle an in-place corpus mutation keys one CONSISTENT
+    * artifact set instead of a mixed stale/fresh one (VERDICT r17 #4).
+    * Residual accepted edge (the cost of anything cheaper than full
+    * content hashing): a same-length same-mtime rewrite of a NON-newest
+    * file whose head/tail bytes are unchanged. */
   def fingerprint(s: SparkSession, dir: String): String = {
+    val cache = scopeCache.get()
+    if (cache == null) computeFingerprint(s, dir)
+    else {
+      val hit = cache.get(dir)
+      if (hit != null) hit
+      else { val v = computeFingerprint(s, dir); cache.put(dir, v); v }
+    }
+  }
+
+  /** Per-query-build fingerprint memo (thread-local: one query build is
+    * one driver-side plan construction on one thread). Nested scopes
+    * reuse the outermost memo; no scope = uncached per call. */
+  private val scopeCache = new ThreadLocal[java.util.HashMap[String, String]]()
+
+  def fingerprintScope[T](body: => T): T =
+    if (scopeCache.get() != null) body
+    else {
+      scopeCache.set(new java.util.HashMap[String, String]())
+      try body finally scopeCache.remove()
+    }
+
+  private def computeFingerprint(s: SparkSession, dir: String): String = {
     val p = new Path(dir)
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) return "absent"
@@ -86,12 +110,18 @@ private[graft] object Materialized {
         else {
           // per-file mix, XOR-accumulated: order-independent (listing
           // order varies by FS) and sensitive to any single file's
-          // rename/resize/retouch — the per-file fold ADVICE r16 asked for
-          val ph = scala.util.hashing.MurmurHash3
-            .stringHash(st.getPath.toUri.getPath).toLong
-          h ^= (ph * 0x9e3779b97f4a7c15L) ^
-            java.lang.Long.rotateLeft(st.getLen * 0xc2b2ae3d27d4eb4fL, 17) ^
-            java.lang.Long.rotateLeft(st.getModificationTime, 41)
+          // rename/resize/retouch — the per-file fold ADVICE r16 asked
+          // for. The three fields are bound NONLINEARLY (sequential
+          // multiply + xorshift) into ONE word before the fold: a
+          // field-separable fold (r17 shape) split the aggregate into
+          // independent path/len/mtime XOR pools, so two files swapping
+          // lengths (or mtimes) inside one dir cancelled out and aliased
+          // (ADVICE r17; pinned in MaterializedSpec's same-dir swap test).
+          var w = scala.util.hashing.MurmurHash3
+            .stringHash(st.getPath.toUri.getPath).toLong * 0x9e3779b97f4a7c15L
+          w ^= st.getLen; w *= 0xc2b2ae3d27d4eb4fL; w ^= (w >>> 29)
+          w ^= st.getModificationTime; w *= 0x9e3779b97f4a7c15L; w ^= (w >>> 32)
+          h ^= w
           if (newest == null || st.getModificationTime > newest.getModificationTime ||
               (st.getModificationTime == newest.getModificationTime &&
                 st.getPath.toString > newest.getPath.toString))
@@ -100,18 +130,28 @@ private[graft] object Materialized {
       }
     }
     if (newest != null && newest.getLen > 0) {
-      val in = fs.open(newest.getPath)
+      // The sample uses the LISTED length; a file truncated/deleted
+      // between listStatus and open must not throw out of fingerprint
+      // (ADVICE r17) — concurrent mutation degrades to the documented
+      // stale-vs-fresh residual, so fold a distinct 'sample-unavailable'
+      // marker instead (the listing terms above already moved the key).
       try {
-        val headN = math.min(4096L, newest.getLen).toInt
-        val buf = new Array[Byte](headN)
-        in.readFully(0L, buf)
-        h = h * 0x9e3779b97f4a7c15L ^ scala.util.hashing.MurmurHash3.bytesHash(buf).toLong
-        if (newest.getLen > 4096L) {
-          in.readFully(newest.getLen - 4096L, buf)
-          h ^= java.lang.Long.rotateLeft(
-            scala.util.hashing.MurmurHash3.bytesHash(buf).toLong, 29)
-        }
-      } finally in.close()
+        val in = fs.open(newest.getPath)
+        try {
+          val headN = math.min(4096L, newest.getLen).toInt
+          val buf = new Array[Byte](headN)
+          in.readFully(0L, buf)
+          h = h * 0x9e3779b97f4a7c15L ^ scala.util.hashing.MurmurHash3.bytesHash(buf).toLong
+          if (newest.getLen > 4096L) {
+            in.readFully(newest.getLen - 4096L, buf)
+            h ^= java.lang.Long.rotateLeft(
+              scala.util.hashing.MurmurHash3.bytesHash(buf).toLong, 29)
+          }
+        } finally in.close()
+      } catch {
+        case _: java.io.IOException =>
+          h = h * 0x9e3779b97f4a7c15L ^ 0x5be5e64d3a1c9f37L
+      }
     }
     java.lang.Long.toHexString(h)
   }

@@ -200,20 +200,41 @@ class MaterializedSpec extends AnyFunSuite {
   }
 
   test("fingerprint: per-file fold separates same-aggregate layouts; sample reads head and tail") {
-    // two dirs with identical file count, total bytes, and max mtime but
-    // different per-file split — the aggregate-only r16 key merged these
+    // ADVICE r17: the separability proof must run within ONE dir —
+    // a two-dir variant passes via the differing path terms alone.
+    // Swap two files' LENGTHS in place (mtimes pinned, newest file —
+    // the sampled one — untouched): a field-separable fold XORs the
+    // same two len terms either way and aliases; the bound fold moves.
     val d1 = Files.createTempDirectory("mspec-fpa")
-    val d2 = Files.createTempDirectory("mspec-fpb")
     Files.write(d1.resolve("a.bin"), Array.fill[Byte](10)(1))
     Files.write(d1.resolve("b.bin"), Array.fill[Byte](30)(1))
-    Files.write(d2.resolve("a.bin"), Array.fill[Byte](30)(1))
-    Files.write(d2.resolve("b.bin"), Array.fill[Byte](10)(1))
+    // newest-by-mtime tiebreak lands on c.bin so the content sample
+    // cannot rescue the swap below
+    Files.write(d1.resolve("c.bin"), Array.fill[Byte](7)(9))
     val m = 1700000000000L
-    for (d <- Seq(d1, d2); n <- Seq("a.bin", "b.bin"))
-      assert(d.resolve(n).toFile.setLastModified(m))
-    assert(Materialized.fingerprint(spark, d1.toString)
-      != Materialized.fingerprint(spark, d2.toString),
-      "per-file (path, len) fold must separate same-aggregate layouts")
+    for (n <- Seq("a.bin", "b.bin"))
+      assert(d1.resolve(n).toFile.setLastModified(m))
+    assert(d1.resolve("c.bin").toFile.setLastModified(m + 60000L))
+    val before = Materialized.fingerprint(spark, d1.toString)
+    Files.write(d1.resolve("a.bin"), Array.fill[Byte](30)(1))
+    Files.write(d1.resolve("b.bin"), Array.fill[Byte](10)(1))
+    for (n <- Seq("a.bin", "b.bin"))
+      assert(d1.resolve(n).toFile.setLastModified(m))
+    assert(Materialized.fingerprint(spark, d1.toString) != before,
+      "a same-dir length swap (mtimes pinned) must move the fingerprint")
+    // and the same for an mtime swap (lengths pinned)
+    val e1 = Files.createTempDirectory("mspec-fpm")
+    Files.write(e1.resolve("a.bin"), Array.fill[Byte](10)(1))
+    Files.write(e1.resolve("b.bin"), Array.fill[Byte](10)(2))
+    Files.write(e1.resolve("c.bin"), Array.fill[Byte](7)(9))
+    assert(e1.resolve("a.bin").toFile.setLastModified(m))
+    assert(e1.resolve("b.bin").toFile.setLastModified(m + 1000L))
+    assert(e1.resolve("c.bin").toFile.setLastModified(m + 60000L))
+    val mBefore = Materialized.fingerprint(spark, e1.toString)
+    assert(e1.resolve("a.bin").toFile.setLastModified(m + 1000L))
+    assert(e1.resolve("b.bin").toFile.setLastModified(m))
+    assert(Materialized.fingerprint(spark, e1.toString) != mBefore,
+      "a same-dir mtime swap (lengths pinned) must move the fingerprint")
     // tail sensitivity on a >4 KiB newest file: flip one byte past the
     // head window, keep length + mtime
     val big = Files.createTempDirectory("mspec-fpt")
@@ -227,6 +248,40 @@ class MaterializedSpec extends AnyFunSuite {
     assert(bf.toFile.setLastModified(m))
     assert(Materialized.fingerprint(spark, big.toString) != f0,
       "a tail-byte rewrite must move the fingerprint")
+  }
+
+  test("fingerprintScope: dirTag calls straddling an in-place mutation key ONE consistent artifact set") {
+    // VERDICT r17 #4: without a scope, two dirTag calls straddling an
+    // in-place corpus mutation key inconsistent artifacts inside one
+    // composed build. SparkEntry.queries opens a fingerprintScope per
+    // build; within it the fingerprint is memoized per dir.
+    val corpus = Files.createTempDirectory("mspec-scope")
+    val f = corpus.resolve("t.bin")
+    Files.write(f, Array.fill[Byte](64)(1))
+    def mutate(): Unit = {
+      Files.write(f, Array.fill[Byte](128)(2))
+      assert(f.toFile.setLastModified(f.toFile.lastModified() + 60000L))
+    }
+    val (s1, s2) = Materialized.fingerprintScope {
+      val a = Materialized.dirTag(spark, corpus.toString)
+      mutate()
+      (a, Materialized.dirTag(spark, corpus.toString))
+    }
+    assert(s1 == s2, "within one build scope the key must be consistent")
+    // outside a scope the very next consumer sees the mutation
+    val after = Materialized.dirTag(spark, corpus.toString)
+    assert(after != s1, "a new build must see the mutated corpus")
+    // and a FRESH scope re-reads (memo does not leak across builds)
+    val fresh = Materialized.fingerprintScope(Materialized.dirTag(spark, corpus.toString))
+    assert(fresh == after)
+    // nested scopes share the outermost memo
+    Materialized.fingerprintScope {
+      val outer = Materialized.dirTag(spark, corpus.toString)
+      assert(Materialized.fingerprintScope(Materialized.dirTag(spark, corpus.toString)) == outer)
+    }
+    // SparkEntry wires the scope: a query function invoked through the
+    // public map observes memoized fingerprints (smoke: it builds at all)
+    assert(graft.SparkEntry.queries.contains("q1_agg"))
   }
 
   test("a partial artifact (no _SUCCESS) is rebuilt, not trusted") {

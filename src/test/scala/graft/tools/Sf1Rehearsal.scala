@@ -92,8 +92,12 @@ object Sf1Rehearsal {
     // every dump re-keyed every later query's Materialized artifacts
     // AND grew the per-dirTag listing (r17: 0.8 s/pass tax at 545
     // files) — the corpus dir must hold ONLY the corpus
-    for (residue <- Seq("results", "spark_rows.json")) {
-      val p = java.nio.file.Paths.get(s"$outDir-harness", residue)
+    // v4 runs wrote the dumps INSIDE the corpus dir; clear BOTH roots
+    // on regeneration or the legacy in-corpus residue outlives the v5
+    // restamp permanently (ADVICE r17)
+    for (root <- Seq(s"$outDir-harness", outDir);
+         residue <- Seq("results", "spark_rows.json")) {
+      val p = java.nio.file.Paths.get(root, residue)
       if (java.nio.file.Files.exists(p)) {
         import scala.jdk.CollectionConverters._
         val walk = java.nio.file.Files.walk(p)
