@@ -30,7 +30,10 @@ import java.util.Comparator
   * alias AND a corpus regenerated in place under the same path gets a
   * fresh key (stale artifacts are simply never read again; prune the
   * root like any cache). Concurrent writers across JVMs commit via
-  * staging + atomic rename; a committed `_SUCCESS` artifact is never
+  * staging + atomic rename on atomic-rename stores, or via an
+  * atomically-created pointer object on object-store schemes (see
+  * [[graft.queries.Materialized.commitProtocol]] — schemes that are
+  * neither are refused loudly); a committed artifact is never
   * overwritten.
   */
 object Scratch {

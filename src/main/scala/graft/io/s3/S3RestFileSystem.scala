@@ -97,7 +97,7 @@ import org.apache.hadoop.util.Progressable
   * `POST ?delete`. Listing paginates properly, so a million-chunk store
   * walks in `O(n / maxKeys)` round trips with no driver memory blowup.
   */
-class S3RestFileSystem extends FileSystem {
+class S3RestFileSystem extends FileSystem with graft.io.AtomicCreate {
 
   private var fsUri: URI = _
   private var bucket: String = _
@@ -649,6 +649,35 @@ class S3RestFileSystem extends FileSystem {
     val r = http("PUT", s"$bucket/${encodeKey(dstKey)}",
       headers = Seq("x-amz-copy-source" -> s"/$bucket/${encodeKey(srcKey)}"))
     if (r.code != 200) fail("COPY", s"$srcKey -> $dstKey", r)
+  }
+
+  /** Atomic create-if-absent via S3 conditional write (`PUT` with
+    * `If-None-Match: *` — 412 PreconditionFailed when the key exists;
+    * public AWS S3 API, honored by moto ≥5). The commit primitive
+    * [[graft.queries.Materialized]] uses for pointer commits on
+    * object-store roots, where `rename` (copy+delete) cannot commit
+    * atomically. The header rides UNSIGNED: SigV4 only verifies the
+    * SignedHeaders set (host + x-amz-*), and conditional evaluation is
+    * orthogonal to auth.
+    *
+    * 412 is ambiguous under retry — a transport failure AFTER the
+    * server applied OUR put makes the retry attempt read 412 against
+    * our own object (AWS documents this exact hazard for conditional
+    * writes). The body is writer-unique by the caller's contract, so a
+    * read-back disambiguates: byte-equal existing object = we won. */
+  override def createIfAbsent(f: Path, body: Array[Byte]): Boolean = {
+    val key = keyOf(f)
+    val r = http("PUT", s"$bucket/${encodeKey(key)}", body = body,
+      headers = Seq("If-None-Match" -> "*"))
+    if (r.code == 200) true
+    else if (r.code == 412) {
+      val existing =
+        try {
+          val in = open(f, 4096)
+          try readAll(in) finally in.close()
+        } catch { case _: IOException => null }
+      existing != null && java.util.Arrays.equals(existing, body)
+    } else fail("PUT(If-None-Match)", key, r)
   }
 
   private def deleteObject(key: String): Unit = {

@@ -26,7 +26,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * dumped per-round by `graft.tools.ArtifactCensus` → `ARTIFACTS.json`.
   *
   * Cross-JVM safety under a shared persistent root is by
-  * staging + rename, not by lock: each writer writes to a unique
+  * staging + rename on atomic-rename stores and by pointer-object
+  * commit on object stores — see [[commitProtocol]] for the store-class
+  * rules and [[relsPointer]] for the object-store variant. On the
+  * rename protocol: each writer writes to a unique
   * staging dir and renames it into place only if the target is absent;
   * a completed artifact (`_SUCCESS` present) is NEVER deleted or
   * overwritten, so a reader that passed the `_SUCCESS` gate can never
@@ -165,6 +168,48 @@ private[graft] object Materialized {
     dir.replaceAll("[^A-Za-z0-9]+", "_").takeRight(32) + "-" +
       java.lang.Integer.toHexString(dir.hashCode) + "-" + fingerprint(s, dir)
 
+  /** Store classes for the cross-JVM commit (VERDICT r17 ask #1). The
+    * staging+rename protocol is only sound where directory rename is
+    * ATOMIC (local, HDFS, viewfs — plus anything the operator vouches
+    * for via `graft.scratch.atomic-rename-schemes` in the Hadoop conf).
+    * On S3-class stores Hadoop rename is per-key COPY+DELETE with a
+    * HEAD-probe TOCTOU, and a directory rename copies `_SUCCESS` FIRST
+    * in listing order (`_` < `p`), so a reader gating on the marker can
+    * observe a half-copied artifact; two racing renames into one target
+    * can interleave into a MIXED file set. Hadoop exposes no
+    * atomic-rename PathCapability (checked against 3.4.2), so the class
+    * is scheme-declared, not probed. Non-atomic stores commit through a
+    * POINTER object created with [[graft.io.AtomicCreate]] (S3
+    * conditional write) instead; a store that is neither declared
+    * atomic nor AtomicCreate-capable is REFUSED loudly — silently
+    * running an unsound commit on an unknown store is the one outcome
+    * this check exists to prevent. */
+  private[graft] sealed trait CommitProtocol
+  private[graft] case object RenameCommit extends CommitProtocol
+  private[graft] case object PointerCommit extends CommitProtocol
+
+  private[graft] def commitProtocol(
+      fs: org.apache.hadoop.fs.FileSystem): CommitProtocol = {
+    val scheme = fs.getUri.getScheme.toLowerCase(java.util.Locale.ROOT)
+    val atomic = fs.getConf
+      .getTrimmedStrings("graft.scratch.atomic-rename-schemes",
+        "file", "hdfs", "viewfs", "mock")
+      .map(_.toLowerCase(java.util.Locale.ROOT)).toSet
+    if (atomic.contains(scheme)) RenameCommit
+    else fs match {
+      case _: graft.io.AtomicCreate => PointerCommit
+      case _ => throw new IllegalArgumentException(
+        s"scratch root scheme '$scheme' has non-atomic rename and its " +
+        "FileSystem cannot create-if-absent: the Materialized commit " +
+        "protocol would be UNSOUND there (readers can observe half-" +
+        "copied or mixed artifacts). Either point graft.scratch.root " +
+        "at a store with atomic directory rename, add the scheme to " +
+        "graft.scratch.atomic-rename-schemes in the Hadoop conf if its " +
+        "rename IS atomic, or use a FileSystem implementing " +
+        "graft.io.AtomicCreate (e.g. s3r:// with conditional writes).")
+    }
+  }
+
   /** n named relations built together under one tag: `build` runs at
     * most once per (JVM, tag) and at most once per persistent root
     * across JVMs (barring a lost race, where both compute and one
@@ -173,6 +218,8 @@ private[graft] object Materialized {
           (build: => Seq[DataFrame]): Seq[DataFrame] = {
     val dir = graft.Scratch.dir(s"mv-$tag")
     val fs = new Path(dir).getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (commitProtocol(fs) == PointerCommit)
+      return relsPointer(s, tag, names, dir, fs)(build)
     def target(n: String) = new Path(dir, s"$n.parquet")
     def complete(n: String) = fs.exists(new Path(target(n), "_SUCCESS"))
     val lock = locks.computeIfAbsent(tag, _ => new Object)
@@ -233,6 +280,82 @@ private[graft] object Materialized {
       }
     }
     names.map(n => s.read.parquet(target(n).toString))
+  }
+
+  /** Pointer-commit variant for object-store roots (non-atomic rename,
+    * [[graft.io.AtomicCreate]]-capable — see [[commitProtocol]]). Data
+    * files are NEVER renamed: each writer writes its parquet into a
+    * writer-unique attempt dir (`<name>-attempt-<uuid>`), then commits
+    * by atomically creating a tiny pointer object (`<name>.commit`)
+    * whose content is the attempt dir's name. Create-if-absent makes
+    * the FIRST committer win; the loser's attempt was never referenced
+    * by any pointer, so deleting it can't strand a reader. Readers
+    * resolve pointer → attempt and gate on that attempt's `_SUCCESS`;
+    * since the pointer is created only AFTER the attempt completed and
+    * S3-class stores are strongly consistent with complete-on-
+    * visibility PUTs, a resolved artifact is always whole — the mixed-
+    * file-set and half-copied-`_SUCCESS` hazards of rename on these
+    * stores cannot occur. A committed pointer is immutable (never
+    * overwritten, never deleted), preserving the never-lose-a-
+    * committed-artifact contract. Residual: a CRASHED writer's
+    * pointer-less attempt dir lingers (indistinguishable from a live
+    * writer's in-flight attempt, so no builder may clear it); it is
+    * invisible to readers and pruned with the cache root like any
+    * garbage. */
+  private def relsPointer(s: SparkSession, tag: String, names: Seq[String],
+      dir: String, fs: org.apache.hadoop.fs.FileSystem)
+      (build: => Seq[DataFrame]): Seq[DataFrame] = {
+    val ac = fs.asInstanceOf[graft.io.AtomicCreate]
+    def pointer(n: String) = new Path(dir, s"$n.commit")
+    def resolve(n: String): Option[Path] = {
+      if (!fs.exists(pointer(n))) return None
+      val in = fs.open(pointer(n))
+      val name =
+        try {
+          val buf = new java.io.ByteArrayOutputStream()
+          val b = new Array[Byte](256); var r = in.read(b)
+          while (r > 0) { buf.write(b, 0, r); r = in.read(b) }
+          new String(buf.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+        } finally in.close()
+      // a committed pointer names a completed attempt by construction;
+      // anything else is external tampering — fail loudly, never guess
+      val attempt = new Path(dir, name)
+      require(fs.exists(new Path(attempt, "_SUCCESS")),
+        s"pointer ${pointer(n)} names '$name' but no complete artifact is there " +
+        "(the commit protocol never writes a pointer before _SUCCESS — " +
+        "the cache root was externally modified)")
+      Some(attempt)
+    }
+    val lock = locks.computeIfAbsent(tag, _ => new Object)
+    lock.synchronized {
+      if (!names.forall(n => fs.exists(pointer(n)))) {
+        val t0 = System.nanoTime()
+        val dfs = build
+        require(dfs.length == names.length,
+          s"materialized build for $tag returned ${dfs.length} relations, expected ${names.length}")
+        names.zip(dfs).foreach { case (n, df) =>
+          if (!fs.exists(pointer(n))) {
+            val attemptName = s"$n-attempt-${java.util.UUID.randomUUID()}"
+            val attempt = new Path(dir, attemptName)
+            df.write.mode("overwrite").parquet(attempt.toString)
+            require(fs.exists(new Path(attempt, "_SUCCESS")),
+              s"parquet write to $attempt finished without _SUCCESS")
+            val won = ac.createIfAbsent(pointer(n),
+              attemptName.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            if (!won) {
+              // a racer committed first: its pointer must already resolve
+              // to a complete artifact (create happens only after
+              // _SUCCESS + strong consistency); our attempt was never
+              // named by any pointer, so dropping it cannot strand a reader
+              resolve(n)
+              fs.delete(attempt, true)
+            }
+          }
+        }
+        buildRecords.add(BuildRecord(tag, dir, names, (System.nanoTime() - t0) / 1e9))
+      }
+    }
+    names.map(n => s.read.parquet(resolve(n).get.toString))
   }
 
   def rel(s: SparkSession, tag: String)(build: => DataFrame): DataFrame =

@@ -312,4 +312,53 @@ class S3RestFsSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(px(z * cs(3) * cs(4) + y * cs(4) + x) ==
         SyntheticStack.value(z, 8 + y, 16 + x), s"voxel ($z,$y,$x)")
   }
+
+  test("createIfAbsent: conditional PUT wins once, loses against an existing key, owns its own bytes on re-ask") {
+    assume(motoUp, "moto S3 server unavailable in this environment")
+    val fs = FileSystem.newInstance(java.net.URI.create(s"s3r://$bucket/"), s3Conf)
+      .asInstanceOf[S3RestFileSystem]
+    val p = new Path(s"s3r://$bucket/cond/ptr.commit")
+    val a = "attempt-a".getBytes("UTF-8")
+    val b = "attempt-b".getBytes("UTF-8")
+    assert(fs.createIfAbsent(p, a), "first conditional create must win")
+    assert(!fs.createIfAbsent(p, b), "second writer must lose against the existing key")
+    // content is the WINNER's, untouched by the losing PUT
+    val in = fs.open(p, 1024)
+    val back = new Array[Byte](a.length); in.readFully(0, back); in.close()
+    assert(java.util.Arrays.equals(back, a))
+    // 412-ambiguity resolution: re-asking with our OWN bytes (the
+    // retry-after-applied-PUT shape) reports ownership, not loss
+    assert(fs.createIfAbsent(p, a), "byte-equal re-ask must resolve to 'won'")
+    fs.delete(new Path(s"s3r://$bucket/cond"), true)
+    fs.close()
+  }
+
+  test("Materialized pointer commit on a live s3r root: spark parquet write, pointer resolve, warm reuse") {
+    assume(motoUp, "moto S3 server unavailable in this environment")
+    spark.sparkContext
+    graft.Scratch.withRoot(s"s3r://$bucket/mvroot") {
+      val builds = new java.util.concurrent.atomic.AtomicInteger(0)
+      def consume(): Long = graft.queries.Materialized.rel(spark, "s3spec-ptr") {
+        builds.incrementAndGet()
+        spark.range(11).toDF("id")
+      }.count()
+      assert(consume() == 11 && builds.get() == 1)
+      assert(consume() == 11 && builds.get() == 1, "warm reuse through the pointer on s3r")
+      val fs = FileSystem.newInstance(java.net.URI.create(s"s3r://$bucket/"), s3Conf)
+      val dir = new Path(s"s3r://$bucket/mvroot/graft-mv-s3spec-ptr")
+      val ptr = new Path(dir, "rel.commit")
+      assert(fs.exists(ptr), "pointer object must exist")
+      val in = fs.open(ptr, 1024)
+      val name = { val b = new Array[Byte](fs.getFileStatus(ptr).getLen.toInt)
+        in.readFully(0, b); in.close(); new String(b, "UTF-8") }
+      assert(name.startsWith("rel-attempt-"))
+      assert(fs.exists(new Path(new Path(dir, name), "_SUCCESS")))
+      // no rename-protocol residue and exactly one attempt dir
+      val children = fs.listStatus(dir).map(_.getPath.getName).toVector
+      assert(children.count(_.startsWith("rel-attempt-")) == 1, children.toString)
+      assert(!children.exists(n => n.startsWith(".staging-") || n.startsWith(".trash-")),
+        children.toString)
+      fs.close()
+    }
+  }
 }

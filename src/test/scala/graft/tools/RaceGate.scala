@@ -35,18 +35,19 @@ import graft.Spark
   */
 object RaceGate {
 
-  private final case class WriterOut(exit: Int, ready: Boolean,
+  private[tools] final case class WriterOut(exit: Int, ready: Boolean,
       built: Int, rows: Long, sum: Long, log: String)
 
-  private def launch(cp: String, addOpens: Seq[String], root: String,
+  private[tools] def launch(cp: String, addOpens: Seq[String], root: String,
       tag: String, barrier: String, id: String,
-      readyLatch: CountDownLatch): (Process, () => WriterOut) = {
+      readyLatch: CountDownLatch,
+      extraProps: Seq[String] = Nil): (Process, () => WriterOut) = {
     val javaBin = Paths.get(sys.props("java.home"), "bin", "java").toString
     val cmd = Seq(javaBin) ++ addOpens ++ Seq(
       "-Xmx2g", "-XX:+UseG1GC",
       "-Dspark.ui.enabled=false",
       "-Dspark.sql.session.timeZone=UTC",
-      s"-Dgraft.scratch.root=$root",
+      s"-Dgraft.scratch.root=$root") ++ extraProps ++ Seq(
       "-cp", cp, "graft.tools.RaceWriter", tag, barrier, id)
     val pb = new ProcessBuilder(cmd.asJava).redirectErrorStream(true)
     val p = pb.start()
@@ -72,27 +73,29 @@ object RaceGate {
       buf.synchronized(buf.toString)))
   }
 
+  /** The forked JVM's --add-opens set (Spark 4 on JDK 17 needs them
+    * outside spark-submit); read from THIS JVM instead of duplicating
+    * build.sbt's list. Shared with [[S3RaceGate]]. */
+  private[tools] def currentAddOpens: Seq[String] = {
+    val jvmArgs = java.lang.management.ManagementFactory
+      .getRuntimeMXBean.getInputArguments.asScala.toVector
+    val b = Seq.newBuilder[String]
+    var i = 0
+    while (i < jvmArgs.length) {
+      if (jvmArgs(i) == "--add-opens" && i + 1 < jvmArgs.length) {
+        b += jvmArgs(i) += jvmArgs(i + 1); i += 2
+      } else if (jvmArgs(i).startsWith("--add-opens=")) { b += jvmArgs(i); i += 1 }
+      else i += 1
+    }
+    b.result()
+  }
+
   def main(args: Array[String]): Unit = {
     java.util.Locale.setDefault(java.util.Locale.ROOT)
     val iterations = if (args.nonEmpty) args(0).toInt else 4
     val outPath = if (args.length > 1) args(1) else "RACE_GATE.json"
     val cp = sys.props("java.class.path")
-    // replicate the forked JVM's --add-opens set (Spark 4 on JDK 17 needs
-    // them outside spark-submit); read from THIS JVM instead of
-    // duplicating build.sbt's list
-    val jvmArgs = java.lang.management.ManagementFactory
-      .getRuntimeMXBean.getInputArguments.asScala.toVector
-    val addOpens = {
-      val b = Seq.newBuilder[String]
-      var i = 0
-      while (i < jvmArgs.length) {
-        if (jvmArgs(i) == "--add-opens" && i + 1 < jvmArgs.length) {
-          b += jvmArgs(i) += jvmArgs(i + 1); i += 2
-        } else if (jvmArgs(i).startsWith("--add-opens=")) { b += jvmArgs(i); i += 1 }
-        else i += 1
-      }
-      b.result()
-    }
+    val addOpens = currentAddOpens
     val spark = Spark.session(master = "local[4]", shufflePartitions = 4,
       appName = "graft-race-gate")
     val expSum = RaceWriter.expectedSum
