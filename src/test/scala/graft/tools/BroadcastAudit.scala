@@ -28,32 +28,43 @@ import graft.Spark
   */
 object BroadcastAudit {
 
-  /** query -> why its generate-fed broadcast build side is bounded
-    * (each entry names the bound; the session's 2 GiB broadcast ceiling
-    * makes any violated bound a LOUD failure, never a silent hang).
+  /** One allowlist row: WHY the generate-fed broadcast build side is
+    * bounded, plus the bound AS A NUMBER the audit enforces by
+    * EXECUTING the build subtree and counting its rows (VERDICT r17
+    * ask #5 — a prose-only allowlist rots; an executed count cannot).
+    * `maxRows` is sized from the named structural bound with headroom,
+    * NOT from observed corpus sizes, so corpus growth that violates the
+    * claimed invariant (not just the measurement) turns the audit red.
+    * The session's 2 GiB broadcast ceiling remains the at-scale loud
+    * guard for anything the per-round audit SF cannot see. */
+  final case class Bound(why: String, maxRows: Long)
+
+  /** query -> proven bound of its generate-fed broadcast build side.
     * Everything NOT here that had a generate-fed broadcast was FIXED in
     * r17 (shuffle_hash hints): d14/d21 (duplicated-window sets),
     * d19/d20 (dfq + packed token arrays), d13/d15 (boilerplate set +
     * doc-grain counts), d7/d18/d11 (doc-grain shingle counts), e16
     * (event-proportional funnel arms). */
-  val Allowlist: Map[String, String] = Map(
-    "d9_contamination" -> "benchmark shingle set: doc_id < 20 (20 docs) by construction; d10 is the bloom scale path",
-    "d10_bloom_decontam" -> "same doc_id < 20 benchmark set, exact confirm side of the bloom prefilter",
-    "d11_incremental" -> "EXPLICIT bsh broadcasts: the incoming-batch shingle set — batch-sized by the incremental-dedup contract (the increment is small relative to the standing corpus); a too-large increment fails loudly at the 2 GiB ceiling and the remediation is the shuffle join",
-    "d18_xmodal_verify" -> "EXPLICIT cand broadcast: the Materialized near-dup candidate pair artifact — candidate/result-sized (the engine's broadcast-candidates discipline)",
-    "e14_cms_topk" -> "EXPLICIT: the count-min sketch — fixed 2^k counter array, corpus-independent",
-    "m8_dhash_neardup" -> "EXPLICIT: banded-Hamming candidate pairs — candidate/result-sized",
-    "p9_mixture" -> "per-source aggregate: grouping key `source` has fixed cardinality (20)",
-    "p13_curriculum" -> "EXPLICIT: per-(source, epoch) curriculum thresholds — bounded by sources x epochs",
-    "t9_vocab" -> "EXPLICIT: top-K vocab under a limit",
-    "t12_kmv_distinct" -> "per-language KMV sketches: grouping key `lang` has fixed cardinality (5), sketch is k-bounded",
-    "t13_hll_shingles" -> "per-language HLL registers: lang-grained (5) x 64 registers",
-    "t16_bpe_apply" -> "EXPLICIT: the learned merge list (5 rows by construction)",
-    "t17_tfidf_pairs" -> "EXPLICIT dfq broadcast: df-capped [2,100] rare-term table, documented design (TextOps) — at web-vocab scale this is the heavy tail and the documented remediation is the shuffle join; ceiling-guarded",
-    "c2_grid_density" -> "grid-cell aggregates: cell count bounded by the fixed grid resolution, not by the corpus",
-    "v5_rhp_lsh" -> "banded-LSH candidate pairs: candidate/result-sized (the broadcast-candidates discipline, explicit in v11/d16)",
-    "v7_sq8_rerank" -> "EXPLICIT: query vectors (5) + SQ8 codebook — model-sized",
-    "v10_bq_hamming" -> "EXPLICIT: query vectors (5) + binary masks — model-sized"
+  val Allowlist: Map[String, Bound] = Map(
+    "e10_gapfill" -> Bound("dense-grid branch: every relation downstream of the generated grid is (span-hours x event-types)-grained — bounded by wall-clock span and type cardinality, independent of event count (the query's own scale contract)", 1000000L),
+    "q20_basket_lift" -> Bound("np part-frequency table joined twice: l_partkey < 3000 literal caps the key space at 3000 rows", 3000L),
+    "d9_contamination" -> Bound("benchmark shingle set: doc_id < 20 (20 docs) by construction; d10 is the bloom scale path — 20 docs x <=2.5k shingles", 50000L),
+    "d10_bloom_decontam" -> Bound("same doc_id < 20 benchmark set, exact confirm side of the bloom prefilter", 50000L),
+    "d11_incremental" -> Bound("EXPLICIT bsh broadcasts: the incoming-batch shingle set — batch-sized by the incremental-dedup contract (5% sample cap x shingles/doc); a too-large increment fails loudly at the 2 GiB ceiling and the remediation is the shuffle join", 2000000L),
+    "d18_xmodal_verify" -> Bound("EXPLICIT cand broadcast: the Materialized near-dup candidate pair artifact — candidate/result-sized (the engine's broadcast-candidates discipline)", 1000000L),
+    "e14_cms_topk" -> Bound("EXPLICIT: the count-min sketch — fixed d=4 x w=1024 counter grid, corpus-independent", 8192L),
+    "m8_dhash_neardup" -> Bound("EXPLICIT: banded-Hamming candidate pairs — candidate/result-sized", 1000000L),
+    "p9_mixture" -> Bound("per-source aggregate: grouping key `source` has fixed cardinality (20)", 1000L),
+    "p13_curriculum" -> Bound("EXPLICIT: per-(source, epoch) curriculum thresholds — bounded by sources x epochs", 1000L),
+    "t9_vocab" -> Bound("EXPLICIT: top-K vocab under a limit (K=1000)", 10000L),
+    "t12_kmv_distinct" -> Bound("per-language KMV sketches: grouping key `lang` has fixed cardinality (5), sketch is k-bounded (k=256)", 10000L),
+    "t13_hll_shingles" -> Bound("per-language HLL registers: lang-grained (5) x 64 registers", 10000L),
+    "t16_bpe_apply" -> Bound("EXPLICIT: the learned merge list (5 rows by construction)", 64L),
+    "t17_tfidf_pairs" -> Bound("EXPLICIT dfq broadcast: df-capped [2,100] rare-term table, documented design (TextOps) — vocab-tail-sized; at web-vocab scale the documented remediation is the shuffle join; ceiling-guarded", 5000000L),
+    "c2_grid_density" -> Bound("grid-cell aggregates: cell count bounded by the fixed grid resolution, not by the corpus", 100000L),
+    "v5_rhp_lsh" -> Bound("banded-LSH candidate pairs: candidate/result-sized (the broadcast-candidates discipline, explicit in v11/d16)", 2000000L),
+    "v7_sq8_rerank" -> Bound("EXPLICIT: query vectors (5) + SQ8 codebook — model-sized", 10000L),
+    "v10_bq_hamming" -> Bound("EXPLICIT: query vectors (5) + binary masks — model-sized", 10000L)
   )
 
   private def hasGenerate(p: SparkPlan): Boolean =
@@ -81,8 +92,27 @@ object BroadcastAudit {
           val tag = if (genFed.nonEmpty) "GENERATE-FED" else "ok"
           println(f"$name%-26s n_broadcasts=${bcasts.size} generate_fed=${genFed.size} $tag " +
             genFed.map(b => leaves(b.child).mkString("+")).mkString("[", " | ", "]"))
-          if (genFed.nonEmpty && !Allowlist.contains(name))
-            flaggedOutside ::= name
+          if (genFed.nonEmpty) Allowlist.get(name) match {
+            case None => flaggedOutside ::= name
+            case Some(Bound(_, maxRows)) =>
+              // enforce the claimed bound by EXECUTING each flagged
+              // build subtree and counting its rows — the allowlist is
+              // a set of checked invariants, not prose
+              genFed.foreach { b =>
+                // the initialPlan subtree has no columnar->row
+                // transitions yet (AQE inserts them per query stage):
+                // apply the same rule prepareForExecution would, or a
+                // columnar parquet scan's batches hit a row operator
+                val executable = org.apache.spark.sql.execution
+                  .ApplyColumnarRulesAndInsertTransitions(
+                    spark.sessionState.columnarRules, outputsColumnar = false)
+                  .apply(b.child)
+                val rows = executable.execute().count()
+                val ok = rows <= maxRows
+                println(f"  bound-check $name%-22s rows=$rows%9d max=$maxRows%9d ${if (ok) "ok" else "VIOLATED"}")
+                if (!ok) flaggedOutside ::= s"$name(bound: $rows > $maxRows)"
+              }
+          }
         }
       } catch {
         case e: Throwable =>
@@ -90,11 +120,11 @@ object BroadcastAudit {
       }
     }
     if (flaggedOutside.nonEmpty) {
-      System.err.println(s"FLAGGED (generate-fed broadcast outside allowlist): ${flaggedOutside.sorted.mkString(", ")}")
+      System.err.println(s"FLAGGED (generate-fed broadcast outside allowlist, or allowlisted bound VIOLATED): ${flaggedOutside.sorted.mkString(", ")}")
       spark.stop()
       sys.exit(1)
     }
-    println("BROADCAST AUDIT: clean (every generate-fed broadcast is allowlisted with its bound)")
+    println("BROADCAST AUDIT: clean (every generate-fed broadcast is allowlisted AND its executed row count is inside the declared bound)")
     spark.stop()
   }
 }
