@@ -14,7 +14,11 @@ e.g. a quadratic spill blowup) are declared in CARVE_OUTS with the
 reason; they are recorded as "carved_out" in the artifact, never
 silently skipped.
 
-Usage: python3 scripts/sf1_correctness.py <sf1Dir> [outJson]
+Usage: python3 scripts/sf1_correctness.py <sf1Dir> [outJson] \
+           [only,csv] [carve:name=reason;...]
+The optional csv restricts the replay to a subset (the 100x gate runs
+the top-15 shuffle-ranked only); the optional carve list adds
+per-invocation carve-outs (evidence in the reason string).
 Driver-side tooling only (duckdb/pandas are not library deps).
 """
 import glob
@@ -39,9 +43,14 @@ def norm(df):
     return df.sort_values(by=list(df.columns)).reset_index(drop=True)
 
 
-def main(sf1_dir, out_json="CORRECTNESS_SF1.json"):
+def main(sf1_dir, out_json="CORRECTNESS_SF1.json", only=None, carve_outs=None):
     oracle = json.load(open(os.path.join(sf1_dir + "-harness", "sc_oracle.json")))
     spark_rows = json.load(open(os.path.join(sf1_dir + "-harness", "sc_rows.json")))
+    if only is not None:
+        unknown = set(only) - set(oracle)
+        assert not unknown, f"unknown queries in --only: {sorted(unknown)}"
+        oracle = {k: v for k, v in oracle.items() if k in set(only)}
+    carve_outs = dict(CARVE_OUTS, **(carve_outs or {}))
     con = duckdb.connect()
     for t in TABLES:
         p = os.path.join(sf1_dir, f"{t}.parquet")
@@ -49,8 +58,8 @@ def main(sf1_dir, out_json="CORRECTNESS_SF1.json"):
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet({src})")
     results, n_pass = {}, 0
     for name, sql in oracle.items():
-        if name in CARVE_OUTS:
-            results[name] = {"carved_out": CARVE_OUTS[name]}
+        if name in carve_outs:
+            results[name] = {"carved_out": carve_outs[name]}
             continue
         t0 = time.time()
         want = norm(con.execute(sql).df())
@@ -71,10 +80,13 @@ def main(sf1_dir, out_json="CORRECTNESS_SF1.json"):
                          "cols_match": cols_ok, "rows_match": rows_ok,
                          "values_match": values_ok, "pass": bool(ok)}
         print(f"{'PASS' if ok else 'FAIL'} {name} ({len(want)} rows, duckdb {dd_sec}s)")
+    scale = ("selected subset (shuffle-byte-ranked) at the caller's scale"
+             if only is not None else "the 10x corpus")
     artifact = {
-        "contract": ("top-30 data-bound queries (full-surface JobCensus shuffle-byte "
-                     "ranking at sf0.1) value-equal vs DuckDB on the 10x corpus; oracle "
-                     "SQL verbatim from the committed gate, no cap rescaling"),
+        "contract": (f"data-bound queries (full-surface JobCensus shuffle-byte "
+                     f"ranking at sf0.1) value-equal vs DuckDB on {scale}; oracle "
+                     f"SQL verbatim from the committed gate, no cap rescaling"),
+        "only": sorted(only) if only is not None else None,
         "sf1_dir": sf1_dir,
         "n_queries": len(oracle),
         "n_pass": n_pass,
@@ -90,4 +102,11 @@ def main(sf1_dir, out_json="CORRECTNESS_SF1.json"):
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2] if len(sys.argv) > 2 else "CORRECTNESS_SF1.json"))
+    # usage: sf1_correctness.py <sf1Dir> [outJson] [only,csv] [carve:name=reason;...]
+    only = sys.argv[3].split(",") if len(sys.argv) > 3 and sys.argv[3] else None
+    carve = None
+    if len(sys.argv) > 4 and sys.argv[4]:
+        carve = dict(kv.split("=", 1) for kv in sys.argv[4].split(";"))
+    sys.exit(main(sys.argv[1],
+                  sys.argv[2] if len(sys.argv) > 2 else "CORRECTNESS_SF1.json",
+                  only, carve))

@@ -10,7 +10,11 @@ class PlanShapeSpec extends AnyFunSuite {
 
   private lazy val spark = Spark.session(master = "local[4]", shufflePartitions = 4,
     appName = "graft-plan-test")
-  private val dir = "/root/testdata/sf0.001"
+  // Overridable so the 100x scale gate can re-pin every shape invariant
+  // against the scaled corpus, where the planner's stats-driven choices
+  // (broadcast vs shuffle) can genuinely flip — the d14 hazard class.
+  private val dir =
+    sys.env.getOrElse("GRAFT_PLANSHAPE_DIR", "/root/testdata/sf0.001")
 
   private def plan(name: String): String =
     SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString

@@ -24,7 +24,10 @@ import graft.Spark
   * bounded (by a cap/filter/limit the plan can't express in stats) —
   * each entry cites the bound.
   *
-  * usage: Test/runMain graft.tools.BroadcastAudit [sfDir]
+  * usage: Test/runMain graft.tools.BroadcastAudit [sfDir] [only,csv]
+  * The optional csv filter restricts the sweep (used by the 100x scale
+  * gate, where planning artifact-consuming queries costs real compute);
+  * unknown names fail loudly (the vacuous-success trap).
   */
 object BroadcastAudit {
 
@@ -75,9 +78,17 @@ object BroadcastAudit {
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val only: Option[Set[String]] =
+      if (args.length > 1) Some(args(1).split(",").toSet) else None
+    only.foreach { o =>
+      val unknown = o -- graft.SparkEntry.queries.keySet
+      require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(", ")}")
+    }
     val spark = Spark.session(appName = "graft-broadcast-audit")
     var flaggedOutside = List.empty[String]
-    graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    graft.SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .foreach { case (name, fn) =>
       try {
         val plan = fn(spark, sfDir).queryExecution.executedPlan
         // initial (pre-AQE) physical plan: the static planner's broadcast
@@ -116,7 +127,12 @@ object BroadcastAudit {
         }
       } catch {
         case e: Throwable =>
+          // fatal: at audit scale a planning-time failure (e.g. an
+          // artifact build hitting the 2 GiB broadcast ceiling) IS a
+          // finding — print-and-pass would green-wash exactly the
+          // hazard class this audit exists to catch
           println(s"$name AUDIT-ERROR ${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(120)}")
+          flaggedOutside ::= s"$name(AUDIT-ERROR: ${e.getClass.getSimpleName})"
       }
     }
     if (flaggedOutside.nonEmpty) {
