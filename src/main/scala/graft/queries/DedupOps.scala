@@ -141,12 +141,18 @@ object DedupOps {
     // all of them from one aggregate stage — measured 0.2 s (d19) /
     // 0.6 s (d20) FASTER than an eager checkpoint, whose
     // materialization job + RDD re-scans cost more than they saved.
-    // shuffle-hash, never broadcast (the d14 lesson, r17 audit): dfq is
-    // token-type-sized — CORPUS-PROPORTIONAL — and the fan-out-blind
-    // Generate estimate sends it under the broadcast threshold at plan
-    // time; both sides already sit on the h exchange, so the hinted
-    // join is exchange-free and the hint only picks the join algorithm
-    val packed = shH.join(dfq.hint("shuffle_hash"), Seq("h"))
+    // merge, never broadcast and never shuffle-hash (the d14 lesson,
+    // r17 audit; algorithm revised by the r18 100x gate): dfq is
+    // token-type-sized — CORPUS-PROPORTIONAL — so it can neither
+    // broadcast (2 GiB ceiling, the Generate-blind estimate sends it
+    // under the threshold at plan time) nor build an SHJ HashedRelation
+    // (non-spillable: at 100x with per-core memory held constant the
+    // build OOM'd the heap — d14's stack pinned
+    // ShuffledHashJoinExec.buildHashedRelation). Both sides already sit
+    // on the h exchange, so the merge join is exchange-free and pays
+    // only in-partition sorts, which SPILL; dfq's keys are unique, so
+    // SMJ's duplicate-key group buffering never engages.
+    val packed = shH.join(dfq.hint("merge"), Seq("h"))
       .groupBy(col("doc_id"))
       .agg(expr("transform(sort_array(collect_set(struct(df, h))), t -> t.h)")
         .as("hs"))
@@ -227,15 +233,18 @@ object DedupOps {
     // small, shuffles otherwise. The jaccard filter lands in the join
     // condition, where sorted_intersect_count stays cheap per
     // evaluation (no per-call hash-set build, unlike array_intersect).
-    // shuffle-hash with the CANDIDATE side hinted as build: the static
-    // planner otherwise BROADCASTS packed — the per-doc token-array
-    // relation, i.e. the whole corpus content — on the same blind
-    // estimate (observed in the final adaptive plan at 10x, r17 audit).
-    // packed lands doc_id-partitioned from its aggregate, so only the
-    // (result-sized) candidate relation pays the exchanges.
-    cand.hint("shuffle_hash")
-      .join(packed.as("p1").hint("shuffle_hash"), col("d1") === col("p1.doc_id"))
-      .join(packed.as("p2").hint("shuffle_hash"), col("d2") === col("p2.doc_id"))
+    // merge joins: the static planner otherwise BROADCASTS packed — the
+    // per-doc token-array relation, i.e. the whole corpus content — on
+    // the same blind estimate (observed in the final adaptive plan at
+    // 10x, r17 audit), and a shuffle-hash build is no better at scale:
+    // BOTH sides are unbounded (packed is doc-many, candidates are
+    // result-many — a dup-heavy corpus yields at least result-set-many
+    // pairs), and SHJ's HashedRelation build cannot spill (the r18 100x
+    // gate OOM'd exactly this class). SMJ sorts spill, and packed's
+    // doc_id keys are unique so group buffering never engages.
+    cand.hint("merge")
+      .join(packed.as("p1").hint("merge"), col("d1") === col("p1.doc_id"))
+      .join(packed.as("p2").hint("merge"), col("d2") === col("p2.doc_id"))
       .select(col("d1"), col("d2"),
         graft.functions.sorted_intersect_count(col("p1.hv"), col("p2.hv")).as("m"),
         size(col("p1.hv")).cast("long").as("n1"),
@@ -334,12 +343,15 @@ object DedupOps {
       .agg(count(lit(1)).as("occ"),
         min(struct(col("doc_id"), col("pos"))).as("first"))
       .filter(col("occ") >= 2)
-    // shuffle-hash, never broadcast (r17 sf1 gate, the d14 lesson): the
-    // occ set is CORPUS-PROPORTIONAL (every window hash repeated >= 2
-    // times) and the Generate-blind estimate would send it under the
-    // broadcast threshold — the occ aggregate is already h-partitioned,
-    // so only the probe side pays the exchange the broadcast was hiding
-    val removed = win.join(occ.hint("shuffle_hash"), Seq("h"))
+    // merge, never broadcast (r17 sf1 gate) and never shuffle-hash
+    // (r18 100x gate): the occ set is CORPUS-PROPORTIONAL (every window
+    // hash repeated >= 2 times) — too big for a broadcast (the
+    // Generate-blind estimate would send it under the threshold) and
+    // too big for SHJ's non-spillable HashedRelation build at constant
+    // per-core memory. The occ aggregate is already h-partitioned, so
+    // the merge join adds only spillable in-partition sorts; occ's keys
+    // are unique, so no duplicate-key group buffering.
+    val removed = win.join(occ.hint("merge"), Seq("h"))
       .filter(!(col("doc_id") === col("first.doc_id") &&
         col("pos") === col("first.pos")))
       .select(col("doc_id"), col("pos"))
@@ -357,10 +369,10 @@ object DedupOps {
           "transform(sort_array(collect_list(pos)), p -> CAST(p AS STRING))")))
           .as("spans_md5"))
     val per = win.groupBy(col("doc_id")).agg(count(lit(1)).as("n_windows"))
-    // doc-grained relation: same never-broadcast discipline (both sides
-    // land doc_id-partitioned from their aggregates, so this is
-    // exchange-free and sort-free)
-    per.join(spans.hint("shuffle_hash"), Seq("doc_id"), "left")
+    // doc-grained relation: same never-broadcast / never-hash-build
+    // discipline (both sides land doc_id-partitioned from their
+    // aggregates, so the merge join is exchange-free; unique keys)
+    per.join(spans.hint("merge"), Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_windows"),
         coalesce(col("n_removed"), lit(0L)).as("n_removed"),
         coalesce(col("removed_chars"), lit(0L)).as("removed_chars"),
@@ -404,19 +416,23 @@ object DedupOps {
       val bp = sh.groupBy(col("h")).agg(count(lit(1)).as("dfreq"))
         .filter(col("dfreq") >= 3).select(col("h"))
       val nSh = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-      // shuffle-hash, never broadcast (r17 audit, the d14 lesson): the
-      // boilerplate set is CORPUS-PROPORTIONAL (every shingle with
-      // df >= 3) and the doc-grained aggregates are doc-proportional —
-      // the fan-out-blind Generate estimate sends all of them under the
-      // broadcast threshold at plan time
-      val nBp = sh.join(bp.hint("shuffle_hash"), Seq("h"))
+      // merge, never broadcast (r17 audit, the d14 lesson) and never
+      // shuffle-hash (r18 100x gate): the boilerplate set is
+      // CORPUS-PROPORTIONAL (every shingle with df >= 3) and the
+      // doc-grained aggregates are doc-proportional — too big to
+      // broadcast (the fan-out-blind Generate estimate sends all of
+      // them under the threshold at plan time) and too big for SHJ's
+      // non-spillable HashedRelation build at constant per-core
+      // memory. Unique join keys on every attach side, so SMJ's sorts
+      // (which spill) are the whole cost.
+      val nBp = sh.join(bp.hint("merge"), Seq("h"))
         .groupBy(col("doc_id")).agg(count(lit(1)).as("n_bp"))
-      val flagged = nSh.join(nBp.hint("shuffle_hash"), Seq("doc_id"), "left")
+      val flagged = nSh.join(nBp.hint("merge"), Seq("doc_id"), "left")
         .select(col("doc_id"), col("n_sh"),
           coalesce(col("n_bp"), lit(0L)).as("n_bp"))
         .withColumn("flag", (lit(2) * col("n_bp") >= col("n_sh")).cast("int"))
       d.select(col("doc_id"), col("source"), col("n_chars"))
-        .join(flagged.hint("shuffle_hash"), Seq("doc_id"), "left")
+        .join(flagged.hint("merge"), Seq("doc_id"), "left")
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"),
           sum(coalesce(col("flag"), lit(0))).cast("long").as("n_flagged"),
@@ -443,15 +459,20 @@ object DedupOps {
       // zero-copy over the UTF-8 bytes) instead of materializing ~1k
       // window strings per document through an interpreted transform.
       //
+      // NO checkpoint (revised by the r18 100x gate; r16 used cache,
+      // r17 localCheckpoint): the window relation is corpus x ~1k
+      // fan-out — materializing it is storage-proportional to the
+      // UNCOMPRESSED exploded corpus (at 100 TB input that is a
+      // non-starter; at 100x bench scale its MEMORY_AND_DISK blocks
+      // squeezed the unified pool the joins needed). The explode is a
+      // cheap codegen'd scan projection, so the one extra consumer
+      // (per) RECOMPUTES it; dup + hit share winH's single h exchange
+      // via AQE exchange reuse (the prefixJoinPairs precedent, where
+      // recompute measured faster than an eager checkpoint even at
+      // sf0.1).
       val win = Tables.fanout(docs(s, dir)).filter(length(col("text")) >= L)
         .select(col("doc_id"),
           explode(expr(s"char_window_hashes(text, $L)")).as("h"))
-        // referenced by three branches (per/dup/hit); eager localCheckpoint
-        // (g1/t14 precedent) materializes once AND lets the ContextCleaner
-        // reclaim the blocks when the plan is dropped — cache() here leaked
-        // executor storage past the query (no unpersist hook in a pure
-        // DataFrame-returning API)
-        .localCheckpoint(true)
       // ONE h-grained exchange feeds the dup set AND the join probe (the
       // two winH consumers canonicalize to the same exchange, so AQE
       // reuses one shuffle): the distinct runs in place (subset rule:
@@ -468,15 +489,21 @@ object DedupOps {
         .groupBy(col("h")).agg(count(lit(1)).as("df"))
         .filter(col("df") >= 2).select(col("h"))
       val per = win.groupBy(col("doc_id")).agg(count(lit(1)).as("n_windows"))
-      // shuffle-hash, never broadcast: both sides are h-partitioned
-      // already, so the hint only skips the sort a merge join would add
-      val hit = winH.join(dup.hint("shuffle_hash"), Seq("h"))
+      // merge, never broadcast and never shuffle-hash: the dup set is
+      // corpus-proportional, and SHJ's HashedRelation build does not
+      // spill — the r18 100x gate OOM'd the heap building EXACTLY this
+      // relation (ShuffledHashJoinExec.buildHashedRelation) with
+      // per-core memory held constant. Both sides are h-partitioned
+      // already, so the merge join pays only spillable in-partition
+      // sorts; dup's keys are unique, so no group buffering.
+      val hit = winH.join(dup.hint("merge"), Seq("h"))
         .groupBy(col("doc_id")).agg(count(lit(1)).as("n_dup"))
       // LEFT join (d13 precedent): clean documents report n_dup = 0
       // rather than vanishing — corpus-level statistics over this output
       // must see every doc that has windows at all. Doc-grained relation:
-      // shuffle-hash for the same never-broadcast reason (1e9 docs).
-      per.join(hit.hint("shuffle_hash"), Seq("doc_id"), "left")
+      // merge for the same never-broadcast/never-hash-build reason
+      // (1e9 docs).
+      per.join(hit.hint("merge"), Seq("doc_id"), "left")
         .select(col("doc_id"), col("n_windows"),
           coalesce(col("n_dup"), lit(0L)).as("n_dup"))
         .select(col("doc_id"), col("n_windows"), col("n_dup"),
@@ -524,17 +551,18 @@ object DedupOps {
       val bp = sh.groupBy(col("h")).agg(count(lit(1)).as("dfreq"))
         .filter(col("dfreq") >= 3).select(col("h"))
       val nSh = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-      // shuffle-hash, never broadcast (r17 audit): bp is corpus-
+      // merge, never broadcast (r17 audit) and never shuffle-hash (r18
+      // 100x gate: SHJ's build doesn't spill): bp is corpus-
       // proportional, nSh/nBp doc-proportional — same class as d13
-      val nBp = sh.join(bp.hint("shuffle_hash"), Seq("h"))
+      val nBp = sh.join(bp.hint("merge"), Seq("h"))
         .groupBy(col("doc_id")).agg(count(lit(1)).as("n_bp"))
       val wD = Window.partitionBy(col("hash")).orderBy(col("doc_id"))
       val alpha = length(regexp_replace(lower(col("text")), "[^a-z]", ""))
       val staged = d
         .withColumn("hash", md5(col("text")))
         .withColumn("rn", row_number().over(wD))
-        .join(nSh.hint("shuffle_hash"), Seq("doc_id"), "left")
-        .join(nBp.hint("shuffle_hash"), Seq("doc_id"), "left")
+        .join(nSh.hint("merge"), Seq("doc_id"), "left")
+        .join(nBp.hint("merge"), Seq("doc_id"), "left")
         .select(col("source"), col("n_chars"),
           (col("n_chars") >= 100 && col("n_chars") <= 20000).as("f1"),
           (lit(10) * alpha >= lit(6) * col("n_chars")).as("f2"),
@@ -631,12 +659,13 @@ object DedupOps {
         .groupBy(col("p.d1").as("d1"), col("p.d2").as("d2"))
         .agg(count(lit(1)).as("m"))
       val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-      // shuffle-hash, never broadcast (r17 audit): cnt is DOC-
-      // proportional; only the (result-sized) pair relation pays the
-      // exchanges — cnt lands doc-partitioned from its aggregate
+      // merge, never broadcast (r17 audit) and never shuffle-hash (r18
+      // 100x gate: SHJ's build doesn't spill): cnt is DOC-proportional;
+      // only the (result-sized) pair relation pays the exchanges — cnt
+      // lands doc-partitioned from its aggregate, keys unique
       pairs
-        .join(cnt.as("c1").hint("shuffle_hash"), col("d1") === col("c1.doc_id"))
-        .join(cnt.as("c2").hint("shuffle_hash"), col("d2") === col("c2.doc_id"))
+        .join(cnt.as("c1").hint("merge"), col("d1") === col("c1.doc_id"))
+        .join(cnt.as("c2").hint("merge"), col("d2") === col("c2.doc_id"))
         .withColumn("jac_raw", col("m") / (col("c1.n") + col("c2.n") - col("m")))
         .filter(col("jac_raw") >= 0.5)
         .select(col("d1"), col("d2"), round(col("jac_raw"), 6).as("jaccard_capped"))
@@ -662,8 +691,13 @@ object DedupOps {
       // runs the signature aggregate + band explode once per corpus)
       // and the exact-jaccard truth (jaccardPairs, complete for
       // jac >= 0.5 since any qualifying pair shares a shingle). The
-      // gated query is their confirmation equi-join.
-      broadcast(lshCandidates(s, dir)).join(jaccardPairs(s, dir), Seq("d1", "d2"))
+      // gated query is their confirmation equi-join. NO forced
+      // broadcast (r18): both sides are stats-carrying parquet
+      // artifacts, so the planner's size estimates are ACCURATE here —
+      // it broadcasts while the candidate set genuinely fits and
+      // shuffles when it doesn't, which is exactly the adaptive
+      // behavior a corpus-proportional pair relation needs.
+      lshCandidates(s, dir).join(jaccardPairs(s, dir), Seq("d1", "d2"))
         .select(col("d1"), col("d2"), round(col("jac_raw"), 6).as("jaccard"))
         .orderBy(col("d1"), col("d2"))),
 
@@ -793,34 +827,48 @@ object DedupOps {
     //     interesting rows: semantically close, lexically disjoint). ---
     "d18_xmodal_verify" -> ((s, dir) => {
       // the shared Materialized pair artifact (r15): a tiny stats-carrying
-      // parquet scan, so the three consumers below re-read it for free and
+      // parquet scan, so the consumers below re-read it for free and
       // the former localCheckpoint (and its stats-less-leaf broadcast
       // caveat) is gone
       val cand = graft.queries.SimilarityOps.neardupPairs(s, dir)
-      val sh = shingles(docs(s, dir))
-      val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-      val m = broadcast(cand.select(col("id1"), col("id2")))
-        .join(sh.as("s1"), col("id1") === col("s1.doc_id"))
-        .join(sh.as("s2"), col("id2") === col("s2.doc_id") && col("s1.h") === col("s2.h"))
-        .groupBy(col("id1"), col("id2")).agg(count(lit(1)).as("m"))
-      // ALL count/overlap joins are left joins with a 0 fill: a doc
-      // shorter than the shingle width has an EMPTY shingle set (no cnt
-      // row at all, not n=0), and dropping its pairs would silently
-      // remove exactly the semantically-close-lexically-disjoint rows
-      // this audit exists to surface. Jaccard over two empty sets is
-      // defined 0 (union empty -> no lexical evidence of duplication).
+      // r18 100x-gate restructure: the old shape BROADCAST the candidate
+      // relation into the shingle joins — but near-dup candidates are
+      // CORPUS-PROPORTIONAL by definition (a dup-heavy corpus yields at
+      // least result-many pairs), so that broadcast is the d14 hazard
+      // class one artifact removed (the sf10 audit read it 10x over its
+      // declared bound). The d19 packed-array idiom replaces it: ONE
+      // doc-grained aggregate packs each doc's sorted distinct shingle
+      // set, two doc-keyed MERGE joins attach the arrays to the pairs,
+      // and the overlap is the row-local two-pointer
+      // sorted_intersect_count — no corpus relation is ever broadcast
+      // or hash-built, every sort spills, and the per-(pair, shingle)
+      // join intermediate disappears entirely.
+      val packed = shingles(docs(s, dir))
+        .groupBy(col("doc_id"))
+        .agg(sort_array(collect_list(col("h"))).as("hv"))
+      // ALL attaches are left joins with a 0 fill: a doc shorter than
+      // the shingle width has an EMPTY shingle set (no packed row at
+      // all), and dropping its pairs would silently remove exactly the
+      // semantically-close-lexically-disjoint rows this audit exists to
+      // surface. Jaccard over two empty sets is defined 0 (union empty
+      // -> no lexical evidence of duplication).
       val denom = col("n1") + col("n2") - col("m")
       val jac = when(denom === 0, lit(0.0))
         .otherwise(round(col("m") / denom, 6))
-      // the shingle-count attaches go shuffle-hash (r17 audit): cnt is
-      // DOC-proportional and the candidate side is the small one — the
-      // planner would otherwise broadcast cnt off the Generate estimate
-      cand.join(m, Seq("id1", "id2"), "left")
-        .join(cnt.select(col("doc_id").as("id1"), col("n").as("n1"))
-          .hint("shuffle_hash"), Seq("id1"), "left")
-        .join(cnt.select(col("doc_id").as("id2"), col("n").as("n2"))
-          .hint("shuffle_hash"), Seq("id2"), "left")
-        .na.fill(0L, Seq("m", "n1", "n2"))
+      cand
+        .join(packed.select(col("doc_id").as("id1"), col("hv").as("hv1"))
+          .hint("merge"), Seq("id1"), "left")
+        .join(packed.select(col("doc_id").as("id2"), col("hv").as("hv2"))
+          .hint("merge"), Seq("id2"), "left")
+        .select(col("id1"), col("id2"), col("cos"),
+          coalesce(graft.functions.sorted_intersect_count(col("hv1"), col("hv2")),
+            lit(0L)).as("m"),
+          // explicit null branch (not coalesce(size(..))): legacy
+          // sizeOfNull returns -1, not null
+          when(col("hv1").isNull, lit(0L))
+            .otherwise(size(col("hv1")).cast("long")).as("n1"),
+          when(col("hv2").isNull, lit(0L))
+            .otherwise(size(col("hv2")).cast("long")).as("n2"))
         .select(col("id1"), col("id2"), col("cos"),
           jac.as("jaccard"),
           when(jac >= 0.5, 1L).otherwise(0L).as("lexical_dup"))
@@ -912,30 +960,48 @@ object DedupOps {
       val d = docs(s, dir)
       val isBatch = col("doc_id") % 7 === 3
       val hashes = d.select(col("doc_id"), md5(col("text")).as("ch"), isBatch.as("b"))
+      // merge on the content hash: the standing-corpus hash set is
+      // corpus-proportional (never broadcast, never hash-built)
       val exact = hashes.filter(col("b"))
-        .join(hashes.filter(!col("b")).select(col("ch")).distinct(), Seq("ch"), "left_semi")
+        .join(hashes.filter(!col("b")).select(col("ch")).distinct().hint("merge"),
+          Seq("ch"), "left_semi")
         .select(col("doc_id"))
+      // r18 100x-gate restructure: the old shape BROADCAST the batch
+      // shingle set twice ("batch-sized by the incremental contract") —
+      // but this batch is a fixed FRACTION of the corpus (doc_id % 7),
+      // so the broadcast grows with the corpus and read 10x over its
+      // declared bound at the sf10 audit. New shape: ONE h-grained
+      // exchange of the shingle relation; the batch and corpus splits
+      // are filters ON that exchange (AQE exchange reuse serves both),
+      // and the batch x corpus pair join is an in-place MERGE join —
+      // no broadcast, no non-spillable hash build, the old semi
+      // prefilter subsumed by the join itself (it existed to kill
+      // corpus rows map-side BEFORE a shuffle; both sides now share
+      // the one exchange, so it would be a second copy of the same
+      // join). A genuinely tiny ingestion batch loses a broadcast
+      // opportunity here; that is the price of a plan that cannot OOM
+      // when the batch is not tiny.
       val sh = shingles(d)
-      val bsh = sh.filter(col("doc_id") % 7 === 3)
-      val csh = sh.filter(col("doc_id") % 7 =!= 3)
-        .join(broadcast(bsh.select(col("h")).distinct()), Seq("h"), "left_semi")
-      val pairs = broadcast(bsh.select(col("h"), col("doc_id").as("bd")))
-        .join(csh.select(col("h"), col("doc_id").as("cd")), Seq("h"))
+      val shH = sh.repartition(col("h"))
+      val bsh = shH.filter(col("doc_id") % 7 === 3)
+      val csh = shH.filter(col("doc_id") % 7 =!= 3)
+      val pairs = bsh.select(col("h"), col("doc_id").as("bd"))
+        .join(csh.select(col("h"), col("doc_id").as("cd")).hint("merge"), Seq("h"))
         .groupBy(col("bd"), col("cd")).agg(count(lit(1)).as("m"))
       val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-      // doc-proportional count attaches: shuffle-hash (r17 audit); the
-      // EXPLICIT bsh broadcasts above are the incremental contract's
-      // batch-sized side and stay
+      // doc-proportional count attaches: merge for the same reason
       val near = pairs
         .join(cnt.select(col("doc_id").as("bd"), col("n").as("nb"))
-          .hint("shuffle_hash"), Seq("bd"))
+          .hint("merge"), Seq("bd"))
         .join(cnt.select(col("doc_id").as("cd"), col("n").as("nc"))
-          .hint("shuffle_hash"), Seq("cd"))
+          .hint("merge"), Seq("cd"))
         .filter(col("m") / (col("nb") + col("nc") - col("m")) >= 0.5)
         .select(col("bd").as("doc_id")).distinct()
       d.filter(isBatch).select(col("doc_id"))
-        .join(exact.withColumn("e", lit(1)), Seq("doc_id"), "left")
-        .join(near.withColumn("nd", lit(1)), Seq("doc_id"), "left")
+        // batch-grained status attaches: merge too — the exact/near id
+        // sets scale with the batch, and the batch is a corpus fraction
+        .join(exact.withColumn("e", lit(1)).hint("merge"), Seq("doc_id"), "left")
+        .join(near.withColumn("nd", lit(1)).hint("merge"), Seq("doc_id"), "left")
         .select(col("doc_id"),
           when(col("e") === 1, "exact_dup")
             .when(col("nd") === 1, "near_dup").otherwise("new").as("status"))

@@ -368,15 +368,18 @@ object EventOps {
         .select(col("user_id"), col("e").as("pe"),
           explode(array((col("e") / W).cast("long"),
             (col("e") / W).cast("long") - 1)).as("b"))
-      // shuffle-hash, never broadcast (r17 audit): both funnel arms are
-      // EVENT-proportional (type-filtered corpus subsets) — the
-      // Generate-blind estimate would broadcast the purchase arm
-      val converted = views.join(buys.hint("shuffle_hash"),
+      // merge, never broadcast (r17 audit) and never shuffle-hash (r18
+      // 100x gate): both funnel arms are EVENT-proportional
+      // (type-filtered corpus subsets) — the Generate-blind estimate
+      // would broadcast the purchase arm, and an SHJ build of an
+      // event-proportional arm cannot spill. SMJ's sorts spill, and
+      // the (user_id, b) keys are high-cardinality/well-spread.
+      val converted = views.join(buys.hint("merge"),
           Seq("user_id", "b"), "inner")
         .filter(col("pe") > col("e") && col("pe") <= col("e") + W)
         .select(col("user_id"), col("e")).distinct()
       views.select(col("user_id"), col("e"))
-        .join(converted.withColumn("c", lit(1L)).hint("shuffle_hash"),
+        .join(converted.withColumn("c", lit(1L)).hint("merge"),
           Seq("user_id", "e"), "left")
         .groupBy((col("e") / 86400L).cast("long").as("day"))
         .agg(count(lit(1)).as("n_views"),

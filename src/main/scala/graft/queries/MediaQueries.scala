@@ -204,7 +204,12 @@ object MediaQueries {
         .filter(size(col("ids")) > 1)
         .select(explode(graft.functions.id_pairs(col("ids"))).as("p"))
         .select(col("p.d1").as("d1"), col("p.d2").as("d2")).distinct()
-      val conf = broadcast(cand)
+      // merge, never broadcast (r18 100x purge): the banded candidate
+      // relation is media-corpus-proportional (a dup-heavy corpus
+      // yields at least result-many pairs) and generate-fed, so the
+      // planner's blind estimate would pin it under the broadcast
+      // threshold at any size; SMJ's sorts spill
+      val conf = cand.hint("merge")
         .join(h.select(col("media_id").as("d1"), col("dhash_lo").as("l1"),
           col("dhash_hi").as("h1")), Seq("d1"))
         .join(h.select(col("media_id").as("d2"), col("dhash_lo").as("l2"),

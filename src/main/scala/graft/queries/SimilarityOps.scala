@@ -234,7 +234,12 @@ object SimilarityOps {
     // shuffled HASH join, not sort-merge: every row of a block shares
     // one join key, and SMJ's duplicate-key group buffering costs ~2x
     // the whole query here (measured 3.6 s vs 1.6 s at sf0.1, B=32) —
-    // the hash build of n/B rows per partition is the cheap direction
+    // the hash build of n/B rows per partition is the cheap direction.
+    // RETAINED through the r18 100x SHJ purge: unlike the dedup
+    // join-backs, this build side is BLOCK-bounded (n/B rows where
+    // B = defaultParallelism scales with the cluster), and with one
+    // shared key per block SMJ's group buffer would hold the same n/B
+    // rows anyway — there is no spill-safer algorithm for this shape.
     val pairs = left.join(right.hint("shuffle_hash"),
         left("blk") === right("blk") && col("id1") < col("id2"))
       .select(col("id1"), col("id2"),
@@ -430,9 +435,15 @@ object SimilarityOps {
           .as("p"))
         .select(col("p.id1").as("id1"), col("p.id2").as("id2"))
         .distinct()
+      // merge (r18 100x purge): the banded candidate set is corpus-
+      // proportional and generate-fed (blind estimate -> spurious
+      // broadcast), and the embedding side is the corpus itself —
+      // neither may broadcast or hash-build; SMJ's sorts spill
       val conf = cand
-        .join(e.select(col("vec_id").as("id1"), col("embedding").as("e1"), col("nrm").as("n1")), Seq("id1"))
-        .join(e.select(col("vec_id").as("id2"), col("embedding").as("e2"), col("nrm").as("n2")), Seq("id2"))
+        .join(e.select(col("vec_id").as("id1"), col("embedding").as("e1"), col("nrm").as("n1"))
+          .hint("merge"), Seq("id1"))
+        .join(e.select(col("vec_id").as("id2"), col("embedding").as("e2"), col("nrm").as("n2"))
+          .hint("merge"), Seq("id2"))
         .select(col("id1"), col("id2"),
           (graft.functions.vector_dot(col("e1"), col("e2")) / (col("n1") * col("n2"))).as("cos_raw"))
       conf.filter(round(col("cos_raw"), 6) >= 0.45)

@@ -64,13 +64,18 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
-  test("d18: candidates come from the shared pair artifact and broadcast; no nested loop") {
+  test("d18: candidates come from the shared pair artifact; packed-array merge attaches, no broadcast") {
     val p = plan("d18_xmodal_verify")
     // the rewire is structural: the candidate side is a parquet scan of
     // the materialized near-dup relation (graft-mv-neardup-*), not a
     // recomputation of v4's blocked quadratic pass
     assert(p.contains("graft-mv-neardup-"), p)
-    assert(p.contains("BroadcastHashJoin"), p)
+    // r18: candidate pairs are corpus-proportional — never broadcast,
+    // never hash-built; the shingle arrays attach via doc-keyed SMJ and
+    // the overlap is the row-local two-pointer kernel
+    assert(!p.contains("BroadcastExchange"), p)
+    assert(p.contains("SortMergeJoin"), p)
+    assert(p.contains("sorted_intersect_count"), p)
     assert(!p.toLowerCase.contains("cartesianproduct"), p)
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
@@ -143,9 +148,13 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
-  test("d11: batch side broadcasts into the near-dup join, no cartesian") {
+  test("d11: batch x corpus shingle join is an in-place merge on one h exchange, no broadcast") {
     val p = plan("d11_incremental")
-    assert(p.contains("BroadcastHashJoin"), p)
+    // r18: the batch is a corpus FRACTION (doc_id % 7) — broadcasting
+    // it was the d14 hazard one step removed; both splits now read the
+    // single h-grained exchange and merge-join in place
+    assert(!p.contains("BroadcastExchange"), p)
+    assert(p.contains("SortMergeJoin"), p)
     assert(p.contains("LeftSemi"), p)
     assert(!p.toLowerCase.contains("cartesianproduct"), p)
   }
@@ -196,12 +205,17 @@ class PlanShapeSpec extends AnyFunSuite {
     // r17 sf1-gate catch: the planner's fan-out-blind Generate estimate
     // sent the dup/occ sets (corpus-proportional by definition) under
     // the broadcast threshold; at 10x the build hit the 2 GiB ceiling.
-    // The fix pins shuffle joins — this test pins the fix.
+    // r17 pinned shuffle-hash joins; the r18 100x gate then OOM'd those
+    // very builds (SHJ's HashedRelation cannot spill), so the pin is
+    // now SORT-MERGE: the only join whose memory is bounded at any
+    // corpus-to-memory ratio.
     for (q <- Seq("d14_substring_windows", "d21_exact_substr")) {
       val p = plan(q)
       assert(!p.contains("BroadcastExchange"),
         s"$q must not broadcast any relation (all join sides are corpus- or doc-proportional): $p")
-      assert(p.contains("ShuffledHashJoin"), s"$q: expected shuffle-hash join-backs: $p")
+      assert(!p.contains("ShuffledHashJoin"),
+        s"$q: SHJ builds a non-spillable HashedRelation from a corpus-proportional side: $p")
+      assert(p.contains("SortMergeJoin"), s"$q: expected merge join-backs: $p")
     }
   }
 
@@ -562,9 +576,10 @@ class PlanShapeSpec extends AnyFunSuite {
     // AQE must keep the runtime choice
   }
 
-  test("d18: candidate pairs broadcast into the shingle join, no cartesian") {
+  test("d18: packed shingle arrays merge-join onto the pairs, no corpus broadcast") {
     val p = plan("d18_xmodal_verify")
-    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("BroadcastExchange"), p)
+    assert(p.contains("SortMergeJoin"), p)
     assert(!p.toLowerCase.contains("cartesianproduct"), p)
   }
 

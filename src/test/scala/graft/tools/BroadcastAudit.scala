@@ -44,19 +44,21 @@ object BroadcastAudit {
 
   /** query -> proven bound of its generate-fed broadcast build side.
     * Everything NOT here that had a generate-fed broadcast was FIXED in
-    * r17 (shuffle_hash hints): d14/d21 (duplicated-window sets),
-    * d19/d20 (dfq + packed token arrays), d13/d15 (boilerplate set +
-    * doc-grain counts), d7/d18/d11 (doc-grain shingle counts), e16
-    * (event-proportional funnel arms). */
+    * r17 (d14/d21 duplicated-window sets, d19/d20 dfq + packed token
+    * arrays, d13/d15 boilerplate set + doc-grain counts, d7 doc-grain
+    * shingle counts, e16 event-proportional funnel arms — all now
+    * MERGE joins after the r18 100x gate showed the r17 shuffle-hash
+    * builds OOM at constant per-core memory) or in r18 (d11's
+    * corpus-fraction batch shingles now share one h exchange, d18's
+    * candidate pairs attach packed arrays via doc-keyed merge joins,
+    * m8/v5's banded candidate pairs are merge-hinted — their r17
+    * allowlist rows are gone because the broadcasts are gone). */
   val Allowlist: Map[String, Bound] = Map(
     "e10_gapfill" -> Bound("dense-grid branch: every relation downstream of the generated grid is (span-hours x event-types)-grained — bounded by wall-clock span and type cardinality, independent of event count (the query's own scale contract)", 1000000L),
     "q20_basket_lift" -> Bound("np part-frequency table joined twice: l_partkey < 3000 literal caps the key space at 3000 rows", 3000L),
     "d9_contamination" -> Bound("benchmark shingle set: doc_id < 20 (20 docs) by construction; d10 is the bloom scale path — 20 docs x <=2.5k shingles", 50000L),
     "d10_bloom_decontam" -> Bound("same doc_id < 20 benchmark set, exact confirm side of the bloom prefilter", 50000L),
-    "d11_incremental" -> Bound("EXPLICIT bsh broadcasts: the incoming-batch shingle set — batch-sized by the incremental-dedup contract (5% sample cap x shingles/doc); a too-large increment fails loudly at the 2 GiB ceiling and the remediation is the shuffle join", 2000000L),
-    "d18_xmodal_verify" -> Bound("EXPLICIT cand broadcast: the Materialized near-dup candidate pair artifact — candidate/result-sized (the engine's broadcast-candidates discipline)", 1000000L),
     "e14_cms_topk" -> Bound("EXPLICIT: the count-min sketch — fixed d=4 x w=1024 counter grid, corpus-independent", 8192L),
-    "m8_dhash_neardup" -> Bound("EXPLICIT: banded-Hamming candidate pairs — candidate/result-sized", 1000000L),
     "p9_mixture" -> Bound("per-source aggregate: grouping key `source` has fixed cardinality (20)", 1000L),
     "p13_curriculum" -> Bound("EXPLICIT: per-(source, epoch) curriculum thresholds — bounded by sources x epochs", 1000L),
     "t9_vocab" -> Bound("EXPLICIT: top-K vocab under a limit (K=1000)", 10000L),
@@ -65,7 +67,6 @@ object BroadcastAudit {
     "t16_bpe_apply" -> Bound("EXPLICIT: the learned merge list (5 rows by construction)", 64L),
     "t17_tfidf_pairs" -> Bound("EXPLICIT dfq broadcast: df-capped [2,100] rare-term table, documented design (TextOps) — vocab-tail-sized; at web-vocab scale the documented remediation is the shuffle join; ceiling-guarded", 5000000L),
     "c2_grid_density" -> Bound("grid-cell aggregates: cell count bounded by the fixed grid resolution, not by the corpus", 100000L),
-    "v5_rhp_lsh" -> Bound("banded-LSH candidate pairs: candidate/result-sized (the broadcast-candidates discipline, explicit in v11/d16)", 2000000L),
     "v7_sq8_rerank" -> Bound("EXPLICIT: query vectors (5) + SQ8 codebook — model-sized", 10000L),
     "v10_bq_hamming" -> Bound("EXPLICIT: query vectors (5) + binary masks — model-sized", 10000L)
   )
