@@ -73,8 +73,22 @@ object Sf1Rehearsal {
     * (so joins stay consistent within a copy and copies are disjoint);
     * non-key columns ride along unchanged; nation/region are unscaled
     * dims (their keys are NOT remapped anywhere, so the FK joins hold). */
+  /** v6: K-INVARIANT embedding nudge. v5 nudged each copy's vectors by
+    * cp * 0.001 * (i % 7) — calibrated at k=10 (max shift norm ~0.24,
+    * small against the base norms) but UNBOUNDED in k: at k=100 the
+    * cp=99 shift has norm ~2.4, dominates every base vector, and
+    * collapses the cosine space (all high-cp vectors point along the
+    * shift direction, cos ~ 1 for ~any pair) — the near-dup surface
+    * degenerates to ~n^2 pairs (the 100x gate measured a >51 GB pair
+    * artifact before exhausting the disk). v6 bounds the nudge with
+    * cp % 10, which is BYTE-IDENTICAL to v5 at k <= 10 (the committed
+    * sf1 gate's data is unchanged) and keeps the perturbation in its
+    * calibrated regime at any k; same-nudge-class copies of one base
+    * vector are exact duplicates — the realistic shape (a 100x corpus
+    * of embeddings contains exact re-embeds, not uniformly drifted
+    * ones). */
   private val GenStamp =
-    s"v5:all tables, full schemas; keys remapped id*k+cp; documents token-suffixed; embeddings nudged"
+    s"v6:all tables, full schemas; keys remapped id*k+cp; documents token-suffixed; embeddings nudged k-invariantly (cp%10)"
 
   def generate(spark: SparkSession, sfDir: String, outDir: String, k: Int): Unit = {
     val done = new java.io.File(s"$outDir/_DONE")
@@ -143,7 +157,7 @@ object Sf1Rehearsal {
     val e = Tables.load(spark, sfDir, "embeddings")
       .withColumn("cp", cp)
       .select((col("vec_id") * k + col("cp")).as("vec_id"),
-        expr("transform(embedding, (x, i) -> x + CAST(cp AS FLOAT) * 0.001F * CAST(i % 7 AS FLOAT))")
+        expr("transform(embedding, (x, i) -> x + CAST(cp % 10 AS FLOAT) * 0.001F * CAST(i % 7 AS FLOAT))")
           .as("embedding"),
         col("label"))
     e.repartition(8).write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
