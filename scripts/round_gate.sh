@@ -16,6 +16,12 @@ ROOT="$(cd "$(dirname "$0")/.." && pwd)"
 cd "$ROOT"
 fail=0
 
+# host-health stamp (VERDICT r18 ask #1): single-thread AND 32-thread
+# probes — only the multi-thread number predicts bench throughput on
+# this host. Informational (never gates), but always on the record.
+echo "== host probe =="
+python3 scripts/host_probe.py || true
+
 echo "== leakcheck =="
 python3 scripts/leakcheck.py "$ROUND" || fail=1
 

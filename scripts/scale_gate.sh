@@ -1,0 +1,77 @@
+#!/usr/bin/env bash
+# 100x VALUE-EQUALITY scale gate (VERDICT r18 asks #5/#6): one command
+# that regenerates the k=100 disjoint-copy corpus, runs the Tier-1
+# shuffle-ranked queries (head 15 + tail 15) through the Spark arm in
+# BATCHED JVMs, replays every surviving oracle in DuckDB, and sweeps
+# BroadcastAudit + PlanShapeSpec at the scaled corpus. Folds the
+# hand-driven r18 procedure (PERF_NOTES "Round 18: the 100x gate") into
+# round tooling so r19/r20 re-runs can't silently skip a step.
+#
+#   scripts/scale_gate.sh [sfDir] [corpusDir] [k]
+#
+# Batched JVMs: shuffle files persist until JVM exit and the heavy
+# d-family rows spill tens of GB each — one long-lived JVM exhausted
+# the disk in r18 (78 GB logically free). Each batch is its own sbt
+# fork; Materialized artifacts are shared across batches via ONE
+# scratch root (gate evidence, NOT a bench window — never reuse this
+# root for a headline bench).
+#
+# Carve-outs ride as CLI args WITH their measured evidence and land in
+# the artifact under the distinct cli_carve key (ADVICE r18):
+#   d20 — DuckDB's naive bucket-join oracle explodes quadratically on
+#         the injected boilerplate skew; at sf10 it died spilling
+#         >70 GB ("No space left on device", ~25 min) while unskewed
+#         twin d19 took 14.9 s (r18, PERF_NOTES).
+#   d18 — O(n^2) oracle: 101.6 s at n=20k extrapolates ~2.8 h at
+#         n=200k, plus a 12.56M-row full-value pandas compare; the
+#         Spark arm's rows are recorded in sc_rows.json.
+set -u
+SFDIR="${1:-/root/testdata/sf0.1}"
+CORPUS="${2:-/tmp/graft-sf10}"
+K="${3:-100}"
+ROOT="$(cd "$(dirname "$0")/.." && pwd)"
+cd "$ROOT"
+SCRATCH="$CORPUS-scratch"
+OUT="CORRECTNESS_SF10.json"
+
+# Tier-1 by full-surface JobCensus shuffle bytes at sf0.1 (the
+# committed ranking in graft.tools.Sf1Correctness.Tier1), grouped into
+# disk-bounded batches: the spill-heavy d-family rows get small
+# batches, the aggregate/window rows share JVMs.
+BATCHES=(
+  "d14_substring_windows,d21_exact_substr"
+  "d20_prefix_join_skew,d19_prefix_join"
+  "d18_xmodal_verify"
+  "approx_stats,g2_edge_weights,a3_percentile,a13_fd_audit,a9_profile"
+  "d15_curation_funnel,d13_boilerplate,d7_jaccard_capped,d11_incremental,a7_percentiles"
+  "t21_perplexity,v5_rhp_lsh,g9_two_hop,t20_source_overlap,q21_waiting"
+  "distinct_agg,d9_contamination,t13_hll_shingles,e15_sliding_distinct,w5_range_frame"
+  "g4_bfs,q20_basket_lift,e6_hopping_window,v16_knn_graph,e21_periodicity"
+)
+ALL=$(IFS=,; echo "${BATCHES[*]}")
+
+echo "== scale gate: Spark arm, ${#BATCHES[@]} batched JVMs =="
+for b in "${BATCHES[@]}"; do
+  echo "-- batch: $b"
+  SPARK_GRAFT_SCRATCH_ROOT="$SCRATCH" SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-32}" \
+    sbt -batch "Test/runMain graft.tools.Sf1Correctness $SFDIR $CORPUS $K $b" \
+    2>&1 | grep -E 'sf1_correctness|sf1\]|error|Exception' || { echo "BATCH FAILED: $b" >&2; exit 1; }
+  df -h "$CORPUS" | tail -1
+done
+
+echo "== scale gate: DuckDB value arm =="
+python3 scripts/sf1_correctness.py "$CORPUS" "$OUT" "$ALL" \
+  "d20_prefix_join_skew=oracle infeasible at this scale: quadratic skew-bucket bucket-join; sf10 attempt died spilling >70GB to disk exhaustion after ~25min (r18, PERF_NOTES); unskewed twin d19 passes in ~15s;d18_xmodal_verify=oracle infeasible at this scale: O(n^2) shingle self-join, 101.6s at n=20k extrapolates ~2.8h at n=200k plus a 12.56M-row full-value pandas compare; Spark rows recorded in sc_rows.json" \
+  || { echo "SCALE GATE: value arm RED" >&2; exit 1; }
+
+echo "== scale gate: BroadcastAudit at the scaled corpus =="
+SPARK_GRAFT_SCRATCH_ROOT="$SCRATCH" SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-32}" \
+  sbt -batch "Test/runMain graft.tools.BroadcastAudit $CORPUS $ALL" \
+  || { echo "SCALE GATE: BroadcastAudit RED" >&2; exit 1; }
+
+echo "== scale gate: PlanShapeSpec pinned at the scaled corpus =="
+GRAFT_PLANSHAPE_DIR="$CORPUS" SPARK_GRAFT_SCRATCH_ROOT="$SCRATCH" \
+  sbt -batch "testOnly graft.PlanShapeSpec" \
+  || { echo "SCALE GATE: PlanShapeSpec RED" >&2; exit 1; }
+
+echo "SCALE GATE: green ($OUT)"

@@ -50,7 +50,15 @@ def main(sf1_dir, out_json="CORRECTNESS_SF1.json", only=None, carve_outs=None):
         unknown = set(only) - set(oracle)
         assert not unknown, f"unknown queries in --only: {sorted(unknown)}"
         oracle = {k: v for k, v in oracle.items() if k in set(only)}
-    carve_outs = dict(CARVE_OUTS, **(carve_outs or {}))
+    # CLI carve-outs must name real gate queries (a typo must fail loudly,
+    # not silently green the gate) and are recorded under a DISTINCT key
+    # (cli_carve) so auditors can tell invocation-time carves from the
+    # code-reviewed committed CARVE_OUTS (ADVICE r18)
+    cli_carves = dict(carve_outs or {})
+    unknown_carves = set(cli_carves) - set(oracle)
+    assert not unknown_carves, \
+        f"carve-out names not in the replayed oracle set: {sorted(unknown_carves)}"
+    carve_outs = dict(CARVE_OUTS, **cli_carves)
     con = duckdb.connect()
     for t in TABLES:
         p = os.path.join(sf1_dir, f"{t}.parquet")
@@ -59,7 +67,8 @@ def main(sf1_dir, out_json="CORRECTNESS_SF1.json", only=None, carve_outs=None):
     results, n_pass = {}, 0
     for name, sql in oracle.items():
         if name in carve_outs:
-            results[name] = {"carved_out": carve_outs[name]}
+            key = "cli_carve" if name in cli_carves else "carved_out"
+            results[name] = {key: carve_outs[name]}
             continue
         t0 = time.time()
         want = norm(con.execute(sql).df())
@@ -80,18 +89,32 @@ def main(sf1_dir, out_json="CORRECTNESS_SF1.json", only=None, carve_outs=None):
                          "cols_match": cols_ok, "rows_match": rows_ok,
                          "values_match": values_ok, "pass": bool(ok)}
         print(f"{'PASS' if ok else 'FAIL'} {name} ({len(want)} rows, duckdb {dd_sec}s)")
-    scale = ("selected subset (shuffle-byte-ranked) at the caller's scale"
-             if only is not None else "the 10x corpus")
+    # the contract names the exact corpus (dir + generator stamp from the
+    # Spark arm's _DONE file) so the committed artifact is reproducible
+    # from this committed script alone (ADVICE r18)
+    try:
+        gen_stamp = open(os.path.join(sf1_dir, "_DONE")).read().strip()
+    except OSError:
+        gen_stamp = "unknown (no _DONE stamp)"
+    scale = (f"the selected subset (shuffle-byte-ranked) over the "
+             f"disjoint-copy corpus at {sf1_dir} (generator stamp: {gen_stamp})"
+             if only is not None else
+             f"the disjoint-copy corpus at {sf1_dir} "
+             f"(generator stamp: {gen_stamp})")
     artifact = {
         "contract": (f"data-bound queries (full-surface JobCensus shuffle-byte "
                      f"ranking at sf0.1) value-equal vs DuckDB on {scale}; oracle "
-                     f"SQL verbatim from the committed gate, no cap rescaling"),
+                     f"SQL verbatim from the committed gate, no cap rescaling; "
+                     f"carve-outs only with measured evidence"),
+        "generator_stamp": gen_stamp,
         "only": sorted(only) if only is not None else None,
         "sf1_dir": sf1_dir,
         "n_queries": len(oracle),
         "n_pass": n_pass,
-        "n_carved_out": len([r for r in results.values() if "carved_out" in r]),
-        "all_pass": n_pass + len([r for r in results.values() if "carved_out" in r])
+        "n_carved_out": len([r for r in results.values()
+                             if "carved_out" in r or "cli_carve" in r]),
+        "all_pass": n_pass + len([r for r in results.values()
+                                  if "carved_out" in r or "cli_carve" in r])
                     == len(oracle),
         "queries": results,
     }

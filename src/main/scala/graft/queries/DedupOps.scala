@@ -224,15 +224,13 @@ object DedupOps {
           col("n2c") - col("pos2") - lit(1L)))
         >= expr("(n1c + n2c + 2) div 3"))
       .select(col("d1"), col("d2"))
-    // NO forced broadcast of the candidates: prefix filtering bounds
-    // which BUCKETS open, not the candidate count — a duplicate-heavy
-    // corpus (the dedup workload) yields at least result-set-many
-    // pairs, and pinning those through the driver is the 8 GB
-    // broadcast wall. Plain equi-joins on doc_id against the packed
-    // relation: AQE broadcasts when the runtime size is actually
-    // small, shuffles otherwise. The jaccard filter lands in the join
-    // condition, where sorted_intersect_count stays cheap per
-    // evaluation (no per-call hash-set build, unlike array_intersect).
+    // NO broadcast of the candidates: prefix filtering bounds which
+    // BUCKETS open, not the candidate count — a duplicate-heavy corpus
+    // (the dedup workload) yields at least result-set-many pairs, and
+    // pinning those through the driver is the 8 GB broadcast wall. The
+    // jaccard filter lands in the join condition, where
+    // sorted_intersect_count stays cheap per evaluation (no per-call
+    // hash-set build, unlike array_intersect).
     // merge joins: the static planner otherwise BROADCASTS packed — the
     // per-doc token-array relation, i.e. the whole corpus content — on
     // the same blind estimate (observed in the final adaptive plan at
@@ -818,13 +816,15 @@ object DedupOps {
     //     embedding id) re-scored by exact lexical 3-gram Jaccard.
     //     The SemDeDup-composition question "does semantic similarity
     //     imply lexical duplication?" answered pair by pair: the
-    //     embedding index PROPOSES, the text DISPOSES. 100 TB shape:
-    //     the candidate relation is pair-work-bounded (v4's blocked
-    //     scan), tiny relative to the corpus, and BROADCASTS into the
-    //     shingle relation — the corpus-sized shingle side shuffles
-    //     only on (doc, h) aggregate keys it already owns, and docs
-    //     with zero shared shingles survive via the left join (the
-    //     interesting rows: semantically close, lexically disjoint). ---
+    //     embedding index PROPOSES, the text DISPOSES. 100 TB shape
+    //     (r18): near-dup candidates are CORPUS-PROPORTIONAL (a
+    //     dup-heavy corpus yields at least result-many pairs), so
+    //     nothing broadcasts — the d19 packed-array idiom instead:
+    //     sorted per-doc shingle arrays attach via doc-keyed spillable
+    //     MERGE joins and the overlap is a row-local two-pointer
+    //     kernel; zero-overlap pairs survive via a left join on the
+    //     packed side (the interesting rows: semantically close,
+    //     lexically disjoint). ---
     "d18_xmodal_verify" -> ((s, dir) => {
       // the shared Materialized pair artifact (r15): a tiny stats-carrying
       // parquet scan, so the consumers below re-read it for free and
@@ -948,14 +948,15 @@ object DedupOps {
     //     batch (doc_id % 7 = 3 stands in for today's crawl) classified
     //     against the standing corpus as exact_dup (content hash already
     //     present), near_dup (Jaccard >= 0.5 vs any corpus doc), or new.
-    //     Scale shape: the exact check is a hash semi-join (uniform key);
-    //     the near-dup check never touches corpus-x-corpus pairs — corpus
-    //     shingles are first semi-filtered to buckets the BATCH touches
-    //     (batch shingle set broadcasts), then batch x corpus pairs come
-    //     from a broadcast hash join on the shingle key. Work is bounded
-    //     by batch size x bucket frequency, with d7's stop-shingle cap as
-    //     the standing skew lever — the corpus is scanned, never
-    //     reshuffled against itself. ---
+    //     Scale shape (r18): the "batch" is a corpus FRACTION, so
+    //     nothing batch-derived may broadcast or hash-build. The exact
+    //     check is a spillable merge semi-join on the content hash; the
+    //     near-dup check never touches corpus-x-corpus pairs — batch and
+    //     corpus shingle splits share ONE h-grained exchange and merge
+    //     in place on h, so work is bounded by batch size x bucket
+    //     frequency, with d7's stop-shingle cap as the standing skew
+    //     lever — the corpus is scanned, never reshuffled against
+    //     itself. ---
     "d11_incremental" -> ((s, dir) => {
       val d = docs(s, dir)
       val isBatch = col("doc_id") % 7 === 3

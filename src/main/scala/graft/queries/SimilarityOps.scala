@@ -438,7 +438,16 @@ object SimilarityOps {
       // merge (r18 100x purge): the banded candidate set is corpus-
       // proportional and generate-fed (blind estimate -> spurious
       // broadcast), and the embedding side is the corpus itself —
-      // neither may broadcast or hash-build; SMJ's sorts spill
+      // neither may broadcast or hash-build; SMJ's sorts spill.
+      // r19 bounded-side audit (VERDICT r18 ask #4): un-forcing per the
+      // d4 precedent was REJECTED. d4's sides are stats-carrying
+      // artifacts with a structural bound; v5 has none — the signature
+      // space is a CONSTANT 64 buckets (4 bands x 4-bit keys), so the
+      // candidate relation scales TH(n^2/16) with no bucket cap (a cap
+      // would drop candidates and change the gated result), and both
+      // join sides grow with the corpus. Any hash build here re-opens
+      // the exact non-spillable class the sf10 gate OOM'd; the ~0.4 s
+      // sort cost at sf0.1 is the price of a plan that survives 100x.
       val conf = cand
         .join(e.select(col("vec_id").as("id1"), col("embedding").as("e1"), col("nrm").as("n1"))
           .hint("merge"), Seq("id1"))
