@@ -25,7 +25,7 @@
 #   d18 — O(n^2) oracle: 101.6 s at n=20k extrapolates ~2.8 h at
 #         n=200k, plus a 12.56M-row full-value pandas compare; the
 #         Spark arm's rows are recorded in sc_rows.json.
-set -u
+set -u -o pipefail
 SFDIR="${1:-/root/testdata/sf0.1}"
 CORPUS="${2:-/tmp/graft-sf10}"
 K="${3:-100}"
