@@ -74,7 +74,7 @@ done
 
 echo "== scale gate: DuckDB value arm =="
 python3 scripts/sf1_correctness.py "$CORPUS" "$OUT" "$ALL" \
-  "d20_prefix_join_skew=oracle infeasible at this scale: quadratic skew-bucket bucket-join; sf10 attempt died spilling >70GB to disk exhaustion after ~25min (r18, PERF_NOTES); unskewed twin d19 passes in ~15s;d18_xmodal_verify=oracle infeasible at this scale: O(n^2) shingle self-join, 101.6s at n=20k extrapolates ~2.8h at n=200k plus a 12.56M-row full-value pandas compare; Spark rows recorded in sc_rows.json;v5_rhp_lsh=both arms infeasible at this scale by measurement (ProbeV5Scale): constant 64-bucket signature space is quadratic in corpus - 515k pre-distinct candidate pairs at sf0.1 vs 53.7M at sf1 (104x for 10x data), extrapolating ~5B pairs / ~82GB shuffle at sf10 with the largest bucket's eager pair array ~4.7GB exceeding the 2GiB array cap; value-gated at sf1 instead (CORRECTNESS_SF1)" \
+  "d20_prefix_join_skew=oracle infeasible at this scale: quadratic skew-bucket bucket-join, sf10 attempt died spilling >70GB to disk exhaustion after ~25min (r18, PERF_NOTES) - unskewed twin d19 passes in ~15s;d18_xmodal_verify=oracle infeasible at this scale: O(n^2) shingle self-join, 101.6s at n=20k extrapolates ~2.8h at n=200k plus a 12.56M-row full-value pandas compare - Spark rows recorded in sc_rows.json;v5_rhp_lsh=both arms infeasible at this scale by measurement (ProbeV5Scale): constant 64-bucket signature space is quadratic in corpus - 515k pre-distinct candidate pairs at sf0.1 vs 53.7M at sf1 (104x for 10x data), extrapolating ~5B pairs / ~82GB shuffle at sf10 with the largest bucket's eager pair array ~4.7GB exceeding the 2GiB array cap - value-gated at sf1 instead (CORRECTNESS_SF1)" \
   || { echo "SCALE GATE: value arm RED" >&2; exit 1; }
 
 echo "== scale gate: BroadcastAudit at the scaled corpus =="
