@@ -35,6 +35,15 @@
 #         the corpus-sized parameterization; at 100 TB the scale lever
 #         is signature width (more bands x wider keys), which changes
 #         the gated result. Value-gated at sf1 (CORRECTNESS_SF1).
+#   v16 — ORACLE-only carve (the Spark arm runs and its 600k rows are
+#         in sc_rows.json): DuckDB's twin materializes the
+#         cell-assignment cross product — 200k vectors x 3,125 sampled
+#         centroids = 625M rows, each dragging the 64-dim embedding
+#         through a per-vector window sort (>300 GB). Measured r19:
+#         default limits filled the host's 77 GB free disk and died
+#         ("No space left on device"); a 24 GB memory budget with a
+#         20 GiB spill cap OOMs in 136 s. Value-gated at sf1 instead
+#         (CORRECTNESS_SF1: 60k rows, 8.65 s oracle).
 set -u -o pipefail
 SFDIR="${1:-/root/testdata/sf0.1}"
 CORPUS="${2:-/tmp/graft-sf10}"
@@ -74,7 +83,7 @@ done
 
 echo "== scale gate: DuckDB value arm =="
 python3 scripts/sf1_correctness.py "$CORPUS" "$OUT" "$ALL" \
-  "d20_prefix_join_skew=oracle infeasible at this scale: quadratic skew-bucket bucket-join, sf10 attempt died spilling >70GB to disk exhaustion after ~25min (r18, PERF_NOTES) - unskewed twin d19 passes in ~15s;d18_xmodal_verify=oracle infeasible at this scale: O(n^2) shingle self-join, 101.6s at n=20k extrapolates ~2.8h at n=200k plus a 12.56M-row full-value pandas compare - Spark rows recorded in sc_rows.json;v5_rhp_lsh=both arms infeasible at this scale by measurement (ProbeV5Scale): constant 64-bucket signature space is quadratic in corpus - 515k pre-distinct candidate pairs at sf0.1 vs 53.7M at sf1 (104x for 10x data), extrapolating ~5B pairs / ~82GB shuffle at sf10 with the largest bucket's eager pair array ~4.7GB exceeding the 2GiB array cap - value-gated at sf1 instead (CORRECTNESS_SF1)" \
+  "d20_prefix_join_skew=oracle infeasible at this scale: quadratic skew-bucket bucket-join, sf10 attempt died spilling >70GB to disk exhaustion after ~25min (r18, PERF_NOTES) - unskewed twin d19 passes in ~15s;d18_xmodal_verify=oracle infeasible at this scale: O(n^2) shingle self-join, 101.6s at n=20k extrapolates ~2.8h at n=200k plus a 12.56M-row full-value pandas compare - Spark rows recorded in sc_rows.json;v5_rhp_lsh=both arms infeasible at this scale by measurement (ProbeV5Scale): constant 64-bucket signature space is quadratic in corpus - 515k pre-distinct candidate pairs at sf0.1 vs 53.7M at sf1 (104x for 10x data), extrapolating ~5B pairs / ~82GB shuffle at sf10 with the largest bucket's eager pair array ~4.7GB exceeding the 2GiB array cap - value-gated at sf1 instead (CORRECTNESS_SF1);v16_knn_graph=oracle infeasible at this scale by measurement: the cell-assignment stage is a 200k x 3125-centroid cross product - 625M rows each carrying the 64-dim embedding through a per-vector window sort (>300GB materialization) - with default limits DuckDB filled the host's 77GB free disk and died (No space left on device) and with a 24GB memory budget + 20GiB spill cap it OOMs in 136s (r19) - value-gated at sf1 instead (CORRECTNESS_SF1: 60000 rows, 8.65s) - Spark arm passes at sf10 (600000 rows in sc_rows.json)" \
   || { echo "SCALE GATE: value arm RED" >&2; exit 1; }
 
 echo "== scale gate: BroadcastAudit at the scaled corpus =="

@@ -140,7 +140,13 @@ object ClusterOps {
       val fin = assigned
         .groupBy(col("cid"))
         .agg(count(lit(1)).as("n_members"), sum(col("dist")).as("inertia"))
-      cent.join(fin, Seq("cid"), "left")
+      // fin is bounded by its group key: <= K = 8 rows no matter the
+      // corpus. Spark's post-aggregate size estimate scales with the
+      // INPUT, so at the 100x corpus the planner mis-prices it past
+      // the broadcast threshold and degrades this K-row join-back to
+      // a sort-merge join (caught by PlanShapeSpec at sf10, r19); the
+      // hint declares the key-cardinality bound the planner can't see.
+      cent.join(broadcast(fin), Seq("cid"), "left")
         .select(col("cid"),
           coalesce(col("n_members"), lit(0L)).as("n_members"),
           expr("cv[0]").as("c_first"),
