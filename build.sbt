@@ -41,4 +41,13 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // leaves little margin for longer multi-pass runs. 1 GiB is reserved
   // virtual address space, not resident memory, so the only cost is VA.
   "-XX:ReservedCodeCacheSize=1g",
+  // 32 executor threads doing JNI-critical parquet/zstd reads hold the
+  // GCLocker while sort stages request 128 MB humongous buffers; JDK 17's
+  // default of TWO allocation retries under GCLocker contention then
+  // throws a SPURIOUS OutOfMemoryError with most of the heap free
+  // (JDK-8192647 class; observed killing the sf10 d14 batch, r19:
+  // "Retried waiting for GCLocker too often allocating 16777218 words").
+  // Raising the retry count only changes behavior in that starvation
+  // race — zero steady-state cost.
+  "-XX:+UnlockDiagnosticVMOptions", "-XX:GCLockerRetryAllocationCount=64",
 ) ++ sys.env.get("SPARK_GRAFT_EXTRA_JAVA_OPTS").toSeq.flatMap(_.split("\\s+").filter(_.nonEmpty))
