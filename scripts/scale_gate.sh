@@ -53,10 +53,12 @@ cd "$ROOT"
 SCRATCH="$CORPUS-scratch"
 OUT="CORRECTNESS_SF10.json"
 
-# Tier-1 by full-surface JobCensus shuffle bytes at sf0.1 (the
-# committed ranking in graft.tools.Sf1Correctness.Tier1), grouped into
-# disk-bounded batches: the spill-heavy d-family rows get small
-# batches, the aggregate/window rows share JVMs.
+# Tier-1 + Tier-2 by full-surface JobCensus shuffle bytes at sf0.1
+# (the committed ranking in graft.tools.Sf1Correctness.Tier1/Tier2),
+# grouped into disk-bounded batches: the spill-heavy d-family rows get
+# small batches, the aggregate/window rows share JVMs. Tier-2 (ranks
+# 31-60, r19 widening) sweeps the t-family model builders, e-family
+# sessionization/windows, and the samplers.
 BATCHES=(
   "d14_substring_windows,d21_exact_substr"
   "d20_prefix_join_skew,d19_prefix_join"
@@ -66,6 +68,12 @@ BATCHES=(
   "t21_perplexity,g9_two_hop,t20_source_overlap,q21_waiting"
   "distinct_agg,d9_contamination,t13_hll_shingles,e15_sliding_distinct,w5_range_frame"
   "g4_bfs,q20_basket_lift,e6_hopping_window,v16_knn_graph,e21_periodicity"
+  "e2_sessionize,e18_event_paths,e12_transitions,e11_attribution"
+  "t8_bm25,t16_bpe_apply,t5_bpe_tokens,t6_corpus_filter,t1_token_stats"
+  "v11_semdedup,m8_dhash_neardup,t2_quality_score,q18_large_orders,q3_join_topk"
+  "t25_classifier_eval,t22_heaps,t18_pii_redact,t15_classifier,t12_kmv_distinct"
+  "t9_vocab,t3_lang_id,t26_langid_eval,t24_zipf_fit,t10_repetition"
+  "q16_supplier_cnt,w1_window_rank,w6_ntile_cume,p5_source_cap,p13_curriculum,e19_gini"
 )
 # v5 is part of the gate surface but BOTH its arms are carved at this
 # scale (measured evidence above): it joins the oracle/artifact set,

@@ -858,6 +858,12 @@ object TextOps {
               expr("size(filter(split(fs, '  '), x -> x != ''))").cast("long")
                 .as("n_sym"))
         }
+      // toks is VOCAB-sized (word types, Zipf-compact — corpus-
+      // sublinear but unbounded; BroadcastAudit executes a 5M-row
+      // bound, r19). Broadcast is right while the vocabulary fits the
+      // session's loud 2 GiB ceiling (Spark.scala); past that the
+      // remediation is dropping the hint for a plain shuffle join on
+      // `word` — segmentation stays type-level either way.
       words.join(broadcast(toks), Seq("word"))
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_words"),

@@ -64,7 +64,17 @@ object BroadcastAudit {
     "t9_vocab" -> Bound("EXPLICIT: top-K vocab under a limit (K=1000)", 10000L),
     "t12_kmv_distinct" -> Bound("per-language KMV sketches: grouping key `lang` has fixed cardinality (5), sketch is k-bounded (k=256)", 10000L),
     "t13_hll_shingles" -> Bound("per-language HLL registers: lang-grained (5) x 64 registers", 10000L),
-    "t16_bpe_apply" -> Bound("EXPLICIT: the learned merge list (5 rows by construction)", 64L),
+    // r19 sf10 catch: the old entry claimed "the learned merge list
+    // (5 rows)" with bound 64 — but the merges COLLECT to the driver
+    // (never broadcast); what broadcasts is the word -> n_sym
+    // segmentation CACHE, which is VOCAB-sized (Zipf-compact,
+    // sublinear in corpus; the k=100 disjoint-copy generator
+    // multiplies word types by k, 31 -> 3100). Same class as t17's
+    // dfq: vocab-tail-bounded, session 2 GiB ceiling fails loudly,
+    // documented remediation at the site (shuffle join; the
+    // spark.graft.bpe.minFreq lever caps the learn-side input
+    // independently).
+    "t16_bpe_apply" -> Bound("word -> n_sym segmentation cache: vocab-sized (Zipf-compact, corpus-sublinear; generator multiplies types by k) — t17 dfq class, ceiling-guarded, shuffle-join remediation documented at the site", 5000000L),
     "t17_tfidf_pairs" -> Bound("EXPLICIT dfq broadcast: df-capped [2,100] rare-term table, documented design (TextOps) — vocab-tail-sized; at web-vocab scale the documented remediation is the shuffle join; ceiling-guarded", 5000000L),
     "c2_grid_density" -> Bound("grid-cell aggregates: cell count bounded by the fixed grid resolution, not by the corpus", 100000L),
     "v7_sq8_rerank" -> Bound("EXPLICIT: query vectors (5) + SQ8 codebook — model-sized", 10000L),
