@@ -646,9 +646,14 @@ object DedupOps {
     //     the capped Jaccard is a strict underestimate, never an
     //     overestimate. ---
     "d7_jaccard_capped" -> ((s, dir) => {
-      val sh = shingles(docs(s, dir))
-      val cold = sh.groupBy(col("h"))
-        .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      val d = docs(s, dir)
+      // r19: collect_set over the RAW shingle stream replaces the old
+      // distinct() + collect_list — the set aggregate dedups (doc, h)
+      // inside the same exchange the bucket build already pays, so the
+      // separate corpus-scale (doc_id, h) distinct exchange disappears
+      // (10 -> 7 formatted-plan exchanges; identical ids arrays).
+      val cold = shinglesRaw(d).groupBy(col("h"))
+        .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
         .filter(size(col("ids")) > 1 && size(col("ids")) <= 5)
       val pairs = cold
         .select(explode(expr(
@@ -656,11 +661,19 @@ object DedupOps {
           .as("p"))
         .groupBy(col("p.d1").as("d1"), col("p.d2").as("d2"))
         .agg(count(lit(1)).as("m"))
-      val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      // r19: the per-doc distinct-shingle count is ROW-LOCAL — a doc's
+      // distinct shingles are array_distinct of its own shingle array,
+      // so the second corpus explode + doc-grain count aggregate the
+      // old `sh.groupBy(doc_id).count` shape paid is a narrow map over
+      // the scan (the d19 pk-carries-n precedent). BIGINT cast keeps
+      // the n arithmetic identical to the old count(1) output.
+      val cnt = d.select(col("doc_id"),
+        expr("CAST(size(array_distinct(word_shingle_hashes(text, 3))) AS BIGINT)")
+          .as("n"))
       // merge, never broadcast (r17 audit) and never shuffle-hash (r18
       // 100x gate: SHJ's build doesn't spill): cnt is DOC-proportional;
       // only the (result-sized) pair relation pays the exchanges — cnt
-      // lands doc-partitioned from its aggregate, keys unique
+      // keys are unique (one row per doc straight off the scan)
       pairs
         .join(cnt.as("c1").hint("merge"), col("d1") === col("c1.doc_id"))
         .join(cnt.as("c2").hint("merge"), col("d2") === col("c2.doc_id"))
@@ -898,12 +911,24 @@ object DedupOps {
     //     standard eval-overlap sweep: benchmark n-grams always fit in
     //     a broadcast. ---
     "d9_contamination" -> ((s, dir) => {
-      val sh = shingles(docs(s, dir))
-      val bench = sh.filter(col("doc_id") < 20).select(col("h")).distinct()
-      val corpus = sh.filter(col("doc_id") >= 20)
-      val total = corpus.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
-      val hit = corpus.join(broadcast(bench), Seq("h"), "left_semi")
-        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hit"))
+      val d = docs(s, dir)
+      // r19: the old shape ran a corpus-wide (doc_id, h) distinct just
+      // so three consumers saw deduped shingles. All three dedup
+      // cheaper locally, so that corpus-scale exchange is GONE:
+      // - bench distincts only its own doc<20 slice (benchmark-sized);
+      // - n_hit dedups via count_distinct, whose (doc, h) partial agg
+      //   sees only rows that SURVIVE the broadcast semi-join
+      //   (contaminated shingles, not the corpus);
+      // - n_shingles is row-local (array_distinct over the doc's own
+      //   shingle array — the d7/d19 pk-carries-n precedent).
+      val shRaw = shinglesRaw(d)
+      val bench = shRaw.filter(col("doc_id") < 20).select(col("h")).distinct()
+      val total = d.filter(col("doc_id") >= 20).select(col("doc_id"),
+        expr("CAST(size(array_distinct(word_shingle_hashes(text, 3))) AS BIGINT)")
+          .as("n_shingles"))
+      val hit = shRaw.filter(col("doc_id") >= 20)
+        .join(broadcast(bench), Seq("h"), "left_semi")
+        .groupBy(col("doc_id")).agg(count_distinct(col("h")).as("n_hit"))
       total.join(hit, Seq("doc_id"))
         .withColumn("frac_raw", col("n_hit") / col("n_shingles"))
         .filter(col("frac_raw") >= 0.15)

@@ -238,20 +238,30 @@ object GraphOps {
       // rank relation outgrows the session's loud 2 GiB broadcast
       // ceiling and the lever is dropping the hint back to the
       // partitioned join.
+      // r19: the rank update is a UNION + one aggregate, not a join —
+      // the g4_bfs relaxation idiom. The old shape left-joined nd with
+      // the contribution aggregate, which cost a second per-round
+      // broadcast build + join stage just to re-attach deg and fill
+      // absent nodes with 0. Unioning nd's zero-contribution rows
+      // (deg rides along; contrib rows carry deg=0, so max() recovers
+      // it) folds fill + re-attach into the SAME map-side-combined
+      // aggregate the contributions already pay: one exchange per
+      // round, no join. Identical values: sum(c) over the union equals
+      // coalesce(s, 0), and every nd node appears exactly once.
       val contrib = bi
         .join(broadcast(rank), col("d1") === col("node"))
-        .select(col("d2").as("dst"), expr("r div deg").as("c"))
-        .groupBy(col("dst")).agg(sum(col("c")).as("s"))
+        .select(col("d2").as("node"), lit(0L).as("deg"), expr("r div deg").as("c"))
       // LAZY checkpoint per round: the next round (and the final job)
       // plans from a materialized leaf instead of a logical plan that
       // nests every prior round — without it the final plan is a
       // 10+-join tree that Catalyst/AQE re-analyzes stage by stage.
       // Lazy, not eager, so the chain still materializes in one job
       // with each round's RDD computed exactly once.
-      rank = nd.join(contrib, col("node") === col("dst"), "left")
-        .select(col("node"), col("deg"), expr(
-          s"${Scale * 15 / 100} + (17 * coalesce(s, CAST(0 AS BIGINT))) div 20")
-          .as("r"))
+      rank = contrib
+        .union(nd.select(col("node"), col("deg"), lit(0L).as("c")))
+        .groupBy(col("node"))
+        .agg(max(col("deg")).as("deg"),
+          expr(s"${Scale * 15 / 100} + (17 * sum(c)) div 20").as("r"))
         .localCheckpoint(false)
     }
     rank
