@@ -23,6 +23,24 @@ object Spark {
       // Generated classes are tiny; 10k entries is still a bounded cache.
       .config("spark.sql.codegen.cache.maxEntries", "10000")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // ObjectHashAggregate (collect_set/collect_list — the shingle
+      // packers, posting-list builders, and band buckets all over this
+      // engine) falls back to SORT-based aggregation after only 128
+      // distinct keys per partition by default, so every mid-cardinality
+      // object aggregate was paying a per-partition sort of its whole
+      // input stream. Raising the key-count guard keeps those hash-based
+      // (r19 A/B at sf0.1: t20 1.33 -> 0.98 s median and its 4 s
+      // sort-fallback outlier class gone, m8 0.86 -> 0.61; flat
+      // elsewhere). Scale story: the guard is PER-PARTITION key count,
+      // so at corpus scale (per-partition distinct keys >> any fixed
+      // threshold) behavior converges to today's spill-safe sort
+      // fallback; the exposure window is <= 32k concurrent group
+      // buffers instead of 128 before fallback, and the sf10 scale gate
+      // re-ran green over the collect-heavy d-family at this setting.
+      // Parameterized: production tuning is per-deployment (buffer
+      // payloads, not key counts, decide the safe ceiling).
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        sys.env.getOrElse("SPARK_GRAFT_OBJ_AGG_FALLBACK", "32768"))
       // Broadcast ceiling (ADVICE r10, t21): several queries broadcast a
       // MODEL relation whose size is data-derived (t21/t11's bigram-type
       // LM, IVF codebooks, bloom filters). All are bounded by design at

@@ -1,0 +1,41 @@
+package graft.tools
+
+/** A/B a runtime SQLConf against a list of queries in one JVM (dev
+  * tool): alternates conf-off / conf-on passes so host drift hits both
+  * arms equally.
+  *
+  * usage: runMain graft.tools.ProbeConf <sfDir> <key> <value> <q1,q2,...> [reps]
+  */
+object ProbeConf {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val key = args(1)
+    val value = args(2)
+    val names = args(3).split(",").toSeq
+    val reps = if (args.length > 4) args(4).toInt else 4
+    val spark = graft.Spark.session(appName = "graft-probe-conf")
+    val base = spark.conf.getOption(key)
+    def run(name: String): Double = {
+      val t0 = System.nanoTime()
+      graft.SparkEntry.queries(name)(spark, sfDir).count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    names.foreach(run) // warmup
+    for (name <- names) {
+      val off = Array.newBuilder[Double]
+      val on = Array.newBuilder[Double]
+      for (_ <- 1 to reps) {
+        base.foreach(v => spark.conf.set(key, v))
+        if (base.isEmpty) spark.conf.unset(key)
+        off += run(name)
+        spark.conf.set(key, value)
+        on += run(name)
+      }
+      def med(xs: Array[Double]): Double = { val s = xs.sorted; s(s.length / 2) }
+      println(f"[probe-conf] $name off=${off.result().map(t => f"$t%.3f").mkString(",")} " +
+        f"on=${on.result().map(t => f"$t%.3f").mkString(",")} " +
+        f"med_off=${med(off.result())}%.3f med_on=${med(on.result())}%.3f")
+    }
+    spark.stop()
+  }
+}
