@@ -130,7 +130,24 @@ object DedupOps {
     // cluster by token ONCE: the df aggregate and the df-attach join
     // both run on this exchange (aggregate output is h-partitioned,
     // probe side is the same exchange — no second token shuffle)
-    val shH = shRaw.repartition(col("h"))
+    //
+    // EXPLICIT isnotnull(doc_id) so all three packed consumers (prefix
+    // branch + both verify joins) canonicalize to ONE exchange subtree:
+    // the verify joins' `d1/d2 === doc_id` equi-keys make the optimizer
+    // INFER IsNotNull(doc_id) into their packed subtrees, while the
+    // prefix branch (no join on doc_id) gets none — so the two subtree
+    // classes canonicalized apart and the r19 FINAL plan ran the corpus
+    // scan + shingle exchange AND the dfq-attach SMJ + partial
+    // collect_set TWICE (ShuffleQueryStages 0 vs 3 and 10 vs 11, dumped
+    // in plans/r20/d19_prefix_join_final_before.txt). Filtering at the
+    // source puts the identical filter in every branch; exchange reuse
+    // then serves all three from one scan + one exchange + one packed
+    // build (guide §2.4 — remove shuffles outright). Result-identical:
+    // a NULL doc_id can never reach the output (collect_list drops the
+    // null-packed pk; both verify joins are inner equi-joins on
+    // doc_id), and count_distinct(doc_id) in dfq ignores NULLs, so
+    // filtering them early changes no aggregate value.
+    val shH = shRaw.where(col("doc_id").isNotNull).repartition(col("h"))
     val dfq = shH.groupBy(col("h")).agg(count_distinct(col("doc_id")).as("df"))
     // two views of the same token set, both doc-sized: pf = the
     // ALREADY-SLICED prefix in (df, h) global order (feeds candidate
