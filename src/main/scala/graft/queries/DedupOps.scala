@@ -51,9 +51,22 @@ object DedupOps {
   /** [[shingles]] before the distinct — consumers whose aggregates dedup
     * anyway (d19's collect_set / count_distinct) skip the extra
     * exchange. */
+  /** THE shingle-builder expression (word-3-grams of `text`, 60-bit
+    * md5-hashed): single definition shared by [[shinglesRaw]]'s explode
+    * and [[docShingleCount]]'s row-local count, so a future change to
+    * the shingle size/function cannot silently diverge the Jaccard /
+    * contamination denominators from the bucket build (ADVICE r19). */
+  private val shingleArr: Column = expr("word_shingle_hashes(text, 3)")
+
   private[graft] def shinglesRaw(d: DataFrame): DataFrame =
-    d.select(col("doc_id"),
-      explode(expr("word_shingle_hashes(text, 3)")).as("h"))
+    d.select(col("doc_id"), explode(shingleArr).as("h"))
+
+  /** Row-local per-doc DISTINCT shingle count — the d19 pk-carries-n
+    * idiom (a doc's distinct shingles are array_distinct of its own
+    * array; no corpus explode + doc-grain aggregate). BIGINT so the
+    * downstream arithmetic is identical to the old count(1) output. */
+  private def docShingleCount: Column =
+    size(array_distinct(shingleArr)).cast("long")
 
   /** shingle fingerprint: first 8 md5 hex digits as long (0 .. 2^32) —
     * the top 32 of the shingle key's 60 bits. */
@@ -684,9 +697,7 @@ object DedupOps {
       // old `sh.groupBy(doc_id).count` shape paid is a narrow map over
       // the scan (the d19 pk-carries-n precedent). BIGINT cast keeps
       // the n arithmetic identical to the old count(1) output.
-      val cnt = d.select(col("doc_id"),
-        expr("CAST(size(array_distinct(word_shingle_hashes(text, 3))) AS BIGINT)")
-          .as("n"))
+      val cnt = d.select(col("doc_id"), docShingleCount.as("n"))
       // merge, never broadcast (r17 audit) and never shuffle-hash (r18
       // 100x gate: SHJ's build doesn't spill): cnt is DOC-proportional;
       // only the (result-sized) pair relation pays the exchanges — cnt
@@ -940,9 +951,8 @@ object DedupOps {
       //   shingle array — the d7/d19 pk-carries-n precedent).
       val shRaw = shinglesRaw(d)
       val bench = shRaw.filter(col("doc_id") < 20).select(col("h")).distinct()
-      val total = d.filter(col("doc_id") >= 20).select(col("doc_id"),
-        expr("CAST(size(array_distinct(word_shingle_hashes(text, 3))) AS BIGINT)")
-          .as("n_shingles"))
+      val total = d.filter(col("doc_id") >= 20)
+        .select(col("doc_id"), docShingleCount.as("n_shingles"))
       val hit = shRaw.filter(col("doc_id") >= 20)
         .join(broadcast(bench), Seq("h"), "left_semi")
         .groupBy(col("doc_id")).agg(count_distinct(col("h")).as("n_hit"))

@@ -32,9 +32,14 @@ object ProbeConf {
         on += run(name)
       }
       def med(xs: Array[Double]): Double = { val s = xs.sorted; s(s.length / 2) }
-      println(f"[probe-conf] $name off=${off.result().map(t => f"$t%.3f").mkString(",")} " +
-        f"on=${on.result().map(t => f"$t%.3f").mkString(",")} " +
-        f"med_off=${med(off.result())}%.3f med_on=${med(on.result())}%.3f")
+      // result() once per builder: a second result() call on a Scala 2.13
+      // ArrayBuilder whose size hit capacity hands off (nulls) the backing
+      // array — the repeated-call form NPE'd at reps = 16 (ADVICE r19)
+      val offA = off.result()
+      val onA = on.result()
+      println(f"[probe-conf] $name off=${offA.map(t => f"$t%.3f").mkString(",")} " +
+        f"on=${onA.map(t => f"$t%.3f").mkString(",")} " +
+        f"med_off=${med(offA)}%.3f med_on=${med(onA)}%.3f")
     }
     spark.stop()
   }
