@@ -15,21 +15,36 @@ object ProbeConf {
     val reps = if (args.length > 4) args(4).toInt else 4
     val spark = graft.Spark.session(appName = "graft-probe-conf")
     val base = spark.conf.getOption(key)
+    // peak HEAP usage per pass (VERDICT r19 #4 asks the obj-agg A/B to
+    // carry memory telemetry): reset every heap pool's peak before the
+    // pass, report the max across pools after — local-mode executors
+    // share this JVM, so the pool peaks bound the aggregate buffers too
+    val heapPools = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getMemoryPoolMXBeans.asScala
+        .filter(_.getType == java.lang.management.MemoryType.HEAP)
+    }
+    var lastPeakMb = 0L
     def run(name: String): Double = {
+      heapPools.foreach(_.resetPeakUsage())
       val t0 = System.nanoTime()
       graft.SparkEntry.queries(name)(spark, sfDir).count()
-      (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      lastPeakMb = heapPools.map(_.getPeakUsage.getUsed).sum / (1024 * 1024)
+      dt
     }
     names.foreach(run) // warmup
     for (name <- names) {
       val off = Array.newBuilder[Double]
       val on = Array.newBuilder[Double]
+      val offPk = Array.newBuilder[Long]
+      val onPk = Array.newBuilder[Long]
       for (_ <- 1 to reps) {
         base.foreach(v => spark.conf.set(key, v))
         if (base.isEmpty) spark.conf.unset(key)
-        off += run(name)
+        off += run(name); offPk += lastPeakMb
         spark.conf.set(key, value)
-        on += run(name)
+        on += run(name); onPk += lastPeakMb
       }
       def med(xs: Array[Double]): Double = { val s = xs.sorted; s(s.length / 2) }
       // result() once per builder: a second result() call on a Scala 2.13
@@ -39,7 +54,8 @@ object ProbeConf {
       val onA = on.result()
       println(f"[probe-conf] $name off=${offA.map(t => f"$t%.3f").mkString(",")} " +
         f"on=${onA.map(t => f"$t%.3f").mkString(",")} " +
-        f"med_off=${med(offA)}%.3f med_on=${med(onA)}%.3f")
+        f"med_off=${med(offA)}%.3f med_on=${med(onA)}%.3f " +
+        s"peak_heap_mb_off=${offPk.result().max} peak_heap_mb_on=${onPk.result().max}")
     }
     spark.stop()
   }
