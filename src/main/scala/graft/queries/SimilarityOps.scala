@@ -539,6 +539,16 @@ object SimilarityOps {
       // every value. Nothing corpus-sized shuffles until the ranked
       // (qid, eid, adc9) rows hit the top-3 window.
       val cbL = codebookLiteral(cb)
+      // the HOF cast looks like a codegen defect but is the EMPIRICAL
+      // winner (r20 ProbeV8Cast + filtered A/B): it is CodegenFallback,
+      // which keeps the encode projection OUT of the cross-join's
+      // whole-stage span — with a native array<double> cast the span
+      // fuses Project(pq_encode) + BroadcastNestedLoopJoin +
+      // Project(pq_adc9) with TWO ~7 KB codebook literals into one
+      // generated method, and v8 regressed 0.66 -> 0.90 s (v9
+      // 0.90 -> 1.25) — the huge-generated-method class. The isolated
+      // encode projection IS faster codegen'd (ProbeV8Cast: 0.187 vs
+      // 0.245 s), so if Spark ever splits giant spans this flips.
       val ev = e.select(col("vec_id"),
         expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("ev"))
       val coded = ev.filter(col("vec_id") >= 5)
@@ -570,20 +580,37 @@ object SimilarityOps {
     "v9_pq_rot" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val subDim = 8
-      // signed permutation: output position j takes source dim pi[j]
-      // with sign ps[j] (one tiny broadcast row)
-      val pm = s.range(64).select(col("id").cast("int").as("i"))
-        .select(col("i"), md5(concat(lit("rot"), col("i"))).as("h"))
-        .select(col("i"), col("h"),
-          when(expr("substr(h, 2, 1) IN ('0','1','2','3','4','5','6','7')"), 1.0)
-            .otherwise(-1.0).as("sg"))
-        .groupBy()
-        .agg(expr("transform(array_sort(collect_list(struct(h, i, sg))), x -> x.i)").as("pi"),
-          expr("transform(array_sort(collect_list(struct(h, i, sg))), x -> x.sg)").as("ps"))
-      val e = emb(s, dir).crossJoin(broadcast(pm))
+      // signed permutation COMPUTED ON THE DRIVER (64 md5 calls), then
+      // inlined as array LITERALS in the same transform() the r19 form
+      // used. The r19 shape derived (pi, ps) as a one-row Spark
+      // aggregate and crossJoin(broadcast(pm))'d it onto the corpus —
+      // two extra jobs plus a BroadcastNestedLoopJoin in the encode
+      // path for a deterministic 64-entry table (r20 filtered A/B:
+      // 0.90 -> 0.69 s). Identical values: same md5 hex, same
+      // (h, i, sg) ascending sort (unique ASCII hex keys compare
+      // identically in UTF8 and UTF-16), same ps[j] *
+      // CAST(embedding[pi[j]] AS DOUBLE) arithmetic per element —
+      // asserted against the SQL form in RotationPermutationSpec and
+      // gated by v9's unchanged oracle.
+      // The transform() HOF is KEPT deliberately: it is CodegenFallback
+      // and acts as the codegen barrier that keeps the encode
+      // projection OUT of the cross-join's whole-stage span — a
+      // codegen'd static-array variant fused Project(pq_encode) + BNLJ
+      // + Project(pq_adc9) with two ~7 KB codebook literals into one
+      // generated method and REGRESSED v9 0.90 -> 1.25 s (v8
+      // 0.66 -> 0.90 with the analogous native cast; both measured and
+      // reverted, r20 — the huge-generated-method class).
+      val perm = (0 until 64).map { i =>
+        val h = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"rot$i".getBytes("UTF-8")).map("%02x".format(_)).mkString
+        (h, i, if (h.charAt(1) <= '7') 1.0 else -1.0)
+      }.sortBy(_._1)
+      val piLit = perm.map(_._2).mkString("array(", ", ", ")")
+      val psLit = perm.map(_._3).map(v => s"${v}D").mkString("array(", ", ", ")")
+      val e = emb(s, dir)
         .select(col("vec_id"), col("label"),
-          expr("transform(sequence(0, 63), j -> ps[j] * CAST(embedding[pi[j]] AS DOUBLE))")
-            .as("embedding"))
+          expr(s"transform(sequence(0, 63), j -> $psLit[j] * " +
+            s"CAST(embedding[$piLit[j]] AS DOUBLE))").as("embedding"))
       val cb = e.select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
         .groupBy(col("label"), col("pos")).agg(avg(col("v")).as("cv"))
         .groupBy(col("label"), (col("pos") / subDim).cast("int").as("sub"))
@@ -746,6 +773,7 @@ object SimilarityOps {
       // broadcast probes), then one pq_adc9 scalar per survivor replaces
       // the per-sub partial rows and their (qid, eid) aggregate
       val cbL = codebookLiteral(cb)
+      // HOF cast kept deliberately — see v8's huge-span note (r20)
       val ev = e.select(col("vec_id"),
         expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("ev"))
       val coded = ev.filter(col("vec_id") >= 5)
