@@ -644,7 +644,22 @@ object TextOps {
       // the derivation put a ~0.6 s re-aggregation on the types-broadcast
       // critical path and benched ~0.35 s SLOWER. The artifact supersedes
       // that trade: now NEITHER arm re-reads the corpus for the model.)
-      val toks = docs(s, dir)
+      // ONE doc_id-keyed repartition serves every corpus stage (r20,
+      // VERDICT r19 #6): the r19 plan paid THREE corpus exchanges —
+      // the round-robin fanout, the (doc_id, w1, w2) aggregate, and
+      // the per-doc rollup. HashPartitioning(doc_id) satisfies the
+      // clustered distribution of BOTH aggregates (the subset rule:
+      // same (doc_id, w1, w2) implies same doc_id partition; the
+      // broadcast scoring join preserves the streamed side's
+      // partitioning), so the keyed repartition replaces the fanout
+      // AND both downstream exchanges run in place — and it moves RAW
+      // TEXT rows (~T bytes/doc) where the old aggregate exchange
+      // moved the doc x bigram-type stream (~2T: per-doc types barely
+      // compress under the partial agg). Same values: aggregation
+      // keys/functions unchanged, only their physical placement.
+      // Filtered A/B and oracle evidence in OPTIMIZATION_r20.md.
+      val toks = Tables.load(s, dir, "documents")
+        .repartition(col("doc_id"))
         .select(col("doc_id"), split(trim(col("text")), "\\s+").as("ts"))
       val dw = toks.filter(size(col("ts")) >= 2)
         .select(col("doc_id"), explode(expr(
